@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Test-table loader for the driver's synthetic parquet (TESTDATA.md). */
+object Tables {
+
+  /** Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (Spark's vectorized reader has no TIMESTAMP(NANOS) type — the
+    * `events.ts` column is one). [[Sessions.tune]] applies it. */
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // Normalize nanos-as-long back to a proper TimestampType (truncate
+    // ns -> us, matching DuckDB's read of the same file).
+    df.schema.fields.foldLeft(df) {
+      case (d, f) if f.name == "ts" && f.dataType == LongType =>
+        d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case (d, _) => d
+    }
+  }
+}
+
+/** Shared session tuning for entry points and tests. */
+object Sessions {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      // Non-ANSI: engine cast semantics are null-on-failure
+      // (reference drops unparseable fields, `M/main.py:227-240`).
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** One-time JVM warm-up. Spark 4's collation-aware string functions
+    * lazily class-init `CollationAwareUTF8String`, whose static block
+    * walks ICU case mappings — measured at 30-100s on first
+    * `upper()`/`lower()` constant-fold. Trigger it (plus codegen and a
+    * tiny shuffle) up front so the cost never lands inside a measured
+    * or driver-gated query. */
+  def warm(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    spark.range(2)
+      .select(upper(concat(lit("a"), col("id"))).as("u"),
+        lower(concat(lit("B"), col("id"))).as("l"))
+      .groupBy(col("u")).agg(count(col("l")))
+      .collect()
+    ()
+  }
+}
