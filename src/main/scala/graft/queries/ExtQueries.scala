@@ -1,0 +1,301 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, Similarity}
+import graft.functions.TextFunctions
+
+/** Training-data pipeline operators (SURVEY.md §7.1 `ext`): text
+  * analysis, dedup family, embedding similarity — each with a DuckDB
+  * oracle that reconstructs the exact same hashes/arithmetic (portable
+  * md5-based hashing, exact DECIMAL folds; see Dedup/Similarity docs).
+  */
+object ExtQueries {
+
+  // ---------------------------------------------------------------- text
+
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    import TextFunctions._
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      regexTokenCount(col("text")).as("n_subwords"),
+      punctRatio(col("text")).as("punct_ratio"),
+      stopwordRatio(col("text")).as("stopword_ratio"),
+      avgTokenLength(col("text")).as("avg_token_len"),
+      qualityScore(col("text")).as("quality"))
+  }
+
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    import TextFunctions._
+    val scores = LangMarkers.map { case (lang, m) =>
+      langScore(col("text"), m).as(s"score_$lang")
+    }
+    Tables(spark, dir, "documents").select(
+      col("doc_id") +: langId(col("text")).as("lang_guess") +: scores: _*)
+  }
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import TextFunctions._
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      canonicalFingerprint(col("text")).as("canon_fp"))
+  }
+
+  // --------------------------------------------------------------- dedup
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"), n = 3, threshold = 0.5)
+
+  def dedupMinhashSig(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"), n = 3, numHashes = 16)
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"), n = 3, numHashes = 16, rowsPerBand = 4)
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables(spark, dir, "documents"), col("doc_id"), col("text"))
+
+  // ---------------------------------------------------------- similarity
+
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(
+      emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 10)
+  }
+
+  def embedNearDupLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(Tables(spark, dir, "embeddings"),
+      col("vec_id"), col("embedding"), dim = 64, numPlanes = 8,
+      threshold = 0.2)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> textStats _,
+    "text_langid" -> textLangId _,
+    "text_fingerprint" -> textFingerprint _,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_minhash_sig" -> dedupMinhashSig _,
+    "dedup_minhash_lsh" -> dedupMinhashLsh _,
+    "dedup_simhash" -> dedupSimhash _,
+    "ann_brute_force" -> annBruteForce _,
+    "embed_neardup_lsh" -> embedNearDupLsh _)
+
+  // -------------------------------------------------------- oracle SQL
+  // Hash-heavy oracles are generated programmatically so the SQL stays
+  // exactly in lockstep with the Scala constants (marker lists, seeds,
+  // band layout, hyperplane weights).
+
+  private val stopwordsSql =
+    TextFunctions.EnglishStopwords.map(s => s"'$s'").mkString(", ")
+
+  private val toks = "string_split_regex(trim(text), '\\s+')"
+
+  private val textStatsSql =
+    s"""SELECT doc_id,
+       |  length($toks) AS n_tokens,
+       |  length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
+       |  CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) > 0
+       |    THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |         / CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+       |    ELSE 0.0 END AS punct_ratio,
+       |  CASE WHEN length($toks) > 0
+       |    THEN CAST(len(list_filter($toks, t -> lower(t) IN ($stopwordsSql))) AS DOUBLE)
+       |         / CAST(length($toks) AS DOUBLE)
+       |    ELSE 0.0 END AS stopword_ratio,
+       |  CASE WHEN length($toks) > 0
+       |    THEN CAST(list_aggregate(list_transform($toks, t -> length(t)), 'sum') AS DOUBLE)
+       |         / CAST(length($toks) AS DOUBLE)
+       |    ELSE 0.0 END AS avg_token_len,
+       |  round(
+       |    least(CAST(length($toks) AS DOUBLE) / 20.0, 1.0) * 0.5 +
+       |    (1.0 - least((CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) > 0
+       |      THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |           / CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+       |      ELSE 0.0 END) * 2.0, 1.0)) * 0.3 +
+       |    least((CASE WHEN length($toks) > 0
+       |      THEN CAST(len(list_filter($toks, t -> lower(t) IN ($stopwordsSql))) AS DOUBLE)
+       |           / CAST(length($toks) AS DOUBLE)
+       |      ELSE 0.0 END) * 4.0, 1.0) * 0.2, 6) AS quality
+       |FROM documents""".stripMargin
+
+  private val langScoreExprs = TextFunctions.LangMarkers.map { case (lang, ms) =>
+    val list = ms.map(m => s"'$m'").mkString(", ")
+    lang -> s"len(list_filter($toks, t -> lower(t) IN ($list)))"
+  }
+
+  private val textLangIdSql = {
+    val scoreCols = langScoreExprs
+      .map { case (l, e) => s"  $e AS score_$l" }.mkString(",\n")
+    val best = langScoreExprs.map { case (l, _) => s"score_$l" }
+      .reduceRight((a, b) => s"greatest($a, $b)")
+    val guess = langScoreExprs.reverse.foldLeft("'und'") { case (els, (l, _)) =>
+      s"CASE WHEN score_$l = best AND score_$l > 0 THEN '$l' ELSE $els END"
+    }
+    s"""WITH s AS (
+       |SELECT doc_id,
+       |$scoreCols
+       |FROM documents),
+       |b AS (SELECT *, $best AS best FROM s)
+       |SELECT doc_id, $guess AS lang_guess,
+       |  ${langScoreExprs.map { case (l, _) => s"score_$l" }.mkString(", ")}
+       |FROM b""".stripMargin
+  }
+
+  private val textFingerprintSql =
+    s"""SELECT doc_id, md5(text) AS fp,
+       |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS canon_fp
+       |FROM documents""".stripMargin
+
+  /** Shared CTE: distinct word 3-grams per document (1-based list
+    * indexing; i in 1..len-2). */
+  private val gramsCte =
+    s"""grams AS (
+       |  SELECT DISTINCT doc_id AS id,
+       |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+       |  FROM (SELECT doc_id, $toks AS t FROM documents),
+       |       LATERAL (SELECT unnest(range(1, greatest(length(t) - 1, 1))) AS i))""".stripMargin
+
+  private val dedupNgramJaccardSql =
+    s"""WITH $gramsCte,
+       |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+       |inter AS (
+       |  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+       |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+       |  GROUP BY a.id, b.id)
+       |SELECT id1, id2,
+       |  CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes s1 ON s1.id = id1
+       |JOIN sizes s2 ON s2.id = id2
+       |WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.5""".stripMargin
+
+  private val sigAggs = (0 until 16)
+    .map(j => s"  min(md5('$j ' || gram)) AS sig_$j").mkString(",\n")
+
+  private val dedupMinhashSigSql =
+    s"""WITH $gramsCte
+       |SELECT id,
+       |$sigAggs
+       |FROM grams GROUP BY id""".stripMargin
+
+  private val bandExprs = (0 until 4).map { b =>
+    val cols = (0 until 4).map(r => s"sig_${b * 4 + r}")
+    s"md5(${cols.mkString(" || '|' || ")})"
+  }
+
+  private val dedupMinhashLshSql = {
+    val cond = bandExprs.zipWithIndex
+      .map { case (_, b) => s"x.b$b = y.b$b" }.mkString(" OR ")
+    val bandCols = bandExprs.zipWithIndex
+      .map { case (e, b) => s"  $e AS b$b" }.mkString(",\n")
+    s"""WITH $gramsCte,
+       |sig AS (
+       |SELECT id,
+       |$sigAggs
+       |FROM grams GROUP BY id),
+       |bands AS (
+       |SELECT id,
+       |$bandCols
+       |FROM sig)
+       |SELECT x.id AS id1, y.id AS id2
+       |FROM bands x JOIN bands y ON x.id < y.id AND ($cond)""".stripMargin
+  }
+
+  private val dedupSimhashSql = {
+    val votes = (0 until 32)
+      .map(i => s"  sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v_$i")
+      .mkString(",\n")
+    val sketch = (0 until 32)
+      .map(i => s"CASE WHEN v_$i >= 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id AS id, unnest($toks) AS tok FROM documents),
+       |hashed AS (
+       |  SELECT id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+       |voted AS (
+       |SELECT id,
+       |$votes
+       |FROM hashed GROUP BY id)
+       |SELECT id, CAST($sketch AS BIGINT) AS simhash FROM voted""".stripMargin
+  }
+
+  /** Per-component view + exact-decimal norm CTEs shared by the vector
+    * oracles. Components widened to DOUBLE before any multiply, matching
+    * Similarity.dotExact. */
+  private val vecCtes =
+    """comp AS (
+      |  SELECT vec_id, i, CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS x
+      |  FROM embeddings, LATERAL (SELECT unnest(range(0, 64)) AS i)),
+      |norms AS (
+      |  SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS sn
+      |  FROM comp GROUP BY vec_id)""".stripMargin
+
+  private val annBruteForceSql =
+    s"""WITH $vecCtes,
+       |dots AS (
+       |  SELECT c.vec_id AS nbr_id, q.vec_id AS query_id,
+       |    CAST(sum(CAST(c.x * q.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |  FROM comp c JOIN comp q ON c.i = q.i AND q.vec_id < 10
+       |  GROUP BY c.vec_id, q.vec_id),
+       |scored AS (
+       |  SELECT query_id, nbr_id, dot / (nc.sn * nq.sn) AS cosine
+       |  FROM dots
+       |  JOIN norms nc ON nc.vec_id = nbr_id
+       |  JOIN norms nq ON nq.vec_id = query_id),
+       |ranked AS (
+       |  SELECT query_id, nbr_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, nbr_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= 10""".stripMargin
+
+  private val embedNearDupLshSql = {
+    val weightRows = (for (j <- 0 until 8; i <- 0 until 64)
+      yield s"($j,$i,${Similarity.planeWeight(j, i)})").mkString(",")
+    s"""WITH $vecCtes,
+       |w(j, i, wt) AS (VALUES $weightRows),
+       |signs AS (
+       |  SELECT c.vec_id, w.j,
+       |    sum(CAST(c.x * w.wt AS DECIMAL(28,12))) >= 0 AS pos
+       |  FROM comp c JOIN w ON w.i = c.i
+       |  GROUP BY c.vec_id, w.j),
+       |buckets AS (
+       |  SELECT vec_id, sum(CASE WHEN pos THEN 1 << j ELSE 0 END) AS bucket
+       |  FROM signs GROUP BY vec_id),
+       |pairs AS (
+       |  SELECT x.vec_id AS id1, y.vec_id AS id2
+       |  FROM buckets x JOIN buckets y
+       |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |dots AS (
+       |  SELECT p.id1, p.id2,
+       |    CAST(sum(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |  FROM pairs p
+       |  JOIN comp a ON a.vec_id = p.id1
+       |  JOIN comp b ON b.vec_id = p.id2 AND b.i = a.i
+       |  GROUP BY p.id1, p.id2)
+       |SELECT id1, id2, dot / (n1.sn * n2.sn) AS cosine
+       |FROM dots
+       |JOIN norms n1 ON n1.vec_id = id1
+       |JOIN norms n2 ON n2.vec_id = id2
+       |WHERE dot / (n1.sn * n2.sn) >= 0.2""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" -> textStatsSql,
+    "text_langid" -> textLangIdSql,
+    "text_fingerprint" -> textFingerprintSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_minhash_sig" -> dedupMinhashSigSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "ann_brute_force" -> annBruteForceSql,
+    "embed_neardup_lsh" -> embedNearDupLshSql)
+}
