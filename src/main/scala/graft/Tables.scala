@@ -10,16 +10,18 @@ object Tables {
   /** Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`
     * (Spark's vectorized reader has no TIMESTAMP(NANOS) type — the
     * `events.ts` column is one). [[Sessions.tune]] applies it. */
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // Normalize nanos-as-long back to a proper TimestampType (truncate
-    // ns -> us, matching DuckDB's read of the same file).
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    normalize(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Normalize nanos-as-long `ts` back to a proper TimestampType
+    * (truncate ns -> us, matching DuckDB's read of the same file).
+    * Works on batch and streaming frames alike. */
+  def normalize(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) {
       case (d, f) if f.name == "ts" && f.dataType == LongType =>
         d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case (d, _) => d
     }
-  }
 }
 
 /** Shared session tuning for entry points and tests. */

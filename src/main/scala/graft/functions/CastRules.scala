@@ -48,8 +48,8 @@ object CastRules {
 
   /** `float(v)`: failure drops the field (`M/main.py:234-240`). */
   def floatCast(c: Column, dt: DataType): Column = dt match {
-    case _: NumericType => c.cast(DoubleType)
     case DoubleType | FloatType => scrub(c, dt).cast(DoubleType)
+    case _: NumericType => c.cast(DoubleType)
     case BooleanType => c.cast(DoubleType)
     case StringType =>
       when(trim(c).rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"),

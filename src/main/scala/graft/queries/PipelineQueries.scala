@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.config.{CastType, FieldMapping, SourceConfig}
+import graft.ext.Multimodal
+import graft.pipeline.{BatchPipeline, StreamingPipeline}
+
+/** End-to-end pipeline, streaming, and multimodal coverage.
+  *
+  * `stream_window_counts` runs a REAL Structured Streaming query (file
+  * source -> watermark -> windowed agg -> memory sink) to a terminal
+  * state, so the streaming engine itself sits inside the correctness
+  * gate.
+  */
+object PipelineQueries {
+
+  /** Full batch pipeline (route -> per-config scan -> compiled mapping
+    * -> JSON wire format), aggregated to event-name counts through a
+    * JSON roundtrip. The file "URIs" are the local parquet paths —
+    * prefix routing works identically on any filesystem scheme. */
+  def pipelineBatchE2e(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = SourceConfig(
+      configId = "events_files",
+      sourcePrefix = s"$dir/e", // matches events.parquet, not lineitem etc
+      eventNameField = Some("event_type"),
+      fieldMappings = Seq(
+        FieldMapping("ts", "time", CastType.UnixTimestampAuto),
+        FieldMapping("user_id", "$user_id", CastType.StringT),
+        FieldMapping("event_id", "$insert_id", CastType.StringOrUuid),
+        FieldMapping("*", "*")))
+    val decoy = SourceConfig("decoy", s"$dir/lineitem", fileType = "CSV")
+    val uris = Seq(s"$dir/events.parquet", s"$dir/lineitem.parquet",
+      s"$dir/unmatched.parquet")
+    val routed = BatchPipeline.routeFiles(uris, Seq(cfg, decoy))
+    val (json, _) = BatchPipeline.transform(spark, routed)
+    json
+      .select(get_json_object(col("event_json"), "$.event").as("event"))
+      .groupBy("event").agg(count(lit(1)).as("n"))
+  }
+
+  /** Structured Streaming: file source over the events table, 5-minute
+    * event-time windows on a watermark, complete-mode memory sink run
+    * to completion. */
+  def streamWindowCounts(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file-stream source needs a directory or a glob — a literal file
+    // path is rejected, so glob the one file
+    val stream = spark.readStream.schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events*.parquet")
+    val ev = Tables.normalize(stream)
+    val agg = ev
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val name = "stream_window_counts_sink"
+    try spark.catalog.dropTempView(name) catch { case _: Throwable => () }
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).select(
+      unix_timestamp(col("window.start")).as("window_start"),
+      col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Multimodal: binary content column + stub decode via per-partition
+    * mapPartitions (real plumbing, fake codec — see Multimodal). */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withBinaryContent(
+      Tables(spark, dir, "documents"), "doc_id", "text")
+    Multimodal.extractFeatures(media).toDF()
+  }
+
+  /** Multimodal: stride-sampled byte frames (video-frame shape). */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withBinaryContent(
+      Tables(spark, dir, "documents"), "doc_id", "text")
+    Multimodal.sampleFrames(media, frameBytes = 16, stride = 32, maxFrames = 4)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_batch_e2e" -> pipelineBatchE2e _,
+    "stream_window_counts" -> streamWindowCounts _,
+    "multimodal_features" -> multimodalFeatures _,
+    "multimodal_frames" -> multimodalFrames _)
+
+  val oracleSql: Map[String, String] = Map(
+    "pipeline_batch_e2e" ->
+      """SELECT event_type AS event, count(*) AS n
+        |FROM events
+        |WHERE event_type IS NOT NULL AND event_type NOT IN ('', '0')
+        |GROUP BY event_type""".stripMargin,
+    "stream_window_counts" ->
+      """SELECT (epoch_us(ts) // 1000000) // 300 * 300 AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  'application/octet-stream' AS mime,
+        |  ('0x' || substr(md5(text), 1, 8))::BIGINT % 640 + 1 AS width,
+        |  (('0x' || substr(md5(text), 1, 8))::BIGINT // 640) % 480 + 1 AS height,
+        |  md5(text) AS fp
+        |FROM documents""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+        |  lower(hex(encode(substr(text, CAST(i AS INT) * 32 + 1, 16)))) AS frame_hex
+        |FROM documents, LATERAL (SELECT unnest(range(0, 4)) AS i)
+        |WHERE substr(text, CAST(i AS INT) * 32 + 1, 16) <> ''""".stripMargin)
+}

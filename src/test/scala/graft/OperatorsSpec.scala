@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.config.SourceConfig
+import graft.ext.{Dedup, Multimodal, Similarity}
+import graft.functions.TextFunctions
+import graft.operators.Router
+
+/** Router, dedup family, similarity, text, multimodal operator specs. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- router
+
+  private val cfgs = Seq(
+    SourceConfig("a", "gs://b/x/"),
+    SourceConfig("ax", "gs://b/x", fileType = "CSV"),
+    SourceConfig("all", "gs://b/"))
+
+  test("router: first config in declaration order wins") {
+    val uris = Seq("gs://b/x/f1", "gs://b/xy/f2", "gs://b/z/f3", "gs://other/f4")
+      .toDF("uri")
+    val got = Router.route(uris, cfgs).select("uri", "config_id")
+      .as[(String, String)].collect().toMap
+    assert(got == Map(
+      "gs://b/x/f1" -> "a",    // 'a' beats 'ax' and 'all'
+      "gs://b/xy/f2" -> "ax",  // 'ax' prefix matches, 'a' does not
+      "gs://b/z/f3" -> "all")) // only the catch-all
+    // unmatched URI dropped
+    assert(!got.contains("gs://other/f4"))
+  }
+
+  test("router: null URIs filtered; parquet filter is case-insensitive") {
+    val uris = Seq(Some("gs://b/x/f1"), Some("gs://b/xy/f2"), None)
+      .toDF("uri")
+    val got = Router.routeParquet(uris, cfgs).as[(String, String)].collect()
+    assert(got.toSet == Set("gs://b/x/f1" -> "a")) // CSV config filtered out
+  }
+
+  // -------------------------------------------------------------- dedup
+
+  private val docs = Seq(
+    (1L, "a b c d e f"),
+    (2L, "a b c d e f"),     // exact dup of 1
+    (3L, "a b c d e zzz"),   // near dup of 1
+    (4L, "q w r t y u")      // unrelated
+  ).toDF("doc_id", "text")
+
+  test("ngram jaccard finds exact and near duplicates") {
+    val pairs = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text",
+        n = 3, threshold = 0.4)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash signatures are identical for identical docs") {
+    val sig = Dedup.minhashSignatures(docs, $"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(4L))
+  }
+
+  test("minhash LSH reports exact-dup candidates, not unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, $"doc_id", $"text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical docs share the sketch; all 32 bits used") {
+    val s = Dedup.simhash(docs, $"doc_id", $"text")
+      .as[(Long, Long)].collect().toMap
+    assert(s(1L) == s(2L))
+    assert(s(1L) != s(4L))
+    assert(s.values.forall(v => v >= 0 && v < (1L << 32)))
+  }
+
+  test("exact dedup keeps one deterministic representative") {
+    val d = Dedup.exactDedup(docs, $"text", $"doc_id")
+      .as[(String, Long)].collect().toMap
+    assert(d("a b c d e f") == 1L) // min doc_id
+    assert(d.size == 3)
+  }
+
+  // --------------------------------------------------------- similarity
+
+  test("cosine of a vector with itself is 1; topk ranks by similarity") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(1.0f, 0.01f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      vecs, $"vec_id", $"embedding",
+      vecs.filter($"vec_id" === 1), $"vec_id", $"embedding", k = 3)
+      .orderBy($"rank").select("nbr_id", "cosine")
+      .as[(Long, Double)].collect()
+    assert(top(0)._1 == 1L && math.abs(top(0)._2 - 1.0) < 1e-12)
+    assert(top(1)._1 == 4L) // closest other vector
+    assert(top.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("lsh: identical vectors share a bucket; near-dup pair found") {
+    val vecs = Seq(
+      (1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.5f)),
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNearDupPairs(vecs, $"vec_id", $"embedding",
+        dim = 8, numPlanes = 4, threshold = 0.99)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  // --------------------------------------------------------------- text
+
+  test("text functions: counts, ratios, langid markers") {
+    val df = Seq("the cat and the dog!", "der hund und die katze ist")
+      .toDF("text")
+    val got = df.select(
+      TextFunctions.tokenCount($"text"),
+      TextFunctions.stopwordRatio($"text"),
+      TextFunctions.langId($"text")).collect()
+    assert(got(0).getInt(0) == 5)
+    assert(math.abs(got(0).getDouble(1) - 3.0 / 5) < 1e-12)
+    assert(got(0).getString(2) == "en")
+    assert(got(1).getString(2) == "de")
+  }
+
+  test("canonical fingerprint ignores token order and duplication") {
+    val df = Seq(("a", "x y z"), ("b", "z y x x"), ("c", "x y q"))
+      .toDF("id", "text")
+    val fp = df.select($"id",
+      TextFunctions.canonicalFingerprint($"text")).as[(String, String)]
+      .collect().toMap
+    assert(fp("a") == fp("b") && fp("a") != fp("c"))
+  }
+
+  // --------------------------------------------------------- multimodal
+
+  test("multimodal: stub decode is deterministic; frames slice bytes") {
+    val media = Multimodal.withBinaryContent(docs, "doc_id", "text")
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(f(1L).fp == f(2L).fp) // same bytes, same fingerprint
+    assert(f(1L).n_bytes == "a b c d e f".length)
+    assert(f(1L).width >= 1 && f(1L).width <= 640)
+    val frames = Multimodal.sampleFrames(media, 4, 4, 2)
+      .filter($"media_id" === 1).orderBy($"frame_idx")
+      .select("frame_hex").as[String].collect()
+    assert(frames(0) == "a b ".map(c => "%02x".format(c.toInt)).mkString)
+  }
+}

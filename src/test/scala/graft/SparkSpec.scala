@@ -1,0 +1,15 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM, one session). */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession =
+    Sessions.builder("local[4]", 4).getOrCreate()
+
+  def rows(df: DataFrame): Seq[Row] = df.collect().toSeq
+
+  def sf(name: String): DataFrame =
+    Tables(spark, "/root/testdata/sf0.001", name)
+}
