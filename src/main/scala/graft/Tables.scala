@@ -13,6 +13,17 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     normalize(spark.read.parquet(s"$sfDir/$name.parquet"))
 
+  /** Cache + eagerly materialize a (small) intermediate frame. Lazy
+    * caches that feed multiple branches of ONE job cause a computation
+    * storm: every branch races to fill the cache and tasks serialize on
+    * the block locks (measured 8x slowdowns on the LSH pair queries).
+    * An eager count fills the cache once, up front. */
+  def materialize(df: DataFrame): DataFrame = {
+    val c = df.cache()
+    c.count()
+    c
+  }
+
   /** Normalize nanos-as-long `ts` back to a proper TimestampType
     * (truncate ns -> us, matching DuckDB's read of the same file).
     * Works on batch and streaming frames alike. */

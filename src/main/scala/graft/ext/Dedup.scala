@@ -28,15 +28,25 @@ object Dedup {
     df.groupBy(key.as("dedup_key")).agg(min(keep).as("kept"))
 
   /** Word shingles (n-grams of tokens) as a distinct-exploded frame:
-    * (id, gram). The base relation for Jaccard and MinHash. */
+    * (id, gram). The base relation for Jaccard and MinHash.
+    *
+    * Two deliberate shapes for scale: tokens are materialized as a
+    * column BEFORE the gram lambda (a lambda body re-evaluates embedded
+    * expressions per element — with split() inlined that made gram
+    * building O(len²) per doc in interpreted eval), and narrow inputs
+    * are widened to the session's parallelism (a single-file local scan
+    * is 1 partition; the gram explosion is the expensive stage, so it
+    * must run wide). */
   def shingles(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
-    val toks = TextFunctions.tokens(text)
-    // grams[i] = tokens[i..i+n-1], for i in 1..len-n+1 (slice is 1-based)
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val toked = df.select(id.as("id"), TextFunctions.tokens(text).as("toks"))
+      .repartition(p)
+    // grams[i] = toks[i..i+n-1], for i in 1..len-n+1 (slice is 1-based)
+    val grams = when(size(col("toks")) >= n,
+      transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+        i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
       .otherwise(array())
-    df.select(id.as("id"), explode(array_distinct(grams)).as("gram"))
+    toked.select(col("id"), explode(array_distinct(grams)).as("gram"))
   }
 
   /** Exact n-gram Jaccard similarity for all pairs with
@@ -45,7 +55,7 @@ object Dedup {
     * end — bit-identical across engines. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val g = shingles(df, id, text, n).cache()
+    val g = graft.Tables.materialize(shingles(df, id, text, n))
     val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = g.as("a").join(g.as("b"), col("a.gram") === col("b.gram"))
       .filter(col("a.id") < col("b.id"))
@@ -61,15 +71,30 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
-  /** MinHash signature: numHashes independent min-hashes per doc, where
-    * hash_j(gram) = md5(j || ' ' || gram) and "min" is lexicographic on
-    * the hex string — a valid permutation family that is portable to
-    * any engine with md5. Output: (id, sig_0 … sig_{k-1}). */
+  /** Universal-hash-family prime (smallest prime > 2^32). */
+  val MinhashP: Long = 4294967311L
+
+  /** Deterministic minhash coefficients (a_j odd < 2^30 so
+    * h * a_j + b_j stays < 2^63 in every engine; b_j < 2^32), derived
+    * from md5 so oracle SQL can embed the same literals. */
+  def minhashParams(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { j =>
+      (TextFunctions.hash32Local(s"a_$j") % (1L << 30) | 1L,
+        TextFunctions.hash32Local(s"b_$j"))
+    }
+
+  /** MinHash signature: one portable 32-bit base hash per gram
+    * (md5-derived), then numHashes linear transforms
+    * `(h * a_j + b_j) mod P` min-aggregated per doc — one md5 per gram
+    * total, not per (gram, seed). Output: (id, sig_0 … sig_{k-1}),
+    * all longs. */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
       n: Int = 3, numHashes: Int = 16): DataFrame = {
     val g = shingles(df, id, text, n)
-    val aggs = (0 until numHashes).map(j =>
-      min(md5(concat(lit(j.toString), lit(" "), col("gram")))).as(s"sig_$j"))
+      .withColumn("h", TextFunctions.hash32(col("gram")))
+    val aggs = minhashParams(numHashes).zipWithIndex.map { case ((a, b), j) =>
+      min((col("h") * a + b) % MinhashP).as(s"sig_$j")
+    }
     g.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -87,13 +112,77 @@ object Dedup {
           (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*))
           .as("bh"))
     }: _*)
+    // cache: both sides of the self-join would otherwise recompute the
+    // full shingle+signature pipeline
     val exploded = sig.select(col("id"), explode(bands).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    exploded.as("x").join(exploded.as("y"),
+    val explodedM = graft.Tables.materialize(exploded)
+    explodedM.as("x").join(explodedM.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"))
       .distinct()
+  }
+
+  /** SimHash near-duplicate candidate pairs: band the 32-bit sketch
+    * into 4 bytes (near-dups agree on at least one byte with high
+    * probability), self-join per band bucket, then verify with the
+    * exact Hamming distance `bit_count(s1 xor s2) <= maxBits`.
+    * Same O(docs x bands) scaling story as MinHash LSH. */
+  def simhashNearDupPairs(df: DataFrame, id: Column, text: Column,
+      maxBits: Int = 6): DataFrame = {
+    val sk = graft.Tables.materialize(simhash(df, id, text))
+    val bands = sk.select(col("id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 8).bitwiseAND(255).as("bv"))): _*))
+          .as("b"))
+      .select(col("id"), col("b.band"), col("b.bv"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"))
+      .distinct()
+    cand
+      .join(sk.select(col("id").as("id1"), col("simhash").as("s1")), "id1")
+      .join(sk.select(col("id").as("id2"), col("simhash").as("s2")), "id2")
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .filter(col("hamming") <= maxBits)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
+  /** Composed corpus-dedup pipeline — the canonical production shape:
+    * 1. canonical-fingerprint exact pass (kills exact + reordered dups
+    *    for the cost of one groupBy);
+    * 2. MinHash LSH candidate generation on the survivors;
+    * 3. exact n-gram Jaccard verification of candidates only (never
+    *    all-pairs);
+    * 4. greedy keep-lowest-id per verified duplicate pair.
+    * Returns the kept (id) frame. Every stage is the O(docs)-shuffle
+    * scale path; the quadratic work is confined to LSH buckets. */
+  def dedupPipelineKept(df: DataFrame, id: Column, text: Column,
+      n: Int = 3, jaccardThreshold: Double = 0.8): DataFrame = {
+    val canon = df.select(id.as("id"), text.as("text"))
+      .withColumn("canon_fp", TextFunctions.canonicalFingerprint(col("text")))
+    val firstPerFp = canon.groupBy(col("canon_fp")).agg(min(col("id")).as("id"))
+    val survivors = graft.Tables.materialize(canon.join(firstPerFp.select(col("id")), "id")
+      .select(col("id"), col("text")))
+    val cand = minhashLshPairs(survivors, col("id"), col("text"), n)
+    val g = graft.Tables.materialize(shingles(survivors, col("id"), col("text"), n))
+    val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(g.as("ga"), col("id1") === col("ga.id"))
+      .join(g.as("gb"),
+        col("id2") === col("gb.id") && col("ga.gram") === col("gb.gram"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+    val verified = inter
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .filter(col("inter").cast("double") /
+        (col("sz1") + col("sz2") - col("inter")).cast("double")
+        >= jaccardThreshold)
+    survivors.join(verified.select(col("id2").as("id")).distinct(),
+      Seq("id"), "left_anti").select(col("id"))
   }
 
   /** SimHash sketch: 32-bit majority-vote over token hash bits.
@@ -101,8 +190,9 @@ object Dedup {
     * (ties -> 1, since +0 >= 0). Near-duplicate docs differ in few
     * bits. One groupBy over exploded tokens; integer math only. */
   def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val tok = df.select(id.as("id"),
-      explode(TextFunctions.tokens(text)).as("tok"))
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val tok = df.select(id.as("id"), text.as("text")).repartition(p)
+      .select(col("id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
       .withColumn("h", TextFunctions.hash32(col("tok")))
     val bitVotes = (0 until 32).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))

@@ -99,4 +99,13 @@ object TextFunctions {
     * the cross-engine hash primitive for minhash/simhash/LSH oracles. */
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Driver-side twin of [[hash32]] for deriving plan-time constants
+    * (hyperplane weights, minhash coefficients) that oracle SQL can
+    * reproduce. */
+  def hash32Local(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
 }

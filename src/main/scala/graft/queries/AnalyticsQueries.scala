@@ -123,7 +123,27 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n"),
         sum(dec(col("o_totalprice"))).cast("double").as("total"))
 
+  /** Gap-based sessionization (10-minute inactivity gap) via
+    * lag + running-sum window — the batch twin of streaming session
+    * windows. Timestamp math in exact microseconds. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("brk",
+        when(col("us") - lag(col("us"), 1).over(w) >= 600000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("session_start_us"),
+        max(col("us")).as("last_event_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sessionize" -> sessionize _,
     "q1_agg" -> q1Agg _,
     "q3_join_topk" -> q3JoinTopk _,
     "q5_multijoin" -> q5MultiJoin _,
@@ -133,6 +153,17 @@ object AnalyticsQueries {
     "rollup_agg" -> rollupAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |s AS (SELECT user_id, us,
+        |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 600000000
+        |    THEN 1 ELSE 0 END AS brk FROM e),
+        |t AS (SELECT user_id, us,
+        |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(us) AS session_start_us, max(us) AS last_event_us
+        |FROM t GROUP BY user_id, session_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -62,6 +62,14 @@ object ExtQueries {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables(spark, dir, "documents"), col("doc_id"), col("text"))
 
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"), maxBits = 6)
+
+  def docDedupPipeline(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupPipelineKept(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"), n = 3, jaccardThreshold = 0.8)
+
   // ---------------------------------------------------------- similarity
 
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
@@ -85,6 +93,8 @@ object ExtQueries {
     "dedup_minhash_sig" -> dedupMinhashSig _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
+    "dedup_simhash_pairs" -> dedupSimhashPairs _,
+    "doc_dedup_pipeline" -> docDedupPipeline _,
     "ann_brute_force" -> annBruteForce _,
     "embed_neardup_lsh" -> embedNearDupLsh _)
 
@@ -177,14 +187,22 @@ object ExtQueries {
        |JOIN sizes s2 ON s2.id = id2
        |WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.5""".stripMargin
 
-  private val sigAggs = (0 until 16)
-    .map(j => s"  min(md5('$j ' || gram)) AS sig_$j").mkString(",\n")
+  private val sigAggs = Dedup.minhashParams(16).zipWithIndex
+    .map { case ((a, b), j) =>
+      s"  min((h * $a + $b) % ${Dedup.MinhashP}) AS sig_$j"
+    }.mkString(",\n")
+
+  private val hashedCte =
+    """hashed AS (
+      |  SELECT id, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h
+      |  FROM grams)""".stripMargin
 
   private val dedupMinhashSigSql =
-    s"""WITH $gramsCte
+    s"""WITH $gramsCte,
+       |$hashedCte
        |SELECT id,
        |$sigAggs
-       |FROM grams GROUP BY id""".stripMargin
+       |FROM hashed GROUP BY id""".stripMargin
 
   private val bandExprs = (0 until 4).map { b =>
     val cols = (0 until 4).map(r => s"sig_${b * 4 + r}")
@@ -197,10 +215,11 @@ object ExtQueries {
     val bandCols = bandExprs.zipWithIndex
       .map { case (e, b) => s"  $e AS b$b" }.mkString(",\n")
     s"""WITH $gramsCte,
+       |$hashedCte,
        |sig AS (
        |SELECT id,
        |$sigAggs
-       |FROM grams GROUP BY id),
+       |FROM hashed GROUP BY id),
        |bands AS (
        |SELECT id,
        |$bandCols
@@ -209,22 +228,89 @@ object ExtQueries {
        |FROM bands x JOIN bands y ON x.id < y.id AND ($cond)""".stripMargin
   }
 
-  private val dedupSimhashSql = {
+  /** tok/hash/vote/sketch CTE chain shared by both simhash oracles. */
+  private val simhashCtes = {
     val votes = (0 until 32)
       .map(i => s"  sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v_$i")
       .mkString(",\n")
     val sketch = (0 until 32)
       .map(i => s"CASE WHEN v_$i >= 0 THEN ${1L << i} ELSE 0 END")
       .mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id AS id, unnest($toks) AS tok FROM documents),
-       |hashed AS (
+       |tokhashed AS (
        |  SELECT id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
        |voted AS (
        |SELECT id,
        |$votes
-       |FROM hashed GROUP BY id)
-       |SELECT id, CAST($sketch AS BIGINT) AS simhash FROM voted""".stripMargin
+       |FROM tokhashed GROUP BY id),
+       |sk AS (SELECT id, CAST($sketch AS BIGINT) AS simhash FROM voted)""".stripMargin
+  }
+
+  private val dedupSimhashSql =
+    s"WITH $simhashCtes\nSELECT id, simhash FROM sk"
+
+  private val dedupSimhashPairsSql = {
+    s"""WITH $simhashCtes,
+       |bands2 AS (
+       |  SELECT id, b AS band, (simhash >> (CAST(b AS INT) * 8)) & 255 AS bv
+       |  FROM sk, LATERAL (SELECT unnest(range(0, 4)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS id1, y.id AS id2
+       |  FROM bands2 x JOIN bands2 y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.id < y.id)
+       |SELECT id1, id2,
+       |  bit_count(xor(s1.simhash, s2.simhash)) AS hamming
+       |FROM cand
+       |JOIN sk s1 ON s1.id = id1
+       |JOIN sk s2 ON s2.id = id2
+       |WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 6""".stripMargin
+  }
+
+  /** The composed dedup pipeline: canonical-fp pass -> LSH candidates
+    * over survivors -> Jaccard verify -> greedy keep. Shares every
+    * constant with Dedup.dedupPipelineKept. */
+  private val docDedupPipelineSql = {
+    val survivorToks = "string_split_regex(trim(text), '\\s+')"
+    s"""WITH canon AS (
+       |  SELECT doc_id AS id, text,
+       |    md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS canon_fp
+       |  FROM documents),
+       |first_fp AS (SELECT canon_fp, min(id) AS id FROM canon GROUP BY canon_fp),
+       |survivors AS (
+       |  SELECT c.id, c.text FROM canon c JOIN first_fp f ON c.id = f.id),
+       |grams AS (
+       |  SELECT DISTINCT sub.id,
+       |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+       |  FROM (SELECT id, $survivorToks AS t FROM survivors) sub,
+       |       LATERAL (SELECT unnest(range(1, greatest(length(t) - 1, 1))) AS i)),
+       |$hashedCte,
+       |sig AS (
+       |SELECT id,
+       |$sigAggs
+       |FROM hashed GROUP BY id),
+       |bands AS (
+       |SELECT id,
+       |${bandExprs.zipWithIndex.map { case (e, b) => s"  $e AS b$b" }.mkString(",\n")}
+       |FROM sig),
+       |cand AS (
+       |  SELECT x.id AS id1, y.id AS id2
+       |  FROM bands x JOIN bands y ON x.id < y.id
+       |    AND (${bandExprs.indices.map(b => s"x.b$b = y.b$b").mkString(" OR ")})),
+       |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+       |inter AS (
+       |  SELECT c.id1, c.id2, count(*) AS inter
+       |  FROM cand c
+       |  JOIN grams ga ON ga.id = c.id1
+       |  JOIN grams gb ON gb.id = c.id2 AND gb.gram = ga.gram
+       |  GROUP BY c.id1, c.id2),
+       |verified AS (
+       |  SELECT id1, id2 FROM inter
+       |  JOIN sizes s1 ON s1.id = id1
+       |  JOIN sizes s2 ON s2.id = id2
+       |  WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.8)
+       |SELECT id FROM survivors
+       |WHERE id NOT IN (SELECT DISTINCT id2 FROM verified)""".stripMargin
   }
 
   /** Per-component view + exact-decimal norm CTEs shared by the vector
@@ -296,6 +382,8 @@ object ExtQueries {
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_simhash_pairs" -> dedupSimhashPairsSql,
+    "doc_dedup_pipeline" -> docDedupPipelineSql,
     "ann_brute_force" -> annBruteForceSql,
     "embed_neardup_lsh" -> embedNearDupLshSql)
 }

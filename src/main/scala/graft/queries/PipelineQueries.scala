@@ -68,6 +68,29 @@ object PipelineQueries {
       col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Structured Streaming session windows: 10-minute-gap sessions per
+    * user via the native session_window operator, run to completion. */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events*.parquet")
+    val agg = Tables.normalize(stream)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val name = "stream_sessionize_sink"
+    try spark.catalog.dropTempView(name) catch { case _: Throwable => () }
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).select(
+      col("user_id"),
+      unix_micros(col("session_window.start")).as("session_start_us"),
+      col("n_events"))
+  }
+
   /** Multimodal: binary content column + stub decode via per-partition
     * mapPartitions (real plumbing, fake codec — see Multimodal). */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
@@ -86,6 +109,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_batch_e2e" -> pipelineBatchE2e _,
     "stream_window_counts" -> streamWindowCounts _,
+    "stream_sessionize" -> streamSessionize _,
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_frames" -> multimodalFrames _)
 
@@ -100,6 +124,16 @@ object PipelineQueries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |s AS (SELECT user_id, us,
+        |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 600000000
+        |    THEN 1 ELSE 0 END AS brk FROM e),
+        |t AS (SELECT user_id, us,
+        |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s)
+        |SELECT user_id, min(us) AS session_start_us, count(*) AS n_events
+        |FROM t GROUP BY user_id, session_id""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id AS media_id,
         |  octet_length(encode(text)) AS n_bytes,
