@@ -15,9 +15,21 @@ import graft.functions.CastRules
   */
 final case class CompiledEvents(df: DataFrame) {
   /** Rows that mapped cleanly. */
-  def ok: DataFrame = df.filter(col("error").isNull).drop("error")
+  def ok: DataFrame =
+    df.filter(col("error").isNull).drop("error", "_counters")
   /** Transform-error dead-letter channel (`M/main.py:151-162`). */
   def dlq: DataFrame = df.filter(col("error").isNotNull).select("error.*")
+  /** A3 monitoring counters as a one-row frame (`M/main.py:145,274-277`):
+    * total rows, DLQ'd rows, rows missing both distinct ids (counted,
+    * not rejected), and timestamp-parse failures (per occurrence). */
+  def counters: DataFrame =
+    df.agg(CompiledEvents.counterAggs.head, CompiledEvents.counterAggs.tail: _*)
+  /** Attach the same counters as an `Observation` — zero extra passes;
+    * metrics materialize with the first action on the returned frame. */
+  def okObserved(obs: org.apache.spark.sql.Observation): DataFrame =
+    df.observe(obs, CompiledEvents.counterAggs.head,
+        CompiledEvents.counterAggs.tail: _*)
+      .filter(col("error").isNull).drop("error", "_counters")
   /** Final wire format: one JSON text line per event with nulls
     * stripped (`M/main.py:278-284`; `to_json` drops null fields). */
   def json: DataFrame =
@@ -25,6 +37,16 @@ final case class CompiledEvents(df: DataFrame) {
   /** `event` + one column per property — oracle-friendly shape. */
   def flat: DataFrame = ok.select(col("event") +: ok.select("properties.*")
     .columns.map(n => col(s"properties.`$n`")): _*)
+}
+
+object CompiledEvents {
+  private[compile] val counterAggs: Seq[Column] = Seq(
+    count(lit(1)).as("n_rows"),
+    count(when(col("error").isNotNull, 1)).as("n_dlq"),
+    count(when(col("error").isNull && col("_counters.missing_distinct_id"), 1))
+      .as("missing_distinct_id"),
+    coalesce(sum(col("_counters.ts_parse_errors")), lit(0L)).cast("long")
+      .as("ts_parse_errors"))
 }
 
 object ConfigCompiler {
@@ -61,20 +83,30 @@ object ConfigCompiler {
       originalRowJson.as("original_row"))
 
     // --- event name (`M/main.py:184-195`) -------------------------------
-    val (eventCol, eventErr): (Column, Option[Column]) = cfg.eventNameField match {
+    // `if not event_name` tests Python truthiness of the RAW value
+    // (`M/main.py:186-188`): None/"" for strings (the string "0" is
+    // truthy!), 0 for numerics (NaN scrubs to None first), False for
+    // booleans. Only then is the name used as-is in the output JSON.
+    val (eventCol, eventBad): (Column, Option[Column]) = cfg.eventNameField match {
       case Some(f) =>
         rawCol(f) match {
           case Some((c, dt)) =>
             val v = CastRules.stringCast(c, dt)
-            // Python falsy check: None or "" (numeric 0 handled via cast)
-            val bad = v.isNull || v === "" || v === "0"
-            (v, Some(when(bad, dlqStruct("missing_dynamic_event_name", lit(f)))))
-          case None =>
-            (lit(null).cast(StringType),
-              Some(when(lit(true), dlqStruct("missing_dynamic_event_name", lit(f)))))
+            val bad = dt match {
+              case StringType     => c.isNull || c === ""
+              case BooleanType    => c.isNull || !c
+              case _: NumericType =>
+                CastRules.scrub(c, dt).isNull || CastRules.scrub(c, dt) === 0
+              case _ => v.isNull || v === ""
+            }
+            (v, Some(bad))
+          case None => (lit(null).cast(StringType), Some(lit(true)))
         }
       case None => (lit(cfg.resolvedStaticName), None)
     }
+    val eventErr: Option[Column] = eventBad.map(bad =>
+      when(bad, dlqStruct("missing_dynamic_event_name",
+        lit(cfg.eventNameField.orNull))))
 
     // --- deterministic surrogates (SURVEY.md §7.5) -----------------------
     val clock: Column =
@@ -87,9 +119,15 @@ object ConfigCompiler {
     val concrete = cfg.fieldMappings.filterNot(_.isWildcard)
 
     // --- per-mapping value + required-error conditions -------------------
-    // (mapping loop `M/main.py:202-265`; first required-miss wins)
+    // (mapping loop `M/main.py:202-265`; first required-miss wins).
+    // `abortSoFar` tracks whether the reference would have `return`ed
+    // before reaching mapping i (event-name DLQ or an earlier required
+    // miss) — parse-error counting must not fire past an abort.
     var requiredErrs = Vector.empty[Column]
     var mappedProps = Vector.empty[(String, Column)]
+    var truthyProps = Map.empty[String, Column]
+    var tsErrFlags = Vector.empty[Column]
+    var abortSoFar: Column = eventBad.getOrElse(lit(false))
     val mappedSourceFields = concrete.map(_.sourceField).toSet
 
     concrete.foreach { fm =>
@@ -105,10 +143,17 @@ object ConfigCompiler {
       val value: Column = rawOpt match {
         case Some((c, dt)) =>
           val casted = CastRules(fm.castType, c, dt)
+          // timestamp-parse-error counter (`M/main.py:145`): value
+          // present but the dateutil-ish parse failed. Counted per
+          // occurrence, only on rows the mapping loop actually reaches.
+          if (fm.castType == CastType.UnixTimestampAuto && dt == StringType)
+            tsErrFlags :+= when(!abortSoFar && scrubbed.isNotNull &&
+              casted.isNull, 1).otherwise(0)
           fm.castType match {
             case CastType.StringOrUuid if fm.targetField == "$insert_id" =>
-              // `M/main.py:260-263`: str(v) or fresh uuid
-              coalesce(casted, freshUuid)
+              // `M/main.py:260-263`: `_to_str(value) or str(uuid4())` —
+              // Python `or` replaces "" as well as None with a fresh uuid.
+              when(casted.isNull || casted === "", freshUuid).otherwise(casted)
             case CastType.UnixTimestampAuto if fm.targetField == "time" =>
               // unparseable/missing `time` falls back to now()
               // (`M/main.py:257-259`)
@@ -122,6 +167,25 @@ object ConfigCompiler {
             case _ => lit(null)
           }
       }
+      if (fm.isRequiredInSource) abortSoFar = abortSoFar || scrubbed.isNull
+      // Python-truthiness of the FINAL property value, used by the
+      // missing-distinct-id counter (`M/main.py:274-277`). Keyed by the
+      // declared cast so the test stays type-aware ("" falsy, "0"
+      // truthy for strings; 0 falsy for numerics).
+      val truthy: Column = fm.castType match {
+        case CastType.StringT | CastType.StringOrUuid =>
+          value.isNotNull && value =!= ""
+        case CastType.IntegerT | CastType.FloatT |
+             CastType.UnixTimestampAuto => value.isNotNull && value =!= 0
+        case CastType.BooleanTruthy => coalesce(value, lit(false))
+        case CastType.Passthrough => rawOpt match {
+          case Some((_, StringType)) => value.isNotNull && value =!= ""
+          case Some((_, _: NumericType)) => value.isNotNull && value =!= 0
+          case Some((_, BooleanType)) => coalesce(value, lit(false))
+          case _ => value.isNotNull
+        }
+      }
+      truthyProps += (fm.targetField -> truthy)
       // A null value under target `time` without include_if_none means the
       // key is skipped (`M/main.py:218-223`) and the now() default fires
       // (`M/main.py:270-271`); with include_if_none the null is kept and
@@ -139,6 +203,19 @@ object ConfigCompiler {
           .filterNot(f => mappedSourceFields.contains(f.name))
           .map(f => f.name -> CastRules.scrub(col(s"`${f.name}`"), f.dataType))
       else Vector.empty
+    if (cfg.hasWildcard)
+      schema.fields.toVector
+        .filterNot(f => mappedSourceFields.contains(f.name))
+        .foreach { f =>
+          val v = CastRules.scrub(col(s"`${f.name}`"), f.dataType)
+          val truthy = f.dataType match {
+            case StringType     => v.isNotNull && v =!= ""
+            case _: NumericType => v.isNotNull && v =!= 0
+            case BooleanType    => coalesce(v, lit(false))
+            case _              => v.isNotNull
+          }
+          truthyProps += (f.name -> truthy)
+        }
 
     // --- defaults (`M/main.py:270-273`) ----------------------------------
     // `time` / `$insert_id` injected only when the key is absent from the
@@ -181,9 +258,22 @@ object ConfigCompiler {
           StructField("original_row", StringType))))
       else coalesce(errorChain: _*)
 
+    // --- A3 counter flags (`M/main.py:145,274-277`) ----------------------
+    // missing_distinct_id: neither $user_id nor $device_id is truthy in
+    // the final properties dict — counted on mapped (non-DLQ) rows only.
+    val missingDistinctId =
+      !(truthyProps.get("$user_id").getOrElse(lit(false)) ||
+        truthyProps.get("$device_id").getOrElse(lit(false)))
+    val tsParseErrors =
+      if (tsErrFlags.isEmpty) lit(0) else tsErrFlags.reduce(_ + _)
+    val countersStruct = struct(
+      missingDistinctId.as("missing_distinct_id"),
+      tsParseErrors.as("ts_parse_errors"))
+
     CompiledEvents(input.select(
       eventCol.as("event"),
       propsStruct.as("properties"),
-      errorCol.as("error")))
+      errorCol.as("error"),
+      countersStruct.as("_counters")))
   }
 }

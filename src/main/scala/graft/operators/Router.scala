@@ -57,6 +57,27 @@ object Router {
       .filter(upper(col("file_type")) === "PARQUET")
       .select(col("uri"), col("config_id"))
 
+  /** Router metric counters as data (A3): one row per config with its
+    * matched-URI count (`Metrics.counter("Router", "matched_<id>")`,
+    * `M/main.py:55-58`) plus one `__unmatched__` row
+    * (`"unmatched_uri"`, `M/main.py:61-63`). Null URIs are dropped
+    * before counting, as in the reference (P1 precedes P2). Configs
+    * that matched nothing still get a 0 row so the output schema is
+    * stable — a monitoring dashboard needs the zero. */
+  def routeCounts(uris: DataFrame, configs: Seq[SourceConfig]): DataFrame = {
+    val spark = uris.sparkSession
+    import spark.implicits._
+    val counted = uris
+      .filter(col("uri").isNotNull)
+      .select(coalesce(firstMatchExpr(col("uri"), configs),
+        lit("__unmatched__")).as("config_id"))
+      .groupBy(col("config_id")).agg(count(lit(1)).as("n"))
+    val zeros = (configs.map(_.configId) :+ "__unmatched__")
+      .toDF("config_id")
+    zeros.join(counted, Seq("config_id"), "left")
+      .select(col("config_id"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** DataFrame of (ordinal, config_id, prefix, file_type) — used by
     * tests and by callers that want the config list as data. */
   def configFrame(spark: SparkSession, configs: Seq[SourceConfig]): DataFrame = {

@@ -1,11 +1,16 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.charset.StandardCharsets.US_ASCII
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.compile.ConfigCompiler
 import graft.config.SourceConfig
-import graft.sink.{EventBatchSink, EventPoster, SinkDlqRecord}
+import graft.operators.Router
+import graft.sink.{EventBatchSink, EventPoster}
 
 /** Batch backfill pipeline — `run_batch()` (`M/main_batch.py:431-503`)
   * re-expressed Spark-first:
@@ -13,24 +18,59 @@ import graft.sink.{EventBatchSink, EventPoster, SinkDlqRecord}
   * reference shape: glob -> MatchAll -> route -> CoGroupByKey join ->
   * per-file iter_batches read -> MapEvents -> post.
   *
-  * Spark shape: the file<->config join disappears — configs route FILES
-  * (a tiny driver-side list), each config's files are read with ONE
-  * vectorized `spark.read.parquet(paths*)` scan (predicate pushdown +
-  * column pruning intact), and the per-row mapping is the compiled
-  * projection. Only the posting stage repartitions (the analog of the
-  * reference's AddRandomKey fan-out).
+  * Spark shape: the file<->config join disappears — configs route FILES,
+  * each config's files are read with ONE vectorized
+  * `spark.read.parquet(paths*)` scan (predicate pushdown + column
+  * pruning intact), and the per-row mapping is the compiled projection.
+  * Only the posting stage repartitions (the analog of the reference's
+  * AddRandomKey fan-out).
+  *
+  * Routing runs driver-side below [[DistributedRouteThreshold]] (a few
+  * thousand string prefix tests are cheaper than a job) and as a
+  * distributed [[Router.route]] plan above it — at millions of objects
+  * a driver-side O(files x configs) Scala loop is a single-threaded
+  * bottleneck and a driver-memory hazard.
   */
 object BatchPipeline {
 
-  /** The three output channels (§2.8, §2.2): delivered events are
-    * side-effected by the sink; DLQs are data. */
+  /** Above this many URIs, route with a distributed plan. */
+  val DistributedRouteThreshold = 10000
+
+  /** A3 metric counters for one batch run — the reference's operational
+    * backbone (`M/main.py:55-63,145,274-277`, `M/main_batch.py:101-103`):
+    *  - `routed`: matched file count per config (`matched_<config_id>`);
+    *  - `unmatchedUris`: files matching no config (`unmatched_uri`);
+    *  - `readErrors`: unreadable/corrupt parquet files skipped, per
+    *    config (`read_error_<config_id>`);
+    *  - `transform`: per-config [[Observation]] carrying `n_rows`,
+    *    `n_dlq`, `missing_distinct_id`, `ts_parse_errors` — filled by
+    *    the first action on the transform output (zero extra passes).
+    */
+  final case class BatchCounters(
+      routed: Map[String, Long],
+      unmatchedUris: Long,
+      readErrors: Map[String, Long],
+      transform: Map[String, Observation]) {
+    /** Transform-stage counters for one config; blocks until the first
+      * action on the transform output has run. */
+    def transformMetrics(configId: String): Map[String, Long] =
+      transform.get(configId).map(_.get.map { case (k, v) =>
+        k -> v.asInstanceOf[Number].longValue
+      }).getOrElse(Map.empty)
+  }
+
+  /** The three output channels (§2.8, §2.2) plus the run's counters.
+    * `apiDlq` from [[run]] is eagerly materialized (delivery already
+    * happened); from [[post]] it is lazy — see [[post]]'s contract. */
   final case class Result(
       eventsJson: DataFrame,
       transformDlq: DataFrame,
-      apiDlq: DataFrame)
+      apiDlq: DataFrame,
+      counters: BatchCounters)
 
   /** Route a file list to configs driver-side (first-match-wins,
-    * PARQUET-only — P2+P3). */
+    * PARQUET-only — P2+P3). Kept for small lists and tests; [[run]]
+    * switches to [[routeFilesDistributed]] past the threshold. */
   def routeFiles(uris: Seq[String], configs: Seq[SourceConfig])
       : Map[SourceConfig, Seq[String]] =
     uris.flatMap { uri =>
@@ -40,26 +80,128 @@ object BatchPipeline {
       .collect { case (cfg, pairs) if cfg.isParquet => cfg -> pairs.map(_._2) }
       .toMap
 
+  /** Distributed routing: the prefix matching runs as a codegen'd
+    * [[Router.route]] plan over a URI DataFrame, not a driver loop.
+    * Only the per-config path lists needed to build the scans (plus
+    * their counts) come back to the driver — the unrouted URI set is
+    * never driver-materialized. */
+  def routeFilesDistributed(spark: SparkSession, uris: Seq[String],
+      configs: Seq[SourceConfig])
+      : (Map[SourceConfig, Seq[String]], Map[String, Long], Long) = {
+    import spark.implicits._
+    val uriDf = uris.toDF("uri")
+    routeUriFrame(uriDf, configs)
+  }
+
+  /** Same, from an already-distributed URI frame (e.g. a listing scan). */
+  def routeUriFrame(uriDf: DataFrame, configs: Seq[SourceConfig])
+      : (Map[SourceConfig, Seq[String]], Map[String, Long], Long) = {
+    val total = uriDf.filter(col("uri").isNotNull).count()
+    val routedRows = Router.routeParquet(uriDf, configs).collect()
+    val byId = configs.map(c => c.configId -> c).toMap
+    val routed = routedRows.groupBy(_.getString(1)).map { case (id, rows) =>
+      byId(id) -> rows.map(_.getString(0)).toSeq
+    }
+    // matched counts include non-parquet matches (router counts at P2,
+    // before the P3 parquet filter)
+    val matched = Router.route(uriDf, configs)
+      .groupBy(col("config_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = configs.map(c =>
+      c.configId -> matched.getOrElse(c.configId, 0L)).toMap
+    (routed, counts, total - counts.values.sum)
+  }
+
+  /** True iff `path` exists and carries the parquet magic footer. The
+    * per-file check mirrors the reference's per-file open/except
+    * (`M/main_batch.py:86-103`): a bad file is counted and skipped, the
+    * rest of the config's files still load. Driver-side 4-byte reads —
+    * exact accounting for backfills up to ~100k files; beyond that rely
+    * on `ignoreCorruptFiles` (always set on the scan) and forgo exact
+    * per-config counts. */
+  def readableParquet(spark: SparkSession, path: String): Boolean =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val status = fs.getFileStatus(p)
+      // a directory (partitioned/committer layout) defers to the scan's
+      // ignoreCorruptFiles — the footer check is for single objects,
+      // which is what GCS notifications/globs deliver
+      if (status.isDirectory) return true
+      val len = status.getLen
+      len >= 8 && {
+        val in = fs.open(p)
+        try {
+          in.seek(len - 4)
+          val b = new Array[Byte](4)
+          in.readFully(b)
+          new String(b, US_ASCII) == "PAR1"
+        } finally in.close()
+      }
+    } catch { case NonFatal(_) => false }
+
+  /** Split each config's paths into (readable, corrupt-count). */
+  def isolateCorrupt(spark: SparkSession,
+      routed: Map[SourceConfig, Seq[String]])
+      : (Map[SourceConfig, Seq[String]], Map[String, Long]) = {
+    val checked = routed.map { case (cfg, paths) =>
+      val (good, bad) = paths.partition(readableParquet(spark, _))
+      (cfg, good, bad.size.toLong)
+    }
+    (checked.collect { case (cfg, good, _) if good.nonEmpty =>
+      cfg -> good
+    }.toMap,
+      checked.collect { case (cfg, _, bad) if bad > 0 =>
+        cfg.configId -> bad
+      }.toMap)
+  }
+
   /** Build the transform stage: per-config compiled mapping over one
     * vectorized scan each; event JSON + transform-DLQ frames unioned
-    * across configs (both have config-independent schemas). */
+    * across configs (both have config-independent schemas). Each
+    * config's frame carries an [[Observation]] with the A3 transform
+    * counters. */
   def transform(spark: SparkSession, routed: Map[SourceConfig, Seq[String]],
       opts: ConfigCompiler.Options = ConfigCompiler.Options())
       : (DataFrame, DataFrame) = {
-    val parts = routed.toSeq.sortBy(_._1.configId).map { case (cfg, paths) =>
-      val input = spark.read.parquet(paths: _*)
-      val compiled = ConfigCompiler.compile(cfg, input, opts)
-      (compiled.json, compiled.dlq)
-    }
-    parts.map(_._1).reduceOption(_ union _)
-      .getOrElse(emptyJson(spark)) ->
-      parts.map(_._2).reduceOption(_ union _).getOrElse(emptyDlq(spark))
+    val (json, dlq, _) = transformObserved(spark, routed, opts)
+    (json, dlq)
+  }
+
+  def transformObserved(spark: SparkSession,
+      routed: Map[SourceConfig, Seq[String]],
+      opts: ConfigCompiler.Options = ConfigCompiler.Options())
+      : (DataFrame, DataFrame, Map[String, Observation]) = {
+    val parts = routed.toSeq.sortBy(_._1.configId)
+      .filter(_._2.nonEmpty).map { case (cfg, paths) =>
+        val input = spark.read
+          // corrupt-file isolation at the scan too (S6): a file that
+          // passed the footer check but has a rotten page must not fail
+          // the whole config (`M/main_batch.py:100-103`)
+          .option("ignoreCorruptFiles", "true")
+          .parquet(paths: _*)
+        val compiled = ConfigCompiler.compile(cfg, input, opts)
+        val obs = Observation()
+        val ok = compiled.okObserved(obs)
+        (ok.select(to_json(struct(col("event"), col("properties")))
+          .as("event_json")), compiled.dlq, cfg.configId -> obs)
+      }
+    (parts.map(_._1).reduceOption(_ union _).getOrElse(emptyJson(spark)),
+      parts.map(_._2).reduceOption(_ union _).getOrElse(emptyDlq(spark)),
+      parts.map(_._3).toMap)
   }
 
   /** Posting stage: distributed batched/retrying sink; returns the API
     * DLQ as a DataFrame. `parallelism` is the analog of the reference's
     * 5000-key fan-out (`M/main.py:296-303`) — size it to the cluster,
-    * not to 5000. */
+    * not to 5000.
+    *
+    * CONTRACT: evaluation == delivery. The returned frame is lazy; the
+    * first action on it performs the HTTP posting, and re-evaluating it
+    * would re-post every event. [[run]] therefore materializes it
+    * exactly once via `localCheckpoint` and hands out only the
+    * truncated frame; call sites using [[post]] directly must do the
+    * same (or consume it with a single action). */
   def post(eventsJson: DataFrame, posterFactory: () => EventPoster,
       parallelism: Int = 0): DataFrame = {
     val spark = eventsJson.sparkSession
@@ -73,13 +215,35 @@ object BatchPipeline {
     }.toDF("reason", "response", "payload")
   }
 
-  /** Full pipeline: route -> transform -> post. */
+  /** Full pipeline: route -> corrupt-isolate -> transform -> post.
+    * Posting executes eagerly in here, exactly once; `Result.apiDlq` is
+    * the lineage-truncated DLQ (safe to re-use, never re-posts). All
+    * counters are complete when this returns. */
   def run(spark: SparkSession, uris: Seq[String], configs: Seq[SourceConfig],
       posterFactory: () => EventPoster,
       opts: ConfigCompiler.Options = ConfigCompiler.Options(),
       postParallelism: Int = 0): Result = {
-    val (json, dlq) = transform(spark, routeFiles(uris, configs), opts)
-    Result(json, dlq, post(json, posterFactory, postParallelism))
+    val (routed, matchedCounts, unmatched) =
+      if (uris.size > DistributedRouteThreshold)
+        routeFilesDistributed(spark, uris, configs)
+      else {
+        val r = routeFiles(uris, configs)
+        // first-match-wins counting: a URI counts for the FIRST config
+        // whose prefix matches, mirroring `matched_<id>` (`M/main.py:55-58`)
+        val firstMatches = uris.flatMap(u =>
+          configs.find(c => u.startsWith(c.sourcePrefix)).map(_.configId))
+        val firstCounts = configs.map(c => c.configId ->
+          firstMatches.count(_ == c.configId).toLong).toMap
+        (r, firstCounts, (uris.size - firstMatches.size).toLong)
+      }
+    val (readable, readErrors) = isolateCorrupt(spark, routed)
+    val (json, dlq, obs) = transformObserved(spark, readable, opts)
+    // Evaluation == delivery: run the posting job now, once, and
+    // truncate its lineage so downstream reuse cannot re-post.
+    val apiDlq = post(json, posterFactory, postParallelism)
+      .localCheckpoint(true)
+    Result(json, dlq, apiDlq,
+      BatchCounters(matchedCounts, unmatched, readErrors, obs))
   }
 
   private def emptyJson(spark: SparkSession): DataFrame = {

@@ -111,6 +111,40 @@ object CoreQueries {
       .drop("original_row")
   }
 
+  /** A3 router counters as data (`M/main.py:55-63`): matched count per
+    * config + the unmatched-URI count. */
+  def routeCounters(spark: SparkSession, dir: String): DataFrame = {
+    val uris = Tables(spark, dir, "documents").select(
+      concat(lit("gs://bucket/"), col("source"), lit("/"),
+        col("doc_id").cast("string"), lit(".parquet")).as("uri"))
+    Router.routeCounts(uris, routeConfigs)
+  }
+
+  /** A3 transform counters as data (`M/main.py:145,274-277`): rows,
+    * DLQ'd rows, missing-distinct-id rows, timestamp parse errors —
+    * over a frame engineered to exercise all three failure modes
+    * (empty distinct ids every 5th row, unparseable timestamp strings
+    * every 7th). */
+  def mappingCounters(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").select(
+      col("event_id"), col("event_type"),
+      when(pmod(col("event_id"), lit(7)) === 0, lit("not-a-timestamp"))
+        .otherwise(lit("2024-01-02 03:04:05")).as("ts_str"),
+      when(pmod(col("event_id"), lit(5)) === 0, lit(""))
+        .otherwise(col("user_id").cast("string")).as("uid_str"))
+    val cfg = SourceConfig(
+      configId = "counters_cfg",
+      sourcePrefix = "gs://bucket/counters/",
+      eventNameField = Some("event_type"),
+      fieldMappings = Seq(
+        FieldMapping("ts_str", "time", CastType.UnixTimestampAuto),
+        FieldMapping("uid_str", "$user_id", CastType.StringT),
+        FieldMapping("event_id", "$insert_id", CastType.StringT)))
+    ConfigCompiler.compile(cfg, ev).counters
+      .select(lit("counters_cfg").as("config_id"), col("n_rows"),
+        col("n_dlq"), col("missing_distinct_id"), col("ts_parse_errors"))
+  }
+
   /** Wire-format check: the JSON event line (nulls stripped) — counted
     * per event name so the oracle stays engine-agnostic. */
   def eventJsonCounts(spark: SparkSession, dir: String): DataFrame = {
@@ -126,7 +160,9 @@ object CoreQueries {
     "route_files_parquet" -> routeFilesParquet _,
     "dedup_exact" -> dedupExact _,
     "dlq_required" -> dlqRequired _,
-    "event_json_counts" -> eventJsonCounts _)
+    "event_json_counts" -> eventJsonCounts _,
+    "route_counters" -> routeCounters _,
+    "mapping_counters" -> mappingCounters _)
 
   val oracleSql: Map[String, String] = Map(
     "map_events" ->
@@ -138,7 +174,7 @@ object CoreQueries {
         |       event_type AS event_type,
         |       props AS props
         |FROM events
-        |WHERE event_type IS NOT NULL AND event_type NOT IN ('', '0')""".stripMargin,
+        |WHERE event_type IS NOT NULL AND event_type <> ''""".stripMargin,
     "cast_rules" ->
       """SELECT 'cast_event' AS event,
         |       CAST(event_id AS VARCHAR) AS "$insert_id",
@@ -190,6 +226,39 @@ object CoreQueries {
     "event_json_counts" ->
       """SELECT event_type AS event, count(*) AS n
         |FROM events
-        |WHERE event_type IS NOT NULL AND event_type NOT IN ('', '0')
-        |GROUP BY event_type""".stripMargin)
+        |WHERE event_type IS NOT NULL AND event_type <> ''
+        |GROUP BY event_type""".stripMargin,
+    "route_counters" ->
+      """WITH uris AS (
+        |  SELECT 'gs://bucket/' || source || '/' || CAST(doc_id AS VARCHAR) || '.parquet' AS uri
+        |  FROM documents),
+        |cfg(ordinal, config_id, prefix) AS (VALUES
+        |  (0, 'c_src0',  'gs://bucket/src0/'),
+        |  (1, 'c_src1',  'gs://bucket/src1/'),
+        |  (2, 'c_src1x', 'gs://bucket/src1'),
+        |  (3, 'c_all',   'gs://bucket/src')),
+        |m AS (
+        |  SELECT uri, min(ordinal) AS o
+        |  FROM uris JOIN cfg ON starts_with(uri, prefix)
+        |  GROUP BY uri),
+        |counts AS (
+        |  SELECT cfg.config_id AS config_id, count(*) AS n
+        |  FROM m JOIN cfg ON cfg.ordinal = m.o GROUP BY 1),
+        |ids AS (SELECT config_id FROM cfg
+        |        UNION ALL SELECT '__unmatched__'),
+        |unm AS (SELECT (SELECT count(*) FROM uris) - (SELECT count(*) FROM m) AS n)
+        |SELECT ids.config_id AS config_id,
+        |  CAST(CASE WHEN ids.config_id = '__unmatched__' THEN (SELECT n FROM unm)
+        |       ELSE coalesce((SELECT n FROM counts c WHERE c.config_id = ids.config_id), 0)
+        |  END AS BIGINT) AS n
+        |FROM ids""".stripMargin,
+    "mapping_counters" ->
+      """SELECT 'counters_cfg' AS config_id,
+        |  count(*) AS n_rows,
+        |  count(CASE WHEN event_type IS NULL OR event_type = '' THEN 1 END) AS n_dlq,
+        |  count(CASE WHEN NOT (event_type IS NULL OR event_type = '')
+        |              AND (event_id % 5 = 0 OR user_id IS NULL) THEN 1 END) AS missing_distinct_id,
+        |  CAST(coalesce(sum(CASE WHEN NOT (event_type IS NULL OR event_type = '')
+        |              AND event_id % 7 = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS ts_parse_errors
+        |FROM events""".stripMargin)
 }

@@ -115,9 +115,10 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_batch_e2e" ->
+      // falsy check is on the RAW string: None/"" only ("0" is truthy)
       """SELECT event_type AS event, count(*) AS n
         |FROM events
-        |WHERE event_type IS NOT NULL AND event_type NOT IN ('', '0')
+        |WHERE event_type IS NOT NULL AND event_type <> ''
         |GROUP BY event_type""".stripMargin,
     "stream_window_counts" ->
       """SELECT (epoch_us(ts) // 1000000) // 300 * 300 AS window_start,
