@@ -76,9 +76,12 @@ object CastRules {
   }
 
   /** Lenient timestamp-string parse, dateutil-ish (`M/main.py:131-149`):
-    * a coalesce-chain of `to_timestamp` patterns; naive strings are
+    * digit-string epoch branches plus a coalesce-chain of
+    * `to_timestamp` patterns (ISO, slashed, RFC-2822, `dd MMM yyyy`,
+    * `MMM dd, yyyy`, compact `yyyyMMdd`); naive strings are
     * interpreted in the session time zone, which the engine pins to UTC
-    * (assume-UTC, `M/main.py:147-148`). */
+    * (assume-UTC, `M/main.py:147-148`). Unparseable => null (counted
+    * upstream, `M/main.py:144-146`). */
   def lenientParseTimestamp(s: Column): Column = {
     val patterns = Seq(
       "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
@@ -93,8 +96,33 @@ object CastRules {
       "yyyy/MM/dd HH:mm:ss",
       "yyyy/MM/dd",
       "MM/dd/yyyy HH:mm:ss",
-      "MM/dd/yyyy")
-    coalesce(patterns.map(p => try_to_timestamp(s, lit(p))): _*)
+      "MM/dd/yyyy",
+      "yyyyMMdd")
+    // RFC-2822 (email/HTTP dates, "Tue, 14 Nov 2023 22:13:20 GMT") and
+    // other textual forms dateutil accepts. Spark's parser rejects
+    // 'EEE'/'zzz' as PARSE patterns, so normalize first: drop the
+    // weekday prefix, rewrite trailing GMT/UTC/Z zone names to +0000.
+    // ('d'/'MMM' parse 1-2 digit days and English month names.)
+    val textualPatterns = Seq(
+      "d MMM yyyy HH:mm:ss Z",
+      "d MMM yyyy HH:mm:ss",
+      "d MMM yyyy",
+      "MMM d, yyyy HH:mm:ss",
+      "MMM d, yyyy",
+      "MMM d yyyy")
+    val t = trim(s)
+    val textual = regexp_replace(
+      regexp_replace(t, "^[A-Za-z]{3},\\s*", ""),
+      "\\s+(GMT|UTC|Z)$", " +0000")
+    val epochBranches = Seq(
+      // 13-digit epoch-millis and 10-digit epoch-seconds strings: kept
+      // numeric end-to-end (a pattern chain would misread them as
+      // compact dates or fail)
+      when(t.rlike("^[0-9]{13}$"), timestamp_millis(t.cast(LongType))),
+      when(t.rlike("^[0-9]{10}$"), timestamp_seconds(t.cast(LongType))))
+    coalesce(epochBranches ++
+      patterns.map(p => try_to_timestamp(t, lit(p))) ++
+      textualPatterns.map(p => try_to_timestamp(textual, lit(p))): _*)
   }
 
   /** `unix_timestamp_auto` (`M/main.py:254-259,131-149`): timestamp =>

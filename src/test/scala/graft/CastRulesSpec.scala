@@ -67,4 +67,25 @@ class CastRulesSpec extends SparkSpec {
     assert(one(CastRules.unixTimestampAuto(lit("not a date"), StringType))
       == null)
   }
+
+  test("lenient parse breadth: RFC-2822, dd MMM yyyy, epoch strings") {
+    def p(s: String): Any =
+      one(CastRules.unixTimestampAuto(lit(s), StringType))
+    // RFC-2822 with named zone and numeric offset
+    assert(p("Tue, 14 Nov 2023 22:13:20 GMT") == 1700000000L)
+    assert(p("Tue, 14 Nov 2023 22:13:20 +0000") == 1700000000L)
+    assert(p("Wed, 15 Nov 2023 00:13:20 +0200") == 1700000000L)
+    // dateutil-style textual dates (assumed UTC)
+    assert(p("14 Nov 2023") == 1699920000L)
+    assert(p("14 Nov 2023 22:13:20") == 1700000000L)
+    assert(p("Nov 14, 2023") == 1699920000L)
+    assert(p("20231114") == 1699920000L)
+    // digit-string epochs: 10-digit seconds, 13-digit millis
+    assert(p("1700000000") == 1700000000L)
+    assert(p("1700000000123") == 1700000000L)
+    assert(p(" 1700000000 ") == 1700000000L) // trimmed like dateutil
+    // still unparseable
+    assert(p("123456") == null)
+    assert(p("") == null)
+  }
 }
