@@ -99,42 +99,70 @@ object Similarity {
   def planeWeight(plane: Int, dim: Int): Long =
     TextFunctions.hash32Local(s"${plane}_$dim") % 2001L - 1000L
 
-  /** LSH bucket ids as a frame (id, bucket): per-component broadcast
-    * join against the (plane, dim) weight table, decimal-exact per-plane
-    * dots, sign bits packed into a long. Join-based on purpose: inlining
-    * numPlanes x dim weight literals into one expression tree was
-    * measured at ~2 minutes of one-time codegen. */
-  def lshBuckets(df: DataFrame, id: Column, vec: Column,
-      numPlanes: Int = 8): DataFrame = {
+  /** Multi-table LSH bucket ids as a frame (id, tbl, bucket): one
+    * per-component broadcast join against the (plane, dim) weight table
+    * computes ALL `numTables * numPlanes` plane signs in a single pass;
+    * table t packs the signs of planes [t*k, (t+1)*k) into a long.
+    *
+    * Why multi-table: a single k-plane table has only 2^k buckets — at
+    * 100x the corpus each bucket grows 100x and per-bucket pair work
+    * 10,000x, and raising k alone collapses recall. L independent
+    * tables keep per-table recall while the bucket-size cap (see
+    * [[lshNearDupPairs]]) bounds the quadratic work per bucket.
+    *
+    * Join-based on purpose: inlining numPlanes x dim weight literals
+    * into one expression tree was measured at ~2 minutes of one-time
+    * codegen. */
+  def lshBuckets(df: DataFrame, id: Column, vec: Column, dim: Int,
+      numPlanes: Int = 8, numTables: Int = 2): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val dim = 1024 // upper bound; join drops weights past the real dim
-    val w = (for (j <- 0 until numPlanes; i <- 0 until dim)
+    val w = (for (j <- 0 until numTables * numPlanes; i <- 0 until dim)
       yield (j, i, planeWeight(j, i))).toDF("j", "i", "wt")
     val comp = components(df, id, vec, "id", "x")
     comp.join(broadcast(w), "i")
       .groupBy(col("id"), col("j"))
       .agg((sum((col("x") * col("wt")).cast(Dec)) >= 0).as("pos"))
-      .groupBy(col("id"))
-      .agg(sum(when(col("pos"),
-        expr("shiftleft(cast(1 as bigint), cast(j as int))"))
-        .otherwise(lit(0L))).as("bucket"))
+      .select(col("id"),
+        floor(col("j") / numPlanes).cast("int").as("tbl"),
+        when(col("pos"), expr(
+          s"shiftleft(cast(1 as bigint), cast(j % $numPlanes as int))"))
+          .otherwise(lit(0L)).as("bit"))
+      .groupBy(col("id"), col("tbl"))
+      .agg(sum(col("bit")).as("bucket"))
   }
 
   /** Bucketed near-duplicate pairs: exact cosine >= threshold, but only
-    * for pairs sharing an LSH bucket — the scale path for
-    * embedding-cosine dedup (per-bucket self-join instead of all
-    * pairs). */
+    * for pairs sharing an LSH bucket in at least one of the
+    * `numTables` tables — the scale path for embedding-cosine dedup
+    * (per-bucket self-join instead of all pairs).
+    *
+    * `maxBucketSize` drops degenerate buckets (near-constant regions of
+    * the embedding space where one bucket would swallow the corpus and
+    * reintroduce O(n^2)): a bucket with more members contributes no
+    * candidates from that table. Deterministic and mirrored in the
+    * DuckDB oracle; the dropped-bucket count is cheap to surface via
+    * the `sized` frame if a run needs the telemetry. */
   def lshNearDupPairs(df: DataFrame, id: Column, vec: Column, dim: Int,
-      numPlanes: Int = 8, threshold: Double = 0.9): DataFrame = {
+      numPlanes: Int = 8, threshold: Double = 0.9,
+      numTables: Int = 2, maxBucketSize: Int = 1000): DataFrame = {
     // cache: comp feeds norms + both pair sides; buckets feed a
     // self-join — without caching each side recomputes the lineage
     val comp = graft.Tables.materialize(components(df, id, vec, "id", "x"))
     val n = norms(comp, "id", "x", "sn")
-    val b = graft.Tables.materialize(lshBuckets(df, id, vec, numPlanes))
-    val pairs = b.as("bx").join(b.as("by"),
-        col("bx.bucket") === col("by.bucket") && col("bx.id") < col("by.id"))
+    val b = graft.Tables.materialize(
+      lshBuckets(df, id, vec, dim, numPlanes, numTables))
+    val sized = b.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize)
+      .select(col("tbl"), col("bucket"))
+    val kept = b.join(broadcast(sized), Seq("tbl", "bucket"), "left_semi")
+    val pairs = kept.as("bx").join(kept.as("by"),
+        col("bx.tbl") === col("by.tbl") &&
+          col("bx.bucket") === col("by.bucket") &&
+          col("bx.id") < col("by.id"))
       .select(col("bx.id").as("id1"), col("by.id").as("id2"))
+      .distinct() // a pair may collide in several tables
     val a1 = comp.select(col("id").as("id1"), col("i"), col("x").as("x1"))
     val a2 = comp.select(col("id").as("id2"), col("i"), col("x").as("x2"))
     pairs

@@ -83,7 +83,7 @@ object ExtQueries {
   def embedNearDupLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshNearDupPairs(Tables(spark, dir, "embeddings"),
       col("vec_id"), col("embedding"), dim = 64, numPlanes = 8,
-      threshold = 0.2)
+      threshold = 0.2, numTables = 2, maxBucketSize = 1000)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats _,
@@ -344,7 +344,9 @@ object ExtQueries {
        |SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= 10""".stripMargin
 
   private val embedNearDupLshSql = {
-    val weightRows = (for (j <- 0 until 8; i <- 0 until 64)
+    // 2 tables x 8 planes x 64 dims — constants in lockstep with
+    // embedNearDupLsh's call (numTables=2, numPlanes=8, cap=1000)
+    val weightRows = (for (j <- 0 until 16; i <- 0 until 64)
       yield s"($j,$i,${Similarity.planeWeight(j, i)})").mkString(",")
     s"""WITH $vecCtes,
        |w(j, i, wt) AS (VALUES $weightRows),
@@ -354,12 +356,18 @@ object ExtQueries {
        |  FROM comp c JOIN w ON w.i = c.i
        |  GROUP BY c.vec_id, w.j),
        |buckets AS (
-       |  SELECT vec_id, sum(CASE WHEN pos THEN 1 << j ELSE 0 END) AS bucket
-       |  FROM signs GROUP BY vec_id),
+       |  SELECT vec_id, j // 8 AS tbl,
+       |    sum(CASE WHEN pos THEN 1 << (j % 8) ELSE 0 END) AS bucket
+       |  FROM signs GROUP BY vec_id, j // 8),
+       |sized AS (
+       |  SELECT tbl, bucket FROM buckets
+       |  GROUP BY tbl, bucket HAVING count(*) <= 1000),
        |pairs AS (
-       |  SELECT x.vec_id AS id1, y.vec_id AS id2
-       |  FROM buckets x JOIN buckets y
-       |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+       |  FROM buckets x
+       |  JOIN sized s ON s.tbl = x.tbl AND s.bucket = x.bucket
+       |  JOIN buckets y
+       |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
        |dots AS (
        |  SELECT p.id1, p.id2,
        |    CAST(sum(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot

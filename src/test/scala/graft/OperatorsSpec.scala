@@ -114,6 +114,18 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("multi-table lsh drops degenerate buckets at the cap") {
+    // 20 identical vectors collide into ONE bucket in every table —
+    // the O(n^2) degenerate case the cap exists for
+    val vecs = (1L to 20L).map(i => (i, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    def run(cap: Int) = Similarity.lshNearDupPairs(
+      vecs, $"vec_id", $"embedding", dim = 8, numPlanes = 4,
+      threshold = 0.9, numTables = 2, maxBucketSize = cap).count()
+    assert(run(1000) == 190) // C(20,2): uncapped, all pairs surface
+    assert(run(5) == 0)      // capped: the giant bucket contributes none
+  }
+
   // --------------------------------------------------------------- text
 
   test("text functions: counts, ratios, langid markers") {
