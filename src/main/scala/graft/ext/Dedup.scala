@@ -89,13 +89,19 @@ object Dedup {
     * total, not per (gram, seed). Output: (id, sig_0 … sig_{k-1}),
     * all longs. */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
-      n: Int = 3, numHashes: Int = 16): DataFrame = {
-    val g = shingles(df, id, text, n)
-      .withColumn("h", TextFunctions.hash32(col("gram")))
+      n: Int = 3, numHashes: Int = 16): DataFrame =
+    minhashSignaturesFromShingles(shingles(df, id, text, n), numHashes)
+
+  /** Same, from a pre-built (id, gram) shingle frame — lets a composed
+    * pipeline build the shingles ONCE and reuse them for both candidate
+    * generation and Jaccard verification. */
+  def minhashSignaturesFromShingles(g: DataFrame,
+      numHashes: Int = 16): DataFrame = {
+    val hashed = g.withColumn("h", TextFunctions.hash32(col("gram")))
     val aggs = minhashParams(numHashes).zipWithIndex.map { case ((a, b), j) =>
       min((col("h") * a + b) % MinhashP).as(s"sig_$j")
     }
-    g.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash LSH candidate pairs: split the signature into bands of
@@ -103,8 +109,14 @@ object Dedup {
     * least one band. Scales as O(docs × bands) shuffle, never O(docs²):
     * the band-explode + groupBy replaces the all-pairs join. */
   def minhashLshPairs(df: DataFrame, id: Column, text: Column,
-      n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val sig = minhashSignatures(df, id, text, n, numHashes)
+      n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    minhashLshPairsFromShingles(shingles(df, id, text, n), numHashes,
+      rowsPerBand)
+
+  /** Candidate pairs from a pre-built shingle frame. */
+  def minhashLshPairsFromShingles(g: DataFrame, numHashes: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val sig = minhashSignaturesFromShingles(g, numHashes)
     val numBands = numHashes / rowsPerBand
     val bands = array((0 until numBands).map { b =>
       struct(lit(b).as("band"),
@@ -151,24 +163,25 @@ object Dedup {
       .select(col("id1"), col("id2"), col("hamming"))
   }
 
-  /** Composed corpus-dedup pipeline — the canonical production shape:
+  /** Shared spine of the composed dedup pipelines:
     * 1. canonical-fingerprint exact pass (kills exact + reordered dups
     *    for the cost of one groupBy);
-    * 2. MinHash LSH candidate generation on the survivors;
-    * 3. exact n-gram Jaccard verification of candidates only (never
-    *    all-pairs);
-    * 4. greedy keep-lowest-id per verified duplicate pair.
-    * Returns the kept (id) frame. Every stage is the O(docs)-shuffle
-    * scale path; the quadratic work is confined to LSH buckets. */
-  def dedupPipelineKept(df: DataFrame, id: Column, text: Column,
-      n: Int = 3, jaccardThreshold: Double = 0.8): DataFrame = {
+    * 2. shingles built ONCE and reused by stages 3 and 4;
+    * 3. MinHash LSH candidate generation on the survivors;
+    * 4. exact n-gram Jaccard verification of candidates only (never
+    *    all-pairs).
+    * Returns (survivors(id, text), verified(id1, id2)). Every stage is
+    * the O(docs)-shuffle scale path; the quadratic work is confined to
+    * LSH buckets. */
+  def dedupSurvivorsAndVerified(df: DataFrame, id: Column, text: Column,
+      n: Int = 3, jaccardThreshold: Double = 0.8): (DataFrame, DataFrame) = {
     val canon = df.select(id.as("id"), text.as("text"))
       .withColumn("canon_fp", TextFunctions.canonicalFingerprint(col("text")))
     val firstPerFp = canon.groupBy(col("canon_fp")).agg(min(col("id")).as("id"))
     val survivors = graft.Tables.materialize(canon.join(firstPerFp.select(col("id")), "id")
       .select(col("id"), col("text")))
-    val cand = minhashLshPairs(survivors, col("id"), col("text"), n)
     val g = graft.Tables.materialize(shingles(survivors, col("id"), col("text"), n))
+    val cand = minhashLshPairsFromShingles(g)
     val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(g.as("ga"), col("id1") === col("ga.id"))
@@ -181,8 +194,68 @@ object Dedup {
       .filter(col("inter").cast("double") /
         (col("sz1") + col("sz2") - col("inter")).cast("double")
         >= jaccardThreshold)
+      .select(col("id1"), col("id2"))
+    (survivors, verified)
+  }
+
+  /** Composed dedup with GREEDY keep-lowest-id per verified pair: drops
+    * every id2. Kept as the simple/oracle-friendly baseline; transitive
+    * chains A~B~C with no A~C candidate keep both A and C — use
+    * [[dedupPipelineCcKept]] when that matters. */
+  def dedupPipelineKept(df: DataFrame, id: Column, text: Column,
+      n: Int = 3, jaccardThreshold: Double = 0.8): DataFrame = {
+    val (survivors, verified) =
+      dedupSurvivorsAndVerified(df, id, text, n, jaccardThreshold)
     survivors.join(verified.select(col("id2").as("id")).distinct(),
       Seq("id"), "left_anti").select(col("id"))
+  }
+
+  /** Connected components over an undirected pair frame (id1, id2) by
+    * iterative min-label propagation: every node repeatedly takes the
+    * min label among itself and its neighbors until fixpoint. Each
+    * round is one join + one aggregate; rounds = graph diameter, which
+    * for near-dup graphs is small (dup clusters are dense). For
+    * adversarial long-path graphs the upgrade is large-star/small-star
+    * (O(log n) rounds) — same join primitives.
+    * Returns (id, component) where component = min id reachable. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = graft.Tables.materialize(
+      pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .union(pairs.select(col("id2").as("src"), col("id1").as("dst"))))
+    var labels = graft.Tables.materialize(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val next = graft.Tables.materialize(
+        labels.select(col("id"), col("label"))
+          .join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_label"), col("label")))
+              .as("label")))
+      val changed = next.select(col("id"), col("label").as("nl"))
+        .join(labels.select(col("id"), col("label").as("ol")), "id")
+        .filter(col("nl") =!= col("ol")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Composed dedup with a CONNECTED-COMPONENTS keeper — the production
+    * shape: the verified-pair graph is clustered and exactly one doc
+    * (the min id) survives per component, so transitive chains
+    * A~B~C collapse to A even when (A,C) was never a candidate. */
+  def dedupPipelineCcKept(df: DataFrame, id: Column, text: Column,
+      n: Int = 3, jaccardThreshold: Double = 0.8): DataFrame = {
+    val (survivors, verified) =
+      dedupSurvivorsAndVerified(df, id, text, n, jaccardThreshold)
+    val cc = connectedComponents(verified)
+    val dropped = cc.filter(col("id") =!= col("component")).select(col("id"))
+    survivors.join(dropped, Seq("id"), "left_anti").select(col("id"))
   }
 
   /** SimHash sketch: 32-bit majority-vote over token hash bits.

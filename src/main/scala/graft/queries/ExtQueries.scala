@@ -70,6 +70,10 @@ object ExtQueries {
     Dedup.dedupPipelineKept(Tables(spark, dir, "documents"),
       col("doc_id"), col("text"), n = 3, jaccardThreshold = 0.8)
 
+  def docDedupCc(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupPipelineCcKept(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"), n = 3, jaccardThreshold = 0.8)
+
   // ---------------------------------------------------------- similarity
 
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
@@ -95,6 +99,7 @@ object ExtQueries {
     "dedup_simhash" -> dedupSimhash _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "doc_dedup_pipeline" -> docDedupPipeline _,
+    "doc_dedup_cc" -> docDedupCc _,
     "ann_brute_force" -> annBruteForce _,
     "embed_neardup_lsh" -> embedNearDupLsh _)
 
@@ -267,12 +272,12 @@ object ExtQueries {
        |WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 6""".stripMargin
   }
 
-  /** The composed dedup pipeline: canonical-fp pass -> LSH candidates
-    * over survivors -> Jaccard verify -> greedy keep. Shares every
-    * constant with Dedup.dedupPipelineKept. */
-  private val docDedupPipelineSql = {
+  /** Shared CTE spine of the composed dedup pipelines: canonical-fp
+    * pass -> LSH candidates over survivors -> Jaccard verify. Shares
+    * every constant with Dedup.dedupSurvivorsAndVerified. */
+  private val docDedupCtes = {
     val survivorToks = "string_split_regex(trim(text), '\\s+')"
-    s"""WITH canon AS (
+    s"""canon AS (
        |  SELECT doc_id AS id, text,
        |    md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS canon_fp
        |  FROM documents),
@@ -308,10 +313,31 @@ object ExtQueries {
        |  SELECT id1, id2 FROM inter
        |  JOIN sizes s1 ON s1.id = id1
        |  JOIN sizes s2 ON s2.id = id2
-       |  WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.8)
+       |  WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.8)""".stripMargin
+  }
+
+  /** Greedy keeper: drop every id2 of a verified pair. */
+  private val docDedupPipelineSql =
+    s"""WITH $docDedupCtes
        |SELECT id FROM survivors
        |WHERE id NOT IN (SELECT DISTINCT id2 FROM verified)""".stripMargin
-  }
+
+  /** Connected-components keeper: min reachable id per component via a
+    * recursive transitive closure — the DuckDB twin of
+    * Dedup.connectedComponents' min-label fixpoint. */
+  private val docDedupCcSql =
+    s"""WITH RECURSIVE $docDedupCtes,
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM verified
+       |  UNION
+       |  SELECT id2 AS src, id1 AS dst FROM verified),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst),
+       |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+       |SELECT id FROM survivors
+       |WHERE id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin
 
   /** Per-component view + exact-decimal norm CTEs shared by the vector
     * oracles. Components widened to DOUBLE before any multiply, matching
@@ -392,6 +418,7 @@ object ExtQueries {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "doc_dedup_pipeline" -> docDedupPipelineSql,
+    "doc_dedup_cc" -> docDedupCcSql,
     "ann_brute_force" -> annBruteForceSql,
     "embed_neardup_lsh" -> embedNearDupLshSql)
 }

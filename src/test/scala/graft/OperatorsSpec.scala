@@ -86,6 +86,16 @@ class OperatorsSpec extends SparkSpec {
     assert(d.size == 3)
   }
 
+  test("connected components collapse transitive chains to min id") {
+    // 1-2-3-4 is a path (no direct 1~4 edge), 5-6 separate
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (6L, 5L))
+      .toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L))
+  }
+
   // --------------------------------------------------------- similarity
 
   test("cosine of a vector with itself is 1; topk ranks by similarity") {
