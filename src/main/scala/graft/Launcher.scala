@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.{ConfigLoader, SourceConfig}
+import graft.pipeline.{BatchPipeline, StreamingPipeline}
+import graft.sink.{EventPoster, PostResult}
+
+/** The user-facing entry point — the analog of the reference's
+  * `MixpanelImporterOptions` / `MixpanelBatchOptions` launchers
+  * (`M/main.py:26-34`, `M/main_batch.py:25-33`, flex-template param
+  * schema `M/mixpanel_importer_flex_template.json:9-56`).
+  *
+  * Arguments (reference names kept verbatim):
+  *   --mode streaming|batch            (which pipeline shape; the
+  *                                      reference splits this across two
+  *                                      mains)
+  *   --input_subscription S            (streaming: watch directory — the
+  *                                      file stream source subsumes the
+  *                                      Pub/Sub notification feed, S1)
+  *   --input_gcs_pattern P             (batch: glob of input objects)
+  *   --source_configs_gcs_uri U        (required; validated + loaded
+  *                                      before anything launches)
+  *   --mixpanel_project_token T        (injected into every event)
+  *   --mixpanel_api_secret K           (sink auth; unused by the bundled
+  *                                      offline poster)
+  *   --dlq_topic_transform_errors D    (directory the transform DLQ is
+  *                                      appended to; optional)
+  *   --dlq_topic_api_errors D          (same for the API DLQ)
+  *   --config_uri_scheme s             (gs in production; file for local
+  *                                      runs/tests — validation semantics
+  *                                      identical)
+  *
+  * Launch aborts with a CRITICAL log and exit code 1 when the config
+  * URI is invalid, missing, or unparseable (`M/main.py:430-437`,
+  * `M/gcs_utils.py:18-45`) — a pipeline with no configs must never
+  * start.
+  */
+object Launcher {
+
+  final case class Args(
+      mode: String = "batch",
+      inputSubscription: Option[String] = None,
+      inputGcsPattern: Option[String] = None,
+      sourceConfigsGcsUri: String = "",
+      mixpanelProjectToken: String = "",
+      mixpanelApiSecret: String = "",
+      dlqTopicTransformErrors: Option[String] = None,
+      dlqTopicApiErrors: Option[String] = None,
+      configUriScheme: String = "gs")
+
+  def parseArgs(argv: Seq[String]): Args = {
+    def loop(rest: List[String], acc: Args): Args = rest match {
+      case Nil => acc
+      case "--mode" :: v :: t => loop(t, acc.copy(mode = v))
+      case "--input_subscription" :: v :: t =>
+        loop(t, acc.copy(inputSubscription = Some(v)))
+      case "--input_gcs_pattern" :: v :: t =>
+        loop(t, acc.copy(inputGcsPattern = Some(v)))
+      case "--source_configs_gcs_uri" :: v :: t =>
+        loop(t, acc.copy(sourceConfigsGcsUri = v))
+      case "--mixpanel_project_token" :: v :: t =>
+        loop(t, acc.copy(mixpanelProjectToken = v))
+      case "--mixpanel_api_secret" :: v :: t =>
+        loop(t, acc.copy(mixpanelApiSecret = v))
+      case "--dlq_topic_transform_errors" :: v :: t =>
+        loop(t, acc.copy(dlqTopicTransformErrors = Some(v)))
+      case "--dlq_topic_api_errors" :: v :: t =>
+        loop(t, acc.copy(dlqTopicApiErrors = Some(v)))
+      case "--config_uri_scheme" :: v :: t =>
+        loop(t, acc.copy(configUriScheme = v))
+      case other :: _ =>
+        throw new IllegalArgumentException(s"Unknown argument: $other")
+    }
+    val a = loop(argv.toList, Args())
+    require(a.sourceConfigsGcsUri.nonEmpty,
+      "--source_configs_gcs_uri is required")
+    require(a.mode == "batch" || a.mode == "streaming",
+      s"--mode must be batch or streaming, got ${a.mode}")
+    a
+  }
+
+  /** Config load + validation stage; the part of launch that can abort
+    * (`M/main.py:430-437`). Exposed for specs. */
+  def loadConfigsOrAbort(spark: SparkSession, a: Args)
+      : Either[String, Seq[SourceConfig]] =
+    try Right(ConfigLoader.loadUri(a.sourceConfigsGcsUri,
+      spark.sparkContext.hadoopConfiguration, a.configUriScheme))
+    catch {
+      case e: Exception =>
+        Left(s"CRITICAL: Failed to load source configurations: ${e.getMessage}")
+    }
+
+  /** Offline default poster (this container has no egress): accepts
+    * every batch. A production deployment swaps in an HTTP
+    * [[EventPoster]] against the import endpoint with basic-auth
+    * `mixpanel_api_secret` — transport is pluggable by design (K1). */
+  private final class AcceptAllPoster extends EventPoster {
+    def post(gz: Array[Byte], n: Int): PostResult = PostResult(200, "ok")
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv.toIndexedSeq)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    loadConfigsOrAbort(spark, a) match {
+      case Left(err) =>
+        System.err.println(err)
+        spark.stop()
+        sys.exit(1)
+      case Right(configs) =>
+        val opts = graft.compile.ConfigCompiler.Options(
+          deterministic = false, token = a.mixpanelProjectToken)
+        a.mode match {
+          case "batch" =>
+            val pattern = a.inputGcsPattern.getOrElse(
+              sys.error("--input_gcs_pattern is required in batch mode"))
+            val fs = new org.apache.hadoop.fs.Path(pattern)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            // local paths come back "file:/..."-schemed from the glob;
+            // strip that so they prefix-match plain-path configs (cloud
+            // schemes like gs:// stay verbatim, as their configs are)
+            val uris = fs.globStatus(new org.apache.hadoop.fs.Path(pattern))
+              .toSeq.map { st =>
+                val u = st.getPath.toUri
+                if (u.getScheme == null || u.getScheme == "file") u.getPath
+                else st.getPath.toString
+              }
+            val res = BatchPipeline.run(spark, uris, configs,
+              () => new AcceptAllPoster, opts)
+            a.dlqTopicTransformErrors.foreach(d =>
+              res.transformDlq.write.mode("append").json(d))
+            a.dlqTopicApiErrors.foreach(d =>
+              res.apiDlq.write.mode("append").json(d))
+            println(s"routed=${res.counters.routed} " +
+              s"unmatched=${res.counters.unmatchedUris} " +
+              s"readErrors=${res.counters.readErrors}")
+          case "streaming" =>
+            val dir = a.inputSubscription.getOrElse(
+              sys.error("--input_subscription is required in streaming mode"))
+            val schema = spark.read.parquet(dir).schema
+            for (cfg <- configs.filter(_.isParquet)) {
+              val compiled = StreamingPipeline.transformStream(
+                spark, cfg, dir, schema, opts)
+              StreamingPipeline.sinkStream(compiled, () => new AcceptAllPoster,
+                dlq => a.dlqTopicTransformErrors.foreach(d =>
+                  dlq.write.mode("append").json(d)),
+                api => a.dlqTopicApiErrors.foreach(d =>
+                  api.write.mode("append").json(d)))
+                .option("checkpointLocation",
+                  s"${dir}_graft_ckpt_${cfg.configId}")
+                .start()
+            }
+            spark.streams.awaitAnyTermination()
+        }
+        spark.stop()
+    }
+  }
+}

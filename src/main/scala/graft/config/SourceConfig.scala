@@ -78,6 +78,46 @@ object ConfigLoader {
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
 
+  /** Validate a config-object URI — `load_json_from_gcs`'s checks
+    * (`M/gcs_utils.py:20-31`): the scheme must match and the URI must
+    * name both a bucket and an object path. Returns (bucket, object).
+    * `scheme` is parameterized so tests (and non-GCS deployments) can
+    * validate `file` URIs with identical semantics. */
+  def validateUri(uri: String, scheme: String = "gs"): (String, String) = {
+    val prefix = s"$scheme://"
+    if (uri == null || !uri.startsWith(prefix))
+      throw new IllegalArgumentException(
+        s"Invalid GCS URI: $uri. Must start with $prefix")
+    val parts = uri.stripPrefix(prefix).split("/", 2)
+    // gs:// requires a non-empty bucket; file:/// has an empty authority
+    val bucketOk = parts(0).nonEmpty || scheme == "file"
+    if (parts.length < 2 || !bucketOk || parts(1).isEmpty)
+      throw new IllegalArgumentException(
+        s"Invalid GCS URI format: $uri. Expected ${prefix}bucket/object_path")
+    (parts(0), parts(1))
+  }
+
+  /** Load + parse a config URI with existence check — the full
+    * `load_json_from_gcs` contract (`M/gcs_utils.py:18-45`): invalid
+    * scheme/shape and missing objects throw (the launcher aborts,
+    * `M/main.py:433-437`). I/O goes through Hadoop's FileSystem so the
+    * same code serves gs:// (with the GCS connector on the cluster
+    * classpath) and file:// (tests, local runs). */
+  def loadUri(uri: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration,
+      scheme: String = "gs"): Seq[SourceConfig] = {
+    validateUri(uri, scheme)
+    val path = new org.apache.hadoop.fs.Path(uri)
+    val fs = path.getFileSystem(hadoopConf)
+    if (!fs.exists(path))
+      throw new java.io.FileNotFoundException(
+        s"Configuration file not found at $uri")
+    val buf = new Array[Byte](fs.getFileStatus(path).getLen.toInt)
+    val in = fs.open(path)
+    try in.readFully(buf) finally in.close()
+    parse(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   private def parseConfig(n: JsonNode): SourceConfig = {
     def optText(field: String): Option[String] =
       Option(n.get(field)).filter(!_.isNull).map(_.asText)

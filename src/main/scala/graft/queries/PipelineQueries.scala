@@ -43,7 +43,13 @@ object PipelineQueries {
 
   /** Structured Streaming: file source over the events table, 5-minute
     * event-time windows on a watermark, complete-mode memory sink run
-    * to completion. */
+    * to completion.
+    *
+    * GATE-ONLY HARNESS: the complete-mode memory sink collects the
+    * whole result on the driver so the oracle can hash it. Never copy
+    * this shape into a production path — the production streaming sink
+    * is [[graft.pipeline.StreamingPipeline.sinkStream]] (append mode,
+    * foreachBatch, bounded state). Same applies to [[streamSessionize]]. */
   def streamWindowCounts(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // file-stream source needs a directory or a glob — a literal file
