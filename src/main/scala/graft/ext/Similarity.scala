@@ -93,6 +93,80 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("rank"), col("cosine"))
   }
 
+  /** IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    * into `numCells` cells, then each query probes only its `nProbe`
+    * nearest cells and ranks exactly within them.
+    *
+    * Cost vs brute force: assignment O(N x C x dim) once + per-query
+    * O(C x dim + (N x nProbe / C) x dim) instead of O(N x dim) — at
+    * 100 TB the probed fraction (nProbe/C) is the whole point. Recall
+    * is < 1 by design (a true neighbor in an unprobed cell is missed);
+    * brute force stays the exact baseline.
+    *
+    * Cells are seeded deterministically with the `numCells` smallest-id
+    * corpus vectors so the DuckDB oracle reproduces the partition
+    * bit-for-bit; swapping in k-means centroids changes only the seed
+    * frame, not the query shape. Ties broken on cell id / neighbor id. */
+  def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, numCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ccomp = graft.Tables.materialize(
+      components(corpus, corpusId, corpusVec, "nbr_id", "x"))
+    val cnorm = norms(ccomp, "nbr_id", "x", "sn_c")
+    // seed cells: the numCells smallest corpus ids
+    val cellIds = corpus.select(corpusId.as("cell_id"))
+      .orderBy(col("cell_id").asc).limit(numCells)
+    val centComp = ccomp.join(broadcast(cellIds),
+        col("nbr_id") === col("cell_id"))
+      .select(col("cell_id"), col("i"), col("x").as("cx"))
+    val centNorm = norms(centComp, "cell_id", "cx", "sn_cell")
+    // cosine of every (vector, cell) pair against the tiny seed side
+    def cellCosines(comp: DataFrame, idName: String,
+        vnorm: DataFrame, xName: String): DataFrame =
+      comp.join(broadcast(centComp), "i")
+        .groupBy(col(idName), col("cell_id"))
+        .agg(sum((col(xName) * col("cx")).cast(Dec)).cast("double").as("dot"))
+        .join(vnorm, idName)
+        .join(broadcast(centNorm), "cell_id")
+        .withColumn("ccos", col("dot") /
+          (col(if (xName == "x") "sn_c" else "sn_q") * col("sn_cell")))
+    // corpus assignment: nearest cell per vector
+    val wAssign = Window.partitionBy(col("nbr_id"))
+      .orderBy(col("ccos").desc, col("cell_id").asc)
+    val cells = cellCosines(ccomp, "nbr_id", cnorm, "x")
+      .withColumn("r", row_number().over(wAssign))
+      .filter(col("r") === 1)
+      .select(col("nbr_id"), col("cell_id"))
+    // query probes: nProbe nearest cells per query
+    val qcomp = graft.Tables.materialize(
+      components(queries, queryId, queryVec, "query_id", "qx"))
+    val qnorm = norms(qcomp, "query_id", "qx", "sn_q")
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cell_id").asc)
+    val probes = cellCosines(qcomp, "query_id", qnorm, "qx")
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= nProbe)
+      .select(col("query_id"), col("cell_id"))
+    // exact rank within the probed cells only
+    val cand = probes.join(cells, "cell_id")
+      .select(col("query_id"), col("nbr_id"))
+    val dots = cand
+      .join(ccomp, "nbr_id")
+      .join(broadcast(qcomp), Seq("query_id", "i"))
+      .groupBy(col("query_id"), col("nbr_id"))
+      .agg(sum((col("x") * col("qx")).cast(Dec)).cast("double").as("dot"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    dots
+      .join(cnorm, "nbr_id")
+      .join(broadcast(qnorm), "query_id")
+      .withColumn("cosine", col("dot") / (col("sn_c") * col("sn_q")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank"), col("cosine"))
+  }
+
   /** Deterministic hyperplane weight for (plane, dim): md5-derived
     * integer in [-1000, 1000]. Computed driver-side; shipped as a tiny
     * broadcast table. */

@@ -52,11 +52,19 @@ object StreamingPipeline {
   /** Wire a compiled stream to the batched/retrying sink + DLQ sinks
     * via foreachBatch. DLQ frames are handed to the caller's writers so
     * tests can collect and production can append to storage (K2/K3 are
-    * pluggable topics in the reference, `M/main.py:497-502,519-523`). */
+    * pluggable topics in the reference, `M/main.py:497-502,519-523`).
+    *
+    * `onCounters` receives the A3 transform counters of every
+    * micro-batch (`n_rows`/`n_dlq`/`missing_distinct_id`/
+    * `ts_parse_errors`, `M/main.py:145,274-277`) — the streaming twin
+    * of `BatchPipeline.BatchCounters.transform`. Computed with one
+    * extra aggregation job per micro-batch over the (small) batch
+    * frame; pass the default no-op to skip it. */
   def sinkStream(compiled: DataFrame, posterFactory: () => EventPoster,
       writeTransformDlq: DataFrame => Unit,
       writeApiDlq: DataFrame => Unit,
-      triggerInterval: String = "10 seconds"): DataStreamWriter[Row] =
+      triggerInterval: String = "10 seconds",
+      onCounters: Map[String, Long] => Unit = _ => ()): DataStreamWriter[Row] =
     compiled.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerInterval))
@@ -67,5 +75,10 @@ object StreamingPipeline {
         writeTransformDlq(
           batch.filter(col("error").isNotNull).select("error.*"))
         writeApiDlq(BatchPipeline.post(ok, posterFactory))
+        if (batch.columns.contains("_counters")) {
+          val row = graft.compile.CompiledEvents(batch).counters.collect()(0)
+          onCounters(row.schema.fieldNames.map(n =>
+            n -> row.getAs[Number](n).longValue).toMap)
+        }
       }
 }

@@ -89,6 +89,13 @@ object ExtQueries {
       col("vec_id"), col("embedding"), dim = 64, numPlanes = 8,
       threshold = 0.2, numTables = 2, maxBucketSize = 1000)
 
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 10, numCells = 16, nProbe = 4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats _,
     "text_langid" -> textLangId _,
@@ -101,6 +108,7 @@ object ExtQueries {
     "doc_dedup_pipeline" -> docDedupPipeline _,
     "doc_dedup_cc" -> docDedupCc _,
     "ann_brute_force" -> annBruteForce _,
+    "ann_ivf_topk" -> annIvfTopK _,
     "embed_neardup_lsh" -> embedNearDupLsh _)
 
   // -------------------------------------------------------- oracle SQL
@@ -369,6 +377,64 @@ object ExtQueries {
        |  FROM scored)
        |SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= 10""".stripMargin
 
+  /** IVF twin: queries are a subset of the corpus (vec_id < 10), so the
+    * per-(vector, cell) cosine CTE serves both corpus assignment and
+    * query probing. Constants in lockstep with annIvfTopK
+    * (numCells=16, nProbe=4, k=10). */
+  private val annIvfTopKSql =
+    s"""WITH $vecCtes,
+       |cent AS (SELECT vec_id AS cell_id FROM embeddings
+       |         ORDER BY vec_id LIMIT 16),
+       |centcomp AS (
+       |  SELECT ct.cell_id, comp.i, comp.x AS cx
+       |  FROM cent ct JOIN comp ON comp.vec_id = ct.cell_id),
+       |centnorm AS (
+       |  SELECT cell_id,
+       |    sqrt(CAST(sum(CAST(cx * cx AS DECIMAL(28,12))) AS DOUBLE)) AS sn_cell
+       |  FROM centcomp GROUP BY cell_id),
+       |celldot AS (
+       |  SELECT comp.vec_id, cc.cell_id,
+       |    CAST(sum(CAST(comp.x * cc.cx AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |  FROM comp JOIN centcomp cc ON cc.i = comp.i
+       |  GROUP BY comp.vec_id, cc.cell_id),
+       |cellcos AS (
+       |  SELECT cd.vec_id, cd.cell_id,
+       |    cd.dot / (n.sn * cn.sn_cell) AS ccos
+       |  FROM celldot cd
+       |  JOIN norms n ON n.vec_id = cd.vec_id
+       |  JOIN centnorm cn ON cn.cell_id = cd.cell_id),
+       |cells AS (
+       |  SELECT vec_id AS nbr_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY ccos DESC, cell_id ASC) AS r
+       |    FROM cellcos) WHERE r = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY ccos DESC, cell_id ASC) AS r
+       |    FROM cellcos WHERE vec_id < 10) WHERE r <= 4),
+       |cand AS (
+       |  SELECT p.query_id, c.nbr_id
+       |  FROM probes p JOIN cells c ON c.cell_id = p.cell_id),
+       |dots AS (
+       |  SELECT cand.query_id, cand.nbr_id,
+       |    CAST(sum(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |  FROM cand
+       |  JOIN comp a ON a.vec_id = cand.nbr_id
+       |  JOIN comp b ON b.vec_id = cand.query_id AND b.i = a.i
+       |  GROUP BY cand.query_id, cand.nbr_id),
+       |ranked AS (
+       |  SELECT query_id, nbr_id,
+       |    dot / (nc.sn * nq.sn) AS cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dot / (nc.sn * nq.sn) DESC, nbr_id ASC) AS rank
+       |  FROM dots
+       |  JOIN norms nc ON nc.vec_id = nbr_id
+       |  JOIN norms nq ON nq.vec_id = query_id)
+       |SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= 10""".stripMargin
+
   private val embedNearDupLshSql = {
     // 2 tables x 8 planes x 64 dims — constants in lockstep with
     // embedNearDupLsh's call (numTables=2, numPlanes=8, cap=1000)
@@ -420,5 +486,6 @@ object ExtQueries {
     "doc_dedup_pipeline" -> docDedupPipelineSql,
     "doc_dedup_cc" -> docDedupCcSql,
     "ann_brute_force" -> annBruteForceSql,
+    "ann_ivf_topk" -> annIvfTopKSql,
     "embed_neardup_lsh" -> embedNearDupLshSql)
 }

@@ -124,6 +124,33 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("ivf: query finds itself rank 1 within its probed cell") {
+    // ids 1 and 2 seed the cells (smallest ids) — one per cluster
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // centroid: x cluster
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)),   // centroid: z cluster
+      (3L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // x cluster
+      (4L, Array(0.0f, 0.1f, 0.9f, 0.0f)),   // z cluster
+      (5L, Array(0.95f, 0.05f, 0.0f, 0.0f)), // x cluster
+      (6L, Array(0.0f, 0.05f, 0.95f, 0.0f))) // z cluster
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(
+      vecs, $"vec_id", $"embedding",
+      vecs.filter($"vec_id" === 3 || $"vec_id" === 4),
+      $"vec_id", $"embedding",
+      k = 2, numCells = 2, nProbe = 1)
+      .orderBy($"query_id", $"rank")
+      .select("query_id", "nbr_id", "rank", "cosine")
+      .as[(Long, Long, Int, Double)].collect()
+    // each query's rank-1 hit is itself with cosine ~1
+    val rank1 = got.filter(_._3 == 1).map(r => r._1 -> r._2).toMap
+    assert(rank1 == Map(3L -> 3L, 4L -> 4L))
+    assert(got.filter(_._3 == 1).forall(r => math.abs(r._4 - 1.0) < 1e-9))
+    // nProbe=1: results come only from the query's own cluster cell
+    assert(got.filter(_._1 == 3L).forall(r => Set(1L, 3L, 5L)(r._2)))
+    assert(got.filter(_._1 == 4L).forall(r => Set(2L, 4L, 6L)(r._2)))
+  }
+
   test("multi-table lsh drops degenerate buckets at the cap") {
     // 20 identical vectors collide into ONE bucket in every table —
     // the O(n^2) degenerate case the cap exists for

@@ -84,6 +84,36 @@ class PipelineSpec extends SparkSpec {
     assert(okCount == 0)  // Always200 -> no API DLQ
   }
 
+  test("file ledger: processed files are skipped, appends are idempotent") {
+    import graft.pipeline.FileLedger
+    val ledger = Files.createTempDirectory("graft_ledger").toString + "/led"
+    assert(FileLedger.unprocessed(spark, Seq("gs://a/1", "gs://a/2"), ledger)
+      == Seq("gs://a/1", "gs://a/2")) // empty ledger passes everything
+    FileLedger.record(spark, Seq("gs://a/1", "gs://a/2"), ledger)
+    assert(FileLedger.unprocessed(
+      spark, Seq("gs://a/1", "gs://a/2", "gs://a/3"), ledger).sorted
+      == Seq("gs://a/3"))
+    FileLedger.record(spark, Seq("gs://a/2", "gs://a/3"), ledger) // overlap ok
+    assert(FileLedger.unprocessed(
+      spark, Seq("gs://a/1", "gs://a/2", "gs://a/3"), ledger).isEmpty)
+  }
+
+  test("streaming counters surface per micro-batch via foreachBatch") {
+    val dir = writeTempEvents()
+    val schema = spark.read.parquet(s"$dir/src/part.parquet").schema
+    val compiled = StreamingPipeline.transformStream(
+      spark, cfgFor(dir), s"$dir/src/part.parquet", schema)
+    var counters = Map.empty[String, Long]
+    val q = StreamingPipeline.sinkStream(compiled, () => new Always200,
+      _ => (), _ => (), triggerInterval = "1 seconds",
+      onCounters = m => counters = m.map { case (k, v) =>
+        k -> (counters.getOrElse(k, 0L) + v) })
+      .option("checkpointLocation", s"$dir/ckpt_counters").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(counters("n_rows") == 3L && counters("n_dlq") == 1L)
+  }
+
   test("streaming dedup: duplicate URIs within the watermark are dropped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
