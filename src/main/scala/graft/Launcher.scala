@@ -30,6 +30,12 @@ import graft.sink.{EventPoster, PostResult}
   *   --config_uri_scheme s             (gs in production; file for local
   *                                      runs/tests — validation semantics
   *                                      identical)
+  *   --processed_ledger_dir D          (optional: enables the
+  *                                      processed-file ledger — batch
+  *                                      runs skip already-imported files
+  *                                      and record successes; the
+  *                                      idempotency the reference README
+  *                                      promises, SURVEY.md §2.11)
   *
   * Launch aborts with a CRITICAL log and exit code 1 when the config
   * URI is invalid, missing, or unparseable (`M/main.py:430-437`,
@@ -47,7 +53,8 @@ object Launcher {
       mixpanelApiSecret: String = "",
       dlqTopicTransformErrors: Option[String] = None,
       dlqTopicApiErrors: Option[String] = None,
-      configUriScheme: String = "gs")
+      configUriScheme: String = "gs",
+      processedLedgerDir: Option[String] = None)
 
   def parseArgs(argv: Seq[String]): Args = {
     def loop(rest: List[String], acc: Args): Args = rest match {
@@ -69,6 +76,8 @@ object Launcher {
         loop(t, acc.copy(dlqTopicApiErrors = Some(v)))
       case "--config_uri_scheme" :: v :: t =>
         loop(t, acc.copy(configUriScheme = v))
+      case "--processed_ledger_dir" :: v :: t =>
+        loop(t, acc.copy(processedLedgerDir = Some(v)))
       case other :: _ =>
         throw new IllegalArgumentException(s"Unknown argument: $other")
     }
@@ -121,14 +130,21 @@ object Launcher {
             // local paths come back "file:/..."-schemed from the glob;
             // strip that so they prefix-match plain-path configs (cloud
             // schemes like gs:// stay verbatim, as their configs are)
-            val uris = fs.globStatus(new org.apache.hadoop.fs.Path(pattern))
+            val globbed = fs.globStatus(new org.apache.hadoop.fs.Path(pattern))
               .toSeq.map { st =>
                 val u = st.getPath.toUri
                 if (u.getScheme == null || u.getScheme == "file") u.getPath
                 else st.getPath.toString
               }
+            val uris = a.processedLedgerDir match {
+              case Some(led) =>
+                graft.pipeline.FileLedger.unprocessed(spark, globbed, led)
+              case None => globbed
+            }
             val res = BatchPipeline.run(spark, uris, configs,
               () => new AcceptAllPoster, opts)
+            a.processedLedgerDir.foreach(led =>
+              graft.pipeline.FileLedger.record(spark, uris, led))
             a.dlqTopicTransformErrors.foreach(d =>
               res.transformDlq.write.mode("append").json(d))
             a.dlqTopicApiErrors.foreach(d =>

@@ -107,15 +107,25 @@ object Dedup {
   /** MinHash LSH candidate pairs: split the signature into bands of
     * `rowsPerBand`, hash each band, and emit pairs that collide in at
     * least one band. Scales as O(docs × bands) shuffle, never O(docs²):
-    * the band-explode + groupBy replaces the all-pairs join. */
+    * the band-explode + groupBy replaces the all-pairs join.
+    *
+    * `maxBandBucket` is the skew guard for the within-bucket self-join:
+    * a band value shared by more than that many docs (boilerplate /
+    * templated corpora) would reintroduce O(n²) inside one bucket, so
+    * such buckets are dropped from candidate generation. Default
+    * unbounded, which keeps the oracle exact — size it (e.g. 10_000)
+    * for production corpora; an exact-dup pre-pass (canonical
+    * fingerprint, as in [[dedupSurvivorsAndVerified]]) removes the
+    * most common cause first. */
   def minhashLshPairs(df: DataFrame, id: Column, text: Column,
-      n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame =
+      n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+      maxBandBucket: Int = Int.MaxValue): DataFrame =
     minhashLshPairsFromShingles(shingles(df, id, text, n), numHashes,
-      rowsPerBand)
+      rowsPerBand, maxBandBucket)
 
   /** Candidate pairs from a pre-built shingle frame. */
   def minhashLshPairsFromShingles(g: DataFrame, numHashes: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4, maxBandBucket: Int = Int.MaxValue): DataFrame = {
     val sig = minhashSignaturesFromShingles(g, numHashes)
     val numBands = numHashes / rowsPerBand
     val bands = array((0 until numBands).map { b =>
@@ -129,7 +139,16 @@ object Dedup {
     val exploded = sig.select(col("id"), explode(bands).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
     val explodedM = graft.Tables.materialize(exploded)
-    explodedM.as("x").join(explodedM.as("y"),
+    val kept =
+      if (maxBandBucket == Int.MaxValue) explodedM
+      else {
+        val sized = explodedM.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= maxBandBucket)
+          .select(col("band"), col("bh"))
+        explodedM.join(broadcast(sized), Seq("band", "bh"), "left_semi")
+      }
+    kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"))

@@ -86,6 +86,16 @@ class OperatorsSpec extends SparkSpec {
     assert(d.size == 3)
   }
 
+  test("minhash lsh band-bucket cap suppresses boilerplate blowup") {
+    import graft.ext.Dedup
+    // 12 identical docs: every band bucket holds all 12 -> capped away
+    val docs = (1L to 12L).map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashLshPairs(docs, $"doc_id", $"text").count() == 66)
+    assert(Dedup.minhashLshPairs(docs, $"doc_id", $"text",
+      maxBandBucket = 5).count() == 0)
+  }
+
   test("connected components collapse transitive chains to min id") {
     // 1-2-3-4 is a path (no direct 1~4 edge), 5-6 separate
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (6L, 5L))
