@@ -10,7 +10,8 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q1_agg", "q3_join_topk", "q5_multijoin", "map_events")
+      else Seq("q1_agg", "q3_join_topk", "q5_multijoin", "map_events",
+        "doc_dedup_pipeline", "embed_neardup_lsh", "ann_ivf_topk")
     for (name <- names) {
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
