@@ -48,6 +48,8 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // bucketed-table specs/demos write here, never into the repo
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
 
   /** One-time JVM warm-up. Spark 4's collation-aware string functions
     * lazily class-init `CollationAwareUTF8String`, whose static block

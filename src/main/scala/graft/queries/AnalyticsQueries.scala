@@ -133,6 +133,24 @@ object AnalyticsQueries {
       .select(col("c_custkey"), col("c_name"))
   }
 
+  /** Explicitly salted shuffle join (`ext.Skew.saltedJoin`): lineitem
+    * scattered over (key, salt), orders replicated saltsx — the manual
+    * skew-mitigation path for keys too hot even for AQE's split. The
+    * salting is semantically invisible, so the oracle is the plain
+    * join + aggregate. */
+  def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    graft.ext.Skew.saltedJoin(li, ord, "o_orderkey", salts = 4)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
   /** Rollup aggregation (grouping sets) over orders. */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders")
@@ -167,7 +185,8 @@ object AnalyticsQueries {
     "window_rank" -> windowRank _,
     "events_window_agg" -> eventsWindowAgg _,
     "semi_anti_join" -> semiAntiJoin _,
-    "rollup_agg" -> rollupAgg _)
+    "rollup_agg" -> rollupAgg _,
+    "salted_join" -> saltedJoinAgg _)
 
   val oracleSql: Map[String, String] = Map(
     "sessionize" ->
@@ -237,5 +256,11 @@ object AnalyticsQueries {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
-        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "salted_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin)
 }
