@@ -151,6 +151,21 @@ object AnalyticsQueries {
         count(lit(1)).as("n"))
   }
 
+  /** Exact grouped quantiles: Spark's sort-based `percentile` and
+    * DuckDB's `quantile_cont` share the same linear-interpolation
+    * definition (rank = p*(n-1)), so results hash-match bit-for-bit on
+    * the integral l_quantity values. The approximate path for 100 TB
+    * is `approx_percentile` (t-digest) — same query shape, not
+    * oracle-comparable across engines by construction. */
+  def quantilesAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("q50"),
+        expr("percentile(l_quantity, 0.75)").as("q75"),
+        count(lit(1)).as("n"))
+
   /** Rollup aggregation (grouping sets) over orders. */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders")
@@ -186,7 +201,8 @@ object AnalyticsQueries {
     "events_window_agg" -> eventsWindowAgg _,
     "semi_anti_join" -> semiAntiJoin _,
     "rollup_agg" -> rollupAgg _,
-    "salted_join" -> saltedJoinAgg _)
+    "salted_join" -> saltedJoinAgg _,
+    "quantiles_agg" -> quantilesAgg _)
 
   val oracleSql: Map[String, String] = Map(
     "sessionize" ->
@@ -262,5 +278,12 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "quantiles_agg" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS q50,
+        |  quantile_cont(l_quantity, 0.75) AS q75,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
 }
