@@ -11,12 +11,23 @@ class BucketingSpec extends SparkSpec {
   import spark.implicits._
 
   test("bucketed tables co-locate the join: no shuffle exchange") {
+    // the warehouse DIRECTORY outlives the in-memory catalog, so a
+    // fresh JVM's DROP IF EXISTS is a no-op while the previous run's
+    // path still exists and LOCATION_ALREADY_EXISTS rejects the save —
+    // clear both the catalog entry and the location
     spark.sql("DROP TABLE IF EXISTS graft_b_fact")
     spark.sql("DROP TABLE IF EXISTS graft_b_dim")
+    for (t <- Seq("graft_b_fact", "graft_b_dim")) {
+      val p = new org.apache.hadoop.fs.Path(s"/tmp/graft_warehouse/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
     (1 to 1000).map(i => (i.toLong % 100, s"f$i")).toDF("key", "payload")
-      .write.bucketBy(8, "key").sortBy("key").saveAsTable("graft_b_fact")
+      .write.mode("overwrite").bucketBy(8, "key").sortBy("key")
+      .saveAsTable("graft_b_fact")
     (0L until 100L).map(k => (k, s"d$k")).toDF("key", "attr")
-      .write.bucketBy(8, "key").sortBy("key").saveAsTable("graft_b_dim")
+      .write.mode("overwrite").bucketBy(8, "key").sortBy("key")
+      .saveAsTable("graft_b_dim")
     val joined = spark.table("graft_b_fact")
       .join(spark.table("graft_b_dim"), "key")
     // matching bucket layouts satisfy the join's distribution
