@@ -36,6 +36,11 @@ import graft.sink.{EventPoster, PostResult}
   *                                      and record successes; the
   *                                      idempotency the reference README
   *                                      promises, SURVEY.md §2.11)
+  *   --mixpanel_api_url U              (optional: selects the real HTTP
+  *                                      transport posting to U; unset
+  *                                      runs the offline accept-all
+  *                                      poster — this container has no
+  *                                      egress)
   *
   * Launch aborts with a CRITICAL log and exit code 1 when the config
   * URI is invalid, missing, or unparseable (`M/main.py:430-437`,
@@ -54,7 +59,8 @@ object Launcher {
       dlqTopicTransformErrors: Option[String] = None,
       dlqTopicApiErrors: Option[String] = None,
       configUriScheme: String = "gs",
-      processedLedgerDir: Option[String] = None)
+      processedLedgerDir: Option[String] = None,
+      mixpanelApiUrl: Option[String] = None)
 
   def parseArgs(argv: Seq[String]): Args = {
     def loop(rest: List[String], acc: Args): Args = rest match {
@@ -78,6 +84,8 @@ object Launcher {
         loop(t, acc.copy(configUriScheme = v))
       case "--processed_ledger_dir" :: v :: t =>
         loop(t, acc.copy(processedLedgerDir = Some(v)))
+      case "--mixpanel_api_url" :: v :: t =>
+        loop(t, acc.copy(mixpanelApiUrl = Some(v)))
       case other :: _ =>
         throw new IllegalArgumentException(s"Unknown argument: $other")
     }
@@ -101,11 +109,20 @@ object Launcher {
     }
 
   /** Offline default poster (this container has no egress): accepts
-    * every batch. A production deployment swaps in an HTTP
-    * [[EventPoster]] against the import endpoint with basic-auth
-    * `mixpanel_api_secret` — transport is pluggable by design (K1). */
+    * every batch. A production deployment passes `--mixpanel_api_url`
+    * to select the real HTTP transport instead (K1). */
   private final class AcceptAllPoster extends EventPoster {
     def post(gz: Array[Byte], n: Int): PostResult = PostResult(200, "ok")
+  }
+
+  /** Transport selection: `--mixpanel_api_url` set -> real HTTP poster
+    * (basic-auth `mixpanel_api_secret`, 90 s timeout, gzip NDJSON —
+    * `M/main.py:320-322,350-368`); unset -> offline accept-all. */
+  def posterFactory(a: Args): () => EventPoster = a.mixpanelApiUrl match {
+    case Some(url) =>
+      val secret = a.mixpanelApiSecret
+      () => new graft.sink.HttpEventPoster(url, secret)
+    case None => () => new AcceptAllPoster
   }
 
   def main(argv: Array[String]): Unit = {
@@ -142,9 +159,13 @@ object Launcher {
               case None => globbed
             }
             val res = BatchPipeline.run(spark, uris, configs,
-              () => new AcceptAllPoster, opts)
+              posterFactory(a), opts)
+            // Ledger: record ONLY what was actually transformed. The
+            // full pre-run list would mark corrupt-skipped / unmatched
+            // files as processed and permanently skip a fixed re-upload
+            // or a late-added config (`FileLedger` contract, §2.11).
             a.processedLedgerDir.foreach(led =>
-              graft.pipeline.FileLedger.record(spark, uris, led))
+              graft.pipeline.FileLedger.record(spark, res.imported, led))
             a.dlqTopicTransformErrors.foreach(d =>
               res.transformDlq.write.mode("append").json(d))
             a.dlqTopicApiErrors.foreach(d =>
@@ -156,10 +177,16 @@ object Launcher {
             val dir = a.inputSubscription.getOrElse(
               sys.error("--input_subscription is required in streaming mode"))
             val schema = spark.read.parquet(dir).schema
+            // One stream per PARQUET config over the shared watch dir,
+            // each filtered to the files whose FIRST matching config
+            // (across the full list, parquet or not) is this one — so a
+            // multi-config deployment maps every file exactly once, by
+            // the config the reference's router would pick
+            // (`M/main.py:466-495`).
             for (cfg <- configs.filter(_.isParquet)) {
-              val compiled = StreamingPipeline.transformStream(
-                spark, cfg, dir, schema, opts)
-              StreamingPipeline.sinkStream(compiled, () => new AcceptAllPoster,
+              val compiled = StreamingPipeline.transformStreamRouted(
+                spark, cfg, configs, dir, schema, opts)
+              StreamingPipeline.sinkStream(compiled, posterFactory(a),
                 dlq => a.dlqTopicTransformErrors.foreach(d =>
                   dlq.write.mode("append").json(d)),
                 api => a.dlqTopicApiErrors.foreach(d =>

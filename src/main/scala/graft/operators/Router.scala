@@ -39,6 +39,14 @@ object Router {
   def firstMatchExpr(uri: Column, configs: Seq[SourceConfig]): Column =
     firstMatch(uri, configs)(_.configId)
 
+  /** Normalize a Spark-reported file URI (`input_file_name()` yields
+    * `file:///path` or `file:/path` for local storage) back to the
+    * plain-path form configs are written against. Cloud schemes
+    * (`gs://`, `s3a://`) pass through verbatim — their configs carry
+    * the scheme too. */
+  def normalizeFileUri(c: Column): Column =
+    regexp_replace(c, "^file:/+", "/")
+
   /** @param uris DataFrame with a string `uri` column.
     * @return (uri, config_id, file_type) — one row per matched URI;
     *   null/unmatched URIs dropped (`M/main.py:460,55-63`). */

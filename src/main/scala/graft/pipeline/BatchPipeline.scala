@@ -61,12 +61,18 @@ object BatchPipeline {
 
   /** The three output channels (§2.8, §2.2) plus the run's counters.
     * `apiDlq` from [[run]] is eagerly materialized (delivery already
-    * happened); from [[post]] it is lazy — see [[post]]'s contract. */
+    * happened); from [[post]] it is lazy — see [[post]]'s contract.
+    * `imported` is the URI set the run actually transformed (routed,
+    * PARQUET, passed the corrupt check) — the ONLY set a processed-file
+    * ledger may record: unmatched and corrupt-skipped files must stay
+    * eligible for a later retry (a fixed re-upload, a config added for
+    * their prefix). */
   final case class Result(
       eventsJson: DataFrame,
       transformDlq: DataFrame,
       apiDlq: DataFrame,
-      counters: BatchCounters)
+      counters: BatchCounters,
+      imported: Seq[String])
 
   /** Route a file list to configs driver-side (first-match-wins,
     * PARQUET-only — P2+P3). Kept for small lists and tests; [[run]]
@@ -243,7 +249,8 @@ object BatchPipeline {
     val apiDlq = post(json, posterFactory, postParallelism)
       .localCheckpoint(true)
     Result(json, dlq, apiDlq,
-      BatchCounters(matchedCounts, unmatched, readErrors, obs))
+      BatchCounters(matchedCounts, unmatched, readErrors, obs),
+      readable.values.flatten.toSeq)
   }
 
   private def emptyJson(spark: SparkSession): DataFrame = {

@@ -41,7 +41,9 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("uri")
 
   /** One config's streaming transform: file-source scan under the
-    * config's prefix dir -> compiled mapping. */
+    * config's prefix dir -> compiled mapping. The caller guarantees
+    * every file under `dir` belongs to `cfg`; for a mixed directory
+    * shared by several configs use [[transformStreamRouted]]. */
   def transformStream(spark: SparkSession, cfg: SourceConfig, dir: String,
       schema: StructType,
       opts: ConfigCompiler.Options = ConfigCompiler.Options()): DataFrame = {
@@ -49,10 +51,33 @@ object StreamingPipeline {
     ConfigCompiler.compile(cfg, input, opts).df
   }
 
+  /** One config's streaming transform over a SHARED watch directory:
+    * each arriving file is routed first-match-wins against the FULL
+    * config list (`RouteFileToConfig`, `M/main.py:37-63,466-495`) and
+    * only files whose first match is `cfg` are transformed — so N
+    * configs watching one directory map every file exactly once, by
+    * exactly its first matching config. The route predicate is the
+    * same zero-shuffle when-chain the batch router compiles, applied
+    * to `input_file_name()`; Spark prunes non-matching files at the
+    * source filter, it never transforms them. */
+  def transformStreamRouted(spark: SparkSession, cfg: SourceConfig,
+      allConfigs: Seq[SourceConfig], dir: String, schema: StructType,
+      opts: ConfigCompiler.Options = ConfigCompiler.Options()): DataFrame = {
+    val input = spark.readStream.schema(schema).parquet(dir)
+      .filter(graft.operators.Router.firstMatchExpr(
+        graft.operators.Router.normalizeFileUri(input_file_name()),
+        allConfigs) === cfg.configId)
+    ConfigCompiler.compile(cfg, input, opts).df
+  }
+
   /** Wire a compiled stream to the batched/retrying sink + DLQ sinks
     * via foreachBatch. DLQ frames are handed to the caller's writers so
     * tests can collect and production can append to storage (K2/K3 are
     * pluggable topics in the reference, `M/main.py:497-502,519-523`).
+    * Posting is materialized inside the callback, exactly once per
+    * micro-batch — `writeApiDlq` receives an already-delivered, cached
+    * DLQ frame and must consume it synchronously (it is unpersisted
+    * when the writer returns).
     *
     * `onCounters` receives the A3 transform counters of every
     * micro-batch (`n_rows`/`n_dlq`/`missing_distinct_id`/
@@ -74,7 +99,15 @@ object StreamingPipeline {
             .as("event_json"))
         writeTransformDlq(
           batch.filter(col("error").isNotNull).select("error.*"))
-        writeApiDlq(BatchPipeline.post(ok, posterFactory))
+        // Evaluation == delivery for the posting frame — so it is
+        // materialized HERE, exactly once per micro-batch. Handing the
+        // lazy frame to `writeApiDlq` would make delivery depend on the
+        // callback's action count: a no-op writer (api DLQ unset) would
+        // silently never post, a two-action writer would post twice.
+        val apiDlq = BatchPipeline.post(ok, posterFactory).persist()
+        apiDlq.count() // the posting job; runs once, fills the cache
+        writeApiDlq(apiDlq)
+        apiDlq.unpersist()
         if (batch.columns.contains("_counters")) {
           val row = graft.compile.CompiledEvents(batch).counters.collect()(0)
           onCounters(row.schema.fieldNames.map(n =>

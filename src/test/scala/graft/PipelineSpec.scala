@@ -16,6 +16,17 @@ private class Always400 extends EventPoster {
 private class Always200 extends EventPoster {
   def post(gz: Array[Byte], n: Int): PostResult = PostResult(200, "ok")
 }
+/** Counts delivered events across poster instances (local-mode JVM is
+  * shared, so a static counter observes executor-side posts). */
+private object PostedEvents {
+  val n = new java.util.concurrent.atomic.AtomicLong
+}
+private class EventCountingPoster extends EventPoster {
+  def post(gz: Array[Byte], nEvents: Int): PostResult = {
+    PostedEvents.n.addAndGet(nEvents)
+    PostResult(200, "ok")
+  }
+}
 
 /** End-to-end batch + streaming pipeline specs on real temp parquet. */
 class PipelineSpec extends SparkSpec {
@@ -112,6 +123,114 @@ class PipelineSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     assert(counters("n_rows") == 3L && counters("n_dlq") == 1L)
+  }
+
+  /** Write `rows` as ONE flat parquet file at `target` (the shape GCS
+    * notifications deliver — a single object, not a writer directory). */
+  private def writeFlatParquet(target: java.nio.file.Path,
+      rows: Seq[(String, Long, String)]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("graft_flat")
+    rows.toDF("event_type", "ts_epoch", "uid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/out")
+    val part = Files.list(java.nio.file.Paths.get(s"$tmp/out"))
+      .iterator().asScala
+      .find(p => p.getFileName.toString.startsWith("part-") &&
+        p.toString.endsWith(".parquet")).get
+    Files.copy(part, target)
+  }
+
+  test("streaming routing: shared watch dir, each file mapped exactly once " +
+      "by its first matching config") {
+    val watch = Files.createTempDirectory("graft_watch")
+    val ckpt = Files.createTempDirectory("graft_watch_ckpt")
+    writeFlatParquet(watch.resolve("a_1.parquet"), Seq(("from_a", 10L, "u1")))
+    writeFlatParquet(watch.resolve("b_1.parquet"), Seq(("from_b", 20L, "u2")))
+    def cfg(id: String, prefix: String) = SourceConfig(
+      configId = id, sourcePrefix = prefix,
+      eventNameField = Some("event_type"),
+      fieldMappings = Seq(
+        FieldMapping("ts_epoch", "time", CastType.UnixTimestampAuto),
+        FieldMapping("uid", "$user_id", CastType.StringT)))
+    // cfgB's prefix matches EVERY file in the dir; first-match-wins must
+    // still route a_1.parquet to cfgA only (declaration order).
+    val cfgA = cfg("a", s"$watch/a_")
+    val cfgB = cfg("b", s"$watch/")
+    val all = Seq(cfgA, cfgB)
+    val schema = spark.read.parquet(watch.toString).schema
+    for (c <- all) {
+      val compiled = StreamingPipeline.transformStreamRouted(
+        spark, c, all, watch.toString, schema)
+      val q = compiled.writeStream.outputMode("append")
+        .format("memory").queryName(s"routed_${c.configId}")
+        .option("checkpointLocation", s"$ckpt/${c.configId}").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val aEvents = spark.table("routed_a")
+      .select(col("event")).as[String].collect().toSeq
+    val bEvents = spark.table("routed_b")
+      .select(col("event")).as[String].collect().toSeq
+    assert(aEvents == Seq("from_a")) // not from_b: prefix doesn't match
+    assert(bEvents == Seq("from_b")) // not from_a: cfgA matched it first
+  }
+
+  test("streaming posting is exactly-once regardless of the api-dlq " +
+      "writer's action count") {
+    // no-op api-dlq writer (the Launcher shape when --dlq_topic_api_errors
+    // is unset): delivery must still happen
+    val dir1 = writeTempEvents()
+    val schema1 = spark.read.parquet(s"$dir1/src/part.parquet").schema
+    PostedEvents.n.set(0)
+    val q1 = StreamingPipeline.sinkStream(
+      StreamingPipeline.transformStream(
+        spark, cfgFor(dir1), s"$dir1/src/part.parquet", schema1),
+      () => new EventCountingPoster, _ => (), _ => (),
+      triggerInterval = "1 seconds")
+      .option("checkpointLocation", s"$dir1/ckpt_once").start()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(PostedEvents.n.get == 2L) // both good rows posted, once each
+    // double-action writer: must NOT re-post
+    val dir2 = writeTempEvents()
+    val schema2 = spark.read.parquet(s"$dir2/src/part.parquet").schema
+    PostedEvents.n.set(0)
+    val q2 = StreamingPipeline.sinkStream(
+      StreamingPipeline.transformStream(
+        spark, cfgFor(dir2), s"$dir2/src/part.parquet", schema2),
+      () => new EventCountingPoster, _ => (),
+      api => { api.count(); api.count() },
+      triggerInterval = "1 seconds")
+      .option("checkpointLocation", s"$dir2/ckpt_twice").start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(PostedEvents.n.get == 2L)
+  }
+
+  test("ledger records only imported files; a corrupt file retries after " +
+      "a fixed re-upload") {
+    import graft.pipeline.FileLedger
+    val dir = writeTempEvents()
+    val bad = s"$dir/src/bad.parquet"
+    Files.write(java.nio.file.Paths.get(bad), "not a parquet".getBytes)
+    val led = s"$dir/led"
+    val uris = Seq(s"$dir/src/part.parquet", bad)
+    val res = BatchPipeline.run(spark,
+      FileLedger.unprocessed(spark, uris, led),
+      Seq(cfgFor(dir)), () => new Always200)
+    assert(res.imported == Seq(s"$dir/src/part.parquet"))
+    assert(res.counters.readErrors == Map("t" -> 1L))
+    FileLedger.record(spark, res.imported, led)
+    // the corrupt file was NOT recorded: still eligible on the next run
+    assert(FileLedger.unprocessed(spark, uris, led) == Seq(bad))
+    // fixed re-upload at the same URI imports on the next run
+    Files.delete(java.nio.file.Paths.get(bad))
+    writeFlatParquet(java.nio.file.Paths.get(bad), Seq(("fixed", 40L, "u4")))
+    val res2 = BatchPipeline.run(spark,
+      FileLedger.unprocessed(spark, uris, led),
+      Seq(cfgFor(dir)), () => new Always200)
+    assert(res2.imported == Seq(bad))
+    assert(res2.eventsJson.count() == 1)
   }
 
   test("streaming dedup: duplicate URIs within the watermark are dropped") {
