@@ -14,8 +14,8 @@ import graft.functions.TextFunctions
   *  - MinHash+LSH:  signature bands bucket the join so only candidate
   *    pairs meet — the 100 TB path (shuffle volume O(docs×bands), not
   *    O(docs²)).
-  *  - SimHash:      one 32-bit sketch per doc; near-dups share the
-  *    sketch (or a band of it) — cheapest, coarsest.
+  *  - SimHash:      one 64-bit sketch per doc; near-dups share the
+  *    sketch (or a 16-bit band of it) — cheapest, coarsest.
   *
   * Hash primitive is [[TextFunctions.hash32]]/md5 so every stage is
   * reproducible in the DuckDB oracle (no engine-private hash).
@@ -123,9 +123,18 @@ object Dedup {
     minhashLshPairsFromShingles(shingles(df, id, text, n), numHashes,
       rowsPerBand, maxBandBucket)
 
-  /** Candidate pairs from a pre-built shingle frame. */
+  /** Candidate pairs from a pre-built shingle frame.
+    *
+    * `onDroppedBuckets` (optional) is the A3-style observability hook
+    * for the skew cap: when a finite `maxBandBucket` is set it receives
+    * the number of band buckets dropped for exceeding the cap — a
+    * monitoring dashboard needs to see HOW MUCH candidate recall the
+    * cap is trading away on a given corpus. Computed as one extra
+    * aggregation over the already-cached band frame (cheap), only when
+    * the hook is provided. */
   def minhashLshPairsFromShingles(g: DataFrame, numHashes: Int = 16,
-      rowsPerBand: Int = 4, maxBandBucket: Int = Int.MaxValue): DataFrame = {
+      rowsPerBand: Int = 4, maxBandBucket: Int = Int.MaxValue,
+      onDroppedBuckets: Long => Unit = null): DataFrame = {
     val sig = minhashSignaturesFromShingles(g, numHashes)
     val numBands = numHashes / rowsPerBand
     val bands = array((0 until numBands).map { b =>
@@ -144,9 +153,11 @@ object Dedup {
       else {
         val sized = explodedM.groupBy(col("band"), col("bh"))
           .agg(count(lit(1)).as("bsz"))
-          .filter(col("bsz") <= maxBandBucket)
+        if (onDroppedBuckets != null)
+          onDroppedBuckets(sized.filter(col("bsz") > maxBandBucket).count())
+        val small = sized.filter(col("bsz") <= maxBandBucket)
           .select(col("band"), col("bh"))
-        explodedM.join(broadcast(sized), Seq("band", "bh"), "left_semi")
+        explodedM.join(broadcast(small), Seq("band", "bh"), "left_semi")
       }
     kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -155,18 +166,21 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash near-duplicate candidate pairs: band the 32-bit sketch
-    * into 4 bytes (near-dups agree on at least one byte with high
-    * probability), self-join per band bucket, then verify with the
+  /** SimHash near-duplicate candidate pairs: band the 64-bit sketch
+    * into 4 16-bit words (near-dups agree on at least one word with
+    * high probability), self-join per band bucket, then verify with the
     * exact Hamming distance `bit_count(s1 xor s2) <= maxBits`.
-    * Same O(docs x bands) scaling story as MinHash LSH. */
+    * Same O(docs x bands) scaling story as MinHash LSH — and the
+    * 16-bit bands give 65536 buckets per band, so the per-bucket
+    * self-join work is O(n²/65536) instead of the O(n²/256) an 8-bit
+    * banding would leave at corpus scale. */
   def simhashNearDupPairs(df: DataFrame, id: Column, text: Column,
-      maxBits: Int = 6): DataFrame = {
+      maxBits: Int = 12): DataFrame = {
     val sk = graft.Tables.materialize(simhash(df, id, text))
     val bands = sk.select(col("id"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
-            shiftright(col("simhash"), b * 8).bitwiseAND(255).as("bv"))): _*))
+            shiftright(col("simhash"), b * 16).bitwiseAND(65535).as("bv"))): _*))
           .as("b"))
       .select(col("id"), col("b.band"), col("b.bv"))
     val cand = bands.as("x").join(bands.as("y"),
@@ -182,25 +196,37 @@ object Dedup {
       .select(col("id1"), col("id2"), col("hamming"))
   }
 
+  /** Production default for the composed pipelines' band-bucket cap:
+    * far above any honest near-dup cluster (the canonical-fingerprint
+    * pre-pass has already removed exact dups by the time LSH runs), far
+    * below the bucket size where the within-bucket self-join's O(n²)
+    * becomes the job's dominant cost. */
+  val DefaultMaxBandBucket = 10000
+
   /** Shared spine of the composed dedup pipelines:
     * 1. canonical-fingerprint exact pass (kills exact + reordered dups
     *    for the cost of one groupBy);
     * 2. shingles built ONCE and reused by stages 3 and 4;
-    * 3. MinHash LSH candidate generation on the survivors;
+    * 3. MinHash LSH candidate generation on the survivors — band
+    *    buckets larger than `maxBandBucket` dropped (skew guard;
+    *    `onDroppedBuckets` observes how many);
     * 4. exact n-gram Jaccard verification of candidates only (never
     *    all-pairs).
     * Returns (survivors(id, text), verified(id1, id2)). Every stage is
     * the O(docs)-shuffle scale path; the quadratic work is confined to
-    * LSH buckets. */
+    * LSH buckets, and the cap bounds the worst bucket. */
   def dedupSurvivorsAndVerified(df: DataFrame, id: Column, text: Column,
-      n: Int = 3, jaccardThreshold: Double = 0.8): (DataFrame, DataFrame) = {
+      n: Int = 3, jaccardThreshold: Double = 0.8,
+      maxBandBucket: Int = DefaultMaxBandBucket,
+      onDroppedBuckets: Long => Unit = null): (DataFrame, DataFrame) = {
     val canon = df.select(id.as("id"), text.as("text"))
       .withColumn("canon_fp", TextFunctions.canonicalFingerprint(col("text")))
     val firstPerFp = canon.groupBy(col("canon_fp")).agg(min(col("id")).as("id"))
     val survivors = graft.Tables.materialize(canon.join(firstPerFp.select(col("id")), "id")
       .select(col("id"), col("text")))
     val g = graft.Tables.materialize(shingles(survivors, col("id"), col("text"), n))
-    val cand = minhashLshPairsFromShingles(g)
+    val cand = minhashLshPairsFromShingles(g,
+      maxBandBucket = maxBandBucket, onDroppedBuckets = onDroppedBuckets)
     val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(g.as("ga"), col("id1") === col("ga.id"))
@@ -222,9 +248,11 @@ object Dedup {
     * chains A~B~C with no A~C candidate keep both A and C — use
     * [[dedupPipelineCcKept]] when that matters. */
   def dedupPipelineKept(df: DataFrame, id: Column, text: Column,
-      n: Int = 3, jaccardThreshold: Double = 0.8): DataFrame = {
-    val (survivors, verified) =
-      dedupSurvivorsAndVerified(df, id, text, n, jaccardThreshold)
+      n: Int = 3, jaccardThreshold: Double = 0.8,
+      maxBandBucket: Int = DefaultMaxBandBucket,
+      onDroppedBuckets: Long => Unit = null): DataFrame = {
+    val (survivors, verified) = dedupSurvivorsAndVerified(
+      df, id, text, n, jaccardThreshold, maxBandBucket, onDroppedBuckets)
     survivors.join(verified.select(col("id2").as("id")).distinct(),
       Seq("id"), "left_anti").select(col("id"))
   }
@@ -239,40 +267,62 @@ object Dedup {
     * handful of rounds. Labels are always node ids of the same
     * component and non-increasing; at fixpoint every component is
     * uniformly labeled with its min id.
-    * Returns (id, component) where component = min id reachable. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
-    // localCheckpoint, not cache: every round must TRUNCATE lineage.
-    // With cache alone the logical plan still nests the previous
-    // round's plan, so analysis cost doubles per round — measured
-    // minutes of driver time by round ~15. A checkpointed frame plans
-    // as a flat LogicalRDD, keeping every round constant-cost.
-    val edges = pairs
+    * Returns (id, component) where component = min id reachable.
+    *
+    * Checkpoint mode: every round must TRUNCATE lineage (cache alone
+    * leaves the logical plan nesting the previous round's — analysis
+    * cost doubles per round, measured minutes of driver time by round
+    * ~15; a checkpointed frame plans as a flat LogicalRDD). By default
+    * that is `localCheckpoint` — executor-local storage, fine for one
+    * JVM. On a real cluster executor loss makes a localCheckpoint'd
+    * RDD unrecoverable (lineage is GONE), so production runs pass
+    * `checkpointDir` (HDFS/object store) to use RELIABLE
+    * `spark.checkpoint` storage instead.
+    *
+    * `maxRounds` bounds the loop: path halving converges in
+    * O(log n) rounds, so the ceiling is generous — hitting it means
+    * the input or engine is broken (e.g. nondeterministic ids) and
+    * looping forever on a 1000-executor cluster is the worst failure
+    * mode. Fails loudly rather than returning wrong labels. */
+  def connectedComponents(pairs: DataFrame,
+      checkpointDir: Option[String] = None,
+      maxRounds: Int = 64): DataFrame = {
+    val spark = pairs.sparkSession
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        spark.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(true)
+      case None => df => df.localCheckpoint(true)
+    }
+    val edges = ckpt(pairs
       .select(col("id1").as("src"), col("id2").as("dst"))
-      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst"))))
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
     var converged = false
+    var round = 0
     while (!converged) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents: no fixpoint after $maxRounds rounds " +
+            "(path halving converges in O(log n); input ids unstable?)")
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      val prop = labels.select(col("id"), col("label"))
+      val prop = ckpt(labels.select(col("id"), col("label"))
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
-        .localCheckpoint(true)
+            .as("label")))
       // path halving: follow the label pointer one hop — the jump
       // distance roughly doubles per round, so a path of length n
       // collapses in O(log n) rounds
-      val jumped = prop.join(
+      val jumped = ckpt(prop.join(
           prop.select(col("id").as("lid"), col("label").as("llabel")),
           col("label") === col("lid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("llabel"), col("label")))
-            .as("label"))
-        .localCheckpoint(true)
+            .as("label")))
       val changed = jumped.select(col("id"), col("label").as("nl"))
         .join(labels.select(col("id"), col("label").as("ol")), "id")
         .filter(col("nl") =!= col("ol")).count()
@@ -287,31 +337,48 @@ object Dedup {
     * (the min id) survives per component, so transitive chains
     * A~B~C collapse to A even when (A,C) was never a candidate. */
   def dedupPipelineCcKept(df: DataFrame, id: Column, text: Column,
-      n: Int = 3, jaccardThreshold: Double = 0.8): DataFrame = {
-    val (survivors, verified) =
-      dedupSurvivorsAndVerified(df, id, text, n, jaccardThreshold)
+      n: Int = 3, jaccardThreshold: Double = 0.8,
+      maxBandBucket: Int = DefaultMaxBandBucket,
+      onDroppedBuckets: Long => Unit = null): DataFrame = {
+    val (survivors, verified) = dedupSurvivorsAndVerified(
+      df, id, text, n, jaccardThreshold, maxBandBucket, onDroppedBuckets)
     val cc = connectedComponents(verified)
     val dropped = cc.filter(col("id") =!= col("component")).select(col("id"))
     survivors.join(dropped, Seq("id"), "left_anti").select(col("id"))
   }
 
-  /** SimHash sketch: 32-bit majority-vote over token hash bits.
+  /** SimHash sketch: 64-bit majority-vote over token hash bits.
     * bit i of the sketch = 1 iff more tokens have bit i set than not
     * (ties -> 1, since +0 >= 0). Near-duplicate docs differ in few
-    * bits. One groupBy over exploded tokens; integer math only. */
+    * bits. One groupBy over exploded tokens; integer math only.
+    *
+    * 64 bits (not 32): at 10^10-document scale a 32-bit sketch
+    * birthday-collides unrelated docs into shared sketches; 64 bits
+    * keeps the collision expectation negligible. The two 32-bit hash
+    * words come from ONE md5 per token ([[TextFunctions.hash32]] +
+    * [[TextFunctions.hash32b]]), so the wider sketch costs no extra
+    * hashing. Bit 63's weight is assembled by adding Long.MinValue
+    * AFTER the non-negative 0..62 sum — an order in which no
+    * intermediate overflows, so an overflow-checking engine (the
+    * DuckDB oracle) computes the identical bit pattern. */
   def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     val tok = df.select(id.as("id"), text.as("text")).repartition(p)
       .select(col("id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .withColumn("h", TextFunctions.hash32(col("tok")))
-    val bitVotes = (0 until 32).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"v_$i")
+      .withColumn("h1", TextFunctions.hash32(col("tok")))
+      .withColumn("h2", TextFunctions.hash32b(col("tok")))
+    def bitOf(i: Int): Column =
+      if (i < 32) shiftright(col("h1"), i).bitwiseAND(1)
+      else shiftright(col("h2"), i - 32).bitwiseAND(1)
+    val bitVotes = (0 until 64).map { i =>
+      sum(when(bitOf(i) === 1, 1).otherwise(-1)).as(s"v_$i")
     }
     val voted = tok.groupBy(col("id")).agg(bitVotes.head, bitVotes.tail: _*)
-    val sketch = (0 until 32).map { i =>
+    val low = (0 until 63).map { i =>
       when(col(s"v_$i") >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+    val sketch = low + when(col("v_63") >= 0, lit(Long.MinValue))
+      .otherwise(lit(0L))
     voted.select(col("id"), sketch.as("simhash"))
   }
 }

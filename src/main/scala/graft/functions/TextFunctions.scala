@@ -100,6 +100,13 @@ object TextFunctions {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Second independent 32-bit hash word: hex digits 9-16 of the same
+    * md5. Paired with [[hash32]] it yields 64 portable hash bits per
+    * value for one md5 evaluation (the 64-bit SimHash sketch).
+    * DuckDB twin: `('0x' || substr(md5(x),9,8))::BIGINT`. */
+  def hash32b(c: Column): Column =
+    conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+
   /** Driver-side twin of [[hash32]] for deriving plan-time constants
     * (hyperplane weights, minhash coefficients) that oracle SQL can
     * reproduce. */

@@ -99,23 +99,24 @@ object BatchPipeline {
     routeUriFrame(uriDf, configs)
   }
 
-  /** Same, from an already-distributed URI frame (e.g. a listing scan). */
+  /** Same, from an already-distributed URI frame (e.g. a listing scan).
+    * Exactly TWO jobs over the frame: one [[Router.routeCounts]] pass
+    * (per-config matched + `__unmatched__`, at P2 — before the parquet
+    * filter, as the reference counts) and one routed-parquet collect
+    * for the path lists the scans need. At million-object scale a third
+    * pass is a third full listing scan — don't add one. */
   def routeUriFrame(uriDf: DataFrame, configs: Seq[SourceConfig])
       : (Map[SourceConfig, Seq[String]], Map[String, Long], Long) = {
-    val total = uriDf.filter(col("uri").isNotNull).count()
+    val countRows = Router.routeCounts(uriDf, configs).collect()
+    val byName = countRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val matched = configs.map(c =>
+      c.configId -> byName.getOrElse(c.configId, 0L)).toMap
     val routedRows = Router.routeParquet(uriDf, configs).collect()
     val byId = configs.map(c => c.configId -> c).toMap
     val routed = routedRows.groupBy(_.getString(1)).map { case (id, rows) =>
       byId(id) -> rows.map(_.getString(0)).toSeq
     }
-    // matched counts include non-parquet matches (router counts at P2,
-    // before the P3 parquet filter)
-    val matched = Router.route(uriDf, configs)
-      .groupBy(col("config_id")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val counts = configs.map(c =>
-      c.configId -> matched.getOrElse(c.configId, 0L)).toMap
-    (routed, counts, total - counts.values.sum)
+    (routed, matched, byName.getOrElse("__unmatched__", 0L))
   }
 
   /** True iff `path` exists and carries the parquet magic footer. The
@@ -160,6 +161,56 @@ object BatchPipeline {
       checked.collect { case (cfg, _, bad) if bad > 0 =>
         cfg.configId -> bad
       }.toMap)
+  }
+
+  /** Transform stage with NO driver-side file list at all — the shape
+    * for lakes past [[routeUriFrame]]'s collect (10⁷-10⁸ objects,
+    * where even the routed path list is a driver-memory hazard). Each
+    * parquet config scans its own prefix directly:
+    *
+    *  - scan root = the config prefix's directory part; a partial
+    *    file-name prefix becomes a `pathGlobFilter` (GCS-style flat
+    *    object naming under the prefix), a directory prefix scans
+    *    recursively. Listing is Spark's own distributed FileIndex —
+    *    file paths live in executor-side listing partitions, never in
+    *    a driver Seq.
+    *  - first-match-wins across OVERLAPPING prefixes is enforced by the
+    *    router when-chain over `input_file_name()` — a file under two
+    *    configs' prefixes is transformed only by its first match, same
+    *    as the routed paths (`M/main.py:37-63`).
+    *  - corrupt isolation is the scan's `ignoreCorruptFiles` (S6's
+    *    backstop); per-file footer accounting is a driver-scale
+    *    feature by design — at this scale read errors surface in the
+    *    scan metrics, not as exact per-config counts.
+    *
+    * Returns the same (json, dlq, observations) shape as
+    * [[transformObserved]]. */
+  def transformPrefixScans(spark: SparkSession, configs: Seq[SourceConfig],
+      opts: ConfigCompiler.Options = ConfigCompiler.Options())
+      : (DataFrame, DataFrame, Map[String, Observation]) = {
+    val parts = configs.filter(_.isParquet).sortBy(_.configId).map { cfg =>
+      val p = cfg.sourcePrefix
+      val slash = p.lastIndexOf('/')
+      val (dir, base) = (p.substring(0, slash + 1), p.substring(slash + 1))
+      val reader = spark.read
+        .option("ignoreCorruptFiles", "true")
+        .option("recursiveFileLookup", "true")
+      val scanned =
+        (if (base.nonEmpty) reader.option("pathGlobFilter", s"$base*")
+         else reader).parquet(dir)
+      val routedRows = scanned.filter(
+        Router.firstMatchExpr(
+          Router.normalizeFileUri(input_file_name()), configs)
+          === cfg.configId)
+      val compiled = ConfigCompiler.compile(cfg, routedRows, opts)
+      val obs = Observation()
+      val ok = compiled.okObserved(obs)
+      (ok.select(to_json(struct(col("event"), col("properties")))
+        .as("event_json")), compiled.dlq, cfg.configId -> obs)
+    }
+    (parts.map(_._1).reduceOption(_ union _).getOrElse(emptyJson(spark)),
+      parts.map(_._2).reduceOption(_ union _).getOrElse(emptyDlq(spark)),
+      parts.map(_._3).toMap)
   }
 
   /** Build the transform stage: per-config compiled mapping over one

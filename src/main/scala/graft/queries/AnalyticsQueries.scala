@@ -166,6 +166,39 @@ object AnalyticsQueries {
         expr("percentile(l_quantity, 0.75)").as("q75"),
         count(lit(1)).as("n"))
 
+  /** The 100 TB approximate-aggregate path, gated: `percentile_approx`
+    * (t-digest) and `approx_count_distinct` (HyperLogLog++) cannot
+    * hash-match an exact engine by construction, but their ERROR BOUNDS
+    * can — each group emits `approx within ε of exact` booleans, which
+    * are deterministic (the approx algorithms are deterministic for a
+    * given input, and the bounds hold with huge margin: t-digest
+    * accuracy 10000 ⇒ rank error ≤ n/10000, checked against the exact
+    * ±1-percentile value band; HLL rsd 5% checked at 15%). The oracle
+    * is the constant-true frame with the exact group count — so a
+    * regression in either sketch breaks the gate.
+    *
+    * Same Expand-avoidance as [[q1Agg]]: the exact distinct count runs
+    * as its own two-level aggregation joined back on the tiny key. */
+  def quantilesApproxBounds(spark: SparkSession, dir: String): DataFrame = {
+    def li = Tables(spark, dir, "lineitem")
+    val main = li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_approx(l_quantity, 0.5, 10000)").as("aq50"),
+        expr("percentile(l_quantity, 0.49)").as("lo"),
+        expr("percentile(l_quantity, 0.51)").as("hi"),
+        approx_count_distinct(col("l_orderkey")).as("acd"),
+        count(lit(1)).as("n"))
+    val exactCd = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cd"))
+    main.join(exactCd, "l_returnflag")
+      .select(col("l_returnflag"),
+        (col("aq50") >= col("lo") && col("aq50") <= col("hi"))
+          .as("q50_within_eps"),
+        (abs(col("acd") - col("cd")) <= col("cd") * lit(0.15))
+          .as("cd_within_eps"),
+        col("n"))
+  }
+
   /** Rollup aggregation (grouping sets) over orders. */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders")
@@ -202,7 +235,8 @@ object AnalyticsQueries {
     "semi_anti_join" -> semiAntiJoin _,
     "rollup_agg" -> rollupAgg _,
     "salted_join" -> saltedJoinAgg _,
-    "quantiles_agg" -> quantilesAgg _)
+    "quantiles_agg" -> quantilesAgg _,
+    "quantiles_approx_bounds" -> quantilesApproxBounds _)
 
   val oracleSql: Map[String, String] = Map(
     "sessionize" ->
@@ -284,6 +318,14 @@ object AnalyticsQueries {
         |  quantile_cont(l_quantity, 0.25) AS q25,
         |  quantile_cont(l_quantity, 0.5) AS q50,
         |  quantile_cont(l_quantity, 0.75) AS q75,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // the oracle for the approx gate is the constant-true bounds frame:
+    // any sketch regression past its ε flips a boolean and hash-fails
+    "quantiles_approx_bounds" ->
+      """SELECT l_returnflag,
+        |  TRUE AS q50_within_eps,
+        |  TRUE AS cd_within_eps,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)
 }

@@ -64,8 +64,13 @@ object ExtQueries {
 
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(Tables(spark, dir, "documents"),
-      col("doc_id"), col("text"), maxBits = 6)
+      col("doc_id"), col("text"), maxBits = 12)
 
+  // Production shape: the band-bucket skew cap is ON
+  // (Dedup.DefaultMaxBandBucket) — at every gated/benched SF the
+  // largest band bucket is far below the cap, so the capped plan and
+  // the uncapped oracle agree exactly while the O(n²)-bucket guard
+  // stays in the measured path.
   def docDedupPipeline(spark: SparkSession, dir: String): DataFrame =
     Dedup.dedupPipelineKept(Tables(spark, dir, "documents"),
       col("doc_id"), col("text"), n = 3, jaccardThreshold = 0.8)
@@ -241,18 +246,27 @@ object ExtQueries {
        |FROM bands x JOIN bands y ON x.id < y.id AND ($cond)""".stripMargin
   }
 
-  /** tok/hash/vote/sketch CTE chain shared by both simhash oracles. */
+  /** tok/hash/vote/sketch CTE chain shared by both simhash oracles.
+    * 64-bit: two md5 hash words per token (hex 1-8 and 9-16); bit 63's
+    * weight is added as Long.MinValue AFTER the non-negative 0..62 sum
+    * so DuckDB's overflow checking never trips (Dedup.simhash doc). */
   private val simhashCtes = {
-    val votes = (0 until 32)
-      .map(i => s"  sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v_$i")
+    def bitExpr(i: Int) =
+      if (i < 32) s"(h1 >> $i) & 1" else s"(h2 >> ${i - 32}) & 1"
+    val votes = (0 until 64)
+      .map(i => s"  sum(CASE WHEN ${bitExpr(i)} = 1 THEN 1 ELSE -1 END) AS v_$i")
       .mkString(",\n")
-    val sketch = (0 until 32)
-      .map(i => s"CASE WHEN v_$i >= 0 THEN ${1L << i} ELSE 0 END")
+    val low = (0 until 63)
+      .map(i => s"CASE WHEN v_$i >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
       .mkString(" + ")
+    val sketch =
+      s"CAST($low AS BIGINT) + " +
+        "CASE WHEN v_63 >= 0 THEN (-9223372036854775807 - 1) ELSE 0 END"
     s"""tok AS (
        |  SELECT doc_id AS id, unnest($toks) AS tok FROM documents),
        |tokhashed AS (
-       |  SELECT id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+       |  SELECT id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
+       |         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2 FROM tok),
        |voted AS (
        |SELECT id,
        |$votes
@@ -266,7 +280,7 @@ object ExtQueries {
   private val dedupSimhashPairsSql = {
     s"""WITH $simhashCtes,
        |bands2 AS (
-       |  SELECT id, b AS band, (simhash >> (CAST(b AS INT) * 8)) & 255 AS bv
+       |  SELECT id, b AS band, (simhash >> (CAST(b AS INT) * 16)) & 65535 AS bv
        |  FROM sk, LATERAL (SELECT unnest(range(0, 4)) AS b)),
        |cand AS (
        |  SELECT DISTINCT x.id AS id1, y.id AS id2
@@ -277,7 +291,7 @@ object ExtQueries {
        |FROM cand
        |JOIN sk s1 ON s1.id = id1
        |JOIN sk s2 ON s2.id = id2
-       |WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 6""".stripMargin
+       |WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 12""".stripMargin
   }
 
   /** Shared CTE spine of the composed dedup pipelines: canonical-fp

@@ -71,12 +71,13 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
-  test("simhash: identical docs share the sketch; all 32 bits used") {
+  test("simhash: identical docs share the sketch; all 64 bits used") {
     val s = Dedup.simhash(docs, $"doc_id", $"text")
       .as[(Long, Long)].collect().toMap
     assert(s(1L) == s(2L))
     assert(s(1L) != s(4L))
-    assert(s.values.forall(v => v >= 0 && v < (1L << 32)))
+    // 64-bit sketch: some doc must set a bit above the old 32-bit range
+    assert(s.values.exists(v => v < 0 || v >= (1L << 32)))
   }
 
   test("exact dedup keeps one deterministic representative") {
@@ -96,6 +97,24 @@ class OperatorsSpec extends SparkSpec {
       maxBandBucket = 5).count() == 0)
   }
 
+  test("composed dedup pipeline honors the band-bucket cap and counts drops") {
+    // 12 near-dup docs: unique lead token (distinct canon fp -> all
+    // survive the exact pass), 20-token common tail (pairwise jaccard
+    // 19/23 > 0.8 -> all verify as dups when candidates are generated)
+    val tail = (0 until 20).map(i => s"w$i").mkString(" ")
+    val near = (1L to 12L).map(i => (i, s"u$i $tail")).toDF("doc_id", "text")
+    var dropped = 0L
+    val keptDefault = Dedup.dedupPipelineKept(near, $"doc_id", $"text",
+      onDroppedBuckets = dropped += _).count()
+    assert(dropped == 0L) // 12 docs nowhere near the 10k default cap
+    assert(keptDefault == 1L) // all near-dups collapse to doc 1
+    // a tiny cap drops the hot shared-tail buckets — and reports them
+    val keptCapped = Dedup.dedupPipelineKept(near, $"doc_id", $"text",
+      maxBandBucket = 2, onDroppedBuckets = dropped += _).count()
+    assert(dropped >= 1L)
+    assert(keptCapped > keptDefault) // suppressed candidates kept docs
+  }
+
   test("connected components collapse transitive chains to min id") {
     // 1-2-3-4 is a path (no direct 1~4 edge), 5-6 separate
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (6L, 5L))
@@ -104,6 +123,26 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       5L -> 5L, 6L -> 5L))
+  }
+
+  test("connected components: reliable checkpoint mode + round guard") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    // one long chain (multiple halving rounds) + a separate 2-cluster
+    val chain = ((1L until 30L).map(i => (i, i + 1)) :+ (100L, 101L))
+      .toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(chain, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == 32)
+    assert((1L to 30L).forall(cc(_) == 1L))
+    assert(cc(100L) == 100L && cc(101L) == 100L)
+    // reliable checkpoint files actually landed in the configured dir
+    assert(java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.exists(_.toFile.isFile))
+    // an unreachably small round bound fails loudly instead of looping
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxRounds = 1)
+    }
   }
 
   // --------------------------------------------------------- similarity

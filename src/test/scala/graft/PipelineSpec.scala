@@ -233,6 +233,51 @@ class PipelineSpec extends SparkSpec {
     assert(res2.eventsJson.count() == 1)
   }
 
+  test("prefix-scan transform: no driver file list; overlapping prefixes " +
+      "routed first-match-wins; subdirs recursed") {
+    val dir = Files.createTempDirectory("graft_scan")
+    writeFlatParquet(dir.resolve("a_1.parquet"), Seq(("from_a", 10L, "u1")))
+    writeFlatParquet(dir.resolve("b_1.parquet"), Seq(("from_b", 20L, "u2")))
+    Files.createDirectory(dir.resolve("sub"))
+    writeFlatParquet(dir.resolve("sub").resolve("c.parquet"),
+      Seq(("from_sub", 30L, "u3")))
+    def cfg(id: String, prefix: String) = SourceConfig(
+      configId = id, sourcePrefix = prefix,
+      eventNameField = Some("event_type"),
+      fieldMappings = Seq(
+        FieldMapping("ts_epoch", "time", CastType.UnixTimestampAuto),
+        FieldMapping("uid", "$user_id", CastType.StringT)))
+    // cfgB's prefix contains cfgA's whole subtree; a_1 must still go to
+    // cfgA only, and sub/c.parquet reaches cfgB via recursive lookup
+    val cfgA = cfg("a", s"$dir/a_")
+    val cfgB = cfg("b", s"$dir/")
+    val (json, _, obs) = BatchPipeline.transformPrefixScans(
+      spark, Seq(cfgA, cfgB))
+    val events = json
+      .select(get_json_object(col("event_json"), "$.event").as("e"))
+      .as[String].collect().sorted.toSeq
+    assert(events == Seq("from_a", "from_b", "from_sub")) // once each
+    assert(obs("a").get("n_rows") == 1L) // a_1 only
+    assert(obs("b").get("n_rows") == 2L) // b_1 + sub/c, NOT a_1
+  }
+
+  test("distributed routing: 50k URIs, two passes, exact counts") {
+    val cfgs = Seq(
+      SourceConfig("a", "gs://b/a/"),
+      SourceConfig("n", "gs://b/n/", fileType = "CSV"))
+    val uris = (1 to 50000).map { i =>
+      if (i % 2 == 0) s"gs://b/a/f$i.parquet"
+      else if (i % 5 == 0) s"gs://b/n/f$i.csv"
+      else s"gs://b/x/f$i"
+    }
+    val (routed, counts, unmatched) =
+      BatchPipeline.routeFilesDistributed(spark, uris, cfgs)
+    assert(routed.keys.map(_.configId) == Set("a")) // parquet configs only
+    assert(routed.head._2.size == 25000)
+    assert(counts == Map("a" -> 25000L, "n" -> 5000L))
+    assert(unmatched == 20000L)
+  }
+
   test("streaming dedup: duplicate URIs within the watermark are dropped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
