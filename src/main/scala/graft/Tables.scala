@@ -47,6 +47,14 @@ object Sessions {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Generated methods HotSpot won't JIT (-XX:-DontCompileHugeMethods
+      // default refuses >8000 bytecodes) run INTERPRETED forever —
+      // diagnosed as rare 30-50x single-task CPU wedges on the LSH
+      // queries (150 s of CPU in one final-stage task, zero GC/steal).
+      // Capping codegen at the JIT-compilable size makes Spark fall
+      // back to the volcano iterator for oversized methods: bounded,
+      // predictable cost instead of an interpreter cliff.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
       // bucketed-table specs/demos write here, never into the repo
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")

@@ -299,6 +299,19 @@ object Dedup {
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst"))))
     var labels = ckpt(edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")))
+    // Convergence check: labels only ever DECREASE (every update is a
+    // least() against the previous value), so the exact label sum is
+    // strictly decreasing until fixpoint — equal consecutive sums ⟺
+    // no label changed. One narrow aggregation per round instead of a
+    // self-join + count; at cluster scale that removes a whole shuffle
+    // per round. Falls back to the join check for non-numeric ids
+    // (where a sum doesn't exist).
+    val numericLabels = labels.schema("label").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var round = 0
     while (!converged) {
@@ -323,11 +336,16 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("llabel"), col("label")))
             .as("label")))
-      val changed = jumped.select(col("id"), col("label").as("nl"))
-        .join(labels.select(col("id"), col("label").as("ol")), "id")
-        .filter(col("nl") =!= col("ol")).count()
+      if (numericLabels) {
+        val s = labelSum(jumped)
+        converged = prevSum != null && s.compareTo(prevSum) == 0
+        prevSum = s
+      } else {
+        converged = jumped.select(col("id"), col("label").as("nl"))
+          .join(labels.select(col("id"), col("label").as("ol")), "id")
+          .filter(col("nl") =!= col("ol")).count() == 0
+      }
       labels = jumped
-      converged = changed == 0
     }
     labels.select(col("id"), col("label").as("component"))
   }

@@ -117,7 +117,15 @@ object CastRules {
     val epochBranches = Seq(
       // 13-digit epoch-millis and 10-digit epoch-seconds strings: kept
       // numeric end-to-end (a pattern chain would misread them as
-      // compact dates or fail)
+      // compact dates or fail).
+      // DELIBERATE DEVIATION from the reference: dateutil REJECTS
+      // digit strings of these lengths (`M/main.py:131-149` counts
+      // them as TimestampParse errors and drops the field), but an
+      // epoch-in-a-string column is one of the most common real
+      // upstream shapes, and silently nulling it loses data. The cost:
+      // `ts_parse_errors` runs LOWER than the reference's counter on
+      // corpora with digit-string timestamps — parity holds for every
+      // other input class.
       when(t.rlike("^[0-9]{13}$"), timestamp_millis(t.cast(LongType))),
       when(t.rlike("^[0-9]{10}$"), timestamp_seconds(t.cast(LongType))))
     coalesce(epochBranches ++
