@@ -172,19 +172,26 @@ object Bench {
     }.take(300)
     def f3(d: Double): String = BigDecimal(d)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // Diag goes to STDERR: the driver keeps only a short tail of the
+    // run's output and parses the metric JSON out of it — rounds 2 and
+    // 3 both lost the metric line (r2: shutdown warnings printed after
+    // it; r3: the inline diag payload alone overflowed the tail). So
+    // stdout carries ONE compact line, emitted after spark.stop() so
+    // no executor/stream shutdown warning can print behind it.
     val diagJson = results.map { case (k, _, _, d) =>
       "\"" + k + "\":" + d.toSeq.sortBy(_._1)
         .map { case (m, v) => "\"" + m + "\":" + f3(v) }
         .mkString("{", ",", "}")
-    }.mkString(",\"diag\":{", ",", "}")
+    }.mkString("{\"diag\":{", ",", "}}")
+    System.err.println(s"[bench-diag] $diagJson")
     val errs = results.collect { case (k, _, Some(e), _) =>
       s"\"" + k + "\":\"" + esc(e) + "\""
     }
     val errJson = if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
     val total = results.collect { case (_, v, None, _) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$diagJson,"sf":"$sfDir","failed":${errs.size}}""")
-    spark.stop()
+    try spark.stop() catch { case _: Exception => () }
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir","failed":${errs.size}}""")
   }
 }

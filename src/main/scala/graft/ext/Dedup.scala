@@ -304,10 +304,19 @@ object Dedup {
     // strictly decreasing until fixpoint — equal consecutive sums ⟺
     // no label changed. One narrow aggregation per round instead of a
     // self-join + count; at cluster scale that removes a whole shuffle
-    // per round. Falls back to the join check for non-numeric ids
-    // (where a sum doesn't exist).
-    val numericLabels = labels.schema("label").dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // per round. INTEGRAL ids only: the decimal(38,0) cast the exact
+    // sum needs would round fractional Float/Double labels, and a
+    // sub-0.5 label decrease could then leave the rounded sum unchanged
+    // — premature convergence with wrong components. Fractional and
+    // non-numeric ids use the join check.
+    val numericLabels = labels.schema("label").dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+      case _ => false
+    }
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
         .getDecimal(0)
@@ -338,7 +347,12 @@ object Dedup {
             .as("label")))
       if (numericLabels) {
         val s = labelSum(jumped)
-        converged = prevSum != null && s.compareTo(prevSum) == 0
+        // sum == null ⟺ zero label rows (ids are non-null, so a
+        // non-empty frame always sums to a value): an empty pair graph
+        // is already at fixpoint — without this, null != null every
+        // round would spin to maxRounds and throw on any
+        // duplicate-free corpus
+        converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
         prevSum = s
       } else {
         converged = jumped.select(col("id"), col("label").as("nl"))

@@ -42,10 +42,17 @@ object Router {
   /** Normalize a Spark-reported file URI (`input_file_name()` yields
     * `file:///path` or `file:/path` for local storage) back to the
     * plain-path form configs are written against. Cloud schemes
-    * (`gs://`, `s3a://`) pass through verbatim — their configs carry
-    * the scheme too. */
+    * (`gs://`, `s3a://`) keep their scheme — their configs carry it
+    * too. `input_file_name()` percent-encodes (a path with a space
+    * arrives as `%20`), so the path is percent-DECODED before prefix
+    * matching — otherwise any config prefix containing a URI-special
+    * character silently matches nothing. `url_decode` is form
+    * decoding (`+` → space), which is wrong for literal `+` in file
+    * names, so `+` is pre-escaped to `%2B` to make it a pure
+    * percent-decode. */
   def normalizeFileUri(c: Column): Column =
-    regexp_replace(c, "^file:/+", "/")
+    url_decode(regexp_replace(
+      regexp_replace(c, "^file:/+", "/"), "\\+", "%2B"))
 
   /** @param uris DataFrame with a string `uri` column.
     * @return (uri, config_id, file_type) — one row per matched URI;

@@ -191,13 +191,22 @@ object BatchPipeline {
     val parts = configs.filter(_.isParquet).sortBy(_.configId).map { cfg =>
       val p = cfg.sourcePrefix
       val slash = p.lastIndexOf('/')
+      // a prefix with no '/' would make `dir` the empty string and fail
+      // deep inside the scan with an unrelatable Hadoop path error —
+      // reject it here with the config's name attached
+      require(slash >= 0, s"config ${cfg.configId}: source prefix '$p' " +
+        "has no '/' — prefix-scan mode needs a directory component")
       val (dir, base) = (p.substring(0, slash + 1), p.substring(slash + 1))
-      val reader = spark.read
-        .option("ignoreCorruptFiles", "true")
-        .option("recursiveFileLookup", "true")
+      val reader = spark.read.option("ignoreCorruptFiles", "true")
       val scanned =
+        // A partial file-NAME prefix implies GCS-style flat naming
+        // under `dir`, so the scan stays non-recursive: with recursion
+        // on, `pathGlobFilter` (which tests only the leaf name) would
+        // read same-named files in unrelated subdirectories only for
+        // the router filter to drop every row — IO spent on files that
+        // can never match. A directory prefix scans recursively.
         (if (base.nonEmpty) reader.option("pathGlobFilter", s"$base*")
-         else reader).parquet(dir)
+         else reader.option("recursiveFileLookup", "true")).parquet(dir)
       val routedRows = scanned.filter(
         Router.firstMatchExpr(
           Router.normalizeFileUri(input_file_name()), configs)

@@ -100,14 +100,23 @@ object StreamingPipeline {
         writeTransformDlq(
           batch.filter(col("error").isNotNull).select("error.*"))
         // Evaluation == delivery for the posting frame — so it is
-        // materialized HERE, exactly once per micro-batch. Handing the
-        // lazy frame to `writeApiDlq` would make delivery depend on the
-        // callback's action count: a no-op writer (api DLQ unset) would
-        // silently never post, a two-action writer would post twice.
+        // materialized HERE, once per micro-batch in the normal case.
+        // Handing the lazy frame to `writeApiDlq` would make delivery
+        // depend on the callback's action count: a no-op writer (api
+        // DLQ unset) would silently never post, a two-action writer
+        // would post twice. The guarantee is AT-LEAST-ONCE, same as the
+        // reference's retrying HTTP poster (`M/main.py:350-368`):
+        // persist() is non-reliable storage, so on a cluster a lost or
+        // evicted cached partition makes the writer's action recompute
+        // the posting mapPartitions and re-post that partition's
+        // batches. The import endpoint dedups on insert_id, which is
+        // why the reference (and this engine) don't pay a reliable
+        // checkpoint per 10-second micro-batch to upgrade it.
         val apiDlq = BatchPipeline.post(ok, posterFactory).persist()
-        apiDlq.count() // the posting job; runs once, fills the cache
-        writeApiDlq(apiDlq)
-        apiDlq.unpersist()
+        try {
+          apiDlq.count() // the posting job; runs once, fills the cache
+          writeApiDlq(apiDlq)
+        } finally apiDlq.unpersist() // writer threw ⇒ still unpin the cache
         if (batch.columns.contains("_counters")) {
           val row = graft.compile.CompiledEvents(batch).counters.collect()(0)
           onCounters(row.schema.fieldNames.map(n =>

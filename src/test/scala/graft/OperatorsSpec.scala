@@ -125,6 +125,33 @@ class OperatorsSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L))
   }
 
+  test("connected components converge immediately on an empty pair graph") {
+    // a duplicate-free corpus yields zero verified pairs; sum() over
+    // zero rows is null, which must read as "converged", not spin to
+    // maxRounds and throw (regression: dedupPipelineCcKept crashed on
+    // any clean corpus)
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.connectedComponents(empty, maxRounds = 4).count() == 0L)
+    // and the composed CC pipeline keeps every doc of a clean corpus
+    val clean = Seq((1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta"), (3L, "iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dedupPipelineCcKept(clean, $"doc_id", $"text").count() == 3L)
+  }
+
+  test("connected components with fractional ids use the exact join check") {
+    // labels 0.6 apart round to the same decimal(38,0) — the sum fast
+    // path would converge prematurely on these; the join check must be
+    // selected for non-integral label types and still produce exact
+    // components
+    val pairs = Seq((1.2, 0.6), (1.8, 1.2), (10.5, 9.9))
+      .toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Double, Double)].collect().toMap
+    assert(cc == Map(0.6 -> 0.6, 1.2 -> 0.6, 1.8 -> 0.6,
+      9.9 -> 9.9, 10.5 -> 9.9))
+  }
+
   test("connected components: reliable checkpoint mode + round guard") {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString

@@ -261,6 +261,32 @@ class PipelineSpec extends SparkSpec {
     assert(obs("b").get("n_rows") == 2L) // b_1 + sub/c, NOT a_1
   }
 
+  test("prefix-scan transform: URI-special characters in paths still " +
+      "prefix-match (input_file_name percent-encodes)") {
+    val dir = Files.createTempDirectory("graft scan enc") // space in path
+    writeFlatParquet(dir.resolve("a+b 1.parquet"), Seq(("enc", 10L, "u1")))
+    val cfg = SourceConfig(
+      configId = "e", sourcePrefix = s"$dir/a+b",
+      eventNameField = Some("event_type"),
+      fieldMappings = Seq(
+        FieldMapping("ts_epoch", "time", CastType.UnixTimestampAuto),
+        FieldMapping("uid", "$user_id", CastType.StringT)))
+    // input_file_name() reports .../graft%20scan%20enc.../a+b%201.parquet;
+    // without percent-decoding the plain-path prefix never matches and
+    // the file is silently dropped
+    val (json, _, obs) = BatchPipeline.transformPrefixScans(spark, Seq(cfg))
+    assert(json.count() == 1L)
+    assert(obs("e").get("n_rows") == 1L)
+  }
+
+  test("prefix-scan transform rejects a prefix with no directory part") {
+    val bad = SourceConfig("x", "no-slash-anywhere")
+    val e = intercept[IllegalArgumentException] {
+      BatchPipeline.transformPrefixScans(spark, Seq(bad))
+    }
+    assert(e.getMessage.contains("no '/'"))
+  }
+
   test("distributed routing: 50k URIs, two passes, exact counts") {
     val cfgs = Seq(
       SourceConfig("a", "gs://b/a/"),
