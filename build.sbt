@@ -29,4 +29,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] with decimal-heavy aggregation needs headroom: 8g showed
   // GC-bound 5-20x slowdowns on the bench queries (box has 128 GiB)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+  // The 38 bench queries generate enough Janino classes to keep C2 busy
+  // for minutes (161 s of accumulated compile time observed). A
+  // deoptimized long-running generated loop then re-runs INTERPRETED
+  // while its recompile waits behind that queue — diagnosed (thread
+  // dump, round 6) as the rare 30-50x single-task CPU wedge. More
+  // compiler threads drain the queue faster; more code cache keeps
+  // compiled methods from being flushed under the same pressure.
+  "-XX:CICompilerCount=12",
+  "-XX:ReservedCodeCacheSize=512m",
+) ++ sys.env.get("SPARK_GRAFT_JVM_EXTRA")
+  .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Nil)

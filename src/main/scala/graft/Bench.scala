@@ -6,7 +6,7 @@ import java.util.concurrent.atomic.LongAdder
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted, SparkListenerTaskEnd, SparkListenerTaskStart}
 import org.apache.spark.sql.SparkSession
 
 /** Per-query task-metric aggregation: separates "the engine did more
@@ -27,6 +27,15 @@ final class BenchListener extends SparkListener {
     * is recorded with its stage's callsite so a slow run names the
     * operator that stalled, not just the query. */
   val slowTasks = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  /** Largest single-task CPU time in the query — THE wedge signature
+    * (one task at run≈cpu for 90-150 s while siblings take ms). Carried
+    * into the stdout metric line so a wedged bench total is
+    * discountable from the JSON alone. */
+  val maxTaskCpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Live tasks (taskId -> start wall-ms, stageId, partition index) for
+    * the wedge watchdog in [[Bench.main]]. */
+  val running =
+    new java.util.concurrent.ConcurrentHashMap[Long, (Long, Int, Int)]()
   private val stageNames =
     new java.util.concurrent.ConcurrentHashMap[Int, String]()
 
@@ -34,15 +43,23 @@ final class BenchListener extends SparkListener {
     Seq(taskTimeMs, taskCpuNs, gcTimeMs, spillBytes,
       shuffleReadBytes, shuffleWriteBytes, tasks).foreach(_.reset())
     slowTasks.clear()
+    maxTaskCpuNs.set(0)
+    running.clear()
   }
 
   override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
     stageNames.put(e.stageInfo.stageId,
       e.stageInfo.name.takeWhile(_ != '\n').take(80))
 
+  override def onTaskStart(e: SparkListenerTaskStart): Unit =
+    running.put(e.taskInfo.taskId,
+      (System.currentTimeMillis(), e.stageId, e.taskInfo.index))
+
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+    running.remove(e.taskInfo.taskId)
     val m = e.taskMetrics
     if (m != null) {
+      maxTaskCpuNs.accumulateAndGet(m.executorCpuTime, Math.max(_, _))
       taskTimeMs.add(m.executorRunTime)
       taskCpuNs.add(m.executorCpuTime)
       gcTimeMs.add(m.jvmGCTime)
@@ -99,6 +116,31 @@ object Bench {
       if (f.length > 8) f(8).toDouble / 100.0 else 0.0
     } catch { case _: Exception => 0.0 }
 
+  private def jitTotalMs: Long =
+    try ManagementFactory.getCompilationMXBean.getTotalCompilationTime
+    catch { case _: Exception => 0L }
+
+  /** Used bytes across the JIT CodeHeap pools (method code evicted from
+    * a full code cache runs interpreted — one candidate cause of the
+    * single-task CPU wedge; tracked per query to correlate). */
+  private def codeCacheUsedMb: Double =
+    try ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap")).map(_.getUsage.getUsed).sum / 1e6
+    catch { case _: Exception => 0.0 }
+
+  /** Wedge forensics: stack of every live executor task thread plus
+    * JIT state, printed to stderr when the watchdog trips. */
+  private def dumpTaskThreads(tag: String): Unit = {
+    val jit = s"jit_total_ms=$jitTotalMs codecache_used_mb=${codeCacheUsedMb.toInt}"
+    System.err.println(s"[bench-wedge] $tag $jit")
+    Thread.getAllStackTraces.asScala.foreach { case (t, frames) =>
+      if (t.getName.startsWith("Executor task launch worker")) {
+        System.err.println(s"[bench-wedge] thread ${t.getName} state=${t.getState}")
+        frames.take(30).foreach(f => System.err.println(s"[bench-wedge]   at $f"))
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -122,6 +164,57 @@ object Bench {
     warmInputs(sfDir)
     val listener = new BenchListener
     spark.sparkContext.addSparkListener(listener)
+    // ---- wedge watchdog -------------------------------------------------
+    // The recurring defect (rounds 4-5): ONE task burning 90-157 s of
+    // real CPU (run≈cpu, gc=0, steal=0) on work that normally takes
+    // sub-seconds, random query victim, ~1-in-8 runs, speculation never
+    // saving it. Forensics: at WedgeDumpMs we thread-dump every live
+    // task thread 3x at 5 s spacing (the repeated samples show whether
+    // the stack MOVES — a pinned stack in one generated method is the
+    // interpreted-execution signature) plus JIT/code-cache state. At
+    // WedgeKillMs we kill the task attempt (interrupt+relaunch): a
+    // relaunch that completes in the task's normal sub-second time
+    // proves the wedge is THREAD-local (deopt/interpreter trap), not
+    // method-global (code-cache eviction would wedge the retry too) —
+    // and bounds the damage to any single bench query.
+    val wedgeDumpMs = 20000L
+    val wedgeKillMs =
+      sys.env.getOrElse("SPARK_GRAFT_WEDGE_KILL_MS", "45000").toLong
+    val currentQuery = new java.util.concurrent.atomic.AtomicReference("")
+    val wedgeEvents = new java.util.concurrent.ConcurrentHashMap[String, LongAdder]()
+    val watchdog = new Thread(() => {
+      val dumped = new java.util.HashSet[Long]()
+      val killed = new java.util.HashSet[Long]()
+      var dumpsLeft = Map.empty[Long, Int]
+      while (true) {
+        Thread.sleep(5000)
+        val now = System.currentTimeMillis()
+        listener.running.forEach { (tid, info) =>
+          val (start, stage, idx) = info
+          val age = now - start
+          if (age >= wedgeDumpMs && (!dumped.contains(tid) || dumpsLeft.getOrElse(tid, 0) > 0)) {
+            if (!dumped.contains(tid)) { dumped.add(tid); dumpsLeft += tid -> 2 }
+            else dumpsLeft += tid -> (dumpsLeft(tid) - 1)
+            dumpTaskThreads(
+              s"query=${currentQuery.get} stage=$stage part=$idx tid=$tid age_s=${age / 1000}")
+            wedgeEvents.computeIfAbsent(currentQuery.get, _ => new LongAdder).increment()
+          }
+          if (wedgeKillMs > 0 && age >= wedgeKillMs && !killed.contains(tid)) {
+            killed.add(tid)
+            val ok = try spark.sparkContext.killTaskAttempt(
+              tid, interruptThread = true,
+              reason = s"graft wedge watchdog: age=${age / 1000}s") catch {
+              case e: Exception => System.err.println(s"[bench-wedge] kill failed: $e"); false
+            }
+            System.err.println(
+              s"[bench-wedge] KILLED tid=$tid query=${currentQuery.get} age_s=${age / 1000} ok=$ok")
+          }
+        }
+      }
+    }, "graft-wedge-watchdog")
+    watchdog.setDaemon(true)
+    watchdog.start()
+    // ---------------------------------------------------------------------
     // optional comma-separated filter for isolating a query's variance
     // (diagnostics); the driver runs unfiltered
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -130,8 +223,10 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       listener.reset()
+      currentQuery.set(name)
       val gc0 = driverGcMs
       val steal0 = stealSeconds
+      val jit0 = jitTotalMs
       val t0 = System.nanoTime()
       // noop sink evaluates every output column (count() would let
       // Catalyst prune projection-only queries down to a row count)
@@ -151,9 +246,12 @@ object Bench {
       val diag = Map(
         "task_s" -> listener.taskTimeMs.sum / 1e3,
         "cpu_s" -> listener.taskCpuNs.sum / 1e9,
+        "max_task_cpu_s" -> listener.maxTaskCpuNs.get / 1e9,
         "steal_s" -> (stealSeconds - steal0),
         "gc_s" -> (driverGcMs - gc0) / 1e3,
         "task_gc_s" -> listener.gcTimeMs.sum / 1e3,
+        "jit_ms" -> (jitTotalMs - jit0).toDouble,
+        "codecache_mb" -> codeCacheUsedMb,
         "spill_mb" -> listener.spillBytes.sum / 1e6,
         "shuf_rw_mb" ->
           (listener.shuffleReadBytes.sum + listener.shuffleWriteBytes.sum) / 1e6,
@@ -174,6 +272,22 @@ object Bench {
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // Self-interpreting metric line: per-query steal (box contention)
+    // and max single-task CPU (the wedge signature) ride along in the
+    // SAME stdout line, so a polluted or wedged total is discountable
+    // from BENCH_r{N}.json alone — no stderr diag required. Two decimal
+    // places keeps the line compact (the driver tail-truncates stdout).
+    def f2(d: Double): String = BigDecimal(d)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    def diagMap(field: String): String = results.map { case (k, _, _, d) =>
+      "\"" + k + "\":" + f2(d.getOrElse(field, 0.0))
+    }.mkString("{", ",", "}")
+    val stealJson = diagMap("steal_s")
+    val maxCpuJson = diagMap("max_task_cpu_s")
+    val wedges = {
+      val w = wedgeEvents.asScala.filter(_._2.sum > 0).keys.toSeq.sorted
+      if (w.isEmpty) "" else w.map("\"" + _ + "\"").mkString(",\"wedged\":[", ",", "]")
+    }
     // Diag goes to STDERR: the driver keeps only a short tail of the
     // run's output and parses the metric JSON out of it — rounds 2 and
     // 3 both lost the metric line (r2: shutdown warnings printed after
@@ -192,6 +306,6 @@ object Bench {
     val errJson = if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
     val total = results.collect { case (_, v, None, _) => v }.sum
     try spark.stop() catch { case _: Exception => () }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir","failed":${errs.size}}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"steal_s":$stealJson,"max_task_cpu_s":$maxCpuJson$wedges$errJson,"sf":"$sfDir","failed":${errs.size}}""")
   }
 }

@@ -174,30 +174,45 @@ object Launcher {
               s"unmatched=${res.counters.unmatchedUris} " +
               s"readErrors=${res.counters.readErrors}")
           case "streaming" =>
-            val dir = a.inputSubscription.getOrElse(
-              sys.error("--input_subscription is required in streaming mode"))
-            val schema = spark.read.parquet(dir).schema
-            // One stream per PARQUET config over the shared watch dir,
-            // each filtered to the files whose FIRST matching config
-            // (across the full list, parquet or not) is this one — so a
-            // multi-config deployment maps every file exactly once, by
-            // the config the reference's router would pick
-            // (`M/main.py:466-495`).
-            for (cfg <- configs.filter(_.isParquet)) {
-              val compiled = StreamingPipeline.transformStreamRouted(
-                spark, cfg, configs, dir, schema, opts)
-              StreamingPipeline.sinkStream(compiled, posterFactory(a),
-                dlq => a.dlqTopicTransformErrors.foreach(d =>
-                  dlq.write.mode("append").json(d)),
-                api => a.dlqTopicApiErrors.foreach(d =>
-                  api.write.mode("append").json(d)))
-                .option("checkpointLocation",
-                  s"${dir}_graft_ckpt_${cfg.configId}")
-                .start()
-            }
+            startStreams(spark, a, configs, opts)
             spark.streams.awaitAnyTermination()
         }
         spark.stop()
+    }
+  }
+
+  /** Streaming-mode launch: one routed stream per PARQUET config over
+    * the shared watch dir, each filtered to the files whose FIRST
+    * matching config (across the full list, parquet or not) is this
+    * one — so a multi-config deployment maps every file exactly once,
+    * by the config the reference's router would pick
+    * (`M/main.py:466-495`). Each stream checkpoints under its own
+    * per-config directory, and DLQ frames append under a PER-CONFIG
+    * subdirectory of the configured dir: N streams' micro-batch jobs
+    * committing into one directory race on the shared `_temporary`
+    * committer dir (observed: FileNotFoundException mid-commit). Read
+    * a DLQ dir with `recursiveFileLookup` to see all configs' rows.
+    * Returns the started queries; [[main]] awaits them. `poster`
+    * overrides the transport (specs inject a counting poster). */
+  def startStreams(spark: SparkSession, a: Args, configs: Seq[SourceConfig],
+      opts: graft.compile.ConfigCompiler.Options,
+      poster: Option[() => EventPoster] = None)
+      : Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+    val dir = a.inputSubscription.getOrElse(
+      sys.error("--input_subscription is required in streaming mode"))
+    val schema = spark.read.parquet(dir).schema
+    val post = poster.getOrElse(posterFactory(a))
+    configs.filter(_.isParquet).map { cfg =>
+      val compiled = StreamingPipeline.transformStreamRouted(
+        spark, cfg, configs, dir, schema, opts)
+      StreamingPipeline.sinkStream(compiled, post,
+        dlq => a.dlqTopicTransformErrors.foreach(d =>
+          dlq.write.mode("append").json(s"$d/${cfg.configId}")),
+        api => a.dlqTopicApiErrors.foreach(d =>
+          api.write.mode("append").json(s"$d/${cfg.configId}")))
+        .option("checkpointLocation",
+          s"${dir}_graft_ckpt_${cfg.configId}")
+        .start()
     }
   }
 }

@@ -284,9 +284,27 @@ object Dedup {
     * the input or engine is broken (e.g. nondeterministic ids) and
     * looping forever on a 1000-executor cluster is the worst failure
     * mode. Fails loudly rather than returning wrong labels. */
+  /** Convergence decision for the exact-sum check: labels only ever
+    * decrease, so equal consecutive sums ⟺ fixpoint. A null sum can
+    * ONLY be decimal(38,0) overflow here (non-ANSI `sum` yields null
+    * instead of throwing; emptiness is excluded before the loop) and
+    * must throw — treating it as convergence would silently return
+    * wrong components. Package-visible so the overflow path is
+    * spec-testable without a 10^19-row input. */
+  private[graft] def ccSumConverged(s: java.math.BigDecimal,
+      prev: java.math.BigDecimal): Boolean = {
+    if (s == null)
+      throw new ArithmeticException(
+        "connectedComponents: decimal(38,0) label-sum overflow — " +
+          "convergence undecidable; use non-integral ids (join-based " +
+          "check) or an ANSI session (which throws at the sum)")
+    prev != null && s.compareTo(prev) == 0
+  }
+
   def connectedComponents(pairs: DataFrame,
       checkpointDir: Option[String] = None,
-      maxRounds: Int = 64): DataFrame = {
+      maxRounds: Int = 64,
+      onRounds: Int => Unit = _ => ()): DataFrame = {
     val spark = pairs.sparkSession
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
@@ -320,6 +338,16 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
         .getDecimal(0)
+    // Emptiness is decided ONCE, up front: an empty pair graph is
+    // already at fixpoint. With this settled, a null sum INSIDE the
+    // loop can only mean decimal(38,0) overflow under non-ANSI configs
+    // (ids are non-null, so >=1 row always sums to a value) — which
+    // throws instead of silently declaring premature convergence with
+    // wrong components.
+    if (labels.isEmpty) {
+      onRounds(0)
+      return labels.select(col("id"), col("label").as("component"))
+    }
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var round = 0
@@ -347,12 +375,7 @@ object Dedup {
             .as("label")))
       if (numericLabels) {
         val s = labelSum(jumped)
-        // sum == null ⟺ zero label rows (ids are non-null, so a
-        // non-empty frame always sums to a value): an empty pair graph
-        // is already at fixpoint — without this, null != null every
-        // round would spin to maxRounds and throw on any
-        // duplicate-free corpus
-        converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
+        converged = Dedup.ccSumConverged(s, prevSum)
         prevSum = s
       } else {
         converged = jumped.select(col("id"), col("label").as("nl"))
@@ -361,6 +384,10 @@ object Dedup {
       }
       labels = jumped
     }
+    // round-count witness for scale specs: path halving must stay
+    // O(log n) — a linear round count at 10^5 nodes would be a 10^5x
+    // job-count blowup at corpus scale
+    onRounds(round)
     labels.select(col("id"), col("label").as("component"))
   }
 

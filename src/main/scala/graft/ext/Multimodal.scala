@@ -32,11 +32,19 @@ object Multimodal {
       media_id: Long, n_bytes: Long, mime: String,
       width: Long, height: Long, fp: String)
 
-  /** STUB decoder: deterministic pseudo-decode of media bytes.
-    * A real implementation would hold a codec handle per partition and
-    * decode each payload; this fake derives "dimensions" from the md5
-    * of the bytes so the full pipeline stays testable + oracle-checkable. */
-  final class FakeDecoder extends Serializable {
+  /** Per-partition media decoder contract: instantiated ONCE per
+    * partition inside `mapPartitions` (the codec-handle lifecycle),
+    * returns (width, height, fingerprint). */
+  trait MediaDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): (Long, Long, String)
+  }
+
+  /** STUB decoder: deterministic pseudo-decode of media bytes — derives
+    * "dimensions" from the md5 of the bytes so the full pipeline stays
+    * testable + oracle-checkable on the synthetic `documents` payloads
+    * (which are not real media). Production swaps [[ImageIoDecoder]]
+    * (or any codec) in per partition. */
+  final class FakeDecoder extends MediaDecoder {
     def decode(bytes: Array[Byte]): (Long, Long, String) = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(bytes).map("%02x".format(_)).mkString
@@ -45,18 +53,40 @@ object Multimodal {
     }
   }
 
+  /** REAL image decoder over the JDK's `javax.imageio` (PNG/JPEG/GIF/
+    * BMP readers ship with the JDK — zero external dependencies).
+    * Undecodable payloads yield (0, 0) dimensions instead of failing
+    * the partition — the reference's per-file error-isolation posture
+    * (`M/main_batch.py:100-103`) applied per payload. */
+  final class ImageIoDecoder extends MediaDecoder {
+    def decode(bytes: Array[Byte]): (Long, Long, String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val fp = md.digest(bytes).map("%02x".format(_)).mkString
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) (0L, 0L, fp)
+      else (img.getWidth.toLong, img.getHeight.toLong, fp)
+    }
+  }
+
   /** Partition-wise decode + feature extraction: one decoder instance
     * per partition (the real-codec lifecycle), streaming iteration (no
     * materialization), typed output. This is the `mapPartitions` escape
     * hatch of the builder guide — justified here because decoding is
-    * genuinely imperative library code, not expressible as Columns. */
-  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    * genuinely imperative library code, not expressible as Columns.
+    * `newDecoder` is the per-partition codec factory; the default stays
+    * the deterministic [[FakeDecoder]] (the oracle-gated query needs
+    * reproducible output on non-media payloads). */
+  def extractFeatures(media: DataFrame,
+      newDecoder: () => MediaDecoder = () => new FakeDecoder)
+      : Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("content"), col("meta.mime"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
-        val decoder = new FakeDecoder // per-partition codec handle
+        val decoder = newDecoder() // per-partition codec handle
         it.map { case (id, bytes, mime) =>
           val (w, h, fp) = decoder.decode(bytes)
           MediaFeatures(id, bytes.length.toLong, mime, w, h, fp)

@@ -103,23 +103,28 @@ object Similarity {
     * is < 1 by design (a true neighbor in an unprobed cell is missed);
     * brute force stays the exact baseline.
     *
-    * Cells are seeded deterministically with the `numCells` smallest-id
-    * corpus vectors so the DuckDB oracle reproduces the partition
-    * bit-for-bit; swapping in k-means centroids changes only the seed
-    * frame, not the query shape. Ties broken on cell id / neighbor id. */
+    * Cells default to a deterministic seed partition (the `numCells`
+    * smallest-id corpus vectors) so the DuckDB oracle reproduces the
+    * result bit-for-bit; pass `centroids` (e.g. [[kmeansCentroids]])
+    * to swap in trained cells — only the seed frame changes, not the
+    * query shape. Ties broken on cell id / neighbor id. */
   def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
       queries: DataFrame, queryId: Column, queryVec: Column,
-      k: Int, numCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      k: Int, numCells: Int = 16, nProbe: Int = 4,
+      centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ccomp = graft.Tables.materialize(
       components(corpus, corpusId, corpusVec, "nbr_id", "x"))
     val cnorm = norms(ccomp, "nbr_id", "x", "sn_c")
-    // seed cells: the numCells smallest corpus ids
+    // seed cells: trained centroids when given, else the numCells
+    // smallest corpus ids
     val cellIds = corpus.select(corpusId.as("cell_id"))
       .orderBy(col("cell_id").asc).limit(numCells)
-    val centComp = ccomp.join(broadcast(cellIds),
-        col("nbr_id") === col("cell_id"))
-      .select(col("cell_id"), col("i"), col("x").as("cx"))
+    val centComp = centroids
+      .map(_.select(col("cell_id"), col("i"), col("cx")))
+      .getOrElse(ccomp.join(broadcast(cellIds),
+          col("nbr_id") === col("cell_id"))
+        .select(col("cell_id"), col("i"), col("x").as("cx")))
     val centNorm = norms(centComp, "cell_id", "cx", "sn_cell")
     // cosine of every (vector, cell) pair against the tiny seed side
     def cellCosines(comp: DataFrame, idName: String,
@@ -165,6 +170,52 @@ object Similarity {
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), col("rank"), col("cosine"))
+  }
+
+  /** Spherical k-means centroids for [[ivfTopK]]: Lloyd's iterations —
+    * assign each vector to its max-cosine centroid, re-center each cell
+    * on the exact-decimal component means — from the deterministic
+    * smallest-id seeds. On real embedding distributions the smallest-id
+    * seeds land wherever the ids happen to sit and give unbalanced
+    * cells; a few Lloyd's rounds move the centroids to the density,
+    * which is what recall/latency at scale depend on. Deterministic end
+    * to end (exact decimal sums, ties on cell id), fixed `iters` (no
+    * convergence test keeps the job graph static), empty cells keep
+    * their previous centroid. Returns (cell_id, i, cx). */
+  def kmeansCentroids(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      numCells: Int = 16, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ccomp = graft.Tables.materialize(
+      components(corpus, corpusId, corpusVec, "nbr_id", "x"))
+    val cnorm = norms(ccomp, "nbr_id", "x", "sn_c")
+    val cellIds = corpus.select(corpusId.as("cell_id"))
+      .orderBy(col("cell_id").asc).limit(numCells)
+    var cent = ccomp.join(broadcast(cellIds),
+        col("nbr_id") === col("cell_id"))
+      .select(col("cell_id"), col("i"), col("x").as("cx"))
+    for (_ <- 1 to iters) {
+      val centNorm = norms(cent, "cell_id", "cx", "sn_cell")
+      val assigned = ccomp.join(broadcast(cent), "i")
+        .groupBy(col("nbr_id"), col("cell_id"))
+        .agg(sum((col("x") * col("cx")).cast(Dec)).cast("double").as("dot"))
+        .join(cnorm, "nbr_id")
+        .join(broadcast(centNorm), "cell_id")
+        .withColumn("ccos", col("dot") / (col("sn_c") * col("sn_cell")))
+      val wA = Window.partitionBy(col("nbr_id"))
+        .orderBy(col("ccos").desc, col("cell_id").asc)
+      val membership = assigned.withColumn("r", row_number().over(wA))
+        .filter(col("r") === 1)
+        .select(col("nbr_id"), col("cell_id"))
+      val means = membership.join(ccomp, "nbr_id")
+        .groupBy(col("cell_id"), col("i"))
+        .agg((sum(col("x").cast(Dec)) / count(lit(1)))
+          .cast("double").as("mx"))
+      cent = graft.Tables.materialize(
+        cent.join(means, Seq("cell_id", "i"), "left")
+          .select(col("cell_id"), col("i"),
+            coalesce(col("mx"), col("cx")).as("cx")))
+    }
+    cent
   }
 
   /** Deterministic hyperplane weight for (plane, dim): md5-derived

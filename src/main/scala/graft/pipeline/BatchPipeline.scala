@@ -169,11 +169,12 @@ object BatchPipeline {
     * parquet config scans its own prefix directly:
     *
     *  - scan root = the config prefix's directory part; a partial
-    *    file-name prefix becomes a `pathGlobFilter` (GCS-style flat
-    *    object naming under the prefix), a directory prefix scans
-    *    recursively. Listing is Spark's own distributed FileIndex —
-    *    file paths live in executor-side listing partitions, never in
-    *    a driver Seq.
+    *    file-name prefix becomes a recursive leaf-glob scan matching
+    *    GCS FLAT prefix semantics (both `d/a_x.parquet` and files
+    *    under a prefix-named subdirectory `d/a_2024/`), a directory
+    *    prefix scans recursively. Listing is Spark's own distributed
+    *    FileIndex — file paths live in executor-side listing
+    *    partitions, never in a driver Seq.
     *  - first-match-wins across OVERLAPPING prefixes is enforced by the
     *    router when-chain over `input_file_name()` — a file under two
     *    configs' prefixes is transformed only by its first match, same
@@ -185,6 +186,11 @@ object BatchPipeline {
     *
     * Returns the same (json, dlq, observations) shape as
     * [[transformObserved]]. */
+  /** Escape Hadoop glob metacharacters so a literal file-name prefix
+    * embeds safely in a glob pattern. */
+  private def globEscape(s: String): String =
+    s.flatMap(c => if ("*?[]{}\\".contains(c)) s"\\$c" else c.toString)
+
   def transformPrefixScans(spark: SparkSession, configs: Seq[SourceConfig],
       opts: ConfigCompiler.Options = ConfigCompiler.Options())
       : (DataFrame, DataFrame, Map[String, Observation]) = {
@@ -198,15 +204,19 @@ object BatchPipeline {
         "has no '/' — prefix-scan mode needs a directory component")
       val (dir, base) = (p.substring(0, slash + 1), p.substring(slash + 1))
       val reader = spark.read.option("ignoreCorruptFiles", "true")
+        .option("recursiveFileLookup", "true")
       val scanned =
-        // A partial file-NAME prefix implies GCS-style flat naming
-        // under `dir`, so the scan stays non-recursive: with recursion
-        // on, `pathGlobFilter` (which tests only the leaf name) would
-        // read same-named files in unrelated subdirectories only for
-        // the router filter to drop every row — IO spent on files that
-        // can never match. A directory prefix scans recursively.
-        (if (base.nonEmpty) reader.option("pathGlobFilter", s"$base*")
-         else reader.option("recursiveFileLookup", "true")).parquet(dir)
+        // GCS prefix semantics are FLAT: prefix `d/a_` matches object
+        // `d/a_x.parquet` AND `d/a_2024/part.parquet`. A leaf glob
+        // (`d/a_*`, glob metachars in the base escaped) matches both
+        // the flat files and any prefix-named subdirectory, which
+        // recursiveFileLookup then descends — full prefix semantics
+        // with no driver-side listing, and still no reading of
+        // unrelated subdirectories the way a recursive scan +
+        // `pathGlobFilter` (leaf-name-only) would. A directory prefix
+        // scans its whole tree.
+        (if (base.nonEmpty) reader.parquet(dir + globEscape(base) + "*")
+         else reader.parquet(dir))
       val routedRows = scanned.filter(
         Router.firstMatchExpr(
           Router.normalizeFileUri(input_file_name()), configs)

@@ -74,10 +74,12 @@ object StreamingPipeline {
     * via foreachBatch. DLQ frames are handed to the caller's writers so
     * tests can collect and production can append to storage (K2/K3 are
     * pluggable topics in the reference, `M/main.py:497-502,519-523`).
-    * Posting is materialized inside the callback, exactly once per
-    * micro-batch — `writeApiDlq` receives an already-delivered, cached
-    * DLQ frame and must consume it synchronously (it is unpersisted
-    * when the writer returns).
+    * Posting is materialized inside the callback; delivery is
+    * AT-LEAST-ONCE (a lost persist() block or a replayed micro-batch
+    * re-posts — downstream dedup is `$insert_id`, same posture as the
+    * reference, `M/main.py:272-273`). `writeApiDlq` receives an
+    * already-delivered, cached DLQ frame and must consume it
+    * synchronously (it is unpersisted when the writer returns).
     *
     * `onCounters` receives the A3 transform counters of every
     * micro-batch (`n_rows`/`n_dlq`/`missing_distinct_id`/

@@ -2,11 +2,15 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions._
+
 import graft.config.ConfigLoader
 
 /** S7 launch surface: URI validation, existence check, abort-on-load
-  * semantics (`M/gcs_utils.py:18-45`, `M/main.py:26-34,430-437`). */
+  * semantics (`M/gcs_utils.py:18-45`, `M/main.py:26-34,430-437`) —
+  * plus the streaming-mode launch end to end. */
 class LauncherSpec extends SparkSpec {
+  import spark.implicits._
 
   private val goodJson =
     """[{"config_id": "c1", "source_gcs_prefix": "gs://b/p/",
@@ -76,6 +80,82 @@ class LauncherSpec extends SparkSpec {
       "--config_uri_scheme", "file"))
     val loaded = Launcher.loadConfigsOrAbort(spark, ok)
     assert(loaded.isRight && loaded.toOption.get.head.configId == "c1")
+  }
+
+  test("streaming launcher end-to-end: N configs over a mixed dir, " +
+      "per-config checkpoints, DLQ dirs, exactly-once mapping") {
+    import scala.jdk.CollectionConverters._
+    val watch = Files.createTempDirectory("graft_launch_stream")
+    val dlqDir = Files.createTempDirectory("graft_launch_dlq")
+    def writeFlat(target: java.nio.file.Path,
+        rows: Seq[(String, Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_launch_flat")
+      rows.toDF("event_type", "ts_epoch", "uid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/out")
+      val part = Files.list(java.nio.file.Paths.get(s"$tmp/out"))
+        .iterator().asScala
+        .find(p => p.getFileName.toString.startsWith("part-") &&
+          p.toString.endsWith(".parquet")).get
+      Files.copy(part, target)
+    }
+    // mixed dir: two configs' files plus an orphan no config matches;
+    // one b-row with an empty dynamic event name (-> transform DLQ)
+    writeFlat(watch.resolve("a_1.parquet"),
+      Seq(("from_a", 10L, "u1"), ("from_a2", 11L, "u2")))
+    writeFlat(watch.resolve("b_1.parquet"),
+      Seq(("from_b", 20L, "u3"), ("", 21L, "u4")))
+    writeFlat(watch.resolve("c_orphan.parquet"), Seq(("orphan", 30L, "u5")))
+    def mapping(src: String, tgt: String, tpe: String) =
+      s"""{"source_field": "$src", "mixpanel_field": "$tgt", "type": "$tpe"}"""
+    val cfgJson =
+      s"""[{"config_id": "a", "source_gcs_prefix": "$watch/a_",
+         |  "file_type": "PARQUET", "mixpanel_event_name_from_field": "event_type",
+         |  "field_mappings": [${mapping("ts_epoch", "time", "unix_timestamp_auto")},
+         |    ${mapping("uid", "$$user_id", "string")}]},
+         | {"config_id": "b", "source_gcs_prefix": "$watch/b_",
+         |  "file_type": "PARQUET", "mixpanel_event_name_from_field": "event_type",
+         |  "field_mappings": [${mapping("ts_epoch", "time", "unix_timestamp_auto")},
+         |    ${mapping("uid", "$$user_id", "string")}]}]
+         |""".stripMargin
+    // NOT inside the watch dir — the file streams would scan it
+    val cfgPath = Files.createTempDirectory("graft_launch_cfg")
+      .resolve("sources.json")
+    Files.writeString(cfgPath, cfgJson)
+    // the full launch path short of main(): parse args, load + validate
+    // configs, start the per-config streams
+    val args = Launcher.parseArgs(Seq(
+      "--mode", "streaming",
+      "--input_subscription", watch.toString,
+      "--source_configs_gcs_uri", s"file://$cfgPath",
+      "--config_uri_scheme", "file",
+      "--dlq_topic_transform_errors", dlqDir.toString))
+    val configs = Launcher.loadConfigsOrAbort(spark, args)
+      .toOption.get
+    assert(configs.map(_.configId) == Seq("a", "b"))
+    PostedEvents.n.set(0)
+    val qs = Launcher.startStreams(spark, args, configs,
+      graft.compile.ConfigCompiler.Options(),
+      poster = Some(() => new EventCountingPoster))
+    assert(qs.size == 2)
+    qs.foreach(_.processAllAvailable())
+    // a late-arriving file is picked up by the already-running streams
+    writeFlat(watch.resolve("a_2.parquet"), Seq(("late", 12L, "u6")))
+    qs.foreach(_.processAllAvailable())
+    qs.foreach(_.stop())
+    // exactly-once mapping: 2 (a_1) + 1 good (b_1) + 1 (a_2); the
+    // orphan file and the DLQ row are never posted, nothing posts twice
+    assert(PostedEvents.n.get == 4L)
+    // per-config checkpoints, isolated directories
+    val ckptA = java.nio.file.Paths.get(s"${watch}_graft_ckpt_a")
+    val ckptB = java.nio.file.Paths.get(s"${watch}_graft_ckpt_b")
+    assert(Files.isDirectory(ckptA) && Files.isDirectory(ckptB))
+    // the bad b-row landed in the transform-DLQ dir exactly once
+    // (per-config subdirs — see startStreams — hence recursive read)
+    val dlq = spark.read.option("recursiveFileLookup", "true")
+      .json(dlqDir.toString)
+    assert(dlq.count() == 1L)
+    assert(dlq.select(col("error_type")).as[String].collect().toSeq ==
+      Seq("missing_dynamic_event_name"))
   }
 
   test("parseArgs: required args and unknown flags rejected") {

@@ -126,10 +126,9 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("connected components converge immediately on an empty pair graph") {
-    // a duplicate-free corpus yields zero verified pairs; sum() over
-    // zero rows is null, which must read as "converged", not spin to
-    // maxRounds and throw (regression: dedupPipelineCcKept crashed on
-    // any clean corpus)
+    // a duplicate-free corpus yields zero verified pairs; emptiness is
+    // decided BEFORE the loop (regression: dedupPipelineCcKept crashed
+    // on any clean corpus when the in-loop null sum spun to maxRounds)
     val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
     assert(Dedup.connectedComponents(empty, maxRounds = 4).count() == 0L)
     // and the composed CC pipeline keeps every doc of a clean corpus
@@ -137,6 +136,43 @@ class OperatorsSpec extends SparkSpec {
       (2L, "epsilon zeta eta theta"), (3L, "iota kappa lambda mu"))
       .toDF("doc_id", "text")
     assert(Dedup.dedupPipelineCcKept(clean, $"doc_id", $"text").count() == 3L)
+  }
+
+  test("connected components: 10^5-node path graph stays O(log n) rounds " +
+      "under reliable checkpointing") {
+    // worst-case diameter for label propagation: a single path of 1e5
+    // nodes. Path halving must converge in ~log2(n) rounds — a linear
+    // round count here would be a 10^5x job-count blowup at corpus
+    // scale. Run in the reliable-checkpoint mode (the cluster shape).
+    val n = 100000L
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_cc_stress").toString
+    val edges = spark.range(1L, n)
+      .select($"id".as("id1"), ($"id" + 1L).as("id2"))
+    var rounds = -1
+    val cc = Dedup.connectedComponents(edges,
+      checkpointDir = Some(dir), onRounds = rounds = _)
+    assert(cc.count() == n)
+    assert(cc.filter($"component" =!= 1L).count() == 0L) // one component
+    withClue(s"rounds=$rounds: ") {
+      assert(rounds > 0 && rounds <= 24) // log2(1e5) ~ 16.6 + margin
+    }
+  }
+
+  test("connected components: in-loop null sum means overflow and throws") {
+    // with emptiness excluded up front, a null decimal(38,0) sum inside
+    // the loop can only be non-ANSI overflow (~10^19 max-long ids) —
+    // which must THROW, never read as convergence (silent wrong
+    // components). The decision helper is exercised directly: real
+    // overflow needs more rows than any test can materialize.
+    val e = intercept[ArithmeticException] {
+      Dedup.ccSumConverged(null, new java.math.BigDecimal(7))
+    }
+    assert(e.getMessage.contains("overflow"))
+    val five = new java.math.BigDecimal(5)
+    assert(!Dedup.ccSumConverged(five, null)) // first round: no baseline
+    assert(!Dedup.ccSumConverged(five, new java.math.BigDecimal(7)))
+    assert(Dedup.ccSumConverged(five, new java.math.BigDecimal(5)))
   }
 
   test("connected components with fractional ids use the exact join check") {
@@ -227,6 +263,52 @@ class OperatorsSpec extends SparkSpec {
     assert(got.filter(_._1 == 4L).forall(r => Set(2L, 4L, 6L)(r._2)))
   }
 
+  test("ivf: k-means centroids beat smallest-id seeds on a clustered " +
+      "corpus (recall@5 vs brute force)") {
+    // 4 orthogonal clusters; ids arranged so ALL smallest-id seeds land
+    // in cluster 0 (the adversarial case for id-seeding: real corpora
+    // don't sort ids by embedding region). Jitter dims 4-5 + a common
+    // dim 6 make cell assignment non-tied but meaningless under the
+    // cluster-0-only seeds; Lloyd's rounds must move the centroids to
+    // the actual density.
+    def vec(cluster: Int, id: Long): Array[Float] = {
+      val v = Array.fill(8)(0.0f)
+      v(cluster) = 1.0f
+      v(4) = 0.2f * ((id * 7) % 5) / 4f
+      v(5) = 0.2f * ((id * 13) % 7) / 6f
+      v(6) = 0.1f
+      v
+    }
+    val corpus = (0 until 4).flatMap { c =>
+      (1L to 12L).map(j => (c * 12 + j, vec(c, c * 12 + j)))
+    }.toDF("vec_id", "embedding")
+    val queries = (0 until 4).map { c =>
+      val v = Array.fill(8)(0.0f); v(c) = 1.0f; v(6) = 0.1f
+      (100L + c, v)
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(corpus, $"vec_id", $"embedding",
+        queries, $"vec_id", $"embedding", k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(centroids: Option[org.apache.spark.sql.DataFrame]): Double = {
+      val got = Similarity.ivfTopK(corpus, $"vec_id", $"embedding",
+          queries, $"vec_id", $"embedding",
+          k = 5, numCells = 4, nProbe = 1, centroids = centroids)
+        .select("query_id", "nbr_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (q, want) =>
+        got.getOrElse(q, Set.empty).count(want).toDouble / want.size
+      }.sum / exact.size
+    }
+    val seeded = recall(None)
+    val trained = recall(Some(Similarity.kmeansCentroids(
+      corpus, $"vec_id", $"embedding", numCells = 4, iters = 3)))
+    withClue(s"seeded=$seeded trained=$trained: ") {
+      assert(trained > seeded)
+      assert(trained >= 0.75)
+    }
+  }
+
   test("multi-table lsh drops degenerate buckets at the cap") {
     // 20 identical vectors collide into ONE bucket in every table —
     // the O(n^2) degenerate case the cap exists for
@@ -276,5 +358,32 @@ class OperatorsSpec extends SparkSpec {
       .filter($"media_id" === 1).orderBy($"frame_idx")
       .select("frame_hex").as[String].collect()
     assert(frames(0) == "a b ".map(c => "%02x".format(c.toInt)).mkString)
+  }
+
+  test("multimodal: ImageIoDecoder decodes real PNG dimensions through " +
+      "the per-partition lifecycle; non-images isolate as (0,0)") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8800) // non-trivial pixel
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(7, 5)), (2L, png(320, 200)),
+      (3L, "not an image at all".getBytes("UTF-8")))
+    val media = rows.toDF("media_id", "content")
+      .repartition(2) // >1 partition: one decoder instance per partition
+      .withColumn("meta", struct(lit("image/png").as("mime"),
+        length($"content").as("n_bytes")))
+    val f = Multimodal.extractFeatures(
+        media, () => new Multimodal.ImageIoDecoder)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(f(1L).width == 7L && f(1L).height == 5L)
+    assert(f(2L).width == 320L && f(2L).height == 200L)
+    assert(f(3L).width == 0L && f(3L).height == 0L) // isolated, not thrown
+    assert(f(3L).n_bytes == rows(2)._2.length.toLong)
+    assert(f.values.map(_.fp).toSet.size == 3) // payload-content md5
   }
 }

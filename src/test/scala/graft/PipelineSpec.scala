@@ -261,6 +261,35 @@ class PipelineSpec extends SparkSpec {
     assert(obs("b").get("n_rows") == 2L) // b_1 + sub/c, NOT a_1
   }
 
+  test("prefix-scan transform: partial-name prefix matches files under a " +
+      "prefix-named subdirectory (GCS flat prefix semantics)") {
+    // GCS prefix `d/a_` matches BOTH object `d/a_1.parquet` and object
+    // `d/a_2024/part.parquet` (flat namespace). The leaf-glob scan must
+    // reach the subdirectory file; an unrelated subdirectory stays
+    // unread (regression: pathGlobFilter tested leaf names only, so
+    // d/a_2024/ was never scanned though Router.route matches it)
+    val dir = Files.createTempDirectory("graft_scan_sub")
+    writeFlatParquet(dir.resolve("a_1.parquet"), Seq(("flat", 10L, "u1")))
+    Files.createDirectory(dir.resolve("a_2024"))
+    writeFlatParquet(dir.resolve("a_2024").resolve("part.parquet"),
+      Seq(("nested", 20L, "u2")))
+    Files.createDirectory(dir.resolve("other"))
+    writeFlatParquet(dir.resolve("other").resolve("x.parquet"),
+      Seq(("unrelated", 30L, "u3")))
+    val cfg = SourceConfig(
+      configId = "a", sourcePrefix = s"$dir/a_",
+      eventNameField = Some("event_type"),
+      fieldMappings = Seq(
+        FieldMapping("ts_epoch", "time", CastType.UnixTimestampAuto),
+        FieldMapping("uid", "$user_id", CastType.StringT)))
+    val (json, _, obs) = BatchPipeline.transformPrefixScans(spark, Seq(cfg))
+    val events = json
+      .select(get_json_object(col("event_json"), "$.event").as("e"))
+      .as[String].collect().sorted.toSeq
+    assert(events == Seq("flat", "nested"))
+    assert(obs("a").get("n_rows") == 2L)
+  }
+
   test("prefix-scan transform: URI-special characters in paths still " +
       "prefix-match (input_file_name percent-encodes)") {
     val dir = Files.createTempDirectory("graft scan enc") // space in path
