@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.ExtQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.RelationalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracleSql ++
       graft.queries.AnalyticsQueries.oracleSql ++
       graft.queries.ExtQueries.oracleSql ++
-      graft.queries.PipelineQueries.oracleSql
+      graft.queries.PipelineQueries.oracleSql ++
+      graft.queries.RelationalQueries.oracleSql
 }

@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.TemporalJoins
+
+/** Round-6 relational extensions: temporal joins (as-of, range),
+  * pivot, cube/grouping sets, array unnest, and exact-moment
+  * statistics — operators past the reference's equi-join/group-by
+  * surface that any analytics consumer of the engine reaches for
+  * next. Every query here is oracle-gated against DuckDB.
+  *
+  * Cross-engine determinism rules (same as AnalyticsQueries): sums in
+  * exact DECIMAL cast to DOUBLE at the end; double-valued formulas
+  * written as the textually identical expression tree on both sides
+  * so IEEE evaluation matches bit-for-bit; timestamps surfaced as
+  * epoch integers (TIMESTAMPTZ dtype differences would break the
+  * compare); counts coalesced to 0 where Spark's pivot yields null
+  * but a FILTER'd COUNT yields 0.
+  */
+object RelationalQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** As-of join: each event picks up the user's most recent order at
+    * event time ([[TemporalJoins.asofJoinBackward]]). Orders are
+    * pre-reduced to one row per (custkey, orderdate) — max orderkey —
+    * making the nearest-match deterministic on both engines. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val lastOrders = Tables(spark, dir, "orders")
+      // parquet dates surface as TIMESTAMP_NTZ; the UTC session makes
+      // the cast to TIMESTAMP an identity, and unix_micros needs it
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("o_orderdate"),
+        col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("last_orderkey"))
+    TemporalJoins.asofJoinBackward(
+      events, lastOrders,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("last_orderkey"),
+        unix_micros(col("o_orderdate")).as("last_order_us"))
+  }
+
+  /** Range join: for every 1-URGENT order, the lineitems (any order)
+    * shipped inside [orderdate, orderdate+7d) —
+    * [[TemporalJoins.binnedRangeJoin]] with 7-day bins, so the
+    * inequality join runs as an equi-join on the bin key.
+    *
+    * The downstream aggregate is distributive (count + sum), so the
+    * point side is first compressed to DISTINCT point values with
+    * partial sums — an exact rewrite that shrinks the join's left
+    * side from |lineitem| rows to |distinct shipdates| (600k → ~2.4k
+    * at sf0.1: shipdates are day-granular) and with it the candidate
+    * pair count from ~10⁸ to ~10⁵. Measured: 28.7 s → ~1 s at sf0.1.
+    * High-cardinality point domains degrade gracefully (compression
+    * →1×, the salted bin join still spreads the work). */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val week = 7L * 86400L
+    val points = Tables(spark, dir, "lineitem")
+      .select(unix_seconds(col("l_shipdate").cast("timestamp")).as("ship_s"),
+        col("l_quantity"))
+      .groupBy(col("ship_s"))
+      .agg(count(lit(1)).as("n_pts"),
+        sum(dec(col("l_quantity"))).as("qty_sum")) // stays DECIMAL: re-summed below
+    val ranges = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"),
+        unix_seconds(col("o_orderdate").cast("timestamp")).as("start_s"))
+      .withColumn("end_s", col("start_s") + lit(week))
+    TemporalJoins.binnedRangeJoin(points, "ship_s",
+        ranges, "start_s", "end_s", binWidth = week)
+      .groupBy(col("o_orderkey"))
+      .agg(sum(col("n_pts")).as("n_shipped"),
+        sum(col("qty_sum")).cast("double").as("sum_qty"))
+  }
+
+  /** Pivot: order counts and totals per priority, statuses fanned out
+    * to columns. Fixed value list (F/O/P) keeps the schema static —
+    * the scale-safe form (a discovered value list is a driver-side
+    * distinct over the full table). */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .select(col("o_orderpriority"),
+        coalesce(col("F_n"), lit(0L)).as("n_f"), col("F_total").as("total_f"),
+        coalesce(col("O_n"), lit(0L)).as("n_o"), col("O_total").as("total_o"),
+        coalesce(col("P_n"), lit(0L)).as("n_p"), col("P_total").as("total_p"))
+
+  /** Cube (all grouping sets of returnflag × linestatus) with the
+    * grouping_id bitmask distinguishing "NULL because rolled up" from
+    * a genuine NULL key — first grouping column is the most
+    * significant bit on both engines (verified against DuckDB's
+    * GROUPING()). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("n"), col("sum_qty"))
+
+  /** Array unnest with ordinality: embedding vectors exploded to
+    * (vec_id, pos, val) rows via posexplode — the row-expansion
+    * primitive under any vector/array pipeline. Bounded to the first
+    * 50 vectors to keep the gated output small; the operator itself
+    * is a per-row flatMap with no shuffle at any scale. */
+  def explodeEmbed(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        col("col").cast("double").as("val"))
+
+  /** Grouped second-moment statistics (mean/stddev/correlation) from
+    * EXACT decimal power sums, with the closed-form double formula
+    * applied only at the end. A distributed `stddev`/`corr` is
+    * normally order-dependent in its last bits (float partial
+    * aggregation); accumulating n, Σx, Σx², Σy, Σy², Σxy as decimals
+    * makes the result bit-identical on any partitioning AND on a
+    * single-node engine evaluating the same formula — which is what
+    * the oracle checks. */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val q = dec(col("l_quantity"))
+    val p = dec(col("l_extendedprice"))
+    val moments = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(q).cast("double").as("sx"),
+        sum((q * q).cast("decimal(30,4)")).cast("double").as("sxx"),
+        sum(p).cast("double").as("sy"),
+        sum((p * p).cast("decimal(30,4)")).cast("double").as("syy"),
+        sum((q * p).cast("decimal(30,4)")).cast("double").as("sxy"))
+    moments.select(col("l_returnflag"), col("n"),
+      (col("sx") / col("n")).as("mean_qty"),
+      sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+        (col("n") * (col("n") - lit(1L)))).as("stddev_qty"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+        .as("corr_qty_price"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join" -> asofJoin _,
+    "range_join" -> rangeJoin _,
+    "pivot_agg" -> pivotAgg _,
+    "cube_agg" -> cubeAgg _,
+    "explode_embed" -> explodeEmbed _,
+    "stats_agg" -> statsAgg _)
+
+  val oracleSql: Map[String, String] = Map(
+    "asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS us,
+        |  o.last_orderkey, epoch_us(o.o_orderdate) AS last_order_us
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "range_join" ->
+      """SELECT o_orderkey, COUNT(*) AS n_shipped,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem
+        |  ON l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderkey""".stripMargin,
+    "pivot_agg" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS total_f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS total_o,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS total_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "explode_embed" ->
+      """SELECT vec_id, CAST(z[1] AS BIGINT) AS pos,
+        |  CAST(z[2] AS DOUBLE) AS val
+        |FROM (
+        |  SELECT vec_id,
+        |    unnest(list_zip(range(len(embedding)), embedding)) AS z
+        |  FROM embeddings WHERE vec_id < 50)""".stripMargin,
+    "stats_agg" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+        |      CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+        |      CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  sx / n AS mean_qty,
+        |  sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty,
+        |  (n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |    AS corr_qty_price
+        |FROM m""".stripMargin)
+}
