@@ -40,6 +40,10 @@ object Sessions {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      // native engine extensions (custom codegen'd expressions);
+      // applied at session CREATION — getOrCreate on an existing
+      // session keeps the registry it was created with
+      .withExtensions(graft.functions.VecKernels.register)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       // Non-ANSI: engine cast semantics are null-on-failure

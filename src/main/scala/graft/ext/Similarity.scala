@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, VecKernels}
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -15,13 +15,15 @@ import graft.functions.TextFunctions
   *    bucketing turns the all-pairs problem into per-bucket joins
   *    (shuffle O(vectors), compare O(bucket²)).
   *
-  * Execution shape: every pairwise dot product runs as
-  * posexplode -> equi-join -> hash-aggregate. Higher-order-function
-  * folds (`zip_with`+`aggregate`) were measured 30x slower here — they
-  * evaluate interpreted, per element, per pair; the exploded join is
-  * whole-stage-codegen'd end to end. The component frames are tiny
-  * relative to any real corpus (rows x dim), and partial aggregation
-  * keeps the shuffle at one row per (pair) not per (pair, dim).
+  * Execution shape: every pairwise dot product is ONE call to the
+  * native codegen'd [[graft.functions.DecimalVecDot]] expression
+  * (`vec_dot_dec`) on the two vectors — no row expansion, no
+  * aggregation, a tight JIT'd loop per pair. The per-component
+  * posexplode shape survives only where per-component math is
+  * genuinely needed (LSH all-planes pass, k-means re-centering);
+  * higher-order-function folds (`zip_with`+`aggregate`, measured 30x
+  * slower: interpreted per element per pair) only in the unit-test
+  * `dotExact` twin.
   *
   * Numeric determinism (for the DuckDB oracle): per-component products
   * are exact in DOUBLE (float widening), then summed as exact
@@ -67,24 +69,35 @@ object Similarity {
     dotExact(a, b).cast("double") /
       (sqrt(norm2Exact(a).cast("double")) * sqrt(norm2Exact(b).cast("double")))
 
+  /** (id, v, norm) view of a vector frame: the unit of the
+    * pairwise-dot execution shape. Empty/null vectors are dropped
+    * (the explode-based shape dropped them structurally); elements
+    * stay in their storage type — the kernel reads floats in place.
+    * Widened to the session's parallelism so downstream per-row
+    * kernels run on every core. */
+  private def vectors(df: DataFrame, id: Column, vec: Column,
+      idName: String, vName: String, normName: String): DataFrame =
+    df.select(id.as(idName), vec.as(vName))
+      .filter(size(col(vName)) > 0)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn(normName,
+        sqrt(VecKernels.vecDotDec(col(vName), col(vName)).cast("double")))
+
   /** Brute-force cosine top-k: for each query vector (small frame,
     * broadcast), the k nearest corpus vectors. Deterministic tie-break
-    * on corpus id. */
+    * on corpus id. One `vec_dot_dec` call per (corpus, query) pair —
+    * the corpus streams through a broadcast nested-loop against the
+    * tiny query side, no shuffle until the per-query top-k. */
   def bruteForceTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ccomp = components(corpus, corpusId, corpusVec, "nbr_id", "x")
-    val qcomp = components(queries, queryId, queryVec, "query_id", "qx")
-    val cnorm = norms(ccomp, "nbr_id", "x", "sn_c")
-    val qnorm = norms(qcomp, "query_id", "qx", "sn_q")
-    val dots = ccomp.join(broadcast(qcomp), "i")
-      .groupBy(col("nbr_id"), col("query_id"))
-      .agg(sum((col("x") * col("qx")).cast(Dec)).cast("double").as("dot"))
-    val scored = dots
-      .join(cnorm, "nbr_id")
-      .join(broadcast(qnorm), "query_id")
-      .withColumn("cosine", col("dot") / (col("sn_c") * col("sn_q")))
+    val c = vectors(corpus, corpusId, corpusVec, "nbr_id", "cv", "sn_c")
+    val q = vectors(queries, queryId, queryVec, "query_id", "qv", "sn_q")
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine",
+        VecKernels.vecDotDec(col("cv"), col("qv")).cast("double") /
+          (col("sn_c") * col("sn_q")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     scored
@@ -113,60 +126,58 @@ object Similarity {
       k: Int, numCells: Int = 16, nProbe: Int = 4,
       centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ccomp = graft.Tables.materialize(
-      components(corpus, corpusId, corpusVec, "nbr_id", "x"))
-    val cnorm = norms(ccomp, "nbr_id", "x", "sn_c")
-    // seed cells: trained centroids when given, else the numCells
-    // smallest corpus ids
-    val cellIds = corpus.select(corpusId.as("cell_id"))
-      .orderBy(col("cell_id").asc).limit(numCells)
-    val centComp = centroids
-      .map(_.select(col("cell_id"), col("i"), col("cx")))
-      .getOrElse(ccomp.join(broadcast(cellIds),
-          col("nbr_id") === col("cell_id"))
-        .select(col("cell_id"), col("i"), col("x").as("cx")))
-    val centNorm = norms(centComp, "cell_id", "cx", "sn_cell")
-    // cosine of every (vector, cell) pair against the tiny seed side
-    def cellCosines(comp: DataFrame, idName: String,
-        vnorm: DataFrame, xName: String): DataFrame =
-      comp.join(broadcast(centComp), "i")
-        .groupBy(col(idName), col("cell_id"))
-        .agg(sum((col(xName) * col("cx")).cast(Dec)).cast("double").as("dot"))
-        .join(vnorm, idName)
-        .join(broadcast(centNorm), "cell_id")
-        .withColumn("ccos", col("dot") /
-          (col(if (xName == "x") "sn_c" else "sn_q") * col("sn_cell")))
-    // corpus assignment: nearest cell per vector
-    val wAssign = Window.partitionBy(col("nbr_id"))
-      .orderBy(col("ccos").desc, col("cell_id").asc)
-    val cells = cellCosines(ccomp, "nbr_id", cnorm, "x")
-      .withColumn("r", row_number().over(wAssign))
-      .filter(col("r") === 1)
-      .select(col("nbr_id"), col("cell_id"))
-    // query probes: nProbe nearest cells per query
-    val qcomp = graft.Tables.materialize(
-      components(queries, queryId, queryVec, "query_id", "qx"))
-    val qnorm = norms(qcomp, "query_id", "qx", "sn_q")
+    // cache: corpus/query vector frames each feed two stages
+    val c = graft.Tables.materialize(
+      vectors(corpus, corpusId, corpusVec, "nbr_id", "cv", "sn_c"))
+    val q = graft.Tables.materialize(
+      vectors(queries, queryId, queryVec, "query_id", "qv", "sn_q"))
+    // centroid arrays (cell_id, cvec, sn_cell): trained centroids when
+    // given (component-shaped, re-packed to arrays in index order),
+    // else the numCells smallest-id corpus vectors
+    val centArr = graft.Tables.materialize(centroids
+      .map(_.groupBy(col("cell_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("i"), col("cx")))),
+          s => s.getField("cx")).as("cvec")))
+      .getOrElse {
+        val cellIds = corpus.select(corpusId.as("cell_id"))
+          .orderBy(col("cell_id").asc).limit(numCells)
+        corpus.join(broadcast(cellIds), corpusId === col("cell_id"))
+          .select(col("cell_id"), corpusVec.as("cvec"))
+      }
+      .withColumn("sn_cell",
+        sqrt(VecKernels.vecDotDec(col("cvec"), col("cvec")).cast("double"))))
+    def ccos(vCol: String, snCol: String): Column =
+      VecKernels.vecDotDec(col(vCol), col("cvec")).cast("double") /
+        (col(snCol) * col("sn_cell"))
+    // corpus assignment: nearest cell per vector — an aggregated
+    // argmax (max_by over (cosine, -cell_id): ties take the smallest
+    // cell), partial-aggregatable, instead of a window sort over the
+    // corpus×cells expansion
+    val cells = c.crossJoin(broadcast(centArr))
+      .withColumn("ccos", ccos("cv", "sn_c"))
+      .groupBy(col("nbr_id"))
+      .agg(max_by(col("cell_id"),
+        struct(col("ccos"), (-col("cell_id")).as("nc"))).as("cell_id"))
+    // query probes: nProbe nearest cells per query (query side is tiny)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cell_id").asc)
-    val probes = cellCosines(qcomp, "query_id", qnorm, "qx")
+    val probes = q.crossJoin(broadcast(centArr))
+      .withColumn("ccos", ccos("qv", "sn_q"))
       .withColumn("r", row_number().over(wProbe))
       .filter(col("r") <= nProbe)
       .select(col("query_id"), col("cell_id"))
-    // exact rank within the probed cells only
-    val cand = probes.join(cells, "cell_id")
-      .select(col("query_id"), col("nbr_id"))
-    val dots = cand
-      .join(ccomp, "nbr_id")
-      .join(broadcast(qcomp), Seq("query_id", "i"))
-      .groupBy(col("query_id"), col("nbr_id"))
-      .agg(sum((col("x") * col("qx")).cast(Dec)).cast("double").as("dot"))
+    // exact rank within the probed cells only: one vec_dot_dec per
+    // surviving (query, candidate) pair
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
-    dots
-      .join(cnorm, "nbr_id")
-      .join(broadcast(qnorm), "query_id")
-      .withColumn("cosine", col("dot") / (col("sn_c") * col("sn_q")))
+    probes.join(cells, "cell_id")
+      .select(col("query_id"), col("nbr_id"))
+      .join(c, "nbr_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cosine",
+        VecKernels.vecDotDec(col("cv"), col("qv")).cast("double") /
+          (col("sn_c") * col("sn_q")))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), col("rank"), col("cosine"))
@@ -271,10 +282,10 @@ object Similarity {
   def lshNearDupPairs(df: DataFrame, id: Column, vec: Column, dim: Int,
       numPlanes: Int = 8, threshold: Double = 0.9,
       numTables: Int = 2, maxBucketSize: Int = 1000): DataFrame = {
-    // cache: comp feeds norms + both pair sides; buckets feed a
+    // cache: vector frame feeds both pair sides; buckets feed a
     // self-join — without caching each side recomputes the lineage
-    val comp = graft.Tables.materialize(components(df, id, vec, "id", "x"))
-    val n = norms(comp, "id", "x", "sn")
+    val va = graft.Tables.materialize(
+      vectors(df, id, vec, "id", "v", "sn"))
     val b = graft.Tables.materialize(
       lshBuckets(df, id, vec, dim, numPlanes, numTables))
     val sized = b.groupBy(col("tbl"), col("bucket"))
@@ -288,16 +299,15 @@ object Similarity {
           col("bx.id") < col("by.id"))
       .select(col("bx.id").as("id1"), col("by.id").as("id2"))
       .distinct() // a pair may collide in several tables
-    val a1 = comp.select(col("id").as("id1"), col("i"), col("x").as("x1"))
-    val a2 = comp.select(col("id").as("id2"), col("i"), col("x").as("x2"))
+    // exact verify: one vec_dot_dec per surviving candidate pair
     pairs
-      .join(a1, "id1")
-      .join(a2, Seq("id2", "i"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(sum((col("x1") * col("x2")).cast(Dec)).cast("double").as("dot"))
-      .join(n.withColumnRenamed("id", "id1").withColumnRenamed("sn", "sn1"), "id1")
-      .join(n.withColumnRenamed("id", "id2").withColumnRenamed("sn", "sn2"), "id2")
-      .withColumn("cosine", col("dot") / (col("sn1") * col("sn2")))
+      .join(va.select(col("id").as("id1"), col("v").as("v1"),
+        col("sn").as("sn1")), "id1")
+      .join(va.select(col("id").as("id2"), col("v").as("v2"),
+        col("sn").as("sn2")), "id2")
+      .withColumn("cosine",
+        VecKernels.vecDotDec(col("v1"), col("v2")).cast("double") /
+          (col("sn1") * col("sn2")))
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))
   }
