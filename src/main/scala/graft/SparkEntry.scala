@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.ExtQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.RelationalQueries.queries
+      graft.queries.RelationalQueries.queries ++
+      graft.queries.CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
       graft.queries.AnalyticsQueries.oracleSql ++
       graft.queries.ExtQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
-      graft.queries.RelationalQueries.oracleSql
+      graft.queries.RelationalQueries.oracleSql ++
+      graft.queries.CorpusQueries.oracleSql
 }

@@ -1,0 +1,190 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * needs around the dedup/similarity family: latest-record compaction,
+  * deterministic sampling (uniform, stratified, sharded) and
+  * vocabulary / TF-IDF construction. Extends the reference engine the
+  * same way `ext.Dedup` / `ext.Similarity` do — the reference
+  * (`M/main_batch.py`) stops at per-row mapping, these are the
+  * corpus-level passes run before/after it.
+  *
+  * Determinism rules shared by every operator here:
+  *  - randomness is always a cryptographic hash of row CONTENT
+  *    (md5), never `rand()` — results are reproducible across runs,
+  *    partitionings and engines, and re-running on an appended table
+  *    keeps prior decisions stable (critical for incremental corpus
+  *    builds);
+  *  - every window is totally ordered (hash, then key) so ties cannot
+  *    flip between runs;
+  *  - no driver-side state: every operator is a constant number of
+  *    shuffles independent of data size.
+  */
+object Corpus {
+
+  /** Hex digit at `pos` (1-based) of hash `h` -> 0..15, via a 1-based
+    * `instr` over the hex alphabet — portable across engines (DuckDB
+    * `instr` agrees byte-for-byte; it has no `conv`). Spark's Scala
+    * `instr(Column, String)` takes only a literal needle, so the
+    * column-needle form goes through `call_function`. */
+  private def hexDigitVal(h: Column, pos: Int): Column =
+    call_function("instr", lit("0123456789abcdef"), substring(h, pos, 1)) -
+      lit(1)
+
+  // ------------------------------------------------------- compaction
+
+  /** Latest-record-per-key compaction (the "keep newest version"
+    * pass over an append-only corpus — CDC collapse, re-crawl dedup,
+    * upsert materialization).
+    *
+    * `orderCols` must totally order rows WITHIN a key (append a
+    * unique id as the last column); the winner is the max in that
+    * order. Runs as one hash aggregation over `max(struct(order...,
+    * payload...))` — a single key shuffle with map-side partial
+    * aggregation, no window sort. At 100 TB this is the shape you
+    * want: the map side reduces every key to one candidate row per
+    * partition before anything moves.
+    */
+  def latestByKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String])
+      : DataFrame = {
+    val payload = df.columns.filterNot(c => keyCols.contains(c))
+    // order columns first => struct comparison is (order..., rest...);
+    // orderCols totally order within key, so the tail never decides.
+    val packed = struct(
+      (orderCols ++ payload.filterNot(orderCols.contains)).map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max(packed).as("_latest"))
+      .select(keyCols.map(col) ++
+        payload.map(c => col(s"_latest.$c").as(c)): _*)
+  }
+
+  // -------------------------------------------------------- sampling
+
+  /** Deterministic uniform sample: keep a row iff the first hex digit
+    * of `md5(key)` is < `sixteenths` (fraction = sixteenths/16).
+    * Pure per-row filter — no shuffle, prunes at the scan when the
+    * key is a stored column, and the SAME rows are kept on any
+    * engine, any partitioning, any run (unlike `df.sample`, which is
+    * seed- and partitioning-dependent). */
+  def hashSample(df: DataFrame, key: Column, sixteenths: Int): DataFrame = {
+    require(sixteenths >= 0 && sixteenths <= 16, "sixteenths in [0,16]")
+    df.filter(hexDigitVal(md5(key.cast("string")), 1) < lit(sixteenths))
+  }
+
+  /** Deterministic stratified quota sample: at most `quota` rows per
+    * stratum, chosen by hash order (so the per-stratum choice is a
+    * uniform sample, stable across runs/engines). One shuffle on the
+    * stratum key + per-stratum sort.
+    *
+    * 100 TB note: a giant stratum serializes into one task's sort.
+    * For quotas much smaller than strata (the common corpus-balancing
+    * case) pre-filter with [[hashSample]] at ~2x the target rate
+    * first so the window only ranks a sliver; the quota cut stays
+    * exact because hash order is preserved. */
+  def stratifiedQuota(df: DataFrame, stratum: Column, key: Column, quota: Int)
+      : DataFrame = {
+    val h = md5(key.cast("string"))
+    val w = Window.partitionBy(stratum).orderBy(h.asc, key.asc)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= quota)
+      .drop("_rk")
+  }
+
+  /** Deterministic shard assignment + intra-shard position — the
+    * "global shuffle then write N shards" step of training-data prep,
+    * expressed so the shuffle is reproducible: shard = first two hex
+    * digits of md5(key) mod `nShards`, position = rank within the
+    * shard by (hash, key). Reading shards in position order replays
+    * one fixed content-derived permutation of the corpus.
+    *
+    * One shuffle (on the shard id) + per-shard sort. Positions are
+    * per-shard, so no global total order is materialized — at 100 TB
+    * each shard sorts independently; pair with
+    * `repartition(col("shard")).sortWithinPartitions("pos")` to lay
+    * files out for sequential training reads. */
+  def shardAssign(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= 256, "nShards in [1,256]")
+    val h = md5(key.cast("string"))
+    val shard = pmod(hexDigitVal(h, 1) * lit(16) + hexDigitVal(h, 2),
+      lit(nShards)).cast("long")
+    val w = Window.partitionBy(col("_shard")).orderBy(col("_h").asc, key.asc)
+    df.withColumn("_h", h).withColumn("_shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("shard", col("_shard"))
+      .drop("_h", "_shard")
+  }
+
+  // ------------------------------------------------- vocab / tf-idf
+
+  /** Whitespace tokens of `text`, one row per (rest-of-row, token).
+    * Single-space split, empties dropped — the deterministic baseline
+    * tokenizer (byte-identical across engines; no locale-dependent
+    * lowercasing). */
+  def tokens(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("token", explode(split(text, " ")))
+      .filter(col("token") =!= "")
+
+  /** Vocabulary: the `k` most frequent tokens (count desc, token asc
+    * — total order, so the cut is deterministic) with ranks.
+    * Token counting is a map-side-combined hash aggregation; the
+    * final top-k ranks only the aggregated vocabulary (|vocab| <<
+    * |tokens|), which at 100 TB is the only part that sorts. */
+  def vocabTopK(docs: DataFrame, text: Column, k: Int): DataFrame = {
+    val counts = tokens(docs, text).groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("token").asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** TF-IDF per (doc, token). `idf` is the RAW ratio |docs| / df —
+    * monotone in the textbook log-idf (so rankings agree) but free of
+    * `ln`, whose last-ulp rounding differs between libm
+    * implementations; tf * (N/df) is two correctly-rounded IEEE ops,
+    * bit-identical on every engine. Two aggregations (tf, df) + one
+    * broadcast-joined scalar (N); the df side joins back on the token
+    * key — all map-side combined, no all-pairs anything. */
+  def tfIdf(docs: DataFrame, docId: Column, text: Column): DataFrame = {
+    val toks = tokens(docs.select(docId.as("doc_id"), text.as("_text")),
+      col("_text")).select(col("doc_id"), col("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.select(docId).distinct().agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("tfidf"))
+  }
+
+  // ------------------------------------------- edit-distance verify
+
+  /** Exact edit-distance near-dup pairs within blocking groups:
+    * self-join on `blockKey` (docs that share a block are candidates
+    * — at scale the block comes from LSH/SimHash banding, see
+    * [[Dedup.simhashNearDupPairs]]), then Levenshtein on a bounded
+    * prefix, keeping pairs within `maxDist`. The quadratic cost is
+    * confined to each block; prefix length bounds the per-pair DP
+    * cost at `prefixLen²` regardless of document size. */
+  def editDistancePairs(docs: DataFrame, id: Column, text: Column,
+      blockKey: Column, prefixLen: Int, maxDist: Int): DataFrame = {
+    val side = docs.select(id.as("id"), blockKey.as("blk"),
+      substring(text, 1, prefixLen).as("pfx"))
+    val l = side.select(col("id").as("id_a"), col("blk"),
+      col("pfx").as("pfx_a"))
+    val r = side.select(col("id").as("id_b"), col("blk"),
+      col("pfx").as("pfx_b"))
+    l.join(r, "blk")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+}

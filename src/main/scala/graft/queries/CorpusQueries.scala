@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.Corpus
+
+/** Corpus-preparation gated queries ([[graft.ext.Corpus]]): the
+  * deterministic sampling / compaction / vocabulary passes of a
+  * training-data pipeline, each hash-checked against DuckDB.
+  *
+  * Cross-engine determinism notes specific to this file:
+  *  - all sampling randomness is md5-of-content; hex strings compare
+  *    identically under Spark UTF8_BINARY and DuckDB binary collation;
+  *  - hex-digit numeric value is `instr('0123456789abcdef', c) - 1` on
+  *    BOTH engines (DuckDB has no `conv`);
+  *  - TF-IDF uses the raw-ratio idf (N/df) — `ln` is not correctly
+  *    rounded and differs between libm and the JVM in the last ulp,
+  *    while IEEE divide/multiply are exact-rounded everywhere;
+  *  - Levenshtein is codepoint-based in Spark but byte-based in
+  *    DuckDB, so the edit-distance query guards with an explicit
+  *    printable-ASCII filter (where bytes == codepoints).
+  */
+object CorpusQueries {
+
+  /** Latest-record-per-key compaction: newest event per
+    * (user, event_type), ties broken by event_id — the CDC-collapse /
+    * re-crawl-dedup pass. One hash aggregation, no window sort. */
+  def dedupLatest(spark: SparkSession, dir: String): DataFrame =
+    Corpus.latestByKey(
+      Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"), col("value")),
+      keyCols = Seq("user_id", "event_type"),
+      orderCols = Seq("ts", "event_id"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+
+  /** Deterministic 4/16 uniform document sample by content hash —
+    * same rows kept on any engine/partitioning/run. */
+  def sampleHash(spark: SparkSession, dir: String): DataFrame =
+    Corpus.hashSample(Tables(spark, dir, "documents"), col("doc_id"), 4)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  /** Stratified quota sample: at most 40 docs per language, chosen in
+    * hash order (corpus language balancing). */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Corpus.stratifiedQuota(Tables(spark, dir, "documents"),
+      col("lang"), col("doc_id"), 40)
+      .select(col("doc_id"), col("lang"))
+
+  /** Deterministic shard assignment + intra-shard position over 8
+    * shards — the reproducible "global shuffle then write shards"
+    * step of training-data prep. */
+  def shardAssign(spark: SparkSession, dir: String): DataFrame =
+    Corpus.shardAssign(Tables(spark, dir, "documents"), col("doc_id"), 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+
+  /** Vocabulary: top-100 tokens by (count desc, token asc). */
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame =
+    Corpus.vocabTopK(Tables(spark, dir, "documents"), col("text"), 100)
+      .select(col("token"), col("n"), col("rank").as("rnk"))
+
+  /** Top-5 TF-IDF terms per document (docs 0-99). */
+  def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Corpus.tfIdf(
+      Tables(spark, dir, "documents").filter(col("doc_id") < 100),
+      col("doc_id"), col("text"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 5)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("tfidf"))
+  }
+
+  /** Set operations (INTERSECT / EXCEPT with set semantics): users
+    * who clicked vs customers with urgent orders, tagged by op. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = Tables(spark, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("id")).distinct()
+    val urgent = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("id")).distinct()
+    clicks.intersect(urgent).withColumn("op", lit("both"))
+      .unionByName(
+        clicks.except(urgent).withColumn("op", lit("click_only")))
+  }
+
+  /** Exact edit-distance near-dup verification within
+    * (lang, source) blocks on 24-char ASCII prefixes — the verify
+    * stage that consumes LSH/SimHash candidates at scale. */
+  def editDistance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      // printable-ASCII guard: Spark Levenshtein counts codepoints,
+      // DuckDB bytes; ASCII makes them the same function
+      .filter(substring(col("text"), 1, 24).rlike("^[ -~]*$"))
+    Corpus.editDistancePairs(docs, col("doc_id"), col("text"),
+      blockKey = concat_ws("|", col("lang"), col("source")),
+      prefixLen = 24, maxDist = 8)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_latest" -> dedupLatest _,
+    "sample_hash" -> sampleHash _,
+    "sample_stratified" -> sampleStratified _,
+    "shard_assign" -> shardAssign _,
+    "vocab_topk" -> vocabTopK _,
+    "tfidf_topk" -> tfidfTopK _,
+    "set_ops" -> setOps _,
+    "edit_distance" -> editDistance _)
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_latest" ->
+      """SELECT user_id, event_type, epoch_us(ts) AS us, event_id, value
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
+    "sample_hash" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE instr('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 4""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 40""".stripMargin,
+    "shard_assign" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |s AS (
+        |  SELECT doc_id, h,
+        |    ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+        |      instr('0123456789abcdef', substr(h, 2, 1)) - 1) % 8 AS shard
+        |  FROM h)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM s""".stripMargin,
+    "vocab_topk" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (
+        |  SELECT token, count(*) AS n FROM t WHERE token <> ''
+        |  GROUP BY token)
+        |SELECT token, n, rnk FROM (
+        |  SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token)
+        |    AS BIGINT) AS rnk FROM c)
+        |WHERE rnk <= 100""".stripMargin,
+    "tfidf_topk" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |tok AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM d)
+        |  WHERE token <> ''),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM (
+        |    SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM d),
+        |s AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+        |    CAST(tf.tf AS DOUBLE) *
+        |      (CAST(n.n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE)) AS tfidf
+        |  FROM tf JOIN dfq USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tf, df, tfidf FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn FROM s)
+        |WHERE rn <= 5""".stripMargin,
+    "set_ops" ->
+      """SELECT id, 'both' AS op FROM (
+        |  SELECT user_id AS id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT id, 'click_only' AS op FROM (
+        |  SELECT user_id AS id FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    "edit_distance" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang || '|' || source AS blk,
+        |    substr(text, 1, 24) AS pfx
+        |  FROM documents
+        |  WHERE regexp_matches(substr(text, 1, 24), '^[ -~]*$'))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.pfx, b.pfx) <= 8""".stripMargin)
+}

@@ -97,6 +97,44 @@ object PipelineQueries {
       col("n_events"))
   }
 
+  /** Structured Streaming stream-stream inner join with watermarks
+    * and a time-interval condition: each purchase joined to the same
+    * user's clicks in the preceding 10 minutes, run as a REAL
+    * streaming query (two file-source streams over the events table,
+    * append-mode memory sink, run to completion).
+    *
+    * The interval bound plus both watermarks is what makes this safe
+    * at scale: state for each side is dropped once the other side's
+    * watermark passes the bound, so state size is O(rate × window),
+    * not O(stream). Same gate-only memory-sink caveat as
+    * [[streamWindowCounts]]. */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src = Tables.normalize(
+      spark.readStream.schema(schema).option("basePath", dir)
+        .parquet(s"$dir/events*.parquet"))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "30 minutes")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "30 minutes")
+    val joined = purchases.join(clicks,
+      expr("p_user = c_user AND " +
+        "c_ts >= p_ts - INTERVAL 10 MINUTES AND c_ts <= p_ts"))
+    val name = "stream_stream_join_sink"
+    try spark.catalog.dropTempView(name) catch { case _: Throwable => () }
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).select(col("purchase_id"), col("click_id"),
+      unix_micros(col("p_ts")).as("p_us"),
+      unix_micros(col("c_ts")).as("c_us"))
+  }
+
   /** Multimodal: binary content column + stub decode via per-partition
     * mapPartitions (real plumbing, fake codec — see Multimodal). */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
@@ -116,6 +154,7 @@ object PipelineQueries {
     "pipeline_batch_e2e" -> pipelineBatchE2e _,
     "stream_window_counts" -> streamWindowCounts _,
     "stream_sessionize" -> streamSessionize _,
+    "stream_stream_join" -> streamStreamJoin _,
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_frames" -> multimodalFrames _)
 
@@ -131,6 +170,13 @@ object PipelineQueries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts""".stripMargin,
     "stream_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |s AS (SELECT user_id, us,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -152,7 +153,48 @@ object RelationalQueries {
         .as("corr_qty_price"))
   }
 
+  /** Weighted mean through the typed `Aggregator` UDAF surface
+    * ([[graft.functions.TypedAggs.WeightedMean]]): quantity-weighted
+    * average extended price per return flag. Exact decimal partial
+    * sums merge associatively, so the result is identical on any
+    * partitioning — and to the oracle's single-node
+    * SUM(w*x)/SUM(w). */
+  def weightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val wm = udaf(graft.functions.TypedAggs.WeightedMean,
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.DECIMAL,
+        org.apache.spark.sql.Encoders.DECIMAL))
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        wm(dec(col("l_extendedprice")), dec(col("l_quantity"))).as("wavg"))
+  }
+
+  /** Analytic-window breadth on one totally-ordered window
+    * (lag/lead/ntile/percent_rank/cume_dist/first_value): per-customer
+    * order history. The ORDER BY includes the unique orderkey, so
+    * peer groups are singletons and every function is deterministic;
+    * percent_rank/cume_dist are exact rationals divided once (IEEE-
+    * identical across engines). One shuffle on the partition key. */
+  def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables(spark, dir, "orders")
+      .filter(col("o_custkey") % 10 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(dec(col("o_totalprice")), 1).over(w).cast("double")
+          .as("prev_price"),
+        lead(dec(col("o_totalprice")), 1).over(w).cast("double")
+          .as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"),
+        first(col("o_orderkey")).over(w).as("first_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "weighted_avg" -> weightedAvg _,
+    "window_analytics" -> windowAnalytics _,
     "asof_join" -> asofJoin _,
     "range_join" -> rangeJoin _,
     "pivot_agg" -> pivotAgg _,
@@ -161,6 +203,25 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "weighted_avg" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w
+        |    AS DOUBLE) AS prev_price,
+        |  CAST(lead(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w
+        |    AS DOUBLE) AS next_price,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist,
+        |  first_value(o_orderkey) OVER w AS first_key
+        |FROM orders WHERE o_custkey % 10 = 0
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "asof_join" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey

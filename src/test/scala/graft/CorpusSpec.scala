@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Corpus
+
+/** Corpus-preparation operator specs ([[graft.ext.Corpus]]). */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ----------------------------------------------------- latestByKey
+
+  test("latestByKey keeps the newest row per key, ties by id") {
+    val df = Seq(
+      (1L, "a", 10L, 100L, "old"),
+      (1L, "a", 20L, 101L, "new"),
+      (1L, "b", 5L, 102L, "only"),
+      (2L, "a", 20L, 103L, "tie-lo"),
+      (2L, "a", 20L, 104L, "tie-hi"))
+      .toDF("k1", "k2", "ts", "id", "v")
+    val got = Corpus.latestByKey(df, Seq("k1", "k2"), Seq("ts", "id"))
+      .select("k1", "k2", "v").as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "a", "new"), (1L, "b", "only"),
+      (2L, "a", "tie-hi")))
+  }
+
+  test("latestByKey preserves all payload columns") {
+    val df = Seq((1L, 2L, 3L, "x")).toDF("k", "ord", "extra", "s")
+    val out = Corpus.latestByKey(df, Seq("k"), Seq("ord"))
+    assert(out.columns.toSet == Set("k", "ord", "extra", "s"))
+  }
+
+  // ------------------------------------------------------- sampling
+
+  test("hashSample is a deterministic subset at roughly the asked rate") {
+    val df = spark.range(2000).toDF("id")
+    val a = Corpus.hashSample(df, col("id"), 4).as[Long].collect().toSet
+    val b = Corpus.hashSample(df, col("id"), 4).as[Long].collect().toSet
+    assert(a == b)                         // deterministic
+    assert(a.size > 300 && a.size < 700)   // ~4/16 = 25% of 2000
+    // monotone: a smaller rate selects a subset of a larger rate
+    val tiny = Corpus.hashSample(df, col("id"), 1).as[Long].collect().toSet
+    assert(tiny.subsetOf(a))
+  }
+
+  test("stratifiedQuota caps every stratum and is deterministic") {
+    val df = spark.range(1000)
+      .select(col("id"), (col("id") % 3).cast("string").as("g"))
+    val got = Corpus.stratifiedQuota(df, col("g"), col("id"), 7)
+    val byG = got.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG == Map("0" -> 7L, "1" -> 7L, "2" -> 7L))
+    val again = Corpus.stratifiedQuota(df, col("g"), col("id"), 7)
+      .select("id").as[Long].collect().toSet
+    assert(again == got.select("id").as[Long].collect().toSet)
+    // a stratum smaller than the quota survives whole
+    val small = df.filter(col("id") < 4)
+    assert(Corpus.stratifiedQuota(small, col("g"), col("id"), 7).count() == 4)
+  }
+
+  test("shardAssign covers [0,n), positions are 1..|shard| and stable") {
+    val df = spark.range(500).toDF("id")
+    val got = Corpus.shardAssign(df, col("id"), 8)
+      .select(col("id"), col("shard"), col("pos"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 500)
+    val shards = got.map(_._2).toSet
+    assert(shards.subsetOf((0L until 8L).toSet) && shards.size == 8)
+    // per-shard positions are exactly 1..count (a permutation)
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // content-derived: same assignment on a differently-partitioned input
+    val again = Corpus.shardAssign(df.repartition(13), col("id"), 8)
+      .select(col("id"), col("shard"), col("pos"))
+      .as[(Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
+
+  // -------------------------------------------------- vocab / tfidf
+
+  test("vocabTopK counts whitespace tokens, drops empties, ranks") {
+    val docs = Seq("b a  a", "a c b", "").toDF("text")
+    val got = Corpus.vocabTopK(docs, col("text"), 2)
+      .select("token", "n", "rank").as[(String, Long, Long)].collect()
+      .sortBy(_._3)
+    assert(got.toSeq == Seq(("a", 3L, 1L), ("b", 2L, 2L)))
+  }
+
+  test("tfIdf computes tf, df and ratio-idf score") {
+    val docs = Seq((1L, "x x y"), (2L, "x z")).toDF("id", "text")
+    val got = Corpus.tfIdf(docs, col("id"), col("text"))
+      .select("doc_id", "token", "tf", "df", "tfidf")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got((1L, "x")) == ((2L, 2L, 2.0 * (2.0 / 2.0))))
+    assert(got((1L, "y")) == ((1L, 1L, 1.0 * (2.0 / 1.0))))
+    assert(got((2L, "z")) == ((1L, 1L, 2.0)))
+    assert(got.size == 4)
+  }
+
+  // ---------------------------------------------- edit-distance pairs
+
+  test("editDistancePairs joins within blocks and bounds the distance") {
+    val docs = Seq(
+      (1L, "b1", "kitten plays"),
+      (2L, "b1", "sitten plays"),   // dist 1 to doc 1
+      (3L, "b1", "zzzzzzzzzzzz"),   // far from both
+      (4L, "b2", "kitten plays"))   // identical text, different block
+      .toDF("id", "blk", "text")
+    val got = Corpus.editDistancePairs(docs, col("id"), col("text"),
+      col("blk"), prefixLen = 12, maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L)))
+  }
+
+  // ------------------------------------------------- gated queries
+
+  test("corpus gated queries run at sf0.001 and key invariants hold") {
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.queries.CorpusQueries.queries
+    val latest = q("dedup_latest")(spark, dir)
+    // one row per (user, event_type)
+    assert(latest.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count() == 0)
+    val strat = q("sample_stratified")(spark, dir)
+    assert(strat.groupBy("lang").count()
+      .filter(col("count") > 40).count() == 0)
+    val vocab = q("vocab_topk")(spark, dir)
+    assert(vocab.count() <= 100 && vocab.count() > 0)
+    val tfidf = q("tfidf_topk")(spark, dir)
+    assert(tfidf.groupBy("doc_id").count()
+      .filter(col("count") > 5).count() == 0)
+    val so = q("set_ops")(spark, dir)
+    // 'both' and 'click_only' partition the click-user set
+    assert(so.select("id").distinct().count() == so.count())
+    assert(q("shard_assign")(spark, dir).count() ==
+      Tables(spark, dir, "documents").count())
+    assert(q("sample_hash")(spark, dir).count() > 0)
+    assert(q("edit_distance")(spark, dir).columns.toSet ==
+      Set("id_a", "id_b", "dist"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+
+import graft.functions.TypedAggs
+import graft.queries.{PipelineQueries, RelationalQueries}
+
+/** Typed-Aggregator UDAF, analytic-window breadth, and the
+  * stream-stream interval join. */
+class ExtraQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("WeightedMean aggregator: exact sums, null rows skipped") {
+    val wm = udaf(TypedAggs.WeightedMean,
+      Encoders.tuple(Encoders.DECIMAL, Encoders.DECIMAL))
+    val df = Seq(
+      (Some(java.math.BigDecimal.valueOf(10)), Some(java.math.BigDecimal.valueOf(1))),
+      (Some(java.math.BigDecimal.valueOf(20)), Some(java.math.BigDecimal.valueOf(3))),
+      (None, Some(java.math.BigDecimal.valueOf(99))),
+      (Some(java.math.BigDecimal.valueOf(99)), None))
+      .toDF("x", "w")
+    val got = df.agg(wm(col("x"), col("w")).as("wavg"))
+      .as[Double].head()
+    assert(got == (10.0 * 1 + 20.0 * 3) / 4.0) // 70/4 = 17.5
+  }
+
+  test("WeightedMean matches built-in expression form on real data") {
+    val dir = "/root/testdata/sf0.001"
+    val wm = udaf(TypedAggs.WeightedMean,
+      Encoders.tuple(Encoders.DECIMAL, Encoders.DECIMAL))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+    val li = Tables(spark, dir, "lineitem")
+    val viaUdaf = li.groupBy(col("l_returnflag"))
+      .agg(wm(dec(col("l_extendedprice")), dec(col("l_quantity"))).as("w"))
+      .as[(String, Double)].collect().toMap
+    val viaExpr = li.groupBy(col("l_returnflag"))
+      .agg((sum((dec(col("l_extendedprice")) * dec(col("l_quantity")))
+          .cast("decimal(30,4)")).cast("double") /
+        sum(dec(col("l_quantity"))).cast("double")).as("w"))
+      .as[(String, Double)].collect().toMap
+    assert(viaUdaf == viaExpr) // bit-identical, not approx
+  }
+
+  test("windowAnalytics invariants at sf0.001") {
+    val got = RelationalQueries.windowAnalytics(spark, "/root/testdata/sf0.001")
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("quartile")
+      assert(q >= 1 && q <= 4)
+      val pr = r.getAs[Double]("prank")
+      assert(pr >= 0.0 && pr <= 1.0)
+      val cd = r.getAs[Double]("cdist")
+      assert(cd > 0.0 && cd <= 1.0)
+    }
+    // first_key is the min-by-(date,key) of the partition: constant per key
+    assert(got.groupBy("o_custkey")
+      .agg(countDistinct(col("first_key")).as("nfk"))
+      .filter(col("nfk") =!= 1).count() == 0)
+  }
+
+  test("stream-stream interval join equals its batch twin") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = PipelineQueries.streamStreamJoin(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ev = Tables(spark, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"),
+        col("event_id").as("pid"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"),
+        col("event_id").as("cid"))
+    val batch = p.join(c, expr(
+        "pu = cu AND cts >= pts - INTERVAL 10 MINUTES AND cts <= pts"))
+      .select(col("pid"), col("cid"),
+        unix_micros(col("pts")), unix_micros(col("cts")))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+}
