@@ -38,5 +38,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // compiled methods from being flushed under the same pressure.
   "-XX:CICompilerCount=12",
   "-XX:ReservedCodeCacheSize=512m",
+  // A/B'd and REJECTED (round 6): -XX:PerMethodRecompilationCutoff=-1
+  // -XX:PerBytecodeRecompilationCutoff=-1 (the "never make a
+  // deopt-heavy method not-compilable" theory of the single-task
+  // wedge). With the cutoffs disabled the wedge got far MORE frequent
+  // and severe (doc_dedup_pipeline 104-161 s in 3 of 6 runs vs a
+  // 7-8 s warm baseline): a per-row uncommon trap in a generated loop
+  // then deopt-recompiles endlessly instead of settling. Keep the
+  // default cutoffs; the bench watchdog (kill+relaunch) bounds the
+  // residual rare wedge.
 ) ++ sys.env.get("SPARK_GRAFT_JVM_EXTRA")
   .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Nil)

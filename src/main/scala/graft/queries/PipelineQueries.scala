@@ -41,6 +41,22 @@ object PipelineQueries {
       .groupBy("event").agg(count(lit(1)).as("n"))
   }
 
+  /** Run `f` with `spark.sql.shuffle.partitions` temporarily lowered:
+    * a streaming query fixes its STATE partition count from this
+    * setting at start, and every micro-batch commits one disk-backed
+    * state store per partition per stateful operator (a stream-stream
+    * join keeps four per partition). At gate scale the commit fan-out
+    * dominates wall time — 32 partitions cost ~14 s for a 46-row join
+    * result, 8 cost ~a third of that. Production sizing instead
+    * matches partitions to throughput; this scopes the gate harness
+    * only, and restores the session setting after. */
+  private def withStreamShuffle[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Structured Streaming: file source over the events table, 5-minute
     * event-time windows on a watermark, complete-mode memory sink run
     * to completion.
@@ -65,10 +81,12 @@ object PipelineQueries {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
     val name = "stream_window_counts_sink"
     try spark.catalog.dropTempView(name) catch { case _: Throwable => () }
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    withStreamShuffle(spark, 8) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(name).select(
       unix_timestamp(col("window.start")).as("window_start"),
       col("event_type"), col("n"), col("sum_value"))
@@ -87,10 +105,12 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_events"))
     val name = "stream_sessionize_sink"
     try spark.catalog.dropTempView(name) catch { case _: Throwable => () }
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    withStreamShuffle(spark, 8) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(name).select(
       col("user_id"),
       unix_micros(col("session_window.start")).as("session_start_us"),
@@ -126,10 +146,12 @@ object PipelineQueries {
         "c_ts >= p_ts - INTERVAL 10 MINUTES AND c_ts <= p_ts"))
     val name = "stream_stream_join_sink"
     try spark.catalog.dropTempView(name) catch { case _: Throwable => () }
-    val q = joined.writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    withStreamShuffle(spark, 8) {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(name).select(col("purchase_id"), col("click_id"),
       unix_micros(col("p_ts")).as("p_us"),
       unix_micros(col("c_ts")).as("c_us"))
