@@ -157,6 +157,58 @@ object PipelineQueries {
       unix_micros(col("c_ts")).as("c_us"))
   }
 
+  /** Custom stateful streaming via
+    * `KeyValueGroupedDataset.mapGroupsWithState` — the extension point
+    * for state Spark's built-in windows can't express (SURVEY §2.9):
+    * a per-user running (count, exact-decimal sum) updated every
+    * micro-batch, run as a REAL streaming query in update mode.
+    *
+    * The state value stays exact: counts are longs and the sum is a
+    * BigDecimal, so merge order across micro-batches cannot change
+    * the result — the terminal state per user equals the batch
+    * aggregate bit for bit, which is what the oracle checks. The
+    * update-mode sink re-emits a user's row on every batch that
+    * touches it; the final projection keeps the last (max-count)
+    * update per user. State is one small tuple per user — O(users),
+    * the same bound the built-in streaming aggregation carries. */
+  def streamStatefulAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = Tables.normalize(
+      spark.readStream.schema(schema).option("basePath", dir)
+        .parquet(s"$dir/events*.parquet"))
+    val typed = src.select(col("user_id"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .as[(Long, java.math.BigDecimal)]
+    val updated = typed.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, java.math.BigDecimal)],
+            st: GroupState[(Long, java.math.BigDecimal)]) => {
+          var (n, s) = st.getOption
+            .getOrElse((0L, java.math.BigDecimal.ZERO))
+          rows.foreach { case (_, v) =>
+            n += 1
+            if (v != null) s = s.add(v)
+          }
+          st.update((n, s))
+          (user, n, s)
+        })
+    val name = "stream_stateful_agg_sink"
+    try spark.catalog.dropTempView(name) catch { case _: Throwable => () }
+    withStreamShuffle(spark, 8) {
+      val q = updated.toDF("user_id", "n_events", "sum_value")
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(name).groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("sum_value"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.sum_value").cast("double").as("sum_value"))
+  }
+
   /** Multimodal: binary content column + stub decode via per-partition
     * mapPartitions (real plumbing, fake codec — see Multimodal). */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
@@ -177,6 +229,7 @@ object PipelineQueries {
     "stream_window_counts" -> streamWindowCounts _,
     "stream_sessionize" -> streamSessionize _,
     "stream_stream_join" -> streamStreamJoin _,
+    "stream_stateful_agg" -> streamStatefulAgg _,
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_frames" -> multimodalFrames _)
 
@@ -192,6 +245,10 @@ object PipelineQueries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_stateful_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id""".stripMargin,
     "stream_stream_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
         |  epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us

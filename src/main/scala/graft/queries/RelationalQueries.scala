@@ -192,7 +192,44 @@ object RelationalQueries {
         first(col("o_orderkey")).over(w).as("first_key"))
   }
 
+  /** Typed JSON parse (`from_json` with an explicit schema — the
+    * scale-safe form: a schema-inferred parse costs a full extra scan)
+    * over the events `props` column, aggregated per event type.
+    * Integer sums stay exact on both engines. */
+  def jsonTypedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("k")).as("n_k"),
+        sum(col("k").cast("long")).as("sum_k"),
+        min(col("k").cast("long")).as("min_k"),
+        max(col("k").cast("long")).as("max_k"))
+
+  /** Scalar string-function battery (§2.7 breadth) over customer
+    * names — every function here has byte-identical semantics across
+    * engines on ASCII input (no locale-sensitive casing or regex
+    * dialects in the gated path). */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .filter(col("c_custkey") <= 1000)
+      .select(col("c_custkey"),
+        length(col("c_name")).cast("long").as("len"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_name")).as("lo"),
+        substring(col("c_name"), 10, 9).as("mid"),
+        regexp_replace(col("c_name"), "0", "").as("no_zeros"),
+        lpad(col("c_custkey").cast("string"), 12, "0").as("padded"),
+        reverse(col("c_name")).as("rev"),
+        translate(col("c_name"), "0123456789", "##########").as("masked"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("tag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "json_typed_agg" -> jsonTypedAgg _,
+    "string_funcs" -> stringFuncs _,
     "weighted_avg" -> weightedAvg _,
     "window_analytics" -> windowAnalytics _,
     "asof_join" -> asofJoin _,
@@ -203,6 +240,25 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "json_typed_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(CAST(props->>'$.k' AS BIGINT)) AS n_k,
+        |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "string_funcs" ->
+      """SELECT c_custkey,
+        |  CAST(length(c_name) AS BIGINT) AS len,
+        |  upper(c_name) AS up,
+        |  lower(c_name) AS lo,
+        |  substr(c_name, 10, 9) AS mid,
+        |  replace(c_name, '0', '') AS no_zeros,
+        |  lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+        |  reverse(c_name) AS rev,
+        |  translate(c_name, '0123456789', '##########') AS masked,
+        |  concat_ws('-', c_mktsegment, c_custkey) AS tag
+        |FROM customer WHERE c_custkey <= 1000""".stripMargin,
     "weighted_avg" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

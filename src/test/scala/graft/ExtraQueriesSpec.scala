@@ -60,6 +60,18 @@ class ExtraQueriesSpec extends SparkSpec {
       .filter(col("nfk") =!= 1).count() == 0)
   }
 
+  test("mapGroupsWithState stateful agg equals its batch twin") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = PipelineQueries.streamStatefulAgg(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("stream-stream interval join equals its batch twin") {
     val dir = "/root/testdata/sf0.001"
     val streamed = PipelineQueries.streamStreamJoin(spark, dir)
