@@ -76,6 +76,34 @@ class CorpusSpec extends SparkSpec {
     assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
   }
 
+  test("shardAssign drives a training-read layout: partitioned write, " +
+      "positions contiguous per shard, file rows in position order") {
+    val out = "/tmp/graft_shards_spec"
+    val assigned = Corpus.shardAssign(spark.range(300).toDF("id"),
+      col("id"), 4)
+    // the layout pairing documented on shardAssign: co-locate each
+    // shard, lay rows out in position order, one dir per shard
+    assigned.repartition(col("shard")).sortWithinPartitions(col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 300)
+    // positions are exactly 1..n within every shard directory
+    back.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min(col("pos")).as("mn"),
+        max(col("pos")).as("mx"))
+      .as[(Long, Long, Long, Long)].collect().foreach {
+        case (_, n, mn, mx) => assert(mn == 1L && mx == n)
+      }
+    // rows inside each parquet file are physically in position order
+    // (sequential training reads need no sort)
+    back.select(input_file_name().as("f"), col("pos"))
+      .as[(String, Long)].collect().groupBy(_._1).foreach {
+        case (_, rows) =>
+          val ps = rows.map(_._2).toSeq
+          assert(ps == ps.sorted)
+      }
+  }
+
   // -------------------------------------------------- vocab / tfidf
 
   test("vocabTopK counts whitespace tokens, drops empties, ranks") {
