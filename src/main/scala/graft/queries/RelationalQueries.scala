@@ -227,7 +227,25 @@ object RelationalQueries {
         translate(col("c_name"), "0123456789", "##########").as("masked"),
         concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("tag"))
 
+  /** Deterministic array aggregation: per-customer order-key list.
+    * A bare `collect_list` is partitioning-ordered (nondeterministic
+    * under AQE); `sort_array` on top restores a canonical order — the
+    * only safe way to materialize grouped arrays in a distributed
+    * run. Bounded per group by construction (a customer's orders),
+    * which is the scale requirement for any collect. */
+  def arrayAggSorted(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .filter(col("o_custkey") % 25 === 0)
+      .groupBy(col("o_custkey"))
+      // surfaced as a canonical joined string: the gate's row-sorting
+      // compare (like most tabular tooling) can't hash raw array
+      // cells, and the string is the same canonical value
+      .agg(concat_ws(",", sort_array(collect_list(col("o_orderkey"))))
+          .as("orderkeys"),
+        count(lit(1)).as("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "array_agg_sorted" -> arrayAggSorted _,
     "json_typed_agg" -> jsonTypedAgg _,
     "string_funcs" -> stringFuncs _,
     "weighted_avg" -> weightedAvg _,
@@ -240,6 +258,12 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "array_agg_sorted" ->
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
+        |  count(*) AS n
+        |FROM orders WHERE o_custkey % 25 = 0
+        |GROUP BY o_custkey""".stripMargin,
     "json_typed_agg" ->
       """SELECT event_type, count(*) AS n,
         |  count(CAST(props->>'$.k' AS BIGINT)) AS n_k,
