@@ -95,10 +95,13 @@ object Corpus {
 
   /** Deterministic shard assignment + intra-shard position — the
     * "global shuffle then write N shards" step of training-data prep,
-    * expressed so the shuffle is reproducible: shard = first two hex
-    * digits of md5(key) mod `nShards`, position = rank within the
-    * shard by (hash, key). Reading shards in position order replays
-    * one fixed content-derived permutation of the corpus.
+    * expressed so the shuffle is reproducible: shard = first eight hex
+    * digits of md5(key) (32 bits — so the worst-case shard imbalance
+    * is 1 part in 2^32/nShards, vs the 1-in-few-percent systematic
+    * skew a 256-cell hash gives any nShards that doesn't divide 256)
+    * mod `nShards`, position = rank within the shard by (hash, key).
+    * Reading shards in position order replays one fixed
+    * content-derived permutation of the corpus.
     *
     * One shuffle (on the shard id) + per-shard sort. Positions are
     * per-shard, so no global total order is materialized — at 100 TB
@@ -106,9 +109,11 @@ object Corpus {
     * `repartition(col("shard")).sortWithinPartitions("pos")` to lay
     * files out for sequential training reads. */
   def shardAssign(df: DataFrame, key: Column, nShards: Int): DataFrame = {
-    require(nShards >= 1 && nShards <= 256, "nShards in [1,256]")
+    require(nShards >= 1 && nShards <= 65536, "nShards in [1,65536]")
     val h = md5(key.cast("string"))
-    val shard = pmod(hexDigitVal(h, 1) * lit(16) + hexDigitVal(h, 2),
+    // conv() parses the 8-digit hex prefix as an unsigned 32-bit value;
+    // DuckDB's portable twin is ('0x' || substr(h,1,8))::BIGINT
+    val shard = pmod(conv(substring(h, 1, 8), 16, 10).cast("long"),
       lit(nShards)).cast("long")
     val w = Window.partitionBy(col("_shard")).orderBy(col("_h").asc, key.asc)
     df.withColumn("_h", h).withColumn("_shard", shard)

@@ -98,6 +98,10 @@ object CorpusQueries {
       // printable-ASCII guard: Spark Levenshtein counts codepoints,
       // DuckDB bytes; ASCII makes them the same function
       .filter(substring(col("text"), 1, 24).rlike("^[ -~]*$"))
+      // NULL-semantics guard: concat_ws skips NULLs but the oracle's
+      // `||` propagates them — exclude NULL block parts on both sides
+      // so the engines block identically
+      .filter(col("lang").isNotNull && col("source").isNotNull)
     Corpus.editDistancePairs(docs, col("doc_id"), col("text"),
       blockKey = concat_ws("|", col("lang"), col("source")),
       prefixLen = 24, maxDist = 8)
@@ -137,8 +141,7 @@ object CorpusQueries {
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
         |s AS (
         |  SELECT doc_id, h,
-        |    ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
-        |      instr('0123456789abcdef', substr(h, 2, 1)) - 1) % 8 AS shard
+        |    ('0x' || substr(h, 1, 8))::BIGINT % 8 AS shard
         |  FROM h)
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
@@ -163,7 +166,7 @@ object CorpusQueries {
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
         |dfq AS (SELECT token, count(*) AS df FROM (
         |    SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
-        |n AS (SELECT count(*) AS n_docs FROM d),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM d),
         |s AS (
         |  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
         |    CAST(tf.tf AS DOUBLE) *
@@ -188,7 +191,8 @@ object CorpusQueries {
         |  SELECT doc_id, lang || '|' || source AS blk,
         |    substr(text, 1, 24) AS pfx
         |  FROM documents
-        |  WHERE regexp_matches(substr(text, 1, 24), '^[ -~]*$'))
+        |  WHERE regexp_matches(substr(text, 1, 24), '^[ -~]*$')
+        |    AND lang IS NOT NULL AND source IS NOT NULL)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
         |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id

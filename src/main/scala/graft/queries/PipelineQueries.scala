@@ -41,20 +41,27 @@ object PipelineQueries {
       .groupBy("event").agg(count(lit(1)).as("n"))
   }
 
-  /** Run `f` with `spark.sql.shuffle.partitions` temporarily lowered:
-    * a streaming query fixes its STATE partition count from this
+  /** Run `f` against an ISOLATED session (`spark.newSession()`: same
+    * SparkContext, cache and extensions; private SQL conf + private
+    * temp-view catalog) with `spark.sql.shuffle.partitions` scoped
+    * down: a streaming query fixes its STATE partition count from this
     * setting at start, and every micro-batch commits one disk-backed
     * state store per partition per stateful operator (a stream-stream
     * join keeps four per partition). At gate scale the commit fan-out
     * dominates wall time — 32 partitions cost ~14 s for a 46-row join
     * result, 8 cost ~a third of that. Production sizing instead
     * matches partitions to throughput; this scopes the gate harness
-    * only, and restores the session setting after. */
-  private def withStreamShuffle[T](spark: SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, prev)
+    * only. Session isolation (vs set-then-restore on the shared
+    * session) means a batch query running concurrently on the main
+    * session never silently executes with 8 shuffle partitions, and
+    * concurrent gate queries can't restore each other's stale value —
+    * the memory-sink temp view also lands in the private catalog, so
+    * parallel runs can't collide on the sink name. */
+  private def onStreamSession[T](spark: SparkSession, n: Int)
+      (f: SparkSession => T): T = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    f(s)
   }
 
   /** Structured Streaming: file source over the events table, 5-minute
@@ -68,53 +75,51 @@ object PipelineQueries {
     * foreachBatch, bounded state). Same applies to [[streamSessionize]]. */
   def streamWindowCounts(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // file-stream source needs a directory or a glob — a literal file
-    // path is rejected, so glob the one file
-    val stream = spark.readStream.schema(schema)
-      .option("basePath", dir)
-      .parquet(s"$dir/events*.parquet")
-    val ev = Tables.normalize(stream)
-    val agg = ev
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
     val name = "stream_window_counts_sink"
-    try spark.catalog.dropTempView(name) catch { case _: Throwable => () }
-    withStreamShuffle(spark, 8) {
+    onStreamSession(spark, 8) { s =>
+      // file-stream source needs a directory or a glob — a literal file
+      // path is rejected, so glob the one file
+      val stream = s.readStream.schema(schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/events*.parquet")
+      val ev = Tables.normalize(stream)
+      val agg = ev
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       val q = agg.writeStream.outputMode("complete")
         .format("memory").queryName(name).start()
       q.processAllAvailable()
       q.stop()
+      s.table(name).select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
     }
-    spark.table(name).select(
-      unix_timestamp(col("window.start")).as("window_start"),
-      col("event_type"), col("n"), col("sum_value"))
   }
 
   /** Structured Streaming session windows: 10-minute-gap sessions per
     * user via the native session_window operator, run to completion. */
   def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("basePath", dir)
-      .parquet(s"$dir/events*.parquet")
-    val agg = Tables.normalize(stream)
-      .withWatermark("ts", "10 minutes")
-      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
     val name = "stream_sessionize_sink"
-    try spark.catalog.dropTempView(name) catch { case _: Throwable => () }
-    withStreamShuffle(spark, 8) {
+    onStreamSession(spark, 8) { s =>
+      val stream = s.readStream.schema(schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/events*.parquet")
+      val agg = Tables.normalize(stream)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
       val q = agg.writeStream.outputMode("complete")
         .format("memory").queryName(name).start()
       q.processAllAvailable()
       q.stop()
+      s.table(name).select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"))
     }
-    spark.table(name).select(
-      col("user_id"),
-      unix_micros(col("session_window.start")).as("session_start_us"),
-      col("n_events"))
   }
 
   /** Structured Streaming stream-stream inner join with watermarks
@@ -126,35 +131,41 @@ object PipelineQueries {
     * The interval bound plus both watermarks is what makes this safe
     * at scale: state for each side is dropped once the other side's
     * watermark passes the bound, so state size is O(rate × window),
-    * not O(stream). Same gate-only memory-sink caveat as
+    * not O(stream). PRODUCTION sizes that watermark to the real late
+    * tolerance (minutes); the GATE instead sets it wider than the
+    * whole table's event-time span, so equality with the batch oracle
+    * holds even if the file source splits the input into several
+    * micro-batches (e.g. under maxFilesPerTrigger) — with a tight
+    * watermark, a match arriving a batch later than its partner could
+    * be dropped as late and the comparison would silently depend on
+    * single-batch delivery. Same gate-only memory-sink caveat as
     * [[streamWindowCounts]]. */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    def src = Tables.normalize(
-      spark.readStream.schema(schema).option("basePath", dir)
-        .parquet(s"$dir/events*.parquet"))
-    val purchases = src.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-        col("event_id").as("purchase_id"))
-      .withWatermark("p_ts", "30 minutes")
-    val clicks = src.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-        col("event_id").as("click_id"))
-      .withWatermark("c_ts", "30 minutes")
-    val joined = purchases.join(clicks,
-      expr("p_user = c_user AND " +
-        "c_ts >= p_ts - INTERVAL 10 MINUTES AND c_ts <= p_ts"))
     val name = "stream_stream_join_sink"
-    try spark.catalog.dropTempView(name) catch { case _: Throwable => () }
-    withStreamShuffle(spark, 8) {
+    onStreamSession(spark, 8) { s =>
+      def src = Tables.normalize(
+        s.readStream.schema(schema).option("basePath", dir)
+          .parquet(s"$dir/events*.parquet"))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("p_ts", "365 days")
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("c_ts", "365 days")
+      val joined = purchases.join(clicks,
+        expr("p_user = c_user AND " +
+          "c_ts >= p_ts - INTERVAL 10 MINUTES AND c_ts <= p_ts"))
       val q = joined.writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       q.processAllAvailable()
       q.stop()
+      s.table(name).select(col("purchase_id"), col("click_id"),
+        unix_micros(col("p_ts")).as("p_us"),
+        unix_micros(col("c_ts")).as("c_us"))
     }
-    spark.table(name).select(col("purchase_id"), col("click_id"),
-      unix_micros(col("p_ts")).as("p_us"),
-      unix_micros(col("c_ts")).as("c_us"))
   }
 
   /** Custom stateful streaming via
@@ -172,41 +183,40 @@ object PipelineQueries {
     * update per user. State is one small tuple per user — O(users),
     * the same bound the built-in streaming aggregation carries. */
   def streamStatefulAgg(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = Tables.normalize(
-      spark.readStream.schema(schema).option("basePath", dir)
-        .parquet(s"$dir/events*.parquet"))
-    val typed = src.select(col("user_id"),
-        col("value").cast("decimal(18,2)").as("v"))
-      .as[(Long, java.math.BigDecimal)]
-    val updated = typed.groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
-        (user: Long, rows: Iterator[(Long, java.math.BigDecimal)],
-            st: GroupState[(Long, java.math.BigDecimal)]) => {
-          var (n, s) = st.getOption
-            .getOrElse((0L, java.math.BigDecimal.ZERO))
-          rows.foreach { case (_, v) =>
-            n += 1
-            if (v != null) s = s.add(v)
-          }
-          st.update((n, s))
-          (user, n, s)
-        })
     val name = "stream_stateful_agg_sink"
-    try spark.catalog.dropTempView(name) catch { case _: Throwable => () }
-    withStreamShuffle(spark, 8) {
+    onStreamSession(spark, 8) { s =>
+      import s.implicits._
+      val src = Tables.normalize(
+        s.readStream.schema(schema).option("basePath", dir)
+          .parquet(s"$dir/events*.parquet"))
+      val typed = src.select(col("user_id"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .as[(Long, java.math.BigDecimal)]
+      val updated = typed.groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+          (user: Long, rows: Iterator[(Long, java.math.BigDecimal)],
+              st: GroupState[(Long, java.math.BigDecimal)]) => {
+            var (n, sum) = st.getOption
+              .getOrElse((0L, java.math.BigDecimal.ZERO))
+            rows.foreach { case (_, v) =>
+              n += 1
+              if (v != null) sum = sum.add(v)
+            }
+            st.update((n, sum))
+            (user, n, sum)
+          })
       val q = updated.toDF("user_id", "n_events", "sum_value")
         .writeStream.outputMode("update")
         .format("memory").queryName(name).start()
       q.processAllAvailable()
       q.stop()
+      s.table(name).groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("sum_value"))).as("m"))
+        .select(col("user_id"), col("m.n_events").as("n_events"),
+          col("m.sum_value").cast("double").as("sum_value"))
     }
-    spark.table(name).groupBy("user_id")
-      .agg(max(struct(col("n_events"), col("sum_value"))).as("m"))
-      .select(col("user_id"), col("m.n_events").as("n_events"),
-        col("m.sum_value").cast("double").as("sum_value"))
   }
 
   /** Multimodal: binary content column + stub decode via per-partition
