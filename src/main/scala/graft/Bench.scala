@@ -36,6 +36,15 @@ final class BenchListener extends SparkListener {
     * the wedge watchdog in [[Bench.main]]. */
   val running =
     new java.util.concurrent.ConcurrentHashMap[Long, (Long, Int, Int)]()
+  /** Task attempts the watchdog killed: tid -> (stageId, partition).
+    * Registered by the watchdog BEFORE it calls killTaskAttempt. */
+  val killedTasks =
+    new java.util.concurrent.ConcurrentHashMap[Long, (Int, Int)]()
+  /** Wall seconds of the slowest RELAUNCHED attempt of a killed task
+    * (same stage+partition, different tid) — the number that proves a
+    * wedge kill bounded the query: a sub-second relaunch means the
+    * stage moved on while the zombie burned CPU off to the side. */
+  val relaunchMsMax = new java.util.concurrent.atomic.AtomicLong(0)
   private val stageNames =
     new java.util.concurrent.ConcurrentHashMap[Int, String]()
 
@@ -45,6 +54,8 @@ final class BenchListener extends SparkListener {
     slowTasks.clear()
     maxTaskCpuNs.set(0)
     running.clear()
+    killedTasks.clear()
+    relaunchMsMax.set(0)
   }
 
   override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
@@ -57,6 +68,11 @@ final class BenchListener extends SparkListener {
 
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
     running.remove(e.taskInfo.taskId)
+    if (!killedTasks.containsKey(e.taskInfo.taskId) &&
+        killedTasks.containsValue((e.stageId, e.taskInfo.index))) {
+      val runMs = e.taskInfo.finishTime - e.taskInfo.launchTime
+      relaunchMsMax.accumulateAndGet(runMs, Math.max(_, _))
+    }
     val m = e.taskMetrics
     if (m != null) {
       maxTaskCpuNs.accumulateAndGet(m.executorCpuTime, Math.max(_, _))
@@ -182,6 +198,7 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_WEDGE_KILL_MS", "45000").toLong
     val currentQuery = new java.util.concurrent.atomic.AtomicReference("")
     val wedgeEvents = new java.util.concurrent.ConcurrentHashMap[String, LongAdder]()
+    val killEvents = new java.util.concurrent.ConcurrentHashMap[String, LongAdder]()
     val watchdog = new Thread(() => {
       val dumped = new java.util.HashSet[Long]()
       val killed = new java.util.HashSet[Long]()
@@ -201,11 +218,17 @@ object Bench {
           }
           if (wedgeKillMs > 0 && age >= wedgeKillMs && !killed.contains(tid)) {
             killed.add(tid)
+            // register BEFORE the kill so the relaunch (same
+            // stage+partition, new tid) is attributed even if it
+            // finishes before this call returns
+            listener.killedTasks.put(tid, (stage, idx))
             val ok = try spark.sparkContext.killTaskAttempt(
               tid, interruptThread = true,
               reason = s"graft wedge watchdog: age=${age / 1000}s") catch {
               case e: Exception => System.err.println(s"[bench-wedge] kill failed: $e"); false
             }
+            if (ok)
+              killEvents.computeIfAbsent(currentQuery.get, _ => new LongAdder).increment()
             System.err.println(
               s"[bench-wedge] KILLED tid=$tid query=${currentQuery.get} age_s=${age / 1000} ok=$ok")
           }
@@ -221,6 +244,7 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val stealRun0 = stealSeconds
     val results = selected.map { case (name, fn) =>
       listener.reset()
       currentQuery.set(name)
@@ -247,6 +271,7 @@ object Bench {
         "task_s" -> listener.taskTimeMs.sum / 1e3,
         "cpu_s" -> listener.taskCpuNs.sum / 1e9,
         "max_task_cpu_s" -> listener.maxTaskCpuNs.get / 1e9,
+        "relaunch_s" -> listener.relaunchMsMax.get / 1e3,
         "steal_s" -> (stealSeconds - steal0),
         "gc_s" -> (driverGcMs - gc0) / 1e3,
         "task_gc_s" -> listener.gcTimeMs.sum / 1e3,
@@ -270,28 +295,47 @@ object Bench {
     }.take(300)
     def f3(d: Double): String = BigDecimal(d)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    // Self-interpreting metric line: per-query steal (box contention)
-    // and max single-task CPU (the wedge signature) ride along in the
-    // SAME stdout line, so a polluted or wedged total is discountable
-    // from BENCH_r{N}.json alone — no stderr diag required. Two decimal
-    // places keeps the line compact (the driver tail-truncates stdout).
     def f2(d: Double): String = BigDecimal(d)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    def diagMap(field: String): String = results.map { case (k, _, _, d) =>
-      "\"" + k + "\":" + f2(d.getOrElse(field, 0.0))
-    }.mkString("{", ",", "}")
-    val stealJson = diagMap("steal_s")
-    val maxCpuJson = diagMap("max_task_cpu_s")
+    // The driver keeps only a ~2 KB tail of stdout and parses the
+    // metric JSON out of it. At 59 queries the wall-time map alone is
+    // ~1.4 KB, so the line must carry per-query DIAG only where it
+    // earns its bytes (round 6 lost the whole line to three 59-entry
+    // maps): wall times for every query at 2 dp, ONE scalar for
+    // box-wide steal, and max single-task CPU (the wedge signature)
+    // only for wedged/killed queries plus the top 8 by wall. Kill
+    // accountability rides along per killed query: kill count and the
+    // relaunched attempt's wall, so the JSON alone shows whether the
+    // 45 s kill bounded the query (fast relaunch + bounded wall = the
+    // zombie burned CPU off to the side; no relaunch = kill failed).
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f2(v) }
+      .mkString("{", ",", "}")
+    val wedgedSet = wedgeEvents.asScala.filter(_._2.sum > 0).keys.toSet
+    val killedSet = killEvents.asScala.filter(_._2.sum > 0).keys.toSet
+    val diagNames = (results.sortBy(-_._2).take(8).map(_._1).toSet
+      ++ wedgedSet ++ killedSet)
+    def diagMap(label: String, field: String, names: Set[String]): String = {
+      val entries = results.collect { case (k, _, _, d) if names(k) =>
+        "\"" + k + "\":" + f2(d.getOrElse(field, 0.0))
+      }
+      if (entries.isEmpty) "" else entries.mkString(s""","$label":{""", ",", "}")
+    }
+    val maxCpuJson = diagMap("max_task_cpu_s", "max_task_cpu_s", diagNames)
+    val relaunchJson = diagMap("relaunch_s", "relaunch_s", killedSet)
     val wedges = {
-      val w = wedgeEvents.asScala.filter(_._2.sum > 0).keys.toSeq.sorted
+      val w = wedgedSet.toSeq.sorted
       if (w.isEmpty) "" else w.map("\"" + _ + "\"").mkString(",\"wedged\":[", ",", "]")
     }
-    // Diag goes to STDERR: the driver keeps only a short tail of the
-    // run's output and parses the metric JSON out of it — rounds 2 and
-    // 3 both lost the metric line (r2: shutdown warnings printed after
-    // it; r3: the inline diag payload alone overflowed the tail). So
+    val kills = {
+      val k = killEvents.asScala.filter(_._2.sum > 0).toSeq.sortBy(_._1)
+      if (k.isEmpty) ""
+      else k.map { case (q, n) => "\"" + q + "\":" + n.sum }
+        .mkString(",\"kills\":{", ",", "}")
+    }
+    // Full per-query diag goes to STDERR: the driver keeps only the
+    // stdout tail and parses the metric JSON out of it — rounds 2, 3
+    // and 6 all lost the metric line (r2: shutdown warnings printed
+    // after it; r3/r6: inline diag payload overflowed the tail). So
     // stdout carries ONE compact line, emitted after spark.stop() so
     // no executor/stream shutdown warning can print behind it.
     val diagJson = results.map { case (k, _, _, d) =>
@@ -305,7 +349,16 @@ object Bench {
     }
     val errJson = if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
     val total = results.collect { case (_, v, None, _) => v }.sum
+    val steal = f2(stealSeconds - stealRun0)
+    def line(diag: String): String =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"steal_s":$steal$diag$errJson,"sf":"$sfDir","failed":${errs.size}}"""
+    // belt-and-braces: if the line would still overflow the driver
+    // tail, shed the diag maps (wall times and kill accountability
+    // outrank per-query CPU forensics, which stderr carries anyway)
+    val full = line(s"$maxCpuJson$relaunchJson$wedges$kills")
+    val out = if (full.length <= 1900) full
+      else line(s"$relaunchJson$wedges$kills")
     try spark.stop() catch { case _: Exception => () }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"steal_s":$stealJson,"max_task_cpu_s":$maxCpuJson$wedges$errJson,"sf":"$sfDir","failed":${errs.size}}""")
+    println(out)
   }
 }
