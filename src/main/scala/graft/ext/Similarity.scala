@@ -185,14 +185,27 @@ object Similarity {
 
   /** Spherical k-means centroids for [[ivfTopK]]: Lloyd's iterations —
     * assign each vector to its max-cosine centroid, re-center each cell
-    * on the exact-decimal component means — from the deterministic
-    * smallest-id seeds. On real embedding distributions the smallest-id
-    * seeds land wherever the ids happen to sit and give unbalanced
-    * cells; a few Lloyd's rounds move the centroids to the density,
-    * which is what recall/latency at scale depend on. Deterministic end
-    * to end (exact decimal sums, ties on cell id), fixed `iters` (no
-    * convergence test keeps the job graph static), empty cells keep
-    * their previous centroid. Returns (cell_id, i, cx). */
+    * on the member direction — from the deterministic smallest-id
+    * seeds. On real embedding distributions the smallest-id seeds land
+    * wherever the ids happen to sit and give unbalanced cells; a few
+    * Lloyd's rounds move the centroids to the density, which is what
+    * recall/latency at scale depend on.
+    *
+    * Re-centering uses the exact-decimal component SUM, not the mean:
+    * cosine assignment is invariant to positive scaling of the
+    * centroid, so the unnormalized sum IS the mean direction — and
+    * dropping the division keeps every step either exact decimal
+    * arithmetic or an IEEE-deterministic double op, which is what lets
+    * a SQL oracle reproduce the trained path bit for bit (a decimal
+    * mean's intermediate scale/rounding is engine-specific). Headroom:
+    * component sums grow with cell size, so DECIMAL(28,12)'s 16
+    * integral digits bound a cell at ~10^15 total magnitude — far past
+    * any per-cell population this trains on (shard the training sample
+    * first at 100 TB, which IVF training wants anyway).
+    *
+    * Deterministic end to end (exact decimal sums, ties on cell id),
+    * fixed `iters` (no convergence test keeps the job graph static),
+    * empty cells keep their previous centroid. Returns (cell_id, i, cx). */
   def kmeansCentroids(corpus: DataFrame, corpusId: Column, corpusVec: Column,
       numCells: Int = 16, iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -219,8 +232,7 @@ object Similarity {
         .select(col("nbr_id"), col("cell_id"))
       val means = membership.join(ccomp, "nbr_id")
         .groupBy(col("cell_id"), col("i"))
-        .agg((sum(col("x").cast(Dec)) / count(lit(1)))
-          .cast("double").as("mx"))
+        .agg(sum(col("x").cast(Dec)).cast("double").as("mx"))
       cent = graft.Tables.materialize(
         cent.join(means, Seq("cell_id", "i"), "left")
           .select(col("cell_id"), col("i"),

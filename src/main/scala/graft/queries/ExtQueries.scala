@@ -101,6 +101,20 @@ object ExtQueries {
       k = 10, numCells = 16, nProbe = 4)
   }
 
+  /** The IVF path production actually runs: cells from 3 Lloyd's
+    * rounds of [[Similarity.kmeansCentroids]] instead of raw seed
+    * vectors. Oracle-expressible because training is exact-decimal
+    * sums + IEEE double ops only (see kmeansCentroids scaladoc) — the
+    * DuckDB twin unrolls the same 3 iterations as CTEs. */
+  def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cent = Similarity.kmeansCentroids(emb, col("vec_id"),
+      col("embedding"), numCells = 16, iters = 3)
+    Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 10, numCells = 16, nProbe = 4, centroids = Some(cent))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats _,
     "text_langid" -> textLangId _,
@@ -114,6 +128,7 @@ object ExtQueries {
     "doc_dedup_cc" -> docDedupCc _,
     "ann_brute_force" -> annBruteForce _,
     "ann_ivf_topk" -> annIvfTopK _,
+    "ann_ivf_kmeans" -> annIvfKmeans _,
     "embed_neardup_lsh" -> embedNearDupLsh _)
 
   // -------------------------------------------------------- oracle SQL
@@ -449,6 +464,96 @@ object ExtQueries {
        |  JOIN norms nq ON nq.vec_id = query_id)
        |SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= 10""".stripMargin
 
+  /** Trained-IVF twin: unrolls kmeansCentroids' 3 Lloyd's iterations
+    * as generated CTE chains (assignment = argmax cosine with
+    * smallest-cell-id ties; re-center = exact-decimal component SUM
+    * cast to double — the scale-invariance trick that makes the
+    * trained path oracle-expressible at all), then the same
+    * probe/rank tail as [[annIvfTopKSql]] against the trained cells.
+    * Constants in lockstep with annIvfKmeans (numCells=16, iters=3,
+    * nProbe=4, k=10). */
+  private val annIvfKmeansSql = {
+    val iters = (0 until 3).map { t =>
+      s"""cn$t AS (
+         |  SELECT cell_id,
+         |    sqrt(CAST(sum(CAST(cx * cx AS DECIMAL(28,12))) AS DOUBLE)) AS sn_cell
+         |  FROM cent$t GROUP BY cell_id),
+         |cd$t AS (
+         |  SELECT comp.vec_id, c.cell_id,
+         |    CAST(sum(CAST(comp.x * c.cx AS DECIMAL(28,12))) AS DOUBLE) AS dot
+         |  FROM comp JOIN cent$t c ON c.i = comp.i
+         |  GROUP BY comp.vec_id, c.cell_id),
+         |mb$t AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT cd.vec_id, cd.cell_id,
+         |      row_number() OVER (PARTITION BY cd.vec_id
+         |        ORDER BY cd.dot / (n.sn * cn.sn_cell) DESC, cd.cell_id ASC) AS r
+         |    FROM cd$t cd
+         |    JOIN norms n ON n.vec_id = cd.vec_id
+         |    JOIN cn$t cn ON cn.cell_id = cd.cell_id) WHERE r = 1),
+         |mn$t AS (
+         |  SELECT mb.cell_id, comp.i,
+         |    CAST(sum(CAST(comp.x AS DECIMAL(28,12))) AS DOUBLE) AS mx
+         |  FROM mb$t mb JOIN comp ON comp.vec_id = mb.vec_id
+         |  GROUP BY mb.cell_id, comp.i),
+         |cent${t + 1} AS (
+         |  SELECT c.cell_id, c.i, coalesce(m.mx, c.cx) AS cx
+         |  FROM cent$t c
+         |  LEFT JOIN mn$t m ON m.cell_id = c.cell_id AND m.i = c.i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $vecCtes,
+       |cent0 AS (
+       |  SELECT ct.cell_id, comp.i, comp.x AS cx
+       |  FROM (SELECT vec_id AS cell_id FROM embeddings
+       |        ORDER BY vec_id LIMIT 16) ct
+       |  JOIN comp ON comp.vec_id = ct.cell_id),
+       |$iters,
+       |tn AS (
+       |  SELECT cell_id,
+       |    sqrt(CAST(sum(CAST(cx * cx AS DECIMAL(28,12))) AS DOUBLE)) AS sn_cell
+       |  FROM cent3 GROUP BY cell_id),
+       |td AS (
+       |  SELECT comp.vec_id, c.cell_id,
+       |    CAST(sum(CAST(comp.x * c.cx AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |  FROM comp JOIN cent3 c ON c.i = comp.i
+       |  GROUP BY comp.vec_id, c.cell_id),
+       |tc AS (
+       |  SELECT td.vec_id, td.cell_id, td.dot / (n.sn * tn.sn_cell) AS ccos
+       |  FROM td JOIN norms n ON n.vec_id = td.vec_id
+       |  JOIN tn ON tn.cell_id = td.cell_id),
+       |cells AS (
+       |  SELECT vec_id AS nbr_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY ccos DESC, cell_id ASC) AS r
+       |    FROM tc) WHERE r = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY ccos DESC, cell_id ASC) AS r
+       |    FROM tc WHERE vec_id < 10) WHERE r <= 4),
+       |cand AS (
+       |  SELECT p.query_id, c.nbr_id
+       |  FROM probes p JOIN cells c ON c.cell_id = p.cell_id),
+       |dots AS (
+       |  SELECT cand.query_id, cand.nbr_id,
+       |    CAST(sum(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |  FROM cand
+       |  JOIN comp a ON a.vec_id = cand.nbr_id
+       |  JOIN comp b ON b.vec_id = cand.query_id AND b.i = a.i
+       |  GROUP BY cand.query_id, cand.nbr_id),
+       |ranked AS (
+       |  SELECT query_id, nbr_id,
+       |    dot / (nc.sn * nq.sn) AS cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dot / (nc.sn * nq.sn) DESC, nbr_id ASC) AS rank
+       |  FROM dots
+       |  JOIN norms nc ON nc.vec_id = nbr_id
+       |  JOIN norms nq ON nq.vec_id = query_id)
+       |SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= 10""".stripMargin
+  }
+
   private val embedNearDupLshSql = {
     // 2 tables x 8 planes x 64 dims — constants in lockstep with
     // embedNearDupLsh's call (numTables=2, numPlanes=8, cap=1000)
@@ -501,5 +606,6 @@ object ExtQueries {
     "doc_dedup_cc" -> docDedupCcSql,
     "ann_brute_force" -> annBruteForceSql,
     "ann_ivf_topk" -> annIvfTopKSql,
+    "ann_ivf_kmeans" -> annIvfKmeansSql,
     "embed_neardup_lsh" -> embedNearDupLshSql)
 }
