@@ -41,6 +41,12 @@ import graft.sink.{EventPoster, PostResult}
   *                                      runs the offline accept-all
   *                                      poster — this container has no
   *                                      egress)
+  *   --max_files_per_trigger N         (streaming: cap files ingested
+  *                                      per micro-batch so a backfill
+  *                                      burst is paced across batches
+  *                                      instead of landing in one; the
+  *                                      reference's Pub/Sub+windowing
+  *                                      paces this naturally)
   *
   * Launch aborts with a CRITICAL log and exit code 1 when the config
   * URI is invalid, missing, or unparseable (`M/main.py:430-437`,
@@ -60,7 +66,8 @@ object Launcher {
       dlqTopicApiErrors: Option[String] = None,
       configUriScheme: String = "gs",
       processedLedgerDir: Option[String] = None,
-      mixpanelApiUrl: Option[String] = None)
+      mixpanelApiUrl: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None)
 
   def parseArgs(argv: Seq[String]): Args = {
     def loop(rest: List[String], acc: Args): Args = rest match {
@@ -86,6 +93,8 @@ object Launcher {
         loop(t, acc.copy(processedLedgerDir = Some(v)))
       case "--mixpanel_api_url" :: v :: t =>
         loop(t, acc.copy(mixpanelApiUrl = Some(v)))
+      case "--max_files_per_trigger" :: v :: t =>
+        loop(t, acc.copy(maxFilesPerTrigger = Some(v.toInt)))
       case other :: _ =>
         throw new IllegalArgumentException(s"Unknown argument: $other")
     }
@@ -193,18 +202,25 @@ object Launcher {
     * committer dir (observed: FileNotFoundException mid-commit). Read
     * a DLQ dir with `recursiveFileLookup` to see all configs' rows.
     * Returns the started queries; [[main]] awaits them. `poster`
-    * overrides the transport (specs inject a counting poster). */
+    * overrides the transport (specs inject a counting poster).
+    * `schema` skips input-schema inference when the caller already
+    * knows it — inference batch-reads the watch dir, which at 10^6
+    * files is a full extra directory listing before the N stream
+    * sources each build their own; a production launch should pass
+    * the declared schema. */
   def startStreams(spark: SparkSession, a: Args, configs: Seq[SourceConfig],
       opts: graft.compile.ConfigCompiler.Options,
-      poster: Option[() => EventPoster] = None)
+      poster: Option[() => EventPoster] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
       : Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
     val dir = a.inputSubscription.getOrElse(
       sys.error("--input_subscription is required in streaming mode"))
-    val schema = spark.read.parquet(dir).schema
+    val inputSchema = schema.getOrElse(spark.read.parquet(dir).schema)
     val post = poster.getOrElse(posterFactory(a))
     configs.filter(_.isParquet).map { cfg =>
       val compiled = StreamingPipeline.transformStreamRouted(
-        spark, cfg, configs, dir, schema, opts)
+        spark, cfg, configs, dir, inputSchema, opts,
+        maxFilesPerTrigger = a.maxFilesPerTrigger)
       StreamingPipeline.sinkStream(compiled, post,
         dlq => a.dlqTopicTransformErrors.foreach(d =>
           dlq.write.mode("append").json(s"$d/${cfg.configId}")),

@@ -40,14 +40,28 @@ object StreamingPipeline {
       .withWatermark("ingest_ts", window)
       .dropDuplicatesWithinWatermark("uri")
 
+  /** Source-side rate control: cap how many newly discovered files a
+    * single micro-batch ingests. The reference's Pub/Sub feed +
+    * 5-minute windowing naturally paces a backfill
+    * (`M/main.py:461-462,506`); a file-stream source without a cap
+    * instead lands an entire backfill-sized burst in ONE micro-batch —
+    * one giant state commit, one giant post. `None` = unpaced. */
+  private def paced(spark: SparkSession, schema: StructType, dir: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n.toLong))
+    r.parquet(dir)
+  }
+
   /** One config's streaming transform: file-source scan under the
     * config's prefix dir -> compiled mapping. The caller guarantees
     * every file under `dir` belongs to `cfg`; for a mixed directory
     * shared by several configs use [[transformStreamRouted]]. */
   def transformStream(spark: SparkSession, cfg: SourceConfig, dir: String,
       schema: StructType,
-      opts: ConfigCompiler.Options = ConfigCompiler.Options()): DataFrame = {
-    val input = spark.readStream.schema(schema).parquet(dir)
+      opts: ConfigCompiler.Options = ConfigCompiler.Options(),
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val input = paced(spark, schema, dir, maxFilesPerTrigger)
     ConfigCompiler.compile(cfg, input, opts).df
   }
 
@@ -62,8 +76,9 @@ object StreamingPipeline {
     * source filter, it never transforms them. */
   def transformStreamRouted(spark: SparkSession, cfg: SourceConfig,
       allConfigs: Seq[SourceConfig], dir: String, schema: StructType,
-      opts: ConfigCompiler.Options = ConfigCompiler.Options()): DataFrame = {
-    val input = spark.readStream.schema(schema).parquet(dir)
+      opts: ConfigCompiler.Options = ConfigCompiler.Options(),
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val input = paced(spark, schema, dir, maxFilesPerTrigger)
       .filter(graft.operators.Router.firstMatchExpr(
         graft.operators.Router.normalizeFileUri(input_file_name()),
         allConfigs) === cfg.configId)

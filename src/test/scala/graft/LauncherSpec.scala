@@ -158,6 +158,64 @@ class LauncherSpec extends SparkSpec {
       Seq("missing_dynamic_event_name"))
   }
 
+  test("streaming rate control: --max_files_per_trigger paces a file " +
+      "burst across micro-batches with mapping intact") {
+    import scala.jdk.CollectionConverters._
+    val watch = Files.createTempDirectory("graft_launch_paced")
+    def writeFlat(target: java.nio.file.Path,
+        rows: Seq[(String, Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_paced_flat")
+      rows.toDF("event_type", "ts_epoch", "uid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/out")
+      val part = Files.list(java.nio.file.Paths.get(s"$tmp/out"))
+        .iterator().asScala
+        .find(p => p.getFileName.toString.startsWith("part-") &&
+          p.toString.endsWith(".parquet")).get
+      Files.copy(part, target)
+    }
+    // a 4-file burst, all present BEFORE the stream starts — the
+    // backfill case that lands in ONE micro-batch without the cap
+    (1 to 4).foreach(i => writeFlat(watch.resolve(s"a_$i.parquet"),
+      Seq((s"burst_$i", 10L + i, s"u$i"), (s"burst_${i}b", 20L + i, s"v$i"))))
+    def mapping(src: String, tgt: String, tpe: String) =
+      s"""{"source_field": "$src", "mixpanel_field": "$tgt", "type": "$tpe"}"""
+    val cfgJson =
+      s"""[{"config_id": "a", "source_gcs_prefix": "$watch/a_",
+         |  "file_type": "PARQUET", "mixpanel_event_name_from_field": "event_type",
+         |  "field_mappings": [${mapping("ts_epoch", "time", "unix_timestamp_auto")},
+         |    ${mapping("uid", "$$user_id", "string")}]}]
+         |""".stripMargin
+    val cfgPath = Files.createTempDirectory("graft_paced_cfg")
+      .resolve("sources.json")
+    Files.writeString(cfgPath, cfgJson)
+    val args = Launcher.parseArgs(Seq(
+      "--mode", "streaming",
+      "--input_subscription", watch.toString,
+      "--source_configs_gcs_uri", s"file://$cfgPath",
+      "--config_uri_scheme", "file",
+      "--max_files_per_trigger", "1"))
+    assert(args.maxFilesPerTrigger.contains(1))
+    val configs = Launcher.loadConfigsOrAbort(spark, args).toOption.get
+    PostedEvents.n.set(0)
+    // explicit schema: the production path that skips the inference
+    // batch-read (and its extra full listing) of the watch dir
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("event_type", org.apache.spark.sql.types.StringType)
+      .add("ts_epoch", org.apache.spark.sql.types.LongType)
+      .add("uid", org.apache.spark.sql.types.StringType)
+    val qs = Launcher.startStreams(spark, args, configs,
+      graft.compile.ConfigCompiler.Options(),
+      poster = Some(() => new EventCountingPoster),
+      schema = Some(schema))
+    qs.foreach(_.processAllAvailable())
+    qs.foreach(_.stop())
+    // every row mapped exactly once...
+    assert(PostedEvents.n.get == 8L)
+    // ...across one micro-batch PER FILE, not one giant batch
+    val batches = qs.head.recentProgress.count(_.numInputRows > 0)
+    assert(batches == 4, s"expected 4 paced micro-batches, got $batches")
+  }
+
   test("parseArgs: required args and unknown flags rejected") {
     intercept[IllegalArgumentException] {
       Launcher.parseArgs(Seq("--mode", "batch")) // no config uri
