@@ -46,13 +46,6 @@ object Similarity {
       .select(col(idName), col("pos").as("i"),
         col("col").cast("double").as(xName))
 
-  /** sqrt of the exact-decimal squared norm, per id. */
-  private def norms(comp: DataFrame, idName: String, xName: String,
-      out: String): DataFrame =
-    comp.groupBy(col(idName))
-      .agg(sqrt(sum((col(xName) * col(xName)).cast(Dec)).cast("double"))
-        .as(out))
-
   /** Exact decimal fold of sum(a[i]*b[i]) as a Column — for small/unit
     * use; hot paths use the exploded-join shape instead. */
   def dotExact(a: Column, b: Column): Column =
@@ -208,31 +201,48 @@ object Similarity {
     * empty cells keep their previous centroid. Returns (cell_id, i, cx). */
   def kmeansCentroids(corpus: DataFrame, corpusId: Column, corpusVec: Column,
       numCells: Int = 16, iters: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // Assignment runs in the array/kernel shape — ONE `vec_dot_dec`
+    // call per (vector, cell) per iteration (N x C kernel calls)
+    // instead of exploding the corpus into N x dim rows and pushing
+    // N x dim x C product rows through a hash agg. Bit-identical by
+    // the kernel's contract (per-product round-to-12dp, exact decimal
+    // sum == the component shape's sum(CAST(x*cx AS DECIMAL))).
+    // Re-centering still needs per-component sums, so the component
+    // view is kept for that step only.
+    val c = graft.Tables.materialize(
+      vectors(corpus, corpusId, corpusVec, "nbr_id", "cv", "sn_c"))
     val ccomp = graft.Tables.materialize(
       components(corpus, corpusId, corpusVec, "nbr_id", "x"))
-    val cnorm = norms(ccomp, "nbr_id", "x", "sn_c")
     val cellIds = corpus.select(corpusId.as("cell_id"))
       .orderBy(col("cell_id").asc).limit(numCells)
     var cent = ccomp.join(broadcast(cellIds),
         col("nbr_id") === col("cell_id"))
       .select(col("cell_id"), col("i"), col("x").as("cx"))
     for (_ <- 1 to iters) {
-      val centNorm = norms(cent, "cell_id", "cx", "sn_cell")
-      val assigned = ccomp.join(broadcast(cent), "i")
-        .groupBy(col("nbr_id"), col("cell_id"))
-        .agg(sum((col("x") * col("cx")).cast(Dec)).cast("double").as("dot"))
-        .join(cnorm, "nbr_id")
-        .join(broadcast(centNorm), "cell_id")
-        .withColumn("ccos", col("dot") / (col("sn_c") * col("sn_cell")))
-      val wA = Window.partitionBy(col("nbr_id"))
-        .orderBy(col("ccos").desc, col("cell_id").asc)
-      val membership = assigned.withColumn("r", row_number().over(wA))
-        .filter(col("r") === 1)
-        .select(col("nbr_id"), col("cell_id"))
+      // (cell_id, cvec, sn_cell): components re-packed in index order
+      val centArr = cent.groupBy(col("cell_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("i"), col("cx")))),
+          s => s.getField("cx")).as("cvec"))
+        .withColumn("sn_cell",
+          sqrt(VecKernels.vecDotDec(col("cvec"), col("cvec")).cast("double")))
+      // nearest cell per vector: aggregated argmax, ties to the
+      // smallest cell id (same order the gated IVF assignment uses)
+      val membership = c.crossJoin(broadcast(centArr))
+        .withColumn("ccos",
+          VecKernels.vecDotDec(col("cv"), col("cvec")).cast("double") /
+            (col("sn_c") * col("sn_cell")))
+        .groupBy(col("nbr_id"))
+        .agg(max_by(col("cell_id"),
+          struct(col("ccos"), (-col("cell_id")).as("nc"))).as("cell_id"))
       val means = membership.join(ccomp, "nbr_id")
         .groupBy(col("cell_id"), col("i"))
         .agg(sum(col("x").cast(Dec)).cast("double").as("mx"))
+      // per-round lineage truncation: measured FASTER than one
+      // end-of-loop truncation even at iters=3 (8.2 s vs 10.6 s for
+      // the gated query) — the nested plan's analysis cost exceeds
+      // the three eager checkpoint jobs (same lesson as doc_dedup_cc
+      // in SKILL.md, visible at 3 rounds already)
       cent = graft.Tables.materialize(
         cent.join(means, Seq("cell_id", "i"), "left")
           .select(col("cell_id"), col("i"),
