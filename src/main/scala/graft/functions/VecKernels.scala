@@ -67,15 +67,55 @@ object VecKernels {
     d
   }
 
+  /** Symmetric int8 quantization of one vector in one codegen'd call:
+    * scale = max|x| over non-null elements, q_i = round-half-away-
+    * from-zero(x_i * 127 / scale) — the 4x storage/bandwidth cut a
+    * 100 TB embedding corpus ships and serves with. |q_i| <= 127 by
+    * construction, so the byte range is safe. Rounding mirrors both
+    * Spark's `round` on DOUBLE (BigDecimal HALF_UP == away from zero)
+    * and DuckDB's `round`, which is what lets the gated query hash-
+    * match a SQL twin. Null elements stay null; an all-zero (or
+    * all-null/empty) vector quantizes to all zeros (scale 0 guard).
+    * Called from generated code — keep the signature JVM-simple. */
+  def quantI8(a: ArrayData, aFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val v = math.abs(if (aFloat) a.getFloat(i).toDouble else a.getDouble(i))
+        if (v > m) m = v
+      }
+      i += 1
+    }
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) out(i) = null
+      else if (m == 0.0) out(i) = 0.toByte
+      else {
+        val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        out(i) = java.math.BigDecimal.valueOf(x * 127.0 / m)
+          .setScale(0, java.math.RoundingMode.HALF_UP).byteValue()
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Column form of [[DecimalVecDot]] (requires [[register]]ed session). */
   def vecDotDec(a: Column, b: Column): Column = call_function("vec_dot_dec", a, b)
 
   /** Exact squared L2 norm. */
   def vecNorm2Dec(a: Column): Column = vecDotDec(a, a)
 
+  /** Column form of [[VecQuantInt8]] (requires [[register]]ed session). */
+  def vecQuantI8(a: Column): Column = call_function("vec_quant_i8", a)
+
   /** SparkSessionExtensions hook: `vec_dot_dec(array<float|double>,
-    * array<float|double>) -> decimal(28,12)`. */
-  def register(ext: SparkSessionExtensions): Unit =
+    * array<float|double>) -> decimal(28,12)` and
+    * `vec_quant_i8(array<float|double>) -> array<tinyint>`. */
+  def register(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot_dec"),
       new ExpressionInfo(classOf[DecimalVecDot].getName, "vec_dot_dec"),
@@ -83,6 +123,14 @@ object VecKernels {
         require(children.size == 2, s"vec_dot_dec takes 2 args, got ${children.size}")
         DecimalVecDot(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_quant_i8"),
+      new ExpressionInfo(classOf[VecQuantInt8].getName, "vec_quant_i8"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, s"vec_quant_i8 takes 1 arg, got ${children.size}")
+        VecQuantInt8(children.head)
+      }))
+  }
 }
 
 /** `sum_i round(a[i]*b[i], 12dp)` as one codegen'd scalar — see
@@ -122,4 +170,38 @@ case class DecimalVecDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DecimalVecDot =
     copy(left = newLeft, right = newRight)
+}
+
+/** Symmetric int8 quantization as one codegen'd scalar — see
+  * [[VecKernels.quantI8]] for the arithmetic contract. */
+case class VecQuantInt8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def elemKind: Option[Boolean] = child.dataType match {
+    case ArrayType(FloatType, _) => Some(true)
+    case ArrayType(DoubleType, _) => Some(false)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemKind.isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_quant_i8 requires an array<float|double> argument, got " +
+        child.dataType.sql)
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = true)
+
+  override def prettyName: String = "vec_quant_i8"
+
+  private lazy val aFloat = elemKind.get
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecKernels.quantI8(a.asInstanceOf[ArrayData], aFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VecKernels.quantI8($a, $aFloat)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VecQuantInt8 = copy(child = newChild)
 }

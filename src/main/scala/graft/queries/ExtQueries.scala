@@ -115,6 +115,18 @@ object ExtQueries {
       k = 10, numCells = 16, nProbe = 4, centroids = Some(cent))
   }
 
+  /** Int8 embedding quantization — the 4x storage/bandwidth cut a
+    * 100 TB embedding corpus ships with: one codegen'd `vec_quant_i8`
+    * call per row, no HOF lambdas, no row expansion. The gate hashes
+    * the quantized vector as a comma string (the gate cannot hash raw
+    * arrays); the dequant scale is max|x|/127, derivable, and the
+    * roundtrip error bound is spec-covered (`VecKernelsSpec`). */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings").select(col("vec_id"),
+      concat_ws(",",
+        graft.functions.VecKernels.vecQuantI8(col("embedding"))
+          .cast("array<string>")).as("qcsv"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats _,
     "text_langid" -> textLangId _,
@@ -129,7 +141,8 @@ object ExtQueries {
     "ann_brute_force" -> annBruteForce _,
     "ann_ivf_topk" -> annIvfTopK _,
     "ann_ivf_kmeans" -> annIvfKmeans _,
-    "embed_neardup_lsh" -> embedNearDupLsh _)
+    "embed_neardup_lsh" -> embedNearDupLsh _,
+    "embed_quantize" -> embedQuantize _)
 
   // -------------------------------------------------------- oracle SQL
   // Hash-heavy oracles are generated programmatically so the SQL stays
@@ -554,6 +567,17 @@ object ExtQueries {
        |SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= 10""".stripMargin
   }
 
+  /** Quantization twin: same max|x| scale over the widened-to-double
+    * component view, same round-half-away-from-zero (DuckDB `round`
+    * == Spark/kernel BigDecimal HALF_UP on ties). */
+  private val embedQuantizeSql =
+    s"""WITH $vecCtes,
+       |m AS (SELECT vec_id, max(abs(x)) AS m FROM comp GROUP BY vec_id)
+       |SELECT e.vec_id,
+       |  array_to_string(list_transform(e.embedding, v ->
+       |    CAST(round(CAST(v AS DOUBLE) * 127 / m.m) AS BIGINT)), ',') AS qcsv
+       |FROM embeddings e JOIN m ON m.vec_id = e.vec_id""".stripMargin
+
   private val embedNearDupLshSql = {
     // 2 tables x 8 planes x 64 dims — constants in lockstep with
     // embedNearDupLsh's call (numTables=2, numPlanes=8, cap=1000)
@@ -607,5 +631,6 @@ object ExtQueries {
     "ann_brute_force" -> annBruteForceSql,
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_ivf_kmeans" -> annIvfKmeansSql,
+    "embed_quantize" -> embedQuantizeSql,
     "embed_neardup_lsh" -> embedNearDupLshSql)
 }

@@ -60,4 +60,51 @@ class VecKernelsSpec extends SparkSpec {
       .as[Double].head()
     assert(got == 0.0)
   }
+
+  test("vec_quant_i8 matches the composed round/array_max twin bit for bit") {
+    val m = array_max(transform($"a", x => abs(x.cast("double"))))
+    val slow = transform($"a",
+      x => round(x.cast("double") * lit(127.0) / m).cast("byte"))
+    val got = vecs.select($"id",
+      VecKernels.vecQuantI8($"a").as("fast"), slow.as("slow"))
+    assert(got.filter(not($"fast" <=> $"slow")).count() == 0)
+  }
+
+  test("vec_quant_i8 roundtrip error is bounded by half a quantization step") {
+    // dequant = q * max|x|/127; worst-case error is half a step
+    val m = array_max(transform($"embedding", x => abs(x.cast("double"))))
+    val err = sf("embeddings").select(
+      array_max(transform(
+        arrays_zip(VecKernels.vecQuantI8($"embedding").as("q"),
+          $"embedding".as("x")),
+        p => abs(p.getField("q").cast("double") * m / lit(127.0) -
+          p.getField("x").cast("double")))).as("e"),
+      (m / lit(254.0)).as("bound"))
+    assert(err.filter($"e" > $"bound" + lit(1e-12)).count() == 0)
+  }
+
+  test("vec_quant_i8 edges: zero vector, null element, empty, null array") {
+    val df = Seq(
+      (1L, Some(Seq(Some(0.0), Some(0.0)))),       // all-zero -> zeros
+      (2L, Some(Seq(Some(2.0), None, Some(-1.0)))), // null element survives
+      (3L, Some(Seq.empty[Option[Double]])),        // empty -> empty
+      (4L, None: Option[Seq[Option[Double]]])       // null array -> null
+    ).toDF("id", "a")
+    val got = df.select($"id", VecKernels.vecQuantI8($"a").as("q"))
+      .as[(Long, Option[Seq[Option[Byte]]])].collect().toMap
+    assert(got(1L).contains(Seq(Some(0.toByte), Some(0.toByte))))
+    assert(got(2L).contains(Seq(Some(127.toByte), None, Some((-64).toByte))))
+    assert(got(3L).contains(Seq.empty))
+    assert(got(4L).isEmpty)
+  }
+
+  test("vec_quant_i8 runs inside whole-stage codegen and via SQL") {
+    val plan = sf("embeddings")
+      .select(VecKernels.vecQuantI8($"embedding").as("q"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [vec_quant_i8"), plan)
+    sf("embeddings").limit(5).createOrReplaceTempView("vk_emb")
+    assert(spark.sql("SELECT vec_quant_i8(embedding) AS q FROM vk_emb")
+      .count() == 5)
+  }
 }
