@@ -71,6 +71,33 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Benchmark decontamination: drop corpus documents sharing at
+    * least `minShared` distinct word n-grams with ANY benchmark
+    * document — the standard pre-training step that removes
+    * evaluation-set leakage from training data.
+    *
+    * Scale shape: the benchmark side is an eval suite — thousands of
+    * documents against a 100 TB corpus — so its DISTINCT gram set is
+    * broadcast and the corpus is filtered in one wide pass: shingle
+    * explode -> broadcast join on gram -> per-doc hit count ->
+    * flagged-id anti-join. The corpus never shuffles on gram content;
+    * the only shuffled frame is the per-doc count of MATCHED grams
+    * (bounded by benchmark overlap, not corpus size). Shingles are
+    * distinct per doc, so the hit count is the distinct-gram overlap
+    * by construction. */
+  def decontaminate(corpus: DataFrame, corpusId: Column, corpusText: Column,
+      bench: DataFrame, benchText: Column, n: Int = 3,
+      minShared: Int = 1): DataFrame = {
+    val bg = shingles(bench, lit(0L), benchText, n)
+      .select(col("gram")).distinct()
+    val cg = shingles(corpus, corpusId, corpusText, n)
+    val flagged = cg.join(broadcast(bg), "gram")
+      .groupBy(col("id")).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minShared)
+      .select(col("id"))
+    corpus.join(flagged, corpusId === col("id"), "left_anti")
+  }
+
   /** Universal-hash-family prime (smallest prime > 2^32). */
   val MinhashP: Long = 4294967311L
 

@@ -115,6 +115,19 @@ object ExtQueries {
       k = 10, numCells = 16, nProbe = 4, centroids = Some(cent))
   }
 
+  /** Benchmark decontamination over the documents table: docs with
+    * `doc_id % 97 == 0` stand in for the eval suite; the rest is the
+    * corpus. A corpus doc sharing >= 3 distinct word 3-grams with any
+    * benchmark doc is dropped. Returns kept doc ids. */
+  def docDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    Dedup.decontaminate(
+      docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+      docs.filter(col("doc_id") % 97 === 0), col("text"),
+      n = 3, minShared = 3)
+      .select(col("doc_id"))
+  }
+
   /** Int8 embedding quantization — the 4x storage/bandwidth cut a
     * 100 TB embedding corpus ships with: one codegen'd `vec_quant_i8`
     * call per row, no HOF lambdas, no row expansion. The gate hashes
@@ -142,7 +155,8 @@ object ExtQueries {
     "ann_ivf_topk" -> annIvfTopK _,
     "ann_ivf_kmeans" -> annIvfKmeans _,
     "embed_neardup_lsh" -> embedNearDupLsh _,
-    "embed_quantize" -> embedQuantize _)
+    "embed_quantize" -> embedQuantize _,
+    "doc_decontaminate" -> docDecontaminate _)
 
   // -------------------------------------------------------- oracle SQL
   // Hash-heavy oracles are generated programmatically so the SQL stays
@@ -567,6 +581,25 @@ object ExtQueries {
        |SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= 10""".stripMargin
   }
 
+  /** Decontamination twin: same 3-gram shape as [[gramsCte]], split
+    * corpus/benchmark on the doc_id % 97 sentinel, >= 3 distinct
+    * shared grams flags a doc. */
+  private val docDecontaminateSql =
+    s"""WITH cg AS (
+       |  SELECT DISTINCT doc_id AS id,
+       |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+       |  FROM (SELECT doc_id, $toks AS t FROM documents WHERE doc_id % 97 <> 0),
+       |       LATERAL (SELECT unnest(range(1, greatest(length(t) - 1, 1))) AS i)),
+       |bg AS (
+       |  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+       |  FROM (SELECT $toks AS t FROM documents WHERE doc_id % 97 = 0),
+       |       LATERAL (SELECT unnest(range(1, greatest(length(t) - 1, 1))) AS i)),
+       |flagged AS (
+       |  SELECT id FROM cg JOIN bg ON bg.gram = cg.gram
+       |  GROUP BY id HAVING count(*) >= 3)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT id FROM flagged)""".stripMargin
+
   /** Quantization twin: same max|x| scale over the widened-to-double
     * component view, same round-half-away-from-zero (DuckDB `round`
     * == Spark/kernel BigDecimal HALF_UP on ties). */
@@ -632,5 +665,6 @@ object ExtQueries {
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_ivf_kmeans" -> annIvfKmeansSql,
     "embed_quantize" -> embedQuantizeSql,
+    "doc_decontaminate" -> docDecontaminateSql,
     "embed_neardup_lsh" -> embedNearDupLshSql)
 }

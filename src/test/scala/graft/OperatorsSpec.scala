@@ -208,6 +208,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate: drops corpus docs sharing n-grams with the " +
+      "benchmark, broadcasts the benchmark side") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // 3 shared grams
+      (2L, "completely unrelated text about spark partitions here"),
+      (3L, "the quick brown cat naps"), // only 1 shared gram ("the quick brown")
+      (4L, "short")                     // < n tokens: no shingles, kept
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over a fence")
+    ).toDF("bid", "btext")
+    val kept = Dedup.decontaminate(corpus, $"doc_id", $"text",
+      bench, $"btext", n = 3, minShared = 3)
+    // doc 1 shares "the quick brown"/"quick brown fox"/"brown fox jumps"
+    // (>= 3) -> dropped; doc 3 shares only 1 -> kept
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(2L, 3L, 4L))
+    // scale shape: the benchmark gram set rides a broadcast join
+    assert(kept.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
   // --------------------------------------------------------- similarity
 
   test("cosine of a vector with itself is 1; topk ranks by similarity") {
