@@ -145,6 +145,41 @@ object Corpus {
       .filter(col("rank") <= k)
   }
 
+  /** Per-document repetition statistics — the Gopher/C4-family
+    * repetition quality signals a pre-training filter thresholds on:
+    *  - `dup_token_ratio`: 1 - distinct/total whitespace tokens
+    *    (0 for an empty token list);
+    *  - `top_bigram_ratio`: occurrences of the most frequent word
+    *    bigram / total bigrams (0 when fewer than 2 tokens).
+    * Shapes: token ratios are per-row array expressions (no shuffle);
+    * bigram stats are one explode + two map-side-combined hash aggs
+    * keyed by doc — no sorts, no windows, O(tokens) shuffle rows.
+    * Integer counts divided once at the end as doubles, so results
+    * are bit-identical across engines. */
+  def repetitionStats(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toked = df.select(id.as("doc_id"),
+      graft.functions.TextFunctions.tokens(text).as("toks"))
+    val base = toked.select(col("doc_id"), size(col("toks")).as("n"),
+      size(array_distinct(col("toks"))).as("nd"))
+    val grams = toked.select(col("doc_id"),
+      explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", slice(col("toks"), i, lit(2)))))
+        .otherwise(array())).as("gram"))
+    val gstats = grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("maxc"), sum(col("c")).as("totc"))
+    base.join(gstats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n") > 0,
+          lit(1.0) - col("nd").cast("double") / col("n").cast("double"))
+          .otherwise(lit(0.0)).as("dup_token_ratio"),
+        when(col("totc") > 0,
+          col("maxc").cast("double") / col("totc").cast("double"))
+          .otherwise(lit(0.0)).as("top_bigram_ratio"))
+  }
+
   /** TF-IDF per (doc, token). `idf` is the RAW ratio |docs| / df —
     * monotone in the textbook log-idf (so rankings agree) but free of
     * `ln`, whose last-ulp rounding differs between libm

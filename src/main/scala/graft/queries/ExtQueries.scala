@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Similarity}
+import graft.ext.{Corpus, Dedup, Similarity}
 import graft.functions.TextFunctions
 
 /** Training-data pipeline operators (SURVEY.md §7.1 `ext`): text
@@ -115,6 +115,12 @@ object ExtQueries {
       k = 10, numCells = 16, nProbe = 4, centroids = Some(cent))
   }
 
+  /** Repetition quality signals (Gopher/C4-family filters):
+    * duplicate-token ratio + most-frequent-bigram fraction per doc. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    Corpus.repetitionStats(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"))
+
   /** Benchmark decontamination over the documents table: docs with
     * `doc_id % 97 == 0` stand in for the eval suite; the rest is the
     * corpus. A corpus doc sharing >= 3 distinct word 3-grams with any
@@ -156,7 +162,8 @@ object ExtQueries {
     "ann_ivf_kmeans" -> annIvfKmeans _,
     "embed_neardup_lsh" -> embedNearDupLsh _,
     "embed_quantize" -> embedQuantize _,
-    "doc_decontaminate" -> docDecontaminate _)
+    "doc_decontaminate" -> docDecontaminate _,
+    "text_repetition" -> textRepetition _)
 
   // -------------------------------------------------------- oracle SQL
   // Hash-heavy oracles are generated programmatically so the SQL stays
@@ -581,6 +588,26 @@ object ExtQueries {
        |SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= 10""".stripMargin
   }
 
+  /** Repetition twin: bigrams via range(1, len) (i in 1..len-1);
+    * integer counts divided once as doubles at the end. */
+  private val textRepetitionSql =
+    s"""WITH t AS (SELECT doc_id, $toks AS t FROM documents),
+       |base AS (SELECT doc_id, length(t) AS n,
+       |         length(list_distinct(t)) AS nd FROM t),
+       |g AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+       |      FROM t, LATERAL (SELECT unnest(range(1, greatest(length(t), 1))) AS i)),
+       |gs AS (SELECT doc_id, max(c) AS maxc, sum(c) AS totc FROM (
+       |       SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+       |       GROUP BY 1)
+       |SELECT b.doc_id,
+       |  CASE WHEN n > 0
+       |    THEN CAST(1 AS DOUBLE) - CAST(nd AS DOUBLE) / CAST(n AS DOUBLE)
+       |    ELSE 0.0 END AS dup_token_ratio,
+       |  CASE WHEN totc > 0
+       |    THEN CAST(maxc AS DOUBLE) / CAST(totc AS DOUBLE)
+       |    ELSE 0.0 END AS top_bigram_ratio
+       |FROM base b LEFT JOIN gs ON gs.doc_id = b.doc_id""".stripMargin
+
   /** Decontamination twin: same 3-gram shape as [[gramsCte]], split
     * corpus/benchmark on the doc_id % 97 sentinel, >= 3 distinct
     * shared grams flags a doc. */
@@ -666,5 +693,6 @@ object ExtQueries {
     "ann_ivf_kmeans" -> annIvfKmeansSql,
     "embed_quantize" -> embedQuantizeSql,
     "doc_decontaminate" -> docDecontaminateSql,
+    "text_repetition" -> textRepetitionSql,
     "embed_neardup_lsh" -> embedNearDupLshSql)
 }

@@ -141,6 +141,20 @@ class CorpusSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1L)))
   }
 
+  test("repetitionStats: known ratios, single-token and repeated-text edges") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // 3 distinct? a,b -> dup 1-2/6; bigrams: "a b"x3,"b a"x2 -> 3/5
+      (2L, "w x y z"),       // all distinct -> 0; all bigrams unique -> 1/3
+      (3L, "solo")           // one token: no bigrams -> 0, dup 0
+    ).toDF("doc_id", "text")
+    val r = graft.ext.Corpus.repetitionStats(docs, $"doc_id", $"text")
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2)))
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(1L) == ((1.0 - 2.0 / 6.0, 3.0 / 5.0)))
+    assert(r(2L) == ((0.0, 1.0 / 3.0)))
+    assert(r(3L) == ((0.0, 0.0)))
+  }
+
   // ------------------------------------------------- gated queries
 
   test("corpus gated queries run at sf0.001 and key invariants hold") {
