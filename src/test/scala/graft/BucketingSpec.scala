@@ -37,6 +37,30 @@ class BucketingSpec extends SparkSpec {
     assert(joined.count() == 1000)
   }
 
+  test("partitioned layout: scan prunes non-matching partitions and " +
+      "pushes content filters to parquet") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_part_layout").toString
+    (1 to 400).map(i => (i.toLong, Seq("en", "de", "fr", "es")(i % 4),
+        s"text $i")).toDF("id", "lang", "text")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    // partition pruning: a lang filter becomes a PartitionFilter and
+    // only lang=en files are opened — at 100 TB this is the difference
+    // between scanning one partition and scanning the corpus
+    val pruned = spark.read.parquet(dir).filter($"lang" === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+    val opened = pruned.select(input_file_name()).distinct()
+      .as[String].collect()
+    assert(opened.nonEmpty && opened.forall(_.contains("lang=en")))
+    assert(pruned.count() == 100)
+    // predicate pushdown: a content filter reaches the parquet reader
+    val pushedPlan = spark.read.parquet(dir).filter($"id" > 390)
+      .queryExecution.executedPlan.toString
+    assert(pushedPlan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,390)"),
+      pushedPlan.take(1500))
+  }
+
   test("salted join equals the plain join on a skewed fixture") {
     // 90% of the big side hits one key — the salting target
     val big = (1 to 2000).map(i =>
