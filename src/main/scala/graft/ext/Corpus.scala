@@ -122,6 +122,83 @@ object Corpus {
       .drop("_h", "_shard")
   }
 
+  // -------------------------------------------- chunking / packing
+
+  /** Sliding-window token chunks: each document's whitespace tokens
+    * split into windows of `chunkSize` tokens starting every `stride`
+    * tokens (stride < chunkSize ⇒ overlapping context windows, the
+    * standard LLM pre-training chunking shape). The final windows may
+    * be shorter than `chunkSize`; documents with zero tokens produce
+    * zero chunks.
+    *
+    * Pure per-row array expressions + one generator — no shuffle at
+    * all: at 100 TB this runs entirely map-side at scan parallelism,
+    * and the output (≈ tokens/stride rows per doc) streams straight
+    * into the next stage or a shard writer. Tokenization is the
+    * single-space split shared with [[vocabTopK]] so results are
+    * byte-identical across engines. */
+  def chunkTokens(df: DataFrame, id: Column, text: Column,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, "chunkSize >= 1")
+    require(stride >= 1, "stride >= 1")
+    val toked = df
+      .select(id.as("doc_id"),
+        filter(split(text, " "), t => t =!= "").as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .filter(col("_n") > 0)
+    toked
+      .select(col("doc_id"), col("_toks"), col("_n"),
+        posexplode(sequence(lit(1), col("_n"), lit(stride)))
+          .as(Seq("_idx", "_start")))
+      .select(col("doc_id"),
+        col("_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("_toks"), col("_start"), lit(chunkSize)))
+          .as("chunk"),
+        least(lit(chunkSize), col("_n") - col("_start") + 1).cast("long")
+          .as("n_tokens"))
+  }
+
+  /** Token-budget sequence packing — the "concatenate the corpus and
+    * cut every `budget` tokens" step that turns documents into
+    * fixed-length training sequences. Documents are laid out in a
+    * deterministic content-hash order inside `nShards` independent
+    * shards; each document gets its starting token `offset` within
+    * its shard (exclusive prefix sum) and the range of training
+    * sequences it lands in: `seq_first = offset div budget`,
+    * `seq_last = (offset + n_tokens - 1) div budget` (a document
+    * straddling a cut belongs to both — the reader duplicates the
+    * boundary doc, exactly like block-packed pre-training data).
+    *
+    * Scale shape: one shuffle on the shard id plus a per-shard window
+    * prefix sum — no global sort, no driver state. Shards are
+    * content-hash balanced (32 hash bits), so at 100 TB each of the
+    * `nShards` prefix sums is an independent, evenly-sized task
+    * chain; sequence ids are per-shard (global id = (shard, seq)).
+    * Zero-token documents are dropped (they occupy no tokens). */
+  def packSequences(df: DataFrame, id: Column, text: Column,
+      budget: Int, nShards: Int): DataFrame = {
+    require(budget >= 1, "budget >= 1")
+    require(nShards >= 1 && nShards <= 65536, "nShards in [1,65536]")
+    val h = md5(id.cast("string"))
+    val base = df
+      .select(id.as("doc_id"), h.as("_h"),
+        size(filter(split(text, " "), t => t =!= "")).cast("long")
+          .as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("shard",
+        pmod(conv(substring(col("_h"), 1, 8), 16, 10).cast("long"),
+          lit(nShards)).cast("long"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("_h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_first", expr(s"offset div $budget"))
+      .withColumn("seq_last", expr(s"(offset + n_tokens - 1) div $budget"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("offset"),
+        col("seq_first"), col("seq_last"))
+  }
+
   // ------------------------------------------------- vocab / tf-idf
 
   /** Whitespace tokens of `text`, one row per (rest-of-row, token).

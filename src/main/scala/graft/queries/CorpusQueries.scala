@@ -107,7 +107,21 @@ object CorpusQueries {
       prefixLen = 24, maxDist = 8)
   }
 
+  /** Sliding 8-token chunks every 4 tokens — the overlapping context
+    * windows of LLM pre-training data prep. Shuffle-free. */
+  def chunkTokens(spark: SparkSession, dir: String): DataFrame =
+    Corpus.chunkTokens(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"), chunkSize = 8, stride = 4)
+
+  /** Token-budget sequence packing: 256-token training sequences over
+    * 4 content-hash shards (offset + straddle range per doc). */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    Corpus.packSequences(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"), budget = 256, nShards = 4)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chunk_tokens" -> chunkTokens _,
+    "pack_sequences" -> packSequences _,
     "dedup_latest" -> dedupLatest _,
     "sample_hash" -> sampleHash _,
     "sample_stratified" -> sampleStratified _,
@@ -118,6 +132,43 @@ object CorpusQueries {
     "edit_distance" -> editDistance _)
 
   val oracleSql: Map[String, String] = Map(
+    "chunk_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |s AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(generate_series(1, n, 4)) AS strt
+        |  FROM n)
+        |SELECT doc_id,
+        |  CAST((strt - 1) // 4 AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(toks, strt, strt + 7), ' ') AS chunk,
+        |  CAST(least(8, n - strt + 1) AS BIGINT) AS n_tokens
+        |FROM s""".stripMargin,
+    "pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, h, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    ('0x' || substr(h, 1, 8))::BIGINT % 4 AS shard
+        |  FROM d WHERE n_tokens > 0),
+        |o AS (
+        |  SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY shard ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS "offset"
+        |  FROM s)
+        |SELECT doc_id, shard, n_tokens, "offset",
+        |  CAST("offset" // 256 AS BIGINT) AS seq_first,
+        |  CAST(("offset" + n_tokens - 1) // 256 AS BIGINT) AS seq_last
+        |FROM o""".stripMargin,
     "dedup_latest" ->
       """SELECT user_id, event_type, epoch_us(ts) AS us, event_id, value
         |FROM (SELECT *, row_number() OVER (

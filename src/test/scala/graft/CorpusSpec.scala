@@ -155,6 +155,74 @@ class CorpusSpec extends SparkSpec {
     assert(r(3L) == ((0.0, 0.0)))
   }
 
+  // ------------------------------------------ chunking / packing
+
+  test("chunkTokens: overlapping windows, short tail, empty doc dropped") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6"),  // 6 tokens, size 4 stride 2
+      (2L, "only"),
+      (3L, "  "))                 // no tokens -> no chunks
+      .toDF("doc_id", "text")
+    val got = Corpus.chunkTokens(docs, $"doc_id", $"text", 4, 2)
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t3 t4 t5 t6", 4L),
+      (1L, 2L, "t5 t6", 2L),
+      (2L, 0L, "only", 1L)))
+  }
+
+  test("chunkTokens with stride == size tiles without overlap") {
+    val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Corpus.chunkTokens(docs, $"doc_id", $"text", 5, 5)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._2)
+    assert(got.length == 2)
+    assert(got(0)._3 == "w1 w2 w3 w4 w5" && got(1)._3 == "w6 w7 w8 w9 w10")
+    // every token appears exactly once across chunks
+    assert(got.flatMap(_._3.split(" ")).length == 10)
+  }
+
+  test("packSequences: offsets are exclusive prefix sums; straddle range " +
+      "is correct; layout is partitioning-independent") {
+    val docs = (1L to 40L).map(i => (i, Seq.fill(10)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Corpus.packSequences(docs, $"doc_id", $"text",
+      budget = 16, nShards = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 40)
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val inOrder = rows.sortBy(_._4)
+      // offsets within a shard are the running sum of earlier docs
+      inOrder.zipWithIndex.foreach { case ((_, _, n, off, f, l), i) =>
+        assert(n == 10L)
+        assert(off == 10L * i)
+        assert(f == off / 16)
+        assert(l == (off + n - 1) / 16)
+        // a 10-token doc on a 16 budget straddles at most one cut
+        assert(l - f <= 1)
+      }
+    }
+    // content-derived: identical on a different input partitioning
+    val again = Corpus.packSequences(docs.repartition(7), $"doc_id",
+      $"text", budget = 16, nShards = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
+
+  test("packSequences drops zero-token docs and every sequence id in " +
+      "[0, last] is produced") {
+    val docs = Seq((1L, "a b c"), (2L, ""), (3L, "d e"), (4L, "f"))
+      .toDF("doc_id", "text")
+    val got = Corpus.packSequences(docs, $"doc_id", $"text",
+      budget = 2, nShards = 1)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == Set(1L, 3L, 4L))
+    // total 6 tokens, budget 2 -> sequences 0,1,2 all covered
+    val covered = got.flatMap(r => r._5 to r._6).toSet
+    assert(covered == Set(0L, 1L, 2L))
+  }
+
   // ------------------------------------------------- gated queries
 
   test("corpus gated queries run at sf0.001 and key invariants hold") {
