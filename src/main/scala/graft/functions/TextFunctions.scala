@@ -85,6 +85,48 @@ object TextFunctions {
     }
   }
 
+  // ------------------------------------------------ scrubbing / PII
+
+  /** PII patterns, chosen to behave identically under Java regex
+    * (Spark) and RE2 (DuckDB): no backreferences, no lookaround,
+    * ASCII classes only. Order matters — emails are redacted before
+    * phone-ish digit runs so the digits in a local-part aren't eaten
+    * first. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\+?\\d[\\d.-]{6,}\\d"
+
+  /** PII redaction: emails → `<EMAIL>`, IPv4 addresses → `<IP>`,
+    * phone-ish digit runs → `<PHONE>`. Pure codegen'd
+    * `regexp_replace` chain — per-row, shuffle-free, linear at any
+    * scale. The corpus-scrub pass run before text ships to training. */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+    regexp_replace(noIp, PhonePattern, "<PHONE>")
+  }
+
+  /** Count of PII matches a scrub would redact (audit metric). Each
+    * stage counts on the PREVIOUS stage's redacted text, so an IP is
+    * never double-counted as a phone-ish digit run — the count equals
+    * the number of replacement tokens [[redactPii]] emits. */
+  def piiCount(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+    regexp_count(text, lit(EmailPattern)) +
+      regexp_count(noEmail, lit(Ipv4Pattern)) +
+      regexp_count(noIp, lit(PhonePattern))
+  }
+
+  /** Whole-word masking: every occurrence of `word` (word-boundary
+    * delimited) → `<MASK>` — the targeted-token scrub (stop tokens,
+    * eval markers, canary strings). `word` must be a regex-literal
+    * token (alphanumeric). */
+  def maskWord(text: Column, word: String): Column = {
+    require(word.matches("[A-Za-z0-9]+"), "maskWord takes a plain token")
+    regexp_replace(text, "\\b" + word + "\\b", "<MASK>")
+  }
+
   /** Exact document fingerprint (content hash). */
   def fingerprint(text: Column): Column = md5(text)
 

@@ -45,6 +45,21 @@ object ExtQueries {
       canonicalFingerprint(col("text")).as("canon_fp"))
   }
 
+  /** Corpus scrub: PII redaction + whole-word masking, with audit
+    * counts. The PII patterns hit zero on the synthetic corpus —
+    * which still pins the regex dialects cross-engine — while the
+    * word mask exercises real replacements on every row. */
+  def textScrub(spark: SparkSession, dir: String): DataFrame = {
+    import TextFunctions._
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      substring(maskWord(redactPii(col("text")), "data"), 1, 120)
+        .as("scrubbed"),
+      regexp_count(col("text"), lit("\\bdata\\b")).cast("long")
+        .as("n_masked"),
+      piiCount(col("text")).cast("long").as("n_pii"))
+  }
+
   // --------------------------------------------------------------- dedup
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -150,6 +165,7 @@ object ExtQueries {
     "text_stats" -> textStats _,
     "text_langid" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,
+    "text_scrub" -> textScrub _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_minhash_sig" -> dedupMinhashSig _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
@@ -174,6 +190,35 @@ object ExtQueries {
     TextFunctions.EnglishStopwords.map(s => s"'$s'").mkString(", ")
 
   private val toks = "string_split_regex(trim(text), '\\s+')"
+
+  // The pattern constants interpolate verbatim: DuckDB single-quoted
+  // literals don't process backslash escapes, so `\b`/`\d` reach RE2
+  // exactly as Java regex saw them (both dialects: ASCII classes, no
+  // backrefs — see TextFunctions PII docs).
+  private val emailSql = TextFunctions.EmailPattern
+  private val ipv4Sql = TextFunctions.Ipv4Pattern
+  private val phoneSql = TextFunctions.PhonePattern
+
+  private val textScrubSql =
+    s"""SELECT doc_id,
+       |  substr(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |    text,
+       |    '$emailSql', '<EMAIL>', 'g'),
+       |    '$ipv4Sql', '<IP>', 'g'),
+       |    '$phoneSql', '<PHONE>', 'g'),
+       |    '\\bdata\\b', '<MASK>', 'g'), 1, 120) AS scrubbed,
+       |  CAST(len(regexp_extract_all(text, '\\bdata\\b')) AS BIGINT)
+       |    AS n_masked,
+       |  CAST(len(regexp_extract_all(text, '$emailSql'))
+       |     + len(regexp_extract_all(
+       |         regexp_replace(text, '$emailSql', '<EMAIL>', 'g'),
+       |         '$ipv4Sql'))
+       |     + len(regexp_extract_all(
+       |         regexp_replace(regexp_replace(text, '$emailSql',
+       |           '<EMAIL>', 'g'), '$ipv4Sql', '<IP>', 'g'),
+       |         '$phoneSql')) AS BIGINT)
+       |    AS n_pii
+       |FROM documents""".stripMargin
 
   private val textStatsSql =
     s"""SELECT doc_id,
@@ -681,6 +726,7 @@ object ExtQueries {
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,
+    "text_scrub" -> textScrubSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

@@ -357,6 +357,34 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1).getString(2) == "de")
   }
 
+  test("redactPii scrubs emails, IPs and phone runs; clean text unchanged") {
+    val df = Seq(
+      "write to alice.smith+spam@mail-host.example.org today",
+      "server at 10.0.255.3 answered",
+      "call +1-555-867-5309 or 5558675309 now",
+      "no pii here at all",
+      "mixed: bob@x.io from 192.168.1.1 dialed 555-123-4567")
+      .toDF("text")
+    val got = df.select(TextFunctions.redactPii($"text"),
+      TextFunctions.piiCount($"text")).as[(String, Int)].collect()
+    assert(got(0) == (("write to <EMAIL> today", 1)))
+    assert(got(1) == (("server at <IP> answered", 1)))
+    assert(got(2) == (("call <PHONE> or <PHONE> now", 2)))
+    assert(got(3) == (("no pii here at all", 0)))
+    assert(got(4) == (("mixed: <EMAIL> from <IP> dialed <PHONE>", 3)))
+  }
+
+  test("maskWord masks whole words only and rejects non-token input") {
+    val df = Seq("data database data-base dataset my data").toDF("text")
+    val got = df.select(TextFunctions.maskWord($"text", "data"))
+      .as[String].head()
+    // 'database'/'dataset' untouched; 'data-base' has a boundary at '-'
+    assert(got == "<MASK> database <MASK>-base dataset my <MASK>")
+    intercept[IllegalArgumentException] {
+      TextFunctions.maskWord($"text", "a.b")
+    }
+  }
+
   test("canonical fingerprint ignores token order and duplication") {
     val df = Seq(("a", "x y z"), ("b", "z y x x"), ("c", "x y q"))
       .toDF("id", "text")
