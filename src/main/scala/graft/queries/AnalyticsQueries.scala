@@ -133,6 +133,23 @@ object AnalyticsQueries {
       .select(col("c_custkey"), col("c_name"))
   }
 
+  /** Bloom-filtered semi-join (`ext.Bloom.bloomSemiJoin`): lineitem
+    * rows of urgent orders, with the fact side pre-filtered at the
+    * scan by a bloom sketch of the urgent order keys — the runtime-
+    * filter shape that keeps 100 TB fact scans from shuffling rows a
+    * selective dim join will drop anyway. The bloom stage is
+    * semantically invisible (the exact semi-join absorbs its false
+    * positives), so the oracle is the plain `IN` subquery. */
+  def bloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val urgent = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    graft.ext.Bloom.bloomSemiJoin(
+      li, col("l_orderkey"), urgent, col("o_orderkey"),
+      expectedItems = 100000L, fpp = 0.01)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+  }
+
   /** Explicitly salted shuffle join (`ext.Skew.saltedJoin`): lineitem
     * scattered over (key, salt), orders replicated saltsx — the manual
     * skew-mitigation path for keys too hot even for AQE's split. The
@@ -233,6 +250,7 @@ object AnalyticsQueries {
     "window_rank" -> windowRank _,
     "events_window_agg" -> eventsWindowAgg _,
     "semi_anti_join" -> semiAntiJoin _,
+    "bloom_semi_join" -> bloomSemiJoin _,
     "rollup_agg" -> rollupAgg _,
     "salted_join" -> saltedJoinAgg _,
     "quantiles_agg" -> quantilesAgg _,
@@ -297,6 +315,11 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+    "bloom_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')""".stripMargin,
     "semi_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders)

@@ -342,6 +342,38 @@ class OperatorsSpec extends SparkSpec {
     assert(run(5) == 0)      // capped: the giant bucket contributes none
   }
 
+  // -------------------------------------------------------------- bloom
+
+  test("bloomSemiJoin equals the exact semi-join and the bloom prunes") {
+    import graft.ext.Bloom
+    val fact = spark.range(0, 10000).toDF("k")
+    val dim = spark.range(0, 10000, 100).toDF("d") // 1% selectivity
+    val got = Bloom.bloomSemiJoin(fact, $"k", dim, $"d",
+      expectedItems = 100L, fpp = 0.01)
+      .as[Long].collect().toSet
+    val exact = fact.join(dim, $"k" === $"d", "left_semi")
+      .as[Long].collect().toSet
+    assert(got == exact && got.size == 100)
+    // the bloom stage alone prunes the fact side hard (≥ 90% gone)
+    val bits = Bloom.optimalNumBits(100L, 0.01)
+    val bloom = dim.agg(Bloom.bloomAgg($"d", 100L, bits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val passed = fact.filter(Bloom.bloomContains(lit(bloom), $"k")).count()
+    assert(passed >= 100 && passed < 1000)
+  }
+
+  test("bloomSemiJoin stays exact even with an absurdly small bloom") {
+    import graft.ext.Bloom
+    val fact = spark.range(0, 2000).toDF("k")
+    val dim = Seq(3L, 777L, 1999L).toDF("d")
+    // 64 bits for 3 keys -> false positives guaranteed at this size;
+    // the exact semi-join must absorb them all
+    val got = Bloom.bloomSemiJoin(fact, $"k", dim, $"d",
+      expectedItems = 3L, fpp = 0.5)
+      .as[Long].collect().toSet
+    assert(got == Set(3L, 777L, 1999L))
+  }
+
   // --------------------------------------------------------------- text
 
   test("text functions: counts, ratios, langid markers") {
