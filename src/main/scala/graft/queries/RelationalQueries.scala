@@ -132,6 +132,22 @@ object RelationalQueries {
     * makes the result bit-identical on any partitioning AND on a
     * single-node engine evaluating the same formula — which is what
     * the oracle checks. */
+  /** Schema-drift union: two event projections with different column
+    * sets merged by NAME (`unionByName(allowMissingColumns = true)`),
+    * missing columns null-padded — the schema-evolution shape a lake
+    * hits when a new field starts appearing in fresh drops. Position
+    * unions would silently mis-bind here; name unions stay correct as
+    * schemas drift. */
+  def unionByNameDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    clicks.unionByName(purchases, allowMissingColumns = true)
+  }
+
   def statsAgg(spark: SparkSession, dir: String): DataFrame = {
     val q = dec(col("l_quantity"))
     val p = dec(col("l_extendedprice"))
@@ -255,6 +271,7 @@ object RelationalQueries {
     "pivot_agg" -> pivotAgg _,
     "cube_agg" -> cubeAgg _,
     "explode_embed" -> explodeEmbed _,
+    "union_by_name" -> unionByNameDrift _,
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
@@ -362,5 +379,11 @@ object RelationalQueries {
         |  (n * sxy - sx * sy) /
         |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
         |    AS corr_qty_price
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+    "union_by_name" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'click'
+        |UNION ALL BY NAME
+        |SELECT event_id, user_id, CAST(props->>'k' AS BIGINT) AS k
+        |FROM events WHERE event_type = 'purchase'""".stripMargin)
 }

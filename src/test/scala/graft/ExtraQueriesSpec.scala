@@ -90,4 +90,28 @@ class ExtraQueriesSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("schema evolution: mergeSchema unions drifted parquet drops; " +
+      "unionByName null-pads missing columns") {
+    val dir = "/tmp/graft_schema_drift_spec"
+    // old drop: (id, v); new drop adds a column: (id, v, extra)
+    spark.range(0, 5).select(col("id"), lit(1.0).as("v"))
+      .write.mode("overwrite").parquet(s"$dir/d=1")
+    spark.range(5, 8)
+      .select(col("id"), lit(2.0).as("v"), lit("n").as("extra"))
+      .write.mode("overwrite").parquet(s"$dir/d=2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/d=1", s"$dir/d=2")
+    assert(merged.columns.toSet == Set("id", "v", "extra"))
+    assert(merged.count() == 8)
+    // rows from the old drop carry null in the new column
+    assert(merged.filter(col("extra").isNull).count() == 5)
+    // the programmatic twin: unionByName over mismatched frames
+    val a = spark.range(0, 3).select(col("id"), lit("x").as("only_a"))
+    val b = spark.range(3, 5).select(col("id"), lit(7L).as("only_b"))
+    val u = a.unionByName(b, allowMissingColumns = true)
+    assert(u.columns.toSet == Set("id", "only_a", "only_b"))
+    assert(u.filter(col("only_b").isNull).count() == 3)
+    assert(u.filter(col("only_a").isNull).count() == 2)
+  }
 }
