@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ext.Corpus
+import graft.functions.TextFunctions
 
 /** Corpus-preparation gated queries ([[graft.ext.Corpus]]): the
   * deterministic sampling / compaction / vocabulary passes of a
@@ -119,9 +120,37 @@ object CorpusQueries {
     Corpus.packSequences(Tables(spark, dir, "documents"),
       col("doc_id"), col("text"), budget = 256, nShards = 4)
 
+  /** End-to-end corpus preparation — the flagship composition a
+    * training-data pipeline actually runs, each stage one of the
+    * library's operators:
+    *   1. quality gate (token count ≥ 20, punctuation ratio < 0.2);
+    *   2. exact near-dup collapse on the canonical fingerprint
+    *      (sorted-distinct-token md5 — catches reorderings), min
+    *      doc_id survives;
+    *   3. PII scrub ([[TextFunctions.redactPii]]);
+    *   4. tiling 64-token chunks ([[Corpus.chunkTokens]]).
+    * Stages 1, 3, 4 are shuffle-free per-row maps; stage 2 is one
+    * hash aggregation + semi join — at 100 TB the whole prep is two
+    * shuffles end to end. */
+  def corpusPrepE2e(spark: SparkSession, dir: String): DataFrame = {
+    import TextFunctions._
+    val docs = Tables(spark, dir, "documents")
+    val filt = docs.filter(tokenCount(col("text")) >= 20 &&
+      punctRatio(col("text")) < 0.2)
+    val canon = filt.select(col("doc_id"), col("text"),
+      canonicalFingerprint(col("text")).as("cfp"))
+    val keep = canon.groupBy(col("cfp")).agg(min(col("doc_id")).as("doc_id"))
+    val kept = canon.join(keep, Seq("cfp", "doc_id"))
+    val scrubbed = kept.select(col("doc_id"),
+      redactPii(col("text")).as("text"))
+    Corpus.chunkTokens(scrubbed, col("doc_id"), col("text"),
+      chunkSize = 64, stride = 64)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "chunk_tokens" -> chunkTokens _,
     "pack_sequences" -> packSequences _,
+    "corpus_prep_e2e" -> corpusPrepE2e _,
     "dedup_latest" -> dedupLatest _,
     "sample_hash" -> sampleHash _,
     "sample_stratified" -> sampleStratified _,
@@ -132,6 +161,49 @@ object CorpusQueries {
     "edit_distance" -> editDistance _)
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_prep_e2e" ->
+      s"""WITH rt AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\\s+') AS rtoks
+        |  FROM documents),
+        |filt AS (
+        |  SELECT doc_id, text FROM rt
+        |  WHERE length(rtoks) >= 20
+        |    AND (CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) > 0
+        |      THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+        |           / CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+        |      ELSE 0.0 END) < 0.2),
+        |canon AS (
+        |  SELECT doc_id, text,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split_regex(trim(text), '\\s+'))), ' ')) AS cfp
+        |  FROM filt),
+        |keep AS (SELECT cfp, min(doc_id) AS doc_id FROM canon GROUP BY cfp),
+        |kept AS (
+        |  SELECT c.doc_id, c.text FROM canon c
+        |  JOIN keep k ON c.cfp = k.cfp AND c.doc_id = k.doc_id),
+        |scrub AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '${TextFunctions.EmailPattern}', '<EMAIL>', 'g'),
+        |      '${TextFunctions.Ipv4Pattern}', '<IP>', 'g'),
+        |      '${TextFunctions.PhonePattern}', '<PHONE>', 'g') AS text
+        |  FROM kept),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM scrub),
+        |n AS (
+        |  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |s AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(generate_series(1, n, 64)) AS strt
+        |  FROM n)
+        |SELECT doc_id,
+        |  CAST((strt - 1) // 64 AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(toks, strt, strt + 63), ' ') AS chunk,
+        |  CAST(least(64, n - strt + 1) AS BIGINT) AS n_tokens
+        |FROM s""".stripMargin,
     "chunk_tokens" ->
       """WITH t AS (
         |  SELECT doc_id,
