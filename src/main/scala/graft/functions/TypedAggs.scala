@@ -43,4 +43,42 @@ object TypedAggs {
     override def bufferEncoder: Encoder[WSum] = Encoders.product[WSum]
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  /** Bounded-state top-k buffer: the k best (score, id) pairs seen,
+    * ordered score desc then id asc. */
+  final case class TopKBuf(items: Seq[(Double, Long)])
+
+  /** Exact top-k ids per group with O(k) state — the scale-preferred
+    * alternative to `row_number() OVER (PARTITION BY g ORDER BY s)`,
+    * which sorts EVERY group member through the shuffle. This
+    * aggregator's partial buffers never exceed k entries, so the
+    * map side combines each partition down to k rows per group
+    * before anything moves, and a 10⁹-member hot group costs the
+    * shuffle exactly what a 10-member group does.
+    *
+    * Total order (score desc, id asc) makes the result deterministic
+    * under ties; merge is associative+commutative (AQE-safe).
+    * Returns ids only — cross-engine gates compare id lists, never
+    * formatted doubles. */
+  final case class TopKIds(k: Int)
+      extends Aggregator[(Double, Long), TopKBuf, Seq[Long]] {
+    require(k >= 1, "k >= 1")
+    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sortBy(t => (-t._1, t._2)).take(k)
+    override def zero: TopKBuf = TopKBuf(Seq.empty)
+    override def reduce(b: TopKBuf, in: (Double, Long)): TopKBuf =
+      // fast path: a full buffer whose worst entry beats the newcomer
+      // skips the resort (the common case once the group warms up)
+      if (b.items.size == k) {
+        val worst = b.items.last
+        if (in._1 < worst._1 || (in._1 == worst._1 && in._2 > worst._2)) b
+        else TopKBuf(trim(in +: b.items))
+      } else TopKBuf(trim(in +: b.items))
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+      TopKBuf(trim(a.items ++ b.items))
+    override def finish(r: TopKBuf): Seq[Long] = r.items.map(_._2)
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
 }

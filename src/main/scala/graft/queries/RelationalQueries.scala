@@ -186,6 +186,26 @@ object RelationalQueries {
         wm(dec(col("l_extendedprice")), dec(col("l_quantity"))).as("wavg"))
   }
 
+  /** Bounded-state exact top-k per group ([[graft.functions.TypedAggs.TopKIds]]):
+    * top-3 orders by price per priority class WITHOUT a window sort —
+    * partial buffers cap at k entries so the map side pre-combines
+    * every partition to ≤k rows per group before the shuffle (a
+    * row_number window would shuffle and sort every order). Output is
+    * the comma-joined id list: deterministic (score desc, id asc) and
+    * hashable by the cross-engine gate. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(graft.functions.TypedAggs.TopKIds(3),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("_ids"))
+      .select(col("o_orderpriority"),
+        concat_ws(",", transform(col("_ids"), _.cast("string")))
+          .as("top_ids"))
+  }
+
   /** Analytic-window breadth on one totally-ordered window
     * (lag/lead/ntile/percent_rank/cume_dist/first_value): per-customer
     * order history. The ORDER BY includes the unique orderkey, so
@@ -265,6 +285,7 @@ object RelationalQueries {
     "json_typed_agg" -> jsonTypedAgg _,
     "string_funcs" -> stringFuncs _,
     "weighted_avg" -> weightedAvg _,
+    "topk_per_group" -> topkPerGroup _,
     "window_analytics" -> windowAnalytics _,
     "asof_join" -> asofJoin _,
     "range_join" -> rangeJoin _,
@@ -380,6 +401,18 @@ object RelationalQueries {
         |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
         |    AS corr_qty_price
         |FROM m""".stripMargin,
+    "topk_per_group" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER (
+        |      PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn)
+        |    AS top_ids
+        |FROM r WHERE rn <= 3
+        |GROUP BY o_orderpriority""".stripMargin,
     "union_by_name" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE event_type = 'click'

@@ -19,7 +19,7 @@ object PlanAudit {
       plan.linesIterator
         .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema") ||
           l.contains("Join") || l.contains("WholeStageCodegen") ||
-          l.contains("Exchange"))
+          l.contains("Exchange") || l.contains("Filter ("))
         .take(20).foreach(l => println(l.take(200)))
     }
     spark.stop()

@@ -91,6 +91,40 @@ class ExtraQueriesSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("TopKIds: equals the window top-k, ties broken by id, " +
+      "buffer stays bounded, partitioning-independent") {
+    import org.apache.spark.sql.expressions.Window
+    val topk = udaf(graft.functions.TypedAggs.TopKIds(3),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    val df = spark.range(0, 1000)
+      .select((col("id") % 7).as("g"),
+        // collide scores so ties are real: score = id % 50
+        (col("id") % 50).cast("double").as("s"), col("id"))
+    def agg(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("g").agg(topk(col("s"), col("id")).as("ids"))
+        .select(col("g"), concat_ws(",",
+          transform(col("ids"), _.cast("string"))).as("ids"))
+        .as[(Long, String)].collect().toMap
+    val got = agg(df)
+    val w = Window.partitionBy("g").orderBy(col("s").desc, col("id").asc)
+    val exact = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("g").agg(concat_ws(",",
+        transform(sort_array(collect_list(struct(col("rn"), col("id")))),
+          x => x.getField("id").cast("string"))).as("ids"))
+      .as[(Long, String)].collect().toMap
+    assert(got == exact)
+    assert(agg(df.repartition(17)) == got) // AQE/partitioning-safe merge
+    // direct reduce/merge invariants: buffer never exceeds k
+    val a = graft.functions.TypedAggs.TopKIds(2)
+    val full = Seq.tabulate(5)(i => (i.toDouble, i.toLong))
+      .foldLeft(a.zero)(a.reduce)
+    assert(full.items == Seq((4.0, 4L), (3.0, 3L)))
+    val other = Seq((9.0, 9L), (0.5, 8L)).foldLeft(a.zero)(a.reduce)
+    assert(a.merge(full, other).items == Seq((9.0, 9L), (4.0, 4L)))
+    assert(a.finish(a.merge(full, a.zero)) == Seq(4L, 3L))
+  }
+
   test("schema evolution: mergeSchema unions drifted parquet drops; " +
       "unionByName null-pads missing columns") {
     val dir = "/tmp/graft_schema_drift_spec"
