@@ -133,6 +133,34 @@ object AnalyticsQueries {
       .select(col("c_custkey"), col("c_name"))
   }
 
+  /** Ordered event funnel: users progressing view → click → purchase
+    * in event-time order (each stage's first event must not precede
+    * the previous stage's). Every stage is a selective filter + a
+    * `min` hash agg + an equi-join, ALL keyed on user_id — one
+    * partitioning reused across the whole funnel (no window sort over
+    * the event stream, no per-user event collection), so at 100 TB
+    * the funnel costs three co-partitioned passes over progressively
+    * smaller stage frames. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") >= col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") >= col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    v.agg(count(lit(1)).as("n_users"))
+      .withColumn("stage", lit("view"))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit("click")))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit("purchase")))
+      .select(col("stage"), col("n_users"))
+  }
+
   /** Bloom-filtered semi-join (`ext.Bloom.bloomSemiJoin`): lineitem
     * rows of urgent orders, with the fact side pre-filtered at the
     * scan by a bloom sketch of the urgent order keys — the runtime-
@@ -251,6 +279,7 @@ object AnalyticsQueries {
     "events_window_agg" -> eventsWindowAgg _,
     "semi_anti_join" -> semiAntiJoin _,
     "bloom_semi_join" -> bloomSemiJoin _,
+    "funnel_steps" -> funnelSteps _,
     "rollup_agg" -> rollupAgg _,
     "salted_join" -> saltedJoinAgg _,
     "quantiles_agg" -> quantilesAgg _,
@@ -315,6 +344,25 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+    "funnel_steps" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+        |UNION ALL
+        |SELECT 'click', CAST(count(*) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT 'purchase', CAST(count(*) AS BIGINT) FROM p""".stripMargin,
     "bloom_semi_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_orderkey IN (

@@ -91,6 +91,32 @@ class ExtraQueriesSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("funnel ordering: a stage event before the prior stage's first " +
+      "event does not count") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.AnalyticsQueries.funnelSteps(spark, dir)
+      .as[(String, Long)].collect().toMap
+    // funnel is monotone non-increasing by construction
+    assert(got("view") >= got("click") && got("click") >= got("purchase"))
+    assert(got("view") > 0)
+    // hand-check the semantics on a crafted frame via the same shapes:
+    // u1 clicks BEFORE its first view -> no click credit; u2 is in order
+    import org.apache.spark.sql.functions.{min => fmin}
+    val ev = Seq(
+      (1L, "view", 100L), (1L, "click", 50L),
+      (2L, "view", 10L), (2L, "click", 20L), (2L, "purchase", 15L))
+      .toDF("user_id", "event_type", "ts")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy("user_id").agg(fmin($"ts").as("t_view"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, "user_id").filter($"ts" >= $"t_view")
+      .groupBy("user_id").agg(fmin($"ts").as("t_click"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, "user_id").filter($"ts" >= $"t_click")
+    assert(c.select("user_id").as[Long].collect().toSet == Set(2L))
+    assert(p.count() == 0) // u2's purchase precedes its first click
+  }
+
   test("TopKIds: equals the window top-k, ties broken by id, " +
       "buffer stays bounded, partitioning-independent") {
     import org.apache.spark.sql.expressions.Window
