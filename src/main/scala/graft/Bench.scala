@@ -312,7 +312,10 @@ object Bench {
       .mkString("{", ",", "}")
     val wedgedSet = wedgeEvents.asScala.filter(_._2.sum > 0).keys.toSet
     val killedSet = killEvents.asScala.filter(_._2.sum > 0).keys.toSet
-    val diagNames = (results.sortBy(-_._2).take(8).map(_._1).toSet
+    // top-5 (was 8): at 70+ queries the wall map alone nears the
+    // 1.9 KB guard; five slowest + wedged/killed keeps the wedge
+    // signature visible without shedding the whole diag block
+    val diagNames = (results.sortBy(-_._2).take(5).map(_._1).toSet
       ++ wedgedSet ++ killedSet)
     def diagMap(label: String, field: String, names: Set[String]): String = {
       val entries = results.collect { case (k, _, _, d) if names(k) =>

@@ -93,6 +93,40 @@ object Corpus {
       .drop("_rk")
   }
 
+  /** Deterministic weighted sampling: keep a row iff
+    * `hash32(key) < clamp(weight,0,1) · 2³²` — each row kept with
+    * probability equal to its weight, but DETERMINISTICALLY (same
+    * content ⇒ same decision on any engine/partitioning/run, and
+    * appended corpus batches never flip prior decisions). The
+    * quality-weighted corpus downsample: feed a quality score as the
+    * weight and high-quality documents survive proportionally more
+    * often. Pure per-row filter — no shuffle. The comparison is
+    * long-vs-double with both sides exact (hash < 2³² is exact in a
+    * double; the product is one correctly-rounded IEEE multiply), so
+    * engines agree bit-for-bit. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column): DataFrame = {
+    val w = least(greatest(weight, lit(0.0)), lit(1.0))
+    df.filter(
+      graft.functions.TextFunctions.hash32(key.cast("string"))
+        .cast("double") < w * lit(4294967296.0))
+  }
+
+  /** Deterministic mixture sampling: per-stratum keep rates (the
+    * domain-mixing step of training-data prep — oversample curated
+    * sources, downsample bulk crawl). `rates` maps stratum value →
+    * rate in [0,1]; unlisted strata use `defaultRate`. Compiles to a
+    * literal when-chain over the stratum column + one hash compare —
+    * per-row, shuffle-free, broadcast-free. */
+  def mixtureSample(df: DataFrame, stratum: Column, key: Column,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0 && r <= 1),
+      "rates in [0,1]")
+    val rate = rates.toSeq.sortBy(_._1).foldRight(lit(defaultRate): Column) {
+      case ((s, r), els) => when(stratum === s, lit(r)).otherwise(els)
+    }
+    weightedSample(df, key, rate)
+  }
+
   /** Deterministic shard assignment + intra-shard position — the
     * "global shuffle then write N shards" step of training-data prep,
     * expressed so the shuffle is reproducible: shard = first eight hex

@@ -147,7 +147,26 @@ object CorpusQueries {
       chunkSize = 64, stride = 64)
   }
 
+  /** Length-weighted deterministic sample: longer documents kept
+    * proportionally more often (weight = min(n_chars/400, 1)) — the
+    * quality-weighted downsample shape with a stored-column weight. */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    Corpus.weightedSample(Tables(spark, dir, "documents"),
+      col("doc_id"), col("n_chars").cast("double") / lit(400.0))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  /** Domain-mixing sample: per-source keep rates (oversample curated,
+    * downsample bulk), deterministic per doc. */
+  def sampleMixture(spark: SparkSession, dir: String): DataFrame =
+    Corpus.mixtureSample(Tables(spark, dir, "documents"),
+      col("source"), col("doc_id"),
+      rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+      defaultRate = 0.1)
+      .select(col("doc_id"), col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_weighted" -> sampleWeighted _,
+    "sample_mixture" -> sampleMixture _,
     "chunk_tokens" -> chunkTokens _,
     "pack_sequences" -> packSequences _,
     "corpus_prep_e2e" -> corpusPrepE2e _,
@@ -161,6 +180,18 @@ object CorpusQueries {
     "edit_distance" -> editDistance _)
 
   val oracleSql: Map[String, String] = Map(
+    "sample_weighted" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    AS DOUBLE)
+        |  < least(greatest(CAST(n_chars AS DOUBLE) / 400.0, 0.0), 1.0)
+        |    * 4294967296.0""".stripMargin,
+    "sample_mixture" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    AS DOUBLE)
+        |  < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |      WHEN 'src2' THEN 0.25 ELSE 0.1 END) * 4294967296.0""".stripMargin,
     "corpus_prep_e2e" ->
       s"""WITH rt AS (
         |  SELECT doc_id, text,

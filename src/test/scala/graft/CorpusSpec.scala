@@ -57,6 +57,36 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.stratifiedQuota(small, col("g"), col("id"), 7).count() == 4)
   }
 
+  test("weightedSample: rate tracks the weight, is deterministic, " +
+      "and extreme weights are total/empty") {
+    val df = spark.range(4000).toDF("id")
+    val half = Corpus.weightedSample(df, col("id"), lit(0.5))
+      .as[Long].collect().toSet
+    assert(half.size > 1700 && half.size < 2300) // ~50%
+    assert(Corpus.weightedSample(df, col("id"), lit(0.5))
+      .as[Long].collect().toSet == half)        // deterministic
+    assert(Corpus.weightedSample(df, col("id"), lit(1.0)).count() == 4000)
+    assert(Corpus.weightedSample(df, col("id"), lit(0.0)).count() == 0)
+    assert(Corpus.weightedSample(df, col("id"), lit(7.5)).count() == 4000)
+    assert(Corpus.weightedSample(df, col("id"), lit(-3.0)).count() == 0)
+    // monotone: a heavier weight keeps a superset of a lighter one
+    val quarter = Corpus.weightedSample(df, col("id"), lit(0.25))
+      .as[Long].collect().toSet
+    assert(quarter.subsetOf(half))
+  }
+
+  test("mixtureSample applies per-stratum rates with a default") {
+    val df = spark.range(3000)
+      .select(col("id"), (col("id") % 3).cast("string").as("g"))
+    val got = Corpus.mixtureSample(df, col("g"), col("id"),
+      rates = Map("0" -> 1.0, "1" -> 0.25), defaultRate = 0.0)
+    val byG = got.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG("0") == 1000L)                       // rate 1: everything
+    assert(byG.getOrElse("2", 0L) == 0L)            // default 0: nothing
+    val n1 = byG.getOrElse("1", 0L)
+    assert(n1 > 150 && n1 < 350)                    // ~25% of 1000
+  }
+
   test("shardAssign covers [0,n), positions are 1..|shard| and stable") {
     val df = spark.range(500).toDF("id")
     val got = Corpus.shardAssign(df, col("id"), 8)
