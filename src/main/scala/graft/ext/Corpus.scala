@@ -315,6 +315,34 @@ object Corpus {
         col("tfidf"))
   }
 
+  // ------------------------------------------------- outlier trim
+
+  /** Per-group winsorization: clamp `value` to its group's
+    * [`lo`, `hi`] exact percentiles — the outlier-trimming pass run
+    * over corpus quality signals before thresholding (a handful of
+    * garbage documents otherwise drag a percentile-calibrated cutoff).
+    * Adds `winsor_lo`/`winsor_hi` (the group bounds) and `value_w`
+    * (the clamped value; only comparisons, no arithmetic — bit-stable
+    * on any engine).
+    *
+    * Two passes over the input but ONE broadcast-joined bounds frame
+    * (|groups| rows): at 100 TB the bounds aggregation map-side
+    * combines to one row per group per partition, and the clamp pass
+    * is shuffle-free. Exact percentiles sort only within the
+    * aggregation buffers; for extreme cardinality groups swap in
+    * `percentile_approx` upstream. */
+  def winsorize(df: DataFrame, group: Column, value: Column,
+      lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "0 <= lo < hi <= 1")
+    val bounds = df.groupBy(group.as("_wg"))
+      .agg(call_function("percentile", value, lit(lo)).as("winsor_lo"),
+        call_function("percentile", value, lit(hi)).as("winsor_hi"))
+    df.join(broadcast(bounds), group === col("_wg"))
+      .drop("_wg")
+      .withColumn("value_w",
+        least(greatest(value, col("winsor_lo")), col("winsor_hi")))
+  }
+
   // ------------------------------------------- edit-distance verify
 
   /** Exact edit-distance near-dup pairs within blocking groups:

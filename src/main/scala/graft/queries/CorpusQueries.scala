@@ -164,7 +164,22 @@ object CorpusQueries {
       defaultRate = 0.1)
       .select(col("doc_id"), col("source"))
 
+  /** Winsorized value distribution per event type: exact p05/p95
+    * bounds plus how many rows each side clamps — the outlier-trim
+    * audit a quality-signal pipeline reports. */
+  def winsorizeValues(spark: SparkSession, dir: String): DataFrame = {
+    val w = Corpus.winsorize(Tables(spark, dir, "events"),
+      col("event_type"), col("value"), lo = 0.05, hi = 0.95)
+    w.groupBy(col("event_type"))
+      .agg(first(col("winsor_lo")).as("plo"),
+        first(col("winsor_hi")).as("phi"),
+        count(when(col("value") < col("winsor_lo"), 1)).as("n_lo"),
+        count(when(col("value") > col("winsor_hi"), 1)).as("n_hi"),
+        count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "winsorize_values" -> winsorizeValues _,
     "sample_weighted" -> sampleWeighted _,
     "sample_mixture" -> sampleMixture _,
     "chunk_tokens" -> chunkTokens _,
@@ -180,6 +195,18 @@ object CorpusQueries {
     "edit_distance" -> editDistance _)
 
   val oracleSql: Map[String, String] = Map(
+    "winsorize_values" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS plo,
+        |    quantile_cont(value, 0.95) AS phi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, b.plo, b.phi,
+        |  CAST(count(*) FILTER (WHERE e.value < b.plo) AS BIGINT) AS n_lo,
+        |  CAST(count(*) FILTER (WHERE e.value > b.phi) AS BIGINT) AS n_hi,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type, b.plo, b.phi""".stripMargin,
     "sample_weighted" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

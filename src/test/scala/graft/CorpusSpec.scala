@@ -185,6 +185,27 @@ class CorpusSpec extends SparkSpec {
     assert(r(3L) == ((0.0, 0.0)))
   }
 
+  // ------------------------------------------------- outlier trim
+
+  test("winsorize clamps to per-group percentiles; interior untouched") {
+    // group a: 1..100 -> p10=10.9, p90=90.1 (linear interpolation);
+    // group b: constant -> bounds equal, nothing clamps
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      Seq.fill(10)(("b", 5.0))).toDF("g", "v")
+    val w = Corpus.winsorize(df, $"g", $"v", 0.1, 0.9)
+    val a = w.filter($"g" === "a")
+      .select($"v", $"value_w", $"winsor_lo", $"winsor_hi")
+      .as[(Double, Double, Double, Double)].collect()
+    val (lo, hi) = (a.head._3, a.head._4)
+    assert(math.abs(lo - 10.9) < 1e-9 && math.abs(hi - 90.1) < 1e-9)
+    a.foreach { case (v, vw, _, _) =>
+      assert(vw == math.min(math.max(v, lo), hi))
+    }
+    assert(a.count(t => t._2 != t._1) == 20) // 10 clamped each side
+    val b = w.filter($"g" === "b").select($"value_w").as[Double].collect()
+    assert(b.forall(_ == 5.0) && b.length == 10)
+  }
+
   // ------------------------------------------ chunking / packing
 
   test("chunkTokens: overlapping windows, short tail, empty doc dropped") {
