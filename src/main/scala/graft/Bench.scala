@@ -353,14 +353,22 @@ object Bench {
     val errJson = if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
     val total = results.collect { case (_, v, None, _) => v }.sum
     val steal = f2(stealSeconds - stealRun0)
-    def line(diag: String): String =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"steal_s":$steal$diag$errJson,"sf":"$sfDir","failed":${errs.size}}"""
+    def line(queries: String, diag: String): String =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$queries,"steal_s":$steal$diag$errJson,"sf":"$sfDir","failed":${errs.size}}"""
     // belt-and-braces: if the line would still overflow the driver
-    // tail, shed the diag maps (wall times and kill accountability
-    // outrank per-query CPU forensics, which stderr carries anyway)
-    val full = line(s"$maxCpuJson$relaunchJson$wedges$kills")
+    // tail, shed in stages — (1) the diag maps (wall times and kill
+    // accountability outrank per-query CPU forensics, which stderr
+    // carries anyway); (2) sub-0.1 s wall entries (the slow queries
+    // are the ones worth reading; the full map is on stderr). A
+    // parseable partial line always beats a truncated complete one.
+    val full = line(qs, s"$maxCpuJson$relaunchJson$wedges$kills")
+    lazy val noDiag = line(qs, s"$relaunchJson$wedges$kills")
+    lazy val slowQs = results.collect { case (k, v, _, _) if v >= 0.1 =>
+      s"\"" + k + "\":" + f2(v)
+    }.mkString("{", ",", "}")
     val out = if (full.length <= 1900) full
-      else line(s"$relaunchJson$wedges$kills")
+      else if (noDiag.length <= 1900) noDiag
+      else line(slowQs, s"$relaunchJson$wedges$kills")
     try spark.stop() catch { case _: Exception => () }
     println(out)
   }
