@@ -270,8 +270,54 @@ object AnalyticsQueries {
         max(col("us")).as("last_event_us"))
   }
 
+  /** SCD2 history build from a change stream: each user's event stream
+    * becomes validity intervals [valid_from, valid_to) of the
+    * `event_type` state, with consecutive duplicate states collapsed
+    * (the slowly-changing-dimension shape a CDC feed materializes
+    * into). Both windows share one (user_id)×(us, event_id) sort, so
+    * the collapse filter and the `lead` run off a single shuffle+sort;
+    * at 100 TB that is one exchange of the change log, no self-join.
+    * The open interval's end is MaxLong rather than NULL so the gate's
+    * row-sort and hash see a total order. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull ||
+        col("prev_state") =!= col("event_type"))
+      .withColumn("valid_to_us",
+        coalesce(lead(col("us"), 1).over(w), lit(Long.MaxValue)))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("us").as("valid_from_us"), col("valid_to_us"))
+  }
+
+  /** Weekly cohort retention: users bucketed by first-active week,
+    * distinct actives per (cohort_week, active_week). The join back
+    * of the per-user cohort frame is keyed on user_id — the same key
+    * as the `min` aggregation that produced it, so the exchange is
+    * reused — and the distinct-count is the standard two-level
+    * aggregation (no Expand: it is the only aggregate). */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    // one division, then floor: |double error| ≪ the ≥1 µs gap to any
+    // week boundary, so the truncation matches DuckDB's integer `//`
+    val weeks = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(604800000000L))
+          .cast("long").as("week"))
+    val cohort = weeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    weeks.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), col("week").as("active_week"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sessionize" -> sessionize _,
+    "scd2_history" -> scd2History _,
+    "cohort_retention" -> cohortRetention _,
     "q1_agg" -> q1Agg _,
     "q3_join_topk" -> q3JoinTopk _,
     "q5_multijoin" -> q5MultiJoin _,
@@ -286,6 +332,32 @@ object AnalyticsQueries {
     "quantiles_approx_bounds" -> quantilesApproxBounds _)
 
   val oracleSql: Map[String, String] = Map(
+    "scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |  FROM events),
+        |d AS (
+        |  SELECT *, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, us, event_id, event_type FROM d
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type AS state, us AS valid_from_us,
+        |  coalesce(lead(us) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id),
+        |    9223372036854775807) AS valid_to_us
+        |FROM f""".stripMargin,
+    "cohort_retention" ->
+      """WITH w AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id)
+        |SELECT c.cohort_week, w.week AS active_week,
+        |  count(DISTINCT w.user_id) AS n_active
+        |FROM w JOIN c ON w.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |s AS (SELECT user_id, us,

@@ -280,7 +280,29 @@ object RelationalQueries {
           .as("orderkeys"),
         count(lit(1)).as("n"))
 
+  /** MERGE-INTO ([[graft.ext.Merge.upsert]]): fold a deterministic CDC
+    * batch into the orders snapshot — every 10th key re-priced in exact
+    * decimal and re-statused, every 1000th key inserted under a fresh
+    * key range. One co-partitioned full-outer hash join; the oracle is
+    * the same merge written as FULL OUTER JOIN + COALESCE. */
+  def upsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val src = Tables(spark, dir, "orders")
+    val updates = src.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (dec(col("o_totalprice")) * dec(lit(1.1))).cast("double")
+          .as("o_totalprice"))
+      .unionByName(src.filter(col("o_orderkey") % 1000 === 0)
+        .select((col("o_orderkey") + lit(1000000000L)).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice")))
+    graft.ext.Merge.upsert(base, updates, "o_orderkey")
+      .withColumnRenamed("o_orderstatus", "status")
+      .withColumnRenamed("o_totalprice", "totalprice")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "upsert_merge" -> upsertMerge _,
     "array_agg_sorted" -> arrayAggSorted _,
     "json_typed_agg" -> jsonTypedAgg _,
     "string_funcs" -> stringFuncs _,
@@ -296,6 +318,24 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "upsert_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |         CAST(1.1 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, 'N', 1.0
+        |  FROM orders WHERE o_orderkey % 1000 = 0)
+        |SELECT coalesce(base.o_orderkey, upd.o_orderkey) AS o_orderkey,
+        |  CASE WHEN upd.o_orderkey IS NOT NULL
+        |    THEN upd.o_orderstatus ELSE base.o_orderstatus END AS status,
+        |  CASE WHEN upd.o_orderkey IS NOT NULL
+        |    THEN upd.o_totalprice ELSE base.o_totalprice END AS totalprice
+        |FROM base FULL OUTER JOIN upd
+        |  ON base.o_orderkey = upd.o_orderkey""".stripMargin,
     "array_agg_sorted" ->
       """SELECT o_custkey,
         |  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,

@@ -174,4 +174,46 @@ class ExtraQueriesSpec extends SparkSpec {
     assert(u.filter(col("only_b").isNull).count() == 3)
     assert(u.filter(col("only_a").isNull).count() == 2)
   }
+
+  test("Merge.upsert: replace matched, insert new, pass through rest") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val upd = Seq((2L, "B", 99.0), (4L, "d", 40.0),
+      (5L, null.asInstanceOf[String], 50.0))
+      .toDF("k", "s", "v")
+    val got = graft.ext.Merge.upsert(base, upd, "k")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "a", 10.0),  // untouched
+      (2L, "B", 99.0),  // replaced
+      (3L, "c", 30.0),  // untouched
+      (4L, "d", 40.0),  // inserted
+      (5L, null, 50.0))) // inserted; NULL payload survives as NULL
+  }
+
+  test("Merge.upsert rejects schema mismatch") {
+    val base = Seq((1L, "a")).toDF("k", "s")
+    val upd = Seq((1L, 2.0)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      graft.ext.Merge.upsert(base, upd, "k")
+    }
+  }
+
+  test("scd2History: collapses runs, intervals chain, open end is MaxLong") {
+    val got = graft.queries.AnalyticsQueries
+      .scd2History(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Long, Long)].collect()
+      .groupBy(_._1).values
+    got.foreach { rowsOfUser =>
+      val rows = rowsOfUser.sortBy(_._3)
+      // consecutive states differ (the SCD2 collapse invariant)
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._2 != b._2, s"uncollapsed run: $a -> $b")
+          assert(a._4 == b._3, s"gap/overlap: $a -> $b")
+        case _ => ()
+      }
+      assert(rows.last._4 == Long.MaxValue)
+    }
+  }
 }
