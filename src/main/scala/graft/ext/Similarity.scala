@@ -190,65 +190,90 @@ object Similarity {
     * dropping the division keeps every step either exact decimal
     * arithmetic or an IEEE-deterministic double op, which is what lets
     * a SQL oracle reproduce the trained path bit for bit (a decimal
-    * mean's intermediate scale/rounding is engine-specific). Headroom:
-    * component sums grow with cell size, so DECIMAL(28,12)'s 16
-    * integral digits bound a cell at ~10^15 total magnitude — far past
-    * any per-cell population this trains on (shard the training sample
-    * first at 100 TB, which IVF training wants anyway).
+    * mean's intermediate scale/rounding is engine-specific).
+    *
+    * Training input is a deterministic id-mod sample (`sampleMod`):
+    * centroid quality depends on sample density, not corpus size, so
+    * the 100 TB sizing rule is numCells x O(100) training vectors —
+    * pick sampleMod to land there (same rule as FAISS IVF training;
+    * use a hash of the id when ids aren't uniform). The sample is the
+    * ONLY thing training reads: one filtered column-pruned scan, zero
+    * shuffles, then driver-local Lloyd's (see the in-body note).
     *
     * Deterministic end to end (exact decimal sums, ties on cell id),
     * fixed `iters` (no convergence test keeps the job graph static),
     * empty cells keep their previous centroid. Returns (cell_id, i, cx). */
   def kmeansCentroids(corpus: DataFrame, corpusId: Column, corpusVec: Column,
-      numCells: Int = 16, iters: Int = 3): DataFrame = {
-    // Assignment runs in the array/kernel shape — ONE `vec_dot_dec`
-    // call per (vector, cell) per iteration (N x C kernel calls)
-    // instead of exploding the corpus into N x dim rows and pushing
-    // N x dim x C product rows through a hash agg. Bit-identical by
-    // the kernel's contract (per-product round-to-12dp, exact decimal
-    // sum == the component shape's sum(CAST(x*cx AS DECIMAL))).
-    // Re-centering still needs per-component sums, so the component
-    // view is kept for that step only.
-    val c = graft.Tables.materialize(
-      vectors(corpus, corpusId, corpusVec, "nbr_id", "cv", "sn_c"))
-    val ccomp = graft.Tables.materialize(
-      components(corpus, corpusId, corpusVec, "nbr_id", "x"))
-    val cellIds = corpus.select(corpusId.as("cell_id"))
-      .orderBy(col("cell_id").asc).limit(numCells)
-    var cent = ccomp.join(broadcast(cellIds),
-        col("nbr_id") === col("cell_id"))
-      .select(col("cell_id"), col("i"), col("x").as("cx"))
-    for (_ <- 1 to iters) {
-      // (cell_id, cvec, sn_cell): components re-packed in index order
-      val centArr = cent.groupBy(col("cell_id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("i"), col("cx")))),
-          s => s.getField("cx")).as("cvec"))
-        .withColumn("sn_cell",
-          sqrt(VecKernels.vecDotDec(col("cvec"), col("cvec")).cast("double")))
-      // nearest cell per vector: aggregated argmax, ties to the
-      // smallest cell id (same order the gated IVF assignment uses)
-      val membership = c.crossJoin(broadcast(centArr))
-        .withColumn("ccos",
-          VecKernels.vecDotDec(col("cv"), col("cvec")).cast("double") /
-            (col("sn_c") * col("sn_cell")))
-        .groupBy(col("nbr_id"))
-        .agg(max_by(col("cell_id"),
-          struct(col("ccos"), (-col("cell_id")).as("nc"))).as("cell_id"))
-      val means = membership.join(ccomp, "nbr_id")
-        .groupBy(col("cell_id"), col("i"))
-        .agg(sum(col("x").cast(Dec)).cast("double").as("mx"))
-      // per-round lineage truncation: measured FASTER than one
-      // end-of-loop truncation even at iters=3 (8.2 s vs 10.6 s for
-      // the gated query) — the nested plan's analysis cost exceeds
-      // the three eager checkpoint jobs (same lesson as doc_dedup_cc
-      // in SKILL.md, visible at 3 rounds already)
-      cent = graft.Tables.materialize(
-        cent.join(means, Seq("cell_id", "i"), "left")
-          .select(col("cell_id"), col("i"),
-            coalesce(col("mx"), col("cx")).as("cx")))
+      numCells: Int = 16, iters: Int = 3, sampleMod: Long = 1L): DataFrame = {
+    // Training runs DRIVER-SIDE on the collected sample. This is the
+    // deliberate exception to the no-driver-loops rule: the sample is
+    // bounded by construction (caller sizes sampleMod; hard guard
+    // below), and moving Lloyd's off the cluster removes 4 shuffles x
+    // iters + per-round materializations whose scheduling dominated
+    // the distributed trainer at ANY corpus size (the per-iteration
+    // work is O(sample x cells x dim), never corpus-sized). The
+    // arithmetic contract is exactly the distributed operators':
+    // products via BigDecimal.valueOf(x*y) rounded HALF_UP to 12dp
+    // (== vec_dot_dec per-product semantics == CAST(x*y AS
+    // DECIMAL(28,12)) on both engines), exact decimal sums, IEEE
+    // sqrt/div, ties to the smallest cell id — verified bit-for-bit
+    // against the previous in-cluster trainer via the unchanged
+    // DuckDB oracle at sampleMod=1.
+    val spark = corpus.sparkSession
+    val sample: Array[(Long, Array[Double])] = corpus
+      .filter(pmod(corpusId.cast("long"), lit(sampleMod)) === 0)
+      .select(corpusId.cast("long").as("id"),
+        corpusVec.cast("array<double>").as("v"))
+      .filter(size(col("v")) > 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(sample.length >= numCells,
+      s"training sample ${sample.length} < numCells $numCells — lower sampleMod")
+    require(sample.length <= (1 << 20),
+      s"training sample ${sample.length} too large to collect — raise sampleMod")
+    def round12(d: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    def dotDec(a: Array[Double], b: Array[Double]): Double = {
+      var acc = java.math.BigDecimal.ZERO
+      var i = 0
+      while (i < a.length) { acc = acc.add(round12(a(i) * b(i))); i += 1 }
+      acc.doubleValue()
     }
-    cent
+    val norms: Array[Double] = sample.map(v => math.sqrt(dotDec(v._2, v._2)))
+    val cellIds: Array[Long] = sample.take(numCells).map(_._1)
+    var cent: Array[Array[Double]] = sample.take(numCells).map(_._2.clone())
+    for (_ <- 1 to iters) {
+      val snCell = cent.map(c => math.sqrt(dotDec(c, c)))
+      // per-cell exact-decimal component sums (the unnormalized mean
+      // direction); ascending-cell scan with strict > keeps ties on
+      // the smallest cell id, matching the distributed argmax
+      val sums = Array.fill(numCells)(
+        Array.fill(cent(0).length)(java.math.BigDecimal.ZERO))
+      val counts = new Array[Int](numCells)
+      for (((_, v), vi) <- sample.zipWithIndex) {
+        var best = -1; var bestCos = Double.NegativeInfinity
+        for (ci <- 0 until numCells) {
+          val ccos = dotDec(v, cent(ci)) / (norms(vi) * snCell(ci))
+          if (ccos > bestCos) { bestCos = ccos; best = ci }
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) {
+          sums(best)(i) = sums(best)(i).add(round12(v(i))); i += 1
+        }
+      }
+      cent = Array.tabulate(numCells) { ci =>
+        if (counts(ci) == 0) cent(ci) // empty cell keeps its centroid
+        else sums(ci).map(_.doubleValue())
+      }
+    }
+    import spark.implicits._
+    cellIds.zip(cent).toSeq
+      .flatMap { case (cid, c) => c.zipWithIndex.map { case (cx, i) =>
+        (cid, i, cx) } }
+      .toDF("cell_id", "i", "cx")
   }
 
   /** Deterministic hyperplane weight for (plane, dim): md5-derived

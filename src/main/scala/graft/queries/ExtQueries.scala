@@ -117,14 +117,15 @@ object ExtQueries {
   }
 
   /** The IVF path production actually runs: cells from 3 Lloyd's
-    * rounds of [[Similarity.kmeansCentroids]] instead of raw seed
-    * vectors. Oracle-expressible because training is exact-decimal
-    * sums + IEEE double ops only (see kmeansCentroids scaladoc) — the
-    * DuckDB twin unrolls the same 3 iterations as CTEs. */
+    * rounds of [[Similarity.kmeansCentroids]] over a deterministic
+    * 1-in-4 id sample instead of raw seed vectors. Oracle-expressible
+    * because training is exact-decimal sums + IEEE double ops only
+    * (see kmeansCentroids scaladoc) — the DuckDB twin unrolls the
+    * same 3 iterations as CTEs over the same sample (`tcomp`). */
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     val cent = Similarity.kmeansCentroids(emb, col("vec_id"),
-      col("embedding"), numCells = 16, iters = 3)
+      col("embedding"), numCells = 16, iters = 3, sampleMod = 4)
     Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
       emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
       k = 10, numCells = 16, nProbe = 4, centroids = Some(cent))
@@ -560,7 +561,7 @@ object ExtQueries {
          |cd$t AS (
          |  SELECT comp.vec_id, c.cell_id,
          |    CAST(sum(CAST(comp.x * c.cx AS DECIMAL(28,12))) AS DOUBLE) AS dot
-         |  FROM comp JOIN cent$t c ON c.i = comp.i
+         |  FROM tcomp comp JOIN cent$t c ON c.i = comp.i
          |  GROUP BY comp.vec_id, c.cell_id),
          |mb$t AS (
          |  SELECT vec_id, cell_id FROM (
@@ -581,10 +582,11 @@ object ExtQueries {
          |  LEFT JOIN mn$t m ON m.cell_id = c.cell_id AND m.i = c.i)""".stripMargin
     }.mkString(",\n")
     s"""WITH $vecCtes,
+       |tcomp AS (SELECT * FROM comp WHERE vec_id % 4 = 0),
        |cent0 AS (
        |  SELECT ct.cell_id, comp.i, comp.x AS cx
        |  FROM (SELECT vec_id AS cell_id FROM embeddings
-       |        ORDER BY vec_id LIMIT 16) ct
+       |        WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 16) ct
        |  JOIN comp ON comp.vec_id = ct.cell_id),
        |$iters,
        |tn AS (
