@@ -314,10 +314,59 @@ object AnalyticsQueries {
       .agg(countDistinct(col("user_id")).as("n_active"))
   }
 
+  /** Time-series gap fill + forward fill: per-user 5-minute buckets
+    * densified over the user's own [min, max] span (empty buckets get
+    * n=0), with the last seen aggregate carried forward. The dense
+    * axis comes from `sequence`+`explode` on the per-user span — rows
+    * generated distributedly, bounded by span/step per user — and
+    * every stage (agg, span, join-back, fill window) is keyed on
+    * user_id, so one partitioning serves the whole operator. The
+    * forward-fill is `last(ignoreNulls)` over an unbounded-preceding
+    * frame; the first bucket of each user always has data (the span
+    * starts at an observed bucket), so the fill never emits NULL. */
+  def gapfillFfill(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        (floor(unix_micros(col("ts")) / lit(300000000L)) * lit(300L))
+          .cast("long").as("bucket_s"),
+        col("value"))
+      .groupBy(col("user_id"), col("bucket_s"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+    val span = agg.groupBy(col("user_id"))
+      .agg(min(col("bucket_s")).as("lo"), max(col("bucket_s")).as("hi"))
+    val dense = span.select(col("user_id"),
+      explode(sequence(col("lo"), col("hi"), lit(300L))).as("bucket_s"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("bucket_s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.join(agg, Seq("user_id", "bucket_s"), "left")
+      .select(col("user_id"), col("bucket_s"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        last(col("sum_value"), ignoreNulls = true).over(w).as("ffill_value"))
+  }
+
+  /** Hopping (sliding) event-time windows: 10-minute windows every
+    * 5 minutes — each event lands in exactly 2 windows. Spark's
+    * `window(ts, size, slide)` replicates rows at the scan (a
+    * size/slide fan-out, the irreducible cost of overlapping
+    * windows); surfaced as epoch-second starts for the dtype-stable
+    * compare. The DuckDB twin is the equivalent union of two
+    * shifted tumbling aggregations. */
+  def eventsHoppingAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(
+        unix_timestamp(window(col("ts"), "10 minutes", "5 minutes")
+          .getField("start")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sessionize" -> sessionize _,
     "scd2_history" -> scd2History _,
     "cohort_retention" -> cohortRetention _,
+    "gapfill_ffill" -> gapfillFfill _,
+    "events_hopping_agg" -> eventsHoppingAgg _,
     "q1_agg" -> q1Agg _,
     "q3_join_topk" -> q3JoinTopk _,
     "q5_multijoin" -> q5MultiJoin _,
@@ -332,6 +381,37 @@ object AnalyticsQueries {
     "quantiles_approx_bounds" -> quantilesApproxBounds _)
 
   val oracleSql: Map[String, String] = Map(
+    "gapfill_ffill" ->
+      """WITH a AS (
+        |  SELECT user_id, (epoch_us(ts) // 300000000) * 300 AS bucket_s,
+        |    count(*) AS n_obs,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT user_id, min(bucket_s) AS lo, max(bucket_s) AS hi
+        |  FROM a GROUP BY user_id),
+        |f AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi, 300)) AS bucket_s
+        |  FROM s)
+        |SELECT f.user_id, f.bucket_s,
+        |  coalesce(a.n_obs, 0) AS n_obs,
+        |  last_value(a.sv IGNORE NULLS) OVER (
+        |    PARTITION BY f.user_id ORDER BY f.bucket_s
+        |    ROWS UNBOUNDED PRECEDING) AS ffill_value
+        |FROM f LEFT JOIN a
+        |  ON a.user_id = f.user_id AND a.bucket_s = f.bucket_s""".stripMargin,
+    "events_hopping_agg" ->
+      """WITH t AS (
+        |  SELECT (epoch_us(ts) // 1000000 // 300) * 300 AS b,
+        |    event_type, value
+        |  FROM events),
+        |w AS (
+        |  SELECT b AS window_start, event_type, value FROM t
+        |  UNION ALL
+        |  SELECT b - 300, event_type, value FROM t)
+        |SELECT window_start, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "scd2_history" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type

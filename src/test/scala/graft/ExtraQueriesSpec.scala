@@ -199,6 +199,29 @@ class ExtraQueriesSpec extends SparkSpec {
     }
   }
 
+  test("gapfillFfill: dense per-user axis, zero-filled counts, carried value") {
+    val got = graft.queries.AnalyticsQueries
+      .gapfillFfill(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).values
+    got.foreach { rowsOfUser =>
+      val rows = rowsOfUser.sortBy(_._2)
+      // contiguous 300s buckets from the user's first to last
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(b._2 - a._2 == 300L)
+        case _ => ()
+      }
+      // span endpoints are observed; fill never leaves a hole
+      assert(rows.head._3 > 0 && rows.last._3 > 0)
+      rows.foreach { r => assert(!r._4.isNaN) }
+      // a gap bucket carries the previous bucket's value forward
+      rows.sliding(2).foreach {
+        case Array(a, b) if b._3 == 0 => assert(b._4 == a._4)
+        case _ => ()
+      }
+    }
+  }
+
   test("scd2History: collapses runs, intervals chain, open end is MaxLong") {
     val got = graft.queries.AnalyticsQueries
       .scd2History(spark, "/root/testdata/sf0.001")
