@@ -301,7 +301,39 @@ object RelationalQueries {
       .withColumnRenamed("o_totalprice", "totalprice")
   }
 
+  /** Unpivot/melt: wide metric columns → (metric, value) rows — the
+    * inverse of [[pivotAgg]], and the normalization step feature
+    * pipelines run before per-metric aggregation. Spark's `unpivot`
+    * is a scan-side Expand (rows × metrics, no shuffle); the oracle
+    * is the equivalent UNION ALL of per-column projections. */
+  def unpivotMelt(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+
+  /** Fixed-width histogram of order totals: floor(v / width) clamped
+    * to the top bucket — comparisons and one IEEE division per row,
+    * then a tiny hash agg; the per-bucket min/max double as the
+    * boundary check. */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(least(floor(col("o_totalprice") / lit(50000.0)), lit(11.0))
+        .cast("long").as("bucket"), col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "unpivot_melt" -> unpivotMelt _,
+    "value_histogram" -> valueHistogram _,
     "upsert_merge" -> upsertMerge _,
     "array_agg_sorted" -> arrayAggSorted _,
     "json_typed_agg" -> jsonTypedAgg _,
@@ -318,6 +350,25 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "unpivot_melt" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  m AS metric, v AS value
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    'l_quantity' AS m, l_quantity AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber,
+        |    'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber,
+        |    'l_discount', l_discount FROM lineitem)
+        |WHERE l_orderkey % 50 = 0""".stripMargin,
+    "value_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 50000.0), 11.0) AS BIGINT)
+        |    AS bucket,
+        |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
     "upsert_merge" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
