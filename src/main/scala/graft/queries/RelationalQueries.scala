@@ -331,7 +331,60 @@ object RelationalQueries {
         max(col("o_totalprice")).as("hi"),
         sum(dec(col("o_totalprice"))).cast("double").as("total"))
 
+  /** Array-function battery over per-customer order-key lists: set
+    * algebra (intersect/union/except vs the customer's urgent-order
+    * list), slicing, containment — each surfaced as a canonical
+    * sorted joined string (the gate can't hash raw array cells).
+    * Arrays stay bounded per group (a customer's orders). */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders").filter(col("o_custkey") % 25 === 0)
+    val all = ord.groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("ks"))
+    val urgent = ord.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("uks"))
+    def canon(c: org.apache.spark.sql.Column) =
+      concat_ws(",", sort_array(c))
+    all.join(urgent, Seq("o_custkey"), "left")
+      .select(col("o_custkey"),
+        size(col("ks")).cast("long").as("n_orders"),
+        canon(array_intersect(col("ks"), coalesce(col("uks"),
+          array().cast("array<bigint>")))).as("urgent_keys"),
+        canon(array_except(col("ks"), coalesce(col("uks"),
+          array().cast("array<bigint>")))).as("nonurgent_keys"),
+        concat_ws(",", slice(col("ks"), 1, 3)).as("first3"),
+        array_contains(col("ks"), col("o_custkey") * 100)
+          .as("has_own_centikey"),
+        element_at(col("ks"), -1).as("max_key"))
+  }
+
+  /** Conditional-aggregation battery: FILTER-style counts/sums,
+    * universal/existential booleans, argmax/argmin — the grouped
+    * predicate summaries feeding quality dashboards. All partial-
+    * aggregatable single-pass hash aggregation. */
+  def condAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count_if(col("o_totalprice") > 200000.0).as("n_big"),
+        sum(when(col("o_orderpriority") === "1-URGENT",
+          dec(col("o_totalprice"))).otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("double").as("urgent_total"),
+        bool_and(col("o_totalprice") > 0.0).as("all_positive"),
+        bool_or(col("o_totalprice") > 500000.0).as("any_huge"),
+        // ties (real in this data: 257 duplicate prices at sf0.1) are
+        // broken on the order key; the oracle reproduces the same
+        // lexicographic (price, key) order as one exact BIGINT encode
+        // (prices are exact cents, keys < 10^8)
+        max_by(col("o_orderkey"), struct(col("o_totalprice"),
+          col("o_orderkey"))).as("priciest_key"),
+        min_by(col("o_orderkey"), struct(col("o_totalprice"),
+          col("o_orderkey"))).as("cheapest_key"),
+        count(lit(1)).as("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "array_funcs" -> arrayFuncs _,
+    "cond_agg" -> condAgg _,
     "unpivot_melt" -> unpivotMelt _,
     "value_histogram" -> valueHistogram _,
     "upsert_merge" -> upsertMerge _,
@@ -350,6 +403,40 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "array_funcs" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_custkey % 25 = 0),
+        |a AS (
+        |  SELECT o_custkey, list_sort(list(o_orderkey)) AS ks
+        |  FROM o GROUP BY o_custkey),
+        |u AS (
+        |  SELECT o_custkey, list_sort(list(o_orderkey)) AS uks
+        |  FROM o WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
+        |SELECT a.o_custkey,
+        |  CAST(length(a.ks) AS BIGINT) AS n_orders,
+        |  -- DuckDB array_to_string([]) is NULL; Spark concat_ws is ''
+        |  coalesce(array_to_string(list_sort(list_intersect(a.ks,
+        |    coalesce(u.uks, []::BIGINT[]))), ','), '') AS urgent_keys,
+        |  coalesce(array_to_string(list_sort(list_filter(a.ks,
+        |    k -> NOT list_contains(coalesce(u.uks, []::BIGINT[]), k))), ','),
+        |    '') AS nonurgent_keys,
+        |  array_to_string(a.ks[1:3], ',') AS first3,
+        |  list_contains(a.ks, a.o_custkey * 100) AS has_own_centikey,
+        |  a.ks[-1] AS max_key
+        |FROM a LEFT JOIN u ON a.o_custkey = u.o_custkey""".stripMargin,
+    "cond_agg" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent_total,
+        |  bool_and(o_totalprice > 0.0) AS all_positive,
+        |  bool_or(o_totalprice > 500000.0) AS any_huge,
+        |  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT) * 100000000
+        |    + o_orderkey) % 100000000 AS BIGINT) AS priciest_key,
+        |  CAST(min(CAST(round(o_totalprice * 100) AS BIGINT) * 100000000
+        |    + o_orderkey) % 100000000 AS BIGINT) AS cheapest_key,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "unpivot_melt" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |  m AS metric, v AS value
