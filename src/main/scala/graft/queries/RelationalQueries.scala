@@ -382,7 +382,27 @@ object RelationalQueries {
           col("o_orderkey"))).as("cheapest_key"),
         count(lit(1)).as("n"))
 
+  /** Arbitrary GROUPING SETS (the general form under [[rollupAgg]] /
+    * [[cubeAgg]]) with `grouping_id` disambiguating which set each
+    * row came from — NULL-as-aggregated vs NULL-as-value. Runs
+    * through the SQL entry path; one Expand + one hash agg, set
+    * count × input rows map-side. Spark's grouping_id and DuckDB's
+    * GROUPING share bit order (last column = LSB). */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_gsets")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+        |    AS gid,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders_gsets
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |  (o_orderstatus, o_orderpriority))""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "grouping_sets_agg" -> groupingSetsAgg _,
     "array_funcs" -> arrayFuncs _,
     "cond_agg" -> condAgg _,
     "unpivot_melt" -> unpivotMelt _,
@@ -403,6 +423,14 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "grouping_sets_agg" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |  (o_orderstatus, o_orderpriority))""".stripMargin,
     "array_funcs" ->
       """WITH o AS (SELECT * FROM orders WHERE o_custkey % 25 = 0),
         |a AS (
