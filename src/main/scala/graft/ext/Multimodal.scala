@@ -94,6 +94,53 @@ object Multimodal {
       }
   }
 
+  /** Resize output: scaled dimensions + the re-encoded payload's size
+    * and fingerprint. */
+  final case class ResizedMedia(
+      media_id: Long, out_w: Long, out_h: Long, out_bytes: Long,
+      out_fp: String)
+
+  /** Aspect-fit resize to a (targetW, targetH) box, partition-wise with
+    * the per-partition decoder lifecycle. The GEOMETRY is real and
+    * integer-exact (no upscaling; the binding side pins to the target,
+    * the other floors `dim * target / other` — pure integer ops, so the
+    * oracle reproduces it with `//`). The RE-ENCODE is the stub half of
+    * the codec contract (no codecs in this container): the "resampled"
+    * payload is the byte prefix sized by the area ratio
+    * `len * out_w * out_h / (w * h)` — deterministic and size-faithful;
+    * production swaps a real scaler+encoder into the same seam.
+    * Undecodable payloads (w or h = 0) yield a (0,0,0,"") row — the
+    * per-payload error-isolation posture of [[ImageIoDecoder]]. */
+  def resizeMedia(media: DataFrame, targetW: Int, targetH: Int,
+      newDecoder: () => MediaDecoder = () => new FakeDecoder)
+      : Dataset[ResizedMedia] = {
+    require(targetW >= 1 && targetH >= 1, "target box must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val decoder = newDecoder() // per-partition codec handle
+        it.map { case (id, bytes) =>
+          val (w, h, _) = decoder.decode(bytes)
+          if (w <= 0L || h <= 0L) ResizedMedia(id, 0L, 0L, 0L, "")
+          else {
+            val (ow, oh) =
+              if (targetW >= w && targetH >= h) (w, h) // never upscale
+              else if (targetW.toLong * h <= targetH.toLong * w)
+                (targetW.toLong, math.max(1L, h * targetW / w))
+              else (math.max(1L, w * targetH / h), targetH.toLong)
+            val nl = math.max(1L,
+              bytes.length.toLong * ow * oh / (w * h))
+            val out = bytes.take(nl.toInt)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            ResizedMedia(id, ow, oh, nl,
+              md.digest(out).map("%02x".format(_)).mkString)
+          }
+        }
+      }
+  }
+
   /** Frame sampling: fixed-size byte windows at a stride — the shape of
     * video frame extraction (binary slicing is byte-based). One row per
     * sampled frame with its (lowercased) hex rendering; frames past the

@@ -234,6 +234,16 @@ object PipelineQueries {
     Multimodal.sampleFrames(media, frameBytes = 16, stride = 32, maxFrames = 4)
   }
 
+  /** Multimodal: aspect-fit resize into a 320x240 box — integer-exact
+    * geometry over the stub decoder's md5-derived dimensions, area-
+    * ratio payload truncation as the stand-in re-encode (see
+    * [[Multimodal.resizeMedia]]). */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withBinaryContent(
+      Tables(spark, dir, "documents"), "doc_id", "text")
+    Multimodal.resizeMedia(media, targetW = 320, targetH = 240).toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_batch_e2e" -> pipelineBatchE2e _,
     "stream_window_counts" -> streamWindowCounts _,
@@ -241,7 +251,8 @@ object PipelineQueries {
     "stream_stream_join" -> streamStreamJoin _,
     "stream_stateful_agg" -> streamStatefulAgg _,
     "multimodal_features" -> multimodalFeatures _,
-    "multimodal_frames" -> multimodalFrames _)
+    "multimodal_frames" -> multimodalFrames _,
+    "multimodal_resize" -> multimodalResize _)
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_batch_e2e" ->
@@ -288,5 +299,30 @@ object PipelineQueries {
       """SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
         |  lower(hex(encode(substr(text, CAST(i AS INT) * 32 + 1, 16)))) AS frame_hex
         |FROM documents, LATERAL (SELECT unnest(range(0, 4)) AS i)
-        |WHERE substr(text, CAST(i AS INT) * 32 + 1, 16) <> ''""".stripMargin)
+        |WHERE substr(text, CAST(i AS INT) * 32 + 1, 16) <> ''""".stripMargin,
+    // geometry in lockstep with Multimodal.resizeMedia (320x240 box,
+    // integer floor divisions, no upscale, min-1 clamps); payload =
+    // area-ratio prefix of the (ASCII) text, like the frames oracle
+    "multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text,
+        |    octet_length(encode(text)) AS len,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT % 640 + 1 AS w,
+        |    (('0x' || substr(md5(text), 1, 8))::BIGINT // 640) % 480 + 1 AS h
+        |  FROM documents),
+        |d AS (
+        |  SELECT media_id, text, len, w, h,
+        |    CASE WHEN 320 >= w AND 240 >= h THEN w
+        |         WHEN 320 * h <= 240 * w THEN 320
+        |         ELSE greatest(1, (w * 240) // h) END AS out_w,
+        |    CASE WHEN 320 >= w AND 240 >= h THEN h
+        |         WHEN 320 * h <= 240 * w THEN greatest(1, (h * 320) // w)
+        |         ELSE 240 END AS out_h
+        |  FROM m)
+        |SELECT media_id, out_w, out_h,
+        |  greatest(1, (len * out_w * out_h) // (w * h)) AS out_bytes,
+        |  md5(substr(text, 1,
+        |    CAST(greatest(1, (len * out_w * out_h) // (w * h)) AS INT)))
+        |    AS out_fp
+        |FROM d""".stripMargin)
 }

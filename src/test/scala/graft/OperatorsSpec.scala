@@ -467,4 +467,39 @@ class OperatorsSpec extends SparkSpec {
     assert(f(3L).n_bytes == rows(2)._2.length.toLong)
     assert(f.values.map(_.fp).toSet.size == 3) // payload-content md5
   }
+
+  test("multimodal: resize geometry — aspect fit, no upscale, min-1 " +
+      "clamp, area-ratio payload, undecodable isolation") {
+    // decoder that reads dimensions from a "WxH:" payload prefix
+    class PrefixDims extends Multimodal.MediaDecoder {
+      def decode(bytes: Array[Byte]): (Long, Long, String) = {
+        val s = new String(bytes, "UTF-8")
+        val m = "^(\\d+)x(\\d+):".r.findFirstMatchIn(s)
+        m.map(g => (g.group(1).toLong, g.group(2).toLong, "fp"))
+          .getOrElse((0L, 0L, "fp"))
+      }
+    }
+    def pay(prefix: String) = prefix + "p" * (100 - prefix.length)
+    val rows = Seq(
+      (1L, pay("640x480:")), // exact 2x downscale
+      (2L, pay("1000x001:")), // extreme aspect: min-1 clamp
+      (3L, pay("100x50:")), // fits the box: untouched
+      (4L, pay("nodims:"))) // undecodable
+    val media = rows.toDF("media_id", "text")
+      .select($"media_id", $"text".cast("binary").as("content"))
+      .repartition(2)
+    val r = Multimodal.resizeMedia(media, 320, 240, () => new PrefixDims)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(r(1L).out_w == 320L && r(1L).out_h == 240L)
+    assert(r(1L).out_bytes == 100L / 4) // area ratio 1/4 of 100 bytes
+    assert(r(2L).out_w == 320L && r(2L).out_h == 1L) // floor(320/1000)->1
+    assert(r(3L).out_w == 100L && r(3L).out_h == 50L) // no upscale
+    assert(r(3L).out_bytes == 100L) // untouched payload size
+    assert(r(4L) == Multimodal.ResizedMedia(4L, 0L, 0L, 0L, ""))
+    // the stub re-encode is the deterministic payload prefix
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest(rows.head._2.getBytes("UTF-8").take(25))
+      .map("%02x".format(_)).mkString
+    assert(r(1L).out_fp == expect)
+  }
 }
