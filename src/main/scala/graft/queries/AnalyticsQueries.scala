@@ -331,11 +331,18 @@ object AnalyticsQueries {
     * sf0.1 (6.9 s vs 1.2 s bench, all columns evaluated) and the gap
     * widens with sparsity, which is the 100 TB regime. */
   def gapfillFfill(spark: SparkSession, dir: String): DataFrame = {
+    // one explicit user_id exchange serves BOTH the bucket aggregation
+    // (HashPartitioning(user_id) satisfies the (user_id, bucket_s)
+    // clustering — subset rule) and the lead() window: audited 2
+    // exchanges -> 1. The forfeited map-side partial agg is near-free
+    // here — (user, bucket) groups are fine-grained, so partial
+    // buffers barely shrink the shuffle.
     val agg = Tables(spark, dir, "events")
       .select(col("user_id"),
         (floor(unix_micros(col("ts")) / lit(300000000L)) * lit(300L))
           .cast("long").as("bucket_s"),
         col("value"))
+      .repartition(col("user_id"))
       .groupBy(col("user_id"), col("bucket_s"))
       .agg(count(lit(1)).as("n_obs"),
         sum(dec(col("value"))).cast("double").as("sum_value"))
