@@ -401,7 +401,26 @@ object RelationalQueries {
         |  (o_orderstatus, o_orderpriority))""".stripMargin)
   }
 
+  /** Cross-engine table fingerprint — the migration-validation
+    * operator this whole gate is built on, exposed as a query: per
+    * group, XOR of 60-bit md5-derived row hashes + row count. XOR is
+    * order-independent and overflow-free at any scale (no widening
+    * sum); its known blind spot — identical rows cancelling in pairs
+    * — is covered by the count riding alongside. Only int/string
+    * columns go into the canonical row string (float formatting
+    * differs across engines). */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(col("o_orderstatus"),
+        conv(substring(md5(concat_ws("|",
+          col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("bit_xor(h)").as("checksum"), count(lit(1)).as("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_checksum" -> tableChecksum _,
     "grouping_sets_agg" -> groupingSetsAgg _,
     "array_funcs" -> arrayFuncs _,
     "cond_agg" -> condAgg _,
@@ -423,6 +442,13 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "table_checksum" ->
+      """SELECT o_orderstatus,
+        |  bit_xor(('0x' || substr(md5(
+        |    o_orderkey || '|' || o_orderstatus || '|' || o_orderpriority),
+        |    1, 15))::BIGINT) AS checksum,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "grouping_sets_agg" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
