@@ -358,17 +358,24 @@ object Bench {
     // belt-and-braces: if the line would still overflow the driver
     // tail, shed in stages — (1) the diag maps (wall times and kill
     // accountability outrank per-query CPU forensics, which stderr
-    // carries anyway); (2) sub-0.1 s wall entries (the slow queries
-    // are the ones worth reading; the full map is on stderr). A
-    // parseable partial line always beats a truncated complete one.
+    // carries anyway); (2) wall entries below a rising threshold
+    // ladder, until the line fits at ANY query count (the slow
+    // queries are the ones worth reading; the full map is on
+    // stderr). A parseable partial line always beats a truncated
+    // complete one.
     val full = line(qs, s"$maxCpuJson$relaunchJson$wedges$kills")
     lazy val noDiag = line(qs, s"$relaunchJson$wedges$kills")
-    lazy val slowQs = results.collect { case (k, v, _, _) if v >= 0.1 =>
-      s"\"" + k + "\":" + f2(v)
-    }.mkString("{", ",", "}")
-    val out = if (full.length <= 1900) full
+    def atLeast(th: Double): String = line(
+      results.collect { case (k, v, _, _) if v >= th =>
+        s"\"" + k + "\":" + f2(v)
+      }.mkString("{", ",", "}"),
+      s"$relaunchJson$wedges$kills")
+    val out =
+      if (full.length <= 1900) full
       else if (noDiag.length <= 1900) noDiag
-      else line(slowQs, s"$relaunchJson$wedges$kills")
+      else Seq(0.1, 0.2, 0.5, 1.0, 2.0, 5.0).iterator.map(atLeast)
+        .find(_.length <= 1900)
+        .getOrElse(line("{}", s"$wedges$kills"))
     try spark.stop() catch { case _: Exception => () }
     println(out)
   }
