@@ -376,8 +376,51 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n"),
         sum(dec(col("value"))).cast("double").as("sum_value"))
 
+  /** TPC-H Q9-shaped profit rollup through part & supplier — the two
+    * remaining tables of the test schema: lineitem joined to broadcast
+    * part (filtered at the scan) and broadcast supplier→nation, profit
+    * summed per (nation, brand) in exact decimal. */
+  def q9ProfitAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val part = Tables(spark, dir, "part")
+      .filter(col("p_type").startsWith("STANDARD"))
+    val supp = Tables(spark, dir, "supplier")
+    val nation = Tables(spark, dir, "nation")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"), col("p_brand"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .cast("double").as("profit"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q17-shaped correlated scalar subquery: lineitems under half
+    * their part's average quantity — exercises Catalyst's subquery
+    * decorrelation (rewritten to an aggregate + join, visible in the
+    * plan; no per-row re-execution). The average is written as the
+    * exact-decimal sum over the count on BOTH engines so the
+    * comparison threshold is bit-stable. */
+  def q17CorrelatedSubq(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("li_q17")
+    Tables(spark, dir, "part").createOrReplaceTempView("part_q17")
+    spark.sql(
+      """SELECT p_brand, count(*) AS n_small,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS small_revenue
+        |FROM li_q17 JOIN part_q17 ON l_partkey = p_partkey
+        |WHERE p_size <= 5
+        |  AND l_quantity < (
+        |    SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+        |      AS DOUBLE) / COUNT(*))
+        |    FROM li_q17 l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sessionize" -> sessionize _,
+    "q9_profit_agg" -> q9ProfitAgg _,
+    "q17_correlated_subq" -> q17CorrelatedSubq _,
     "scd2_history" -> scd2History _,
     "cohort_retention" -> cohortRetention _,
     "gapfill_ffill" -> gapfillFfill _,
@@ -396,6 +439,29 @@ object AnalyticsQueries {
     "quantiles_approx_bounds" -> quantilesApproxBounds _)
 
   val oracleSql: Map[String, String] = Map(
+    "q9_profit_agg" ->
+      """SELECT n_name, p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS profit,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_type LIKE 'STANDARD%'
+        |GROUP BY n_name, p_brand""".stripMargin,
+    "q17_correlated_subq" ->
+      """SELECT p_brand, count(*) AS n_small,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS small_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 5
+        |  AND l_quantity < (
+        |    SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+        |      AS DOUBLE) / COUNT(*))
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand""".stripMargin,
     "gapfill_ffill" ->
       """WITH a AS (
         |  SELECT user_id, (epoch_us(ts) // 300000000) * 300 AS bucket_s,
