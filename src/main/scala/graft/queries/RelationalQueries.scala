@@ -419,7 +419,45 @@ object RelationalQueries {
       .groupBy(col("o_orderstatus"))
       .agg(expr("bit_xor(h)").as("checksum"), count(lit(1)).as("n"))
 
+  /** RANGE-framed window (vs the row frames elsewhere): per-customer
+    * trailing-30-day spend at each order. The frame is value-based
+    * (epoch seconds), so date ties land in the same frame regardless
+    * of shuffle order — the deterministic choice for time-series
+    * trailing aggregates (a ROWS frame over tied timestamps is
+    * order-sensitive). */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("ts_s").asc)
+      .rangeBetween(-2592000L, 0L) // trailing 30 days in seconds
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate").cast("timestamp")).as("ts_s"),
+        col("o_totalprice"))
+      .select(col("o_custkey"), col("o_orderkey"), col("ts_s"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double")
+          .as("trailing_30d_spend"),
+        count(lit(1)).over(w).as("trailing_30d_orders"))
+  }
+
+  /** Date/time function battery over order dates: component extracts,
+    * month truncation (surfaced as epoch seconds — a TIMESTAMP column
+    * would be TIMESTAMPTZ on the DuckDB side and break the
+    * dtype-sensitive compare), and day difference to a fixed horizon.
+    * Spark datediff(end, start) == DuckDB date_diff('day', start, end). */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        unix_timestamp(date_trunc("month",
+          col("o_orderdate").cast("timestamp"))).as("month_start_s"),
+        datediff(lit("1998-12-01").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("days_to_horizon"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_range_frame" -> windowRangeFrame _,
+    "date_funcs" -> dateFuncs _,
     "table_checksum" -> tableChecksum _,
     "grouping_sets_agg" -> groupingSetsAgg _,
     "array_funcs" -> arrayFuncs _,
@@ -442,6 +480,28 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "window_range_frame" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS ts_s,
+        |    o_totalprice
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, ts_s,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS trailing_30d_spend,
+        |  COUNT(*) OVER w AS trailing_30d_orders
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_s
+        |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS d,
+        |  CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT)
+        |    AS month_start_s,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |    DATE '1998-12-01') AS BIGINT) AS days_to_horizon
+        |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
     "table_checksum" ->
       """SELECT o_orderstatus,
         |  bit_xor(('0x' || substr(md5(
