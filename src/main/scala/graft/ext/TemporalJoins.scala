@@ -74,6 +74,47 @@ object TemporalJoins {
     matched.select(leftOut ++ rightOut: _*)
   }
 
+  /** Forward as-of join: every left row picks up the payload of the
+    * right row with the SMALLEST `rightTime >= leftTime` for the same
+    * key (left-outer; the mirror of [[asofJoinBackward]] — "next
+    * scheduled X after event time"). Same merge shape and scale
+    * contract: one key shuffle, per-partition sort, a forward-looking
+    * `first(ignoreNulls)` window. Right rows must be unique per
+    * (key, time), as in the backward variant. */
+  def asofJoinForward(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val payloadCols = right.columns.filterNot(_ == rightKey).toSeq
+    val leftStruct = struct(left.columns.map(col).toSeq: _*)
+    val rightStruct = struct(payloadCols.map(col): _*)
+    val leftType = left.select(leftStruct).schema.head.dataType
+    val rightType = right.select(rightStruct).schema.head.dataType
+
+    val l = left.select(
+      col(leftKey).as("__k"), col(leftTime).as("__t"),
+      lit(1).as("__side"),
+      leftStruct.as("__l"), lit(null).cast(rightType).as("__r"))
+    val r = right.select(
+      col(rightKey).as("__k"), col(rightTime).as("__t"),
+      lit(0).as("__side"),
+      lit(null).cast(leftType).as("__l"), rightStruct.as("__r"))
+
+    // Sort puts a left row at time t BEFORE the right row at the same
+    // t (side desc), so `rightTime >= leftTime` ties count as matches
+    // for the forward-looking first(ignoreNulls).
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = l.unionByName(r)
+      .withColumn("__m", first(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val leftOut = left.columns.toSeq.map(c => col(s"__l.$c").as(c))
+    val rightOut = payloadCols.map(c => col(s"__m.$c").as(c))
+    matched.select(leftOut ++ rightOut: _*)
+  }
+
   /** Point-in-interval range join: rows of `points` paired with every
     * row of `ranges` whose half-open interval [startCol, endCol)
     * contains `pointCol` (inner semantics). All three columns must be

@@ -50,6 +50,29 @@ object RelationalQueries {
         unix_micros(col("o_orderdate")).as("last_order_us"))
   }
 
+  /** Forward as-of twin of [[asofJoin]]: each event picks up the
+    * user's NEXT order at/after event time
+    * ([[TemporalJoins.asofJoinForward]]), same deterministic
+    * pre-reduction of orders to one row per (custkey, orderdate). */
+  def asofJoinForward(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val firstOrders = Tables(spark, dir, "orders")
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("o_orderdate"),
+        col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("next_orderkey"))
+    TemporalJoins.asofJoinForward(
+      events, firstOrders,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("next_orderkey"),
+        unix_micros(col("o_orderdate")).as("next_order_us"))
+  }
+
   /** Range join: for every 1-URGENT order, the lineitems (any order)
     * shipped inside [orderdate, orderdate+7d) —
     * [[TemporalJoins.binnedRangeJoin]] with 7-day bins, so the
@@ -472,6 +495,7 @@ object RelationalQueries {
     "topk_per_group" -> topkPerGroup _,
     "window_analytics" -> windowAnalytics _,
     "asof_join" -> asofJoin _,
+    "asof_join_forward" -> asofJoinForward _,
     "range_join" -> rangeJoin _,
     "pivot_agg" -> pivotAgg _,
     "cube_agg" -> cubeAgg _,
@@ -640,6 +664,14 @@ object RelationalQueries {
         |  o.last_orderkey, epoch_us(o.o_orderdate) AS last_order_us
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "asof_join_forward" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS next_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS us,
+        |  o.next_orderkey, epoch_us(o.o_orderdate) AS next_order_us
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate""".stripMargin,
     "range_join" ->
       """SELECT o_orderkey, COUNT(*) AS n_shipped,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -40,6 +40,18 @@ class TemporalJoinsSpec extends SparkSpec {
       "e5" -> None))         // right row exists but is in the future
   }
 
+  test("asof forward: ties match, nearest following wins, unmatched null") {
+    val (left, right) = asofFixture
+    val got = TemporalJoins.asofJoinForward(left, right, "k", "rk", "t", "rt")
+      .select($"ev", $"payload").as[(String, Option[String])].collect().toMap
+    assert(got == Map(
+      "e1" -> Some("r10"),   // nearest at/after t=5 is rt=10
+      "e2" -> Some("r10"),   // rt=10 >= t=10 (tie)
+      "e3" -> None,          // nothing after t=25
+      "e4" -> None,          // key never appears on the right
+      "e5" -> Some("r9")))   // rt=9 >= t=7
+  }
+
   test("asof backward: all left columns and right time survive") {
     val (left, right) = asofFixture
     val out = TemporalJoins.asofJoinBackward(left, right, "k", "rk", "t", "rt")
