@@ -175,6 +175,26 @@ class ExtraQueriesSpec extends SparkSpec {
     assert(u.filter(col("only_a").isNull).count() == 2)
   }
 
+  test("cond_agg tie-break: max_by struct order == the oracle's BIGINT encode") {
+    // constructed price tie: keys 7 and 9 share the max price — the
+    // struct tie-break must pick the larger key (max_by) / smaller key
+    // (min_by on the min-price tie between 2 and 4), exactly like the
+    // oracle's cents*1e8+key encode
+    val df = Seq((2L, 10.00), (4L, 10.00), (7L, 99.99), (9L, 99.99))
+      .toDF("k", "v")
+    val got = df.agg(
+      max_by(col("k"), struct(col("v"), col("k"))).as("hi"),
+      min_by(col("k"), struct(col("v"), col("k"))).as("lo"))
+      .as[(Long, Long)].head()
+    assert(got == ((9L, 2L)))
+    val enc = df.select((round(col("v") * 100).cast("long") *
+        lit(100000000L) + col("k")).as("e"))
+      .agg(max(col("e")).as("he"), min(col("e")).as("le"))
+      .select((col("he") % 100000000L).as("hi"), (col("le") % 100000000L).as("lo"))
+      .as[(Long, Long)].head()
+    assert(enc == got)
+  }
+
   test("Merge.upsert: replace matched, insert new, pass through rest") {
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "s", "v")
