@@ -478,7 +478,31 @@ object RelationalQueries {
         datediff(lit("1998-12-01").cast("date"),
           col("o_orderdate").cast("date")).cast("long").as("days_to_horizon"))
 
+  /** Null-semantics gate — the migration pitfalls a cross-engine port
+    * hits first, pinned: NULL grouping keys form one real group;
+    * count(*) counts rows while count(col) skips NULLs; SUM/MIN over
+    * an all-NULL slice is NULL (not 0); and the NULL-vs-0 distinction
+    * survives the compare. The test data's JSON `k` is always
+    * present, so NULLs are injected deterministically (every 7th
+    * event id) — identically on both engines. */
+  def nullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val k = when(col("event_id") % 7 === 0, lit(null).cast("long"))
+      .otherwise(get_json_object(col("props"), "$.k").cast("long"))
+    Tables(spark, dir, "events")
+      .select(col("event_type"), col("value"), k.as("k"),
+        pmod(k, lit(3)).as("kmod"))
+      .groupBy(col("kmod")) // NULL kmod rows group together
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("k")).as("n_k"), // NULL-skipping
+        sum(when(col("k") > Long.MaxValue, dec(col("value")))
+          .otherwise(lit(null).cast("decimal(18,2)")))
+          .cast("double").as("all_null_sum"), // stays NULL, never 0
+        min(col("k")).as("min_k"),
+        sum(col("k")).as("sum_k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "null_semantics" -> nullSemantics _,
     "window_range_frame" -> windowRangeFrame _,
     "date_funcs" -> dateFuncs _,
     "table_checksum" -> tableChecksum _,
@@ -504,6 +528,22 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    // all_null_sum gates "SUM of an all-NULL slice is NULL, not 0":
+    // the Spark side sums an impossible-predicate CASE, so a constant
+    // NULL here fails the moment that semantic regresses to 0.0
+    "null_semantics" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL
+        |         ELSE CAST(props->>'$.k' AS BIGINT) END AS k
+        |  FROM events)
+        |SELECT ((k % 3) + 3) % 3 AS kmod,
+        |  count(*) AS n_rows,
+        |  count(k) AS n_k,
+        |  CAST(NULL AS DOUBLE) AS all_null_sum,
+        |  min(k) AS min_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM e GROUP BY 1""".stripMargin,
     "window_range_frame" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS ts_s,
