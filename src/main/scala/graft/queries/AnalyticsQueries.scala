@@ -270,6 +270,80 @@ object AnalyticsQueries {
         max(col("us")).as("last_event_us"))
   }
 
+  /** Interval coalescing (gaps-and-islands): each event opens a
+    * 2-minute activity interval; overlapping/touching intervals per
+    * user merge into islands. The merge is the classic running-max
+    * shape — an interval starts a new island iff its start exceeds the
+    * max end over ALL preceding intervals (not just the previous one:
+    * a long interval can span several short successors) — so the whole
+    * operator is one user_id exchange, one sort, two window passes and
+    * a hash aggregate; no self-join. The same sort serves both
+    * windows. */
+  def intervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("s").asc, col("e").asc)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + lit(120000000L)).as("e"))
+      .withColumn("brk",
+        when(col("s") > max(col("e"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), 1)
+          .otherwise(0))
+      .withColumn("island",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("start_us"), max(col("e")).as("end_us"),
+        count(lit(1)).as("n_iv"))
+  }
+
+  /** Running distinct count over a window — an operator Spark has no
+    * native form for (`countDistinct` is not allowed over a frame).
+    * Expressed as `size(collect_set)` over the running frame: correct
+    * because set size is order-insensitive, and scale-safe ONLY when
+    * the distinct domain is bounded (event types here; cardinality ≤
+    * |domain| per state). For unbounded domains the right tool is the
+    * sketch path (HLL per frame), not this operator — documented here
+    * as the operator's contract. One shuffle, one sort. */
+  def windowCountDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .select(col("user_id"), col("event_id"), col("us"),
+        size(collect_set(col("event_type")).over(w)).cast("long")
+          .as("n_types_seen"))
+  }
+
+  /** Robust outlier stats per event type: median, median absolute
+    * deviation (exact), and the count of |x - median| > 3·MAD
+    * outliers. Exact MAD is inherently two dependent aggregation
+    * passes (median first, then the deviation median) plus the flag
+    * pass — three scans, each pruned to two columns; the group frame
+    * between passes is tiny and broadcast. The 100 TB variant swaps
+    * `percentile` for `percentile_approx` with the same plan shape.
+    * Double arithmetic is identical on both engines: same interpolated
+    * quantile formula (proven by [[quantilesAgg]]), same |x-m|
+    * subtraction order. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    ev.join(broadcast(med), "event_type")
+      .join(broadcast(dev), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("value") - col("med")) > lit(3) * col("mad"),
+          1L).otherwise(0L)).as("n_outliers"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"))
+  }
+
   /** SCD2 history build from a change stream: each user's event stream
     * becomes validity intervals [valid_from, valid_to) of the
     * `event_type` state, with consecutive duplicate states collapsed
@@ -419,6 +493,9 @@ object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sessionize" -> sessionize _,
+    "interval_merge" -> intervalMerge _,
+    "window_count_distinct" -> windowCountDistinct _,
+    "mad_outliers" -> madOutliers _,
     "q9_profit_agg" -> q9ProfitAgg _,
     "q17_correlated_subq" -> q17CorrelatedSubq _,
     "scd2_history" -> scd2History _,
@@ -439,6 +516,46 @@ object AnalyticsQueries {
     "quantiles_approx_bounds" -> quantilesApproxBounds _)
 
   val oracleSql: Map[String, String] = Map(
+    "interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 120000000 AS e FROM events),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN s > max(e) OVER (PARTITION BY user_id
+        |        ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, s, e,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM m)
+        |SELECT user_id, island, min(s) AS start_us, max(e) AS end_us,
+        |  count(*) AS n_iv
+        |FROM g GROUP BY 1, 2""".stripMargin,
+    "window_count_distinct" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  count(DISTINCT event_type) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS UNBOUNDED PRECEDING) AS n_types_seen
+        |FROM events""".stripMargin,
+    "mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type,
+        |    quantile_cont(abs(e.value - med.med), 0.5) AS mad
+        |  FROM events e JOIN med USING (event_type) GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN abs(e.value - med.med) > 3 * dev.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  max(med.med) AS med, max(dev.mad) AS mad
+        |FROM events e JOIN med USING (event_type)
+        |  JOIN dev USING (event_type)
+        |GROUP BY 1""".stripMargin,
     "q9_profit_agg" ->
       """SELECT n_name, p_brand,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
