@@ -44,6 +44,7 @@ object Sessions {
       // applied at session CREATION — getOrCreate on an existing
       // session keeps the registry it was created with
       .withExtensions(graft.functions.VecKernels.register)
+      .withExtensions(graft.functions.TextNorm.register)
       .withExtensions(graft.ext.Bloom.register)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")

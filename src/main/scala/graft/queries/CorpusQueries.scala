@@ -178,7 +178,34 @@ object CorpusQueries {
         count(lit(1)).as("n"))
   }
 
+  /** Unicode canonicalization battery: the custom codegen'd
+    * [[graft.functions.TextNorm]] kernels (`strip_accents`,
+    * `utf8_nfc`) hash-gated against DuckDB's utf8proc-backed
+    * `strip_accents`/`nfc_normalize`. The synthetic corpus is ASCII,
+    * which would make the gate vacuous — so accents are injected
+    * deterministically first: vowels become precomposed accented
+    * forms (exercising NFD→strip→NFC), and every 'o' gains a
+    * combining acute (exercising NFC composition of decomposed
+    * input). Case mapping over non-ASCII (`upper`) and codepoint —
+    * not byte — length counting ride along. Pure per-row scalar
+    * pipeline: no shuffle, one scan, pruned to (doc_id, text). */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextNorm
+    val snippet = substring(col("text"), 1, 120)
+    // á é î õ ü precomposed; U+0301 is the combining acute
+    val injected = translate(snippet, "aeiou", "áéîõü")
+    val decomposed = replace(snippet, lit("o"), lit("ó"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextNorm.stripAccentsCol(injected).as("folded"),
+        upper(injected).as("up"),
+        length(injected).cast("long").as("n_cp"),
+        TextNorm.utf8Nfc(decomposed).as("nfc"),
+        length(TextNorm.utf8Nfc(decomposed)).cast("long").as("n_cp_nfc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize" -> textNormalize _,
     "winsorize_values" -> winsorizeValues _,
     "sample_weighted" -> sampleWeighted _,
     "sample_mixture" -> sampleMixture _,
@@ -195,6 +222,24 @@ object CorpusQueries {
     "edit_distance" -> editDistance _)
 
   val oracleSql: Map[String, String] = Map(
+    // chr(): á é î õ ü precomposed; chr(769) is the combining acute
+    "text_normalize" ->
+      """WITH s AS (
+        |  SELECT doc_id, substr(text, 1, 120) AS sn FROM documents),
+        |i AS (
+        |  SELECT doc_id,
+        |    translate(sn, 'aeiou',
+        |      chr(225) || chr(233) || chr(238) || chr(245) || chr(252))
+        |      AS inj,
+        |    replace(sn, 'o', 'o' || chr(769)) AS deco
+        |  FROM s)
+        |SELECT doc_id,
+        |  strip_accents(inj) AS folded,
+        |  upper(inj) AS up,
+        |  CAST(length(inj) AS BIGINT) AS n_cp,
+        |  nfc_normalize(deco) AS nfc,
+        |  CAST(length(nfc_normalize(deco)) AS BIGINT) AS n_cp_nfc
+        |FROM i""".stripMargin,
     "winsorize_values" ->
       """WITH b AS (
         |  SELECT event_type,
