@@ -344,6 +344,42 @@ object AnalyticsQueries {
         max(col("med")).as("med"), max(col("mad")).as("mad"))
   }
 
+  /** Deterministic per-group mode: the most frequent event type per
+    * user, ties broken lexicographically — `mode()` built-ins are
+    * tie-nondeterministic on BOTH engines, so the operator is the
+    * count + argmin-rank composition instead. The row_number window
+    * runs over the PRE-AGGREGATED counts frame (|users|×|types| rows,
+    * not |events|), so the only full-data pass is the map-side-combined
+    * count; the window sort touches a frame already ~|domain|× smaller
+    * than the input. */
+  def modePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("n").desc, col("event_type").asc)
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("mode_type"),
+        col("n").as("mode_n"))
+  }
+
+  /** First-order transition (Markov bigram) counts over each user's
+    * event sequence: one user_id exchange + sort for the lag, then a
+    * map-side-combined count — the session-path / next-event-model
+    * feature extraction shape. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("curr"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** SCD2 history build from a change stream: each user's event stream
     * becomes validity intervals [valid_from, valid_to) of the
     * `event_type` state, with consecutive duplicate states collapsed
@@ -494,6 +530,8 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sessionize" -> sessionize _,
     "interval_merge" -> intervalMerge _,
+    "mode_per_group" -> modePerGroup _,
+    "event_transitions" -> eventTransitions _,
     "window_count_distinct" -> windowCountDistinct _,
     "mad_outliers" -> madOutliers _,
     "q9_profit_agg" -> q9ProfitAgg _,
@@ -516,6 +554,25 @@ object AnalyticsQueries {
     "quantiles_approx_bounds" -> quantilesApproxBounds _)
 
   val oracleSql: Map[String, String] = Map(
+    "mode_per_group" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, event_type, n,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY n DESC, event_type ASC) AS rk
+        |  FROM c)
+        |SELECT user_id, event_type AS mode_type, n AS mode_n
+        |FROM r WHERE rk = 1""".stripMargin,
+    "event_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events)
+        |SELECT prev, event_type AS curr, count(*) AS n
+        |FROM o WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "interval_merge" ->
       """WITH iv AS (
         |  SELECT user_id, epoch_us(ts) AS s,

@@ -286,6 +286,28 @@ object RelationalQueries {
         translate(col("c_name"), "0123456789", "##########").as("masked"),
         concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("tag"))
 
+  /** Regex function battery over document text: extract (first match
+    * and all matches of a capture group), global replace, boolean
+    * match, count, and positional split — the pattern-function surface
+    * a corpus pipeline leans on. Patterns stay in the common
+    * Java-regex/RE2 dialect subset (character classes, anchors, \b,
+    * capture groups) so both engines compile them identically. Pure
+    * per-row scalar work inside one codegen'd projection; scan pruned
+    * to (doc_id, text). */
+  def regexFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val sn = substring(col("text"), 1, 200)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_extract(sn, "^([a-z]+)", 1).as("first_word"),
+        regexp_count(sn, lit("batch")).cast("long").as("n_batch"),
+        regexp_replace(sn, "[aeiou]", "").as("novowels"),
+        sn.rlike("stream").as("has_stream"),
+        concat_ws(",",
+          regexp_extract_all(sn, lit("\\b(s[a-z]+)\\b"), lit(1)))
+          .as("s_words"),
+        element_at(split(sn, " "), 3).as("third_word"))
+  }
+
   /** Deterministic array aggregation: per-customer order-key list.
     * A bare `collect_list` is partitioning-ordered (nondeterministic
     * under AQE); `sort_array` on top restores a canonical order — the
@@ -515,6 +537,7 @@ object RelationalQueries {
     "array_agg_sorted" -> arrayAggSorted _,
     "json_typed_agg" -> jsonTypedAgg _,
     "string_funcs" -> stringFuncs _,
+    "regex_funcs" -> regexFuncs _,
     "weighted_avg" -> weightedAvg _,
     "topk_per_group" -> topkPerGroup _,
     "window_analytics" -> windowAnalytics _,
@@ -665,6 +688,20 @@ object RelationalQueries {
         |  MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
         |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "regex_funcs" ->
+      """WITH s AS (
+        |  SELECT doc_id, substr(text, 1, 200) AS sn FROM documents)
+        |SELECT doc_id,
+        |  regexp_extract(sn, '^([a-z]+)', 1) AS first_word,
+        |  CAST(length(regexp_extract_all(sn, 'batch')) AS BIGINT)
+        |    AS n_batch,
+        |  regexp_replace(sn, '[aeiou]', '', 'g') AS novowels,
+        |  regexp_matches(sn, 'stream') AS has_stream,
+        |  coalesce(
+        |    array_to_string(regexp_extract_all(sn, '\b(s[a-z]+)\b', 1), ','),
+        |    '') AS s_words,
+        |  string_split(sn, ' ')[3] AS third_word
+        |FROM s""".stripMargin,
     "string_funcs" ->
       """SELECT c_custkey,
         |  CAST(length(c_name) AS BIGINT) AS len,
