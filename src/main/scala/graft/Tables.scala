@@ -45,6 +45,7 @@ object Sessions {
       // session keeps the registry it was created with
       .withExtensions(graft.functions.VecKernels.register)
       .withExtensions(graft.functions.TextNorm.register)
+      .withExtensions(graft.functions.ZOrder.register)
       .withExtensions(graft.ext.Bloom.register)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")

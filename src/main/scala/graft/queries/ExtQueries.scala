@@ -162,7 +162,31 @@ object ExtQueries {
         graft.functions.VecKernels.vecQuantI8(col("embedding"))
           .cast("array<string>")).as("qcsv"))
 
+  /** Z-order cell audit ([[graft.functions.ZOrder]]): Morton-interleave
+    * (user_id, floor(value·100)) and aggregate per 16-bit-truncated
+    * z-cell — the per-cell min/max of BOTH dimensions is exactly the
+    * footer-stats tightness a z-clustered file layout gives a
+    * two-column filter at 100 TB (each cell bounds x and y to an
+    * 8-bit-wide box; a one-column sort bounds only one of them).
+    * `floor` is explicit on both engines: a bare double→bigint cast
+    * truncates in Spark but rounds in DuckDB. One scan, one hash
+    * aggregate; the interleave is a codegen'd constant-time kernel. */
+  def zorderCells(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ZOrder
+    val z = ZOrder.zOrder2(col("user_id"),
+      floor(col("value") * lit(100.0)).cast("long"))
+    Tables(spark, dir, "events")
+      .select(col("user_id"),
+        floor(col("value") * lit(100.0)).cast("long").as("y"), z.as("z"))
+      .groupBy(shiftright(col("z"), 16).as("cell"))
+      .agg(count(lit(1)).as("n"),
+        min(col("user_id")).as("min_x"), max(col("user_id")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zorder_cells" -> zorderCells _,
     "text_stats" -> textStats _,
     "text_langid" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,
@@ -725,6 +749,36 @@ object ExtQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // stepwise magic-number bit spread (x<<16|x masked, …) — the same
+    // five rounds the codegen'd kernel runs, unrolled as CTE columns
+    "zorder_cells" ->
+      """WITH p AS (
+        |  SELECT user_id AS x0,
+        |    CAST(floor(value * 100.0) AS BIGINT) AS yy,
+        |    (CAST(floor(value * 100.0) AS BIGINT) & 4294967295) AS y0,
+        |    (user_id & 4294967295) AS xx0
+        |  FROM events),
+        |a AS (SELECT x0, yy,
+        |  ((xx0 | (xx0 << 16)) & 281470681808895) AS x1,
+        |  ((y0 | (y0 << 16)) & 281470681808895) AS y1 FROM p),
+        |b AS (SELECT x0, yy,
+        |  ((x1 | (x1 << 8)) & 71777214294589695) AS x2,
+        |  ((y1 | (y1 << 8)) & 71777214294589695) AS y2 FROM a),
+        |c AS (SELECT x0, yy,
+        |  ((x2 | (x2 << 4)) & 1085102592571150095) AS x3,
+        |  ((y2 | (y2 << 4)) & 1085102592571150095) AS y3 FROM b),
+        |d AS (SELECT x0, yy,
+        |  ((x3 | (x3 << 2)) & 3689348814741910323) AS x4,
+        |  ((y3 | (y3 << 2)) & 3689348814741910323) AS y4 FROM c),
+        |e AS (SELECT x0, yy,
+        |  ((x4 | (x4 << 1)) & 6148914691236517205) AS x5,
+        |  ((y4 | (y4 << 1)) & 6148914691236517205) AS y5 FROM d),
+        |z AS (SELECT x0, yy, (x5 | (y5 << 1)) AS zv FROM e)
+        |SELECT (zv >> 16) AS cell, count(*) AS n,
+        |  min(x0) AS min_x, max(x0) AS max_x,
+        |  min(yy) AS min_y, max(yy) AS max_y,
+        |  min(zv) AS min_z, max(zv) AS max_z
+        |FROM z GROUP BY 1""".stripMargin,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,
