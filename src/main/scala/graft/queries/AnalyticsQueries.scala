@@ -244,6 +244,33 @@ object AnalyticsQueries {
         col("n"))
   }
 
+  /** Heavy-hitter sketch with a containment gate: `freqItems` (the
+    * one-pass Karp–Shenker–Papadimitriou summary, merged map-side —
+    * the 100 TB path for "which values dominate this column") is
+    * approximate-with-a-one-sided-guarantee: it may over-report, but
+    * every value with frequency > support·n IS in its output. That
+    * guarantee is what gets gated: exact per-value counts (computed
+    * independently) joined against the sketch output must show every
+    * true heavy hitter captured — a `captured` boolean that the
+    * constant-true oracle hash-pins, alongside the exact counts. The
+    * sketch result is one tiny row (collected by the API itself);
+    * everything else is one map-side-combined count. */
+  def freqItemsBounds(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").select(col("event_type"))
+    val sketch = ev.stat.freqItems(Seq("event_type"), 0.1)
+      .select(explode(col("event_type_freqItems")).as("event_type"))
+      .withColumn("in_sketch", lit(true))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt"))
+        .over(Window.partitionBy()))
+    exact.join(broadcast(sketch), Seq("event_type"), "left")
+      .select(col("event_type"), col("cnt"),
+        (col("cnt") > col("total") * lit(0.1)).as("is_heavy"),
+        (!(col("cnt") > col("total") * lit(0.1)) ||
+          coalesce(col("in_sketch"), lit(false))).as("captured"))
+  }
+
   /** Rollup aggregation (grouping sets) over orders. */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders")
@@ -531,6 +558,7 @@ object AnalyticsQueries {
     "sessionize" -> sessionize _,
     "interval_merge" -> intervalMerge _,
     "mode_per_group" -> modePerGroup _,
+    "freq_items_bounds" -> freqItemsBounds _,
     "event_transitions" -> eventTransitions _,
     "window_count_distinct" -> windowCountDistinct _,
     "mad_outliers" -> madOutliers _,
@@ -554,6 +582,16 @@ object AnalyticsQueries {
     "quantiles_approx_bounds" -> quantilesApproxBounds _)
 
   val oracleSql: Map[String, String] = Map(
+    // constant-true `captured`: any loss of the sketch's one-sided
+    // guarantee flips a boolean and hash-fails the gate
+    "freq_items_bounds" ->
+      """WITH c AS (
+        |  SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c)
+        |SELECT event_type, cnt,
+        |  (cnt > total * 0.1) AS is_heavy,
+        |  TRUE AS captured
+        |FROM c, t""".stripMargin,
     "mode_per_group" ->
       """WITH c AS (
         |  SELECT user_id, event_type, count(*) AS n
