@@ -127,6 +127,27 @@ object Corpus {
     weightedSample(df, key, rate)
   }
 
+  /** Deterministic train/val/test assignment: hash32(key)/2³² lands
+    * in [0, train) → "train", [train, train+val) → "val", else
+    * "test". Content-addressed like every sampler here — the same
+    * document NEVER migrates between splits across runs, appends, or
+    * engines (the property that keeps eval sets uncontaminated as the
+    * corpus grows; a `rand()` split re-deals on every addition). The
+    * two thresholds are exact in doubles (hash < 2³² is exact; one
+    * IEEE multiply each), so engines agree bit-for-bit. Pure per-row
+    * projection — no shuffle. */
+  def datasetSplit(df: DataFrame, key: Column,
+      trainFrac: Double, valFrac: Double): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1,
+      "fractions must be non-negative and sum to at most 1")
+    val h = graft.functions.TextFunctions.hash32(key.cast("string"))
+      .cast("double")
+    df.withColumn("split",
+      when(h < lit(trainFrac) * lit(4294967296.0), "train")
+        .when(h < lit(trainFrac + valFrac) * lit(4294967296.0), "val")
+        .otherwise("test"))
+  }
+
   /** Deterministic shard assignment + intra-shard position — the
     * "global shuffle then write N shards" step of training-data prep,
     * expressed so the shuffle is reproducible: shard = first eight hex

@@ -204,7 +204,17 @@ object CorpusQueries {
         length(TextNorm.utf8Nfc(decomposed)).cast("long").as("n_cp_nfc"))
   }
 
+  /** Train/val/test split audit: per-(split, lang) counts of the
+    * deterministic 80/10/10 assignment — checks the proportions AND
+    * that stratification is preserved per language in one frame. */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame =
+    Corpus.datasetSplit(Tables(spark, dir, "documents"),
+      col("doc_id"), trainFrac = 0.8, valFrac = 0.1)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dataset_split" -> datasetSplit _,
     "text_normalize" -> textNormalize _,
     "winsorize_values" -> winsorizeValues _,
     "sample_weighted" -> sampleWeighted _,
@@ -222,6 +232,19 @@ object CorpusQueries {
     "edit_distance" -> editDistance _)
 
   val oracleSql: Map[String, String] = Map(
+    "dataset_split" ->
+      """WITH h AS (
+        |  SELECT lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS DOUBLE) AS hv
+        |  FROM documents)
+        |-- (0.8 + 0.1) on purpose: the engine adds the fractions in
+        |-- doubles (= 0.9000000000000001, not 0.9); same sum here
+        |SELECT CASE WHEN hv < 0.8 * 4294967296.0 THEN 'train'
+        |            WHEN hv < (0.8 + 0.1) * 4294967296.0 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  lang, count(*) AS n
+        |FROM h GROUP BY 1, 2""".stripMargin,
     // chr(): á é î õ ü precomposed; chr(769) is the combining acute
     "text_normalize" ->
       """WITH s AS (

@@ -286,6 +286,29 @@ object RelationalQueries {
         translate(col("c_name"), "0123456789", "##########").as("masked"),
         concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("tag"))
 
+  /** Data-profiling audit (the Deequ/"describe" shape): per column —
+    * row count, non-null count, exact distinct count, min/max
+    * (stringified into one schema across types). One aggregation pass
+    * PER COLUMN, each a standard two-level distinct aggregation with
+    * no Expand (one distinct per pass) — at 100 TB, profile only the
+    * columns under audit, or swap `countDistinct` for
+    * `approx_count_distinct` and fold all columns into one pass (the
+    * bounds-gated pattern of [[AnalyticsQueries.quantilesApproxBounds]]).
+    * Doubles stringify via shortest-roundtrip formatting on both
+    * engines, which agree on plain-decimal magnitudes like these. */
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    def prof(c: String) = ev
+      .agg(count(lit(1)).as("n_rows"),
+        count(col(c)).as("n_nonnull"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_v"),
+        max(col(c)).cast("string").as("max_v"))
+      .select(lit(c).as("col_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_v"), col("max_v"))
+    prof("user_id").unionByName(prof("event_type")).unionByName(prof("value"))
+  }
+
   /** Regex function battery over document text: extract (first match
     * and all matches of a capture group), global replace, boolean
     * match, count, and positional split — the pattern-function surface
@@ -538,6 +561,7 @@ object RelationalQueries {
     "json_typed_agg" -> jsonTypedAgg _,
     "string_funcs" -> stringFuncs _,
     "regex_funcs" -> regexFuncs _,
+    "profile_table" -> profileTable _,
     "weighted_avg" -> weightedAvg _,
     "topk_per_group" -> topkPerGroup _,
     "window_analytics" -> windowAnalytics _,
@@ -688,6 +712,23 @@ object RelationalQueries {
         |  MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
         |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "profile_table" ->
+      """SELECT 'user_id' AS col_name, count(*) AS n_rows,
+        |  count(user_id) AS n_nonnull,
+        |  count(DISTINCT user_id) AS n_distinct,
+        |  CAST(min(user_id) AS VARCHAR) AS min_v,
+        |  CAST(max(user_id) AS VARCHAR) AS max_v
+        |FROM events
+        |UNION ALL
+        |SELECT 'event_type', count(*), count(event_type),
+        |  count(DISTINCT event_type),
+        |  CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+        |FROM events
+        |UNION ALL
+        |SELECT 'value', count(*), count(value),
+        |  count(DISTINCT value),
+        |  CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
+        |FROM events""".stripMargin,
     "regex_funcs" ->
       """WITH s AS (
         |  SELECT doc_id, substr(text, 1, 200) AS sn FROM documents)
