@@ -347,35 +347,50 @@ object Bench {
         .mkString("{", ",", "}")
     }.mkString("{\"diag\":{", ",", "}}")
     System.err.println(s"[bench-diag] $diagJson")
-    val errs = results.collect { case (k, _, Some(e), _) =>
-      s"\"" + k + "\":\"" + esc(e) + "\""
-    }
-    val errJson = if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
+    // Errors shed like every other payload (round 8 lost the metric
+    // line when a 13-entry error map — 300 chars each — consumed the
+    // driver's 2 KB stdout tail): full messages go to stderr; the
+    // stdout line carries at most `maxN` entries of `msgLen` chars.
+    // The `failed` count always survives, so a partial error map is
+    // detectable from the JSON alone.
+    val errsAll = results.collect { case (k, _, Some(e), _) => (k, esc(e)) }
+    errsAll.foreach { case (k, e) => System.err.println(s"[bench-error] $k: $e") }
+    def errJsonN(maxN: Int, msgLen: Int): String =
+      if (errsAll.isEmpty) ""
+      else errsAll.take(maxN)
+        .map { case (k, e) => "\"" + k + "\":\"" + e.take(msgLen) + "\"" }
+        .mkString(",\"errors\":{", ",", "}")
     val total = results.collect { case (_, v, None, _) => v }.sum
     val steal = f2(stealSeconds - stealRun0)
-    def line(queries: String, diag: String): String =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$queries,"steal_s":$steal$diag$errJson,"sf":"$sfDir","failed":${errs.size}}"""
+    def line(queries: String, diag: String, errJson: String): String =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$queries,"steal_s":$steal$diag$errJson,"sf":"$sfDir","failed":${errsAll.size}}"""
     // belt-and-braces: if the line would still overflow the driver
     // tail, shed in stages — (1) the diag maps (wall times and kill
     // accountability outrank per-query CPU forensics, which stderr
-    // carries anyway); (2) wall entries below a rising threshold
-    // ladder, until the line fits at ANY query count (the slow
-    // queries are the ones worth reading; the full map is on
-    // stderr). A parseable partial line always beats a truncated
-    // complete one.
-    val full = line(qs, s"$maxCpuJson$relaunchJson$wedges$kills")
-    lazy val noDiag = line(qs, s"$relaunchJson$wedges$kills")
+    // carries anyway); (2) error messages shrink (stderr has them in
+    // full); (3) wall entries below a rising threshold ladder, until
+    // the line fits at ANY query count (the slow queries are the ones
+    // worth reading; the full map is on stderr). A parseable partial
+    // line always beats a truncated complete one.
+    val full = line(qs, s"$maxCpuJson$relaunchJson$wedges$kills", errJsonN(20, 160))
+    lazy val noDiag = line(qs, s"$relaunchJson$wedges$kills", errJsonN(6, 90))
     def atLeast(th: Double): String = line(
       results.collect { case (k, v, _, _) if v >= th =>
         s"\"" + k + "\":" + f2(v)
       }.mkString("{", ",", "}"),
-      s"$relaunchJson$wedges$kills")
+      s"$relaunchJson$wedges$kills", errJsonN(3, 60))
     val out =
       if (full.length <= 1900) full
       else if (noDiag.length <= 1900) noDiag
       else Seq(0.1, 0.2, 0.5, 1.0, 2.0, 5.0).iterator.map(atLeast)
         .find(_.length <= 1900)
-        .getOrElse(line("{}", s"$wedges$kills"))
+        .getOrElse(line("{}", s"$wedges$kills", errJsonN(1, 60)))
+    // durable copy: a partial/overflowed stdout tail can no longer
+    // lose the run's numbers — the un-shed line lands on disk too
+    try {
+      val w = new java.io.PrintWriter("target/bench_full.json")
+      try w.println(full) finally w.close()
+    } catch { case _: Exception => () }
     try spark.stop() catch { case _: Exception => () }
     println(out)
   }

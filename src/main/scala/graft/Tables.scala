@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Test-table loader for the driver's synthetic parquet (TESTDATA.md). */
 object Tables {
@@ -24,13 +24,37 @@ object Tables {
     c
   }
 
-  /** Normalize nanos-as-long `ts` back to a proper TimestampType
-    * (truncate ns -> us, matching DuckDB's read of the same file).
-    * Works on batch and streaming frames alike. */
+  /** Normalize every physical timestamp encoding a parquet writer may
+    * emit to ONE engine-facing type: TimestampType (session-local,
+    * pinned UTC by [[Sessions.builder]]).
+    *
+    * Writers disagree on the physical annotation — pandas/pyarrow and
+    * DuckDB default to `timestamp[us]` WITHOUT a timezone (surfaced by
+    * Spark as TIMESTAMP_NTZ), older pyarrow wrote `timestamp[ns]`
+    * (surfaced as nanos-as-long under the legacy flag), and
+    * Spark-written lakes carry UTC-adjusted TIMESTAMP. A 100 TB lake
+    * mixes all three; the reference tolerates them implicitly because
+    * pyarrow hands Beam whatever it read (`M/main_batch.py:91-95`).
+    * This is the single seam where that tolerance lives — batch and
+    * streaming frames alike pass through here.
+    *
+    *  - nanos-as-long (`spark.sql.legacy.parquet.nanosAsLong=true`):
+    *    truncate ns -> us, matching DuckDB's read of the same file.
+    *  - TIMESTAMP_NTZ: cast to TIMESTAMP. Under the UTC session the
+    *    cast is a wall-clock identity (no instant shifting), and it
+    *    restores `unix_micros`/watermark eligibility.
+    *
+    * [[Sessions.builder]] additionally sets
+    * `spark.sql.parquet.inferTimestampNTZ=false`, so batch scans
+    * through [[apply]] never surface NTZ in the first place; the cast
+    * here is the backstop for frames built from explicit schemas
+    * (streaming sources, callers outside [[apply]]). */
   def normalize(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) {
       case (d, f) if f.name == "ts" && f.dataType == LongType =>
         d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case (d, f) if f.dataType == TimestampNTZType =>
+        d.withColumn(f.name, col(f.name).cast(TimestampType))
       case (d, _) => d
     }
 }
@@ -53,6 +77,14 @@ object Sessions {
       // (reference drops unparseable fields, `M/main.py:227-240`).
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Timestamp-without-timezone parquet columns (pandas/pyarrow and
+      // DuckDB's default physical encoding) read as plain TIMESTAMP,
+      // not TIMESTAMP_NTZ — the engine normalizes every physical
+      // encoding to one type at the load seam ([[Tables.normalize]]),
+      // and pinning the flag here means a Spark default flip can't
+      // change what scans surface. NTZ frames arriving from explicit
+      // schemas still normalize via the cast in [[Tables.normalize]].
+      .config("spark.sql.parquet.inferTimestampNTZ", "false")
       .config("spark.sql.adaptive.enabled", "true")
       // Generated methods HotSpot won't JIT (-XX:-DontCompileHugeMethods
       // default refuses >8000 bytecodes) run INTERPRETED forever —

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Schema-drift canary: asserts the engine-facing dtypes of every
+  * driver-generated table AFTER the [[Tables.normalize]] seam.
+  *
+  * The driver regenerates `/root/testdata` between rounds and has
+  * already flipped physical timestamp encodings once (`timestamp[ns]`
+  * -> `timestamp[us]` NTZ in round 8), which turned into 13 scattered
+  * analysis exceptions deep inside queries. This spec turns any such
+  * regeneration into ONE pointed failure naming the drifted column —
+  * the canonical "where do I look" signal. If it fires, the fix
+  * belongs in [[Tables.normalize]] (one seam), never in queries. */
+class SchemaCanarySpec extends SparkSpec {
+
+  private def dtypes(name: String): Map[String, DataType] =
+    sf(name).schema.fields.map(f => f.name -> f.dataType).toMap
+
+  /** No physical encoding may leak past the normalize seam. */
+  test("no TIMESTAMP_NTZ or raw-long timestamp survives normalization") {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    for (t <- tables; f <- sf(t).schema.fields) {
+      assert(f.dataType != TimestampNTZType,
+        s"$t.${f.name} surfaced as TIMESTAMP_NTZ past Tables.normalize")
+      assert(!(f.name == "ts" && f.dataType == LongType),
+        s"$t.${f.name} surfaced as raw nanos-long past Tables.normalize")
+    }
+  }
+
+  test("events: engine-facing schema") {
+    val d = dtypes("events")
+    assert(d("event_id") == LongType)
+    assert(d("ts") == TimestampType,
+      s"events.ts must normalize to TIMESTAMP (unix_micros + watermark " +
+        s"eligibility); got ${d("ts")}")
+    assert(d("user_id") == LongType)
+    assert(d("event_type") == StringType)
+    assert(d("value") == DoubleType)
+    assert(d("props") == StringType)
+  }
+
+  test("orders/lineitem: date-like columns normalize to TIMESTAMP") {
+    assert(dtypes("orders")("o_orderdate") == TimestampType)
+    assert(dtypes("lineitem")("l_shipdate") == TimestampType)
+  }
+
+  test("documents/embeddings: corpus schemas") {
+    val doc = dtypes("documents")
+    assert(doc("doc_id") == LongType)
+    assert(doc("text") == StringType)
+    assert(doc("lang") == StringType)
+    assert(doc("source") == StringType)
+    assert(doc("n_chars") == LongType)
+    val emb = dtypes("embeddings")
+    assert(emb("vec_id") == LongType)
+    assert(emb("embedding") == ArrayType(FloatType, containsNull = true))
+    assert(emb("label") == IntegerType)
+  }
+
+  /** The normalize seam must also catch frames built from explicit
+    * schemas (the streaming path): an NTZ column arriving that way
+    * still casts to TIMESTAMP. */
+  test("normalize casts an explicit-schema NTZ column to TIMESTAMP") {
+    import spark.implicits._
+    val ntz = Seq(1L, 2L).toDF("event_id")
+      .selectExpr("event_id", "timestamp_ntz '2024-01-02 03:04:05' AS ts")
+    assert(ntz.schema("ts").dataType == TimestampNTZType) // precondition
+    val out = Tables.normalize(ntz)
+    assert(out.schema("ts").dataType == TimestampType)
+    // UTC session => the cast is a wall-clock identity
+    val us = out.selectExpr("unix_micros(ts)").as[Long].head()
+    assert(us == 1704164645000000L)
+  }
+
+  /** Streaming watermark eligibility — the exact failure mode of
+    * round 8 (`EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE`): a stream built
+    * over the real events schema must accept a watermark on `ts`
+    * after normalization. */
+  test("normalized events stream accepts a watermark on ts") {
+    val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .schema
+    val stream = spark.readStream.schema(schema)
+      .parquet("/root/testdata/sf0.001/events.parquet")
+    val wm = Tables.normalize(stream).withWatermark("ts", "1 hour")
+    assert(wm.isStreaming)
+    assert(wm.schema("ts").dataType == TimestampType)
+  }
+}
