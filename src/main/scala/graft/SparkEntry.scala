@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.ExtQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.RelationalQueries.queries ++
-      graft.queries.CorpusQueries.queries
+      graft.queries.CorpusQueries.queries ++
+      graft.queries.LakeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.ExtQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.RelationalQueries.oracleSql ++
-      graft.queries.CorpusQueries.oracleSql
+      graft.queries.CorpusQueries.oracleSql ++
+      graft.queries.LakeQueries.oracleSql
 }

@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-9 lakehouse-maintenance operators: the jobs that keep a
+  * 100 TB lake correct and cheap to re-aggregate — incremental
+  * (algebraic) aggregate maintenance, snapshot reconciliation (CDC
+  * audit diff), and quantile feature binning. The reference rescans
+  * its whole input per run (`M/main_batch.py:431-503` — every batch
+  * is a full GCS re-read); these operators are what replaces rescans
+  * once the lake outgrows that.
+  *
+  * Cross-engine determinism rules match the other query modules: sums
+  * carried in exact DECIMAL and cast to DOUBLE only at the end;
+  * double-valued formulas written as the textually identical
+  * expression tree on both engines (IEEE `+ - * /` are correctly
+  * rounded, so identical operands give identical bits); comparisons
+  * and min/max on raw doubles are bit-safe.
+  */
+object LakeQueries {
+
+  private def dec(c: Column) = c.cast("decimal(18,2)")
+
+  /** Incremental aggregate maintenance: the algebraic partial-state
+    * merge behind every "update yesterday's rollup with today's
+    * delta" job. The aggregate state per group — (count, exact-decimal
+    * sum, min, max) — is what Spark's own map-side combine carries;
+    * materializing it makes the rollup MAINTAINABLE: merging a stored
+    * state table with a new delta's state touches only the delta and
+    * the (group-sized) state, never the 100 TB history. Every
+    * aggregate here is distributive/algebraic on purpose — a median
+    * could not be maintained this way (that's what the t-digest path
+    * in `quantiles_approx_bounds` is for).
+    *
+    * The query proves the algebra: lineitem is split at a ship-date
+    * cutoff into "history" and "delta", each side aggregates to states
+    * independently (in production these would be two separate jobs,
+    * days apart), and the union of states re-aggregates to the final
+    * rollup. The oracle is the single-pass full-scan aggregate — so
+    * the gate IS the merge-equals-rescan identity. Plan shape: two
+    * scans (one per slice) each with map-side combine, one tiny
+    * state-union exchange on the 3-value group key; the merge agg
+    * never sees row-level data. */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    def li = Tables(spark, dir, "lineitem")
+    val cutoff = lit("1996-01-01").cast("timestamp")
+    def states(slice: DataFrame): DataFrame =
+      slice.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_price"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+    val history = states(li.filter(col("l_shipdate") < cutoff))
+    val delta = states(li.filter(col("l_shipdate") >= cutoff))
+    history.unionByName(delta)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("sum_qty")).as("sum_qty"),
+        sum(col("sum_price")).as("sum_price"),
+        min(col("min_qty")).as("min_qty"),
+        max(col("max_qty")).as("max_qty"))
+      .select(col("l_returnflag"),
+        col("cnt"),
+        col("sum_qty").cast("double").as("sum_qty"),
+        col("sum_price").cast("double").as("sum_price"),
+        col("min_qty"), col("max_qty"),
+        (col("sum_qty").cast("double") / col("cnt").cast("double"))
+          .as("avg_qty"))
+  }
+
+  /** Snapshot reconciliation: classify every key as added / deleted /
+    * changed between two table snapshots — the anti-entropy audit for
+    * a CDC pipeline (did the MERGE stream actually converge the
+    * replica?), and the inverse of [[graft.ext.Merge.upsert]], which
+    * APPLIES a delta this query would recover. One co-partitioned
+    * full-outer hash join on the snapshot key is the whole cost; with
+    * both snapshots bucketed by key the exchange disappears, and at
+    * 100 TB the join never widens past the two snapshots' keys +
+    * compared columns (project before diffing). Unchanged keys — the
+    * overwhelming majority in a real lake — are dropped before any
+    * further processing.
+    *
+    * The two snapshots are carved deterministically from `orders`:
+    * keys ≡ 0 (mod 83) are missing from the old snapshot ("added"),
+    * keys ≡ 0 (mod 89) are missing from the new one ("deleted"), and
+    * the new snapshot reprices keys ≡ 0 (mod 97) ("changed" — double
+    * multiply is IEEE-exact-rounded, so both engines compute the same
+    * bits and the inequality test is deterministic). */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    def orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val old = orders.filter(col("o_orderkey") % 83 =!= 0)
+      .withColumnRenamed("o_totalprice", "old_price")
+    val neu = orders.filter(col("o_orderkey") % 89 =!= 0)
+      .withColumn("new_price",
+        when(col("o_orderkey") % 97 === 0, col("o_totalprice") * lit(1.1))
+          .otherwise(col("o_totalprice")))
+      .drop("o_totalprice")
+    old.join(neu, Seq("o_orderkey"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_price").isNull, lit("added"))
+          .when(col("new_price").isNull, lit("deleted"))
+          .when(col("old_price") =!= col("new_price"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change_type") =!= "unchanged")
+      .select(col("o_orderkey"), col("change_type"),
+        col("old_price"), col("new_price"))
+  }
+
+  /** Quantile feature binning: assign every order to a global price
+    * decile — the discretization step in front of any categorical
+    * model feature or stratified report. Two passes, no global sort:
+    * pass 1 reduces the whole column to 9 boundary values (one
+    * map-side-combined aggregate to a single row; at 100 TB swap
+    * `percentile` for `percentile_approx` — same plan shape, and the
+    * bin EDGES move within sketch ε while the binning stays exact
+    * w.r.t. those edges); pass 2 broadcasts the one-row boundary
+    * frame and bins scan-side with 9 comparisons — no join on data,
+    * no shuffle beyond the final 10-group aggregate. The interpolated
+    * boundaries are bit-identical cross-engine (same interpolation
+    * definition as the `quantiles_agg` gate), so the strict `>`
+    * comparisons classify identically. */
+  def quantileBins(spark: SparkSession, dir: String): DataFrame = {
+    def orders = Tables(spark, dir, "orders")
+    val qs = (1 to 9).map(_ / 10.0)
+    val bounds = orders.agg(
+      expr(s"percentile(o_totalprice, array(${qs.mkString(",")}))")
+        .as("bs"))
+    val bin = (1 to 9).map(i =>
+      (col("o_totalprice") > col("bs").getItem(i - 1)).cast("int"))
+      .reduce(_ + _) + lit(1)
+    orders.crossJoin(broadcast(bounds))
+      .select(bin.cast("long").as("bin"), col("o_totalprice"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+  }
+
+  /** Small-file compaction planning: pack per-source document runs
+    * into ~1 MiB output bins by exclusive running size — the planner
+    * half of the OPTIMIZE/compaction job every parquet lake needs
+    * (thousands of small files per partition is the canonical 100 TB
+    * failure mode: footer-bound scans, NameNode/listing pressure,
+    * undersized row groups). Plan shape: one window sort per source
+    * partition (each source's run is independent — the sort never
+    * crosses partitions) + the tiny per-bin aggregate; the actual
+    * rewrite would then read each bin's members and write one file,
+    * embarrassingly parallel over bins.
+    *
+    * Bin id is the exclusive prefix sum divided by the target — the
+    * streaming first-fit that guarantees every bin except a run's
+    * last holds ≥ target bytes once the straddling member lands.
+    * Integer arithmetic end to end: BIGINT running sums and truncating
+    * division (non-negative ⇒ floor), bit-stable on any engine. */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val target = 1L << 20
+    val docs = Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Long.MinValue, 0)
+    docs.withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("bin", expr(s"(cum - n_chars) div $target"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_chars")).as("bin_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "incremental_agg" -> incrementalAgg _,
+    "snapshot_diff" -> snapshotDiff _,
+    "quantile_bins" -> quantileBins _,
+    "compaction_plan" -> compactionPlan _)
+
+  val oracleSql: Map[String, String] = Map(
+    // the oracle is the single-pass rescan: the gate asserts the
+    // state-merge identity, not just "some numbers came out"
+    "incremental_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  MIN(l_quantity) AS min_qty,
+        |  MAX(l_quantity) AS max_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey, o_totalprice AS old_price
+        |  FROM orders WHERE o_orderkey % 83 <> 0),
+        |neu AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.1
+        |         ELSE o_totalprice END AS new_price
+        |  FROM orders WHERE o_orderkey % 89 <> 0)
+        |SELECT o_orderkey,
+        |  CASE WHEN old_price IS NULL THEN 'added'
+        |       WHEN new_price IS NULL THEN 'deleted'
+        |       ELSE 'changed' END AS change_type,
+        |  old_price, new_price
+        |FROM old FULL OUTER JOIN neu USING (o_orderkey)
+        |WHERE old_price IS NULL OR new_price IS NULL
+        |   OR old_price <> new_price""".stripMargin,
+    "quantile_bins" ->
+      """WITH b AS (
+        |  SELECT quantile_cont(o_totalprice, 0.1) AS b1,
+        |         quantile_cont(o_totalprice, 0.2) AS b2,
+        |         quantile_cont(o_totalprice, 0.3) AS b3,
+        |         quantile_cont(o_totalprice, 0.4) AS b4,
+        |         quantile_cont(o_totalprice, 0.5) AS b5,
+        |         quantile_cont(o_totalprice, 0.6) AS b6,
+        |         quantile_cont(o_totalprice, 0.7) AS b7,
+        |         quantile_cont(o_totalprice, 0.8) AS b8,
+        |         quantile_cont(o_totalprice, 0.9) AS b9
+        |  FROM orders)
+        |SELECT CAST(1
+        |    + CASE WHEN o_totalprice > b1 THEN 1 ELSE 0 END
+        |    + CASE WHEN o_totalprice > b2 THEN 1 ELSE 0 END
+        |    + CASE WHEN o_totalprice > b3 THEN 1 ELSE 0 END
+        |    + CASE WHEN o_totalprice > b4 THEN 1 ELSE 0 END
+        |    + CASE WHEN o_totalprice > b5 THEN 1 ELSE 0 END
+        |    + CASE WHEN o_totalprice > b6 THEN 1 ELSE 0 END
+        |    + CASE WHEN o_totalprice > b7 THEN 1 ELSE 0 END
+        |    + CASE WHEN o_totalprice > b8 THEN 1 ELSE 0 END
+        |    + CASE WHEN o_totalprice > b9 THEN 1 ELSE 0 END
+        |  AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(o_totalprice) AS lo,
+        |  MAX(o_totalprice) AS hi
+        |FROM orders, b
+        |GROUP BY 1""".stripMargin,
+    "compaction_plan" ->
+      """WITH c AS (
+        |  SELECT source, doc_id, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |SELECT source, CAST((cum - n_chars) // 1048576 AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(n_chars) AS BIGINT) AS bin_chars,
+        |  MIN(doc_id) AS first_doc,
+        |  MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2""".stripMargin)
+}

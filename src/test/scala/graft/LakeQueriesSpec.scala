@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.LakeQueries
+
+/** Round-9 lakehouse-maintenance operators: incremental aggregate
+  * maintenance, snapshot diff, quantile binning. */
+class LakeQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("incremental_agg: state merge equals single-pass rescan") {
+    val merged = LakeQueries.incrementalAgg(spark, dir)
+    val direct = sf("lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val got = merged.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got == direct)
+    // avg is exactly sum/cnt in double arithmetic
+    merged.collect().foreach { r =>
+      assert(r.getDouble(6) == r.getDouble(2) / r.getLong(1).toDouble)
+    }
+  }
+
+  test("snapshot_diff: classification matches the modulo carving") {
+    val diff = LakeQueries.snapshotDiff(spark, dir).collect()
+    val byType = diff.groupBy(_.getString(1))
+    // every diff row's type is re-derivable from its key
+    diff.foreach { r =>
+      val k = r.getLong(0)
+      r.getString(1) match {
+        case "added" =>
+          assert(k % 83 == 0 && k % 89 != 0)
+          assert(r.isNullAt(2) && !r.isNullAt(3))
+        case "deleted" =>
+          assert(k % 89 == 0 && k % 83 != 0)
+          assert(!r.isNullAt(2) && r.isNullAt(3))
+        case "changed" =>
+          assert(k % 97 == 0 && k % 83 != 0 && k % 89 != 0)
+          assert(r.getDouble(3) == r.getDouble(2) * 1.1)
+        case other => fail(s"unexpected change_type $other")
+      }
+    }
+    // the carving produces all three classes at sf0.001 (1.5k orders,
+    // keys up to ~6k span multiples of 83, 89, and 97)
+    assert(byType.keySet == Set("added", "deleted", "changed"))
+    // and unchanged keys never leak into the diff
+    val n = sf("orders").count()
+    assert(diff.length < n / 10)
+  }
+
+  test("compaction_plan: first-fit bins cover every doc, fill to target") {
+    val target = 1L << 20
+    val plan = LakeQueries.compactionPlan(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val docs = sf("documents")
+    assert(plan.map(_._3).sum == docs.count())
+    assert(plan.map(_._4).sum ==
+      docs.agg(sum($"n_chars")).as[Long].head())
+    plan.groupBy(_._1).foreach { case (_, rows) =>
+      val byBin = rows.sortBy(_._2)
+      // bins are contiguous from 0
+      assert(byBin.map(_._2).toSeq == (0L until byBin.length))
+      // doc ranges are disjoint and ordered across bins
+      byBin.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 < b._5)
+        case _ =>
+      }
+      // every non-final bin is filled: cumulative chars through bin b
+      // reach past boundary (b+1)*target (its last member straddles)
+      byBin.map(_._4).scanLeft(0L)(_ + _).drop(1).zipWithIndex
+        .dropRight(1).foreach { case (cum, b) =>
+          assert(cum >= (b + 1) * target)
+        }
+    }
+  }
+
+  test("quantile_bins: 10 deciles partition the table near-evenly") {
+    val bins = LakeQueries.quantileBins(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(bins.map(_._1).toSeq == (1L to 10L))
+    val n = sf("orders").count()
+    assert(bins.map(_._2).sum == n)
+    // interpolated decile edges: each bin within ±2% of n/10 + 1
+    bins.foreach { case (_, cnt, _, _) =>
+      assert(math.abs(cnt - n / 10.0) <= n * 0.02 + 1)
+    }
+    // bins are ordered, non-overlapping value ranges
+    bins.sliding(2).foreach {
+      case Array((_, _, _, hi1), (_, _, lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+}
