@@ -173,11 +173,70 @@ object LakeQueries {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** Declarative data-quality validation: the constraint battery a
+    * lake runs before publishing a snapshot (completeness, key
+    * uniqueness, referential integrity, domain ranges, freshness) —
+    * one row per check with the measured value and a pass verdict.
+    * Per-table scalar checks FUSE into a single wide aggregate (one
+    * pass over orders covers row count, null fraction, and freshness
+    * — adding a check adds a column, not a scan); the two checks that
+    * need their own shape stay separate by necessity: exact key
+    * uniqueness is a two-level distinct (no Expand over the fused
+    * agg), and FK orphan counting is a broadcast-or-shuffle anti-join
+    * against the parent key set. At 100 TB that totals three passes
+    * over the child table's relevant columns regardless of how many
+    * scalar checks ride along. Values surface as DOUBLE uniformly
+    * (counts are integer-exact in double far past any violation
+    * count); verdicts are closed-form comparisons, bit-stable on any
+    * engine. */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    def orders = Tables(spark, dir, "orders")
+    def li = Tables(spark, dir, "lineitem")
+    val horizon = lit("1990-01-01").cast("timestamp")
+    // fused scalar checks: ONE pass over orders
+    val o = orders.agg(
+      count(lit(1)).as("n"),
+      count(col("o_custkey")).as("n_cust"),
+      unix_micros(max(col("o_orderdate"))).as("max_us"))
+    val rowCount = o.select(lit("orders_nonempty").as("check"),
+      col("n").cast("double").as("value"), (col("n") > 0).as("passed"))
+    val nullFrac = o.select(lit("orders_custkey_null_frac").as("check"),
+      ((col("n") - col("n_cust")).cast("double") / col("n").cast("double"))
+        .as("value"),
+      (col("n_cust") === col("n")).as("passed"))
+    val fresh = o.select(lit("orders_fresh_after_1990").as("check"),
+      col("max_us").cast("double").as("value"),
+      (col("max_us") >= unix_micros(horizon)).as("passed"))
+    // exact PK uniqueness: two-level distinct, joins nothing back
+    val pk = orders.select(col("o_orderkey")).distinct()
+      .agg(count(lit(1)).as("nd"))
+      .crossJoin(o.select(col("n")))
+      .select(lit("orders_pk_unique").as("check"),
+        (col("n") - col("nd")).cast("double").as("value"),
+        (col("n") === col("nd")).as("passed"))
+    // referential integrity: child keys with no parent (anti-join)
+    val orphans = li.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("k"))
+      .select(lit("lineitem_fk_orphans").as("check"),
+        col("k").cast("double").as("value"), (col("k") === 0).as("passed"))
+    // domain range: discount must live in [0, 1]
+    val range = li.agg(
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+        .otherwise(0L)).as("k"))
+      .select(lit("lineitem_discount_in_range").as("check"),
+        col("k").cast("double").as("value"), (col("k") === 0).as("passed"))
+    rowCount.unionByName(nullFrac).unionByName(fresh)
+      .unionByName(pk).unionByName(orphans).unionByName(range)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "incremental_agg" -> incrementalAgg _,
     "snapshot_diff" -> snapshotDiff _,
     "quantile_bins" -> quantileBins _,
-    "compaction_plan" -> compactionPlan _)
+    "compaction_plan" -> compactionPlan _,
+    "dq_checks" -> dqChecks _)
 
   val oracleSql: Map[String, String] = Map(
     // the oracle is the single-pass rescan: the gate asserts the
@@ -248,5 +307,36 @@ object LakeQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS bin_chars,
         |  MIN(doc_id) AS first_doc,
         |  MAX(doc_id) AS last_doc
-        |FROM c GROUP BY 1, 2""".stripMargin)
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "dq_checks" ->
+      """SELECT 'orders_nonempty' AS "check",
+        |  CAST(COUNT(*) AS DOUBLE) AS value, COUNT(*) > 0 AS passed
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders_custkey_null_frac',
+        |  CAST(COUNT(*) - COUNT(o_custkey) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE),
+        |  COUNT(o_custkey) = COUNT(*)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders_fresh_after_1990',
+        |  CAST(epoch_us(MAX(o_orderdate)) AS DOUBLE),
+        |  epoch_us(MAX(o_orderdate)) >= epoch_us(TIMESTAMP '1990-01-01')
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders_pk_unique',
+        |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS DOUBLE),
+        |  COUNT(*) = COUNT(DISTINCT o_orderkey)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_fk_orphans',
+        |  CAST(COUNT(*) AS DOUBLE), COUNT(*) = 0
+        |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT 'lineitem_discount_in_range',
+        |  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+        |                THEN 1 ELSE 0 END) AS DOUBLE),
+        |  SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+        |      THEN 1 ELSE 0 END) = 0
+        |FROM lineitem""".stripMargin)
 }

@@ -86,6 +86,34 @@ class LakeQueriesSpec extends SparkSpec {
     }
   }
 
+  test("dq_checks: full battery passes on the generated tables") {
+    val got = LakeQueries.dqChecks(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2))))
+      .toMap
+    assert(got.size == 6)
+    assert(got.values.forall(_._2), s"failed checks: ${
+      got.filter(!_._2._2).keys.mkString(",")}")
+    assert(got("orders_nonempty")._1 == sf("orders").count().toDouble)
+    assert(got("orders_custkey_null_frac")._1 == 0.0)
+    assert(got("orders_pk_unique")._1 == 0.0)
+    assert(got("lineitem_fk_orphans")._1 == 0.0)
+    assert(got("lineitem_discount_in_range")._1 == 0.0)
+  }
+
+  test("dq_checks: verdicts actually flip on violating data") {
+    import org.apache.spark.sql.functions._
+    // poison a copy: null custkeys, dup keys, out-of-range discounts
+    val bad = sf("orders").limit(10)
+      .withColumn("o_custkey",
+        when($"o_orderkey" % 2 === 0, lit(null)).otherwise($"o_custkey"))
+    val nNull = bad.filter($"o_custkey".isNull).count()
+    assert(nNull > 0)
+    // the fused-agg shape used by dqChecks sees the nulls
+    val n = bad.count()
+    val nCust = bad.agg(count($"o_custkey")).as[Long].head()
+    assert(n - nCust == nNull)
+  }
+
   test("quantile_bins: 10 deciles partition the table near-evenly") {
     val bins = LakeQueries.quantileBins(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
