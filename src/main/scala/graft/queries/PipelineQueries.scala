@@ -219,6 +219,43 @@ object PipelineQueries {
     }
   }
 
+  /** Structured Streaming dedup: a doubled stream (the same file
+    * source read twice and unioned — every event_id arrives exactly
+    * twice, possibly in different micro-batches) collapsed by
+    * `dropDuplicatesWithinWatermark` on the event-time watermark, run
+    * as a real streaming query. This is the streaming half of A1
+    * (`M/main.py:318-343` windows its Distinct the same way: state
+    * scoped by event time, dropped when the watermark passes) — at
+    * scale the state held per key is bounded by rate × watermark
+    * delay, never by stream length. The GATE widens the watermark
+    * past the table's whole event-time span so no duplicate can be
+    * evicted before its twin arrives (production sizes it to the real
+    * redelivery window, e.g. the source's at-least-once retry
+    * horizon); the deduped stream must then equal the batch distinct
+    * — the memory-sink aggregate is compared to a plain batch
+    * aggregate of `events`. Same gate-only memory-sink caveat as
+    * [[streamWindowCounts]]. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = "stream_dedup_sink"
+    onStreamSession(spark, 8) { s =>
+      def src = Tables.normalize(
+        s.readStream.schema(schema).option("basePath", dir)
+          .parquet(s"$dir/events*.parquet"))
+      val doubled = src.unionByName(src)
+        .withWatermark("ts", "365 days")
+      val dedup = doubled.dropDuplicatesWithinWatermark("event_id")
+      val q = dedup.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }
+  }
+
   /** Multimodal: binary content column + stub decode via per-partition
     * mapPartitions (real plumbing, fake codec — see Multimodal). */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
@@ -250,6 +287,7 @@ object PipelineQueries {
     "stream_sessionize" -> streamSessionize _,
     "stream_stream_join" -> streamStreamJoin _,
     "stream_stateful_agg" -> streamStatefulAgg _,
+    "stream_dedup" -> streamDedup _,
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_frames" -> multimodalFrames _,
     "multimodal_resize" -> multimodalResize _)
@@ -266,6 +304,12 @@ object PipelineQueries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the doubled stream deduped within the watermark must equal the
+    // plain batch distinct — i.e. the original table
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "stream_stateful_agg" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -72,6 +72,19 @@ class ExtraQueriesSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("watermarked streaming dedup of a doubled stream equals the " +
+      "batch table") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = PipelineQueries.streamDedup(spark, dir)
+      .as[(String, Long, Double)].collect().toSet
+    val batch = Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("stream-stream interval join equals its batch twin") {
     val dir = "/root/testdata/sf0.001"
     val streamed = PipelineQueries.streamStreamJoin(spark, dir)
