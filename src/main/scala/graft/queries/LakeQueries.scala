@@ -183,8 +183,11 @@ object LakeQueries {
     * need their own shape stay separate by necessity: exact key
     * uniqueness is a two-level distinct (no Expand over the fused
     * agg), and FK orphan counting is a broadcast-or-shuffle anti-join
-    * against the parent key set. At 100 TB that totals three passes
-    * over the child table's relevant columns regardless of how many
+    * against the parent key set. The 1-row check frames cross-join
+    * into ONE fused row that explodes into the report — NOT a union
+    * of per-check branches, which would replay each source aggregate
+    * per branch (Catalyst can't share scans across branches that
+    * prune different columns). Fixed pass count no matter how many
     * scalar checks ride along. Values surface as DOUBLE uniformly
     * (counts are integer-exact in double far past any violation
     * count); verdicts are closed-form comparisons, bit-stable on any
@@ -193,42 +196,47 @@ object LakeQueries {
     def orders = Tables(spark, dir, "orders")
     def li = Tables(spark, dir, "lineitem")
     val horizon = lit("1990-01-01").cast("timestamp")
-    // fused scalar checks: ONE pass over orders
+    // one fused scalar pass over orders (count, null count, freshness
+    // all ride the same aggregate); the two checks that need their
+    // own shape run as their own 1-row frames
     val o = orders.agg(
       count(lit(1)).as("n"),
       count(col("o_custkey")).as("n_cust"),
       unix_micros(max(col("o_orderdate"))).as("max_us"))
-    val rowCount = o.select(lit("orders_nonempty").as("check"),
-      col("n").cast("double").as("value"), (col("n") > 0).as("passed"))
-    val nullFrac = o.select(lit("orders_custkey_null_frac").as("check"),
-      ((col("n") - col("n_cust")).cast("double") / col("n").cast("double"))
-        .as("value"),
-      (col("n_cust") === col("n")).as("passed"))
-    val fresh = o.select(lit("orders_fresh_after_1990").as("check"),
-      col("max_us").cast("double").as("value"),
-      (col("max_us") >= unix_micros(horizon)).as("passed"))
-    // exact PK uniqueness: two-level distinct, joins nothing back
-    val pk = orders.select(col("o_orderkey")).distinct()
+    val nd = orders.select(col("o_orderkey")).distinct()
       .agg(count(lit(1)).as("nd"))
-      .crossJoin(o.select(col("n")))
-      .select(lit("orders_pk_unique").as("check"),
-        (col("n") - col("nd")).cast("double").as("value"),
-        (col("n") === col("nd")).as("passed"))
-    // referential integrity: child keys with no parent (anti-join)
     val orphans = li.select(col("l_orderkey"))
       .join(orders.select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_anti")
-      .agg(count(lit(1)).as("k"))
-      .select(lit("lineitem_fk_orphans").as("check"),
-        col("k").cast("double").as("value"), (col("k") === 0).as("passed"))
-    // domain range: discount must live in [0, 1]
-    val range = li.agg(
+      .agg(count(lit(1)).as("orphans"))
+    val badDisc = li.agg(
       sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
-        .otherwise(0L)).as("k"))
-      .select(lit("lineitem_discount_in_range").as("check"),
-        col("k").cast("double").as("value"), (col("k") === 0).as("passed"))
-    rowCount.unionByName(nullFrac).unionByName(fresh)
-      .unionByName(pk).unionByName(orphans).unionByName(range)
+        .otherwise(0L)).as("bad_disc"))
+    // cross-join the 1-row frames into ONE fused row, then explode it
+    // into the per-check rows — a union of per-check branches would
+    // instead replay the source aggregates once per branch (each
+    // branch prunes different columns, so Catalyst cannot share the
+    // scans; measured: 5 orders scans for these 6 checks)
+    def check(name: String, value: Column, passed: Column) =
+      struct(lit(name).as("check"), value.cast("double").as("value"),
+        passed.as("passed"))
+    o.crossJoin(nd).crossJoin(orphans).crossJoin(badDisc)
+      .select(explode(array(
+        check("orders_nonempty", col("n"), col("n") > 0),
+        check("orders_custkey_null_frac",
+          (col("n") - col("n_cust")).cast("double")
+            / col("n").cast("double"),
+          col("n_cust") === col("n")),
+        check("orders_fresh_after_1990", col("max_us"),
+          col("max_us") >= unix_micros(horizon)),
+        check("orders_pk_unique", col("n") - col("nd"),
+          col("n") === col("nd")),
+        check("lineitem_fk_orphans", col("orphans"),
+          col("orphans") === 0),
+        check("lineitem_discount_in_range", col("bad_disc"),
+          col("bad_disc") === 0))).as("c"))
+      .select(col("c.check").as("check"), col("c.value").as("value"),
+        col("c.passed").as("passed"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
