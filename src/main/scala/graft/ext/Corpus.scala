@@ -266,15 +266,20 @@ object Corpus {
 
   /** Vocabulary: the `k` most frequent tokens (count desc, token asc
     * — total order, so the cut is deterministic) with ranks.
-    * Token counting is a map-side-combined hash aggregation; the
-    * final top-k ranks only the aggregated vocabulary (|vocab| <<
-    * |tokens|), which at 100 TB is the only part that sorts. */
+    * Token counting is a map-side-combined hash aggregation. The cut
+    * is a distributed TakeOrdered (per-partition top-k heads, merged)
+    * — NOT a rank-then-filter window, which would funnel the whole
+    * aggregated vocabulary through one partition (a web-scale corpus
+    * has hundreds of millions of distinct tokens; round-9 plan audit
+    * caught exactly that WindowExec warning here). Only the k
+    * survivors pass through the single-partition ranking window,
+    * which is bounded by k at any corpus size. */
   def vocabTopK(docs: DataFrame, text: Column, k: Int): DataFrame = {
     val counts = tokens(docs, text).groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
+    val topk = counts.orderBy(col("n").desc, col("token").asc).limit(k)
     val w = Window.orderBy(col("n").desc, col("token").asc)
-    counts.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    topk.withColumn("rank", row_number().over(w).cast("long"))
   }
 
   /** Per-document repetition statistics — the Gopher/C4-family
