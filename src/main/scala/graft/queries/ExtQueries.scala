@@ -131,6 +131,28 @@ object ExtQueries {
       k = 10, numCells = 16, nProbe = 4, centroids = Some(cent))
   }
 
+  /** Recall audit of the approximate path against the exact baseline:
+    * per-query overlap between [[annIvfTopK]]'s probed top-10 and
+    * [[annBruteForce]]'s exact top-10. This is the measurement a
+    * production ANN deployment runs continuously on a query sample —
+    * the sketch parameters (numCells, nProbe) are only defensible
+    * with a measured recall behind them, and at 100 TB the audit
+    * costs one brute-force pass over a SAMPLE of queries, not the
+    * corpus. Both inputs are deterministic, so recall is exact and
+    * hash-gated (the DuckDB twin joins the same two subqueries — no
+    * constant-true tolerance needed). Left join from the exact side
+    * keeps recall-zero queries visible. */
+  def annIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = annBruteForce(spark, dir).select(col("query_id"), col("nbr_id"))
+    val ivf = annIvfTopK(spark, dir).select(col("query_id"), col("nbr_id"))
+      .withColumn("hit", lit(1L))
+    bf.join(ivf, Seq("query_id", "nbr_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .select(col("query_id"), col("n_overlap"),
+        (col("n_overlap").cast("double") / lit(10.0)).as("recall"))
+  }
+
   /** Repetition quality signals (Gopher/C4-family filters):
     * duplicate-token ratio + most-frequent-bigram fraction per doc. */
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
@@ -201,6 +223,7 @@ object ExtQueries {
     "ann_brute_force" -> annBruteForce _,
     "ann_ivf_topk" -> annIvfTopK _,
     "ann_ivf_kmeans" -> annIvfKmeans _,
+    "ann_ivf_recall" -> annIvfRecall _,
     "embed_neardup_lsh" -> embedNearDupLsh _,
     "embed_quantize" -> embedQuantize _,
     "doc_decontaminate" -> docDecontaminate _,
@@ -576,6 +599,19 @@ object ExtQueries {
     * probe/rank tail as [[annIvfTopKSql]] against the trained cells.
     * Constants in lockstep with annIvfKmeans (numCells=16, iters=3,
     * nProbe=4, k=10). */
+  /** Exact recall join of the two ANN oracles — DuckDB allows WITH
+    * inside parenthesized subqueries, so the stacks compose. */
+  private val annIvfRecallSql =
+    s"""SELECT bf.query_id,
+       |  CAST(SUM(CASE WHEN ivf.nbr_id IS NULL THEN 0 ELSE 1 END)
+       |    AS BIGINT) AS n_overlap,
+       |  CAST(SUM(CASE WHEN ivf.nbr_id IS NULL THEN 0 ELSE 1 END)
+       |    AS DOUBLE) / 10.0 AS recall
+       |FROM ($annBruteForceSql) bf
+       |LEFT JOIN ($annIvfTopKSql) ivf
+       |  ON bf.query_id = ivf.query_id AND bf.nbr_id = ivf.nbr_id
+       |GROUP BY bf.query_id""".stripMargin
+
   private val annIvfKmeansSql = {
     val iters = (0 until 3).map { t =>
       s"""cn$t AS (
@@ -793,6 +829,7 @@ object ExtQueries {
     "ann_brute_force" -> annBruteForceSql,
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_ivf_kmeans" -> annIvfKmeansSql,
+    "ann_ivf_recall" -> annIvfRecallSql,
     "embed_quantize" -> embedQuantizeSql,
     "doc_decontaminate" -> docDecontaminateSql,
     "text_repetition" -> textRepetitionSql,

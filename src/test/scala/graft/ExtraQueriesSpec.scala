@@ -85,6 +85,19 @@ class ExtraQueriesSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("ann recall audit: one row per query, self-hit floor, k ceiling") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.ExtQueries.annIvfRecall(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 10)               // vec_id < 10 query sample
+    got.foreach { case (_, overlap, recall) =>
+      // the query is a corpus member: brute force ranks it #1 and IVF
+      // probes its own cell, so overlap is at least the self-hit
+      assert(overlap >= 1 && overlap <= 10)
+      assert(recall == overlap / 10.0)
+    }
+  }
+
   test("stream-stream interval join equals its batch twin") {
     val dir = "/root/testdata/sf0.001"
     val streamed = PipelineQueries.streamStreamJoin(spark, dir)
