@@ -278,6 +278,29 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n"),
         sum(dec(col("o_totalprice"))).cast("double").as("total"))
 
+  /** Ordered per-user event-type sequence — the secondary-sort export
+    * every training-sequence / session-replay pipeline ends with
+    * ("user's journey as a token path"). Distributed shape: ONE hash
+    * shuffle on user_id and no window, no global sort — collect_list
+    * gathers (us, event_id, event_type) structs in whatever partition
+    * order arrives, and one in-memory `sort_array` per group erases
+    * that nondeterminism (struct comparison orders by (us, event_id),
+    * unique per event). Per-group memory is bounded by the user's
+    * event count — the same bound any per-user sequence model already
+    * implies; a pathological user would be capped upstream by
+    * [[graft.ext.Corpus.stratifiedQuota]]-style sampling. */
+  def userEventPaths(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws(">",
+          transform(
+            sort_array(collect_list(
+              struct(col("us"), col("event_id"), col("event_type")))),
+            s => s.getField("event_type"))).as("path"))
+
   /** Gap-based sessionization (10-minute inactivity gap) via
     * lag + running-sum window — the batch twin of streaming session
     * windows. Timestamp math in exact microseconds. */
@@ -556,6 +579,7 @@ object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sessionize" -> sessionize _,
+    "user_event_paths" -> userEventPaths _,
     "interval_merge" -> intervalMerge _,
     "mode_per_group" -> modePerGroup _,
     "freq_items_bounds" -> freqItemsBounds _,
@@ -742,6 +766,11 @@ object AnalyticsQueries {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(us) AS session_start_us, max(us) AS last_event_us
         |FROM t GROUP BY user_id, session_id""".stripMargin,
+    "user_event_paths" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  string_agg(event_type, '>'
+        |    ORDER BY epoch_us(ts), event_id) AS path
+        |FROM events GROUP BY user_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
