@@ -131,6 +131,31 @@ object ExtQueries {
       k = 10, numCells = 16, nProbe = 4, centroids = Some(cent))
   }
 
+  /** Incremental cross-snapshot dedup — the nightly-ingest twin of
+    * [[graft.ext.Dedup.exactDedup]]: today's batch (doc_id ≡ 0 mod 3
+    * stands in for the new crawl) deduped within itself (first-wins
+    * on canonical fingerprint) and then against the STANDING corpus's
+    * fingerprint ledger, which is all the history ever touched — the
+    * 100 TB corpus participates as a distinct fp column only, never
+    * re-read at full text width. Plan: batch-side agg + one anti-join
+    * co-partitioned on fp; production would front the anti-join with
+    * [[graft.ext.Bloom]]'s distributed filter so most fresh documents
+    * never shuffle at all. Canonical (sorted-distinct-token)
+    * fingerprints catch reorder/duplication variants exactly like
+    * `text_fingerprint`. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val ledger = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(TextFunctions.canonicalFingerprint(col("text")).as("fp"))
+      .distinct()
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        TextFunctions.canonicalFingerprint(col("text")).as("fp"))
+    batch.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .join(ledger, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+  }
+
   /** Recall audit of the approximate path against the exact baseline:
     * per-query overlap between [[annIvfTopK]]'s probed top-10 and
     * [[annBruteForce]]'s exact top-10. This is the measurement a
@@ -212,6 +237,7 @@ object ExtQueries {
     "text_stats" -> textStats _,
     "text_langid" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,
+    "dedup_incremental" -> dedupIncremental _,
     "text_scrub" -> textScrub _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_minhash_sig" -> dedupMinhashSig _,
@@ -323,6 +349,18 @@ object ExtQueries {
     s"""SELECT doc_id, md5(text) AS fp,
        |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS canon_fp
        |FROM documents""".stripMargin
+
+  private val dedupIncrementalSql =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp
+       |  FROM documents),
+       |led AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 <> 0),
+       |batch AS (
+       |  SELECT MIN(doc_id) AS doc_id, fp
+       |  FROM f WHERE doc_id % 3 = 0 GROUP BY fp)
+       |SELECT doc_id, fp FROM batch
+       |WHERE fp NOT IN (SELECT fp FROM led)""".stripMargin
 
   /** Shared CTE: distinct word 3-grams per document (1-based list
     * indexing; i in 1..len-2). */
@@ -818,6 +856,7 @@ object ExtQueries {
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "text_scrub" -> textScrubSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,

@@ -85,6 +85,29 @@ class ExtraQueriesSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("dedup_incremental: kept docs are batch-unique and ledger-fresh") {
+    val dir = "/root/testdata/sf0.001"
+    val kept = graft.queries.ExtQueries.dedupIncremental(spark, dir)
+      .as[(Long, String)].collect()
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.canonicalFingerprint(col("text"))
+          .as("fp"))
+      .as[(Long, String)].collect()
+    val ledger = docs.filter(_._1 % 3 != 0).map(_._2).toSet
+    val batch = docs.filter(_._1 % 3 == 0)
+    // every kept doc is from the batch, first of its fp, not in ledger
+    val firstOfFp = batch.groupBy(_._2).map { case (fp, rs) =>
+      fp -> rs.map(_._1).min }
+    kept.foreach { case (id, fp) =>
+      assert(id % 3 == 0 && !ledger.contains(fp) && firstOfFp(fp) == id)
+    }
+    // and nothing eligible is missing
+    val expected = firstOfFp.filterNot(kv => ledger.contains(kv._1))
+      .map(_.swap).toSet
+    assert(kept.toSet == expected && kept.nonEmpty)
+  }
+
   test("user_event_paths: every path is the user's time-ordered journey") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.queries.AnalyticsQueries.userEventPaths(spark, dir)
