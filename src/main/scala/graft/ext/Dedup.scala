@@ -53,7 +53,74 @@ object Dedup {
     * `jaccard >= threshold`. Shingle self-join: |A∩B| from the gram
     * equi-join, |A∪B| = |A|+|B|-|A∩B|. Integer counts divided at the
     * end — bit-identical across engines. */
+  /** Exact thresholded Jaccard similarity join via AllPairs/PPJoin
+    * prefix filtering — same output as [[ngramJaccardPairsBrute]] for
+    * any input and threshold, WITHOUT the all-pairs gram self-join.
+    *
+    * Why it's lossless: order all grams by a global canonical order
+    * (document frequency asc, gram asc — rarest first). For a doc
+    * with `sz` distinct grams, Jaccard ≥ τ against any partner forces
+    * an intersection of at least ceil(τ·sz) grams, so the doc's first
+    * `sz - ceil(τ·sz) + 1` grams in that order (its PREFIX) must
+    * contain the globally-minimal intersection gram — and that same
+    * gram is in the partner's prefix too (the order is global). Hence
+    * joining prefixes on gram finds every qualifying pair; exact
+    * verification on the full gram sets then computes the true
+    * Jaccard. The prefix length uses `floor` (≥ the ideal ceil-based
+    * length) so float jitter in τ·sz can only LENGTHEN the prefix —
+    * never lose a pair.
+    *
+    * Scale shape: rarest-first prefixes make the candidate join's
+    * buckets small exactly where the data is big — a stopword-like
+    * gram shared by millions of docs lands at the END of every doc's
+    * order and never enters a prefix unless a doc is nearly all
+    * stopwords. The heavy frames are one df aggregate over grams, one
+    * per-doc ranking window (partitioned by doc), the prefix
+    * self-join, and a per-candidate `array_intersect` over two
+    * doc-bounded gram arrays. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "0 < threshold <= 1")
+    val g = graft.Tables.materialize(shingles(df, id, text, n))
+    val dfreq = g.groupBy(col("gram")).agg(count(lit(1)).as("dfr"))
+    // one per-doc frame serves prefix extraction AND verification:
+    // (dfr, gram) structs sorted IN MEMORY per group (cheaper than a
+    // ranking window, which shuffle-sorts every gram row), prefix cut
+    // by slice. floor-based length ≥ the ideal ceil-based one, so
+    // float jitter in τ·sz can only lengthen the prefix.
+    val byDoc = graft.Tables.materialize(
+      g.join(dfreq, "gram")
+        .groupBy(col("id"))
+        .agg(sort_array(collect_list(struct(col("dfr"), col("gram"))))
+            .as("fg"),
+          count(lit(1)).as("sz")))
+    val prefix = byDoc.select(col("id"),
+      explode(slice(
+        transform(col("fg"), s => s.getField("gram")),
+        lit(1),
+        (col("sz") - floor(col("sz") * lit(threshold)) + lit(1))
+          .cast("int"))).as("gram"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    def side(sfx: String) = byDoc.select(col("id").as(s"id$sfx"),
+      transform(col("fg"), s => s.getField("gram")).as(s"g$sfx"),
+      col("sz").as(s"sz$sfx"))
+    cand.join(side("1"), "id1").join(side("2"), "id2")
+      .withColumn("inter",
+        size(array_intersect(col("g1"), col("g2"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** The all-pairs baseline [[ngramJaccardPairs]] is verified against:
+    * every gram co-occurrence becomes a candidate. Quadratic in the
+    * hottest gram's bucket — measurement/spec use only. */
+  def ngramJaccardPairsBrute(df: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val g = graft.Tables.materialize(shingles(df, id, text, n))
     val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("sz"))

@@ -57,6 +57,20 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("prefix-filtered jaccard join equals the all-pairs baseline " +
+      "on real docs at every threshold") {
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val fast = Dedup.ngramJaccardPairs(real, $"doc_id", $"text",
+          n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val brute = Dedup.ngramJaccardPairsBrute(real, $"doc_id", $"text",
+          n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fast == brute, s"threshold $t: prefix filter lost/added pairs")
+    }
+  }
+
   test("minhash signatures are identical for identical docs") {
     val sig = Dedup.minhashSignatures(docs, $"doc_id", $"text").collect()
       .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
