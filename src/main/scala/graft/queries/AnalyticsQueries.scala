@@ -1,10 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.TextFunctions
 
 /** Analytic operator coverage: hash/sort aggregation, distinct-agg,
   * multi-way joins (broadcast + shuffle), window functions, sort/top-k,
@@ -277,6 +278,49 @@ object AnalyticsQueries {
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
         sum(dec(col("o_totalprice"))).cast("double").as("total"))
+
+  /** Count-min sketch as a RELATIONAL frame — the streaming-friendly
+    * point-frequency estimator built entirely from dataframe state
+    * (no driver-side sketch object, no binary blob): d=4 portable
+    * md5-derived hash rows x w=256 buckets, each cell one count from
+    * ONE map-side-combined aggregate over the (seed x event) explode.
+    * Probing joins each key's (seed, bucket) coordinates back and
+    * takes min over the d rows. Because the hash family is the
+    * engine-portable md5 convention, the whole sketch — not just its
+    * error bound — is deterministic and hash-gated against DuckDB
+    * building the identical sketch in SQL. `never_under` pins the
+    * CMS one-sided guarantee (an estimate can only overcount).
+    *
+    * At 100 TB the sketch frame is d*w rows regardless of input size
+    * (vs the key-cardinality cost of the exact count it approximates)
+    * and merges across partitions/days by cell-wise addition — the
+    * same algebraic-state argument as `incremental_agg`. */
+  def cmsPointEstimates(spark: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 256
+    def bucket(seed: Int, key: Column): Column =
+      pmod(TextFunctions.hash32(
+        concat(lit(seed.toString), lit("|"), key.cast("string"))), lit(w))
+    val ev = Tables(spark, dir, "events").select(col("user_id"))
+    val cells = ev.select(col("user_id"),
+        explode(array((0 until d).map(s =>
+          struct(lit(s).as("seed"), bucket(s, col("user_id")).as("bucket"))
+        ): _*)).as("c"))
+      .groupBy(col("c.seed").as("seed"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val truth = ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_n"))
+    val probes = truth.select(col("user_id"), col("true_n"),
+      explode(array((0 until d).map(s =>
+        struct(lit(s).as("seed"), bucket(s, col("user_id")).as("bucket"))
+      ): _*)).as("c"))
+    probes.join(cells,
+        probes("c.seed") === cells("seed") &&
+          probes("c.bucket") === cells("bucket"))
+      .groupBy(col("user_id"), col("true_n"))
+      .agg(min(col("n")).as("cms_est"))
+      .select(col("user_id"), col("true_n"), col("cms_est"),
+        (col("cms_est") >= col("true_n")).as("never_under"))
+  }
 
   /** Ordered per-user event-type sequence — the secondary-sort export
     * every training-sequence / session-replay pipeline ends with
@@ -580,6 +624,7 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sessionize" -> sessionize _,
     "user_event_paths" -> userEventPaths _,
+    "cms_point_estimates" -> cmsPointEstimates _,
     "interval_merge" -> intervalMerge _,
     "mode_per_group" -> modePerGroup _,
     "freq_items_bounds" -> freqItemsBounds _,
@@ -771,6 +816,27 @@ object AnalyticsQueries {
         |  string_agg(event_type, '>'
         |    ORDER BY epoch_us(ts), event_id) AS path
         |FROM events GROUP BY user_id""".stripMargin,
+    // the identical sketch built in SQL: same md5 hash family, same
+    // d x w geometry — the full estimate is hash-gated, not a bound
+    "cms_point_estimates" ->
+      """WITH h AS (
+        |  SELECT user_id, s.s AS seed,
+        |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || '|' ||
+        |       CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 256 AS bucket
+        |  FROM events, (VALUES (0),(1),(2),(3)) s(s)),
+        |cells AS (SELECT seed, bucket, COUNT(*) AS n
+        |          FROM h GROUP BY 1, 2),
+        |truth AS (SELECT user_id, COUNT(*) AS true_n
+        |          FROM events GROUP BY 1),
+        |coords AS (SELECT DISTINCT user_id, seed, bucket FROM h),
+        |est AS (
+        |  SELECT c.user_id, MIN(cl.n) AS cms_est
+        |  FROM coords c
+        |  JOIN cells cl ON cl.seed = c.seed AND cl.bucket = c.bucket
+        |  GROUP BY 1)
+        |SELECT t.user_id, t.true_n, e.cms_est,
+        |  e.cms_est >= t.true_n AS never_under
+        |FROM truth t JOIN est e ON t.user_id = e.user_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -85,6 +85,19 @@ class ExtraQueriesSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("cms point estimates: one-sided error, near-exact at low load") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.AnalyticsQueries.cmsPointEstimates(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    // CMS never undercounts — the defining guarantee
+    got.foreach { case (u, t, e, nu) => assert(nu && e >= t, s"user $u") }
+    // at sf0.001 load (few dozen keys into 4x256 cells) collisions are
+    // rare: the estimate is exact for the vast majority of keys
+    val exact = got.count { case (_, t, e, _) => e == t }
+    assert(exact >= got.length * 0.9)
+  }
+
   test("dedup_incremental: kept docs are batch-unique and ledger-fresh") {
     val dir = "/root/testdata/sf0.001"
     val kept = graft.queries.ExtQueries.dedupIncremental(spark, dir)
