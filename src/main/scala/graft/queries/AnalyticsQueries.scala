@@ -322,6 +322,57 @@ object AnalyticsQueries {
         (col("cms_est") >= col("true_n")).as("never_under"))
   }
 
+  /** HyperLogLog as a RELATIONAL frame, exactly cross-engine-gated —
+    * the mergeable distinct-count state behind
+    * `approx_count_distinct`, built open-book: m=64 registers per
+    * group, register j = max over keys hashing to j of the leading-
+    * zero rank of the remaining hash bits. Rank uses `length(bin(h))`
+    * — an integer string length, bit-stable on any engine — never
+    * log(). The raw estimate α·m²/Σ2^-M_j stays deterministic because
+    * every 2^-M_j is an exact dyadic double (1.0 / (1 << M), exact
+    * IEEE divide) and their sum has no rounding at these magnitudes,
+    * so even the DOUBLE estimate hash-matches DuckDB computing the
+    * textually identical formula. No small-range ln() correction on
+    * purpose (ln is not cross-engine bit-stable; the raw estimate is
+    * the deterministic part) — `approx_count_distinct` remains the
+    * production path, this is its auditable twin. Register state is
+    * m rows per group, merges by cell-wise max — the same
+    * algebraic-state argument as `incremental_agg` and the CMS. */
+  def hllDistinctEstimates(spark: SparkSession, dir: String): DataFrame = {
+    val m = 64
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), col("user_id"))
+    val h = ev.select(col("event_type"),
+      TextFunctions.hash32(col("user_id").cast("string")).as("h"))
+    // bucket = h mod m; rank = leading zeros of the remaining 26 bits
+    // + 1 = 27 - bitlength(rest); rest == 0 -> rank 27
+    val withReg = h.select(col("event_type"),
+      pmod(col("h"), lit(m)).as("bucket"),
+      shiftright(col("h"), 6).as("rest"))
+      .select(col("event_type"), col("bucket"),
+        when(col("rest") === 0, lit(27))
+          .otherwise(lit(27) - length(bin(col("rest")))).as("rank"))
+    val regs = withReg.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rank")).as("reg"))
+    val est = regs.groupBy(col("event_type"))
+      .agg(sum(expr("double(1.0) / double(shiftleft(1L, reg))"))
+          .as("isum"),
+        count(lit(1)).as("nz"))
+      // empty buckets (no key hashed there) contribute 2^-0 = 1 each
+      .select(col("event_type"),
+        (col("isum") + (lit(m) - col("nz")).cast("double")).as("zsum"),
+        col("nz"))
+      .select(col("event_type"),
+        (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0))
+          * lit(64.0) * lit(64.0) / col("zsum")).as("hll_est"),
+        col("nz").as("buckets_hit"))
+    val exact = ev.distinct().groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exact"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("hll_est"), col("buckets_hit"),
+        col("n_exact"))
+  }
+
   /** Ordered per-user event-type sequence — the secondary-sort export
     * every training-sequence / session-replay pipeline ends with
     * ("user's journey as a token path"). Distributed shape: ONE hash
@@ -625,6 +676,7 @@ object AnalyticsQueries {
     "sessionize" -> sessionize _,
     "user_event_paths" -> userEventPaths _,
     "cms_point_estimates" -> cmsPointEstimates _,
+    "hll_distinct_estimates" -> hllDistinctEstimates _,
     "interval_merge" -> intervalMerge _,
     "mode_per_group" -> modePerGroup _,
     "freq_items_bounds" -> freqItemsBounds _,
@@ -816,6 +868,43 @@ object AnalyticsQueries {
         |  string_agg(event_type, '>'
         |    ORDER BY epoch_us(ts), event_id) AS path
         |FROM events GROUP BY user_id""".stripMargin,
+    // same open-book HLL in SQL: bitlength via bin() string length
+    // (never log), 2^-reg as exact dyadic division, double literals
+    // CAST explicitly (DuckDB numeric literals are DECIMAL), same
+    // left-associative formula text => identical double estimate
+    "hll_distinct_estimates" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h % 64 AS bucket,
+        |    CASE WHEN (h >> 6) = 0 THEN 27
+        |         ELSE 27 - length(bin(h >> 6)) END AS rnk
+        |  FROM h),
+        |regs AS (SELECT event_type, bucket, MAX(rnk) AS reg
+        |         FROM r GROUP BY 1, 2),
+        |est AS (
+        |  SELECT event_type,
+        |    SUM(CAST(1.0 AS DOUBLE) / CAST(1::BIGINT << reg AS DOUBLE))
+        |      AS isum,
+        |    COUNT(*) AS nz
+        |  FROM regs GROUP BY 1),
+        |z AS (SELECT event_type, isum + CAST(64 - nz AS DOUBLE) AS zsum,
+        |             nz FROM est),
+        |exact AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |  FROM (SELECT DISTINCT event_type, user_id FROM events)
+        |  GROUP BY 1)
+        |SELECT z.event_type,
+        |  CAST(0.7213 AS DOUBLE)
+        |    / (CAST(1.0 AS DOUBLE)
+        |       + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE))
+        |    * CAST(64.0 AS DOUBLE) * CAST(64.0 AS DOUBLE) / zsum
+        |    AS hll_est,
+        |  CAST(nz AS BIGINT) AS buckets_hit, n_exact
+        |FROM z JOIN exact ON z.event_type = exact.event_type""".stripMargin,
     // the identical sketch built in SQL: same md5 hash family, same
     // d x w geometry — the full estimate is hash-gated, not a bound
     "cms_point_estimates" ->

@@ -98,6 +98,20 @@ class ExtraQueriesSpec extends SparkSpec {
     assert(exact >= got.length * 0.9)
   }
 
+  test("hll registers: estimate positive, state bounded by m") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.AnalyticsQueries.hllDistinctEstimates(spark, dir)
+      .as[(String, Double, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (t, est, hit, exact) =>
+      assert(est > 0 && hit >= 1 && hit <= 64, t)
+      // every distinct key lands in some bucket: hit <= exact count
+      assert(hit <= exact, t)
+      // raw (uncorrected) estimate never reads below the hit count
+      assert(est >= hit.toDouble * 0.5, t)
+    }
+  }
+
   test("dedup_incremental: kept docs are batch-unique and ledger-fresh") {
     val dir = "/root/testdata/sf0.001"
     val kept = graft.queries.ExtQueries.dedupIncremental(spark, dir)
