@@ -78,16 +78,45 @@ object Dedup {
     * per-doc ranking window (partitioned by doc), the prefix
     * self-join, and a per-candidate `array_intersect` over two
     * doc-bounded gram arrays. */
+  /** Brute candidate volume above which the prefix-filtered plan is
+    * selected: Σ df² (the EXACT row count of the all-pairs gram
+    * self-join before aggregation) beyond ~268M rows means the
+    * quadratic path is paying real shuffle volume; below it, the
+    * simple self-join's single shuffle beats the prefix plan's fixed
+    * overhead (two extra gram-corpus shuffles + per-doc sorts —
+    * measured 3.4s vs 2.1s at sf0.1's trivial Σdf²=2.8M). */
+  private val JaccardBruteMaxCandVolume = new java.math.BigDecimal(1L << 28)
+
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0 && threshold <= 1, "0 < threshold <= 1")
     val g = graft.Tables.materialize(shingles(df, id, text, n))
     val dfreq = g.groupBy(col("gram")).agg(count(lit(1)).as("dfr"))
-    // one per-doc frame serves prefix extraction AND verification:
-    // (dfr, gram) structs sorted IN MEMORY per group (cheaper than a
-    // ranking window, which shuffle-sorts every gram row), prefix cut
-    // by slice. floor-based length ≥ the ideal ceil-based one, so
-    // float jitter in τ·sz can only lengthen the prefix.
+    // adaptive physical choice, same logical result either way (the
+    // spec proves path equality): Σ df² predicts the brute join's
+    // output exactly — the one scalar that separates "hot grams
+    // square the work" corpora from harmless ones. One tiny aggregate
+    // over the (cached) gram frequencies; exact decimal, no overflow.
+    val candVolume = dfreq
+      .agg(sum(col("dfr").cast("decimal(38,0)") * col("dfr")))
+      .collect()(0).getDecimal(0)
+    if (candVolume.compareTo(JaccardBruteMaxCandVolume) <= 0)
+      jaccardFromGrams(g, threshold)
+    else jaccardPrefixFiltered(g, dfreq, threshold)
+  }
+
+  /** AllPairs/PPJoin prefix filter over a prepared shingle frame —
+    * the quadratic-safe physical plan [[ngramJaccardPairs]] selects
+    * when Σ df² explodes. Per-doc (dfr, gram) structs sorted IN
+    * MEMORY per group (cheaper than a ranking window, which
+    * shuffle-sorts every gram row); the prefix cut slices the STRUCT
+    * array first so the HOF lambda only touches prefix-length
+    * arrays. floor-based length ≥ the ideal ceil-based one, so float
+    * jitter in τ·sz can only lengthen the prefix, never lose a
+    * pair. Package-visible so the equality spec can exercise this
+    * path directly on corpora whose Σ df² would dispatch to brute. */
+  private[graft] def jaccardPrefixFiltered(g: DataFrame, dfreq: DataFrame,
+      threshold: Double): DataFrame = {
     val byDoc = graft.Tables.materialize(
       g.join(dfreq, "gram")
         .groupBy(col("id"))
@@ -95,11 +124,11 @@ object Dedup {
             .as("fg"),
           count(lit(1)).as("sz")))
     val prefix = byDoc.select(col("id"),
-      explode(slice(
-        transform(col("fg"), s => s.getField("gram")),
-        lit(1),
-        (col("sz") - floor(col("sz") * lit(threshold)) + lit(1))
-          .cast("int"))).as("gram"))
+      explode(transform(
+        slice(col("fg"), lit(1),
+          (col("sz") - floor(col("sz") * lit(threshold)) + lit(1))
+            .cast("int")),
+        s => s.getField("gram"))).as("gram"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
@@ -117,12 +146,8 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
-  /** The all-pairs baseline [[ngramJaccardPairs]] is verified against:
-    * every gram co-occurrence becomes a candidate. Quadratic in the
-    * hottest gram's bucket — measurement/spec use only. */
-  def ngramJaccardPairsBrute(df: DataFrame, id: Column, text: Column,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val g = graft.Tables.materialize(shingles(df, id, text, n))
+  /** All-pairs gram self-join Jaccard over a prepared shingle frame. */
+  private def jaccardFromGrams(g: DataFrame, threshold: Double): DataFrame = {
     val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = g.as("a").join(g.as("b"), col("a.gram") === col("b.gram"))
       .filter(col("a.id") < col("b.id"))
@@ -137,6 +162,15 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
+
+  /** The all-pairs baseline [[ngramJaccardPairs]] dispatches to at
+    * harmless Σ df², and the equality spec verifies the prefix plan
+    * against: every gram co-occurrence becomes a candidate —
+    * quadratic in the hottest gram's bucket. */
+  def ngramJaccardPairsBrute(df: DataFrame, id: Column, text: Column,
+      n: Int = 3, threshold: Double = 0.5): DataFrame =
+    jaccardFromGrams(graft.Tables.materialize(shingles(df, id, text, n)),
+      threshold)
 
   /** Benchmark decontamination: drop corpus documents sharing at
     * least `minShared` distinct word n-grams with ANY benchmark

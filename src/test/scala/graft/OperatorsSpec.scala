@@ -60,15 +60,25 @@ class OperatorsSpec extends SparkSpec {
   test("prefix-filtered jaccard join equals the all-pairs baseline " +
       "on real docs at every threshold") {
     val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val g = Dedup.shingles(real, $"doc_id", $"text", 3)
+    val dfreq = g.groupBy($"gram").agg(count(lit(1)).as("dfr"))
     for (t <- Seq(0.3, 0.5, 0.8)) {
-      val fast = Dedup.ngramJaccardPairs(real, $"doc_id", $"text",
-          n = 3, threshold = t)
+      // the prefix plan invoked DIRECTLY (this corpus's harmless
+      // sum-df^2 would dispatch the public API to brute)
+      val fast = Dedup.jaccardPrefixFiltered(g, dfreq, t)
         .as[(Long, Long, Double)].collect().toSet
       val brute = Dedup.ngramJaccardPairsBrute(real, $"doc_id", $"text",
           n = 3, threshold = t)
         .as[(Long, Long, Double)].collect().toSet
       assert(fast == brute, s"threshold $t: prefix filter lost/added pairs")
     }
+    // and the adaptive entry point agrees with both
+    val viaApi = Dedup.ngramJaccardPairs(real, $"doc_id", $"text",
+        n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaPrefix = Dedup.jaccardPrefixFiltered(g, dfreq, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaApi == viaPrefix)
   }
 
   test("minhash signatures are identical for identical docs") {
