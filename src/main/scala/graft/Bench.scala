@@ -353,12 +353,15 @@ object Bench {
     // stdout line carries at most `maxN` entries of `msgLen` chars.
     // The `failed` count always survives, so a partial error map is
     // detectable from the JSON alone.
-    val errsAll = results.collect { case (k, _, Some(e), _) => (k, esc(e)) }
-    errsAll.foreach { case (k, e) => System.err.println(s"[bench-error] $k: $e") }
+    // truncate the RAW message, then escape: truncating after esc()
+    // could split a \" or \\ pair and leave the JSON string unclosed
+    val errsAll = results.collect { case (k, _, Some(e), _) => (k, e) }
+    errsAll.foreach { case (k, e) =>
+      System.err.println(s"[bench-error] $k: ${esc(e)}") }
     def errJsonN(maxN: Int, msgLen: Int): String =
       if (errsAll.isEmpty) ""
       else errsAll.take(maxN)
-        .map { case (k, e) => "\"" + k + "\":\"" + e.take(msgLen) + "\"" }
+        .map { case (k, e) => "\"" + k + "\":\"" + esc(e.take(msgLen)) + "\"" }
         .mkString(",\"errors\":{", ",", "}")
     val total = results.collect { case (_, v, None, _) => v }.sum
     val steal = f2(stealSeconds - stealRun0)
@@ -386,11 +389,18 @@ object Bench {
         .find(_.length <= 1900)
         .getOrElse(line("{}", s"$wedges$kills", errJsonN(1, 60)))
     // durable copy: a partial/overflowed stdout tail can no longer
-    // lose the run's numbers — the un-shed line lands on disk too
+    // lose the run's numbers — the un-shed line lands on disk too.
+    // cwd-relative on purpose (the driver launches from the repo
+    // root); a failed write is REPORTED, not swallowed — a silently
+    // missing safety net defeats its purpose
     try {
-      val w = new java.io.PrintWriter("target/bench_full.json")
+      val f = new java.io.File("target/bench_full.json")
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(f)
       try w.println(full) finally w.close()
-    } catch { case _: Exception => () }
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] durable copy failed: $e")
+    }
     try spark.stop() catch { case _: Exception => () }
     println(out)
   }

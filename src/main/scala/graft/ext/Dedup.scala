@@ -49,10 +49,6 @@ object Dedup {
     toked.select(col("id"), explode(array_distinct(grams)).as("gram"))
   }
 
-  /** Exact n-gram Jaccard similarity for all pairs with
-    * `jaccard >= threshold`. Shingle self-join: |A∩B| from the gram
-    * equi-join, |A∪B| = |A|+|B|-|A∩B|. Integer counts divided at the
-    * end — bit-identical across engines. */
   /** Exact thresholded Jaccard similarity join via AllPairs/PPJoin
     * prefix filtering — same output as [[ngramJaccardPairsBrute]] for
     * any input and threshold, WITHOUT the all-pairs gram self-join.
@@ -91,15 +87,22 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0 && threshold <= 1, "0 < threshold <= 1")
     val g = graft.Tables.materialize(shingles(df, id, text, n))
-    val dfreq = g.groupBy(col("gram")).agg(count(lit(1)).as("dfr"))
+    // dfreq is materialized too: the dispatch scalar reads it once
+    // and the prefix path joins it again — without the cache that
+    // full gram-frequency aggregate would run twice
+    val dfreq = graft.Tables.materialize(
+      g.groupBy(col("gram")).agg(count(lit(1)).as("dfr")))
     // adaptive physical choice, same logical result either way (the
     // spec proves path equality): Σ df² predicts the brute join's
     // output exactly — the one scalar that separates "hot grams
     // square the work" corpora from harmless ones. One tiny aggregate
-    // over the (cached) gram frequencies; exact decimal, no overflow.
-    val candVolume = dfreq
+    // over the cached gram frequencies; exact decimal, no overflow.
+    // SUM over zero rows is null — an empty/sub-n-token corpus
+    // dispatches to brute, which flows through empty gracefully.
+    val candVolume = Option(dfreq
       .agg(sum(col("dfr").cast("decimal(38,0)") * col("dfr")))
-      .collect()(0).getDecimal(0)
+      .collect()(0).getDecimal(0))
+      .getOrElse(java.math.BigDecimal.ZERO)
     if (candVolume.compareTo(JaccardBruteMaxCandVolume) <= 0)
       jaccardFromGrams(g, threshold)
     else jaccardPrefixFiltered(g, dfreq, threshold)
@@ -163,10 +166,10 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
-  /** The all-pairs baseline [[ngramJaccardPairs]] dispatches to at
-    * harmless Σ df², and the equality spec verifies the prefix plan
-    * against: every gram co-occurrence becomes a candidate —
-    * quadratic in the hottest gram's bucket. */
+  /** The all-pairs baseline: every gram co-occurrence becomes a
+    * candidate — quadratic in the hottest gram's bucket.
+    * [[ngramJaccardPairs]] dispatches here at harmless Σ df²; the
+    * equality spec verifies the prefix plan against it. */
   def ngramJaccardPairsBrute(df: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.5): DataFrame =
     jaccardFromGrams(graft.Tables.materialize(shingles(df, id, text, n)),

@@ -629,14 +629,6 @@ object ExtQueries {
        |  JOIN norms nq ON nq.vec_id = query_id)
        |SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= 10""".stripMargin
 
-  /** Trained-IVF twin: unrolls kmeansCentroids' 3 Lloyd's iterations
-    * as generated CTE chains (assignment = argmax cosine with
-    * smallest-cell-id ties; re-center = exact-decimal component SUM
-    * cast to double — the scale-invariance trick that makes the
-    * trained path oracle-expressible at all), then the same
-    * probe/rank tail as [[annIvfTopKSql]] against the trained cells.
-    * Constants in lockstep with annIvfKmeans (numCells=16, iters=3,
-    * nProbe=4, k=10). */
   /** Exact recall join of the two ANN oracles — DuckDB allows WITH
     * inside parenthesized subqueries, so the stacks compose. */
   private val annIvfRecallSql =
@@ -650,6 +642,14 @@ object ExtQueries {
        |  ON bf.query_id = ivf.query_id AND bf.nbr_id = ivf.nbr_id
        |GROUP BY bf.query_id""".stripMargin
 
+  /** Trained-IVF twin: unrolls kmeansCentroids' 3 Lloyd's iterations
+    * as generated CTE chains (assignment = argmax cosine with
+    * smallest-cell-id ties; re-center = exact-decimal component SUM
+    * cast to double — the scale-invariance trick that makes the
+    * trained path oracle-expressible at all), then the same
+    * probe/rank tail as [[annIvfTopKSql]] against the trained cells.
+    * Constants in lockstep with annIvfKmeans (numCells=16, iters=3,
+    * nProbe=4, k=10). */
   private val annIvfKmeansSql = {
     val iters = (0 until 3).map { t =>
       s"""cn$t AS (

@@ -54,8 +54,12 @@ object LakeQueries {
           sum(dec(col("l_extendedprice"))).as("sum_price"),
           min(col("l_quantity")).as("min_qty"),
           max(col("l_quantity")).as("max_qty"))
+    // the two slices must partition the table EXHAUSTIVELY — a plain
+    // >= complement silently drops NULL ship dates from both slices
+    // and breaks the merge-equals-rescan identity the gate asserts
     val history = states(li.filter(col("l_shipdate") < cutoff))
-    val delta = states(li.filter(col("l_shipdate") >= cutoff))
+    val delta = states(li.filter(
+      col("l_shipdate") >= cutoff || col("l_shipdate").isNull))
     history.unionByName(delta)
       .groupBy(col("l_returnflag"))
       .agg(sum(col("cnt")).as("cnt"),
@@ -133,7 +137,11 @@ object LakeQueries {
     val bin = (1 to 9).map(i =>
       (col("o_totalprice") > col("bs").getItem(i - 1)).cast("int"))
       .reduce(_ + _) + lit(1)
-    orders.crossJoin(broadcast(bounds))
+    // NULL prices are excluded EXPLICITLY on both engines: Spark's
+    // summed comparison would yield a NULL bin while a CASE-WHEN
+    // oracle folds the same row into bin 1 — pin one semantics
+    orders.filter(col("o_totalprice").isNotNull)
+      .crossJoin(broadcast(bounds))
       .select(bin.cast("long").as("bin"), col("o_totalprice"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
@@ -192,9 +200,13 @@ object LakeQueries {
     * (counts are integer-exact in double far past any violation
     * count); verdicts are closed-form comparisons, bit-stable on any
     * engine. */
-  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
-    def orders = Tables(spark, dir, "orders")
-    def li = Tables(spark, dir, "lineitem")
+  def dqChecks(spark: SparkSession, dir: String): DataFrame =
+    dqChecksOn(Tables(spark, dir, "orders"), Tables(spark, dir, "lineitem"))
+
+  /** [[dqChecks]] over injected snapshots — package-visible so specs
+    * can poison a frame and prove the verdicts actually flip. */
+  private[graft] def dqChecksOn(orders: DataFrame, li: DataFrame)
+      : DataFrame = {
     val horizon = lit("1990-01-01").cast("timestamp")
     // one fused scalar pass over orders (count, null count, freshness
     // all ride the same aggregate); the two checks that need their
@@ -303,6 +315,7 @@ object LakeQueries {
         |  MIN(o_totalprice) AS lo,
         |  MAX(o_totalprice) AS hi
         |FROM orders, b
+        |WHERE o_totalprice IS NOT NULL
         |GROUP BY 1""".stripMargin,
     "compaction_plan" ->
       """WITH c AS (

@@ -102,16 +102,29 @@ class LakeQueriesSpec extends SparkSpec {
 
   test("dq_checks: verdicts actually flip on violating data") {
     import org.apache.spark.sql.functions._
-    // poison a copy: null custkeys, dup keys, out-of-range discounts
-    val bad = sf("orders").limit(10)
-      .withColumn("o_custkey",
-        when($"o_orderkey" % 2 === 0, lit(null)).otherwise($"o_custkey"))
-    val nNull = bad.filter($"o_custkey".isNull).count()
-    assert(nNull > 0)
-    // the fused-agg shape used by dqChecks sees the nulls
-    val n = bad.count()
-    val nCust = bad.agg(count($"o_custkey")).as[Long].head()
-    assert(n - nCust == nNull)
+    import graft.queries.LakeQueries.dqChecksOn
+    def verdicts(orders: org.apache.spark.sql.DataFrame,
+        li: org.apache.spark.sql.DataFrame): Map[String, Boolean] =
+      dqChecksOn(orders, li).collect()
+        .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    val goodOrders = sf("orders")
+    val goodLi = sf("lineitem")
+    // poison each dimension separately and assert ONLY its check flips
+    val nullCust = goodOrders.withColumn("o_custkey",
+      when($"o_orderkey" % 2 === 0, lit(null)).otherwise($"o_custkey"))
+    val v1 = verdicts(nullCust, goodLi)
+    assert(!v1("orders_custkey_null_frac") && v1("orders_pk_unique"))
+    val dupKeys = goodOrders.unionByName(goodOrders.limit(5))
+    val v2 = verdicts(dupKeys, goodLi)
+    assert(!v2("orders_pk_unique") && v2("orders_custkey_null_frac"))
+    val orphanLi = goodLi.withColumn("l_orderkey",
+      when($"l_linenumber" === 1, -$"l_orderkey").otherwise($"l_orderkey"))
+    val v3 = verdicts(goodOrders, orphanLi)
+    assert(!v3("lineitem_fk_orphans"))
+    val badDisc = goodLi.withColumn("l_discount",
+      when($"l_linenumber" === 1, lit(7.5)).otherwise($"l_discount"))
+    val v4 = verdicts(goodOrders, badDisc)
+    assert(!v4("lineitem_discount_in_range") && v4("lineitem_fk_orphans"))
   }
 
   test("quantile_bins: 10 deciles partition the table near-evenly") {
