@@ -279,6 +279,27 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n"),
         sum(dec(col("o_totalprice"))).cast("double").as("total"))
 
+  /** Ratio-to-report: each order's share of its priority class's
+    * total spend plus the class total — the windowed share-of-total
+    * every BI layer asks for. One hash shuffle on the (tiny-domain)
+    * partition key; the aggregate window needs no ORDER BY, so no
+    * sort at all. Share = exact-decimal sums divided once as doubles
+    * (same operands both engines => identical bits). */
+  def ratioToReport(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .as("class_total_dec"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"),
+        col("class_total_dec").cast("double").as("class_total"),
+        (col("o_totalprice") / col("class_total_dec").cast("double"))
+          .as("share"))
+  }
+
   /** Count-min sketch as a RELATIONAL frame — the streaming-friendly
     * point-frequency estimator built entirely from dataframe state
     * (no driver-side sketch object, no binary blob): d=4 portable
@@ -677,6 +698,7 @@ object AnalyticsQueries {
     "user_event_paths" -> userEventPaths _,
     "cms_point_estimates" -> cmsPointEstimates _,
     "hll_distinct_estimates" -> hllDistinctEstimates _,
+    "ratio_to_report" -> ratioToReport _,
     "interval_merge" -> intervalMerge _,
     "mode_per_group" -> modePerGroup _,
     "freq_items_bounds" -> freqItemsBounds _,
@@ -868,6 +890,14 @@ object AnalyticsQueries {
         |  string_agg(event_type, '>'
         |    ORDER BY epoch_us(ts), event_id) AS path
         |FROM events GROUP BY user_id""".stripMargin,
+    "ratio_to_report" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+        |    AS class_total,
+        |  o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS share
+        |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
     // same open-book HLL in SQL: bitlength via bin() string length
     // (never log), 2^-reg as exact dyadic division, double literals
     // CAST explicitly (DuckDB numeric literals are DECIMAL), same
