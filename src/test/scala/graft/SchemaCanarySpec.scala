@@ -59,6 +59,23 @@ class SchemaCanarySpec extends SparkSpec {
     assert(emb("label") == IntegerType)
   }
 
+  /** The next likely testdata drift after r8's NTZ flip: a table
+    * regenerated as a DIRECTORY of part files instead of one file.
+    * [[Tables.apply]] must read both layouts identically. */
+  test("Tables reads a directory-shaped table identically") {
+    val src = sf("events")
+    val dir = "/tmp/graft_canary_dirtable"
+    src.repartition(3).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val back = Tables(spark, dir, "events")
+    assert(back.count() == src.count())
+    assert(back.schema("ts").dataType == TimestampType)
+    assert(back.agg(org.apache.spark.sql.functions.sum("event_id"))
+      .head.getLong(0) ==
+      src.agg(org.apache.spark.sql.functions.sum("event_id"))
+        .head.getLong(0))
+  }
+
   /** The normalize seam must also catch frames built from explicit
     * schemas (the streaming path): an NTZ column arriving that way
     * still casts to TIMESTAMP. */
