@@ -114,20 +114,13 @@ object Similarity {
     * result bit-for-bit; pass `centroids` (e.g. [[kmeansCentroids]])
     * to swap in trained cells — only the seed frame changes, not the
     * query shape. Ties broken on cell id / neighbor id. */
-  def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
-      queries: DataFrame, queryId: Column, queryVec: Column,
-      k: Int, numCells: Int = 16, nProbe: Int = 4,
-      centroids: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // cache: corpus/query vector frames each feed two stages
-    val c = graft.Tables.materialize(
-      vectors(corpus, corpusId, corpusVec, "nbr_id", "cv", "sn_c"))
-    val q = graft.Tables.materialize(
-      vectors(queries, queryId, queryVec, "query_id", "qv", "sn_q"))
-    // centroid arrays (cell_id, cvec, sn_cell): trained centroids when
-    // given (component-shaped, re-packed to arrays in index order),
-    // else the numCells smallest-id corpus vectors
-    val centArr = graft.Tables.materialize(centroids
+  /** Centroid arrays (cell_id, cvec, sn_cell): trained centroids when
+    * given (component-shaped, re-packed to arrays in index order),
+    * else the numCells smallest-id corpus vectors. */
+  private def centroidArrays(corpus: DataFrame, corpusId: Column,
+      corpusVec: Column, numCells: Int,
+      centroids: Option[DataFrame]): DataFrame =
+    graft.Tables.materialize(centroids
       .map(_.groupBy(col("cell_id"))
         .agg(transform(
           array_sort(collect_list(struct(col("i"), col("cx")))),
@@ -140,18 +133,53 @@ object Similarity {
       }
       .withColumn("sn_cell",
         sqrt(VecKernels.vecDotDec(col("cvec"), col("cvec")).cast("double"))))
-    def ccos(vCol: String, snCol: String): Column =
-      VecKernels.vecDotDec(col(vCol), col("cvec")).cast("double") /
-        (col(snCol) * col("sn_cell"))
-    // corpus assignment: nearest cell per vector — an aggregated
-    // argmax (max_by over (cosine, -cell_id): ties take the smallest
-    // cell), partial-aggregatable, instead of a window sort over the
-    // corpus×cells expansion
-    val cells = c.crossJoin(broadcast(centArr))
-      .withColumn("ccos", ccos("cv", "sn_c"))
+
+  private def cellCos(vCol: String, snCol: String): Column =
+    VecKernels.vecDotDec(col(vCol), col("cvec")).cast("double") /
+      (col(snCol) * col("sn_cell"))
+
+  /** Corpus assignment: nearest cell per vector — an aggregated
+    * argmax (max_by over (cosine, -cell_id): ties take the smallest
+    * cell), partial-aggregatable, instead of a window sort over the
+    * corpus×cells expansion. `c` is a prepared vectors() frame. */
+  private def cellAssignments(c: DataFrame, centArr: DataFrame): DataFrame =
+    c.crossJoin(broadcast(centArr))
+      .withColumn("ccos", cellCos("cv", "sn_c"))
       .groupBy(col("nbr_id"))
       .agg(max_by(col("cell_id"),
         struct(col("ccos"), (-col("cell_id")).as("nc"))).as("cell_id"))
+
+  /** IVF index-balance audit: member count per cell — the index
+    * health measurement behind probe-latency SLOs (one hot cell makes
+    * every probe of it scan that cell's whole population; rebalance =
+    * retrain or split). Same assignment logic as [[ivfTopK]], one
+    * aggregate on top. */
+  def ivfCellSizes(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      numCells: Int = 16): DataFrame = {
+    val c = graft.Tables.materialize(
+      vectors(corpus, corpusId, corpusVec, "nbr_id", "cv", "sn_c"))
+    val centArr = centroidArrays(corpus, corpusId, corpusVec, numCells, None)
+    cellAssignments(c, centArr)
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("nbr_id")).as("min_id"),
+        max(col("nbr_id")).as("max_id"))
+  }
+
+  def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, numCells: Int = 16, nProbe: Int = 4,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cache: corpus/query vector frames each feed two stages
+    val c = graft.Tables.materialize(
+      vectors(corpus, corpusId, corpusVec, "nbr_id", "cv", "sn_c"))
+    val q = graft.Tables.materialize(
+      vectors(queries, queryId, queryVec, "query_id", "qv", "sn_q"))
+    val centArr = centroidArrays(corpus, corpusId, corpusVec, numCells,
+      centroids)
+    def ccos(vCol: String, snCol: String): Column = cellCos(vCol, snCol)
+    val cells = cellAssignments(c, centArr)
     // query probes: nProbe nearest cells per query (query side is tiny)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cell_id").asc)

@@ -156,6 +156,15 @@ object ExtQueries {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** IVF index-balance audit ([[Similarity.ivfCellSizes]]): member
+    * count per cell. A hot cell makes every probe of it scan that
+    * cell's whole population, so this is the measurement behind ANN
+    * probe-latency SLOs — run it after (re)training, rebalance when
+    * max/mean drifts. */
+  def annIvfCells(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfCellSizes(Tables(spark, dir, "embeddings"),
+      col("vec_id"), col("embedding"), numCells = 16)
+
   /** Recall audit of the approximate path against the exact baseline:
     * per-query overlap between [[annIvfTopK]]'s probed top-10 and
     * [[annBruteForce]]'s exact top-10. This is the measurement a
@@ -250,6 +259,7 @@ object ExtQueries {
     "ann_ivf_topk" -> annIvfTopK _,
     "ann_ivf_kmeans" -> annIvfKmeans _,
     "ann_ivf_recall" -> annIvfRecall _,
+    "ann_ivf_cells" -> annIvfCells _,
     "embed_neardup_lsh" -> embedNearDupLsh _,
     "embed_quantize" -> embedQuantize _,
     "doc_decontaminate" -> docDecontaminate _,
@@ -575,8 +585,11 @@ object ExtQueries {
     * per-(vector, cell) cosine CTE serves both corpus assignment and
     * query probing. Constants in lockstep with annIvfTopK
     * (numCells=16, nProbe=4, k=10). */
-  private val annIvfTopKSql =
-    s"""WITH $vecCtes,
+  /** Shared CTE prefix: seed-cell IVF assignment of every corpus
+    * vector to its nearest cell (ends at the `cells` relation) —
+    * composed by both the top-k oracle and the cell-balance audit. */
+  private val ivfAssignCtes =
+    s"""$vecCtes,
        |cent AS (SELECT vec_id AS cell_id FROM embeddings
        |         ORDER BY vec_id LIMIT 16),
        |centcomp AS (
@@ -602,7 +615,10 @@ object ExtQueries {
        |    SELECT vec_id, cell_id,
        |      row_number() OVER (PARTITION BY vec_id
        |                         ORDER BY ccos DESC, cell_id ASC) AS r
-       |    FROM cellcos) WHERE r = 1),
+       |    FROM cellcos) WHERE r = 1)""".stripMargin
+
+  private val annIvfTopKSql =
+    s"""WITH $ivfAssignCtes,
        |probes AS (
        |  SELECT vec_id AS query_id, cell_id FROM (
        |    SELECT vec_id, cell_id,
@@ -628,6 +644,12 @@ object ExtQueries {
        |  JOIN norms nc ON nc.vec_id = nbr_id
        |  JOIN norms nq ON nq.vec_id = query_id)
        |SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= 10""".stripMargin
+
+  private val annIvfCellsSql =
+    s"""WITH $ivfAssignCtes
+       |SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  MIN(nbr_id) AS min_id, MAX(nbr_id) AS max_id
+       |FROM cells GROUP BY cell_id""".stripMargin
 
   /** Exact recall join of the two ANN oracles — DuckDB allows WITH
     * inside parenthesized subqueries, so the stacks compose. */
@@ -869,6 +891,7 @@ object ExtQueries {
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_ivf_kmeans" -> annIvfKmeansSql,
     "ann_ivf_recall" -> annIvfRecallSql,
+    "ann_ivf_cells" -> annIvfCellsSql,
     "embed_quantize" -> embedQuantizeSql,
     "doc_decontaminate" -> docDecontaminateSql,
     "text_repetition" -> textRepetitionSql,
