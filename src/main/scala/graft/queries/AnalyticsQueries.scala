@@ -279,6 +279,40 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n"),
         sum(dec(col("o_totalprice"))).cast("double").as("total"))
 
+  /** Per-group OLS regression (value over time) from exact power
+    * sums — "the trend per segment" in one map-side-combined
+    * aggregate, the same algebraic-state shape as [[q1Agg]] and
+    * `stats_agg`'s moments: slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²),
+    * intercept from the means. Every sum is exact DECIMAL over
+    * INTEGRAL x (epoch days — a double x would make Σx order-
+    * dependent) and scale-2 y; the closed-form division happens ONCE
+    * in doubles on textually identical operands, so both engines
+    * emit identical bits. No builtin regr_slope on either side — the
+    * open-book sums ARE the cross-engine contract (and the mergeable
+    * state a 100 TB incremental fit would persist). */
+  def groupedRegression(spark: SparkSession, dir: String): DataFrame = {
+    // epoch DAYS via integral floor division — keeps x exact
+    val x = expr("unix_micros(ts) div 86400000000").cast("decimal(20,0)")
+    val y = col("value").cast("decimal(18,2)")
+    Tables(spark, dir, "events")
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope"),
+        col("sx").cast("double").as("sxd"),
+        col("sy").cast("double").as("syd"))
+      .select(col("event_type"), col("n"), col("slope"),
+        ((col("syd") - col("slope") * col("sxd")) / col("n").cast("double"))
+          .as("intercept"))
+  }
+
   /** Ratio-to-report: each order's share of its priority class's
     * total spend plus the class total — the windowed share-of-total
     * every BI layer asks for. One hash shuffle on the (tiny-domain)
@@ -699,6 +733,7 @@ object AnalyticsQueries {
     "cms_point_estimates" -> cmsPointEstimates _,
     "hll_distinct_estimates" -> hllDistinctEstimates _,
     "ratio_to_report" -> ratioToReport _,
+    "grouped_regression" -> groupedRegression _,
     "interval_merge" -> intervalMerge _,
     "mode_per_group" -> modePerGroup _,
     "freq_items_bounds" -> freqItemsBounds _,
@@ -890,6 +925,28 @@ object AnalyticsQueries {
         |  string_agg(event_type, '>'
         |    ORDER BY epoch_us(ts), event_id) AS path
         |FROM events GROUP BY user_id""".stripMargin,
+    // identical open-book power sums; DuckDB's own regr_slope is NOT
+    // used (different internal numerics) — the sums are the contract
+    "grouped_regression" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(epoch_us(ts) // 86400000000 AS DECIMAL(20,0))) AS sx,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sy,
+        |    SUM(CAST(epoch_us(ts) // 86400000000 AS DECIMAL(20,0))
+        |      * CAST(epoch_us(ts) // 86400000000 AS DECIMAL(20,0))) AS sxx,
+        |    SUM(CAST(epoch_us(ts) // 86400000000 AS DECIMAL(20,0))
+        |      * CAST(value AS DECIMAL(18,2))) AS sxy
+        |  FROM events GROUP BY event_type),
+        |t AS (
+        |  SELECT event_type, n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM s)
+        |SELECT event_type, n, slope,
+        |  (syd - slope * sxd) / CAST(n AS DOUBLE) AS intercept
+        |FROM t""".stripMargin,
     "ratio_to_report" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))

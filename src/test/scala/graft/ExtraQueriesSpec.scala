@@ -98,6 +98,19 @@ class ExtraQueriesSpec extends SparkSpec {
     assert(exact >= got.length * 0.9)
   }
 
+  test("grouped regression: finite fit, groups cover the table") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.AnalyticsQueries.groupedRegression(spark, dir)
+      .as[(String, Long, Double, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.map(_._2).sum == Tables(spark, dir, "events").count())
+    got.foreach { case (t, n, slope, intercept) =>
+      assert(n > 1, t)
+      assert(!slope.isNaN && !slope.isInfinite, t)
+      assert(!intercept.isNaN && !intercept.isInfinite, t)
+    }
+  }
+
   test("hll registers: estimate positive, state bounded by m") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.queries.AnalyticsQueries.hllDistinctEstimates(spark, dir)
