@@ -287,12 +287,14 @@ object Bench {
       // a crashed query must not bench as a perf win: sentinel -1
       (name, if (err.isDefined) -1.0 else dt, err, diag)
     }
-    def esc(s: String): String = s.flatMap {
+    // truncate BEFORE escaping: a post-escape cut can split a \" or
+    // \\ pair and leave the stdout JSON metric line unclosed
+    def esc(s: String): String = s.take(300).flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => " "
       case c => c.toString
-    }.take(300)
+    }
     def f3(d: Double): String = BigDecimal(d)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def f2(d: Double): String = BigDecimal(d)

@@ -291,8 +291,15 @@ object AnalyticsQueries {
     * open-book sums ARE the cross-engine contract (and the mergeable
     * state a 100 TB incremental fit would persist). */
   def groupedRegression(spark: SparkSession, dir: String): DataFrame = {
-    // epoch DAYS via integral floor division — keeps x exact
-    val x = expr("unix_micros(ts) div 86400000000").cast("decimal(20,0)")
+    // epoch DAYS via integral FLOOR division. Spark's `div` truncates
+    // toward zero while DuckDB's `//` floors, so a pre-1970 (negative
+    // epoch) ts would diverge by one day. Subtracting the always-non-
+    // negative pmod first makes the numerator an exact multiple of the
+    // divisor, where truncation == floor — pure integer arithmetic,
+    // sign-correct on both engines.
+    val x = expr(
+      "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) div 86400000000")
+      .cast("decimal(20,0)")
     val y = col("value").cast("decimal(18,2)")
     Tables(spark, dir, "events")
       .select(col("event_type"), x.as("x"), y.as("y"))
@@ -437,12 +444,35 @@ object AnalyticsQueries {
     * that nondeterminism (struct comparison orders by (us, event_id),
     * unique per event). Per-group memory is bounded by the user's
     * event count — the same bound any per-user sequence model already
-    * implies; a pathological user would be capped upstream by
-    * [[graft.ext.Corpus.stratifiedQuota]]-style sampling. */
+    * implies; a pathological user is cut off deterministically by the
+    * optional `maxEventsPerUser` cap (see [[userEventPathsCapped]]).
+    * NULL event times are excluded on BOTH engine and oracle sides:
+    * Spark's struct sort orders null fields first while string_agg's
+    * ORDER BY defaults NULLS LAST, so a null ts would silently
+    * diverge — the filter pins the semantics instead. */
   def userEventPaths(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "events")
+    userEventPathsCapped(spark, dir, maxEventsPerUser = None)
+
+  /** [[userEventPaths]] with an optional hard per-user cap: keep the
+    * FIRST k events by (us, event_id) — deterministic, so re-runs and
+    * engine comparisons agree — and drop the rest before the
+    * collect_list, bounding per-group state even when upstream quota
+    * sampling is absent. The cap path costs one extra per-user sort
+    * (window row_number); the uncapped path keeps the sort-free
+    * single-shuffle shape. */
+  def userEventPathsCapped(spark: SparkSession, dir: String,
+      maxEventsPerUser: Option[Int]): DataFrame = {
+    val base = Tables(spark, dir, "events")
+      .filter(col("ts").isNotNull)
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_id"), col("event_type"))
+    val capped = maxEventsPerUser.fold(base) { k =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      base.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+    }
+    capped
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         concat_ws(">",
@@ -450,6 +480,7 @@ object AnalyticsQueries {
             sort_array(collect_list(
               struct(col("us"), col("event_id"), col("event_type")))),
             s => s.getField("event_type"))).as("path"))
+  }
 
   /** Gap-based sessionization (10-minute inactivity gap) via
     * lag + running-sum window — the batch twin of streaming session
@@ -924,7 +955,7 @@ object AnalyticsQueries {
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  string_agg(event_type, '>'
         |    ORDER BY epoch_us(ts), event_id) AS path
-        |FROM events GROUP BY user_id""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL GROUP BY user_id""".stripMargin,
     // identical open-book power sums; DuckDB's own regr_slope is NOT
     // used (different internal numerics) — the sums are the contract
     "grouped_regression" ->

@@ -41,6 +41,24 @@ class SchemaCanarySpec extends SparkSpec {
     assert(d("props") == StringType)
   }
 
+  /** The `stream_dedup` gate dedups a doubled stream on event_id and
+    * compares against a plain batch aggregate of the RAW table — that
+    * comparison is only sound while event_id is unique in the source.
+    * A driver regeneration that emits duplicate event_ids would fail
+    * the gate for a data reason (or mask real dedup semantics); this
+    * canary names the real cause first. Same for NULL ts, which the
+    * watermark path would silently drop. */
+  test("events: event_id unique and ts non-null (stream_dedup gate contract)") {
+    val ev = sf("events")
+    val n = ev.count()
+    assert(ev.select("event_id").distinct().count() == n,
+      "events.event_id is no longer unique — stream_dedup's batch oracle " +
+        "assumes one row per event_id; re-pin the gate semantics")
+    assert(ev.filter("ts IS NULL").count() == 0L,
+      "events.ts contains NULLs — watermarked streaming queries would " +
+        "drop them while batch oracles keep them")
+  }
+
   test("orders/lineitem: date-like columns normalize to TIMESTAMP") {
     assert(dtypes("orders")("o_orderdate") == TimestampType)
     assert(dtypes("lineitem")("l_shipdate") == TimestampType)
