@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -582,5 +583,84 @@ object Dedup {
     val sketch = low + when(col("v_63") >= 0, lit(Long.MinValue))
       .otherwise(lit(0L))
     voted.select(col("id"), sketch.as("simhash"))
+  }
+
+  /** Substring/passage-level exact dedup: find every maximal span of
+    * text whose fixed-length character grams ALL occur at least
+    * `minFreq` times corpus-wide (counting same-doc repeats) — the
+    * distributed shape of suffix-array substring dedup ("Deduplicating
+    * Training Data Makes Language Models Better": remove repeated
+    * sequences of >= k tokens, not just whole near-dup documents).
+    * A repeated passage of length >= `gramChars` appears as a RUN of
+    * consecutive duplicated gram positions; stitching runs whose
+    * starts are <= `gramChars` apart reconstructs the maximal repeated
+    * span exactly, because consecutive grams overlap in
+    * `gramChars - 1` characters.
+    *
+    * Three stages, each one shuffle, none quadratic:
+    *  1. gram emission — per doc, position `p` in `1..len-L+1` emits
+    *     `(md5(substring(text, p, L)), doc, p)`; output is
+    *     O(total characters), the same blowup the suffix-array build
+    *     pays, and the per-position md5 stays inside whole-stage
+    *     codegen (no lambda — `explode` over a `sequence`, then a
+    *     scalar projection).
+    *  2. corpus gram frequency — `groupBy(gram)` count (map-side
+    *     partial combine) with the `minFreq` floor, then a JOIN back
+    *     on the gram key rather than a `collect_list` re-explode, so a
+    *     degenerate ultra-frequent gram (a run of spaces corpus-wide)
+    *     costs a skewed-join row spread, never one giant in-memory
+    *     group; AQE's skew split handles the spread at scale.
+    *  3. span stitching — per doc, sort duplicated positions (window
+    *     on the doc key: the per-doc state is bounded by doc length)
+    *     and break an island when the gap between consecutive
+    *     duplicated starts exceeds `gramChars`.
+    *
+    * Output: (doc_id, span_start, span_end, n_gram_hits), 1-based
+    * inclusive character offsets, `span_end - span_start + 1 >=
+    * gramChars`. Downstream removal is a substring splice on these
+    * offsets; the gate hashes the spans themselves.
+    *
+    * md5 (not a faster non-portable hash) keeps the gram keys
+    * reproducible in the DuckDB oracle; a production deployment at
+    * 100 TB would swap stage 1's hash for xxhash64 behind the same
+    * algebra. Reference scope note: the reference pipeline
+    * (`M/main.py`) carries no content dedup at all — this operator is
+    * part of the extended training-data surface. */
+  def repeatedSpans(df: DataFrame, id: Column, text: Column,
+      gramChars: Int = 40, minFreq: Int = 2): DataFrame = {
+    require(gramChars >= 2, s"gramChars must be >= 2, got $gramChars")
+    require(minFreq >= 2, s"minFreq must be >= 2, got $minFreq")
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val base = df.select(id.as("doc_id"), text.as("text"))
+      .filter(length(col("text")) >= gramChars)
+      .repartition(p)
+    val grams = base
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (gramChars - 1)))
+          .as("p"))
+      .select(col("doc_id"), col("p").cast("long").as("p"),
+        md5(expr(s"substring(text, p, $gramChars)")).as("g"))
+    val dupGrams = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("gf"))
+      .filter(col("gf") >= minFreq)
+      .select(col("g"))
+    // grams' lineage is evaluated twice (frequency pass + join-back);
+    // a 100 TB run materializes stage 1 once — at gate scale the
+    // recompute is cheaper than the exchange a persist would add
+    val dupPos = grams.join(dupGrams, "g").select(col("doc_id"), col("p"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p").asc)
+    dupPos
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(w) <= gramChars, 0)
+          .otherwise(1))
+      .withColumn("island",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + (gramChars - 1)).as("span_end"),
+        count(lit(1)).as("n_gram_hits"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_gram_hits"))
   }
 }

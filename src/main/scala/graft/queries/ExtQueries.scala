@@ -94,6 +94,13 @@ object ExtQueries {
     Dedup.dedupPipelineCcKept(Tables(spark, dir, "documents"),
       col("doc_id"), col("text"), n = 3, jaccardThreshold = 0.8)
 
+  /** Substring/passage-level exact dedup (see [[Dedup.repeatedSpans]]):
+    * maximal spans whose 40-char grams repeat corpus-wide — the
+    * suffix-array-dedup output in distributed gram algebra. */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpans(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"), gramChars = 40, minFreq = 2)
+
   // ---------------------------------------------------------- similarity
 
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
@@ -255,6 +262,7 @@ object ExtQueries {
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "doc_dedup_pipeline" -> docDedupPipeline _,
     "doc_dedup_cc" -> docDedupCc _,
+    "substring_dedup" -> substringDedup _,
     "ann_brute_force" -> annBruteForce _,
     "ann_ivf_topk" -> annIvfTopK _,
     "ann_ivf_kmeans" -> annIvfKmeans _,
@@ -550,6 +558,25 @@ object ExtQueries {
        |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
        |SELECT id FROM survivors
        |WHERE id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin
+
+  // same gram algebra as Dedup.repeatedSpans: L=40 chars, corpus
+  // frequency >= 2, islands broken on start-gap > L
+  private val substringDedupSql =
+    """WITH pos AS (
+      |  SELECT doc_id, text, unnest(range(1, length(text) - 38)) AS p
+      |  FROM documents WHERE length(text) >= 40),
+      |g AS (SELECT doc_id, p, md5(substr(text, p, 40)) AS h FROM pos),
+      |f AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+      |dp AS (SELECT doc_id, p FROM g WHERE h IN (SELECT h FROM f)),
+      |s AS (SELECT doc_id, p,
+      |  CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 40
+      |    THEN 0 ELSE 1 END AS brk FROM dp),
+      |i AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+      |  ROWS UNBOUNDED PRECEDING) AS island FROM s)
+      |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+      |  CAST(max(p) + 39 AS BIGINT) AS span_end,
+      |  CAST(count(*) AS BIGINT) AS n_gram_hits
+      |FROM i GROUP BY doc_id, island""".stripMargin
 
   /** Per-component view + exact-decimal norm CTEs shared by the vector
     * oracles. Components widened to DOUBLE before any multiply, matching
@@ -887,6 +914,7 @@ object ExtQueries {
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "doc_dedup_pipeline" -> docDedupPipelineSql,
     "doc_dedup_cc" -> docDedupCcSql,
+    "substring_dedup" -> substringDedupSql,
     "ann_brute_force" -> annBruteForceSql,
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_ivf_kmeans" -> annIvfKmeansSql,

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+
+/** Property tests for [[Dedup.repeatedSpans]] on synthetic corpora
+  * with PLANTED repeats, where the exact maximal span is known by
+  * construction. Uses distinct single-char alphabets per doc region so
+  * no gram repeats by accident. */
+class RepeatedSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val L = 8 // small gram for fixture-sized docs
+
+  private def spans(docs: Seq[(Long, String)]) =
+    Dedup.repeatedSpans(docs.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), gramChars = L, minFreq = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  // unique filler: no char appears twice anywhere across the corpus
+  private def filler(from: Char, n: Int): String =
+    (0 until n).map(i => (from + i).toChar).mkString
+
+  test("cross-doc planted passage is recovered with exact offsets") {
+    val passage = "0123456789abcdef" // 16 chars, repeated across docs
+    val d1 = filler('A', 10) + passage + filler('a', 10) // span 11..26
+    val d2 = passage + filler('Ѐ', 20)              // span 1..16
+    val got = spans(Seq((1L, d1), (2L, d2)))
+    // 16-char passage, L=8 => 9 duplicated gram starts per occurrence
+    assert(got == Set((1L, 11L, 26L, 9L), (2L, 1L, 16L, 9L)))
+  }
+
+  test("all-unique corpus yields no spans") {
+    val got = spans(Seq((1L, filler('A', 40)), (2L, filler('က', 40))))
+    assert(got.isEmpty)
+  }
+
+  test("within-doc repeat is detected (frequency counts same-doc hits)") {
+    val rep = "qrstuvwx" // exactly L chars
+    val d = rep + filler('A', 12) + rep // spans 1..8 and 21..28
+    val got = spans(Seq((1L, d)))
+    assert(got == Set((1L, 1L, 8L, 1L), (1L, 21L, 28L, 1L)))
+  }
+
+  test("adjacent duplicated regions stitch into one maximal span") {
+    // two repeated passages back-to-back: every gram across the join
+    // point is also duplicated, so the island must be ONE span
+    val p1 = "0123456789abcdef"
+    val p2 = "ghijklmnopqrstuv"
+    val d1 = p1 + p2 + filler('A', 10)
+    val d2 = p1 + p2 + filler('Ѐ', 10)
+    val got = spans(Seq((1L, d1), (2L, d2)))
+    // 32-char contiguous repeat, L=8 => 25 duplicated starts
+    assert(got == Set((1L, 1L, 32L, 25L), (2L, 1L, 32L, 25L)))
+  }
+
+  test("docs shorter than the gram length are ignored") {
+    val got = spans(Seq((1L, "short"), (2L, "short")))
+    assert(got.isEmpty)
+  }
+}
