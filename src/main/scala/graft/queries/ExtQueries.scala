@@ -116,6 +116,24 @@ object ExtQueries {
       col("vec_id"), col("embedding"), dim = 64, numPlanes = 8,
       threshold = 0.2, numTables = 2, maxBucketSize = 1000)
 
+  /** Semantic dedup (the SemDeDup composition): embedding-space
+    * near-dup pairs ([[Similarity.lshNearDupPairs]]) clustered by
+    * [[Dedup.connectedComponents]], min-id keeper per component —
+    * exactly [[docDedupCc]]'s shape with cosine-verified LSH pairs in
+    * place of n-gram Jaccard pairs. Vectors not touching any pair
+    * survive trivially via the left-anti join. */
+  def embedDedupCc(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val pairs = Similarity.lshNearDupPairs(emb, col("vec_id"),
+      col("embedding"), dim = 64, numPlanes = 8,
+      threshold = 0.2, numTables = 2, maxBucketSize = 1000)
+    val cc = Dedup.connectedComponents(pairs)
+    val dropped = cc.filter(col("id") =!= col("component"))
+      .select(col("id"))
+    emb.select(col("vec_id").as("id"))
+      .join(dropped, Seq("id"), "left_anti").select(col("id"))
+  }
+
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
@@ -269,6 +287,7 @@ object ExtQueries {
     "ann_ivf_recall" -> annIvfRecall _,
     "ann_ivf_cells" -> annIvfCells _,
     "embed_neardup_lsh" -> embedNearDupLsh _,
+    "embed_dedup_cc" -> embedDedupCc _,
     "embed_quantize" -> embedQuantize _,
     "doc_decontaminate" -> docDecontaminate _,
     "text_repetition" -> textRepetition _)
@@ -832,12 +851,15 @@ object ExtQueries {
        |    CAST(round(CAST(v AS DOUBLE) * 127 / m.m) AS BIGINT)), ',') AS qcsv
        |FROM embeddings e JOIN m ON m.vec_id = e.vec_id""".stripMargin
 
-  private val embedNearDupLshSql = {
-    // 2 tables x 8 planes x 64 dims — constants in lockstep with
-    // embedNearDupLsh's call (numTables=2, numPlanes=8, cap=1000)
+  /** Shared LSH-pair CTE chain ending in `cos` (verified embedding
+    * near-dup pairs at cosine >= 0.2). 2 tables x 8 planes x 64 dims —
+    * constants in lockstep with embedNearDupLsh's call (numTables=2,
+    * numPlanes=8, cap=1000). Feeds both the pair gate and the
+    * semantic-dedup CC gate. */
+  private val embedPairCtes = {
     val weightRows = (for (j <- 0 until 16; i <- 0 until 64)
       yield s"($j,$i,${Similarity.planeWeight(j, i)})").mkString(",")
-    s"""WITH $vecCtes,
+    s"""$vecCtes,
        |w(j, i, wt) AS (VALUES $weightRows),
        |signs AS (
        |  SELECT c.vec_id, w.j,
@@ -863,13 +885,34 @@ object ExtQueries {
        |  FROM pairs p
        |  JOIN comp a ON a.vec_id = p.id1
        |  JOIN comp b ON b.vec_id = p.id2 AND b.i = a.i
-       |  GROUP BY p.id1, p.id2)
-       |SELECT id1, id2, dot / (n1.sn * n2.sn) AS cosine
-       |FROM dots
-       |JOIN norms n1 ON n1.vec_id = id1
-       |JOIN norms n2 ON n2.vec_id = id2
-       |WHERE dot / (n1.sn * n2.sn) >= 0.2""".stripMargin
+       |  GROUP BY p.id1, p.id2),
+       |cos AS (
+       |  SELECT id1, id2, dot / (n1.sn * n2.sn) AS cosine
+       |  FROM dots
+       |  JOIN norms n1 ON n1.vec_id = id1
+       |  JOIN norms n2 ON n2.vec_id = id2
+       |  WHERE dot / (n1.sn * n2.sn) >= 0.2)""".stripMargin
   }
+
+  private val embedNearDupLshSql =
+    s"""WITH $embedPairCtes
+       |SELECT id1, id2, cosine FROM cos""".stripMargin
+
+  // same reach-based CC + min-id keeper shape as docDedupCcSql, over
+  // the embedding pair graph; `compo` avoids vecCtes' `comp` name
+  private val embedDedupCcSql =
+    s"""WITH RECURSIVE $embedPairCtes,
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM cos
+       |  UNION
+       |  SELECT id2 AS src, id1 AS dst FROM cos),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst),
+       |compo AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+       |SELECT vec_id AS id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM compo WHERE id <> component)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // stepwise magic-number bit spread (x<<16|x masked, …) — the same
@@ -923,5 +966,6 @@ object ExtQueries {
     "embed_quantize" -> embedQuantizeSql,
     "doc_decontaminate" -> docDecontaminateSql,
     "text_repetition" -> textRepetitionSql,
-    "embed_neardup_lsh" -> embedNearDupLshSql)
+    "embed_neardup_lsh" -> embedNearDupLshSql,
+    "embed_dedup_cc" -> embedDedupCcSql)
 }
