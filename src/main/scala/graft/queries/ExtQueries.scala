@@ -101,6 +101,41 @@ object ExtQueries {
     Dedup.repeatedSpans(Tables(spark, dir, "documents"),
       col("doc_id"), col("text"), gramChars = 40, minFreq = 2)
 
+  /** URL-canonicalization dedup (see
+    * [[graft.functions.UrlFunctions.canonicalizeUrl]]): the crawl-key
+    * pass that runs before any content dedup. The corpus has no URL
+    * column, so the query derives a deterministic messy-URL FIXTURE
+    * from doc_id arithmetic — five surface variants (mixed-case host +
+    * default port + trailing slash, utm params, fragment, gclid mixed
+    * with a real param, http:80) over 100 shared paths — then
+    * canonicalizes and keeps min(doc_id) per canonical key. Variants
+    * 0/1/2 of each path group collapse to one key; the ?id=7 and the
+    * http-scheme variants stay distinct by design (real params and
+    * scheme are content-bearing). One hash shuffle, all codegen'd
+    * string expressions. */
+  def urlDedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UrlFunctions
+    val g = pmod(col("doc_id"), lit(100)).cast("string")
+    val url = when(expr("doc_id div 100 % 5") === 0,
+        concat(lit("https://Example.COM:443/site/page-"), g, lit("/")))
+      .when(expr("doc_id div 100 % 5") === 1,
+        concat(lit("https://example.com/site/page-"), g,
+          lit("?utm_source=feed&utm_campaign=x")))
+      .when(expr("doc_id div 100 % 5") === 2,
+        concat(lit("https://example.com/site/page-"), g, lit("#section-2")))
+      .when(expr("doc_id div 100 % 5") === 3,
+        concat(lit("https://example.com/site/page-"), g,
+          lit("?id=7&gclid=abc123")))
+      .otherwise(concat(lit("HTTP://EXAMPLE.com:80/site/page-"), g))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        UrlFunctions.canonicalizeUrl(col("url")).as("canon"))
+      .groupBy(col("canon"))
+      .agg(min(col("doc_id")).as("kept_doc_id"),
+        count(lit(1)).as("n_variants"))
+  }
+
   // ---------------------------------------------------------- similarity
 
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
@@ -281,6 +316,7 @@ object ExtQueries {
     "doc_dedup_pipeline" -> docDedupPipeline _,
     "doc_dedup_cc" -> docDedupCc _,
     "substring_dedup" -> substringDedup _,
+    "url_dedup_canonical" -> urlDedupCanonical _,
     "ann_brute_force" -> annBruteForce _,
     "ann_ivf_topk" -> annIvfTopK _,
     "ann_ivf_kmeans" -> annIvfKmeans _,
@@ -596,6 +632,50 @@ object ExtQueries {
       |  CAST(max(p) + 39 AS BIGINT) AS span_end,
       |  CAST(count(*) AS BIGINT) AS n_gram_hits
       |FROM i GROUP BY doc_id, island""".stripMargin
+
+  // same canonicalization algebra as UrlFunctions.canonicalizeUrl;
+  // DuckDB regexp_replace needs the 'g' flag (Spark replaces all
+  // matches by default) and the same patterns are RE2-safe
+  private val urlDedupCanonicalSql =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE (doc_id // 100) % 5
+      |      WHEN 0 THEN 'https://Example.COM:443/site/page-'
+      |        || (doc_id % 100) || '/'
+      |      WHEN 1 THEN 'https://example.com/site/page-'
+      |        || (doc_id % 100) || '?utm_source=feed&utm_campaign=x'
+      |      WHEN 2 THEN 'https://example.com/site/page-'
+      |        || (doc_id % 100) || '#section-2'
+      |      WHEN 3 THEN 'https://example.com/site/page-'
+      |        || (doc_id % 100) || '?id=7&gclid=abc123'
+      |      ELSE 'HTTP://EXAMPLE.com:80/site/page-' || (doc_id % 100)
+      |    END AS url
+      |  FROM documents),
+      |nf AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS nfu FROM u),
+      |pr AS (SELECT doc_id, nfu,
+      |  regexp_extract(nfu, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)
+      |    AS prefix FROM nf),
+      |pp AS (SELECT doc_id, lower(prefix) AS lp,
+      |  substr(nfu, length(prefix) + 1) AS rest FROM pr),
+      |qq AS (SELECT doc_id,
+      |  CASE WHEN lp LIKE 'http://%' AND lp LIKE '%:80'
+      |         THEN substr(lp, 1, length(lp) - 3)
+      |       WHEN lp LIKE 'https://%' AND lp LIKE '%:443'
+      |         THEN substr(lp, 1, length(lp) - 4)
+      |       ELSE lp END AS lp2,
+      |  regexp_extract(rest, '^[^?]*', 0) AS path,
+      |  substr(regexp_replace('&' || regexp_extract(rest, '^[^?]*\?(.*)$', 1),
+      |    '&(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)=[^&]*', '', 'g'), 2) AS q
+      |  FROM pp),
+      |cc AS (SELECT doc_id,
+      |  lp2
+      |  || (CASE WHEN path LIKE '%/' THEN substr(path, 1, length(path) - 1)
+      |        ELSE path END)
+      |  || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon
+      |  FROM qq)
+      |SELECT canon, CAST(min(doc_id) AS BIGINT) AS kept_doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_variants
+      |FROM cc GROUP BY canon""".stripMargin
 
   /** Per-component view + exact-decimal norm CTEs shared by the vector
     * oracles. Components widened to DOUBLE before any multiply, matching
@@ -958,6 +1038,7 @@ object ExtQueries {
     "doc_dedup_pipeline" -> docDedupPipelineSql,
     "doc_dedup_cc" -> docDedupCcSql,
     "substring_dedup" -> substringDedupSql,
+    "url_dedup_canonical" -> urlDedupCanonicalSql,
     "ann_brute_force" -> annBruteForceSql,
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_ivf_kmeans" -> annIvfKmeansSql,
