@@ -60,6 +60,14 @@ object ExtQueries {
       piiCount(col("text")).cast("long").as("n_pii"))
   }
 
+  /** Model-scoring seam through the [[graft.ext.Scoring.StubScorer]]
+    * (see [[graft.ext.Scoring]]): real per-partition batched scoring
+    * plumbing, deterministic stand-in model, oracle-exact dyadic
+    * score arithmetic. */
+  def textModelScore(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Scoring.scoreDocuments(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text")).toDF()
+
   // --------------------------------------------------------------- dedup
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -308,6 +316,7 @@ object ExtQueries {
     "text_fingerprint" -> textFingerprint _,
     "dedup_incremental" -> dedupIncremental _,
     "text_scrub" -> textScrub _,
+    "text_model_score" -> textModelScore _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_minhash_sig" -> dedupMinhashSig _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
@@ -632,6 +641,16 @@ object ExtQueries {
       |  CAST(max(p) + 39 AS BIGINT) AS span_end,
       |  CAST(count(*) AS BIGINT) AS n_gram_hits
       |FROM i GROUP BY doc_id, island""".stripMargin
+
+  // StubScorer's arithmetic verbatim: md5-top-32-bits / 2^32 is a
+  // dyadic division, bit-exact in both engines' doubles
+  private val textModelScoreSql =
+    """SELECT doc_id,
+      |  ('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967296.0 AS score,
+      |  CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT
+      |      / 4294967296.0 >= 0.5
+      |    THEN 'keep' ELSE 'drop' END AS label
+      |FROM documents""".stripMargin
 
   // same canonicalization algebra as UrlFunctions.canonicalizeUrl;
   // DuckDB regexp_replace needs the 'g' flag (Spark replaces all
@@ -1030,6 +1049,7 @@ object ExtQueries {
     "text_fingerprint" -> textFingerprintSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "text_scrub" -> textScrubSql,
+    "text_model_score" -> textModelScoreSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
