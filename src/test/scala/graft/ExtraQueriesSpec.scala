@@ -165,6 +165,26 @@ class ExtraQueriesSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("user_event_paths cap keeps the deterministic first k per user") {
+    val dir = "/root/testdata/sf0.001"
+    val k = 3
+    val got = graft.queries.AnalyticsQueries
+      .userEventPathsCapped(spark, dir, Some(k))
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expect = ev.groupBy(_._1).map { case (u, rows) =>
+      val first = rows.sortBy(r => (r._2, r._3)).take(k)
+      u -> ((first.length.toLong, first.map(_._4).mkString(">")))
+    }
+    assert(got == expect && got.nonEmpty)
+    assert(got.values.forall(_._1 <= k))
+  }
+
   test("ann recall audit: one row per query, self-hit floor, k ceiling") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.queries.ExtQueries.annIvfRecall(spark, dir)
