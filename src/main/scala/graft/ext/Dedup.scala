@@ -626,6 +626,34 @@ object Dedup {
     * algebra. Reference scope note: the reference pipeline
     * (`M/main.py`) carries no content dedup at all — this operator is
     * part of the extended training-data surface. */
+  /** Doc-level decision rule on top of [[repeatedSpans]]: per-doc
+    * duplicated-character coverage (spans never overlap after
+    * stitching, so their lengths sum exactly) and a keep/drop verdict
+    * at `maxCoverage` — the operational form substring dedup usually
+    * takes at corpus scale (drop documents that are MOSTLY repeated
+    * content; span splicing is reserved for surgical pipelines).
+    * Docs with no duplicated span keep coverage 0 via the left join.
+    * One extra hash aggregate + one broadcast-sized join over the
+    * span frame; the corpus is touched once more only for doc_id +
+    * length. */
+  def repeatedSpanCoverage(df: DataFrame, id: Column, text: Column,
+      gramChars: Int = 40, minFreq: Int = 2,
+      maxCoverage: Double = 0.5): DataFrame = {
+    require(maxCoverage > 0 && maxCoverage <= 1, "0 < maxCoverage <= 1")
+    val spans = repeatedSpans(df, id, text, gramChars, minFreq)
+    val dupChars = spans.groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("dup_chars"))
+    df.select(id.as("doc_id"), length(text).cast("long").as("n_chars"))
+      .join(dupChars, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      .withColumn("dup_coverage",
+        when(col("n_chars") === 0, lit(0.0)) // pin 0/0 on both engines
+          .otherwise(col("dup_chars").cast("double") /
+            col("n_chars").cast("double")))
+      .withColumn("keep", col("dup_coverage") <= maxCoverage)
+  }
+
   def repeatedSpans(df: DataFrame, id: Column, text: Column,
       gramChars: Int = 40, minFreq: Int = 2): DataFrame = {
     require(gramChars >= 2, s"gramChars must be >= 2, got $gramChars")

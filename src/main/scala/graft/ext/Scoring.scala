@@ -54,6 +54,39 @@ object Scoring {
     }
   }
 
+  /** fastText-SHAPED scorer: a linear model over hashed token buckets
+    * — the real architecture of fastText-class quality classifiers
+    * (hash token → bucket, sum bucket weights, normalize) — with
+    * deterministic TOY weights so the gate can hash it cross-engine:
+    * bucket = md5-top-32(token) mod `buckets`, weight(b) =
+    * (b·2654435761 mod 2003) − 1001 ∈ [−1001, 1001], score =
+    * Σweights / (1001·n_tokens) ∈ [−1, 1]. All integer arithmetic
+    * until ONE double division of exact operands — bit-identical in
+    * the DuckDB oracle. Tokenization is exactly the engine's
+    * `TextFunctions.tokens` contract (trim, split on \\s+, no empty
+    * filtering) so the seam and the column battery agree. Production
+    * swaps trained weights behind the same per-partition lifecycle —
+    * a weight table load is precisely what the one-instance-per-
+    * partition contract amortizes. */
+  final class HashedLinearScorer(buckets: Int = 1024) extends TextScorer {
+    def scoreBatch(texts: Seq[String]): Seq[(Double, String)] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      texts.map { t =>
+        val toks = t.trim.split("\\s+")
+        var raw = 0L
+        toks.foreach { tk =>
+          md.reset()
+          val hex = md.digest(tk.getBytes("UTF-8")).map("%02x".format(_))
+            .mkString
+          val h = java.lang.Long.parseLong(hex.take(8), 16)
+          raw += ((h % buckets) * 2654435761L) % 2003L - 1001L
+        }
+        val score = raw / (1001.0 * toks.length)
+        (score, if (score >= 0) "keep" else "drop")
+      }
+    }
+  }
+
   /** Partition-wise batched scoring: one scorer instance per partition,
     * `batchSize` texts per `scoreBatch` call, streaming iteration (a
     * partition is never materialized — `grouped` buffers only one

@@ -68,6 +68,15 @@ object ExtQueries {
     graft.ext.Scoring.scoreDocuments(Tables(spark, dir, "documents"),
       col("doc_id"), col("text")).toDF()
 
+  /** The fastText-shaped hashed-linear model through the same seam
+    * (see [[graft.ext.Scoring.HashedLinearScorer]]): real classifier
+    * architecture, toy deterministic weights, integer-exact score
+    * algebra. */
+  def textModelScoreLinear(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Scoring.scoreDocuments(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"),
+      newScorer = () => new graft.ext.Scoring.HashedLinearScorer()).toDF()
+
   // --------------------------------------------------------------- dedup
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -108,6 +117,14 @@ object ExtQueries {
   def substringDedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.repeatedSpans(Tables(spark, dir, "documents"),
       col("doc_id"), col("text"), gramChars = 40, minFreq = 2)
+
+  /** Doc-level verdict over the span frame (see
+    * [[Dedup.repeatedSpanCoverage]]): duplicated-character coverage
+    * per doc and the C4-style keep/drop at 50%. */
+  def substringDedupFilter(spark: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpanCoverage(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"), gramChars = 40, minFreq = 2,
+      maxCoverage = 0.5)
 
   /** URL-canonicalization dedup (see
     * [[graft.functions.UrlFunctions.canonicalizeUrl]]): the crawl-key
@@ -317,6 +334,7 @@ object ExtQueries {
     "dedup_incremental" -> dedupIncremental _,
     "text_scrub" -> textScrub _,
     "text_model_score" -> textModelScore _,
+    "text_model_score_linear" -> textModelScoreLinear _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_minhash_sig" -> dedupMinhashSig _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
@@ -326,6 +344,7 @@ object ExtQueries {
     "doc_dedup_cc" -> docDedupCc _,
     "substring_dedup" -> substringDedup _,
     "url_dedup_canonical" -> urlDedupCanonical _,
+    "substring_dedup_filter" -> substringDedupFilter _,
     "ann_brute_force" -> annBruteForce _,
     "ann_ivf_topk" -> annIvfTopK _,
     "ann_ivf_kmeans" -> annIvfKmeans _,
@@ -624,9 +643,10 @@ object ExtQueries {
        |WHERE id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin
 
   // same gram algebra as Dedup.repeatedSpans: L=40 chars, corpus
-  // frequency >= 2, islands broken on start-gap > L
-  private val substringDedupSql =
-    """WITH pos AS (
+  // frequency >= 2, islands broken on start-gap > L; shared by the
+  // span gate and the coverage-filter gate
+  private val substringSpanCtes =
+    """pos AS (
       |  SELECT doc_id, text, unnest(range(1, length(text) - 38)) AS p
       |  FROM documents WHERE length(text) >= 40),
       |g AS (SELECT doc_id, p, md5(substr(text, p, 40)) AS h FROM pos),
@@ -636,11 +656,53 @@ object ExtQueries {
       |  CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 40
       |    THEN 0 ELSE 1 END AS brk FROM dp),
       |i AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p
-      |  ROWS UNBOUNDED PRECEDING) AS island FROM s)
-      |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
-      |  CAST(max(p) + 39 AS BIGINT) AS span_end,
-      |  CAST(count(*) AS BIGINT) AS n_gram_hits
-      |FROM i GROUP BY doc_id, island""".stripMargin
+      |  ROWS UNBOUNDED PRECEDING) AS island FROM s),
+      |spans AS (
+      |  SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+      |    CAST(max(p) + 39 AS BIGINT) AS span_end,
+      |    CAST(count(*) AS BIGINT) AS n_gram_hits
+      |  FROM i GROUP BY doc_id, island)""".stripMargin
+
+  private val substringDedupSql =
+    s"""WITH $substringSpanCtes
+       |SELECT doc_id, span_start, span_end, n_gram_hits FROM spans"""
+      .stripMargin
+
+  // mirrors Dedup.repeatedSpanCoverage: stitched spans are disjoint so
+  // their lengths sum exactly; 0/0 pinned to 0.0 on both engines
+  private val substringDedupFilterSql =
+    s"""WITH $substringSpanCtes,
+       |cov AS (
+       |  SELECT doc_id,
+       |    CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_chars
+       |  FROM spans GROUP BY doc_id),
+       |j AS (
+       |  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+       |    COALESCE(c.dup_chars, 0) AS dup_chars
+       |  FROM documents d LEFT JOIN cov c ON c.doc_id = d.doc_id),
+       |r AS (
+       |  SELECT doc_id, n_chars, dup_chars,
+       |    CASE WHEN n_chars = 0 THEN 0.0
+       |      ELSE dup_chars / CAST(n_chars AS DOUBLE) END AS dup_coverage
+       |  FROM j)
+       |SELECT doc_id, n_chars, dup_chars, dup_coverage,
+       |  dup_coverage <= 0.5 AS keep
+       |FROM r""".stripMargin
+
+  // HashedLinearScorer's algebra verbatim: md5-top-32 bucket, toy
+  // integer weights, one double division of exact operands
+  private val textModelScoreLinearSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toks) AS tok FROM documents),
+       |h AS (SELECT doc_id,
+       |  ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b FROM tok),
+       |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum((b * 2654435761) % 2003 - 1001) AS BIGINT) AS raw
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, raw / (1001.0 * n) AS score,
+       |  CASE WHEN raw / (1001.0 * n) >= 0.0
+       |    THEN 'keep' ELSE 'drop' END AS label
+       |FROM s""".stripMargin
 
   // StubScorer's arithmetic verbatim: md5-top-32-bits / 2^32 is a
   // dyadic division, bit-exact in both engines' doubles
@@ -1050,6 +1112,7 @@ object ExtQueries {
     "dedup_incremental" -> dedupIncrementalSql,
     "text_scrub" -> textScrubSql,
     "text_model_score" -> textModelScoreSql,
+    "text_model_score_linear" -> textModelScoreLinearSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
@@ -1059,6 +1122,7 @@ object ExtQueries {
     "doc_dedup_cc" -> docDedupCcSql,
     "substring_dedup" -> substringDedupSql,
     "url_dedup_canonical" -> urlDedupCanonicalSql,
+    "substring_dedup_filter" -> substringDedupFilterSql,
     "ann_brute_force" -> annBruteForceSql,
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_ivf_kmeans" -> annIvfKmeansSql,

@@ -43,6 +43,18 @@ class ScoringSpec extends SparkSpec {
       s"expected 4 per-partition inits, saw ${ScoringSpec.inits.size()}")
   }
 
+  test("hashed-linear scorer: bounded score, threshold label, determinism") {
+    val s = new Scoring.HashedLinearScorer()
+    val texts = Seq("the quick brown fox", "  spaced   out  ", "x")
+    val a = s.scoreBatch(texts)
+    val b = s.scoreBatch(texts)
+    assert(a == b) // stateless across calls
+    a.foreach { case (score, label) =>
+      assert(score >= -1.0 && score <= 1.0)
+      assert(label == (if (score >= 0) "keep" else "drop"))
+    }
+  }
+
   test("scores stay zipped to their ids across batches") {
     val df = (1L to 50L).map(i => (i, i.toString)).toDF("doc_id", "text")
       .repartition(3)
