@@ -59,4 +59,21 @@ class RepeatedSpansSpec extends SparkSpec {
     val got = spans(Seq((1L, "short"), (2L, "short")))
     assert(got.isEmpty)
   }
+
+  test("coverage filter drops a mostly-duplicated doc, keeps clean ones") {
+    val passage = "0123456789abcdefghij" // 20 chars
+    val clean = filler('Ѐ', 40)
+    val docs = Seq(
+      (1L, passage + filler('A', 4)),  // 20/24 dup => drop at 0.5
+      (2L, passage + clean),           // 20/60 dup => keep
+      (3L, filler('က', 40)))           // unique => coverage 0, keep
+    val got = Dedup.repeatedSpanCoverage(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), gramChars = L, minFreq = 2,
+        maxCoverage = 0.5)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((20L, 20.0 / 24.0, false)))
+    assert(got(2L) == ((20L, 20.0 / 60.0, true)))
+    assert(got(3L) == ((0L, 0.0, true)))
+  }
 }
