@@ -126,6 +126,37 @@ object ExtQueries {
       col("doc_id"), col("text"), gramChars = 40, minFreq = 2,
       maxCoverage = 0.5)
 
+  /** The round-10 operators composed end-to-end — the quality half of
+    * corpus prep: model-score filter ([[graft.ext.Scoring
+    * .HashedLinearScorer]], keep score >= 0) ∩ span-coverage filter
+    * ([[Dedup.repeatedSpanCoverage]], keep <= 50% duplicated chars),
+    * then exact canonical-fingerprint dedup among the SURVIVORS
+    * (min doc_id wins). Output is the quality-annotated manifest
+    * (doc_id, score, dup_coverage) a downstream sampler consumes.
+    * Each stage is the already-gated operator unchanged; the gate
+    * pins the composition semantics (filters before dedup, so a
+    * dropped low-quality representative promotes the next id). */
+  def corpusQualityE2e(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val scored = graft.ext.Scoring.scoreDocuments(docs,
+        col("doc_id"), col("text"),
+        newScorer = () => new graft.ext.Scoring.HashedLinearScorer())
+      .toDF()
+      .filter(col("label") === "keep")
+      .select(col("doc_id"), col("score"))
+    val cov = Dedup.repeatedSpanCoverage(docs, col("doc_id"), col("text"),
+        gramChars = 40, minFreq = 2, maxCoverage = 0.5)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("dup_coverage"))
+    val canon = docs.select(col("doc_id"),
+      TextFunctions.canonicalFingerprint(col("text")).as("cfp"))
+    val surv = scored.join(cov, "doc_id").join(canon, "doc_id")
+    val keepIds = surv.groupBy(col("cfp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    surv.join(keepIds, Seq("cfp", "doc_id"))
+      .select(col("doc_id"), col("score"), col("dup_coverage"))
+  }
+
   /** URL-canonicalization dedup (see
     * [[graft.functions.UrlFunctions.canonicalizeUrl]]): the crawl-key
     * pass that runs before any content dedup. The corpus has no URL
@@ -345,6 +376,7 @@ object ExtQueries {
     "substring_dedup" -> substringDedup _,
     "url_dedup_canonical" -> urlDedupCanonical _,
     "substring_dedup_filter" -> substringDedupFilter _,
+    "corpus_quality_e2e" -> corpusQualityE2e _,
     "ann_brute_force" -> annBruteForce _,
     "ann_ivf_topk" -> annIvfTopK _,
     "ann_ivf_kmeans" -> annIvfKmeans _,
@@ -688,6 +720,41 @@ object ExtQueries {
        |SELECT doc_id, n_chars, dup_chars, dup_coverage,
        |  dup_coverage <= 0.5 AS keep
        |FROM r""".stripMargin
+
+  // the three gated stages' CTEs composed: linear score filter ∩
+  // coverage filter, then canonical-fp min-id dedup among survivors
+  private val corpusQualityE2eSql =
+    s"""WITH $substringSpanCtes,
+       |cov AS (
+       |  SELECT doc_id,
+       |    CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_chars
+       |  FROM spans GROUP BY doc_id),
+       |covr AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN length(d.text) = 0 THEN 0.0
+       |      ELSE COALESCE(c.dup_chars, 0) / CAST(length(d.text) AS DOUBLE)
+       |    END AS dup_coverage
+       |  FROM documents d LEFT JOIN cov c ON c.doc_id = d.doc_id),
+       |tok AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+       |hh AS (SELECT doc_id,
+       |  ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b FROM tok),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum((b * 2654435761) % 2003 - 1001) AS BIGINT) AS raw
+       |  FROM hh GROUP BY doc_id),
+       |scored AS (SELECT doc_id, raw / (1001.0 * n) AS score
+       |  FROM sc WHERE raw / (1001.0 * n) >= 0.0),
+       |canon AS (SELECT doc_id,
+       |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS cfp
+       |  FROM documents),
+       |surv AS (
+       |  SELECT sv.doc_id, sv.score, v.dup_coverage, cn.cfp
+       |  FROM scored sv
+       |  JOIN covr v ON v.doc_id = sv.doc_id AND v.dup_coverage <= 0.5
+       |  JOIN canon cn ON cn.doc_id = sv.doc_id),
+       |keepid AS (SELECT cfp, min(doc_id) AS doc_id FROM surv GROUP BY cfp)
+       |SELECT sv.doc_id, sv.score, sv.dup_coverage
+       |FROM surv sv JOIN keepid k
+       |  ON k.cfp = sv.cfp AND k.doc_id = sv.doc_id""".stripMargin
 
   // HashedLinearScorer's algebra verbatim: md5-top-32 bucket, toy
   // integer weights, one double division of exact operands
@@ -1123,6 +1190,7 @@ object ExtQueries {
     "substring_dedup" -> substringDedupSql,
     "url_dedup_canonical" -> urlDedupCanonicalSql,
     "substring_dedup_filter" -> substringDedupFilterSql,
+    "corpus_quality_e2e" -> corpusQualityE2eSql,
     "ann_brute_force" -> annBruteForceSql,
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_ivf_kmeans" -> annIvfKmeansSql,
