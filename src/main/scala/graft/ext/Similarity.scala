@@ -99,6 +99,47 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("rank"), col("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training: for each labeled
+    * query, the k most-SIMILAR corpus vectors carrying a DIFFERENT
+    * label — the near-miss negatives a contrastive/embedding trainer
+    * wants in the batch (random negatives are too easy; the hard ones
+    * sit right across the decision boundary). Same physical shape as
+    * [[bruteForceTopK]] — corpus streams against the broadcast query
+    * side, label mismatch filters before the per-query top-k window —
+    * so the label columns ride along at zero extra shuffles. At
+    * 100 TB the same mining runs over [[ivfTopK]]'s probed candidates
+    * instead of the full cross product; this exact variant is the
+    * auditable baseline. */
+  def hardNegatives(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      corpusLabel: Column, queries: DataFrame, queryId: Column,
+      queryVec: Column, queryLabel: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus.select(corpusId.as("nbr_id"), corpusVec.as("cv"),
+        corpusLabel.as("nbr_label"))
+      .filter(size(col("cv")) > 0)
+      .repartition(p)
+      .withColumn("sn_c",
+        sqrt(VecKernels.vecDotDec(col("cv"), col("cv")).cast("double")))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"),
+        queryLabel.as("query_label"))
+      .filter(size(col("qv")) > 0)
+      .withColumn("sn_q",
+        sqrt(VecKernels.vecDotDec(col("qv"), col("qv")).cast("double")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nbr_label") =!= col("query_label"))
+      .withColumn("cosine",
+        VecKernels.vecDotDec(col("cv"), col("qv")).cast("double") /
+          (col("sn_c") * col("sn_q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("nbr_id"),
+        col("nbr_label"), col("rank"), col("cosine"))
+  }
+
   /** IVF (inverted-file) approximate top-k: coarse-quantize the corpus
     * into `numCells` cells, then each query probes only its `nProbe`
     * nearest cells and ranks exactly within them.

@@ -202,6 +202,17 @@ object ExtQueries {
       k = 10)
   }
 
+  /** Contrastive hard negatives (see [[Similarity.hardNegatives]]):
+    * per labeled query vector, the 10 most-similar cross-label corpus
+    * vectors. */
+  def annHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.hardNegatives(
+      emb, col("vec_id"), col("embedding"), col("label"),
+      emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      col("label"), k = 10)
+  }
+
   def embedNearDupLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshNearDupPairs(Tables(spark, dir, "embeddings"),
       col("vec_id"), col("embedding"), dim = 64, numPlanes = 8,
@@ -384,6 +395,7 @@ object ExtQueries {
     "ann_ivf_cells" -> annIvfCells _,
     "embed_neardup_lsh" -> embedNearDupLsh _,
     "embed_dedup_cc" -> embedDedupCc _,
+    "ann_hard_negatives" -> annHardNegatives _,
     "embed_quantize" -> embedQuantize _,
     "doc_decontaminate" -> docDecontaminate _,
     "text_repetition" -> textRepetition _)
@@ -855,6 +867,33 @@ object ExtQueries {
        |  FROM scored)
        |SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= 10""".stripMargin
 
+  // bruteForce's dot/norm algebra + label join + cross-label filter
+  // before the per-query rank — Similarity.hardNegatives verbatim
+  private val annHardNegativesSql =
+    s"""WITH $vecCtes,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |dots AS (
+       |  SELECT c.vec_id AS nbr_id, q.vec_id AS query_id,
+       |    CAST(sum(CAST(c.x * q.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |  FROM comp c JOIN comp q ON c.i = q.i AND q.vec_id < 10
+       |  GROUP BY c.vec_id, q.vec_id),
+       |scored AS (
+       |  SELECT query_id, ql.label AS query_label, nbr_id,
+       |    nl.label AS nbr_label, dot / (nc.sn * nq.sn) AS cosine
+       |  FROM dots
+       |  JOIN norms nc ON nc.vec_id = nbr_id
+       |  JOIN norms nq ON nq.vec_id = query_id
+       |  JOIN lab nl ON nl.vec_id = nbr_id
+       |  JOIN lab ql ON ql.vec_id = query_id
+       |  WHERE nl.label <> ql.label),
+       |ranked AS (
+       |  SELECT query_id, query_label, nbr_id, nbr_label, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, nbr_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, query_label, nbr_id, nbr_label, rank, cosine
+       |FROM ranked WHERE rank <= 10""".stripMargin
+
   /** IVF twin: queries are a subset of the corpus (vec_id < 10), so the
     * per-(vector, cell) cosine CTE serves both corpus assignment and
     * query probing. Constants in lockstep with annIvfTopK
@@ -1200,5 +1239,6 @@ object ExtQueries {
     "doc_decontaminate" -> docDecontaminateSql,
     "text_repetition" -> textRepetitionSql,
     "embed_neardup_lsh" -> embedNearDupLshSql,
-    "embed_dedup_cc" -> embedDedupCcSql)
+    "embed_dedup_cc" -> embedDedupCcSql,
+    "ann_hard_negatives" -> annHardNegativesSql)
 }
