@@ -281,8 +281,38 @@ object PipelineQueries {
     Multimodal.resizeMedia(media, targetW = 320, targetH = 240).toDF()
   }
 
+  /** The model-scoring seam on a live stream: the documents table as
+    * a file-source stream, scored through the SAME
+    * [[graft.ext.Scoring.scoreDocuments]] mapPartitions path the
+    * batch gate uses (stateless typed transform — streaming-legal in
+    * append mode with no watermark), memory sink run to completion.
+    * The gate aggregate uses only order-INDEPENDENT reductions
+    * (count, min, max) because micro-batch arrival order is not
+    * deterministic and double sums would drift in the last ulp.
+    * Same gate-only memory-sink caveat as [[streamWindowCounts]]. */
+  def streamModelScore(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val name = "stream_model_score_sink"
+    onStreamSession(spark, 8) { s =>
+      val src = s.readStream.schema(schema).option("basePath", dir)
+        .parquet(s"$dir/documents*.parquet")
+      val scored = graft.ext.Scoring.scoreDocuments(src,
+        col("doc_id"), col("text"),
+        newScorer = () => new graft.ext.Scoring.HashedLinearScorer())
+      val q = scored.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name).groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_batch_e2e" -> pipelineBatchE2e _,
+    "stream_model_score" -> streamModelScore _,
     "stream_window_counts" -> streamWindowCounts _,
     "stream_sessionize" -> streamSessionize _,
     "stream_stream_join" -> streamStreamJoin _,
@@ -293,6 +323,24 @@ object PipelineQueries {
     "multimodal_resize" -> multimodalResize _)
 
   val oracleSql: Map[String, String] = Map(
+    // HashedLinearScorer algebra (see ExtQueries.textModelScoreLinearSql)
+    // reduced per label with order-independent aggregates only
+    "stream_model_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |  ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b FROM tok),
+        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum((b * 2654435761) % 2003 - 1001) AS BIGINT) AS raw
+        |  FROM h GROUP BY doc_id),
+        |scored AS (SELECT doc_id, raw / (1001.0 * n) AS score,
+        |  CASE WHEN raw / (1001.0 * n) >= 0.0
+        |    THEN 'keep' ELSE 'drop' END AS label FROM s)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  min(score) AS min_score, max(score) AS max_score
+        |FROM scored GROUP BY label""".stripMargin,
     "pipeline_batch_e2e" ->
       // falsy check is on the RAW string: None/"" only ("0" is truthy)
       """SELECT event_type AS event, count(*) AS n
