@@ -459,8 +459,18 @@ object Dedup {
     val edges = ckpt(pairs
       .select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst"))))
-    var labels = ckpt(edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")))
+    // Initial labels: min over the CLOSED neighborhood (id ∧ min
+    // neighbor) — round 1's propagate step absorbed into the same
+    // groupBy that would otherwise just enumerate the node set, at
+    // identical shuffle cost. Dedup pair graphs are dominated by
+    // 2-node components, which this already labels at fixpoint, so
+    // seeding prevSum with the INITIAL sum lets the first loop round
+    // declare convergence — one fewer (propagate + jump) round of
+    // checkpointed joins in the common case.
+    var labels = ckpt(edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("min_nbr"))
+      .select(col("src").as("id"),
+        least(col("src"), col("min_nbr")).as("label")))
     // Convergence check: labels only ever DECREASE (every update is a
     // least() against the previous value), so the exact label sum is
     // strictly decreasing until fixpoint — equal consecutive sums ⟺
@@ -492,7 +502,12 @@ object Dedup {
       onRounds(0)
       return labels.select(col("id"), col("label").as("component"))
     }
-    var prevSum: java.math.BigDecimal = null
+    // Seed the convergence baseline with the initial labels' sum:
+    // monotone decrease means "round 1's sum equals the initial sum"
+    // already proves fixpoint (possible because init is neighborhood-
+    // min, not identity — an identity init always changes in round 1).
+    var prevSum: java.math.BigDecimal =
+      if (numericLabels) labelSum(labels) else null
     var converged = false
     var round = 0
     while (!converged) {
