@@ -677,19 +677,20 @@ object Dedup {
     val base = df.select(id.as("doc_id"), text.as("text"))
       .filter(length(col("text")) >= gramChars)
       .repartition(p)
-    val grams = base
+    // materialized: the gram frame feeds both the frequency pass and
+    // the join-back — without the cache every position's md5 would be
+    // computed twice (measured ~2x the stage cost at sf0.1); a 100 TB
+    // run checkpoints this frame to storage instead
+    val grams = graft.Tables.materialize(base
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - (gramChars - 1)))
           .as("p"))
       .select(col("doc_id"), col("p").cast("long").as("p"),
-        md5(expr(s"substring(text, p, $gramChars)")).as("g"))
+        md5(expr(s"substring(text, p, $gramChars)")).as("g")))
     val dupGrams = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("gf"))
       .filter(col("gf") >= minFreq)
       .select(col("g"))
-    // grams' lineage is evaluated twice (frequency pass + join-back);
-    // a 100 TB run materializes stage 1 once — at gate scale the
-    // recompute is cheaper than the exchange a persist would add
     val dupPos = grams.join(dupGrams, "g").select(col("doc_id"), col("p"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("p").asc)
     dupPos
