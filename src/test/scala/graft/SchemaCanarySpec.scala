@@ -59,6 +59,22 @@ class SchemaCanarySpec extends SparkSpec {
         "drop them while batch oracles keep them")
   }
 
+  /** Several gates rely on cross-engine string semantics that are
+    * only guaranteed for ASCII: edit_distance (DuckDB levenshtein
+    * counts bytes, Spark codepoints), substring_dedup (substr/length
+    * positions), url/text fixtures. The synthetic corpus has always
+    * been printable-ASCII; if a regeneration changes that, this
+    * canary names the real cause before any gate hash-diverges. */
+  test("documents.text stays printable ASCII (string-gate contract)") {
+    import org.apache.spark.sql.functions._
+    val nonAscii = sf("documents")
+      .filter(not(col("text").rlike("^[\\x20-\\x7e\\t\\n\\r]*$")))
+      .count()
+    assert(nonAscii == 0L,
+      s"$nonAscii documents contain non-ASCII text — byte-vs-codepoint " +
+        "string gates (edit_distance, substring_dedup) need review")
+  }
+
   test("orders/lineitem: date-like columns normalize to TIMESTAMP") {
     assert(dtypes("orders")("o_orderdate") == TimestampType)
     assert(dtypes("lineitem")("l_shipdate") == TimestampType)
