@@ -111,6 +111,34 @@ object ExtQueries {
     Dedup.dedupPipelineCcKept(Tables(spark, dir, "documents"),
       col("doc_id"), col("text"), n = 3, jaccardThreshold = 0.8)
 
+  /** [[docDedupCc]] with a QUALITY-AWARE keeper: per duplicate
+    * component, keep the member with the best model score (ties → min
+    * id; exact-dup members share text and therefore score, so the
+    * tie-break is load-bearing) instead of blindly keeping min id —
+    * the policy real corpus prep uses (keep the best-quality
+    * representative, drop its near-dups). The keeper is one
+    * row_number window over the component frame, so swapping policy
+    * costs nothing structural — the pair graph and CC are unchanged. */
+  def docDedupBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val (survivors, verified) = Dedup.dedupSurvivorsAndVerified(
+      docs, col("doc_id"), col("text"), 3, 0.8,
+      Dedup.DefaultMaxBandBucket, null)
+    val cc = Dedup.connectedComponents(verified)
+    val scored = graft.ext.Scoring.scoreDocuments(docs,
+        col("doc_id"), col("text"),
+        newScorer = () => new graft.ext.Scoring.HashedLinearScorer())
+      .toDF().select(col("doc_id").as("id"), col("score"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("score").desc, col("id").asc)
+    val best = cc.join(scored, "id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("id"))
+    val dropped = cc.select(col("id")).join(best, Seq("id"), "left_anti")
+    survivors.join(dropped, Seq("id"), "left_anti").select(col("id"))
+  }
+
   /** Substring/passage-level exact dedup (see [[Dedup.repeatedSpans]]):
     * maximal spans whose 40-char grams repeat corpus-wide — the
     * suffix-array-dedup output in distributed gram algebra. */
@@ -384,6 +412,7 @@ object ExtQueries {
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "doc_dedup_pipeline" -> docDedupPipeline _,
     "doc_dedup_cc" -> docDedupCc _,
+    "doc_dedup_best" -> docDedupBest _,
     "substring_dedup" -> substringDedup _,
     "url_dedup_canonical" -> urlDedupCanonical _,
     "substring_dedup_filter" -> substringDedupFilter _,
@@ -732,6 +761,40 @@ object ExtQueries {
        |SELECT doc_id, n_chars, dup_chars, dup_coverage,
        |  dup_coverage <= 0.5 AS keep
        |FROM r""".stripMargin
+
+  // docDedupCcSql's pair graph + reach CC, with the keeper swapped to
+  // best-score-per-component (ties -> min id; exact dups tie by
+  // construction, so the id tie-break is exercised on every component)
+  private val docDedupBestSql =
+    s"""WITH RECURSIVE $docDedupCtes,
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM verified
+       |  UNION
+       |  SELECT id2 AS src, id1 AS dst FROM verified),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst),
+       |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+       |qtok AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+       |qh AS (SELECT doc_id,
+       |  ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b FROM qtok),
+       |qs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum((b * 2654435761) % 2003 - 1001) AS BIGINT) AS raw
+       |  FROM qh GROUP BY doc_id),
+       |qscored AS (SELECT doc_id AS id, raw / (1001.0 * n) AS score FROM qs),
+       |member AS (
+       |  SELECT c.id, c.component, q.score
+       |  FROM comp c JOIN qscored q ON q.id = c.id),
+       |best AS (
+       |  SELECT id FROM (
+       |    SELECT id, row_number() OVER (PARTITION BY component
+       |      ORDER BY score DESC, id ASC) AS rn FROM member)
+       |  WHERE rn = 1),
+       |dropped AS (
+       |  SELECT id FROM comp WHERE id NOT IN (SELECT id FROM best))
+       |SELECT id FROM survivors
+       |WHERE id NOT IN (SELECT id FROM dropped)""".stripMargin
 
   // the three gated stages' CTEs composed: linear score filter ∩
   // coverage filter, then canonical-fp min-id dedup among survivors
@@ -1226,6 +1289,7 @@ object ExtQueries {
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "doc_dedup_pipeline" -> docDedupPipelineSql,
     "doc_dedup_cc" -> docDedupCcSql,
+    "doc_dedup_best" -> docDedupBestSql,
     "substring_dedup" -> substringDedupSql,
     "url_dedup_canonical" -> urlDedupCanonicalSql,
     "substring_dedup_filter" -> substringDedupFilterSql,
