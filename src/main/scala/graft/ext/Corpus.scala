@@ -177,6 +177,55 @@ object Corpus {
       .drop("_h", "_shard")
   }
 
+  /** Deterministic GLOBAL training-shuffle rank — the total-order
+    * complement of [[shardAssign]]: every row gets its exact position
+    * 0..n-1 in the corpus-wide pseudo-random order (md5 of the key,
+    * ties broken by the key itself), without a global window.
+    *
+    * This is the "shuffle the whole corpus once, then read
+    * sequentially" export step of a training run. A
+    * `row_number() OVER (ORDER BY hash)` plans a single-partition
+    * sort at 100 TB; instead:
+    *   1. range-repartition on (hash, key) + sort within partitions —
+    *      the only data-sized shuffle, and it's the one a sorted
+    *      export needs anyway;
+    *   2. `monotonically_increasing_id` over the SORTED partitions
+    *      encodes (partitionId, localIndex) in one narrow map;
+    *   3. per-partition row counts (numPartitions rows — a bounded
+    *      driver collect) prefix-sum into partition offsets;
+    *   4. rank = offset(partition) + localIndex via one broadcast join.
+    * The frame is materialized between (2) and (3) so both jobs see
+    * identical range boundaries; the rank itself is boundary-
+    * independent (offsets absorb wherever the sampler cut), so the
+    * output is bit-stable across runs and engines.
+    *
+    * Returns (key as `id`, `shuffle_pos`). */
+  def shuffleRank(df: DataFrame, key: Column,
+      numPartitions: Int = 32): DataFrame = {
+    val keyed = df.select(key.as("id"),
+      md5(concat(lit("shuf|"), key.cast("string"))).as("_h"))
+    val sorted = keyed
+      .repartitionByRange(numPartitions, col("_h"), col("id"))
+      .sortWithinPartitions(col("_h"), col("id"))
+      .withColumn("_mono", monotonically_increasing_id())
+    val m = graft.Tables.materialize(sorted)
+    // monotonically_increasing_id layout: partition id << 33 | local idx
+    val withPid = m
+      .withColumn("_pid", shiftright(col("_mono"), 33))
+      .withColumn("_lidx", col("_mono").bitwiseAND(lit((1L << 33) - 1)))
+    val counts = withPid.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_n"))
+      .collect() // bounded: one row per partition
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _))
+    val offsetDf = df.sparkSession
+      .createDataFrame(offsets.toSeq).toDF("_pid", "_off")
+    withPid.join(broadcast(offsetDf), Seq("_pid"))
+      .select(col("id"), (col("_off") + col("_lidx")).as("shuffle_pos"))
+  }
+
   // -------------------------------------------- chunking / packing
 
   /** Sliding-window token chunks: each document's whitespace tokens
@@ -260,6 +309,42 @@ object Corpus {
     * Single-space split, empties dropped — the deterministic baseline
     * tokenizer (byte-identical across engines; no locale-dependent
     * lowercasing). */
+  /** Bigram-LM novelty scoring — the cheapest useful "how far is this
+    * document from the corpus's n-gram language model" signal: the
+    * fraction of a document's distinct word bigrams NOT in the corpus
+    * top-`vocabK` bigram vocabulary. High novelty flags boilerplate-
+    * free/unusual text (or garbage); near-zero novelty flags template
+    * spam — the same filtering axis a real KenLM perplexity score
+    * gives, kept hash-gateable by using an integer membership ratio
+    * instead of log-probabilities (ln is not cross-engine bit-stable,
+    * SKILL.md).
+    *
+    * Scale: bigram explode is map-side; the vocabulary cut is a
+    * distributed TakeOrdered on (df desc, gram asc) — a total order,
+    * so the cut is deterministic — and `vocabK` rows broadcast to an
+    * existence join; one doc-keyed aggregate. The vocabulary is the
+    * reusable model artifact: score tomorrow's crawl against today's
+    * vocab without recomputing it. */
+  def bigramNovelty(docs: DataFrame, id: Column, text: Column,
+      vocabK: Int = 1000): DataFrame = {
+    val g = graft.Tables.materialize(
+      Dedup.shingles(docs, id, text, n = 2))
+    val vocab = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram").asc).limit(vocabK)
+      .select(col("gram"), lit(1L).as("known"))
+    val per = g.join(broadcast(vocab), Seq("gram"), "left_outer")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("nb"),
+        sum(coalesce(col("known"), lit(0L))).as("nk"))
+    docs.select(id.as("id")).join(per, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nk"), lit(0L)).as("n_known"),
+        when(coalesce(col("nb"), lit(0L)) > 0,
+          (col("nb") - col("nk")).cast("double") / col("nb").cast("double"))
+          .as("novelty"))
+  }
+
   def tokens(df: DataFrame, text: Column): DataFrame =
     df.withColumn("token", explode(split(text, " ")))
       .filter(col("token") =!= "")

@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over pair frames (near-dup candidate graphs, join
+  * graphs): degree profiles, degree-oriented triangle counting, local
+  * clustering coefficients.
+  *
+  * The input anywhere here is the same shape [[Dedup.connectedComponents]]
+  * consumes — an edge list produced by an LSH/Jaccard candidate pass —
+  * so these compose with the dedup pipelines as the *audit* side:
+  * triangle density tells you whether near-dup components are cliques
+  * (true duplicate clusters) or stringy chains (transitive-closure
+  * over-merging), which is the standard health check before trusting a
+  * connected-components keeper at corpus scale.
+  *
+  * Scale design: triangle enumeration is the textbook quadratic
+  * blow-up; the degree-orientation trick (orient every edge from its
+  * (degree, id)-smaller endpoint to the larger one) bounds per-vertex
+  * join fan-out by out-degree ≤ O(√m), so the wedge join does
+  * O(m^{3/2}) work instead of Σ deg² — the difference between a
+  * celebrity node generating 10¹⁰ wedges and 10⁵ at web-crawl scale.
+  * Three hash shuffles total (degree agg, wedge self-join, closing
+  * semi-join); no windows, no collects.
+  */
+object Graph {
+
+  /** Canonical undirected edge set from an arbitrary pair frame:
+    * (src < dst), loops dropped, duplicates collapsed. */
+  def canonicalEdges(pairs: DataFrame, a: Column, b: Column): DataFrame =
+    pairs.select(least(a, b).as("src"), greatest(a, b).as("dst"))
+      .filter(col("src") < col("dst"))
+      .distinct()
+
+  /** Per-vertex degree over a canonical edge set. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("degree"))
+
+  /** Per-vertex triangle participation + local clustering coefficient
+    * over the undirected graph induced by `pairs`.
+    *
+    * Algorithm (degree-oriented wedge closing): orient each edge from
+    * its (degree, id)-lexicographically smaller endpoint; every
+    * triangle then has exactly one vertex with both triangle edges
+    * outgoing (the pivot), so enumerating out-wedges (u→a, u→b with
+    * a < b) and semi-joining the closing edge {a,b} against the
+    * canonical edge set counts each triangle exactly once. Per-vertex
+    * counts come from exploding each found triangle to its three
+    * corners. lcc = 2·T / (d·(d-1)) — exact integers until one IEEE
+    * double division, so the value is bit-stable cross-engine.
+    *
+    * Output: (id, degree, tri_cnt, lcc) for every vertex incident to
+    * at least one edge. */
+  def triangleStats(pairs: DataFrame, a: Column, b: Column): DataFrame = {
+    val edges = graft.Tables.materialize(canonicalEdges(pairs, a, b))
+    val deg = graft.Tables.materialize(degrees(edges))
+
+    val withDeg = edges
+      .join(deg.select(col("id").as("src"), col("degree").as("sdeg")), "src")
+      .join(deg.select(col("id").as("dst"), col("degree").as("ddeg")), "dst")
+    // orient by (degree, id): u = smaller endpoint, v = larger
+    val oriented = graft.Tables.materialize(withDeg.select(
+      when(struct(col("sdeg"), col("src")) < struct(col("ddeg"), col("dst")),
+        struct(col("src").as("u"), col("dst").as("v")))
+        .otherwise(struct(col("dst").as("u"), col("src").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v")))
+
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("pivot"),
+        col("e1.v").as("wa"), col("e2.v").as("wb"))
+    val triangles = wedges
+      .join(edges,
+        least(col("wa"), col("wb")) === col("src") &&
+          greatest(col("wa"), col("wb")) === col("dst"),
+        "left_semi")
+
+    val perVertex = triangles
+      .select(explode(array(col("pivot"), col("wa"), col("wb"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("tri_cnt"))
+
+    deg.join(perVertex, Seq("id"), "left_outer")
+      .select(col("id"), col("degree"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"),
+        when(col("degree") > 1,
+          lit(2.0) * coalesce(col("tri_cnt"), lit(0L)).cast("double") /
+            (col("degree") * (col("degree") - lit(1L))).cast("double"))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
+}

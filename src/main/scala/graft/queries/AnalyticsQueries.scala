@@ -320,6 +320,57 @@ object AnalyticsQueries {
           .as("intercept"))
   }
 
+  /** Cross-series Pearson correlation matrix over hourly event-type
+    * activity — "which metrics move together", the time-series
+    * companion of [[groupedRegression]]. Hourly counts per type are
+    * densified onto the full hour×type grid (missing hours count 0 —
+    * true time-series semantics, not co-observed-only), paired by a
+    * self-join on the hour, and reduced to exact integer power sums;
+    * corr = (n·sxy − sx·sy) / (√(n·sxx − sx²)·√(n·syy − sy²)) with
+    * DECIMAL sums cast to double once — IEEE *, /, sqrt are correctly
+    * rounded, so the value is bit-identical cross-engine. Zero
+    * variance ⇒ NULL on both engines (no double division by zero).
+    *
+    * Scale: the count aggregate is map-side combined; the grid is
+    * |hours| × |types| (types broadcast); the pair join fans out
+    * |types|² per hour — bounded by the type vocabulary, never by
+    * event volume. Power sums are the mergeable state: an incremental
+    * refresh adds today's hour rows and re-reduces. */
+  def hourlyCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val hr = expr(
+      "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) div 3600000000")
+    val counts = Tables(spark, dir, "events")
+      .select(hr.as("h"), col("event_type"))
+      .groupBy(col("h"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val cm = graft.Tables.materialize(counts)
+    val fullGrid = cm.select(col("h")).distinct()
+      .crossJoin(broadcast(cm.select(col("event_type")).distinct()))
+      .join(cm, Seq("h", "event_type"), "left_outer")
+      .select(col("h"), col("event_type"),
+        coalesce(col("c"), lit(0L)).cast("decimal(20,0)").as("c"))
+    val pairs = fullGrid.as("a").join(fullGrid.as("b"),
+        col("a.h") === col("b.h") &&
+          col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        col("a.c").as("x"), col("b.c").as("y"))
+    def d(c: Column) = c.cast("double")
+    pairs.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("type_a"), col("type_b"), col("n"),
+        when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+            (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+          d(col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(d(col("n") * col("sxx") - col("sx") * col("sx"))) *
+              sqrt(d(col("n") * col("syy") - col("sy") * col("sy")))))
+          .as("corr"))
+  }
+
   /** Ratio-to-report: each order's share of its priority class's
     * total spend plus the class total — the windowed share-of-total
     * every BI layer asks for. One hash shuffle on the (tiny-domain)
@@ -765,6 +816,7 @@ object AnalyticsQueries {
     "hll_distinct_estimates" -> hllDistinctEstimates _,
     "ratio_to_report" -> ratioToReport _,
     "grouped_regression" -> groupedRegression _,
+    "corr_matrix" -> hourlyCorrMatrix _,
     "interval_merge" -> intervalMerge _,
     "mode_per_group" -> modePerGroup _,
     "freq_items_bounds" -> freqItemsBounds _,
@@ -978,6 +1030,37 @@ object AnalyticsQueries {
         |SELECT event_type, n, slope,
         |  (syd - slope * sxd) / CAST(n AS DOUBLE) AS intercept
         |FROM t""".stripMargin,
+    // same densified grid + integer power sums; every literal step
+    // mirrors the Scala operand order so corr hash-matches bit-exact
+    "corr_matrix" ->
+      """WITH hr AS (
+        |  SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+        |    event_type
+        |  FROM events),
+        |c AS (SELECT h, event_type, count(*) AS c FROM hr GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT hh.h, tt.event_type,
+        |    CAST(COALESCE(c.c, 0) AS DECIMAL(20,0)) AS c
+        |  FROM (SELECT DISTINCT h FROM c) hh
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM c) tt
+        |  LEFT JOIN c ON c.h = hh.h AND c.event_type = tt.event_type),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.c AS x, b.c AS y
+        |  FROM grid a JOIN grid b
+        |    ON a.h = b.h AND a.event_type < b.event_type),
+        |s AS (
+        |  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+        |    SUM(y * y) AS syy, SUM(x * y) AS sxy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT type_a, type_b, n,
+        |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |  END AS corr
+        |FROM s""".stripMargin,
     "ratio_to_report" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))

@@ -59,6 +59,14 @@ object CorpusQueries {
     Corpus.shardAssign(Tables(spark, dir, "documents"), col("doc_id"), 8)
       .select(col("doc_id"), col("shard"), col("pos"))
 
+  /** Global training-shuffle position for every document — the
+    * corpus-wide total order [[Corpus.shuffleRank]] materializes with
+    * range partitioning + partition-offset prefix sums instead of the
+    * single-partition sort a `row_number() OVER (ORDER BY hash)`
+    * would plan. */
+  def shuffleRank(spark: SparkSession, dir: String): DataFrame =
+    Corpus.shuffleRank(Tables(spark, dir, "documents"), col("doc_id"))
+
   /** Vocabulary: top-100 tokens by (count desc, token asc). */
   def vocabTopK(spark: SparkSession, dir: String): DataFrame =
     Corpus.vocabTopK(Tables(spark, dir, "documents"), col("text"), 100)
@@ -226,6 +234,7 @@ object CorpusQueries {
     "sample_hash" -> sampleHash _,
     "sample_stratified" -> sampleStratified _,
     "shard_assign" -> shardAssign _,
+    "shuffle_rank" -> shuffleRank _,
     "vocab_topk" -> vocabTopK _,
     "tfidf_topk" -> tfidfTopK _,
     "set_ops" -> setOps _,
@@ -385,6 +394,14 @@ object CorpusQueries {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 40""".stripMargin,
+    // the window form the distributed operator deliberately avoids is
+    // exactly right for the oracle: same (md5, key) total order
+    "shuffle_rank" ->
+      """SELECT doc_id AS id,
+        |  row_number() OVER (
+        |    ORDER BY md5('shuf|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |    AS shuffle_pos
+        |FROM documents""".stripMargin,
     "shard_assign" ->
       """WITH h AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Corpus, Dedup, Similarity}
+import graft.ext.{Corpus, Dedup, Graph, Similarity}
 import graft.functions.TextFunctions
 
 /** Training-data pipeline operators (SURVEY.md §7.1 `ext`): text
@@ -36,6 +36,14 @@ object ExtQueries {
     Tables(spark, dir, "documents").select(
       col("doc_id") +: langId(col("text")).as("lang_guess") +: scores: _*)
   }
+
+  /** Corpus-LM novelty: fraction of each document's distinct bigrams
+    * outside the corpus top-1000 bigram vocabulary
+    * ([[Corpus.bigramNovelty]]) — the hash-gateable stand-in for a
+    * KenLM perplexity filter. */
+  def bigramNovelty(spark: SparkSession, dir: String): DataFrame =
+    Corpus.bigramNovelty(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"), vocabK = 1000)
 
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import TextFunctions._
@@ -264,6 +272,22 @@ object ExtQueries {
       .join(dropped, Seq("id"), "left_anti").select(col("id"))
   }
 
+  /** Near-dup graph audit — per-vertex degree, triangle count, and
+    * local clustering coefficient over the cosine-verified LSH pair
+    * graph (same pairs as `embed_neardup_lsh`). High lcc means the
+    * component is a clique of true duplicates; low lcc on a
+    * high-degree vertex flags transitive-closure over-merging before
+    * the CC keeper ([[embedDedupCc]]) is trusted. Degree-oriented
+    * wedge enumeration keeps the join fan-out O(m^1.5) at crawl
+    * scale — see [[graft.ext.Graph.triangleStats]]. */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val pairs = Similarity.lshNearDupPairs(emb, col("vec_id"),
+      col("embedding"), dim = 64, numPlanes = 8,
+      threshold = 0.2, numTables = 2, maxBucketSize = 1000)
+    Graph.triangleStats(pairs, col("id1"), col("id2"))
+  }
+
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
@@ -424,10 +448,12 @@ object ExtQueries {
     "ann_ivf_cells" -> annIvfCells _,
     "embed_neardup_lsh" -> embedNearDupLsh _,
     "embed_dedup_cc" -> embedDedupCc _,
+    "graph_triangles" -> graphTriangles _,
     "ann_hard_negatives" -> annHardNegatives _,
     "embed_quantize" -> embedQuantize _,
     "doc_decontaminate" -> docDecontaminate _,
-    "text_repetition" -> textRepetition _)
+    "text_repetition" -> textRepetition _,
+    "bigram_novelty" -> bigramNovelty _)
 
   // -------------------------------------------------------- oracle SQL
   // Hash-heavy oracles are generated programmatically so the SQL stays
@@ -544,6 +570,31 @@ object ExtQueries {
        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
        |  FROM (SELECT doc_id, $toks AS t FROM documents),
        |       LATERAL (SELECT unnest(range(1, greatest(length(t) - 1, 1))) AS i))""".stripMargin
+
+  // word BIGRAMS (n=2 twin of gramsCte); vocabulary cut is a total
+  // order (df desc, gram asc) so the top-K boundary is deterministic
+  private val bigramNoveltySql =
+    s"""WITH big AS (
+       |  SELECT DISTINCT doc_id AS id, t[i] || ' ' || t[i+1] AS gram
+       |  FROM (SELECT doc_id, $toks AS t FROM documents),
+       |       LATERAL (SELECT unnest(range(1, greatest(length(t), 1))) AS i)),
+       |v AS (
+       |  SELECT gram FROM (
+       |    SELECT gram, count(*) AS df FROM big GROUP BY gram)
+       |  ORDER BY df DESC, gram LIMIT 1000),
+       |per AS (
+       |  SELECT b.id, CAST(count(*) AS BIGINT) AS nb,
+       |    CAST(SUM(CASE WHEN v.gram IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nk
+       |  FROM big b LEFT JOIN v ON v.gram = b.gram
+       |  GROUP BY b.id)
+       |SELECT d.doc_id AS id,
+       |  COALESCE(per.nb, 0) AS n_bigrams,
+       |  COALESCE(per.nk, 0) AS n_known,
+       |  CASE WHEN COALESCE(per.nb, 0) > 0
+       |    THEN CAST(per.nb - per.nk AS DOUBLE) / CAST(per.nb AS DOUBLE)
+       |  END AS novelty
+       |FROM documents d LEFT JOIN per ON per.id = d.doc_id""".stripMargin
 
   private val dedupNgramJaccardSql =
     s"""WITH $gramsCte,
@@ -1224,6 +1275,39 @@ object ExtQueries {
        |  WHERE dot / (n1.sn * n2.sn) >= 0.2)""".stripMargin
   }
 
+  // triangle algebra over the same cosine pair graph: canonical a<b<c
+  // enumeration (e1(a,b) ⋈ e2(b,c) ⋈ closing e3(a,c)) counts each
+  // triangle once; lcc literals CAST AS DOUBLE (DuckDB numeric
+  // literals are DECIMAL — SKILL.md)
+  private val graphTrianglesSql =
+    s"""WITH $embedPairCtes,
+       |edges AS (
+       |  SELECT DISTINCT least(id1, id2) AS src, greatest(id1, id2) AS dst
+       |  FROM cos WHERE id1 <> id2),
+       |deg AS (
+       |  SELECT id, count(*) AS degree FROM (
+       |    SELECT src AS id FROM edges
+       |    UNION ALL SELECT dst AS id FROM edges) u
+       |  GROUP BY id),
+       |tri AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM edges e1
+       |  JOIN edges e2 ON e2.src = e1.dst
+       |  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |pv AS (
+       |  SELECT id, count(*) AS tri_cnt FROM (
+       |    SELECT a AS id FROM tri
+       |    UNION ALL SELECT b AS id FROM tri
+       |    UNION ALL SELECT c AS id FROM tri) t
+       |  GROUP BY id)
+       |SELECT d.id, d.degree,
+       |  COALESCE(pv.tri_cnt, 0) AS tri_cnt,
+       |  CASE WHEN d.degree > 1
+       |    THEN CAST(2.0 AS DOUBLE) * CAST(COALESCE(pv.tri_cnt, 0) AS DOUBLE)
+       |      / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+       |    ELSE CAST(0.0 AS DOUBLE) END AS lcc
+       |FROM deg d LEFT JOIN pv ON pv.id = d.id""".stripMargin
+
   private val embedNearDupLshSql =
     s"""WITH $embedPairCtes
        |SELECT id1, id2, cosine FROM cos""".stripMargin
@@ -1283,6 +1367,7 @@ object ExtQueries {
     "text_model_score" -> textModelScoreSql,
     "text_model_score_linear" -> textModelScoreLinearSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "bigram_novelty" -> bigramNoveltySql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
@@ -1304,5 +1389,6 @@ object ExtQueries {
     "text_repetition" -> textRepetitionSql,
     "embed_neardup_lsh" -> embedNearDupLshSql,
     "embed_dedup_cc" -> embedDedupCcSql,
+    "graph_triangles" -> graphTrianglesSql,
     "ann_hard_negatives" -> annHardNegativesSql)
 }

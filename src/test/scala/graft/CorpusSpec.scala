@@ -300,4 +300,29 @@ class CorpusSpec extends SparkSpec {
     assert(q("edit_distance")(spark, dir).columns.toSet ==
       Set("id_a", "id_b", "dist"))
   }
+
+  // ----------------------------------------------------- shuffleRank
+
+  test("shuffleRank is an exact permutation matching the window order " +
+      "and is partition-count invariant") {
+    val df = spark.range(0L, 500L).select(col("id").as("doc_id"))
+    val ranked = ext.Corpus.shuffleRank(df, col("doc_id"), 7)
+      .as[(Long, Long)].collect().toMap
+    // permutation 0..n-1
+    assert(ranked.values.toSeq.sorted == (0L until 500L))
+    // matches the single-partition window reference order
+    val ref = df
+      .withColumn("_h",
+        org.apache.spark.sql.functions.md5(
+          concat(lit("shuf|"), col("doc_id").cast("string"))))
+      .orderBy(col("_h"), col("doc_id"))
+      .select(col("doc_id")).as[Long].collect()
+    ref.zipWithIndex.foreach { case (id, i) =>
+      assert(ranked(id) == i.toLong, s"doc $id")
+    }
+    // boundary-independent: a different partition count, same ranks
+    val ranked3 = ext.Corpus.shuffleRank(df, col("doc_id"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(ranked3 == ranked)
+  }
 }
