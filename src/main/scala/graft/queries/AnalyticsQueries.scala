@@ -408,27 +408,31 @@ object AnalyticsQueries {
     * (vs the key-cardinality cost of the exact count it approximates)
     * and merges across partitions/days by cell-wise addition — the
     * same algebraic-state argument as `incremental_agg`. */
+  /** Exploded CMS hash coordinates (d rows per input row: seed +
+    * md5-derived bucket) — the shared coordinate algebra behind the
+    * batch sketch below and the streaming build (`stream_cms`).
+    * Appends `seed`/`bucket` columns; all input columns ride along. */
+  def cmsCoords(df: DataFrame, key: Column, d: Int, w: Int): DataFrame = {
+    def bucket(seed: Int, k: Column): Column =
+      pmod(TextFunctions.hash32(
+        concat(lit(seed.toString), lit("|"), k.cast("string"))), lit(w))
+    df.withColumn("_c", explode(array((0 until d).map(s =>
+        struct(lit(s).as("seed"), bucket(s, key).as("bucket"))): _*)))
+      .withColumn("seed", col("_c.seed"))
+      .withColumn("bucket", col("_c.bucket"))
+      .drop("_c")
+  }
+
   def cmsPointEstimates(spark: SparkSession, dir: String): DataFrame = {
     val d = 4
     val w = 256
-    def bucket(seed: Int, key: Column): Column =
-      pmod(TextFunctions.hash32(
-        concat(lit(seed.toString), lit("|"), key.cast("string"))), lit(w))
     val ev = Tables(spark, dir, "events").select(col("user_id"))
-    val cells = ev.select(col("user_id"),
-        explode(array((0 until d).map(s =>
-          struct(lit(s).as("seed"), bucket(s, col("user_id")).as("bucket"))
-        ): _*)).as("c"))
-      .groupBy(col("c.seed").as("seed"), col("c.bucket").as("bucket"))
+    val cells = cmsCoords(ev, col("user_id"), d, w)
+      .groupBy(col("seed"), col("bucket"))
       .agg(count(lit(1)).as("n"))
     val truth = ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_n"))
-    val probes = truth.select(col("user_id"), col("true_n"),
-      explode(array((0 until d).map(s =>
-        struct(lit(s).as("seed"), bucket(s, col("user_id")).as("bucket"))
-      ): _*)).as("c"))
-    probes.join(cells,
-        probes("c.seed") === cells("seed") &&
-          probes("c.bucket") === cells("bucket"))
+    val probes = cmsCoords(truth, col("user_id"), d, w)
+    probes.join(cells, Seq("seed", "bucket"))
       .groupBy(col("user_id"), col("true_n"))
       .agg(min(col("n")).as("cms_est"))
       .select(col("user_id"), col("true_n"), col("cms_est"),

@@ -256,6 +256,38 @@ object PipelineQueries {
     }
   }
 
+  /** The count-min sketch built ON A STREAM — the live proof of the
+    * sketch's mergeable-state claim (`cms_point_estimates` asserts it
+    * algebraically): the events file-source stream, doubled via
+    * self-union like [[streamDedup]], reduced in complete mode to the
+    * same (seed, bucket) cell counts [[AnalyticsQueries.cmsCoords]]
+    * derives in batch. Cell counts are integer sums — order-
+    * independent across micro-batches — so the final registers equal
+    * exactly 2x the batch sketch, which the oracle pins. At
+    * deployment this is the always-on heavy-hitter monitor: bounded
+    * d·w state per aggregation, no watermark needed, snapshot
+    * mergeable with any other site's sketch by cell-wise addition.
+    * Same gate-only memory-sink caveat as [[streamWindowCounts]]. */
+  def streamCms(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = "stream_cms_sink"
+    onStreamSession(spark, 8) { s =>
+      def src = Tables.normalize(
+        s.readStream.schema(schema).option("basePath", dir)
+          .parquet(s"$dir/events*.parquet"))
+      val doubled = src.unionByName(src).select(col("user_id"))
+      val cells = AnalyticsQueries
+        .cmsCoords(doubled, col("user_id"), d = 4, w = 256)
+        .groupBy(col("seed"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val q = cells.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+    }
+  }
+
   /** Multimodal: binary content column + stub decode via per-partition
     * mapPartitions (real plumbing, fake codec — see Multimodal). */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
@@ -318,6 +350,7 @@ object PipelineQueries {
     "stream_stream_join" -> streamStreamJoin _,
     "stream_stateful_agg" -> streamStatefulAgg _,
     "stream_dedup" -> streamDedup _,
+    "stream_cms" -> streamCms _,
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_frames" -> multimodalFrames _,
     "multimodal_resize" -> multimodalResize _)
@@ -358,6 +391,16 @@ object PipelineQueries {
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    // streamed doubled source => every cell is exactly 2x the batch
+    // sketch (integer cell sums are micro-batch-order independent)
+    "stream_cms" ->
+      """WITH h AS (
+        |  SELECT user_id, s.s AS seed,
+        |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || '|' ||
+        |       CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 256 AS bucket
+        |  FROM events, (VALUES (0),(1),(2),(3)) s(s))
+        |SELECT seed, bucket, CAST(2 * COUNT(*) AS BIGINT) AS n
+        |FROM h GROUP BY 1, 2""".stripMargin,
     "stream_stateful_agg" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
