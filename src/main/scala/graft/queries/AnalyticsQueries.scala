@@ -423,6 +423,43 @@ object AnalyticsQueries {
       .drop("_c")
   }
 
+  /** Join-cardinality estimation by CMS inner product — the classic
+    * AMS-family application: |A ⋈ B| on a key equals the inner
+    * product of the two key-frequency vectors, and the sketch
+    * estimate min_seed Σ_b A_s[b]·B_s[b] is a ONE-SIDED overestimate
+    * (every colliding pair only adds), which the gate pins per seed
+    * with `never_under` alongside the exact truth.
+    *
+    * This is how a 100 TB planner sizes a join without running it:
+    * each side's sketch is one map-side-combined aggregate over its
+    * keys (d·w rows of state, mergeable across partitions/days), and
+    * the estimate joins two d·w-row frames — constant cost regardless
+    * of data volume. The exact truth here (per-key count join) is the
+    * audit, feasible at gate scale. */
+  def cmsJoinSize(spark: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 256
+    def cells(df: DataFrame, key: Column): DataFrame =
+      cmsCoords(df.select(key.as("k")), col("k"), d, w)
+        .groupBy(col("seed"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+    val ca = cells(Tables(spark, dir, "orders"), col("o_orderkey"))
+    val cb = cells(Tables(spark, dir, "lineitem"), col("l_orderkey"))
+      .withColumnRenamed("n", "nb")
+    val est = ca.join(cb, Seq("seed", "bucket"))
+      .groupBy(col("seed"))
+      .agg(sum(col("n") * col("nb")).as("cms_est"))
+    val truth = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("na"))
+      .join(Tables(spark, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("nl"))
+        .withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+      .agg(sum(col("na") * col("nl")).as("true_size"))
+    est.crossJoin(broadcast(truth))
+      .select(col("seed"), col("cms_est"), col("true_size"),
+        (col("cms_est") >= col("true_size")).as("never_under"))
+  }
+
   def cmsPointEstimates(spark: SparkSession, dir: String): DataFrame = {
     val d = 4
     val w = 256
@@ -455,22 +492,31 @@ object AnalyticsQueries {
     * production path, this is its auditable twin. Register state is
     * m rows per group, merges by cell-wise max — the same
     * algebraic-state argument as `incremental_agg` and the CMS. */
+  /** HLL register frame (group, bucket, reg) for m=64 — the shared
+    * register algebra behind the batch estimate below and the
+    * streaming build (`stream_hll`). bucket = h mod 64; rank =
+    * leading zeros of the remaining 26 bits + 1 = 27 − bitlength
+    * (rest); rest == 0 → rank 27. State merges by cell-wise MAX —
+    * idempotent, so even re-delivered data cannot move it. */
+  def hllRegisters(df: DataFrame, group: Column, key: Column): DataFrame = {
+    val h = df.select(group.as("g"),
+      TextFunctions.hash32(key.cast("string")).as("h"))
+    h.select(col("g"),
+        pmod(col("h"), lit(64)).as("bucket"),
+        shiftright(col("h"), 6).as("rest"))
+      .select(col("g"), col("bucket"),
+        when(col("rest") === 0, lit(27))
+          .otherwise(lit(27) - length(bin(col("rest")))).as("rank"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(max(col("rank")).as("reg"))
+  }
+
   def hllDistinctEstimates(spark: SparkSession, dir: String): DataFrame = {
     val m = 64
     val ev = Tables(spark, dir, "events")
       .select(col("event_type"), col("user_id"))
-    val h = ev.select(col("event_type"),
-      TextFunctions.hash32(col("user_id").cast("string")).as("h"))
-    // bucket = h mod m; rank = leading zeros of the remaining 26 bits
-    // + 1 = 27 - bitlength(rest); rest == 0 -> rank 27
-    val withReg = h.select(col("event_type"),
-      pmod(col("h"), lit(m)).as("bucket"),
-      shiftright(col("h"), 6).as("rest"))
-      .select(col("event_type"), col("bucket"),
-        when(col("rest") === 0, lit(27))
-          .otherwise(lit(27) - length(bin(col("rest")))).as("rank"))
-    val regs = withReg.groupBy(col("event_type"), col("bucket"))
-      .agg(max(col("rank")).as("reg"))
+    val regs = hllRegisters(ev, col("event_type"), col("user_id"))
+      .withColumnRenamed("g", "event_type")
     val est = regs.groupBy(col("event_type"))
       .agg(sum(expr("double(1.0) / double(shiftleft(1L, reg))"))
           .as("isum"),
@@ -817,6 +863,7 @@ object AnalyticsQueries {
     "sessionize" -> sessionize _,
     "user_event_paths" -> userEventPaths _,
     "cms_point_estimates" -> cmsPointEstimates _,
+    "cms_join_size" -> cmsJoinSize _,
     "hll_distinct_estimates" -> hllDistinctEstimates _,
     "ratio_to_report" -> ratioToReport _,
     "grouped_regression" -> groupedRegression _,
@@ -1112,6 +1159,36 @@ object AnalyticsQueries {
         |FROM z JOIN exact ON z.event_type = exact.event_type""".stripMargin,
     // the identical sketch built in SQL: same md5 hash family, same
     // d x w geometry — the full estimate is hash-gated, not a bound
+    // identical md5 cell algebra on both key columns; SUMs of BIGINT
+    // products widen to HUGEINT in DuckDB — CAST back (SKILL.md)
+    "cms_join_size" ->
+      """WITH ha AS (
+        |  SELECT o_orderkey AS k, s.s AS seed,
+        |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || '|' ||
+        |       CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 256 AS bucket
+        |  FROM orders, (VALUES (0),(1),(2),(3)) s(s)),
+        |ca AS (SELECT seed, bucket, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM ha GROUP BY 1, 2),
+        |hb AS (
+        |  SELECT l_orderkey AS k, s.s AS seed,
+        |    ('0x' || substr(md5(CAST(s.s AS VARCHAR) || '|' ||
+        |       CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT % 256 AS bucket
+        |  FROM lineitem, (VALUES (0),(1),(2),(3)) s(s)),
+        |cb AS (SELECT seed, bucket, CAST(COUNT(*) AS BIGINT) AS nb
+        |       FROM hb GROUP BY 1, 2),
+        |est AS (
+        |  SELECT ca.seed, CAST(SUM(ca.n * cb.nb) AS BIGINT) AS cms_est
+        |  FROM ca JOIN cb ON ca.seed = cb.seed AND ca.bucket = cb.bucket
+        |  GROUP BY 1),
+        |tru AS (
+        |  SELECT CAST(SUM(a.na * b.nl) AS BIGINT) AS true_size
+        |  FROM (SELECT o_orderkey AS k, COUNT(*) AS na
+        |        FROM orders GROUP BY 1) a
+        |  JOIN (SELECT l_orderkey AS k, COUNT(*) AS nl
+        |        FROM lineitem GROUP BY 1) b ON a.k = b.k)
+        |SELECT est.seed, est.cms_est, tru.true_size,
+        |  est.cms_est >= tru.true_size AS never_under
+        |FROM est, tru""".stripMargin,
     "cms_point_estimates" ->
       """WITH h AS (
         |  SELECT user_id, s.s AS seed,

@@ -288,6 +288,36 @@ object PipelineQueries {
     }
   }
 
+  /** HLL registers built ON A STREAM — the idempotent-merge
+    * counterpart of [[streamCms]]: the same doubled events stream
+    * leaves the registers EXACTLY equal to the single-copy batch
+    * sketch (cell-wise MAX is insensitive to re-delivery), so the
+    * oracle is the plain batch register frame with no 2x factor.
+    * Together the two gates pin the sketch-merge taxonomy: counting
+    * state doubles under at-least-once delivery, max-register state
+    * does not — which is why an HLL distinct monitor is safe behind a
+    * replaying source while a CMS counter needs exactly-once.
+    * Same gate-only memory-sink caveat as [[streamWindowCounts]]. */
+  def streamHll(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = "stream_hll_sink"
+    onStreamSession(spark, 8) { s =>
+      def src = Tables.normalize(
+        s.readStream.schema(schema).option("basePath", dir)
+          .parquet(s"$dir/events*.parquet"))
+      val doubled = src.unionByName(src)
+        .select(col("event_type"), col("user_id"))
+      val regs = AnalyticsQueries
+        .hllRegisters(doubled, col("event_type"), col("user_id"))
+        .withColumnRenamed("g", "event_type")
+      val q = regs.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+    }
+  }
+
   /** Multimodal: binary content column + stub decode via per-partition
     * mapPartitions (real plumbing, fake codec — see Multimodal). */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
@@ -351,6 +381,7 @@ object PipelineQueries {
     "stream_stateful_agg" -> streamStatefulAgg _,
     "stream_dedup" -> streamDedup _,
     "stream_cms" -> streamCms _,
+    "stream_hll" -> streamHll _,
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_frames" -> multimodalFrames _,
     "multimodal_resize" -> multimodalResize _)
@@ -401,6 +432,20 @@ object PipelineQueries {
         |  FROM events, (VALUES (0),(1),(2),(3)) s(s))
         |SELECT seed, bucket, CAST(2 * COUNT(*) AS BIGINT) AS n
         |FROM h GROUP BY 1, 2""".stripMargin,
+    // doubled stream, NO 2x: max-registers are re-delivery-idempotent
+    "stream_hll" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h % 64 AS bucket,
+        |    CASE WHEN (h >> 6) = 0 THEN 27
+        |         ELSE 27 - length(bin(h >> 6)) END AS rnk
+        |  FROM h)
+        |SELECT event_type, bucket, MAX(rnk) AS reg
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "stream_stateful_agg" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
