@@ -371,6 +371,92 @@ object AnalyticsQueries {
           .as("corr"))
   }
 
+  /** Two-proportion A/B readout — the experiment-analysis primitive:
+    * users split into deterministic variants (user_id mod 2 stands in
+    * for the assignment hash), conversion = reached 'purchase', and
+    * the two-sample pooled z-score
+    * z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)).
+    * Counts are exact integers; the z is a fixed dag of IEEE divides,
+    * one subtract chain and one sqrt over them — operand order
+    * mirrored in the oracle, so the score hash-matches bit-exact.
+    *
+    * Scale: two distinct-aggregates on user_id (co-partitioned — the
+    * second reuses the first's shuffle under AQE) collapsed to ONE
+    * 2-row frame, then a 1-row fused readout; nothing downstream of
+    * the per-user distinct ever sees event volume. */
+  def abTestZscore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"))
+    val users = ev.select(col("user_id")).distinct()
+      .withColumn("variant", pmod(col("user_id"), lit(2)))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+      .withColumn("converted", lit(1L))
+    val per = users.join(conv, Seq("user_id"), "left_outer")
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("converted"), lit(0L))).as("c"))
+    val one = per.agg(
+      sum(when(col("variant") === 0, col("n"))).as("n_a"),
+      sum(when(col("variant") === 0, col("c"))).as("c_a"),
+      sum(when(col("variant") === 1, col("n"))).as("n_b"),
+      sum(when(col("variant") === 1, col("c"))).as("c_b"))
+    def d(c: Column) = c.cast("double")
+    val pa = d(col("c_a")) / d(col("n_a"))
+    val pb = d(col("c_b")) / d(col("n_b"))
+    val pp = d(col("c_a") + col("c_b")) / d(col("n_a") + col("n_b"))
+    one.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      pa.as("cr_a"), pb.as("cr_b"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        (pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b")))))
+        .as("z"))
+  }
+
+  /** CUSUM change-point detection over the daily event-count series,
+    * kept INTEGER-exact: for day index i of D days with cumulative
+    * count S_i and total T, the scaled statistic
+    * D·S_i − i·T  ==  D² · (classic CUSUM of deviations from the
+    * daily mean) — same argmax, no doubles anywhere, so the detected
+    * change day hash-gates exactly. Days with no events are densified
+    * to zero (a silent outage IS a level shift; dropping those rows
+    * would hide exactly the change points that matter).
+    *
+    * Scale: daily counts are one map-side-combined aggregate — the
+    * window work downstream runs on |days|×|types| rows, never event
+    * volume. The per-type sequential scan is a window over a few
+    * thousand rows per partition at any corpus size. */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val day = expr(
+      "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) div 86400000000")
+    val daily = Tables(spark, dir, "events")
+      .select(col("event_type"), day.as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val dm = graft.Tables.materialize(daily)
+    val grid = dm.select(col("day")).distinct()
+      .crossJoin(broadcast(dm.select(col("event_type")).distinct()))
+      .join(dm, Seq("day", "event_type"), "left_outer")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val cum = grid
+      .withColumn("cum", sum(col("n")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("i", row_number().over(byDay).cast("long"))
+    val tot = grid.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("days"))
+    val scored = cum.join(broadcast(tot), "event_type")
+      .withColumn("cusum_scaled",
+        col("days") * col("cum") - col("i") * col("total"))
+    val best = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("cusum_scaled")).desc, col("day").asc)
+    scored.withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        col("cusum_scaled"), col("days"), col("total"))
+  }
+
   /** Ratio-to-report: each order's share of its priority class's
     * total spend plus the class total — the windowed share-of-total
     * every BI layer asks for. One hash shuffle on the (tiny-domain)
@@ -868,6 +954,8 @@ object AnalyticsQueries {
     "ratio_to_report" -> ratioToReport _,
     "grouped_regression" -> groupedRegression _,
     "corr_matrix" -> hourlyCorrMatrix _,
+    "ab_test_zscore" -> abTestZscore _,
+    "cusum_changepoint" -> cusumChangepoint _,
     "interval_merge" -> intervalMerge _,
     "mode_per_group" -> modePerGroup _,
     "freq_items_bounds" -> freqItemsBounds _,
@@ -1159,6 +1247,74 @@ object AnalyticsQueries {
         |FROM z JOIN exact ON z.event_type = exact.event_type""".stripMargin,
     // the identical sketch built in SQL: same md5 hash family, same
     // d x w geometry — the full estimate is hash-gated, not a bound
+    // counts exact BIGINT; the z mirrors the Scala operand dag
+    // literally (every literal CAST AS DOUBLE — SKILL.md)
+    "ab_test_zscore" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, user_id % 2 AS variant FROM u),
+        |cv AS (SELECT DISTINCT user_id FROM events
+        |       WHERE event_type = 'purchase'),
+        |per AS (
+        |  SELECT v.variant, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM v LEFT JOIN cv ON cv.user_id = v.user_id
+        |  GROUP BY v.variant),
+        |one AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN c END) AS BIGINT) AS c_a,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN c END) AS BIGINT) AS c_b
+        |  FROM per)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS cr_a,
+        |  CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS cr_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    / sqrt(CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |      * (CAST(1.0 AS DOUBLE)
+        |        - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)))
+        |  END AS z
+        |FROM one""".stripMargin,
+    // scaled-integer CUSUM: D*S_i - i*T, argmax by (|stat| desc, day)
+    "cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT dd.day, tt.event_type,
+        |    CAST(COALESCE(daily.n, 0) AS BIGINT) AS n
+        |  FROM (SELECT DISTINCT day FROM daily) dd
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM daily) tt
+        |  LEFT JOIN daily
+        |    ON daily.day = dd.day AND daily.event_type = tt.event_type),
+        |cum AS (
+        |  SELECT event_type, day, n,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS i
+        |  FROM grid),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS days
+        |  FROM grid GROUP BY 1),
+        |scored AS (
+        |  SELECT c.event_type, c.day,
+        |    t.days * c.cum - c.i * t.total AS cusum_scaled,
+        |    t.days, t.total,
+        |    row_number() OVER (PARTITION BY c.event_type
+        |      ORDER BY abs(t.days * c.cum - c.i * t.total) DESC, c.day)
+        |      AS rk
+        |  FROM cum c JOIN tot t ON t.event_type = c.event_type)
+        |SELECT event_type, day AS cp_day, cusum_scaled, days, total
+        |FROM scored WHERE rk = 1""".stripMargin,
     // identical md5 cell algebra on both key columns; SUMs of BIGINT
     // products widen to HUGEINT in DuckDB — CAST back (SKILL.md)
     "cms_join_size" ->
