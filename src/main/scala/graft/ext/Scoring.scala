@@ -98,7 +98,14 @@ object Scoring {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val spark = df.sparkSession
     import spark.implicits._
+    // spread scoring across cores: a gate-scale table is one parquet
+    // file = one scan partition, which would run the scorer serially
+    // (measured: an 11 s single-task stage inside corpus_quality_e2e).
+    // Round-robin repartition costs one narrow shuffle of (id, text)
+    // and buys full parallelism; at 100 TB the scan is already wide
+    // and this becomes a near-no-op rebalance.
     df.select(id.cast("long"), text).as[(Long, String)]
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         val scorer = newScorer() // per-partition model load
         it.grouped(batchSize).flatMap { batch =>
