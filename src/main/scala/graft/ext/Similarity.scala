@@ -245,6 +245,56 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("rank"), col("cosine"))
   }
 
+  /** IVF-probed contrastive hard-negative mining — [[hardNegatives]]'
+    * 100 TB path made concrete: candidates come from each query's
+    * `nProbe` nearest cells instead of the whole corpus, then the
+    * cross-label filter + exact rank run within the probed population
+    * only. Same probed-recall trade as [[ivfTopK]] (a near-miss
+    * negative in an unprobed cell is missed; `ann_ivf_recall` is the
+    * audit shape for that), same assignment/probe logic verbatim —
+    * only the candidate set differs from the brute gate. */
+  def hardNegativesIvf(corpus: DataFrame, corpusId: Column,
+      corpusVec: Column, corpusLabel: Column,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      queryLabel: Column, k: Int,
+      numCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = graft.Tables.materialize(
+      vectors(corpus, corpusId, corpusVec, "nbr_id", "cv", "sn_c"))
+    val q = graft.Tables.materialize(
+      vectors(queries, queryId, queryVec, "query_id", "qv", "sn_q"))
+    val cl = corpus.select(corpusId.as("nbr_id"),
+      corpusLabel.as("nbr_label"))
+    val ql = queries.select(queryId.as("query_id"),
+      queryLabel.as("query_label"))
+    val centArr = centroidArrays(corpus, corpusId, corpusVec, numCells,
+      None)
+    val cells = cellAssignments(c, centArr)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cell_id").asc)
+    val probes = q.crossJoin(broadcast(centArr))
+      .withColumn("ccos", cellCos("qv", "sn_q"))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= nProbe)
+      .select(col("query_id"), col("cell_id"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    probes.join(cells, "cell_id")
+      .select(col("query_id"), col("nbr_id"))
+      .join(c, "nbr_id")
+      .join(broadcast(q), "query_id")
+      .join(cl, "nbr_id")
+      .join(broadcast(ql), "query_id")
+      .filter(col("nbr_label") =!= col("query_label"))
+      .withColumn("cosine",
+        VecKernels.vecDotDec(col("cv"), col("qv")).cast("double") /
+          (col("sn_c") * col("sn_q")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("nbr_id"),
+        col("nbr_label"), col("rank"), col("cosine"))
+  }
+
   /** Spherical k-means centroids for [[ivfTopK]]: Lloyd's iterations —
     * assign each vector to its max-cosine centroid, re-center each cell
     * on the member direction — from the deterministic smallest-id

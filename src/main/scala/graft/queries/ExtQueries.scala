@@ -249,6 +249,17 @@ object ExtQueries {
       col("label"), k = 10)
   }
 
+  /** The IVF-probed hard-negative path at the brute gate's constants
+    * (numCells=16, nProbe=4, k=10) — see
+    * [[Similarity.hardNegativesIvf]]. */
+  def annHardNegativesIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.hardNegativesIvf(
+      emb, col("vec_id"), col("embedding"), col("label"),
+      emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      col("label"), k = 10, numCells = 16, nProbe = 4)
+  }
+
   def embedNearDupLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshNearDupPairs(Tables(spark, dir, "embeddings"),
       col("vec_id"), col("embedding"), dim = 64, numPlanes = 8,
@@ -450,6 +461,7 @@ object ExtQueries {
     "embed_dedup_cc" -> embedDedupCc _,
     "graph_triangles" -> graphTriangles _,
     "ann_hard_negatives" -> annHardNegatives _,
+    "ann_hard_negatives_ivf" -> annHardNegativesIvf _,
     "embed_quantize" -> embedQuantize _,
     "doc_decontaminate" -> docDecontaminate _,
     "text_repetition" -> textRepetition _,
@@ -1308,6 +1320,45 @@ object ExtQueries {
        |    ELSE CAST(0.0 AS DOUBLE) END AS lcc
        |FROM deg d LEFT JOIN pv ON pv.id = d.id""".stripMargin
 
+  // the IVF top-k candidate chain with the cross-label filter spliced
+  // in before ranking — probes/cells verbatim from annIvfTopKSql
+  private val annHardNegativesIvfSql =
+    s"""WITH $ivfAssignCtes,
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY ccos DESC, cell_id ASC) AS r
+       |    FROM cellcos WHERE vec_id < 10) WHERE r <= 4),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |cand AS (
+       |  SELECT p.query_id, c.nbr_id
+       |  FROM probes p JOIN cells c ON c.cell_id = p.cell_id),
+       |cfilt AS (
+       |  SELECT cand.query_id, ql.label AS query_label,
+       |    cand.nbr_id, nl.label AS nbr_label
+       |  FROM cand
+       |  JOIN lab nl ON nl.vec_id = cand.nbr_id
+       |  JOIN lab ql ON ql.vec_id = cand.query_id
+       |  WHERE nl.label <> ql.label),
+       |dots AS (
+       |  SELECT f.query_id, f.query_label, f.nbr_id, f.nbr_label,
+       |    CAST(sum(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |  FROM cfilt f
+       |  JOIN comp a ON a.vec_id = f.nbr_id
+       |  JOIN comp b ON b.vec_id = f.query_id AND b.i = a.i
+       |  GROUP BY f.query_id, f.query_label, f.nbr_id, f.nbr_label),
+       |ranked AS (
+       |  SELECT query_id, query_label, nbr_id, nbr_label,
+       |    dot / (nc.sn * nq.sn) AS cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dot / (nc.sn * nq.sn) DESC, nbr_id ASC) AS rank
+       |  FROM dots
+       |  JOIN norms nc ON nc.vec_id = nbr_id
+       |  JOIN norms nq ON nq.vec_id = query_id)
+       |SELECT query_id, query_label, nbr_id, nbr_label, rank, cosine
+       |FROM ranked WHERE rank <= 10""".stripMargin
+
   private val embedNearDupLshSql =
     s"""WITH $embedPairCtes
        |SELECT id1, id2, cosine FROM cos""".stripMargin
@@ -1390,5 +1441,6 @@ object ExtQueries {
     "embed_neardup_lsh" -> embedNearDupLshSql,
     "embed_dedup_cc" -> embedDedupCcSql,
     "graph_triangles" -> graphTrianglesSql,
-    "ann_hard_negatives" -> annHardNegativesSql)
+    "ann_hard_negatives" -> annHardNegativesSql,
+    "ann_hard_negatives_ivf" -> annHardNegativesIvfSql)
 }
