@@ -371,6 +371,75 @@ object AnalyticsQueries {
           .as("corr"))
   }
 
+  /** Association rules over per-user event-type incidence — "users
+    * who did A also did B": support, both-direction confidence, and
+    * lift per unordered type pair, all from exact distinct-user
+    * counts with one IEEE divide each (operand order mirrored in the
+    * oracle). Lift > 1 = positive association.
+    *
+    * Scale: one distinct on (user, type) — the only event-volume
+    * shuffle — then a self-join keyed on user whose fan-out is
+    * |types-per-user|², bounded by the type vocabulary; N broadcasts
+    * as a 1-row frame. The basket-analysis shape: swap event types
+    * for SKUs and this is market-basket mining unchanged. */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val inc = graft.Tables.materialize(
+      Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct())
+    val totals = inc.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"))
+    val pairs = inc.as("a").join(inc.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val nUsers = inc.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    def d(c: Column) = c.cast("double")
+    pairs
+      .join(broadcast(totals.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(totals.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"),
+        col("n_a"), col("n_b"), col("n_ab"), col("n_users"),
+        (d(col("n_ab")) / d(col("n_users"))).as("support"),
+        (d(col("n_ab")) / d(col("n_a"))).as("conf_ab"),
+        (d(col("n_ab")) / d(col("n_b"))).as("conf_ba"),
+        (d(col("n_ab")) * d(col("n_users")) /
+          (d(col("n_a")) * d(col("n_b")))).as("lift"))
+  }
+
+  /** Top user-journey trigrams — the most common 3-step event
+    * sequences across all users ("view > click > purchase"), the
+    * path-analysis readout behind funnel discovery. Consecutive
+    * triples come from two LEAD windows per user on the total
+    * (ts, event_id) order; the global cut is a TakeOrdered on
+    * (count desc, trigram asc) — a total order, so the top-20
+    * boundary is deterministic.
+    *
+    * Scale: one hash shuffle on user_id + per-user sort (bounded by
+    * per-user event count); the trigram aggregate is map-side
+    * combined over a |types|³-bounded key domain. */
+  def journeyTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("e3", lead(col("event_type"), 2).over(byUser))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("trigram"))
+      .groupBy(col("trigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("trigram").asc)
+      .limit(20)
+  }
+
   /** Two-proportion A/B readout — the experiment-analysis primitive:
     * users split into deterministic variants (user_id mod 2 stands in
     * for the assignment hash), conversion = reached 'purchase', and
@@ -955,6 +1024,8 @@ object AnalyticsQueries {
     "grouped_regression" -> groupedRegression _,
     "corr_matrix" -> hourlyCorrMatrix _,
     "ab_test_zscore" -> abTestZscore _,
+    "assoc_rules" -> assocRules _,
+    "journey_trigrams" -> journeyTrigrams _,
     "cusum_changepoint" -> cusumChangepoint _,
     "interval_merge" -> intervalMerge _,
     "mode_per_group" -> modePerGroup _,
@@ -1247,6 +1318,48 @@ object AnalyticsQueries {
         |FROM z JOIN exact ON z.event_type = exact.event_type""".stripMargin,
     // the identical sketch built in SQL: same md5 hash family, same
     // d x w geometry — the full estimate is hash-gated, not a bound
+    // distinct-user incidence + pair self-join; each ratio is exactly
+    // one IEEE divide over exact BIGINT counts, lift mirrors the
+    // (n_ab * N) / (n_a * n_b) operand order
+    "assoc_rules" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |tot AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+        |  FROM inc GROUP BY 1),
+        |nu AS (
+        |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM inc),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM inc a JOIN inc b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, ta.n_t AS n_a, tb.n_t AS n_b,
+        |  p.n_ab, nu.n_users,
+        |  CAST(p.n_ab AS DOUBLE) / CAST(nu.n_users AS DOUBLE) AS support,
+        |  CAST(p.n_ab AS DOUBLE) / CAST(ta.n_t AS DOUBLE) AS conf_ab,
+        |  CAST(p.n_ab AS DOUBLE) / CAST(tb.n_t AS DOUBLE) AS conf_ba,
+        |  CAST(p.n_ab AS DOUBLE) * CAST(nu.n_users AS DOUBLE)
+        |    / (CAST(ta.n_t AS DOUBLE) * CAST(tb.n_t AS DOUBLE)) AS lift
+        |FROM p
+        |JOIN tot ta ON ta.event_type = p.type_a
+        |JOIN tot tb ON tb.event_type = p.type_b, nu""".stripMargin,
+    // two LEADs on the (ts, event_id) total order; top-20 cut is a
+    // (count desc, trigram asc) total order
+    "journey_trigrams" ->
+      """WITH o AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY epoch_us(ts), event_id))
+        |SELECT event_type || '>' || e2 || '>' || e3 AS trigram,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM o WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20""".stripMargin,
     // counts exact BIGINT; the z mirrors the Scala operand dag
     // literally (every literal CAST AS DOUBLE — SKILL.md)
     "ab_test_zscore" ->
