@@ -371,6 +371,29 @@ object AnalyticsQueries {
           .as("corr"))
   }
 
+  /** Conversion-lag histogram — how long users take from first 'view'
+    * to their first SUBSEQUENT 'purchase', bucketed to whole days:
+    * the time-to-convert distribution a funnel readout pairs with
+    * [[abTestZscore]]. Sequencing is the two-phase conditional-min
+    * chain (first view per user, then min purchase strictly after
+    * it) — both joins co-partition on user_id; lag stays integer
+    * micros ÷ day (positive, so trunc == floor on both engines). */
+  def conversionLagHist(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"))
+    firstView.join(buys, "user_id")
+      .filter(col("us") > col("t_view"))
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(col("us")).as("t_buy"))
+      .select(expr("(t_buy - t_view) div 86400000000").as("lag_days"))
+      .groupBy(col("lag_days")).agg(count(lit(1)).as("n_users"))
+  }
+
   /** Association rules over per-user event-type incidence — "users
     * who did A also did B": support, both-direction confidence, and
     * lift per unordered type pair, all from exact distinct-user
@@ -1025,6 +1048,7 @@ object AnalyticsQueries {
     "corr_matrix" -> hourlyCorrMatrix _,
     "ab_test_zscore" -> abTestZscore _,
     "assoc_rules" -> assocRules _,
+    "conversion_lag_hist" -> conversionLagHist _,
     "journey_trigrams" -> journeyTrigrams _,
     "cusum_changepoint" -> cusumChangepoint _,
     "interval_merge" -> intervalMerge _,
@@ -1318,6 +1342,19 @@ object AnalyticsQueries {
         |FROM z JOIN exact ON z.event_type = exact.event_type""".stripMargin,
     // the identical sketch built in SQL: same md5 hash family, same
     // d x w geometry — the full estimate is hash-gated, not a bound
+    // positive lags: integer // == Spark's pmod-free div here
+    "conversion_lag_hist" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |fb AS (
+        |  SELECT e.user_id, fv.t_view, min(epoch_us(e.ts)) AS t_buy
+        |  FROM events e JOIN fv ON fv.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fv.t_view
+        |  GROUP BY 1, 2)
+        |SELECT CAST((t_buy - t_view) // 86400000000 AS BIGINT) AS lag_days,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM fb GROUP BY 1""".stripMargin,
     // distinct-user incidence + pair self-join; each ratio is exactly
     // one IEEE divide over exact BIGINT counts, lift mirrors the
     // (n_ab * N) / (n_a * n_b) operand order

@@ -299,6 +299,23 @@ object ExtQueries {
     Graph.triangleStats(pairs, col("id1"), col("id2"))
   }
 
+  /** Duplicate-cluster size distribution — the dedup AUDIT readout:
+    * how many near-dup components of each size the corpus carries
+    * (2 = simple pairs, long tail = template families). Computed over
+    * the exact same survivors→LSH→Jaccard-verified pair graph and CC
+    * as [[docDedupCc]], so the histogram describes precisely what the
+    * keeper will collapse; paired with `graph_triangles`' lcc it
+    * answers "are these clusters cliques or chains" before any
+    * deletion is trusted. Two tiny aggregates on top of CC. */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val (_, verified) = Dedup.dedupSurvivorsAndVerified(
+      docs, col("doc_id"), col("text"), n = 3, jaccardThreshold = 0.8)
+    Dedup.connectedComponents(verified)
+      .groupBy(col("component")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+  }
+
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
@@ -448,6 +465,7 @@ object ExtQueries {
     "doc_dedup_pipeline" -> docDedupPipeline _,
     "doc_dedup_cc" -> docDedupCc _,
     "doc_dedup_best" -> docDedupBest _,
+    "dedup_cluster_stats" -> dedupClusterStats _,
     "substring_dedup" -> substringDedup _,
     "url_dedup_canonical" -> urlDedupCanonical _,
     "substring_dedup_filter" -> substringDedupFilter _,
@@ -777,6 +795,24 @@ object ExtQueries {
        |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
        |SELECT id FROM survivors
        |WHERE id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin
+
+  // component-size histogram over the identical CC chain
+  private val dedupClusterStatsSql =
+    s"""WITH RECURSIVE $docDedupCtes,
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM verified
+       |  UNION
+       |  SELECT id2 AS src, id1 AS dst FROM verified),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst),
+       |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+       |csz AS (
+       |  SELECT component, CAST(count(*) AS BIGINT) AS size
+       |  FROM comp GROUP BY component)
+       |SELECT size, CAST(count(*) AS BIGINT) AS n_components
+       |FROM csz GROUP BY size""".stripMargin
 
   // same gram algebra as Dedup.repeatedSpans: L=40 chars, corpus
   // frequency >= 2, islands broken on start-gap > L; shared by the
@@ -1426,6 +1462,7 @@ object ExtQueries {
     "doc_dedup_pipeline" -> docDedupPipelineSql,
     "doc_dedup_cc" -> docDedupCcSql,
     "doc_dedup_best" -> docDedupBestSql,
+    "dedup_cluster_stats" -> dedupClusterStatsSql,
     "substring_dedup" -> substringDedupSql,
     "url_dedup_canonical" -> urlDedupCanonicalSql,
     "substring_dedup_filter" -> substringDedupFilterSql,
