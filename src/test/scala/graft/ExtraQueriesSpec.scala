@@ -385,4 +385,31 @@ class ExtraQueriesSpec extends SparkSpec {
       assert(rows.last._4 == Long.MaxValue)
     }
   }
+
+  test("IVF hard negatives: cross-label only, contiguous ranks, " +
+      "cosines bounded by the brute-force frontier") {
+    val dir = "/root/testdata/sf0.001"
+    val ivf = graft.queries.ExtQueries.annHardNegativesIvf(spark, dir)
+      .collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      assert(r.getAs[Int]("query_label") != r.getAs[Int]("nbr_label"))
+    }
+    // ranks 1..n per query with no holes
+    ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.toSeq == (1 to ranks.length), s"query $q: $ranks")
+    }
+    // probing can only MISS candidates, never invent better ones: the
+    // probed best cosine per query is <= the brute-force best
+    val bruteBest = graft.queries.ExtQueries.annHardNegatives(spark, dir)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("cosine")).as[(Long, Double)]
+      .collect().toMap
+    ivf.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(r.getAs[Double]("cosine") <= bruteBest(q) + 1e-12,
+        s"query $q: probed best exceeds brute best")
+    }
+  }
 }
