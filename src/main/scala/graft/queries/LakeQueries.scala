@@ -251,7 +251,29 @@ object LakeQueries {
         col("c.passed").as("passed"))
   }
 
+  /** Key-skew audit — the measurement that decides whether a join or
+    * aggregation key needs salting / AQE skew thresholds BEFORE the
+    * job runs at 100 TB: the 10 heaviest keys with their share of
+    * total rows and their ratio to the average key (skew_x). One
+    * map-side-combined count per key, a distributed TakeOrdered on
+    * (count desc, key asc), a broadcast 1-row total — nothing here
+    * scales with event volume past the first aggregate. Shares are
+    * exact BIGINTs divided once as doubles (bit-stable). */
+  def keySkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val tot = cnt.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("n_keys"))
+    def d(c: Column) = c.cast("double")
+    cnt.orderBy(col("n").desc, col("user_id").asc).limit(10)
+      .crossJoin(broadcast(tot))
+      .select(col("user_id"), col("n"), col("total"), col("n_keys"),
+        (d(col("n")) / d(col("total"))).as("share"),
+        (d(col("n")) * d(col("n_keys")) / d(col("total"))).as("skew_x"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "key_skew_audit" -> keySkewAudit _,
     "incremental_agg" -> incrementalAgg _,
     "snapshot_diff" -> snapshotDiff _,
     "quantile_bins" -> quantileBins _,
@@ -259,6 +281,19 @@ object LakeQueries {
     "dq_checks" -> dqChecks _)
 
   val oracleSql: Map[String, String] = Map(
+    // Spark SUM(BIGINT) stays BIGINT; DuckDB widens -> CAST back
+    "key_skew_audit" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS n_keys FROM c)
+        |SELECT c.user_id, c.n, t.total, t.n_keys,
+        |  CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+        |  CAST(c.n AS DOUBLE) * CAST(t.n_keys AS DOUBLE)
+        |    / CAST(t.total AS DOUBLE) AS skew_x
+        |FROM c, t ORDER BY c.n DESC, c.user_id LIMIT 10""".stripMargin,
     // the oracle is the single-pass rescan: the gate asserts the
     // state-merge identity, not just "some numbers came out"
     "incremental_agg" ->
