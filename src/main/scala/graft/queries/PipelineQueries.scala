@@ -288,6 +288,37 @@ object PipelineQueries {
     }
   }
 
+  /** Stream-STATIC enrichment join — the remaining cell of the
+    * streaming-join matrix next to [[streamStreamJoin]]: the live
+    * events stream joined to a broadcast dimension snapshot
+    * (customer → market segment), stateless per micro-batch, append
+    * mode, no watermark. At deployment this is the config/dimension
+    * enrichment every event pipeline does; the static side reloads
+    * per restart and broadcasts per batch, so no shuffle ever touches
+    * the stream. Gate reduces to per-segment counts (order-
+    * independent). Same memory-sink caveat as [[streamWindowCounts]]. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = "stream_static_join_sink"
+    onStreamSession(spark, 8) { s =>
+      val dim = Tables(s, dir, "customer")
+        .filter(col("c_custkey") <= 150)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val src = Tables.normalize(
+        s.readStream.schema(schema).option("basePath", dir)
+          .parquet(s"$dir/events*.parquet"))
+      val joined = src.join(broadcast(dim),
+          col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("c_mktsegment"))
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name).groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+    }
+  }
+
   /** HLL registers built ON A STREAM — the idempotent-merge
     * counterpart of [[streamCms]]: the same doubled events stream
     * leaves the registers EXACTLY equal to the single-copy batch
@@ -382,6 +413,7 @@ object PipelineQueries {
     "stream_dedup" -> streamDedup _,
     "stream_cms" -> streamCms _,
     "stream_hll" -> streamHll _,
+    "stream_static_join" -> streamStaticJoin _,
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_frames" -> multimodalFrames _,
     "multimodal_resize" -> multimodalResize _)
@@ -432,6 +464,11 @@ object PipelineQueries {
         |  FROM events, (VALUES (0),(1),(2),(3)) s(s))
         |SELECT seed, bucket, CAST(2 * COUNT(*) AS BIGINT) AS n
         |FROM h GROUP BY 1, 2""".stripMargin,
+    "stream_static_join" ->
+      """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |WHERE c.c_custkey <= 150
+        |GROUP BY 1""".stripMargin,
     // doubled stream, NO 2x: max-registers are re-delivery-idempotent
     "stream_hll" ->
       """WITH h AS (
