@@ -245,6 +245,50 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("rank"), col("cosine"))
   }
 
+  /** Embedding-centroid drift monitor — per-label cosine between the
+    * mean embedding directions of two corpus snapshots: the data-drift
+    * alarm a production embedding pipeline runs between refreshes
+    * (cosine near 1 = stable class geometry; a drop = upstream model
+    * or distribution change). Scale-invariance makes the unnormalized
+    * per-component DECIMAL SUM the mean direction (the same argument
+    * [[kmeansCentroids]] documents), so the whole statistic is exact
+    * sums + per-term IEEE products re-folded exactly + one divide and
+    * two sqrts — bit-stable cross-engine. State is |labels|·dim rows
+    * per snapshot, mergeable by addition: an incremental refresh adds
+    * today's component sums without touching yesterday's vectors. */
+  def centroidDrift(df: DataFrame, id: Column, vec: Column,
+      label: Column, snapshot: Column): DataFrame = {
+    val comp = df
+      .select(label.as("lbl"), snapshot.as("half"), posexplode(vec))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("lbl"), col("half"), col("pos").as("i"),
+        col("col").cast("double").as("x"))
+    // 2^-10 scale (exact in IEEE) keeps the sum products near unit
+    // magnitude: Spark's double->decimal cast rounds the Double.toString
+    // SHORT representation, which loses last-ulp agreement with
+    // DuckDB's exact-value cast once products carry hundreds before
+    // the point. Cosine is scale-invariant, so this costs nothing; at
+    // a larger corpus pick 2^-ceil(log2(n)) the same exact way.
+    val sums = comp.groupBy(col("lbl"), col("half"), col("i"))
+      .agg(sum(col("x").cast(Dec)).as("s"))
+      .withColumn("sd", col("s").cast("double") / lit(1024.0))
+    val a = sums.filter(col("half") === 0)
+      .select(col("lbl"), col("i"), col("sd").as("sa"))
+    val b = sums.filter(col("half") === 1)
+      .select(col("lbl"), col("i"), col("sd").as("sb"))
+    a.join(b, Seq("lbl", "i"))
+      .groupBy(col("lbl"))
+      .agg(sum((col("sa") * col("sb")).cast(Dec)).as("dot"),
+        sum((col("sa") * col("sa")).cast(Dec)).as("na"),
+        sum((col("sb") * col("sb")).cast(Dec)).as("nb"))
+      .select(col("lbl").as("label"),
+        when(col("na") > 0 && col("nb") > 0,
+          col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) *
+              sqrt(col("nb").cast("double"))))
+          .as("centroid_cosine"))
+  }
+
   /** IVF-probed contrastive hard-negative mining — [[hardNegatives]]'
     * 100 TB path made concrete: candidates come from each query's
     * `nProbe` nearest cells instead of the whole corpus, then the

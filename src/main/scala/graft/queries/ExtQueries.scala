@@ -249,6 +249,15 @@ object ExtQueries {
       col("label"), k = 10)
   }
 
+  /** Per-label centroid drift between the two vec_id-parity halves of
+    * the embeddings table (standing in for consecutive snapshots) —
+    * see [[Similarity.centroidDrift]]. */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.centroidDrift(emb, col("vec_id"), col("embedding"),
+      col("label"), pmod(col("vec_id"), lit(2)))
+  }
+
   /** The IVF-probed hard-negative path at the brute gate's constants
     * (numCells=16, nProbe=4, k=10) — see
     * [[Similarity.hardNegativesIvf]]. */
@@ -480,6 +489,7 @@ object ExtQueries {
     "graph_triangles" -> graphTriangles _,
     "ann_hard_negatives" -> annHardNegatives _,
     "ann_hard_negatives_ivf" -> annHardNegativesIvf _,
+    "embed_drift" -> embedDrift _,
     "embed_quantize" -> embedQuantize _,
     "doc_decontaminate" -> docDecontaminate _,
     "text_repetition" -> textRepetition _,
@@ -1395,6 +1405,35 @@ object ExtQueries {
        |SELECT query_id, query_label, nbr_id, nbr_label, rank, cosine
        |FROM ranked WHERE rank <= 10""".stripMargin
 
+  // exact per-(label, half, i) decimal component sums -> doubles ->
+  // per-term products re-folded exactly; CASE guards zero norms
+  private val embedDriftSql =
+    """WITH comp2 AS (
+      |  SELECT e.label AS lbl, e.vec_id % 2 AS half, i,
+      |    CAST(e.embedding[CAST(i AS INT) + 1] AS DOUBLE) AS x
+      |  FROM embeddings e, LATERAL (SELECT unnest(range(0, 64)) AS i)),
+      |sums AS (
+      |  SELECT lbl, half, i,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+      |      / CAST(1024.0 AS DOUBLE) AS sd
+      |  FROM comp2 GROUP BY 1, 2, 3),
+      |j AS (
+      |  SELECT a.lbl, a.i, a.sd AS sa, b.sd AS sb
+      |  FROM sums a JOIN sums b
+      |    ON a.lbl = b.lbl AND a.i = b.i AND a.half = 0 AND b.half = 1),
+      |agg AS (
+      |  SELECT lbl,
+      |    SUM(CAST(sa * sb AS DECIMAL(28,12))) AS dot,
+      |    SUM(CAST(sa * sa AS DECIMAL(28,12))) AS na,
+      |    SUM(CAST(sb * sb AS DECIMAL(28,12))) AS nb
+      |  FROM j GROUP BY 1)
+      |SELECT lbl AS label,
+      |  CASE WHEN na > 0 AND nb > 0 THEN
+      |    CAST(dot AS DOUBLE)
+      |      / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+      |  END AS centroid_cosine
+      |FROM agg""".stripMargin
+
   private val embedNearDupLshSql =
     s"""WITH $embedPairCtes
        |SELECT id1, id2, cosine FROM cos""".stripMargin
@@ -1479,5 +1518,6 @@ object ExtQueries {
     "embed_dedup_cc" -> embedDedupCcSql,
     "graph_triangles" -> graphTrianglesSql,
     "ann_hard_negatives" -> annHardNegativesSql,
-    "ann_hard_negatives_ivf" -> annHardNegativesIvfSql)
+    "ann_hard_negatives_ivf" -> annHardNegativesIvfSql,
+    "embed_drift" -> embedDriftSql)
 }
