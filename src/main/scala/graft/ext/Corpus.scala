@@ -345,6 +345,63 @@ object Corpus {
           .as("novelty"))
   }
 
+  /** Boilerplate stripping — the C4-style "remove repeated lines"
+    * pass, REWRITING each document: tokens tile into consecutive
+    * `tileTokens`-token pseudo-lines, tiles whose exact text repeats
+    * `minFreq`+ times corpus-wide (headers, footers, licence blocks,
+    * nav chrome) are dropped, and the document is reassembled from
+    * its surviving tiles in original order. Complements
+    * [[Dedup.repeatedSpanCoverage]]: that one SCORES duplication,
+    * this one produces the cleaned text a training export actually
+    * writes.
+    *
+    * Scale: tiling is a per-row expression (map-side at scan
+    * parallelism); one map-side-combined tile-frequency aggregate +
+    * one join-back on the tile key (hot boilerplate tiles become AQE-
+    * splittable join skew, never collected); reassembly is one hash
+    * shuffle on doc id with a per-doc `sort_array` — no windows. */
+  def stripRepeatedTiles(df: DataFrame, id: Column, text: Column,
+      tileTokens: Int = 8, minFreq: Int = 2): DataFrame = {
+    require(tileTokens >= 1, "tileTokens >= 1")
+    require(minFreq >= 2, "minFreq >= 2")
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val toked = df.select(id.as("doc_id"),
+        graft.functions.TextFunctions.tokens(text).as("toks"))
+      .repartition(p)
+    val t = lit(tileTokens)
+    // when-guard: sequence(0, -1) would generate a DESCENDING range
+    val tiling = when(size(col("toks")) > 0,
+      transform(
+        sequence(lit(0), (size(col("toks")) + (tileTokens - 1))
+          .divide(t).cast("int") - 1),
+        i => concat_ws(" ", slice(col("toks"), i * t + 1, t))))
+      .otherwise(array())
+    val tiles = graft.Tables.materialize(toked
+      .select(col("doc_id"), posexplode(tiling))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("tile")))
+    val dup = tiles.groupBy(col("tile"))
+      .agg(count(lit(1)).as("tf"))
+      .filter(col("tf") >= minFreq)
+      .select(col("tile"))
+    val kept = tiles.join(dup, Seq("tile"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tile")))),
+          s => s.getField("tile"))).as("clean_text"))
+    val counts = tiles.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tiles"))
+    df.select(id.as("doc_id"))
+      .join(counts, Seq("doc_id"), "left_outer")
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_tiles"), lit(0L)).as("n_tiles"),
+        (coalesce(col("n_tiles"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   def tokens(df: DataFrame, text: Column): DataFrame =
     df.withColumn("token", explode(split(text, " ")))
       .filter(col("token") =!= "")

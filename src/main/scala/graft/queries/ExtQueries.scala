@@ -45,6 +45,13 @@ object ExtQueries {
     Corpus.bigramNovelty(Tables(spark, dir, "documents"),
       col("doc_id"), col("text"), vocabK = 1000)
 
+  /** C4-style boilerplate stripping: repeated 8-token tiles dropped,
+    * documents rewritten from surviving tiles —
+    * [[Corpus.stripRepeatedTiles]]. */
+  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame =
+    Corpus.stripRepeatedTiles(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"), tileTokens = 8, minFreq = 2)
+
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import TextFunctions._
     Tables(spark, dir, "documents").select(
@@ -493,7 +500,8 @@ object ExtQueries {
     "embed_quantize" -> embedQuantize _,
     "doc_decontaminate" -> docDecontaminate _,
     "text_repetition" -> textRepetition _,
-    "bigram_novelty" -> bigramNovelty _)
+    "bigram_novelty" -> bigramNovelty _,
+    "boilerplate_strip" -> boilerplateStrip _)
 
   // -------------------------------------------------------- oracle SQL
   // Hash-heavy oracles are generated programmatically so the SQL stays
@@ -610,6 +618,35 @@ object ExtQueries {
        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
        |  FROM (SELECT doc_id, $toks AS t FROM documents),
        |       LATERAL (SELECT unnest(range(1, greatest(length(t) - 1, 1))) AS i))""".stripMargin
+
+  // 8-token tiling (inclusive 1-based DuckDB list slice), repeated
+  // tiles dropped, docs rebuilt with ORDER BY pos string_agg
+  private val boilerplateStripSql =
+    s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+       |tiles AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(
+       |      t[(CAST(i AS INT) * 8 + 1):(CAST(i AS INT) * 8 + 8)], ' ')
+       |      AS tile
+       |  FROM tk, LATERAL (SELECT unnest(
+       |    range(0, CAST((len(t) + 7) // 8 AS BIGINT))) AS i)),
+       |dup AS (SELECT tile FROM tiles GROUP BY tile HAVING count(*) >= 2),
+       |kept AS (
+       |  SELECT * FROM tiles WHERE tile NOT IN (SELECT tile FROM dup)),
+       |reb AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    string_agg(tile, ' ' ORDER BY pos) AS clean_text
+       |  FROM kept GROUP BY doc_id),
+       |cnt AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tiles
+       |  FROM tiles GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(cnt.n_tiles, 0) AS n_tiles,
+       |  COALESCE(cnt.n_tiles, 0) - COALESCE(reb.n_kept, 0) AS n_dropped,
+       |  COALESCE(reb.clean_text, '') AS clean_text
+       |FROM documents d
+       |LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+       |LEFT JOIN reb ON reb.doc_id = d.doc_id""".stripMargin
 
   // word BIGRAMS (n=2 twin of gramsCte); vocabulary cut is a total
   // order (df desc, gram asc) so the top-K boundary is deterministic
@@ -1494,6 +1531,7 @@ object ExtQueries {
     "text_model_score_linear" -> textModelScoreLinearSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "bigram_novelty" -> bigramNoveltySql,
+    "boilerplate_strip" -> boilerplateStripSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,

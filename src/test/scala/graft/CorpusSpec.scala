@@ -301,6 +301,27 @@ class CorpusSpec extends SparkSpec {
       Set("id_a", "id_b", "dist"))
   }
 
+  // ---------------------------------------------- stripRepeatedTiles
+
+  test("stripRepeatedTiles drops planted boilerplate, keeps unique text " +
+      "in order") {
+    val header = "terms of service apply to all visitors here" // 8 tokens
+    val docs = Seq(
+      (1L, s"$header alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$header iota kappa lambda mu nu xi omicron pi"),
+      (3L, "rho sigma tau upsilon phi chi psi omega")) // no boilerplate
+      .toDF("doc_id", "text")
+    val out = ext.Corpus.stripRepeatedTiles(docs, col("doc_id"),
+        col("text"), tileTokens = 8, minFreq = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // docs 1-2: header tile shared -> dropped; unique tail kept intact
+    assert(out(0) == ((1L, 2L, 1L,
+      "alpha beta gamma delta epsilon zeta eta theta")))
+    assert(out(1) == ((2L, 2L, 1L, "iota kappa lambda mu nu xi omicron pi")))
+    // doc 3 untouched
+    assert(out(2) == ((3L, 1L, 0L, "rho sigma tau upsilon phi chi psi omega")))
+  }
+
   // ----------------------------------------------------- shuffleRank
 
   test("shuffleRank is an exact permutation matching the window order " +
