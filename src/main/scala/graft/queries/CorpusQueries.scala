@@ -67,6 +67,25 @@ object CorpusQueries {
   def shuffleRank(spark: SparkSession, dir: String): DataFrame =
     Corpus.shuffleRank(Tables(spark, dir, "documents"), col("doc_id"))
 
+  /** Shard-export manifest — the validation handshake a training-data
+    * consumer runs against a delivered shard set: per shard, row
+    * count, the position range (contiguity check: max_pos == n_rows
+    * by construction, a hole fails both sides identically), and an
+    * order-independent XOR row checksum over (doc_id, n_chars). One
+    * aggregate over the [[Corpus.shardAssign]] frame; at 100 TB the
+    * manifest travels with the shards and re-verifies after copy. */
+  def exportManifest(spark: SparkSession, dir: String): DataFrame =
+    Corpus.shardAssign(Tables(spark, dir, "documents"), col("doc_id"), 8)
+      .select(col("shard"), col("pos"),
+        conv(substring(md5(concat_ws("|",
+          col("doc_id"), col("n_chars"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("pos")).as("min_pos"),
+        max(col("pos")).as("max_pos"),
+        expr("bit_xor(h)").as("checksum"))
+
   /** Vocabulary: top-100 tokens by (count desc, token asc). */
   def vocabTopK(spark: SparkSession, dir: String): DataFrame =
     Corpus.vocabTopK(Tables(spark, dir, "documents"), col("text"), 100)
@@ -235,6 +254,7 @@ object CorpusQueries {
     "sample_stratified" -> sampleStratified _,
     "shard_assign" -> shardAssign _,
     "shuffle_rank" -> shuffleRank _,
+    "export_manifest" -> exportManifest _,
     "vocab_topk" -> vocabTopK _,
     "tfidf_topk" -> tfidfTopK _,
     "set_ops" -> setOps _,
@@ -402,6 +422,26 @@ object CorpusQueries {
         |    ORDER BY md5('shuf|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
         |    AS shuffle_pos
         |FROM documents""".stripMargin,
+    // shard/pos algebra verbatim from shard_assign + xor row checksum
+    "export_manifest" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_chars, h,
+        |    ('0x' || substr(h, 1, 8))::BIGINT % 8 AS shard
+        |  FROM h),
+        |p AS (
+        |  SELECT CAST(shard AS BIGINT) AS shard,
+        |    CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |      AS BIGINT) AS pos,
+        |    ('0x' || substr(md5(doc_id || '|' || n_chars), 1, 15))::BIGINT
+        |      AS rh
+        |  FROM s)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(pos) AS min_pos, max(pos) AS max_pos,
+        |  bit_xor(rh) AS checksum
+        |FROM p GROUP BY shard""".stripMargin,
     "shard_assign" ->
       """WITH h AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
