@@ -346,4 +346,18 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(ranked3 == ranked)
   }
+
+  test("shuffleRank at 10^6 rows: exact permutation, asserted " +
+      "distributed (no driver materialization)") {
+    val df = spark.range(0L, 1000000L)
+      .select(col("id").as("doc_id"))
+    val r = ext.Corpus.shuffleRank(df, col("doc_id"), 64)
+    val row = r.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("shuffle_pos")).as("nd"),
+      org.apache.spark.sql.functions.min(col("shuffle_pos")).as("mn"),
+      org.apache.spark.sql.functions.max(col("shuffle_pos")).as("mx"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(row == ((1000000L, 1000000L, 0L, 999999L)))
+  }
 }
