@@ -371,6 +371,62 @@ object AnalyticsQueries {
           .as("corr"))
   }
 
+  /** Conversion-window funnel — [[funnelSteps]] with the semantics a
+    * product-analytics funnel actually uses: each later step must
+    * land within 48 h of the previous step's completion, not just
+    * after it (an eventual purchase a month later is NOT this
+    * funnel's conversion). Same co-partitioned conditional-min chain,
+    * pure integer micros bounds. */
+  def funnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val win = 48L * 3600L * 1000000L
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("us") >= col("t_view") && col("us") <= col("t_view") + win)
+      .groupBy("user_id").agg(min(col("us")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("us") >= col("t_click") &&
+        col("us") <= col("t_click") + win)
+      .groupBy("user_id").agg(min(col("us")).as("t_purchase"))
+    v.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("view"))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit("click")))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit("purchase")))
+      .select(col("stage"), col("n_users"))
+  }
+
+  /** First-touch attribution — every user's lifetime purchase revenue
+    * credited to their FIRST event type (the acquisition channel
+    * stand-in): the marketing-attribution readout. First touch is a
+    * row_number over the per-user (us, event_id) total order; revenue
+    * folds in exact DECIMAL and casts to double once. */
+  def firstTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"), col("value"))
+    val first = ev.withColumn("rk", row_number().over(byUser))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("first_touch"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("np"),
+        sum(col("value").cast("decimal(18,2)")).as("revd"))
+    first.join(rev, Seq("user_id"), "left_outer")
+      .groupBy(col("first_touch"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("np"), lit(0L))).as("n_purchases"),
+        sum(coalesce(col("revd"), lit(0).cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+  }
+
   /** Conversion-lag histogram — how long users take from first 'view'
     * to their first SUBSEQUENT 'purchase', bucketed to whole days:
     * the time-to-convert distribution a funnel readout pairs with
@@ -1049,6 +1105,8 @@ object AnalyticsQueries {
     "ab_test_zscore" -> abTestZscore _,
     "assoc_rules" -> assocRules _,
     "conversion_lag_hist" -> conversionLagHist _,
+    "funnel_windowed" -> funnelWindowed _,
+    "first_touch_attribution" -> firstTouchAttribution _,
     "journey_trigrams" -> journeyTrigrams _,
     "cusum_changepoint" -> cusumChangepoint _,
     "interval_merge" -> intervalMerge _,
@@ -1342,6 +1400,51 @@ object AnalyticsQueries {
         |FROM z JOIN exact ON z.event_type = exact.event_type""".stripMargin,
     // the identical sketch built in SQL: same md5 hash family, same
     // d x w geometry — the full estimate is hash-gated, not a bound
+    // 48h windowed chain: pure integer micros bounds
+    "funnel_windowed" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS t_view
+        |      FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.us) AS t_click
+        |  FROM e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.us >= v.t_view
+        |    AND e.us <= v.t_view + 172800000000
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.us) AS t_purchase
+        |  FROM e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us >= c.t_click
+        |    AND e.us <= c.t_click + 172800000000
+        |  GROUP BY 1)
+        |SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+        |UNION ALL
+        |SELECT 'click', CAST(count(*) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT 'purchase', CAST(count(*) AS BIGINT) FROM p""".stripMargin,
+    // first touch = row_number over the per-user (us, event_id) total
+    // order; revenue folded in exact DECIMAL, one double cast
+    "first_touch_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us, value
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_type AS first_touch FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id) AS rk
+        |    FROM e) WHERE rk = 1),
+        |r AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS np,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS revd
+        |  FROM e WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT f.first_touch, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(COALESCE(r.np, 0)) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(COALESCE(r.revd, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM f LEFT JOIN r ON r.user_id = f.user_id
+        |GROUP BY 1""".stripMargin,
     // positive lags: integer // == Spark's pmod-free div here
     "conversion_lag_hist" ->
       """WITH fv AS (
