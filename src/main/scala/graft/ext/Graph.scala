@@ -39,6 +39,29 @@ object Graph {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("degree"))
 
+  /** Two-hop reach per vertex: |{u : 1 ≤ dist(v,u) ≤ 2}| — the
+    * friend-of-friend neighborhood size, the cheapest useful
+    * centrality proxy on a near-dup graph (a vertex reaching far in
+    * two hops sits inside a template family even when its own degree
+    * is small). One adjacency self-join + distinct; fan-out is
+    * Σ deg² — on a skew-heavy crawl graph cap or degree-filter hubs
+    * first (the same quadratic-output caveat as band self-joins;
+    * AQE's byte stats don't see it — SKILL.md). */
+  def twoHopReach(pairs: DataFrame, a: Column, b: Column): DataFrame = {
+    val edges = graft.Tables.materialize(canonicalEdges(pairs, a, b))
+    val adj = graft.Tables.materialize(
+      edges.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(edges.select(col("dst").as("u"), col("src").as("v"))))
+    val two = adj.as("e1").join(adj.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("u"), col("e2.v").as("v"))
+    adj.unionByName(two)
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("two_hop_reach"))
+      .withColumnRenamed("u", "id")
+  }
+
   /** Per-vertex triangle participation + local clustering coefficient
     * over the undirected graph induced by `pairs`.
     *

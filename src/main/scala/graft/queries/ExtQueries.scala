@@ -332,6 +332,49 @@ object ExtQueries {
       .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
   }
 
+  /** Two-hop reach over the same LSH pair graph as
+    * [[graphTriangles]] — see [[graft.ext.Graph.twoHopReach]]. */
+  def graphTwoHop(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val pairs = Similarity.lshNearDupPairs(emb, col("vec_id"),
+      col("embedding"), dim = 64, numPlanes = 8,
+      threshold = 0.2, numTables = 2, maxBucketSize = 1000)
+    Graph.twoHopReach(pairs, col("id1"), col("id2"))
+  }
+
+  /** kNN label-consistency evaluation — the standard embedding-
+    * quality probe: for a deterministic 1-in-25 query sample, the 5
+    * nearest non-self neighbors vote on the query's label (majority,
+    * ties → count desc then label asc); output is per-label accuracy.
+    * A good embedding space scores high; a collapsed or shuffled one
+    * scores at chance — this is the measurement behind "are these
+    * embeddings worth indexing". Composes [[Similarity.bruteForceTopK]]
+    * (the probed IVF path swaps in unchanged at scale). */
+  def knnLabelEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+    val knn = Similarity.bruteForceTopK(emb, col("vec_id"),
+        col("embedding"), q, col("vec_id"), col("embedding"), k = 6)
+      .filter(col("nbr_id") =!= col("query_id"))
+    val lab = emb.select(col("vec_id"), col("label"))
+    val votes = knn
+      .join(lab.select(col("vec_id").as("nbr_id"),
+        col("label").as("nbr_label")), "nbr_id")
+      .join(broadcast(lab.select(col("vec_id").as("query_id"),
+        col("label").as("query_label"))), "query_id")
+      .groupBy(col("query_id"), col("query_label"), col("nbr_label"))
+      .agg(count(lit(1)).as("nv"))
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("nv").desc, col("nbr_label").asc)
+    val pred = votes.withColumn("rk", row_number().over(wVote))
+      .filter(col("rk") === 1)
+    pred.groupBy(col("query_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum((col("nbr_label") === col("query_label")).cast("long"))
+          .as("n_correct"))
+  }
+
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
@@ -494,6 +537,8 @@ object ExtQueries {
     "embed_neardup_lsh" -> embedNearDupLsh _,
     "embed_dedup_cc" -> embedDedupCc _,
     "graph_triangles" -> graphTriangles _,
+    "graph_two_hop" -> graphTwoHop _,
+    "knn_label_eval" -> knnLabelEval _,
     "ann_hard_negatives" -> annHardNegatives _,
     "ann_hard_negatives_ivf" -> annHardNegativesIvf _,
     "embed_drift" -> embedDrift _,
@@ -1471,6 +1516,62 @@ object ExtQueries {
       |  END AS centroid_cosine
       |FROM agg""".stripMargin
 
+  // adjacency in both directions, one self-join, distinct reach set
+  private val graphTwoHopSql =
+    s"""WITH $embedPairCtes,
+       |edges AS (
+       |  SELECT DISTINCT least(id1, id2) AS src, greatest(id1, id2) AS dst
+       |  FROM cos WHERE id1 <> id2),
+       |adj AS (
+       |  SELECT src AS u, dst AS v FROM edges
+       |  UNION ALL SELECT dst AS u, src AS v FROM edges),
+       |two AS (
+       |  SELECT a.u, b.v FROM adj a JOIN adj b ON b.u = a.v),
+       |reach AS (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT u, v FROM adj UNION ALL SELECT u, v FROM two) r
+       |  WHERE u <> v)
+       |SELECT u AS id, CAST(count(*) AS BIGINT) AS two_hop_reach
+       |FROM reach GROUP BY u""".stripMargin
+
+  // brute top-6 incl self (ranking matches bruteForceTopK), self
+  // dropped AFTER ranking, majority vote (count desc, label asc)
+  private val knnLabelEvalSql =
+    s"""WITH $vecCtes,
+       |dots AS (
+       |  SELECT c.vec_id AS nbr_id, q.vec_id AS query_id,
+       |    CAST(sum(CAST(c.x * q.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |  FROM comp c JOIN comp q ON c.i = q.i AND q.vec_id % 25 = 0
+       |  GROUP BY c.vec_id, q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, nbr_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dot / (nc.sn * nq.sn) DESC, nbr_id ASC) AS rank
+       |  FROM dots
+       |  JOIN norms nc ON nc.vec_id = nbr_id
+       |  JOIN norms nq ON nq.vec_id = query_id),
+       |knn AS (
+       |  SELECT query_id, nbr_id FROM ranked
+       |  WHERE rank <= 6 AND nbr_id <> query_id),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |votes AS (
+       |  SELECT k.query_id, ql.label AS query_label,
+       |    nl.label AS nbr_label, CAST(count(*) AS BIGINT) AS nv
+       |  FROM knn k
+       |  JOIN lab nl ON nl.vec_id = k.nbr_id
+       |  JOIN lab ql ON ql.vec_id = k.query_id
+       |  GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT query_id, query_label, nbr_label FROM (
+       |    SELECT query_id, query_label, nbr_label,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY nv DESC, nbr_label ASC) AS rk
+       |    FROM votes) v WHERE rk = 1)
+       |SELECT query_label, CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(SUM(CASE WHEN nbr_label = query_label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_correct
+       |FROM pred GROUP BY 1""".stripMargin
+
   private val embedNearDupLshSql =
     s"""WITH $embedPairCtes
        |SELECT id1, id2, cosine FROM cos""".stripMargin
@@ -1555,6 +1656,8 @@ object ExtQueries {
     "embed_neardup_lsh" -> embedNearDupLshSql,
     "embed_dedup_cc" -> embedDedupCcSql,
     "graph_triangles" -> graphTrianglesSql,
+    "graph_two_hop" -> graphTwoHopSql,
+    "knn_label_eval" -> knnLabelEvalSql,
     "ann_hard_negatives" -> annHardNegativesSql,
     "ann_hard_negatives_ivf" -> annHardNegativesIvfSql,
     "embed_drift" -> embedDriftSql)

@@ -272,8 +272,50 @@ object LakeQueries {
         (d(col("n")) * d(col("n_keys")) / d(col("total"))).as("skew_x"))
   }
 
+  /** Null repair by exact per-group median — the imputation pass a
+    * feature pipeline runs before training export. Nulls are
+    * synthesized deterministically (event_id ≡ 0 mod 97 plays the
+    * corrupted slice); the fill value is the LOWER MEDIAN — the
+    * element at rank ⌈n/2⌉ of the (value, event_id) total order among
+    * surviving rows — an exact element selection, not an
+    * interpolation, so it hash-gates bit-for-bit (quantile_cont
+    * interpolation differs across engines). Per type the gate pins
+    * how many rows were filled, the median used, and the exact-
+    * decimal post-impute sum.
+    *
+    * Scale: one rank window per group over the survivors + one
+    * broadcast of the |groups|-row median frame back onto the scan —
+    * the window input is per-group bounded, the repair itself is a
+    * map-side coalesce. */
+  def imputeMedian(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        when(pmod(col("event_id"), lit(97)) === 0, lit(null))
+          .otherwise(col("value")).as("value"))
+    val good = ev.filter(col("value").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    // two-pass: count per group, then pick the rank-⌈n/2⌉ element
+    val cnt = good.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val medians = good.withColumn("rk", row_number().over(w))
+      .join(broadcast(cnt), "event_type")
+      .filter(col("rk") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("value").as("median"))
+    ev.join(broadcast(medians), "event_type")
+      .select(col("event_type"),
+        col("value").isNull.cast("long").as("filled"),
+        coalesce(col("value"), col("median")).as("v"),
+        col("median"))
+      .groupBy(col("event_type"), col("median"))
+      .agg(sum(col("filled")).as("n_filled"),
+        sum(col("v").cast("decimal(18,2)")).cast("double")
+          .as("sum_imputed"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "key_skew_audit" -> keySkewAudit _,
+    "impute_median" -> imputeMedian _,
     "incremental_agg" -> incrementalAgg _,
     "snapshot_diff" -> snapshotDiff _,
     "quantile_bins" -> quantileBins _,
@@ -281,6 +323,30 @@ object LakeQueries {
     "dq_checks" -> dqChecks _)
 
   val oracleSql: Map[String, String] = Map(
+    // lower median = exact element at rank (n+1) div 2 of the
+    // (value, event_id) order — selection, not interpolation
+    "impute_median" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS value
+        |  FROM events),
+        |g AS (SELECT * FROM e WHERE value IS NOT NULL),
+        |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM g GROUP BY 1),
+        |m AS (
+        |  SELECT r.event_type, r.value AS median FROM (
+        |    SELECT event_type, value, event_id,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY value, event_id) AS rk
+        |    FROM g) r JOIN c ON c.event_type = r.event_type
+        |  WHERE r.rk = (c.n + 1) // 2)
+        |SELECT e.event_type, m.median,
+        |  CAST(SUM(CASE WHEN e.value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_filled,
+        |  CAST(SUM(CAST(COALESCE(e.value, m.median) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS sum_imputed
+        |FROM e JOIN m ON m.event_type = e.event_type
+        |GROUP BY 1, 2""".stripMargin,
     // Spark SUM(BIGINT) stays BIGINT; DuckDB widens -> CAST back
     "key_skew_audit" ->
       """WITH c AS (
