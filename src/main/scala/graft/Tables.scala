@@ -71,6 +71,8 @@ object Sessions {
       .withExtensions(graft.functions.TextNorm.register)
       .withExtensions(graft.functions.ZOrder.register)
       .withExtensions(graft.ext.Bloom.register)
+      // whole-operator rung: logical-plan rewrite rules
+      .withExtensions(graft.plans.BinRangeJoin.register)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       // Non-ANSI: engine cast semantics are null-on-failure

@@ -106,6 +106,39 @@ object RelationalQueries {
         sum(col("qty_sum")).cast("double").as("sum_qty"))
   }
 
+  /** The SAME range join written as a PLAIN inner join, rewritten to
+    * the binned equi-join automatically by the conf-gated
+    * [[graft.plans.BinRangeJoin]] optimizer rule — the whole-operator
+    * extension rung, oracle-gated: the result must hash-match the
+    * naive-semantics SQL while the physical plan is a hash/merge join
+    * on the bin key (asserted by `BinRangeJoinRuleSpec`; a nested
+    * loop here would still be correct but is exactly what the rule
+    * exists to prevent). The conf is scoped to this query by
+    * materializing before unsetting. */
+  def rangeJoinAuto(spark: SparkSession, dir: String): DataFrame = {
+    val week = 7L * 86400L
+    val points = Tables(spark, dir, "lineitem")
+      .select(unix_seconds(col("l_shipdate").cast("timestamp")).as("ship_s"),
+        col("l_quantity"))
+      .groupBy(col("ship_s"))
+      .agg(count(lit(1)).as("n_pts"),
+        sum(dec(col("l_quantity"))).as("qty_sum"))
+    val ranges = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"),
+        unix_seconds(col("o_orderdate").cast("timestamp")).as("start_s"))
+      .withColumn("end_s", col("start_s") + lit(week))
+    spark.conf.set(graft.plans.BinRangeJoin.WidthKey, week.toString)
+    try {
+      graft.Tables.materialize(
+        points.join(ranges,
+            col("ship_s") >= col("start_s") && col("ship_s") < col("end_s"))
+          .groupBy(col("o_orderkey"))
+          .agg(sum(col("n_pts")).as("n_shipped"),
+            sum(col("qty_sum")).cast("double").as("sum_qty")))
+    } finally spark.conf.unset(graft.plans.BinRangeJoin.WidthKey)
+  }
+
   /** Pivot: order counts and totals per priority, statuses fanned out
     * to columns. Fixed value list (F/O/P) keeps the schema static —
     * the scale-safe form (a discovered value list is a driver-side
@@ -568,6 +601,7 @@ object RelationalQueries {
     "asof_join" -> asofJoin _,
     "asof_join_forward" -> asofJoinForward _,
     "range_join" -> rangeJoin _,
+    "range_join_auto" -> rangeJoinAuto _,
     "pivot_agg" -> pivotAgg _,
     "cube_agg" -> cubeAgg _,
     "explode_embed" -> explodeEmbed _,
@@ -790,6 +824,16 @@ object RelationalQueries {
         |  o.next_orderkey, epoch_us(o.o_orderdate) AS next_order_us
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate""".stripMargin,
+    // identical semantics to range_join: the gate pins that the
+    // rule's binned rewrite changes the PLAN, never the rows
+    "range_join_auto" ->
+      """SELECT o_orderkey, COUNT(*) AS n_shipped,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem
+        |  ON l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderkey""".stripMargin,
     "range_join" ->
       """SELECT o_orderkey, COUNT(*) AS n_shipped,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
