@@ -605,6 +605,41 @@ object AnalyticsQueries {
         col("cusum_scaled"), col("days"), col("total"))
   }
 
+  /** Seasonal-naive forecast backtest — the capacity-planning sanity
+    * baseline every forecasting effort must beat: predict each day's
+    * event count with the count seven days earlier, score MAE and
+    * mean bias per type over the densified daily grid (missing days
+    * are real zeros on both the target and predictor sides). Errors
+    * stay exact integers; MAE/bias are one IEEE divide each. */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val day = expr(
+      "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) div 86400000000")
+    val daily = Tables(spark, dir, "events")
+      .select(col("event_type"), day.as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val dm = graft.Tables.materialize(daily)
+    val grid = dm.select(col("day")).distinct()
+      .crossJoin(broadcast(dm.select(col("event_type")).distinct()))
+      .join(dm, Seq("day", "event_type"), "left_outer")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val scored = grid.as("t").join(grid.as("p"),
+        col("t.event_type") === col("p.event_type") &&
+          col("t.day") === col("p.day") + 7)
+      .select(col("t.event_type").as("event_type"),
+        (col("t.n") - col("p.n")).as("err"))
+    def d(c: Column) = c.cast("double")
+    scored.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("err"))).as("total_abs"),
+        sum(col("err")).as("total_err"))
+      .select(col("event_type"), col("n_days"), col("total_abs"),
+        col("total_err"),
+        (d(col("total_abs")) / d(col("n_days"))).as("mae"),
+        (d(col("total_err")) / d(col("n_days"))).as("bias"))
+  }
+
   /** Ratio-to-report: each order's share of its priority class's
     * total spend plus the class total — the windowed share-of-total
     * every BI layer asks for. One hash shuffle on the (tiny-domain)
@@ -1109,6 +1144,7 @@ object AnalyticsQueries {
     "first_touch_attribution" -> firstTouchAttribution _,
     "journey_trigrams" -> journeyTrigrams _,
     "cusum_changepoint" -> cusumChangepoint _,
+    "forecast_backtest" -> forecastBacktest _,
     "interval_merge" -> intervalMerge _,
     "mode_per_group" -> modePerGroup _,
     "freq_items_bounds" -> freqItemsBounds _,
@@ -1533,6 +1569,30 @@ object AnalyticsQueries {
         |        + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)))
         |  END AS z
         |FROM one""".stripMargin,
+    // integer errors over the densified grid, one divide per metric
+    "forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT dd.day, tt.event_type,
+        |    CAST(COALESCE(daily.n, 0) AS BIGINT) AS n
+        |  FROM (SELECT DISTINCT day FROM daily) dd
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM daily) tt
+        |  LEFT JOIN daily
+        |    ON daily.day = dd.day AND daily.event_type = tt.event_type),
+        |s AS (
+        |  SELECT t.event_type, t.n - p.n AS err
+        |  FROM grid t JOIN grid p
+        |    ON p.event_type = t.event_type AND t.day = p.day + 7)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(abs(err)) AS BIGINT) AS total_abs,
+        |  CAST(SUM(err) AS BIGINT) AS total_err,
+        |  CAST(SUM(abs(err)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mae,
+        |  CAST(SUM(err) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS bias
+        |FROM s GROUP BY 1""".stripMargin,
     // scaled-integer CUSUM: D*S_i - i*T, argmax by (|stat| desc, day)
     "cusum_changepoint" ->
       """WITH daily AS (

@@ -375,6 +375,42 @@ object ExtQueries {
           .as("n_correct"))
   }
 
+  /** ANN ranking-quality evaluation, INTEGER-exact DCG: the probed
+    * IVF top-10 scored against the exact brute-force ranking with
+    * graded relevance rel = 11 − brute_rank (0 if outside the true
+    * top-10) and the harmonic discount 2520/i (2520 = lcm(1..10), so
+    * every discount is an exact BIGINT — the standard log2 discount
+    * is not cross-engine bit-stable, the harmonic one needs no
+    * floats at all). nDCG = dcg/idcg is then ONE IEEE division of
+    * exact integers. This is `ann_ivf_recall`'s graded companion:
+    * recall says how many true neighbors the probe found, nDCG says
+    * whether it found the IMPORTANT ones. */
+  def annRankingEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id"),
+        col("embedding"), q, col("vec_id"), col("embedding"), k = 10)
+      .select(col("query_id"), col("nbr_id"),
+        (lit(11L) - col("rank")).as("rel"))
+    val ivf = Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 10, numCells = 16,
+        nProbe = 4)
+      .select(col("query_id"), col("nbr_id"),
+        expr("2520L div rank").as("disc"))
+    val dcg = ivf.join(brute, Seq("query_id", "nbr_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("rel"), lit(0L)) * col("disc")).as("dcg_scaled"))
+    // ideal DCG: the brute ranking scored against itself
+    val idcg = brute
+      .withColumn("disc", expr("2520L div (11L - rel)"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("rel") * col("disc")).as("idcg_scaled"))
+    dcg.join(idcg, "query_id")
+      .select(col("query_id"), col("dcg_scaled"), col("idcg_scaled"),
+        (col("dcg_scaled").cast("double") /
+          col("idcg_scaled").cast("double")).as("ndcg"))
+  }
+
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
@@ -539,6 +575,7 @@ object ExtQueries {
     "graph_triangles" -> graphTriangles _,
     "graph_two_hop" -> graphTwoHop _,
     "knn_label_eval" -> knnLabelEval _,
+    "ann_ranking_eval" -> annRankingEval _,
     "ann_hard_negatives" -> annHardNegatives _,
     "ann_hard_negatives_ivf" -> annHardNegativesIvf _,
     "embed_drift" -> embedDrift _,
@@ -1516,6 +1553,67 @@ object ExtQueries {
       |  END AS centroid_cosine
       |FROM agg""".stripMargin
 
+  // brute + IVF rankings side by side; discounts 2520//i exact
+  // BIGINTs (2520 = lcm 1..10), nDCG = one IEEE divide at the end
+  private val annRankingEvalSql =
+    s"""WITH $ivfAssignCtes,
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY ccos DESC, cell_id ASC) AS r
+       |    FROM cellcos WHERE vec_id < 10) WHERE r <= 4),
+       |cand AS (
+       |  SELECT p.query_id, c.nbr_id
+       |  FROM probes p JOIN cells c ON c.cell_id = p.cell_id),
+       |idots AS (
+       |  SELECT cand.query_id, cand.nbr_id,
+       |    CAST(sum(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |  FROM cand
+       |  JOIN comp a ON a.vec_id = cand.nbr_id
+       |  JOIN comp b ON b.vec_id = cand.query_id AND b.i = a.i
+       |  GROUP BY cand.query_id, cand.nbr_id),
+       |iranked AS (
+       |  SELECT query_id, nbr_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dot / (nc.sn * nq.sn) DESC, nbr_id ASC) AS rank
+       |  FROM idots
+       |  JOIN norms nc ON nc.vec_id = nbr_id
+       |  JOIN norms nq ON nq.vec_id = query_id),
+       |ivfr AS (
+       |  SELECT query_id, nbr_id, CAST(2520 // rank AS BIGINT) AS disc
+       |  FROM iranked WHERE rank <= 10),
+       |bdots AS (
+       |  SELECT c.vec_id AS nbr_id, q.vec_id AS query_id,
+       |    CAST(sum(CAST(c.x * q.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |  FROM comp c JOIN comp q ON c.i = q.i AND q.vec_id < 10
+       |  GROUP BY c.vec_id, q.vec_id),
+       |branked AS (
+       |  SELECT query_id, nbr_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dot / (nc.sn * nq.sn) DESC, nbr_id ASC) AS rank
+       |  FROM bdots
+       |  JOIN norms nc ON nc.vec_id = nbr_id
+       |  JOIN norms nq ON nq.vec_id = query_id),
+       |brute AS (
+       |  SELECT query_id, nbr_id, CAST(11 - rank AS BIGINT) AS rel
+       |  FROM branked WHERE rank <= 10),
+       |dcg AS (
+       |  SELECT i.query_id,
+       |    CAST(SUM(COALESCE(b.rel, 0) * i.disc) AS BIGINT) AS dcg_scaled
+       |  FROM ivfr i LEFT JOIN brute b
+       |    ON b.query_id = i.query_id AND b.nbr_id = i.nbr_id
+       |  GROUP BY 1),
+       |idcg AS (
+       |  SELECT query_id,
+       |    CAST(SUM(rel * CAST(2520 // (11 - rel) AS BIGINT)) AS BIGINT)
+       |      AS idcg_scaled
+       |  FROM brute GROUP BY 1)
+       |SELECT d.query_id, d.dcg_scaled, g.idcg_scaled,
+       |  CAST(d.dcg_scaled AS DOUBLE) / CAST(g.idcg_scaled AS DOUBLE)
+       |    AS ndcg
+       |FROM dcg d JOIN idcg g ON g.query_id = d.query_id""".stripMargin
+
   // adjacency in both directions, one self-join, distinct reach set
   private val graphTwoHopSql =
     s"""WITH $embedPairCtes,
@@ -1658,6 +1756,7 @@ object ExtQueries {
     "graph_triangles" -> graphTrianglesSql,
     "graph_two_hop" -> graphTwoHopSql,
     "knn_label_eval" -> knnLabelEvalSql,
+    "ann_ranking_eval" -> annRankingEvalSql,
     "ann_hard_negatives" -> annHardNegativesSql,
     "ann_hard_negatives_ivf" -> annHardNegativesIvfSql,
     "embed_drift" -> embedDriftSql)
