@@ -357,6 +357,55 @@ object PipelineQueries {
     Multimodal.extractFeatures(media).toDF()
   }
 
+  /** Streaming corpus-prep pipeline end-to-end: the live documents
+    * stream deduplicated by content digest FIRST (exact dedup before
+    * the expensive model pass — production order), then scored
+    * through the per-partition model seam, append sink. State note:
+    * `dropDuplicates` without a watermark keeps every digest forever —
+    * right for a bounded gate; the production twin bounds it with
+    * `dropDuplicatesWithinWatermark` exactly as [[streamDedup]] shows.
+    * The gate aggregate (per-label count + min/max score) is invariant
+    * to WHICH member of a digest class survives: identical text means
+    * identical score. Same memory-sink caveat as
+    * [[streamWindowCounts]]. */
+  def streamCorpusPrep(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val name = "stream_corpus_prep_sink"
+    onStreamSession(spark, 8) { s =>
+      val src = s.readStream.schema(schema).option("basePath", dir)
+        .parquet(s"$dir/documents*.parquet")
+      val deduped = src
+        .withColumn("digest", md5(col("text")))
+        .dropDuplicates("digest")
+      val scored = graft.ext.Scoring.scoreDocuments(deduped,
+        col("doc_id"), col("text"),
+        newScorer = () => new graft.ext.Scoring.HashedLinearScorer())
+      val q = scored.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name).groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+    }
+  }
+
+  /** Multimodal exact dedup — content-hash dedup on the BINARY column
+    * (the image/audio twin of `dedup_exact`): md5 of the raw payload
+    * bytes keys one hash aggregate; kept id = min per digest. At
+    * 100 TB this is the first pass over any media corpus (identical
+    * files dominate crawl media), and it runs without decoding a
+    * single byte. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.withBinaryContent(
+        Tables(spark, dir, "documents"), "doc_id", "text")
+      .select(col("media_id"), md5(col("content")).as("digest"),
+        col("meta.n_bytes").as("n_bytes"))
+      .groupBy(col("digest"), col("n_bytes"))
+      .agg(min(col("media_id")).as("kept_media_id"),
+        count(lit(1)).as("n_copies"))
+
   /** Multimodal: stride-sampled byte frames (video-frame shape). */
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.withBinaryContent(
@@ -415,10 +464,44 @@ object PipelineQueries {
     "stream_hll" -> streamHll _,
     "stream_static_join" -> streamStaticJoin _,
     "multimodal_features" -> multimodalFeatures _,
+    "media_dedup" -> mediaDedup _,
+    "stream_corpus_prep" -> streamCorpusPrep _,
     "multimodal_frames" -> multimodalFrames _,
     "multimodal_resize" -> multimodalResize _)
 
   val oracleSql: Map[String, String] = Map(
+    // md5 of the raw payload bytes (text is printable ASCII by canary;
+    // strlen counts bytes, matching the binary length Spark stores)
+    "media_dedup" ->
+      """SELECT md5(text) AS digest,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(min(doc_id) AS BIGINT) AS kept_media_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    // digest-class representative (min doc_id; identical text => the
+    // choice cannot move score/label), then the same scorer algebra
+    "stream_corpus_prep" ->
+      """WITH rep AS (
+        |  SELECT md5(text) AS dg, min(doc_id) AS doc_id
+        |  FROM documents GROUP BY 1),
+        |docs2 AS (
+        |  SELECT r.doc_id, d.text FROM rep r
+        |  JOIN documents d ON d.doc_id = r.doc_id),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM docs2),
+        |h AS (SELECT doc_id,
+        |  ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b FROM tok),
+        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum((b * 2654435761) % 2003 - 1001) AS BIGINT) AS raw
+        |  FROM h GROUP BY doc_id),
+        |scored AS (SELECT doc_id, raw / (1001.0 * n) AS score,
+        |  CASE WHEN raw / (1001.0 * n) >= 0.0
+        |    THEN 'keep' ELSE 'drop' END AS label FROM s)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  min(score) AS min_score, max(score) AS max_score
+        |FROM scored GROUP BY label""".stripMargin,
     // HashedLinearScorer algebra (see ExtQueries.textModelScoreLinearSql)
     // reduced per label with order-independent aggregates only
     "stream_model_score" ->
