@@ -402,6 +402,30 @@ object Corpus {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** BPE pair statistics — the tokenizer-training inner loop: adjacent
+    * character-pair frequencies across the corpus, each word's pairs
+    * weighted by the word's occurrence count (count the WORD TABLE
+    * once, then explode pairs over the compact vocabulary — the
+    * standard trick that makes BPE training corpus-size-independent
+    * after one pass). The top pair is what a BPE trainer would merge
+    * next; re-running after a merge is the same query over the
+    * rewritten vocabulary. Top-50 cut on the (count desc, pair asc)
+    * total order.
+    *
+    * Scale: one token aggregate over the corpus (map-side combined),
+    * then everything runs on |vocab| rows. */
+  def bpePairCounts(docs: DataFrame, text: Column, k: Int = 50): DataFrame = {
+    val words = tokens(docs, text)
+      .groupBy(col("token")).agg(count(lit(1)).as("wf"))
+    words
+      .select(col("wf"), explode(expr(
+        "CASE WHEN length(token) >= 2 THEN " +
+          "transform(sequence(1, length(token) - 1), " +
+          "i -> substr(token, i, 2)) ELSE array() END")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wf")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc).limit(k)
+  }
+
   def tokens(df: DataFrame, text: Column): DataFrame =
     df.withColumn("token", explode(split(text, " ")))
       .filter(col("token") =!= "")

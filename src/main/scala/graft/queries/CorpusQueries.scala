@@ -86,6 +86,11 @@ object CorpusQueries {
         max(col("pos")).as("max_pos"),
         expr("bit_xor(h)").as("checksum"))
 
+  /** Top-50 BPE merge candidates (adjacent char-pair frequencies over
+    * the weighted vocabulary) — [[Corpus.bpePairCounts]]. */
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame =
+    Corpus.bpePairCounts(Tables(spark, dir, "documents"), col("text"), 50)
+
   /** Vocabulary: top-100 tokens by (count desc, token asc). */
   def vocabTopK(spark: SparkSession, dir: String): DataFrame =
     Corpus.vocabTopK(Tables(spark, dir, "documents"), col("text"), 100)
@@ -256,6 +261,7 @@ object CorpusQueries {
     "shuffle_rank" -> shuffleRank _,
     "export_manifest" -> exportManifest _,
     "vocab_topk" -> vocabTopK _,
+    "bpe_pair_counts" -> bpePairCounts _,
     "tfidf_topk" -> tfidfTopK _,
     "set_ops" -> setOps _,
     "edit_distance" -> editDistance _)
@@ -453,6 +459,20 @@ object CorpusQueries {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
         |    AS BIGINT) AS pos
         |FROM s""".stripMargin,
+    // same single-space tokenizer as vocab_topk; pairs weighted by
+    // word frequency, top-50 on the (n desc, pair asc) total order
+    "bpe_pair_counts" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |w AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS wf
+        |  FROM t WHERE token <> '' GROUP BY 1),
+        |p AS (
+        |  SELECT substr(token, CAST(i AS INT), 2) AS pair, wf
+        |  FROM w, LATERAL (SELECT unnest(range(1, length(token))) AS i)
+        |  WHERE length(token) >= 2)
+        |SELECT pair, CAST(SUM(wf) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "vocab_topk" ->
       """WITH t AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
