@@ -61,6 +61,33 @@ class BinRangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("property: rule output equals the naive join on random data " +
+      "across widths (fixed seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], seed: Long): T =
+      g(Gen.Parameters.default, Seed(seed))
+        .getOrElse(sys.error(s"gen failed for seed $seed"))
+    val ptsGen = Gen.listOfN(80, Gen.choose(-200L, 200L))
+    val rngGen = Gen.listOfN(40, for {
+      a <- Gen.choose(-200L, 200L)
+      span <- Gen.choose(-5L, 60L) // negative span = empty interval
+    } yield (a, a + span))
+    for (seed <- 1L to 4L; w <- Seq(1L, 7L, 64L)) {
+      val ps = sample(ptsGen, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("pid", "t")
+      val rs = sample(rngGen, seed + 100).zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("rid", "lo", "hi")
+      def run = ps.join(rs,
+          col("t") >= col("lo") && col("t") < col("hi"))
+        .select("pid", "rid").as[(Long, Long)].collect().toSet
+      val naive = run
+      val rewritten = withWidth(w)(run)
+      assert(rewritten == naive, s"seed=$seed width=$w")
+    }
+  }
+
   test("rewrite handles a SQL-path range join too") {
     points.createOrReplaceTempView("brj_points")
     ranges.createOrReplaceTempView("brj_ranges")
