@@ -98,6 +98,20 @@ object ExtQueries {
     Dedup.ngramJaccardPairs(Tables(spark, dir, "documents"),
       col("doc_id"), col("text"), n = 3, threshold = 0.5)
 
+  /** Jaccard threshold sweep — the LSH parameter-tuning histogram:
+    * verified pair counts per 0.1-wide similarity bin above 0.5. This
+    * is how a deployment picks its dedup threshold and its MinHash
+    * band/row split: a thin high band means aggressive thresholds are
+    * cheap; a fat 0.5-0.7 mass means the S-curve needs more bands.
+    * One aggregate over the already-gated pair frame; binning is
+    * floor(j·10) capped at 9 (exact doubles in, integer bins out). */
+  def jaccardThresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables(spark, dir, "documents"),
+        col("doc_id"), col("text"), n = 3, threshold = 0.5)
+      .select(least(floor(col("jaccard") * lit(10.0)), lit(9.0))
+        .cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+
   def dedupMinhashSig(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(Tables(spark, dir, "documents"),
       col("doc_id"), col("text"), n = 3, numHashes = 16)
@@ -553,6 +567,7 @@ object ExtQueries {
     "text_model_score" -> textModelScore _,
     "text_model_score_linear" -> textModelScoreLinear _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "jaccard_threshold_sweep" -> jaccardThresholdSweep _,
     "dedup_minhash_sig" -> dedupMinhashSig _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
@@ -729,6 +744,28 @@ object ExtQueries {
        |FROM documents d
        |LEFT JOIN cnt ON cnt.doc_id = d.doc_id
        |LEFT JOIN reb ON reb.doc_id = d.doc_id""".stripMargin
+
+  // histogram over the same verified-pair algebra; bin = floor(j*10)
+  // capped at 9 so exact-1.0 pairs land in the top bin
+  private val jaccardThresholdSweepSql =
+    s"""WITH $gramsCte,
+       |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+       |inter AS (
+       |  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+       |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+       |  GROUP BY a.id, b.id),
+       |jac AS (
+       |  SELECT CAST(inter AS DOUBLE)
+       |    / CAST(s1.sz + s2.sz - inter AS DOUBLE) AS jaccard
+       |  FROM inter
+       |  JOIN sizes s1 ON s1.id = id1
+       |  JOIN sizes s2 ON s2.id = id2
+       |  WHERE CAST(inter AS DOUBLE)
+       |    / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.5)
+       |SELECT CAST(least(floor(jaccard * CAST(10.0 AS DOUBLE)),
+       |    CAST(9.0 AS DOUBLE)) AS BIGINT) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM jac GROUP BY 1""".stripMargin
 
   // word BIGRAMS (n=2 twin of gramsCte); vocabulary cut is a total
   // order (df desc, gram asc) so the top-K boundary is deterministic
@@ -1729,6 +1766,7 @@ object ExtQueries {
     "text_model_score" -> textModelScoreSql,
     "text_model_score_linear" -> textModelScoreLinearSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "jaccard_threshold_sweep" -> jaccardThresholdSweepSql,
     "bigram_novelty" -> bigramNoveltySql,
     "boilerplate_strip" -> boilerplateStripSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
