@@ -245,6 +245,67 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("rank"), col("cosine"))
   }
 
+  /** Recall-vs-nProbe sweep — the full IVF tuning curve behind
+    * `ann_ivf_recall`'s single point: for each probe budget, the
+    * probed top-k's overlap with the exact brute-force top-k,
+    * aggregated to (n_probe, hits, possible, recall). ONE candidate
+    * pass serves every budget: probe ranks are computed once to
+    * max(probes) and each budget filters `pr <= n_probe` — correct
+    * because a smaller probe set is always a PREFIX of a larger one
+    * under the same (ccos, cell_id) order. This is the measurement a
+    * deployment reads to place itself on the latency/recall frontier
+    * before committing an nProbe. */
+  def ivfRecallSweep(corpus: DataFrame, corpusId: Column,
+      corpusVec: Column, queries: DataFrame, queryId: Column,
+      queryVec: Column, k: Int = 10, numCells: Int = 16,
+      probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probes.nonEmpty && probes.forall(_ >= 1))
+    val c = graft.Tables.materialize(
+      vectors(corpus, corpusId, corpusVec, "nbr_id", "cv", "sn_c"))
+    val q = graft.Tables.materialize(
+      vectors(queries, queryId, queryVec, "query_id", "qv", "sn_q"))
+    val centArr = centroidArrays(corpus, corpusId, corpusVec, numCells,
+      None)
+    val cells = cellAssignments(c, centArr)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cell_id").asc)
+    val probeRank = q.crossJoin(broadcast(centArr))
+      .withColumn("ccos", cellCos("qv", "sn_q"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= probes.max)
+      .select(col("query_id"), col("cell_id"), col("pr"))
+    val truth = graft.Tables.materialize(
+      bruteForceTopK(corpus, corpusId, corpusVec, queries, queryId,
+          queryVec, k)
+        .select(col("query_id"), col("nbr_id")))
+    val probeSet = broadcast(corpus.sparkSession
+      .createDataFrame(probes.map(Tuple1(_))).toDF("n_probe"))
+    val wTop = Window.partitionBy(col("query_id"), col("n_probe"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    val topk = probeRank.join(cells, "cell_id")
+      .select(col("query_id"), col("nbr_id"), col("pr"))
+      .crossJoin(probeSet)
+      .filter(col("pr") <= col("n_probe"))
+      .join(c, "nbr_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cosine",
+        VecKernels.vecDotDec(col("cv"), col("qv")).cast("double") /
+          (col("sn_c") * col("sn_q")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("n_probe"), col("query_id"), col("nbr_id"))
+    val hits = topk.join(truth, Seq("query_id", "nbr_id"), "left_semi")
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("n_hits"))
+    val nq = truth.select(col("query_id")).distinct()
+      .agg(count(lit(1)).as("nq"))
+    hits.crossJoin(broadcast(nq))
+      .select(col("n_probe"), col("n_hits"),
+        (col("nq") * k).as("n_possible"),
+        (col("n_hits").cast("double") /
+          (col("nq") * k).cast("double")).as("recall"))
+  }
+
   /** Embedding-centroid drift monitor — per-label cosine between the
     * mean embedding directions of two corpus snapshots: the data-drift
     * alarm a production embedding pipeline runs between refreshes

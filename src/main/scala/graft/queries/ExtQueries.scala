@@ -279,6 +279,15 @@ object ExtQueries {
       col("label"), pmod(col("vec_id"), lit(2)))
   }
 
+  /** The recall-vs-nProbe curve at the standard gate constants —
+    * [[Similarity.ivfRecallSweep]]. */
+  def annProbeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.ivfRecallSweep(emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 10, numCells = 16, probes = Seq(1, 2, 4, 8))
+  }
+
   /** The IVF-probed hard-negative path at the brute gate's constants
     * (numCells=16, nProbe=4, k=10) — see
     * [[Similarity.hardNegativesIvf]]. */
@@ -591,6 +600,7 @@ object ExtQueries {
     "graph_two_hop" -> graphTwoHop _,
     "knn_label_eval" -> knnLabelEval _,
     "ann_ranking_eval" -> annRankingEval _,
+    "ann_probe_sweep" -> annProbeSweep _,
     "ann_hard_negatives" -> annHardNegatives _,
     "ann_hard_negatives_ivf" -> annHardNegativesIvf _,
     "embed_drift" -> embedDrift _,
@@ -1651,6 +1661,65 @@ object ExtQueries {
        |    AS ndcg
        |FROM dcg d JOIN idcg g ON g.query_id = d.query_id""".stripMargin
 
+  // probe ranks computed once to max(n_probe); each budget filters a
+  // prefix; truth = the brute ranking; recall = one divide at the end
+  private val annProbeSweepSql =
+    s"""WITH $ivfAssignCtes,
+       |pr AS (
+       |  SELECT vec_id AS query_id, cell_id, r AS pr FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY ccos DESC, cell_id ASC) AS r
+       |    FROM cellcos WHERE vec_id < 10) WHERE r <= 8),
+       |probeset(n_probe) AS (VALUES (1), (2), (4), (8)),
+       |cand AS (
+       |  SELECT p.query_id, c.nbr_id, p.pr
+       |  FROM pr p JOIN cells c ON c.cell_id = p.cell_id),
+       |cd AS (
+       |  SELECT ps.n_probe, cand.query_id, cand.nbr_id
+       |  FROM cand, probeset ps WHERE cand.pr <= ps.n_probe),
+       |sdots AS (
+       |  SELECT cd.n_probe, cd.query_id, cd.nbr_id,
+       |    CAST(sum(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |  FROM cd
+       |  JOIN comp a ON a.vec_id = cd.nbr_id
+       |  JOIN comp b ON b.vec_id = cd.query_id AND b.i = a.i
+       |  GROUP BY cd.n_probe, cd.query_id, cd.nbr_id),
+       |sranked AS (
+       |  SELECT n_probe, query_id, nbr_id,
+       |    row_number() OVER (PARTITION BY n_probe, query_id
+       |      ORDER BY dot / (nc.sn * nq.sn) DESC, nbr_id ASC) AS rank
+       |  FROM sdots
+       |  JOIN norms nc ON nc.vec_id = nbr_id
+       |  JOIN norms nq ON nq.vec_id = query_id),
+       |stopk AS (
+       |  SELECT n_probe, query_id, nbr_id FROM sranked WHERE rank <= 10),
+       |bdots AS (
+       |  SELECT c.vec_id AS nbr_id, q.vec_id AS query_id,
+       |    CAST(sum(CAST(c.x * q.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |  FROM comp c JOIN comp q ON c.i = q.i AND q.vec_id < 10
+       |  GROUP BY c.vec_id, q.vec_id),
+       |branked AS (
+       |  SELECT query_id, nbr_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dot / (nc.sn * nq.sn) DESC, nbr_id ASC) AS rank
+       |  FROM bdots
+       |  JOIN norms nc ON nc.vec_id = nbr_id
+       |  JOIN norms nq ON nq.vec_id = query_id),
+       |truth AS (
+       |  SELECT query_id, nbr_id FROM branked WHERE rank <= 10),
+       |hits AS (
+       |  SELECT t.n_probe, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM stopk t JOIN truth u
+       |    ON u.query_id = t.query_id AND u.nbr_id = t.nbr_id
+       |  GROUP BY 1),
+       |nqr AS (
+       |  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq FROM truth)
+       |SELECT h.n_probe, h.n_hits,
+       |  nqr.nq * 10 AS n_possible,
+       |  CAST(h.n_hits AS DOUBLE) / CAST(nqr.nq * 10 AS DOUBLE) AS recall
+       |FROM hits h, nqr""".stripMargin
+
   // adjacency in both directions, one self-join, distinct reach set
   private val graphTwoHopSql =
     s"""WITH $embedPairCtes,
@@ -1795,6 +1864,7 @@ object ExtQueries {
     "graph_two_hop" -> graphTwoHopSql,
     "knn_label_eval" -> knnLabelEvalSql,
     "ann_ranking_eval" -> annRankingEvalSql,
+    "ann_probe_sweep" -> annProbeSweepSql,
     "ann_hard_negatives" -> annHardNegativesSql,
     "ann_hard_negatives_ivf" -> annHardNegativesIvfSql,
     "embed_drift" -> embedDriftSql)
