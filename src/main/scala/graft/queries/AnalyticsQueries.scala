@@ -605,6 +605,27 @@ object AnalyticsQueries {
         col("cusum_scaled"), col("days"), col("total"))
   }
 
+  /** Activity heatmap — the day-of-week × hour-of-day usage matrix
+    * every product dashboard opens with. Both axes are PURE integer
+    * arithmetic from epoch micros (dow 0=Monday via (days+3) mod 7 —
+    * 1970-01-01 was a Thursday; engine dayofweek() functions disagree
+    * on week start and are avoided entirely). One map-side-combined
+    * aggregate over a 168-cell key domain. */
+  def activityHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val days = expr(
+      "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) div 86400000000")
+    Tables(spark, dir, "events")
+      .select(pmod(days + 3, lit(7)).as("dow"),
+        pmod(expr(
+          "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) div 3600000000"),
+          lit(24)).as("hour"),
+        col("value"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+  }
+
   /** Seasonal-naive forecast backtest — the capacity-planning sanity
     * baseline every forecasting effort must beat: predict each day's
     * event count with the count seven days earlier, score MAE and
@@ -1145,6 +1166,7 @@ object AnalyticsQueries {
     "journey_trigrams" -> journeyTrigrams _,
     "cusum_changepoint" -> cusumChangepoint _,
     "forecast_backtest" -> forecastBacktest _,
+    "activity_heatmap" -> activityHeatmap _,
     "interval_merge" -> intervalMerge _,
     "mode_per_group" -> modePerGroup _,
     "freq_items_bounds" -> freqItemsBounds _,
@@ -1569,6 +1591,14 @@ object AnalyticsQueries {
         |        + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)))
         |  END AS z
         |FROM one""".stripMargin,
+    // integer dow/hour axes: (epoch_days + 3) % 7, 0 = Monday
+    "activity_heatmap" ->
+      """SELECT
+        |  CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS BIGINT) AS dow,
+        |  CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // integer errors over the densified grid, one divide per metric
     "forecast_backtest" ->
       """WITH daily AS (
