@@ -605,6 +605,31 @@ object AnalyticsQueries {
         col("cusum_scaled"), col("days"), col("total"))
   }
 
+  /** Growth accounting — each day's active users classified as NEW
+    * (first-ever activity), RETURNING (also active within the prior
+    * 7 days) or RESURRECTED (back after a 7+ day gap): the canonical
+    * product-growth decomposition. One distinct to user-day grain,
+    * then a per-user LAG and the first-day aggregate, both
+    * co-partitioned on user_id (one shuffle serves the window and the
+    * join); all comparisons are integer day arithmetic. */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val day = expr(
+      "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) div 86400000000")
+    val active = Tables(spark, dir, "events")
+      .select(col("user_id"), day.as("day")).distinct()
+    val firstDay = active.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+    active.withColumn("prev_day", lag(col("day"), 1).over(w))
+      .join(firstDay, "user_id")
+      .select(col("day"),
+        when(col("day") === col("first_day"), lit("new"))
+          .when(col("prev_day") >= col("day") - 7, lit("returning"))
+          .otherwise(lit("resurrected")).as("status"))
+      .groupBy(col("day"), col("status"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Activity heatmap — the day-of-week × hour-of-day usage matrix
     * every product dashboard opens with. Both axes are PURE integer
     * arithmetic from epoch micros (dow 0=Monday via (days+3) mod 7 —
@@ -1167,6 +1192,7 @@ object AnalyticsQueries {
     "cusum_changepoint" -> cusumChangepoint _,
     "forecast_backtest" -> forecastBacktest _,
     "activity_heatmap" -> activityHeatmap _,
+    "growth_accounting" -> growthAccounting _,
     "interval_merge" -> intervalMerge _,
     "mode_per_group" -> modePerGroup _,
     "freq_items_bounds" -> freqItemsBounds _,
@@ -1591,6 +1617,24 @@ object AnalyticsQueries {
         |        + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)))
         |  END AS z
         |FROM one""".stripMargin,
+    // user-day grain, LAG for the 7-day returning window, integer days
+    "growth_accounting" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM a GROUP BY 1),
+        |l AS (
+        |  SELECT a.user_id, a.day, f.first_day,
+        |    lag(a.day) OVER (PARTITION BY a.user_id ORDER BY a.day)
+        |      AS prev_day
+        |  FROM a JOIN f ON f.user_id = a.user_id)
+        |SELECT day,
+        |  CASE WHEN day = first_day THEN 'new'
+        |       WHEN prev_day >= day - 7 THEN 'returning'
+        |       ELSE 'resurrected' END AS status,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM l GROUP BY 1, 2""".stripMargin,
     // integer dow/hour axes: (epoch_days + 3) % 7, 0 = Monday
     "activity_heatmap" ->
       """SELECT
