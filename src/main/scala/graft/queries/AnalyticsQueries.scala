@@ -605,6 +605,34 @@ object AnalyticsQueries {
         col("cusum_scaled"), col("days"), col("total"))
   }
 
+  /** Cohort LTV curves — cumulative purchase revenue per signup-week
+    * cohort by week offset: [[cohortRetention]]'s revenue twin, the
+    * payback-period readout. Revenue folds in exact DECIMAL; the
+    * cumulative is a per-cohort ROWS window over the (small) offset
+    * domain, still in DECIMAL, cast to double once at the end — so
+    * the whole curve hash-gates bit-exact. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val week = expr("unix_micros(ts) div 604800000000")
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("value"),
+        week.as("wk"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_week"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("revd"),
+        count(lit(1)).as("n_purchases"))
+    val w = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("week_offset").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.withColumn("cum_revenue", sum(col("revd")).over(w))
+      .select(col("cohort_week"), col("week_offset"), col("n_purchases"),
+        col("revd").cast("double").as("revenue"),
+        col("cum_revenue").cast("double").as("cum_revenue"))
+  }
+
   /** Growth accounting — each day's active users classified as NEW
     * (first-ever activity), RETURNING (also active within the prior
     * 7 days) or RESURRECTED (back after a 7+ day gap): the canonical
@@ -1193,6 +1221,7 @@ object AnalyticsQueries {
     "forecast_backtest" -> forecastBacktest _,
     "activity_heatmap" -> activityHeatmap _,
     "growth_accounting" -> growthAccounting _,
+    "cohort_ltv" -> cohortLtv _,
     "interval_merge" -> intervalMerge _,
     "mode_per_group" -> modePerGroup _,
     "freq_items_bounds" -> freqItemsBounds _,
@@ -1617,6 +1646,26 @@ object AnalyticsQueries {
         |        + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)))
         |  END AS z
         |FROM one""".stripMargin,
+    // exact DECIMAL revenue incl. the cumulative window; double once
+    "cohort_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value,
+        |    CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1),
+        |r AS (
+        |  SELECT c.cohort_week, e.wk - c.cohort_week AS week_offset,
+        |    SUM(CAST(e.value AS DECIMAL(18,2))) AS revd,
+        |    CAST(count(*) AS BIGINT) AS n_purchases
+        |  FROM e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_purchases,
+        |  CAST(revd AS DOUBLE) AS revenue,
+        |  CAST(SUM(revd) OVER (PARTITION BY cohort_week
+        |    ORDER BY week_offset ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    AS cum_revenue
+        |FROM r""".stripMargin,
     // user-day grain, LAG for the 7-day returning window, integer days
     "growth_accounting" ->
       """WITH a AS (
