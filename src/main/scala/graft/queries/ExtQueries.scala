@@ -98,6 +98,33 @@ object ExtQueries {
     Dedup.ngramJaccardPairs(Tables(spark, dir, "documents"),
       col("doc_id"), col("text"), n = 3, threshold = 0.5)
 
+  /** Directed containment pairs — c(A→B) = |grams(A) ∩ grams(B)| /
+    * |grams(A)|: the ASYMMETRIC near-dup relation Jaccard
+    * structurally misses. A short document quoted inside a long one
+    * has high containment but low Jaccard (the union is dominated by
+    * the long side), and excerpt/quotation relationships are exactly
+    * what a corpus pipeline must catch to avoid training on the same
+    * passage twice at different granularities. Same gram-intersection
+    * algebra as the Jaccard join, thresholded on the directed ratio;
+    * emitted per direction so A-in-B and B-in-A are distinguishable. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.Tables.materialize(Dedup.shingles(
+      Tables(spark, dir, "documents"), col("doc_id"), col("text"), n = 3))
+    val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = g.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    inter
+      .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), "id2")
+      .select(col("id1"), col("id2"),
+        (d(col("inter")) / d(col("sz1"))).as("c12"),
+        (d(col("inter")) / d(col("sz2"))).as("c21"))
+      .filter(col("c12") >= 0.9 || col("c21") >= 0.9)
+  }
+
   /** Jaccard threshold sweep — the LSH parameter-tuning histogram:
     * verified pair counts per 0.1-wide similarity bin above 0.5. This
     * is how a deployment picks its dedup threshold and its MinHash
@@ -577,6 +604,7 @@ object ExtQueries {
     "text_model_score_linear" -> textModelScoreLinear _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "jaccard_threshold_sweep" -> jaccardThresholdSweep _,
+    "dedup_containment" -> dedupContainment _,
     "dedup_minhash_sig" -> dedupMinhashSig _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
@@ -754,6 +782,23 @@ object ExtQueries {
        |FROM documents d
        |LEFT JOIN cnt ON cnt.doc_id = d.doc_id
        |LEFT JOIN reb ON reb.doc_id = d.doc_id""".stripMargin
+
+  // directed ratios from the same gram-intersection algebra
+  private val dedupContainmentSql =
+    s"""WITH $gramsCte,
+       |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+       |inter AS (
+       |  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+       |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+       |  GROUP BY a.id, b.id)
+       |SELECT id1, id2,
+       |  CAST(inter AS DOUBLE) / CAST(s1.sz AS DOUBLE) AS c12,
+       |  CAST(inter AS DOUBLE) / CAST(s2.sz AS DOUBLE) AS c21
+       |FROM inter
+       |JOIN sizes s1 ON s1.id = id1
+       |JOIN sizes s2 ON s2.id = id2
+       |WHERE CAST(inter AS DOUBLE) / CAST(s1.sz AS DOUBLE) >= 0.9
+       |   OR CAST(inter AS DOUBLE) / CAST(s2.sz AS DOUBLE) >= 0.9""".stripMargin
 
   // histogram over the same verified-pair algebra; bin = floor(j*10)
   // capped at 9 so exact-1.0 pairs land in the top bin
@@ -1836,6 +1881,7 @@ object ExtQueries {
     "text_model_score_linear" -> textModelScoreLinearSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "jaccard_threshold_sweep" -> jaccardThresholdSweepSql,
+    "dedup_containment" -> dedupContainmentSql,
     "bigram_novelty" -> bigramNoveltySql,
     "boilerplate_strip" -> boilerplateStripSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
