@@ -106,7 +106,15 @@ object ExtQueries {
     * what a corpus pipeline must catch to avoid training on the same
     * passage twice at different granularities. Same gram-intersection
     * algebra as the Jaccard join, thresholded on the directed ratio;
-    * emitted per direction so A-in-B and B-in-A are distinguishable. */
+    * emitted per direction so A-in-B and B-in-A are distinguishable.
+    *
+    * Scale note: this gate runs the plain gram self-join (it IS the
+    * oracle's algebra); at corpus scale front it with the shared-
+    * shingle LSH candidate pass exactly as [[docDedupPipeline]] does —
+    * containment verification swaps in for Jaccard verification on
+    * the same candidate pairs. (AllPairs prefix filtering does not
+    * transfer unchanged: the prefix bound must be taken on the
+    * CONTAINED side's size, which LSH candidates sidestep.) */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
     val g = graft.Tables.materialize(Dedup.shingles(
       Tables(spark, dir, "documents"), col("doc_id"), col("text"), n = 3))
