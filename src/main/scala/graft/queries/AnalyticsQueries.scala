@@ -605,6 +605,48 @@ object AnalyticsQueries {
         col("cusum_scaled"), col("days"), col("total"))
   }
 
+  /** Q13-shaped engagement distribution: how many customers placed
+    * exactly k orders — INCLUDING the zero-order customers a plain
+    * join silently drops (the left-outer + coalesce(0) is the whole
+    * point of the shape; "inactive users" are the most-watched bar of
+    * the histogram). Two aggregates + one left join, all integer. */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    Tables(spark, dir, "customer").select(col("c_custkey"))
+      .join(perCust, Seq("c_custkey"), "left_outer")
+      .select(coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_custs"))
+  }
+
+  /** Q22-shaped prospect analysis: customers with above-average
+    * positive balance and no URGENT order on file (at TPC-H density
+    * every customer has SOME order, so the plain "no orders" filter
+    * degenerates to empty; "never urgent" keeps the identical
+    * scalar-subquery + anti-join composition while selecting a real
+    * population), grouped by nation. The threshold is ONE exact-
+    * decimal sum divided once as doubles (operand order mirrored in
+    * the oracle), broadcast as a 1-row frame; the anti-join runs at
+    * fact-table scale. */
+  def q22Prospects(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+    val thr = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+        count(lit(1)).cast("double")).as("thr"))
+    cust.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("thr"))
+      .join(Tables(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey")).distinct(),
+        Seq("c_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_prospects"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("total_bal"))
+  }
+
   /** Cohort LTV curves — cumulative purchase revenue per signup-week
     * cohort by week offset: [[cohortRetention]]'s revenue twin, the
     * payback-period readout. Revenue folds in exact DECIMAL; the
@@ -1222,6 +1264,8 @@ object AnalyticsQueries {
     "activity_heatmap" -> activityHeatmap _,
     "growth_accounting" -> growthAccounting _,
     "cohort_ltv" -> cohortLtv _,
+    "q13_custdist" -> q13CustDist _,
+    "q22_prospects" -> q22Prospects _,
     "interval_merge" -> intervalMerge _,
     "mode_per_group" -> modePerGroup _,
     "freq_items_bounds" -> freqItemsBounds _,
@@ -1646,6 +1690,28 @@ object AnalyticsQueries {
         |        + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)))
         |  END AS z
         |FROM one""".stripMargin,
+    "q13_custdist" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT COALESCE(pc.n_orders, 0) AS n_orders,
+        |  CAST(count(*) AS BIGINT) AS n_custs
+        |FROM customer c LEFT JOIN pc ON pc.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin,
+    // threshold = exact decimal sum / count, ONE double divide
+    "q22_prospects" ->
+      """WITH t AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS thr
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_prospects,
+        |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_bal
+        |FROM customer c, t
+        |WHERE c.c_acctbal > t.thr
+        |  AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                          WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
     // exact DECIMAL revenue incl. the cumulative window; double once
     "cohort_ltv" ->
       """WITH e AS (
