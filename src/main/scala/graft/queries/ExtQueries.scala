@@ -133,6 +133,37 @@ object ExtQueries {
       .filter(col("c12") >= 0.9 || col("c21") >= 0.9)
   }
 
+  /** Per-document dedup LINEAGE — the audit manifest a corpus release
+    * ships: every document tagged with the FIRST pipeline stage that
+    * would remove it (`exact_dup` → `near_dup` → `high_coverage`) or
+    * `kept`. Composes the already-gated pieces (canonical-fingerprint
+    * survivors, the LSH→Jaccard→CC near-dup graph, repeated-span
+    * coverage) into one verdict frame — precedence mirrors execution
+    * order, so the tag answers "WHY is this document not in the
+    * release" without re-running anything. */
+  def dedupLineage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val (survivors, verified) = Dedup.dedupSurvivorsAndVerified(
+      docs, col("doc_id"), col("text"), n = 3, jaccardThreshold = 0.8)
+    val surv = survivors.select(col("id").as("doc_id"),
+      lit(true).as("surv"))
+    val nearDropped = Dedup.connectedComponents(verified)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"), lit(true).as("near"))
+    val cov = Dedup.repeatedSpanCoverage(docs, col("doc_id"),
+        col("text"), gramChars = 40, minFreq = 2, maxCoverage = 0.5)
+      .select(col("doc_id"), col("keep"))
+    docs.select(col("doc_id"))
+      .join(surv, Seq("doc_id"), "left_outer")
+      .join(nearDropped, Seq("doc_id"), "left_outer")
+      .join(cov, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("surv").isNull, lit("exact_dup"))
+          .when(col("near"), lit("near_dup"))
+          .when(!col("keep"), lit("high_coverage"))
+          .otherwise(lit("kept")).as("verdict"))
+  }
+
   /** Jaccard threshold sweep — the LSH parameter-tuning histogram:
     * verified pair counts per 0.1-wide similarity bin above 0.5. This
     * is how a deployment picks its dedup threshold and its MinHash
@@ -613,6 +644,7 @@ object ExtQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "jaccard_threshold_sweep" -> jaccardThresholdSweep _,
     "dedup_containment" -> dedupContainment _,
+    "dedup_lineage" -> dedupLineage _,
     "dedup_minhash_sig" -> dedupMinhashSig _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_simhash" -> dedupSimhash _,
@@ -1089,6 +1121,40 @@ object ExtQueries {
        |SELECT doc_id, n_chars, dup_chars, dup_coverage,
        |  dup_coverage <= 0.5 AS keep
        |FROM r""".stripMargin
+
+  // composed lineage: exact survivors + reach CC + span coverage in
+  // one WITH (CTE names across the three prefixes are disjoint);
+  // CASE precedence mirrors pipeline execution order
+  private val dedupLineageSql =
+    s"""WITH RECURSIVE $docDedupCtes,
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM verified
+       |  UNION
+       |  SELECT id2 AS src, id1 AS dst FROM verified),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst),
+       |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+       |$substringSpanCtes,
+       |cov AS (
+       |  SELECT doc_id,
+       |    CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_chars
+       |  FROM spans GROUP BY doc_id),
+       |covk AS (
+       |  SELECT d.doc_id,
+       |    (CASE WHEN length(d.text) = 0 THEN 0.0
+       |      ELSE COALESCE(c.dup_chars, 0)
+       |        / CAST(length(d.text) AS DOUBLE) END) <= 0.5 AS keep
+       |  FROM documents d LEFT JOIN cov c ON c.doc_id = d.doc_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN d.doc_id NOT IN (SELECT id FROM survivors)
+       |         THEN 'exact_dup'
+       |       WHEN d.doc_id IN (SELECT id FROM comp WHERE id <> component)
+       |         THEN 'near_dup'
+       |       WHEN NOT k.keep THEN 'high_coverage'
+       |       ELSE 'kept' END AS verdict
+       |FROM documents d JOIN covk k ON k.doc_id = d.doc_id""".stripMargin
 
   // docDedupCcSql's pair graph + reach CC, with the keeper swapped to
   // best-score-per-component (ties -> min id; exact dups tie by
@@ -1890,6 +1956,7 @@ object ExtQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "jaccard_threshold_sweep" -> jaccardThresholdSweepSql,
     "dedup_containment" -> dedupContainmentSql,
+    "dedup_lineage" -> dedupLineageSql,
     "bigram_novelty" -> bigramNoveltySql,
     "boilerplate_strip" -> boilerplateStripSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
