@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.RelationalQueries.queries ++
       graft.queries.CorpusQueries.queries ++
-      graft.queries.LakeQueries.queries
+      graft.queries.LakeQueries.queries ++
+      graft.queries.TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.RelationalQueries.oracleSql ++
       graft.queries.CorpusQueries.oracleSql ++
-      graft.queries.LakeQueries.oracleSql
+      graft.queries.LakeQueries.oracleSql ++
+      graft.queries.TpchQueries.oracleSql
 }

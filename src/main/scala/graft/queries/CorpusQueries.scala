@@ -245,7 +245,39 @@ object CorpusQueries {
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n"))
 
+  /** Gopher-style quality-rule battery (Rae et al. 2021 §A1.1 shape):
+    * five per-document boolean rules + the conjunctive keep decision,
+    * tuned to this corpus's 10-99-token documents. Everything is
+    * integer arithmetic — ratio rules compare via cross-multiplication
+    * (`4·n ≤ Σlen ≤ 7·n` instead of `4 ≤ Σlen/n ≤ 7`) so the gate
+    * never touches a float. One narrow scan pass per document, no
+    * shuffle at all: at 100 TB this is a pure map stage that fuses
+    * into whatever consumer follows it. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val sumLen = aggregate(transform(toks, t => length(t)),
+      lit(0L), (a, b) => a + b)
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val punct = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+      .cast("long")
+    val markers = array(Seq("the", "data", "row", "table", "value")
+      .map(lit): _*)
+    val nMarkers = size(array_intersect(array_distinct(toks), markers))
+    val rLen = nTok >= 20L && nTok <= 1000L
+    val rWordLen = sumLen >= nTok * 4L && sumLen <= nTok * 7L
+    val rPunct = punct * 10L <= length(col("text")).cast("long")
+    val rCommon = nMarkers >= 2
+    val rRep = nDistinct * 2L >= nTok
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        rLen.as("r_len"), rWordLen.as("r_word_len"),
+        rPunct.as("r_punct"), rCommon.as("r_common"), rRep.as("r_rep"),
+        (rLen && rWordLen && rPunct && rCommon && rRep).as("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gopher_rules" -> gopherRules _,
     "dataset_split" -> datasetSplit _,
     "text_normalize" -> textNormalize _,
     "winsorize_values" -> winsorizeValues _,
@@ -267,6 +299,36 @@ object CorpusQueries {
     "edit_distance" -> editDistance _)
 
   val oracleSql: Map[String, String] = Map(
+    // integer cross-multiplication everywhere; list_sum cast pinned to
+    // BIGINT (DuckDB widens list_sum to HUGEINT)
+    "gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(list_sum(list_transform(toks, x -> length(x)))
+        |         AS BIGINT) AS sum_len,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+        |         AS BIGINT) AS punct,
+        |    len(list_intersect(list_distinct(toks),
+        |        ['the', 'data', 'row', 'table', 'value'])) AS n_markers
+        |  FROM t)
+        |SELECT doc_id,
+        |  n_tok >= 20 AND n_tok <= 1000 AS r_len,
+        |  sum_len >= n_tok * 4 AND sum_len <= n_tok * 7 AS r_word_len,
+        |  punct * 10 <= CAST(length(text) AS BIGINT) AS r_punct,
+        |  n_markers >= 2 AS r_common,
+        |  n_distinct * 2 >= n_tok AS r_rep,
+        |  (n_tok >= 20 AND n_tok <= 1000)
+        |    AND (sum_len >= n_tok * 4 AND sum_len <= n_tok * 7)
+        |    AND (punct * 10 <= CAST(length(text) AS BIGINT))
+        |    AND (n_markers >= 2)
+        |    AND (n_distinct * 2 >= n_tok) AS keep
+        |FROM m""".stripMargin,
     "dataset_split" ->
       """WITH h AS (
         |  SELECT lang,

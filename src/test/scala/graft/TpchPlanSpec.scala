@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.queries.TpchQueries
+
+/** Plan-shape assertions for the TPC-H-shaped gates: the properties
+  * that matter at 100 TB (broadcasts where intended, filters reaching
+  * the scans) — correctness itself is the DuckDB oracle's job.
+  */
+class TpchPlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q18: the HAVING side broadcasts — orders/customer never shuffle") {
+    val plan = formatted(TpchQueries.q18LargeOrders(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q10: date bounds and returnflag are pushed to the scans") {
+    val plan = formatted(TpchQueries.q10ReturnedItems(spark, dir))
+    assert(plan.contains("PushedFilters"))
+    // returnflag filter reaches the lineitem parquet scan
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan.take(2000))
+    // date range reaches the orders scan
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"))
+  }
+
+  test("q7: the only shuffle join is lineitem><orders; dims broadcast") {
+    val plan = formatted(TpchQueries.q7VolumeShipping(spark, dir))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 2, s"expected >=2 broadcast joins:\n$plan")
+    val nSmj = "SortMergeJoin".r.findAllIn(plan).length +
+      "ShuffledHashJoin".r.findAllIn(plan).length
+    assert(nSmj <= 1, s"expected at most one shuffle join:\n$plan")
+  }
+
+  test("q15: tie compare stays in decimal and the max row broadcasts") {
+    val df = TpchQueries.q15TopSupplier(spark, dir)
+    val plan = formatted(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"))
+    // non-empty at the smallest SF too (driver smoke scale)
+    assert(df.count() >= 1)
+  }
+
+  test("q8/q14 shares are in [0,1] / [0,100] at smoke scale") {
+    val q8 = TpchQueries.q8MarketShare(spark, dir).collect()
+    assert(q8.nonEmpty)
+    q8.foreach { r =>
+      val s = r.getAs[Double]("mkt_share")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+    val q14 = TpchQueries.q14PromoShare(spark, dir).collect()
+    assert(q14.length == 1)
+    val p = q14.head.getAs[Double]("promo_share")
+    assert(p >= 0.0 && p <= 100.0)
+  }
+}
