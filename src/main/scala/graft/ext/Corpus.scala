@@ -558,4 +558,42 @@ object Corpus {
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** LOSSLESS fuzzy self-join at edit distance ≤ 1 via deletion-
+    * neighborhood blocking (the FastSS family): each key emits itself
+    * plus its |k| single-character deletions; any two strings within
+    * one edit (substitution, insertion, or deletion) share at least
+    * one variant, so an equi-join on the variant finds EVERY qualifying
+    * pair — unlike heuristic prefix/LSH blocks there is no recall loss
+    * to audit. Candidates are deduped, then verified with exact
+    * Levenshtein.
+    *
+    * Scale: |k|+1 variant rows per input row, one hash shuffle on the
+    * variant string, quadratic cost confined to per-variant buckets
+    * (bucket size = strings sharing a deletion — bounded by key-space
+    * collision structure, salt the join if a degenerate key dominates).
+    * Keys must be short (titles, codes, acronyms) — the method is for
+    * k≤2 keys, not documents; pair it with [[Dedup]] sketches for
+    * long text. */
+  def fuzzyJoinDeletion(docs: DataFrame, id: Column, key: Column): DataFrame = {
+    val side = docs.select(id.as("id"), key.as("k"))
+    val delVariants = transform(
+      sequence(lit(1), length(col("k"))),
+      i => concat(col("k").substr(lit(1), i - 1),
+        col("k").substr(i + 1, length(col("k")) - i)))
+    val exploded = side.select(col("id"), col("k"),
+      explode(array_distinct(concat(array(col("k")), delVariants)))
+        .as("variant"))
+    val l = exploded.select(col("id").as("id_a"), col("k").as("k_a"),
+      col("variant"))
+    val r = exploded.select(col("id").as("id_b"), col("k").as("k_b"),
+      col("variant"))
+    l.join(r, "variant")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("k_a"), col("k_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("k_a"), col("k_b")).cast("long"))
+      .filter(col("dist") <= 1L)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -276,7 +276,22 @@ object CorpusQueries {
         (rLen && rWordLen && rPunct && rCommon && rRep).as("keep"))
   }
 
+  /** Lossless fuzzy self-join (edit distance ≤ 1) on a 5-token acronym
+    * key via deletion-neighborhood blocking — the scalable exact
+    * method for short-key fuzzy matching (title/code dedup), here
+    * exercised on a derived acronym so the sf0.01 corpus yields a
+    * meaningful pair set. Keys are ASCII by canary, so Spark
+    * (codepoint) and DuckDB (byte) Levenshtein agree. */
+  def fuzzyJoinAcronym(spark: SparkSession, dir: String): DataFrame = {
+    val acronym = array_join(
+      transform(slice(TextFunctions.tokens(col("text")), 1, 5),
+        t => substring(t, 1, 1)), "")
+    Corpus.fuzzyJoinDeletion(
+      Tables(spark, dir, "documents"), col("doc_id"), acronym)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuzzy_join_acronym" -> fuzzyJoinAcronym _,
     "gopher_rules" -> gopherRules _,
     "dataset_split" -> datasetSplit _,
     "text_normalize" -> textNormalize _,
@@ -299,6 +314,19 @@ object CorpusQueries {
     "edit_distance" -> editDistance _)
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle is the NAIVE all-pairs join — losslessness of the
+    // deletion-neighborhood blocking is exactly what the gate proves
+    "fuzzy_join_acronym" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(
+        |      list_slice(string_split_regex(trim(text), '\s+'), 1, 5),
+        |      x -> x[1:1]), '') AS k
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.k, b.k) <= 1""".stripMargin,
     // integer cross-multiplication everywhere; list_sum cast pinned to
     // BIGINT (DuckDB widens list_sum to HUGEINT)
     "gopher_rules" ->

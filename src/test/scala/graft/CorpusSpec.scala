@@ -171,6 +171,43 @@ class CorpusSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1L)))
   }
 
+  test("fuzzyJoinDeletion finds EXACTLY the naive lev<=1 pair set " +
+    "(lossless blocking, seeded strings)") {
+    // seeded pseudo-random 4-6 char strings over a 6-letter alphabet:
+    // dense enough that substitution/insert/delete/equal pairs all
+    // occur, plus planted neighbors of every edit kind
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdef"
+    val base = (1L to 120L).map { i =>
+      val n = 4 + rnd.nextInt(3)
+      (i, (0 until n).map(_ => alpha(rnd.nextInt(6))).mkString)
+    }
+    val planted = Seq(
+      (201L, "abcd"), (202L, "abed"),  // substitution
+      (203L, "abcde"),                 // insertion vs 201
+      (204L, "abc"),                   // deletion vs 201
+      (205L, "abcd"))                  // exact dup of 201
+    val docs = (base ++ planted).toDF("id", "k")
+    val got = Corpus.fuzzyJoinDeletion(docs, col("id"), col("k"))
+      .as[(Long, Long, Long)].collect().toSet
+    val naive = {
+      val all = (base ++ planted)
+      (for {
+        (ia, ka) <- all; (ib, kb) <- all if ia < ib
+        d = {  // reference Levenshtein
+          val dp = Array.tabulate(ka.length + 1)(i =>
+            Array.tabulate(kb.length + 1)(j => if (i == 0) j else if (j == 0) i else 0))
+          for (i <- 1 to ka.length; j <- 1 to kb.length)
+            dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+              dp(i - 1)(j - 1) + (if (ka(i - 1) == kb(j - 1)) 0 else 1))
+          dp(ka.length)(kb.length)
+        } if d <= 1
+      } yield (ia, ib, d.toLong)).toSet
+    }
+    assert(naive.exists(_._3 == 0L) && naive.exists(_._3 == 1L))
+    assert(got == naive)
+  }
+
   test("repetitionStats: known ratios, single-token and repeated-text edges") {
     val docs = Seq(
       (1L, "a b a b a b"),   // 3 distinct? a,b -> dup 1-2/6; bigrams: "a b"x3,"b a"x2 -> 3/5
