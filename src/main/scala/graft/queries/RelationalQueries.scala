@@ -556,6 +556,26 @@ object RelationalQueries {
         datediff(lit("1998-12-01").cast("date"),
           col("o_orderdate").cast("date")).cast("long").as("days_to_horizon"))
 
+  /** Null-safe equi-join gate: Spark `<=>` vs ANSI
+    * `IS NOT DISTINCT FROM` — NULL keys MATCH each other (one joined
+    * NULL row survives), where a plain `=` join would drop them.
+    * Both sides pre-aggregate to ≤50 key rows, the dim side
+    * broadcasts, and EqualNullSafe stays a hash-join key (no
+    * nested-loop fallback). NULLs are injected deterministically at
+    * key 7 on both engines. */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ek = when(col("user_id") % 50 === 7, lit(null).cast("long"))
+      .otherwise(col("user_id") % 50)
+    val ck = when(col("c_custkey") % 50 === 7, lit(null).cast("long"))
+      .otherwise(col("c_custkey") % 50)
+    val ev = Tables(spark, dir, "events")
+      .groupBy(ek.as("k")).agg(count(lit(1)).as("n_events"))
+    val cu = Tables(spark, dir, "customer")
+      .groupBy(ck.as("k")).agg(count(lit(1)).as("n_custs"))
+    ev.join(broadcast(cu), ev("k") <=> cu("k"))
+      .select(ev("k").as("k"), col("n_events"), col("n_custs"))
+  }
+
   /** Null-semantics gate — the migration pitfalls a cross-engine port
     * hits first, pinned: NULL grouping keys form one real group;
     * count(*) counts rows while count(col) skips NULLs; SUM/MIN over
@@ -581,6 +601,7 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "null_semantics" -> nullSemantics _,
+    "null_safe_join" -> nullSafeJoin _,
     "window_range_frame" -> windowRangeFrame _,
     "date_funcs" -> dateFuncs _,
     "table_checksum" -> tableChecksum _,
@@ -609,6 +630,21 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    // the NULL<->NULL joined row is the gate: losing it means the
+    // engine degraded null-safe equality to plain equality
+    "null_safe_join" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN user_id % 50 = 7 THEN NULL
+        |              ELSE user_id % 50 END AS k,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT CASE WHEN c_custkey % 50 = 7 THEN NULL
+        |              ELSE c_custkey % 50 END AS k,
+        |    CAST(count(*) AS BIGINT) AS n_custs
+        |  FROM customer GROUP BY 1)
+        |SELECT e.k, n_events, n_custs
+        |FROM e JOIN c ON e.k IS NOT DISTINCT FROM c.k""".stripMargin,
     // all_null_sum gates "SUM of an all-NULL slice is NULL, not 0":
     // the Spark side sums an impossible-predicate CASE, so a constant
     // NULL here fails the moment that semantic regresses to 0.0
