@@ -556,6 +556,36 @@ object RelationalQueries {
         datediff(lit("1998-12-01").cast("date"),
           col("o_orderdate").cast("date")).cast("long").as("days_to_horizon"))
 
+  /** MapType operator battery: map_from_arrays → map_concat →
+    * element_at / map_keys / transform_values / map_values, reduced to
+    * integer scalars per event type. The oracle computes the same
+    * scalars directly from the source columns, so any drift in map
+    * construction, key order, merge, or value transform shows up as a
+    * value mismatch (the `keys_str`/`max_size` columns are the
+    * structural canaries — constant when the ops behave). All-integer
+    * arithmetic; the per-row lambdas touch 3-entry maps only. */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val kv = get_json_object(col("props"), "$.k").cast("long")
+    val m = map_from_arrays(
+      array(lit("a"), lit("b")),
+      array(col("user_id") % 10, kv))
+    val m2 = map_concat(m, map(lit("c"), col("event_id") % 7))
+    Tables(spark, dir, "events")
+      .select(col("event_type"), m2.as("m"))
+      .select(col("event_type"),
+        element_at(col("m"), "a").as("ea"),
+        size(col("m")).cast("long").as("msize"),
+        array_join(sort_array(map_keys(col("m"))), ",").as("ks"),
+        aggregate(map_values(transform_values(col("m"), (_, v) => v * 2)),
+          lit(0L), (acc, x) => acc + x).as("dbl"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ea")).as("sum_a"),
+        max(col("msize")).as("max_size"),
+        min(col("ks")).as("keys_str"),
+        sum(col("dbl")).as("sum_dbl"))
+  }
+
   /** Null-safe equi-join gate: Spark `<=>` vs ANSI
     * `IS NOT DISTINCT FROM` — NULL keys MATCH each other (one joined
     * NULL row survives), where a plain `=` join would drop them.
@@ -602,6 +632,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "null_semantics" -> nullSemantics _,
     "null_safe_join" -> nullSafeJoin _,
+    "map_funcs" -> mapFuncs _,
     "window_range_frame" -> windowRangeFrame _,
     "date_funcs" -> dateFuncs _,
     "table_checksum" -> tableChecksum _,
@@ -630,6 +661,20 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle computes the map-op results straight from source
+    // columns; keys_str/max_size are constants UNLESS a map op breaks
+    "map_funcs" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id % 10 AS a,
+        |    CAST(props->>'$.k' AS BIGINT) AS b,
+        |    event_id % 7 AS c
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(a) AS BIGINT) AS sum_a,
+        |  CAST(3 AS BIGINT) AS max_size,
+        |  'a,b,c' AS keys_str,
+        |  CAST(SUM(2 * (a + b + c)) AS BIGINT) AS sum_dbl
+        |FROM e GROUP BY 1""".stripMargin,
     // the NULL<->NULL joined row is the gate: losing it means the
     // engine degraded null-safe equality to plain equality
     "null_safe_join" ->
