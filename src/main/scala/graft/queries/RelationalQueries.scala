@@ -556,6 +556,39 @@ object RelationalQueries {
         datediff(lit("1998-12-01").cast("date"),
           col("o_orderdate").cast("date")).cast("long").as("days_to_horizon"))
 
+  /** Outer-generator semantics: `posexplode_outer` must keep one
+    * NULL-position row for empty AND for NULL arrays where the plain
+    * generator would drop the parent row — the classic silent-row-loss
+    * migration bug. The oracle computes the expected row algebra
+    * directly (empty/NULL → 1 row, else n rows with sum n(n+1)/2), so
+    * any dropped or duplicated parent row shifts a count. */
+  def explodeOuterSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val arr = when(col("user_id") % 5 === 0, array().cast("array<long>"))
+      .when(col("user_id") % 7 === 0, lit(null).cast("array<long>"))
+      .otherwise(sequence(lit(1L), col("user_id") % 3 + 1))
+    Tables(spark, dir, "events")
+      .select(col("event_type"), arr.as("a"))
+      .select(col("event_type"), posexplode_outer(col("a")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("col")).as("n_vals"),
+        sum(col("col")).as("sum_vals"),
+        sum(col("pos")).as("sum_pos"))
+  }
+
+  /** Bitwise aggregates (bit_or / bit_and / bit_xor) — flag-bitmap
+    * accumulation per group, exact integers on both engines. */
+  def bitwiseAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_type"),
+        (col("user_id") % 256).as("flags"),
+        (col("event_id") % 1024).as("eid"))
+      .groupBy(col("event_type"))
+      .agg(expr("bit_or(flags)").as("or_flags"),
+        expr("bit_and(flags + 256)").as("and_flags"),
+        expr("bit_xor(eid)").as("xor_eid"),
+        count(lit(1)).as("n"))
+
   /** MapType operator battery: map_from_arrays → map_concat →
     * element_at / map_keys / transform_values / map_values, reduced to
     * integer scalars per event type. The oracle computes the same
@@ -633,6 +666,8 @@ object RelationalQueries {
     "null_semantics" -> nullSemantics _,
     "null_safe_join" -> nullSafeJoin _,
     "map_funcs" -> mapFuncs _,
+    "explode_outer_semantics" -> explodeOuterSemantics _,
+    "bitwise_agg" -> bitwiseAgg _,
     "window_range_frame" -> windowRangeFrame _,
     "date_funcs" -> dateFuncs _,
     "table_checksum" -> tableChecksum _,
@@ -661,6 +696,36 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    // expected row algebra computed directly: empty/NULL arrays keep
+    // exactly one NULL-valued row each under the OUTER generator
+    "explode_outer_semantics" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CASE WHEN user_id % 5 = 0 THEN 1
+        |         WHEN user_id % 7 = 0 THEN 1
+        |         ELSE user_id % 3 + 1 END AS n_rows,
+        |    CASE WHEN user_id % 5 = 0 OR user_id % 7 = 0 THEN 0
+        |         ELSE user_id % 3 + 1 END AS n_vals,
+        |    CASE WHEN user_id % 5 = 0 OR user_id % 7 = 0 THEN NULL
+        |         ELSE (user_id % 3 + 1) * (user_id % 3 + 2) // 2
+        |         END AS sum_vals,
+        |    CASE WHEN user_id % 5 = 0 OR user_id % 7 = 0 THEN NULL
+        |         ELSE (user_id % 3 + 1) * (user_id % 3) // 2
+        |         END AS sum_pos
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+        |  CAST(SUM(n_vals) AS BIGINT) AS n_vals,
+        |  CAST(SUM(sum_vals) AS BIGINT) AS sum_vals,
+        |  CAST(SUM(sum_pos) AS BIGINT) AS sum_pos
+        |FROM e GROUP BY 1""".stripMargin,
+    "bitwise_agg" ->
+      """SELECT event_type,
+        |  bit_or(user_id % 256) AS or_flags,
+        |  bit_and(user_id % 256 + 256) AS and_flags,
+        |  bit_xor(event_id % 1024) AS xor_eid,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     // the oracle computes the map-op results straight from source
     // columns; keys_str/max_size are constants UNLESS a map op breaks
     "map_funcs" ->
