@@ -556,6 +556,50 @@ object RelationalQueries {
         datediff(lit("1998-12-01").cast("date"),
           col("o_orderdate").cast("date")).cast("long").as("days_to_horizon"))
 
+  /** Discrete percentiles (`percentile_disc` WITHIN GROUP): returns an
+    * ACTUAL data value (first value with cume_dist ≥ p), vs the
+    * interpolating `percentile` already gated in quantiles_agg — the
+    * two differ on any even-count group, so this pins the other
+    * member-selection semantic. Values compared are input doubles,
+    * never arithmetic results. */
+  def percentileDisc(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("p90"),
+        count(lit(1)).as("n"))
+
+  /** The NOT IN / NOT EXISTS null trap, pinned: a NULL in the subquery
+    * makes `NOT IN` three-valued — ZERO rows survive — while
+    * `NOT EXISTS` keeps every non-matching row. Engines that
+    * "helpfully" rewrite one into the other break real migrations;
+    * n_not_in = 0 with n_not_exists > 0 is the behavioural
+    * fingerprint this gate freezes (Spark plans the NOT IN as a
+    * null-aware anti join). */
+  def notInNullTrap(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "customer").select(col("c_custkey"))
+      .createOrReplaceTempView("nint_cust")
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(when(col("o_orderkey") % 97 === 0, lit(null).cast("long"))
+        .otherwise(col("o_custkey")).as("k"))
+      .createOrReplaceTempView("nint_sub")
+    spark.sql(
+      """SELECT
+        |  (SELECT count(*) FROM nint_cust
+        |   WHERE c_custkey NOT IN (SELECT k FROM nint_sub)) AS n_not_in,
+        |  (SELECT count(*) FROM nint_cust c
+        |   WHERE NOT EXISTS (SELECT 1 FROM nint_sub s
+        |                     WHERE s.k = c.c_custkey)) AS n_not_exists,
+        |  (SELECT count(*) FROM nint_sub WHERE k IS NULL) AS n_null_keys
+        |""".stripMargin)
+  }
+
   /** Outer-generator semantics: `posexplode_outer` must keep one
     * NULL-position row for empty AND for NULL arrays where the plain
     * generator would drop the parent row — the classic silent-row-loss
@@ -668,6 +712,8 @@ object RelationalQueries {
     "map_funcs" -> mapFuncs _,
     "explode_outer_semantics" -> explodeOuterSemantics _,
     "bitwise_agg" -> bitwiseAgg _,
+    "percentile_disc" -> percentileDisc _,
+    "not_in_null_trap" -> notInNullTrap _,
     "window_range_frame" -> windowRangeFrame _,
     "date_funcs" -> dateFuncs _,
     "table_checksum" -> tableChecksum _,
@@ -696,6 +742,30 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "percentile_disc" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.25) AS p25,
+        |  quantile_disc(l_quantity, 0.5) AS p50,
+        |  quantile_disc(l_quantity, 0.9) AS p90,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // the NULL in the subquery must zero n_not_in while n_not_exists
+    // stays positive — the ANSI three-valued-logic fingerprint
+    "not_in_null_trap" ->
+      """WITH sub AS (
+        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |              ELSE o_custkey END AS k
+        |  FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT
+        |  CAST((SELECT count(*) FROM customer
+        |        WHERE c_custkey NOT IN (SELECT k FROM sub)) AS BIGINT)
+        |    AS n_not_in,
+        |  CAST((SELECT count(*) FROM customer c
+        |        WHERE NOT EXISTS (SELECT 1 FROM sub s
+        |                          WHERE s.k = c.c_custkey)) AS BIGINT)
+        |    AS n_not_exists,
+        |  CAST((SELECT count(*) FROM sub WHERE k IS NULL) AS BIGINT)
+        |    AS n_null_keys""".stripMargin,
     // expected row algebra computed directly: empty/NULL arrays keep
     // exactly one NULL-valued row each under the OUTER generator
     "explode_outer_semantics" ->
