@@ -586,7 +586,7 @@ object RelationalQueries {
       .createOrReplaceTempView("nint_cust")
     Tables(spark, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
-      .select(when(col("o_orderkey") % 97 === 0, lit(null).cast("long"))
+      .select(when(col("o_orderkey") % 10 === 3, lit(null).cast("long"))
         .otherwise(col("o_custkey")).as("k"))
       .createOrReplaceTempView("nint_sub")
     spark.sql(
@@ -753,7 +753,7 @@ object RelationalQueries {
     // stays positive — the ANSI three-valued-logic fingerprint
     "not_in_null_trap" ->
       """WITH sub AS (
-        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |  SELECT CASE WHEN o_orderkey % 10 = 3 THEN NULL
         |              ELSE o_custkey END AS k
         |  FROM orders WHERE o_orderpriority = '1-URGENT')
         |SELECT

@@ -35,27 +35,32 @@ object TpchQueries {
     * by supplier nation × customer nation × ship year.
     *
     * The two-nation predicate is pushed into the broadcast dims BEFORE
-    * the fact joins: `nation` is filtered to the pair first, so the
-    * supplier/customer joins act as semi-filters and lineitem rows for
-    * the other 23 nations never shuffle. The cross-direction constraint
-    * (supp ≠ cust nation) is a residual filter on the joined row. */
+    * the orderkey shuffle: lineitem joins broadcast(pair-filtered
+    * supplier) and orders joins broadcast(pair-filtered customer)
+    * FIRST — Spark doesn't reorder inner joins without CBO, so the
+    * join tree must encode it — and only the ~8% of fact rows that
+    * survive those semi-filters shuffle for the lineitem⋈orders join.
+    * The cross-direction constraint (supp ≠ cust nation) is a residual
+    * filter on the joined row. */
   def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
     val pair = Seq("NATION_1", "NATION_2")
-    val li = Tables(spark, dir, "lineitem")
-      .filter(col("l_shipdate") >= ts("1996-01-01") &&
-        col("l_shipdate") < ts("1998-01-01"))
-    val ord = Tables(spark, dir, "orders")
     val n1 = Tables(spark, dir, "nation").filter(col("n_name").isin(pair: _*))
       .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
     val n2 = Tables(spark, dir, "nation").filter(col("n_name").isin(pair: _*))
       .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
     val supp = Tables(spark, dir, "supplier")
       .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
     val cust = Tables(spark, dir, "customer")
       .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    val ord = Tables(spark, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))

@@ -30,13 +30,25 @@ class TpchPlanSpec extends SparkSpec {
     assert(plan.contains("GreaterThanOrEqual(o_orderdate"))
   }
 
-  test("q7: the only shuffle join is lineitem><orders; dims broadcast") {
-    val plan = formatted(TpchQueries.q7VolumeShipping(spark, dir))
-    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
-    assert(nBroadcast >= 2, s"expected >=2 broadcast joins:\n$plan")
-    val nSmj = "SortMergeJoin".r.findAllIn(plan).length +
-      "ShuffledHashJoin".r.findAllIn(plan).length
-    assert(nSmj <= 1, s"expected at most one shuffle join:\n$plan")
+  test("q7: the only shuffle join is lineitem><orders; dims broadcast " +
+    "BELOW it (semi-filters run before the orderkey shuffle)") {
+    // the tree printout lists every node ONCE (formatted mode would
+    // double-count: tree section + per-node details)
+    val tree = TpchQueries.q7VolumeShipping(spark, dir)
+      .queryExecution.executedPlan.toString
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(tree).length
+    assert(nBroadcast >= 2, s"expected >=2 broadcast joins:\n$tree")
+    val nShuffle = "SortMergeJoin".r.findAllIn(tree).length +
+      "ShuffledHashJoin".r.findAllIn(tree).length
+    assert(nShuffle <= 1, s"expected at most one shuffle join:\n$tree")
+    // parents print before children: any shuffle join must be an
+    // ANCESTOR of the broadcast joins, i.e. the pair semi-filters
+    // apply before fact rows shuffle on orderkey (Spark won't reorder
+    // inner joins without CBO — the join tree has to encode it)
+    val iSmj = tree.indexOf("SortMergeJoin") max tree.indexOf("ShuffledHashJoin")
+    val iBhj = tree.indexOf("BroadcastHashJoin")
+    assert(iBhj >= 0 && (iSmj < 0 || iSmj < iBhj),
+      s"shuffle join must sit above the broadcast joins:\n$tree")
   }
 
   test("q15: tie compare stays in decimal and the max row broadcasts") {
@@ -46,6 +58,15 @@ class TpchPlanSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"))
     // non-empty at the smallest SF too (driver smoke scale)
     assert(df.count() >= 1)
+  }
+
+  test("not_in_null_trap's fingerprint is non-vacuous at smoke scale: " +
+    "NULL keys exist, NOT IN zeroes, NOT EXISTS doesn't") {
+    val r = graft.queries.RelationalQueries.notInNullTrap(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("n_null_keys") > 0L)
+    assert(r.getAs[Long]("n_not_in") == 0L)
+    assert(r.getAs[Long]("n_not_exists") > 0L)
   }
 
   test("q8/q14 shares are in [0,1] / [0,100] at smoke scale") {
