@@ -556,6 +556,70 @@ object RelationalQueries {
         datediff(lit("1998-12-01").cast("date"),
           col("o_orderdate").cast("date")).cast("long").as("days_to_horizon"))
 
+  /** Higher-order-function battery (lambda `filter` / `exists` /
+    * `forall` / `zip_with` / `aggregate`): the oracle computes every
+    * output from first principles (list_filter / direct arithmetic),
+    * so a Spark HOF evaluating its lambda wrong shifts a value. The
+    * zip_with term sums each element with its mirror — exactly
+    * 2·Σks — making the fold's pairing itself checkable. Arrays are
+    * per-customer order keys (≤ a few dozen elements); HOF lambdas
+    * are interpreted, not codegen'd, so keep them OFF large hot-path
+    * arrays (SKILL r9 note) — this gate is semantic coverage. */
+  def hofFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .filter(col("o_custkey") % 25 === 0)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("ks"))
+      .select(col("o_custkey"),
+        concat_ws(",", filter(col("ks"), x => x % 2 === 0)).as("evens"),
+        size(filter(col("ks"), x => x > 7500L)).cast("long").as("n_big"),
+        exists(col("ks"), x => x % 3 === 0).as("any_div3"),
+        forall(col("ks"), x => x > 0L).as("all_pos"),
+        aggregate(
+          zip_with(col("ks"), reverse(col("ks")), (a, b) => a + b),
+          lit(0L), (acc, x) => acc + x).as("zipsum"))
+
+  /** OHLC downsampling via `min_by`/`max_by` (argmin/argmax
+    * aggregates): first/last value per event type selected by a
+    * UNIQUE composite order scalar (epoch-seconds·10⁹ + event_id —
+    * uniqueness canary-guaranteed), so the selection is deterministic
+    * on both engines even under equal timestamps. */
+  def ohlcMinbyMaxby(spark: SparkSession, dir: String): DataFrame = {
+    val k = unix_seconds(col("ts")) * lit(1000000000L) + col("event_id")
+    Tables(spark, dir, "events")
+      .select(col("event_type"), col("value"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(min_by(col("value"), col("k")).as("open"),
+        max_by(col("value"), col("k")).as("close"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("n"))
+  }
+
+  /** `try_*` safety surface: try_divide → NULL on zero divisor,
+    * try_cast → NULL on malformed input, try_add → NULL on bigint
+    * overflow (the oracle's CASE branches are lazy, so its own
+    * arithmetic never overflows). Division results compared as exact
+    * IEEE doubles via min/max, never summed. */
+  def tryFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val s = when(col("event_id") % 3 === 0, lit("x"))
+      .otherwise(col("event_id").cast("string"))
+    Tables(spark, dir, "events")
+      .select(col("event_type"),
+        try_divide(col("event_id"), col("user_id") % 5).as("td"),
+        s.try_cast("long").as("tc"),
+        try_add(lit(9223372036854775800L), col("event_id") % 100)
+          .as("ta"))
+      .groupBy(col("event_type"))
+      .agg(count(col("td")).as("n_div_ok"),
+        min(col("td")).as("min_div"),
+        max(col("td")).as("max_div"),
+        count(col("tc")).as("n_cast_ok"),
+        sum(col("tc")).as("sum_cast"),
+        count(col("ta")).as("n_add_ok"),
+        max(col("ta")).as("max_add"))
+  }
+
   /** Discrete percentiles (`percentile_disc` WITHIN GROUP): returns an
     * ACTUAL data value (first value with cume_dist ≥ p), vs the
     * interpolating `percentile` already gated in quantiles_agg — the
@@ -714,6 +778,9 @@ object RelationalQueries {
     "bitwise_agg" -> bitwiseAgg _,
     "percentile_disc" -> percentileDisc _,
     "not_in_null_trap" -> notInNullTrap _,
+    "hof_funcs" -> hofFuncs _,
+    "ohlc_minby_maxby" -> ohlcMinbyMaxby _,
+    "try_funcs" -> tryFuncs _,
     "window_range_frame" -> windowRangeFrame _,
     "date_funcs" -> dateFuncs _,
     "table_checksum" -> tableChecksum _,
@@ -742,6 +809,53 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    // every output recomputed from first principles; zipsum = 2*sum
+    "hof_funcs" ->
+      """WITH k AS (
+        |  SELECT o_custkey, list_sort(list(o_orderkey)) AS ks
+        |  FROM orders WHERE o_custkey % 25 = 0 GROUP BY 1)
+        |SELECT o_custkey,
+        |  COALESCE(array_to_string(list_filter(ks, x -> x % 2 = 0),
+        |                           ','), '') AS evens,
+        |  CAST(len(list_filter(ks, x -> x > 7500)) AS BIGINT) AS n_big,
+        |  len(list_filter(ks, x -> x % 3 = 0)) > 0 AS any_div3,
+        |  len(list_filter(ks, x -> x <= 0)) = 0 AS all_pos,
+        |  CAST(2 * list_sum(ks) AS BIGINT) AS zipsum
+        |FROM k""".stripMargin,
+    "ohlc_minby_maxby" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    CAST(epoch_us(ts) // 1000000 AS BIGINT) * 1000000000
+        |      + event_id AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  arg_min(value, k) AS open,
+        |  arg_max(value, k) AS close,
+        |  max(value) AS high,
+        |  min(value) AS low,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY 1""".stripMargin,
+    // lazy CASE branches keep the oracle's own arithmetic overflow-free
+    "try_funcs" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CASE WHEN user_id % 5 = 0 THEN NULL
+        |         ELSE CAST(event_id AS DOUBLE) /
+        |              CAST(user_id % 5 AS DOUBLE) END AS td,
+        |    CASE WHEN event_id % 3 = 0 THEN NULL
+        |         ELSE event_id END AS tc,
+        |    CASE WHEN event_id % 100 > 7 THEN NULL
+        |         ELSE 9223372036854775800 + event_id % 100 END AS ta
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(count(td) AS BIGINT) AS n_div_ok,
+        |  min(td) AS min_div,
+        |  max(td) AS max_div,
+        |  CAST(count(tc) AS BIGINT) AS n_cast_ok,
+        |  CAST(SUM(tc) AS BIGINT) AS sum_cast,
+        |  CAST(count(ta) AS BIGINT) AS n_add_ok,
+        |  CAST(max(ta) AS BIGINT) AS max_add
+        |FROM e GROUP BY 1""".stripMargin,
     "percentile_disc" ->
       """SELECT l_returnflag,
         |  quantile_disc(l_quantity, 0.25) AS p25,
