@@ -556,6 +556,28 @@ object RelationalQueries {
         datediff(lit("1998-12-01").cast("date"),
           col("o_orderdate").cast("date")).cast("long").as("days_to_horizon"))
 
+  /** Spark 4 VARIANT ingestion path: `parse_json` → `variant_get`
+    * typed extraction + `is_variant_null` — the semi-structured
+    * column type that replaces schema-on-read string JSON. The oracle
+    * extracts the same fields with plain JSON operators, so the gate
+    * pins that the variant encode/decode round-trip loses nothing.
+    * NULL JSON literals are injected every 11th event to cover the
+    * variant-null vs SQL-null distinction. */
+  def variantJson(spark: SparkSession, dir: String): DataFrame = {
+    val js = when(col("event_id") % 11 === 0, lit("null"))
+      .otherwise(col("props"))
+    val v = parse_json(js)
+    Tables(spark, dir, "events")
+      .select(col("event_type"),
+        variant_get(v, "$.k", "long").as("k"),
+        is_variant_null(v).as("vnull"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"),
+        sum(when(col("vnull"), 1L).otherwise(0L)).as("n_vnull"),
+        count(lit(1)).as("n"))
+  }
+
   /** Higher-order-function battery (lambda `filter` / `exists` /
     * `forall` / `zip_with` / `aggregate`): the oracle computes every
     * output from first principles (list_filter / direct arithmetic),
@@ -781,6 +803,7 @@ object RelationalQueries {
     "hof_funcs" -> hofFuncs _,
     "ohlc_minby_maxby" -> ohlcMinbyMaxby _,
     "try_funcs" -> tryFuncs _,
+    "variant_json" -> variantJson _,
     "window_range_frame" -> windowRangeFrame _,
     "date_funcs" -> dateFuncs _,
     "table_checksum" -> tableChecksum _,
@@ -809,6 +832,22 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    // plain JSON operators on the oracle side: the gate pins that the
+    // variant encode/extract round-trip loses nothing
+    "variant_json" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 11 = 0 THEN NULL
+        |         ELSE CAST(props->>'$.k' AS BIGINT) END AS k,
+        |    event_id % 11 = 0 AS vnull
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(count(k) AS BIGINT) AS n_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(SUM(CASE WHEN vnull THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_vnull,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY 1""".stripMargin,
     // every output recomputed from first principles; zipsum = 2*sum
     "hof_funcs" ->
       """WITH k AS (
