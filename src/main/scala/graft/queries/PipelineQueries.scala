@@ -219,6 +219,74 @@ object PipelineQueries {
     }
   }
 
+  /** The SAME per-user running aggregate on Spark 4's arbitrary-state
+    * v2 API: `transformWithState` with a typed `ValueState` (vs the
+    * v1 `mapGroupsWithState` twin in [[streamStatefulAgg]]) — both
+    * must land on the batch aggregate bit for bit, so the two gates
+    * together pin that the state-API migration is semantics-
+    * preserving. v2 runs only on the RocksDB state store provider
+    * (scoped to this gate's private session); adds a max-event-id
+    * column so the state tuple is wider than v1's. O(users) state,
+    * update-mode sink, last (max-count) update per user wins. */
+  def streamTransformWithState(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+      TTLConfig, TimeMode, TimerValues, ValueState}
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = "stream_tws_sink"
+    onStreamSession(spark, 8) { s =>
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state" +
+          ".RocksDBStateStoreProvider")
+      import s.implicits._
+      val stEnc = implicitly[
+        org.apache.spark.sql.Encoder[(Long, Long, java.math.BigDecimal)]]
+      val src = Tables.normalize(
+        s.readStream.schema(schema).option("basePath", dir)
+          .parquet(s"$dir/events*.parquet"))
+      val typed = src.select(col("user_id"), col("event_id"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .as[(Long, Long, java.math.BigDecimal)]
+      val proc = new StatefulProcessor[Long,
+          (Long, Long, java.math.BigDecimal),
+          (Long, Long, Long, java.math.BigDecimal)] {
+        @transient private var st: ValueState[
+          (Long, Long, java.math.BigDecimal)] = _
+        override def init(outputMode: OutputMode,
+            timeMode: TimeMode): Unit =
+          st = getHandle.getValueState[(Long, Long, java.math.BigDecimal)](
+            "agg", stEnc, TTLConfig.NONE)
+        override def handleInputRows(key: Long,
+            rows: Iterator[(Long, Long, java.math.BigDecimal)],
+            timers: TimerValues)
+            : Iterator[(Long, Long, Long, java.math.BigDecimal)] = {
+          var (n, maxId, sum) =
+            if (st.exists()) st.get()
+            else (0L, 0L, java.math.BigDecimal.ZERO)
+          rows.foreach { case (_, id, v) =>
+            n += 1
+            if (id > maxId) maxId = id
+            if (v != null) sum = sum.add(v)
+          }
+          st.update((n, maxId, sum))
+          Iterator.single((key, n, maxId, sum))
+        }
+      }
+      val q = typed.groupByKey(_._1)
+        .transformWithState(proc, TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_events", "max_event_id", "sum_value")
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name).groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("max_event_id"),
+          col("sum_value"))).as("m"))
+        .select(col("user_id"), col("m.n_events").as("n_events"),
+          col("m.max_event_id").as("max_event_id"),
+          col("m.sum_value").cast("double").as("sum_value"))
+    }
+  }
+
   /** Structured Streaming dedup: a doubled stream (the same file
     * source read twice and unioned — every event_id arrives exactly
     * twice, possibly in different micro-batches) collapsed by
@@ -459,6 +527,7 @@ object PipelineQueries {
     "stream_sessionize" -> streamSessionize _,
     "stream_stream_join" -> streamStreamJoin _,
     "stream_stateful_agg" -> streamStatefulAgg _,
+    "stream_transform_with_state" -> streamTransformWithState _,
     "stream_dedup" -> streamDedup _,
     "stream_cms" -> streamCms _,
     "stream_hll" -> streamHll _,
@@ -568,6 +637,11 @@ object PipelineQueries {
         |FROM r GROUP BY 1, 2""".stripMargin,
     "stream_stateful_agg" ->
       """SELECT user_id, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id""".stripMargin,
+    "stream_transform_with_state" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(max(event_id) AS BIGINT) AS max_event_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY user_id""".stripMargin,
     "stream_stream_join" ->
