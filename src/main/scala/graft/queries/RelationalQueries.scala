@@ -605,10 +605,15 @@ object RelationalQueries {
     * aggregates): first/last value per event type selected by a
     * UNIQUE composite order scalar (epoch-seconds·10⁹ + event_id —
     * uniqueness canary-guaranteed), so the selection is deterministic
-    * on both engines even under equal timestamps. */
+    * on both engines even under equal timestamps. NULL values are
+    * excluded on BOTH sides: Spark min_by returns the (possibly
+    * NULL) value at the argmin row while DuckDB arg_min skips
+    * NULL-valued rows — the filter pins one semantic instead of
+    * relying on the current testdata having no NULL values. */
   def ohlcMinbyMaxby(spark: SparkSession, dir: String): DataFrame = {
     val k = unix_seconds(col("ts")) * lit(1000000000L) + col("event_id")
     Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
       .select(col("event_type"), col("value"), k.as("k"))
       .groupBy(col("event_type"))
       .agg(min_by(col("value"), col("k")).as("open"),
@@ -866,7 +871,7 @@ object RelationalQueries {
         |  SELECT event_type, value,
         |    CAST(epoch_us(ts) // 1000000 AS BIGINT) * 1000000000
         |      + event_id AS k
-        |  FROM events)
+        |  FROM events WHERE value IS NOT NULL)
         |SELECT event_type,
         |  arg_min(value, k) AS open,
         |  arg_max(value, k) AS close,
