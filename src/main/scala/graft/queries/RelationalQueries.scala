@@ -556,6 +556,36 @@ object RelationalQueries {
         datediff(lit("1998-12-01").cast("date"),
           col("o_orderdate").cast("date")).cast("long").as("days_to_horizon"))
 
+  /** XML ingestion (`from_xml` with an explicit schema — Spark 4
+    * built-in): records synthesized from source columns, parsed back
+    * through the XML reader, reduced to integer scalars the oracle
+    * computes directly — pins the encode/parse round-trip including
+    * an attribute (`_id`), a nested element, and a malformed-record
+    * NULL (every 13th event emits broken XML; columns come back NULL
+    * under the default PERMISSIVE mode). */
+  def xmlFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val xml = when(col("event_id") % 13 === 0, lit("<r><broken"))
+      .otherwise(concat(
+        lit("<r id=\""), col("event_id"), lit("\"><u>"),
+        col("user_id"), lit("</u><t>"), col("event_type"),
+        lit("</t></r>")))
+    val schema = StructType(Seq(
+      StructField("_id", LongType),
+      StructField("u", LongType),
+      StructField("t", StringType)))
+    val parsed = from_xml(xml, schema)
+    Tables(spark, dir, "events")
+      .select(col("event_type"), parsed.as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(col("x._id")).as("n_parsed"),
+        sum(col("x._id")).as("sum_id"),
+        sum(col("x.u")).as("sum_u"),
+        sum(when(col("x.t") === col("event_type"), 1L).otherwise(0L))
+          .as("n_type_match"),
+        count(lit(1)).as("n"))
+  }
+
   /** Spark 4 VARIANT ingestion path: `parse_json` → `variant_get`
     * typed extraction + `is_variant_null` — the semi-structured
     * column type that replaces schema-on-read string JSON. The oracle
@@ -809,6 +839,7 @@ object RelationalQueries {
     "ohlc_minby_maxby" -> ohlcMinbyMaxby _,
     "try_funcs" -> tryFuncs _,
     "variant_json" -> variantJson _,
+    "xml_funcs" -> xmlFuncs _,
     "window_range_frame" -> windowRangeFrame _,
     "date_funcs" -> dateFuncs _,
     "table_checksum" -> tableChecksum _,
@@ -837,6 +868,23 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    // malformed every-13th records must come back NULL (PERMISSIVE);
+    // parsed fields must round-trip to the source columns exactly
+    "xml_funcs" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 13 = 0 THEN NULL
+        |         ELSE event_id END AS id,
+        |    CASE WHEN event_id % 13 = 0 THEN NULL
+        |         ELSE user_id END AS u
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(count(id) AS BIGINT) AS n_parsed,
+        |  CAST(SUM(id) AS BIGINT) AS sum_id,
+        |  CAST(SUM(u) AS BIGINT) AS sum_u,
+        |  CAST(count(id) AS BIGINT) AS n_type_match,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY 1""".stripMargin,
     // plain JSON operators on the oracle side: the gate pins that the
     // variant encode/extract round-trip loses nothing
     "variant_json" ->
