@@ -556,6 +556,24 @@ object RelationalQueries {
         datediff(lit("1998-12-01").cast("date"),
           col("o_orderdate").cast("date")).cast("long").as("days_to_horizon"))
 
+  /** Collation-aware grouping (Spark 4 `UTF8_LCASE`): mixed-case
+    * variants of the event type must land in ONE group under the
+    * case-insensitive collation. The grouped representative is
+    * whichever variant the engine sees first — nondeterministic — so
+    * the output surfaces `min(variant)` under binary collation
+    * instead, which both engines compute identically; the oracle
+    * gets the same grouping via `lower()`. */
+  def collationGroup(spark: SparkSession, dir: String): DataFrame = {
+    val v = when(col("event_id") % 2 === 0, upper(col("event_type")))
+      .otherwise(col("event_type"))
+    Tables(spark, dir, "events")
+      .select(v.as("v"))
+      .groupBy(collate(col("v"), "UTF8_LCASE"))
+      .agg(min(col("v")).as("variant_min"),
+        count(lit(1)).as("n"))
+      .select(col("variant_min"), col("n"))
+  }
+
   /** XML ingestion (`from_xml` with an explicit schema — Spark 4
     * built-in): records synthesized from source columns, parsed back
     * through the XML reader, reduced to integer scalars the oracle
@@ -840,6 +858,7 @@ object RelationalQueries {
     "try_funcs" -> tryFuncs _,
     "variant_json" -> variantJson _,
     "xml_funcs" -> xmlFuncs _,
+    "collation_group" -> collationGroup _,
     "window_range_frame" -> windowRangeFrame _,
     "date_funcs" -> dateFuncs _,
     "table_checksum" -> tableChecksum _,
@@ -868,6 +887,15 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    // same grouping via lower(); min(variant) is the deterministic
+    // representative both engines agree on (binary collation)
+    "collation_group" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+        |              ELSE event_type END AS v
+        |  FROM events)
+        |SELECT min(v) AS variant_min, CAST(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY lower(v)""".stripMargin,
     // malformed every-13th records must come back NULL (PERMISSIVE);
     // parsed fields must round-trip to the source columns exactly
     "xml_funcs" ->
