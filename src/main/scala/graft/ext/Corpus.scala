@@ -596,4 +596,96 @@ object Corpus {
       .filter(col("dist") <= 1L)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Paragraph/block-level exact dedup (the C4 recipe: drop every
+    * repeated three-sentence span corpus-wide, keeping ONE
+    * occurrence). The corpus here has no sentence boundaries, so the
+    * unit is a fixed `blockWords`-word non-overlapping block — the
+    * same granularity trade as C4's span, between whole-document
+    * dedup ([[Dedup.fingerprint]]) and overlapping-gram span dedup
+    * ([[Dedup.repeatedSpans]]).
+    *
+    * Keeper rule: the first occurrence in (doc_id, block_idx) order
+    * keeps; later repeats drop. That is ONE `min(struct)` hash
+    * aggregate on the block text (map-side combined, skew-safe — a
+    * corpus-dominating boilerplate block reduces on the map side,
+    * never fills one reducer the way a row_number window would) plus
+    * an equality join back, then one doc-key shuffle to reassemble
+    * surviving blocks in order. Three shuffles total, none
+    * quadratic, no window over an unbounded partition.
+    *
+    * Output: (doc_id, n_blocks, n_kept, kept_text) — kept_text is
+    * the surviving blocks rejoined in document order ('' when every
+    * block was a repeat). */
+  def paragraphDedup(docs: DataFrame, id: Column, text: Column,
+      blockWords: Int = 10): DataFrame = {
+    require(blockWords >= 1, s"blockWords must be >= 1, got $blockWords")
+    val base = docs.select(id.as("doc_id"), text.as("text"))
+    val words = split(col("text"), " ")
+    // per-row block construction — no shuffle; slice() bounds the
+    // lambda input so the interpreted HOF touches each word once
+    val blocks = base
+      .withColumn("n_blocks",
+        ceil(size(words) / lit(blockWords.toDouble)).cast("long"))
+      .select(col("doc_id"), col("n_blocks"),
+        posexplode(expr(
+          s"""transform(sequence(0, int(n_blocks) - 1),
+             |  b -> array_join(slice(split(text, ' '),
+             |                        b * $blockWords + 1, $blockWords),
+             |                  ' '))""".stripMargin))
+          .as(Seq("block_idx", "block_text")))
+    val keepers = blocks.groupBy(col("block_text").as("kb_text"))
+      .agg(min(struct(col("doc_id"), col("block_idx"))).as("keeper"))
+      .select(col("kb_text"), col("keeper.doc_id").as("k_doc"),
+        col("keeper.block_idx").as("k_idx"))
+    val kept = blocks.join(keepers,
+        col("block_text") === col("kb_text") &&
+          col("doc_id") === col("k_doc") &&
+          col("block_idx").cast("long") === col("k_idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("""array_join(transform(
+               |  sort_array(collect_list(struct(block_idx, block_text))),
+               |  s -> s.block_text), ' ')""".stripMargin).as("kept_text"))
+    base.select(col("doc_id"),
+        ceil(size(words) / lit(blockWords.toDouble)).cast("long")
+          .as("n_blocks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** Pareto frontier (skyline) — the non-dominated set under
+    * minimize-both (x, y): a row survives iff no other row is <= on
+    * both axes and < on at least one. The corpus-prep use is data
+    * valuation frontiers (cost vs quality); the gate runs it as
+    * cheapest-smallest parts.
+    *
+    * Distributed shape: dominance only flows from smaller x, so
+    * pre-aggregate min(y) per distinct x (map-side combined — the
+    * row-count collapses to |distinct x| before anything sorts),
+    * then ONE window pass over the distinct-x frame computes the
+    * strict-prefix running min. A row is dominated iff
+    * (a) some strictly-smaller x has min-y <= its y, or
+    * (b) its own x group has min-y < its y.
+    * The window partition is the distinct-x frame, orders of
+    * magnitude smaller than the input; at 100 TB with ~continuous x,
+    * range-bucket the x axis first (per-bucket frontier, then a
+    * broadcast merge of bucket frontiers — frontier size is bounded
+    * by the bucket count). */
+  def paretoFrontier(df: DataFrame, keyCol: Column, x: Column, y: Column)
+      : DataFrame = {
+    val base = df.select(keyCol.as("key"), x.as("x"), y.as("y"))
+    val perX = base.groupBy(col("x").as("px")).agg(min(col("y")).as("miny"))
+    val w = Window.orderBy(col("px").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = perX
+      .withColumn("prefix_miny", min(col("miny")).over(w))
+    base.join(prefix, col("x") === col("px"))
+      .filter(
+        (col("prefix_miny").isNull || col("prefix_miny") > col("y")) &&
+          col("miny") >= col("y"))
+      .select(col("key"), col("x"), col("y"))
+  }
 }

@@ -290,7 +290,26 @@ object CorpusQueries {
       Tables(spark, dir, "documents"), col("doc_id"), acronym)
   }
 
+  /** C4-style block-level exact dedup over documents: 10-word blocks,
+    * first occurrence keeps. See [[Corpus.paragraphDedup]] for the
+    * min-struct keeper shape. */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    Corpus.paragraphDedup(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"), blockWords = 10)
+
+  /** Pareto frontier over parts (minimize retail price AND size):
+    * the Spark side runs [[Corpus.paretoFrontier]]'s distinct-x
+    * window plan; the oracle is the textbook NOT-EXISTS dominance
+    * query — agreement proves the decomposition lossless. */
+  def skylinePareto(spark: SparkSession, dir: String): DataFrame =
+    Corpus.paretoFrontier(Tables(spark, dir, "part"),
+      col("p_partkey"), col("p_retailprice"), col("p_size").cast("long"))
+      .select(col("key").as("p_partkey"), col("x").as("p_retailprice"),
+        col("y").as("p_size"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "paragraph_dedup" -> paragraphDedup _,
+    "skyline_pareto" -> skylinePareto _,
     "fuzzy_join_acronym" -> fuzzyJoinAcronym _,
     "gopher_rules" -> gopherRules _,
     "dataset_split" -> datasetSplit _,
@@ -314,6 +333,51 @@ object CorpusQueries {
     "edit_distance" -> editDistance _)
 
   val oracleSql: Map[String, String] = Map(
+    // DuckDB // on BIGINT returns DOUBLE — block bounds computed with
+    // integer arithmetic via list_slice's inclusive 1-based indexing
+    "paragraph_dedup" ->
+      """WITH pd_base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT)
+        |      AS n_blocks
+        |  FROM documents),
+        |pd_idx AS (
+        |  SELECT doc_id, ws, n_blocks,
+        |    unnest(range(0, n_blocks)) AS block_idx
+        |  FROM pd_base),
+        |pd_blk AS (
+        |  SELECT doc_id, n_blocks, CAST(block_idx AS BIGINT) AS block_idx,
+        |    array_to_string(list_slice(ws,
+        |      CAST(block_idx * 10 + 1 AS BIGINT),
+        |      CAST(block_idx * 10 + 10 AS BIGINT)), ' ') AS block_text
+        |  FROM pd_idx),
+        |pd_keep AS (
+        |  SELECT doc_id, block_idx, block_text FROM (
+        |    SELECT doc_id, block_idx, block_text,
+        |      row_number() OVER (PARTITION BY block_text
+        |        ORDER BY doc_id, block_idx) AS rn
+        |    FROM pd_blk) WHERE rn = 1),
+        |pd_kept AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(block_text, ' ' ORDER BY block_idx) AS kept_text
+        |  FROM pd_keep GROUP BY 1)
+        |SELECT b.doc_id, b.n_blocks,
+        |  COALESCE(k.n_kept, 0) AS n_kept,
+        |  COALESCE(k.kept_text, '') AS kept_text
+        |FROM (SELECT DISTINCT doc_id, n_blocks FROM pd_blk) b
+        |LEFT JOIN pd_kept k ON b.doc_id = k.doc_id""".stripMargin,
+    // textbook quadratic dominance — the gate proves the Spark
+    // window decomposition selects the identical frontier
+    "skyline_pareto" ->
+      """SELECT p.p_partkey, p.p_retailprice,
+        |  CAST(p.p_size AS BIGINT) AS p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size <= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice
+        |         OR q.p_size < p.p_size))""".stripMargin,
     // the oracle is the NAIVE all-pairs join — losslessness of the
     // deletion-neighborhood blocking is exactly what the gate proves
     "fuzzy_join_acronym" ->

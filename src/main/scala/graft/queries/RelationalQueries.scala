@@ -845,7 +845,30 @@ object RelationalQueries {
         sum(col("k")).as("sum_k"))
   }
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — "top 2
+    * orders per nation" written the SQL-surface way instead of the
+    * window way ([[topkPerGroup]]). Grades Spark's lateral-join
+    * decorrelation: the inner limit becomes a per-group TakeOrdered
+    * after DecorrelateInnerQuery, not a nested loop re-running the
+    * subquery per outer row. Ties broken by orderkey so both engines
+    * pick identical rows. */
+  def lateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "nation").createOrReplaceTempView("lt_nation")
+    Tables(spark, dir, "customer").createOrReplaceTempView("lt_customer")
+    Tables(spark, dir, "orders").createOrReplaceTempView("lt_orders")
+    spark.sql(
+      """SELECT n.n_name, t.o_orderkey, t.o_totalprice
+        |FROM lt_nation n
+        |JOIN LATERAL (
+        |  SELECT o.o_orderkey, o.o_totalprice
+        |  FROM lt_orders o JOIN lt_customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+        |  LIMIT 2) t""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lateral_topk" -> lateralTopk _,
     "null_semantics" -> nullSemantics _,
     "null_safe_join" -> nullSafeJoin _,
     "map_funcs" -> mapFuncs _,
@@ -887,6 +910,15 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "lateral_topk" ->
+      """SELECT n.n_name, t.o_orderkey, t.o_totalprice
+        |FROM nation n
+        |JOIN LATERAL (
+        |  SELECT o.o_orderkey, o.o_totalprice
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+        |  LIMIT 2) t ON true""".stripMargin,
     // same grouping via lower(); min(variant) is the deterministic
     // representative both engines agree on (binary collation)
     "collation_group" ->
