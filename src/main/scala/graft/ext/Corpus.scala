@@ -656,6 +656,37 @@ object Corpus {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** Segmented inverted index (term → posting list) — the retrieval-
+    * side artifact a corpus pipeline exports next to the training
+    * shards. Postings are built per (term, segment) where segment =
+    * doc_id mod `segments`: that is the production shape — a
+    * stopword's posting list is corpus-sized, so an UNSEGMENTED index
+    * would funnel it through one reducer and emit one giant row,
+    * while segmenting bounds every group by |segment| and lets
+    * retrieval fan out segment-parallel. One (term, doc) tf
+    * aggregate, one (term, segment) assembly — two map-side-combined
+    * shuffles, postings ordered by doc_id inside each segment.
+    *
+    * Output: (term, segment, df, cf, postings) with df = docs in
+    * segment containing term, cf = total occurrences, postings =
+    * "doc:tf doc:tf ..." sorted by doc id. */
+  def invertedIndex(docs: DataFrame, id: Column, text: Column,
+      segments: Int = 4): DataFrame = {
+    require(segments >= 1, s"segments must be >= 1, got $segments")
+    val tf = docs
+      .select(id.as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(text)).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"), pmod(col("doc_id"), lit(segments.toLong))
+        .as("segment"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        expr("""array_join(transform(
+               |  sort_array(collect_list(struct(doc_id, tf))),
+               |  s -> concat(s.doc_id, ':', s.tf)), ' ')""".stripMargin)
+          .as("postings"))
+  }
+
   /** Pareto frontier (skyline) — the non-dominated set under
     * minimize-both (x, y): a row survives iff no other row is <= on
     * both axes and < on at least one. The corpus-prep use is data

@@ -1244,7 +1244,40 @@ object AnalyticsQueries {
         |GROUP BY p_brand""".stripMargin)
   }
 
+  /** Time-weighted average over an irregular series (the TSDB
+    * `time_weight('LOCF')` shape): each observation holds until the
+    * next one, so its weight is the gap to the successor in
+    * MICROSECONDS — exact integers — and the weighted sum is
+    * DECIMAL(18,2) × BIGINT, exact until the single closing double
+    * divide. The per-type last event has no successor and carries
+    * zero weight (dropped on both engines). One window pass (lead on
+    * the (ts, event_id) total order — per-partition state is one
+    * row) + one map-side-combined aggregate; at 100 TB the window
+    * partitions by event_type exactly as here. */
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    // all-integer weighted sum: value in cent units (exact small
+    // BIGINT) x microsecond gaps — a DECIMAL(38,2) sum cast to double
+    // is NOT cross-engine bit-stable at 17 significant digits (DuckDB
+    // converts int128/10^s with two roundings), BIGINT -> double is
+    val vUnits = (dec(col("value")) * 100).cast("long")
+    Tables(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), col("ts"),
+        vUnits.as("v_units"))
+      .withColumn("dur_us",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .filter(col("dur_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(sum(col("v_units") * col("dur_us")).as("wsum_units"),
+        sum(col("dur_us")).as("total_us"))
+      .select(col("event_type"), col("total_us"),
+        (col("wsum_units").cast("double") /
+          (col("total_us").cast("double") * lit(100.0))).as("tw_avg"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "time_weighted_avg" -> timeWeightedAvg _,
     "sessionize" -> sessionize _,
     "user_event_paths" -> userEventPaths _,
     "cms_point_estimates" -> cmsPointEstimates _,
@@ -1292,6 +1325,23 @@ object AnalyticsQueries {
     "quantiles_approx_bounds" -> quantilesApproxBounds _)
 
   val oracleSql: Map[String, String] = Map(
+    // weights are exact integer microsecond gaps; weighted sum exact
+    // DECIMAL x BIGINT; one closing IEEE divide
+    "time_weighted_avg" ->
+      """WITH twa AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS v_units,
+        |    epoch_us(lead(ts) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id)) - epoch_us(ts) AS dur_us
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(SUM(dur_us) AS BIGINT) AS total_us,
+        |  CAST(CAST(SUM(v_units * dur_us) AS BIGINT) AS DOUBLE) /
+        |    (CAST(CAST(SUM(dur_us) AS BIGINT) AS DOUBLE) *
+        |     CAST(100 AS DOUBLE)) AS tw_avg
+        |FROM twa WHERE dur_us IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     // constant-true `captured`: any loss of the sketch's one-sided
     // guarantee flips a boolean and hash-fails the gate
     "freq_items_bounds" ->

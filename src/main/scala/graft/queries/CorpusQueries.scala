@@ -307,9 +307,16 @@ object CorpusQueries {
       .select(col("key").as("p_partkey"), col("x").as("p_retailprice"),
         col("y").as("p_size"))
 
+  /** Segmented inverted index over documents (4 segments). See
+    * [[Corpus.invertedIndex]] for the segmentation rationale. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    Corpus.invertedIndex(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"), segments = 4)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "paragraph_dedup" -> paragraphDedup _,
     "skyline_pareto" -> skylinePareto _,
+    "inverted_index" -> invertedIndex _,
     "fuzzy_join_acronym" -> fuzzyJoinAcronym _,
     "gopher_rules" -> gopherRules _,
     "dataset_split" -> datasetSplit _,
@@ -366,6 +373,18 @@ object CorpusQueries {
         |  COALESCE(k.kept_text, '') AS kept_text
         |FROM (SELECT DISTINCT doc_id, n_blocks FROM pd_blk) b
         |LEFT JOIN pd_kept k ON b.doc_id = k.doc_id""".stripMargin,
+    "inverted_index" ->
+      """WITH ii_tf AS (
+        |  SELECT term, doc_id, COUNT(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(trim(text), '\s+')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT term, doc_id % 4 AS segment,
+        |  COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+        |  string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id)
+        |    AS postings
+        |FROM ii_tf GROUP BY 1, 2""".stripMargin,
     // textbook quadratic dominance — the gate proves the Spark
     // window decomposition selects the identical frontier
     "skyline_pareto" ->

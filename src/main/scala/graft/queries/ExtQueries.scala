@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -676,7 +677,44 @@ object ExtQueries {
     "doc_decontaminate" -> docDecontaminate _,
     "text_repetition" -> textRepetition _,
     "bigram_novelty" -> bigramNovelty _,
-    "boilerplate_strip" -> boilerplateStrip _)
+    "boilerplate_strip" -> boilerplateStrip _,
+    "rrf_fusion" -> rrfFusion _)
+
+  /** Reciprocal-rank fusion of two rankers (the standard hybrid-
+    * retrieval merge: lexical + vector rankings → one list). The
+    * SCALE path is fused candidate lists, not fused full rankings:
+    * each ranker contributes its top-100 via TakeOrdered (distributed
+    * top-k, no global sort of the full table); ranks are then
+    * assigned inside the 100-row candidate frames (window cost
+    * bounded by k, not by table size), full-outer joined, and scored
+    * rrf = Σ 1/(60+rank) over the lists where the item appears —
+    * absent-list terms contribute 0, the published convention. Each
+    * term is ONE IEEE divide of exact integers and the two-term sum
+    * has fixed association, so the gate hash-compares doubles
+    * safely. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables(spark, dir, "part")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    def topRanked(order: Seq[Column], rankName: String): DataFrame = {
+      val w = Window.orderBy(order: _*)
+      parts.orderBy(order: _*).limit(100)
+        .withColumn(rankName, row_number().over(w))
+        .select(col("p_partkey").as(s"${rankName}_key"), col(rankName))
+    }
+    val byPrice = topRanked(
+      Seq(col("p_retailprice").asc, col("p_partkey").asc), "r_price")
+    val bySize = topRanked(
+      Seq(col("p_size").asc, col("p_partkey").asc), "r_size")
+    byPrice.join(bySize, col("r_price_key") === col("r_size_key"),
+        "full_outer")
+      .select(
+        coalesce(col("r_price_key"), col("r_size_key")).as("p_partkey"),
+        (coalesce(lit(1.0) / (lit(60) + col("r_price")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_size")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("p_partkey").asc)
+      .limit(20)
+  }
 
   // -------------------------------------------------------- oracle SQL
   // Hash-heavy oracles are generated programmatically so the SQL stays
@@ -1959,6 +1997,23 @@ object ExtQueries {
     "dedup_lineage" -> dedupLineageSql,
     "bigram_novelty" -> bigramNoveltySql,
     "boilerplate_strip" -> boilerplateStripSql,
+    "rrf_fusion" ->
+      """WITH rrf_pr AS (
+        |  SELECT p_partkey,
+        |    row_number() OVER (ORDER BY p_retailprice, p_partkey) AS r
+        |  FROM part ORDER BY p_retailprice, p_partkey LIMIT 100),
+        |rrf_sz AS (
+        |  SELECT p_partkey,
+        |    row_number() OVER (ORDER BY p_size, p_partkey) AS r
+        |  FROM part ORDER BY p_size, p_partkey LIMIT 100)
+        |SELECT COALESCE(pr.p_partkey, sz.p_partkey) AS p_partkey,
+        |  COALESCE(CAST(1 AS DOUBLE) / (60 + pr.r), CAST(0 AS DOUBLE)) +
+        |  COALESCE(CAST(1 AS DOUBLE) / (60 + sz.r), CAST(0 AS DOUBLE))
+        |    AS rrf
+        |FROM rrf_pr pr FULL OUTER JOIN rrf_sz sz
+        |  ON pr.p_partkey = sz.p_partkey
+        |ORDER BY rrf DESC, p_partkey ASC
+        |LIMIT 20""".stripMargin,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
