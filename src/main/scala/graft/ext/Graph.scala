@@ -115,4 +115,49 @@ object Graph {
             (col("degree") * (col("degree") - lit(1L))).cast("double"))
           .otherwise(lit(0.0)).as("lcc"))
   }
+
+  /** Fixed-round INTEGER PageRank over a directed edge frame —
+    * importance scores in units of `scale` (pr starts at `scale`,
+    * the damping update is `(100-d)/100·scale + d·Σ(pr(u) div
+    * odeg(u))/100` with every division a FLOOR on non-negative
+    * BIGINTs, so the scores are exactly reproducible on any engine —
+    * float PageRank is order-dependent under parallel summation and
+    * could never hash-gate).
+    *
+    * Per round: one pr⋈edges join (hash, co-partitioned on src after
+    * the first round), one map-side-combined in-degree sum, one left
+    * join back to the node frame (dangling mass is dropped — "weak"
+    * PageRank, documented convention; the gate's bigram graph has no
+    * dangling nodes). The frame is materialized per round, truncating
+    * lineage the same way [[Dedup.connectedComponents]] does; rounds
+    * are FIXED (`iters`), not run to convergence, so the gate can
+    * unroll the identical algebra as oracle CTEs. At 100 TB this is
+    * the standard Pregel-free formulation: each round is two shuffles
+    * on stable keys, no driver state beyond the loop counter. */
+  def pageRank(edgesIn: DataFrame, src: Column, dst: Column,
+      iters: Int = 3, scale: Long = 1000000L, damp: Long = 85L)
+      : DataFrame = {
+    require(iters >= 1 && damp >= 0 && damp <= 100 && scale > 0)
+    val e = graft.Tables.materialize(
+      edgesIn.select(src.as("src"), dst.as("dst")).distinct())
+    val nodes = graft.Tables.materialize(
+      e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct())
+    val od = graft.Tables.materialize(
+      e.groupBy(col("src")).agg(count(lit(1)).as("odeg")))
+    val base = scale * (100L - damp) / 100L
+    var pr = nodes.select(col("id"), lit(scale).as("pr"))
+    for (_ <- 1 to iters) {
+      val inSum = e.join(pr, e("src") === pr("id"))
+        .join(od, "src")
+        .select(col("dst"), expr("pr div odeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      pr = graft.Tables.materialize(
+        nodes.join(inSum, nodes("id") === inSum("dst"), "left_outer")
+          .select(col("id"), coalesce(col("m"), lit(0L)).as("m"))
+          .select(col("id"),
+            expr(s"${base}L + ($damp * m) div 100").as("pr")))
+    }
+    pr
+  }
 }

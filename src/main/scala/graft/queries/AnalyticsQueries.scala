@@ -1276,7 +1276,70 @@ object AnalyticsQueries {
           (col("total_us").cast("double") * lit(100.0))).as("tw_avg"))
   }
 
+  /** Exact ROC AUC via the Mann-Whitney rank-sum — "does `value`
+    * separate clicks from the rest", the standard scorer/classifier
+    * eval. All-integer until one closing divide: ties get average
+    * ranks, kept integral by working in DOUBLED rank units (a tie
+    * group at cumulative offset `cum` with `c` members has
+    * 2·avgrank = 2·cum + c + 1), so AUC = (2·R1 − n1(n1+1)) /
+    * (2·n1·n0) is a single IEEE division of exact BIGINTs.
+    *
+    * Scale shape: ranks are NOT a global row window — scores
+    * pre-aggregate to (score, count, pos_count) first (map-side
+    * combined), and the one ordered window runs over the collapsed
+    * distinct-score frame (the [[skylinePareto]] trick; |distinct
+    * scores| ≪ rows). */
+  def aucRankSum(spark: SparkSession, dir: String): DataFrame = {
+    val perScore = Tables(spark, dir, "events")
+      .select(col("value").as("s"),
+        (col("event_type") === "click").cast("long").as("pos"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("pos")).as("cp"))
+    val w = Window.orderBy(col("s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("cum", coalesce(sum(col("c")).over(w), lit(0L)))
+      .agg(sum(col("cp") * (lit(2) * col("cum") + col("c") + lit(1)))
+          .as("r1x2"),
+        sum(col("cp")).as("n1"), sum(col("c") - col("cp")).as("n0"))
+      .select(col("n1"), col("n0"),
+        ((col("r1x2") - col("n1") * (col("n1") + lit(1L))).cast("double") /
+          (lit(2.0) * (col("n1") * col("n0")).cast("double"))).as("auc"))
+  }
+
+  /** Linear (equal-split) multi-touch attribution — every event
+    * strictly before a user's FIRST purchase shares the conversion
+    * credit equally. Credit stays an exact integer FRACTION
+    * (num/den) per (user, channel) instead of a summed float —
+    * 1/n + 1/m double sums are order-dependent and could never
+    * hash-gate; the fraction rows are also what a warehouse needs to
+    * re-weight credit later. "Strictly before" is the (us, event_id)
+    * struct total order, so a touch tied to the purchase microsecond
+    * resolves identically on both engines. Two aggregates + one
+    * join, all co-partitioned on user_id. */
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("us"), col("event_id"))).as("fp"))
+      .select(col("user_id"), col("fp.us").as("p_us"),
+        col("fp.event_id").as("p_id"))
+    val touches = ev.join(firstP, "user_id")
+      .filter(struct(col("us"), col("event_id")) <
+        struct(col("p_us"), col("p_id")))
+    val den = touches.groupBy(col("user_id")).agg(count(lit(1)).as("den"))
+    touches.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("num"))
+      .join(den, "user_id")
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("num"), col("den"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "auc_rank_sum" -> aucRankSum _,
+    "linear_attribution" -> linearAttribution _,
     "time_weighted_avg" -> timeWeightedAvg _,
     "sessionize" -> sessionize _,
     "user_event_paths" -> userEventPaths _,
@@ -1325,6 +1388,46 @@ object AnalyticsQueries {
     "quantiles_approx_bounds" -> quantilesApproxBounds _)
 
   val oracleSql: Map[String, String] = Map(
+    // doubled-rank-unit Mann-Whitney: all sums BIGINT, one IEEE divide
+    "auc_rank_sum" ->
+      """WITH auc_ps AS (
+        |  SELECT value AS s, COUNT(*) AS c,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cp
+        |  FROM events GROUP BY 1),
+        |auc_r AS (
+        |  SELECT s, c, cp,
+        |    COALESCE(SUM(c) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum
+        |  FROM auc_ps),
+        |auc_t AS (
+        |  SELECT CAST(SUM(cp * (2 * cum + c + 1)) AS BIGINT) AS r1x2,
+        |    CAST(SUM(cp) AS BIGINT) AS n1,
+        |    CAST(SUM(c - cp) AS BIGINT) AS n0
+        |  FROM auc_r)
+        |SELECT n1, n0,
+        |  CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) /
+        |    (CAST(2 AS DOUBLE) * CAST(n1 * n0 AS DOUBLE)) AS auc
+        |FROM auc_t""".stripMargin,
+    // credit as exact integer fractions; strictly-before on the
+    // (us, event_id) row order
+    "linear_attribution" ->
+      """WITH la_ev AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |la_fp AS (
+        |  SELECT user_id, MIN(ROW(us, event_id)) AS fp
+        |  FROM la_ev WHERE event_type = 'purchase' GROUP BY 1),
+        |la_t AS (
+        |  SELECT e.user_id, e.event_type
+        |  FROM la_ev e JOIN la_fp f ON e.user_id = f.user_id
+        |  WHERE ROW(e.us, e.event_id) < f.fp),
+        |la_d AS (SELECT user_id, COUNT(*) AS den FROM la_t GROUP BY 1)
+        |SELECT t.user_id, t.event_type AS channel,
+        |  COUNT(*) AS num, MIN(d.den) AS den
+        |FROM la_t t JOIN la_d d ON t.user_id = d.user_id
+        |GROUP BY 1, 2""".stripMargin,
     // weights are exact integer microsecond gaps; weighted sum exact
     // DECIMAL x BIGINT; one closing IEEE divide
     "time_weighted_avg" ->

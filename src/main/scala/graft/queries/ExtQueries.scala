@@ -678,7 +678,29 @@ object ExtQueries {
     "text_repetition" -> textRepetition _,
     "bigram_novelty" -> bigramNovelty _,
     "boilerplate_strip" -> boilerplateStrip _,
-    "rrf_fusion" -> rrfFusion _)
+    "rrf_fusion" -> rrfFusion _,
+    "word_pagerank" -> wordPagerank _)
+
+  /** PageRank over the word co-occurrence (bigram) graph of the
+    * corpus — "which tokens sit at the center of the corpus' phrase
+    * structure", the graph-centrality companion to [[ExtQueries
+    * .bigramNovelty]]'s frequency view. Edges are DISTINCT directed
+    * bigrams (w1 → w2); scores are [[Graph.pageRank]]'s integer
+    * fixed-round algebra (3 rounds, scale 10⁶, damping 85/100), so
+    * the oracle unrolls the identical three rounds as CTEs and the
+    * gate hash-compares exact BIGINTs. The vocabulary is small here;
+    * at corpus scale the same operator runs unchanged on a crawl's
+    * link graph (edge frame swap). */
+  def wordPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Dedup.shingles(
+      Tables(spark, dir, "documents"), col("doc_id"), col("text"), n = 2)
+    val edges = bigrams.select(
+      split(col("gram"), " ").getItem(0).as("w1"),
+      split(col("gram"), " ").getItem(1).as("w2"))
+    Graph.pageRank(edges, col("w1"), col("w2"),
+        iters = 3, scale = 1000000L, damp = 85L)
+      .select(col("id").as("word"), col("pr"))
+  }
 
   /** Reciprocal-rank fusion of two rankers (the standard hybrid-
     * retrieval merge: lexical + vector rankings → one list). The
@@ -924,6 +946,49 @@ object ExtQueries {
        |    THEN CAST(per.nb - per.nk AS DOUBLE) / CAST(per.nb AS DOUBLE)
        |  END AS novelty
        |FROM documents d LEFT JOIN per ON per.id = d.doc_id""".stripMargin
+
+  // the three integer PageRank rounds unrolled; // on positive
+  // BIGINTs floors exactly like Spark's div (result DOUBLE, values
+  // far below 2^53, cast back exact)
+  private val wordPagerankSql =
+    s"""WITH pgr_e AS (
+       |  SELECT DISTINCT t[i] AS src, t[i+1] AS dst
+       |  FROM (SELECT $toks AS t FROM documents),
+       |       LATERAL (SELECT unnest(range(1, greatest(length(t), 1)))
+       |                AS i)),
+       |pgr_n AS (SELECT src AS id FROM pgr_e
+       |          UNION SELECT dst FROM pgr_e),
+       |pgr_od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg
+       |           FROM pgr_e GROUP BY 1),
+       |pgr_p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM pgr_n),
+       |pgr_s1 AS (
+       |  SELECT e.dst, CAST(SUM(CAST(p.pr // o.odeg AS BIGINT))
+       |    AS BIGINT) AS m
+       |  FROM pgr_e e JOIN pgr_p0 p ON e.src = p.id
+       |  JOIN pgr_od o ON e.src = o.src GROUP BY 1),
+       |pgr_p1 AS (
+       |  SELECT n.id, CAST(150000 +
+       |    CAST((85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS BIGINT) AS pr
+       |  FROM pgr_n n LEFT JOIN pgr_s1 s ON n.id = s.dst),
+       |pgr_s2 AS (
+       |  SELECT e.dst, CAST(SUM(CAST(p.pr // o.odeg AS BIGINT))
+       |    AS BIGINT) AS m
+       |  FROM pgr_e e JOIN pgr_p1 p ON e.src = p.id
+       |  JOIN pgr_od o ON e.src = o.src GROUP BY 1),
+       |pgr_p2 AS (
+       |  SELECT n.id, CAST(150000 +
+       |    CAST((85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS BIGINT) AS pr
+       |  FROM pgr_n n LEFT JOIN pgr_s2 s ON n.id = s.dst),
+       |pgr_s3 AS (
+       |  SELECT e.dst, CAST(SUM(CAST(p.pr // o.odeg AS BIGINT))
+       |    AS BIGINT) AS m
+       |  FROM pgr_e e JOIN pgr_p2 p ON e.src = p.id
+       |  JOIN pgr_od o ON e.src = o.src GROUP BY 1),
+       |pgr_p3 AS (
+       |  SELECT n.id, CAST(150000 +
+       |    CAST((85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS BIGINT) AS pr
+       |  FROM pgr_n n LEFT JOIN pgr_s3 s ON n.id = s.dst)
+       |SELECT id AS word, pr FROM pgr_p3""".stripMargin
 
   private val dedupNgramJaccardSql =
     s"""WITH $gramsCte,
@@ -1997,6 +2062,7 @@ object ExtQueries {
     "dedup_lineage" -> dedupLineageSql,
     "bigram_novelty" -> bigramNoveltySql,
     "boilerplate_strip" -> boilerplateStripSql,
+    "word_pagerank" -> wordPagerankSql,
     "rrf_fusion" ->
       """WITH rrf_pr AS (
         |  SELECT p_partkey,

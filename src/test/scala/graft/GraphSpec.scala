@@ -55,4 +55,25 @@ class GraphSpec extends SparkSpec {
     assert(out.agg(org.apache.spark.sql.functions.sum(col("tri_cnt")))
       .as[Long].head() == 3L) // one triangle x 3 corners
   }
+
+  test("pageRank: hand-computed 2-round integer scores") {
+    // a->b, c->b, b->a; odeg all 1
+    // round 1: a=150000+850000=1000000, b=150000+85%*2e6=1850000,
+    //          c=150000 (no in-edges)
+    // round 2: b gets a(1000000)+c(150000)=1150000 ->
+    //          150000+977500=1127500; a gets b(1850000) ->
+    //          150000+1572500=1722500; c stays 150000
+    val edges = Seq(("a", "b"), ("c", "b"), ("b", "a")).toDF("s", "d")
+    val pr = Graph.pageRank(edges, col("s"), col("d"), iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(pr === Map("a" -> 1722500L, "b" -> 1127500L, "c" -> 150000L))
+  }
+
+  test("pageRank: duplicate input edges collapse (distinct edge set)") {
+    val edges = Seq(("a", "b"), ("a", "b"), ("b", "a")).toDF("s", "d")
+    val pr = Graph.pageRank(edges, col("s"), col("d"), iters = 1)
+      .as[(String, Long)].collect().toMap
+    // one distinct edge each way: both get 150000 + 850000
+    assert(pr === Map("a" -> 1000000L, "b" -> 1000000L))
+  }
 }
