@@ -867,7 +867,23 @@ object RelationalQueries {
         |  LIMIT 2) t""".stripMargin)
   }
 
+  /** A query THROUGH the custom DSv2 source ([[graft.sources
+    * .ShardSource]]): the shard range predicate is pushed down and
+    * prunes input PARTITIONS at plan time (4 of 8 shards ever launch
+    * tasks — `ShardSourceSpec` pins the partition count and the
+    * pushed-filter/read-schema plan text); the oracle regenerates the
+    * identical deterministic table from DuckDB `range()`, so the gate
+    * hash-checks the full DSv2 read path end-to-end. */
+  def dsv2ShardScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.ShardSource")
+      .option("shards", "8").option("rowsPerShard", "1000").load()
+      .filter(col("shard") >= 2 && col("shard") <= 5)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"),
+        min(col("id")).as("min_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsv2_shard_scan" -> dsv2ShardScan _,
     "lateral_topk" -> lateralTopk _,
     "null_semantics" -> nullSemantics _,
     "null_safe_join" -> nullSafeJoin _,
@@ -910,6 +926,18 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    // regenerates ShardSource's deterministic row algebra from range()
+    "dsv2_shard_scan" ->
+      """WITH ds AS (
+        |  SELECT CAST(i AS BIGINT) // 1000 AS shard,
+        |    CAST(i AS BIGINT) AS id,
+        |    'k' || CAST(i % 97 AS VARCHAR) AS key,
+        |    (CAST(i AS BIGINT) * 31) % 1000 AS v
+        |  FROM range(0, 8000) t(i))
+        |SELECT key, COUNT(*) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS sum_val, MIN(id) AS min_id
+        |FROM ds WHERE shard BETWEEN 2 AND 5
+        |GROUP BY 1""".stripMargin,
     "lateral_topk" ->
       """SELECT n.n_name, t.o_orderkey, t.o_totalprice
         |FROM nation n

@@ -1,0 +1,173 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 read path: a deterministic synthetic shard table
+  * (`spark.read.format("graft.sources.ShardSource")`), the harness a
+  * pipeline uses to integration-test scan behavior — and the repo's
+  * demonstration of the full DSv2 seam: `TableProvider` → `Table` →
+  * `ScanBuilder` with BOTH pushdown mixins → per-shard
+  * `InputPartition`s → `PartitionReader`.
+  *
+  * What makes it more than a toy:
+  *  - **Filter pushdown prunes PARTITIONS, not rows**: shard
+  *    predicates (=, <, <=, >, >=, IN on `shard`) are accepted in
+  *    `pushFilters` and applied when PLANNING input partitions — a
+  *    filtered scan launches only the matching shards' tasks, the
+  *    DSv2 analog of parquet row-group/partition pruning. Residual
+  *    filters stay with Spark (returned from `pushFilters`), so
+  *    semantics never depend on the source's completeness.
+  *  - **Column pruning reaches the reader**: `pruneColumns` hands the
+  *    reader the required schema; rows are materialized with exactly
+  *    those fields, in Spark's requested order.
+  *  - **Deterministic content**: row `id` in shard `s` is
+  *    `s·rowsPerShard + i`, `key = 'k' || id % 97`,
+  *    `val = (id · 31) % 1000` — pure arithmetic, so the DuckDB
+  *    oracle regenerates the identical table from `range()` and the
+  *    gate hash-compares a query THROUGH the custom source.
+  *
+  * Options: `shards` (default 8), `rowsPerShard` (default 1000).
+  * The scan's `description` lists the pushed shard filters and the
+  * pruned read schema; `ShardSourceSpec` pins both plus the planned-
+  * partition count. */
+class ShardSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ShardSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val opts = properties.asScala
+    new ShardTable(
+      opts.getOrElse("shards", "8").toInt,
+      opts.getOrElse("rowsPerShard", "1000").toLong)
+  }
+}
+
+object ShardSource {
+  val schema: StructType = StructType(Seq(
+    StructField("shard", LongType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("key", StringType, nullable = false),
+    StructField("val", LongType, nullable = false)))
+
+  /** The row algebra, shared by the reader and (textually) by the
+    * DuckDB oracle: key/val are pure functions of the global id. */
+  def cell(field: String, shard: Long, id: Long): Any = field match {
+    case "shard" => shard
+    case "id" => id
+    case "key" => UTF8String.fromString("k" + (id % 97))
+    case "val" => (id * 31) % 1000
+  }
+
+  /** Shard-id predicate from the pushed filters (conjunction). */
+  def shardSurvives(pushed: Seq[Filter], s: Long): Boolean =
+    pushed.forall {
+      case EqualTo("shard", v: Long) => s == v
+      case EqualTo("shard", v: Int) => s == v.toLong
+      case GreaterThan("shard", v: Long) => s > v
+      case GreaterThan("shard", v: Int) => s > v.toLong
+      case GreaterThanOrEqual("shard", v: Long) => s >= v
+      case GreaterThanOrEqual("shard", v: Int) => s >= v.toLong
+      case LessThan("shard", v: Long) => s < v
+      case LessThan("shard", v: Int) => s < v.toLong
+      case LessThanOrEqual("shard", v: Long) => s <= v
+      case LessThanOrEqual("shard", v: Int) => s <= v.toLong
+      case In("shard", vs) => vs.exists {
+        case v: Long => s == v
+        case v: Int => s == v.toLong
+        case _ => false
+      }
+      case _ => true // not a shard filter — kept by Spark anyway
+    }
+
+  def isShardFilter(f: Filter): Boolean = f match {
+    case EqualTo("shard", _) | GreaterThan("shard", _) |
+         GreaterThanOrEqual("shard", _) | LessThan("shard", _) |
+         LessThanOrEqual("shard", _) | In("shard", _) => true
+    case _ => false
+  }
+}
+
+class ShardTable(shards: Int, rowsPerShard: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_shards($shards x $rowsPerShard)"
+  override def schema(): StructType = ShardSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ShardScanBuilder(shards, rowsPerShard)
+}
+
+class ShardScanBuilder(shards: Int, rowsPerShard: Long)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = ShardSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // accept shard filters for partition pruning; everything is also
+    // returned as residual — the source prunes PARTITIONS, Spark
+    // keeps row-level responsibility (the conservative DSv2 contract)
+    pushed = filters.filter(ShardSource.isShardFilter)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new ShardScan(shards, rowsPerShard, pushed, required)
+}
+
+class ShardScan(shards: Int, rowsPerShard: Long, pushed: Array[Filter],
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_shards pushed=[${pushed.mkString(", ")}] " +
+      s"read=[${required.fieldNames.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (0L until shards.toLong)
+      .filter(s => ShardSource.shardSurvives(pushed.toSeq, s))
+      .map(s => ShardPartition(s, rowsPerShard): InputPartition)
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ShardReaderFactory(required.fieldNames)
+}
+
+case class ShardPartition(shard: Long, rows: Long) extends InputPartition
+
+class ShardReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ShardPartition]
+    new PartitionReader[InternalRow] {
+      private var i = -1L
+      override def next(): Boolean = { i += 1; i < p.rows }
+      override def get(): InternalRow = {
+        val id = p.shard * p.rows + i
+        new GenericInternalRow(
+          fields.map(f => ShardSource.cell(f, p.shard, id))
+            .asInstanceOf[Array[Any]])
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

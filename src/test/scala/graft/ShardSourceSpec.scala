@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins the DSv2 seam of [[graft.sources.ShardSource]]: partition
+  * pruning from pushed shard filters, column pruning reaching the
+  * reader, and content determinism. */
+class ShardSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def shardsDf: DataFrame =
+    spark.read.format("graft.sources.ShardSource")
+      .option("shards", "8").option("rowsPerShard", "1000").load()
+
+  test("full scan: 8 shards x 1000 rows, 8 planned partitions") {
+    val df = shardsDf
+    assert(df.count() === 8000L)
+    assert(df.rdd.getNumPartitions === 8)
+  }
+
+  test("shard equality prunes to ONE planned partition") {
+    val df = shardsDf.filter($"shard" === 3)
+    assert(df.rdd.getNumPartitions === 1)
+    assert(df.count() === 1000L)
+    assert(df.agg(min($"id"), max($"id")).as[(Long, Long)].head() ===
+      ((3000L, 3999L)))
+  }
+
+  test("shard range prunes partitions and plan text shows the push") {
+    val df = shardsDf.filter($"shard" >= 2 && $"shard" <= 5)
+    assert(df.rdd.getNumPartitions === 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(shard,2)"), plan)
+    assert(plan.contains("LessThanOrEqual(shard,5)"), plan)
+  }
+
+  test("IN-list pruning") {
+    val df = shardsDf.filter($"shard".isin(0, 7))
+    assert(df.rdd.getNumPartitions === 2)
+    assert(df.count() === 2000L)
+  }
+
+  test("column pruning reaches the reader (plan read schema)") {
+    val df = shardsDf.select($"id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("read=[id]"), plan)
+    assert(df.agg(sum($"id")).as[Long].head() === 8000L * 7999L / 2)
+  }
+
+  test("content algebra matches the oracle's range() regeneration") {
+    val r = shardsDf.filter($"id" === 4242L)
+      .as[(Long, Long, String, Long)].head()
+    assert(r === ((4L, 4242L, "k" + (4242 % 97), (4242L * 31) % 1000)))
+  }
+
+  test("residual non-shard filters still apply (source is not trusted)") {
+    // key filter is NOT pushed; Spark must filter rows post-scan
+    val n = shardsDf.filter($"shard" === 1 && $"key" === "k0").count()
+    assert(n === shardsDf.filter($"shard" === 1)
+      .collect().count(r => r.getString(2) == "k0").toLong)
+    assert(n > 0)
+  }
+}
