@@ -520,7 +520,33 @@ object PipelineQueries {
     }
   }
 
+  /** Streaming read THROUGH the custom DSv2 source
+    * ([[graft.sources.ShardSource]]'s MicroBatchStream path): shards
+    * arrive 2 per micro-batch (admission control, the
+    * maxFilesPerTrigger shape), a complete-mode running aggregate
+    * accumulates across the 4 batches, and the final table must
+    * equal the batch oracle regenerated from `range()` — streaming
+    * ingestion through a custom source is exactly-once to the gate's
+    * hash. Same gate-only memory-sink caveat as
+    * [[streamWindowCounts]]. */
+  def streamDsv2Source(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_dsv2_sink"
+    onStreamSession(spark, 8) { s =>
+      val src = s.readStream.format("graft.sources.ShardSource")
+        .option("shards", "8").option("rowsPerShard", "1000")
+        .option("shardsPerTrigger", "2").load()
+      val counts = src.groupBy(col("key"))
+        .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"))
+      val q = counts.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dsv2_source" -> streamDsv2Source _,
     "pipeline_batch_e2e" -> pipelineBatchE2e _,
     "stream_model_score" -> streamModelScore _,
     "stream_window_counts" -> streamWindowCounts _,
@@ -539,6 +565,15 @@ object PipelineQueries {
     "multimodal_resize" -> multimodalResize _)
 
   val oracleSql: Map[String, String] = Map(
+    // regenerates ShardSource's row algebra; the stream must land on
+    // the batch answer exactly
+    "stream_dsv2_source" ->
+      """WITH sds AS (
+        |  SELECT 'k' || CAST(i % 97 AS VARCHAR) AS key,
+        |    (CAST(i AS BIGINT) * 31) % 1000 AS v
+        |  FROM range(0, 8000) t(i))
+        |SELECT key, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_val
+        |FROM sds GROUP BY 1""".stripMargin,
     // md5 of the raw payload bytes (text is printable ASCII by canary;
     // strlen counts bytes, matching the binary length Spark stores)
     "media_dedup" ->

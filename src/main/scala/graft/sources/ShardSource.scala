@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
@@ -51,7 +52,8 @@ class ShardSource extends TableProvider {
     val opts = properties.asScala
     new ShardTable(
       opts.getOrElse("shards", "8").toInt,
-      opts.getOrElse("rowsPerShard", "1000").toLong)
+      opts.getOrElse("rowsPerShard", "1000").toLong,
+      opts.getOrElse("shardsPerTrigger", "0").toInt)
   }
 }
 
@@ -100,18 +102,21 @@ object ShardSource {
   }
 }
 
-class ShardTable(shards: Int, rowsPerShard: Long)
+class ShardTable(shards: Int, rowsPerShard: Long, shardsPerTrigger: Int)
     extends Table with SupportsRead {
   override def name(): String = s"graft_shards($shards x $rowsPerShard)"
   override def schema(): StructType = ShardSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new ShardScanBuilder(shards, rowsPerShard)
+      : ScanBuilder =
+    new ShardScanBuilder(shards, rowsPerShard, shardsPerTrigger)
 }
 
-class ShardScanBuilder(shards: Int, rowsPerShard: Long)
+class ShardScanBuilder(shards: Int, rowsPerShard: Long,
+    shardsPerTrigger: Int)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
@@ -130,11 +135,11 @@ class ShardScanBuilder(shards: Int, rowsPerShard: Long)
     required = requiredSchema
 
   override def build(): Scan =
-    new ShardScan(shards, rowsPerShard, pushed, required)
+    new ShardScan(shards, rowsPerShard, shardsPerTrigger, pushed, required)
 }
 
-class ShardScan(shards: Int, rowsPerShard: Long, pushed: Array[Filter],
-    required: StructType) extends Scan with Batch {
+class ShardScan(shards: Int, rowsPerShard: Long, shardsPerTrigger: Int,
+    pushed: Array[Filter], required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -149,6 +154,51 @@ class ShardScan(shards: Int, rowsPerShard: Long, pushed: Array[Filter],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ShardReaderFactory(required.fieldNames)
+
+  /** Streaming read path: shards arrive as an append stream, at most
+    * `shardsPerTrigger` per micro-batch (0 = all at once) — the
+    * same admission-control shape as a file source's
+    * maxFilesPerTrigger. Offsets are plain shard counts; a restart
+    * resumes from the committed shard (deserializeOffset), and
+    * `processAllAvailable` drains because latestOffset stops
+    * advancing at `shards`. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new ShardMicroBatchStream(shards, rowsPerShard,
+      if (shardsPerTrigger <= 0) shards else shardsPerTrigger,
+      pushed, required)
+}
+
+class ShardOffset(val n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+class ShardMicroBatchStream(shards: Int, rowsPerShard: Long,
+    perTrigger: Int, pushed: Array[Filter], required: StructType)
+    extends MicroBatchStream {
+  private var planned: Long = 0L
+
+  override def initialOffset(): Offset = new ShardOffset(0L)
+  override def deserializeOffset(json: String): Offset = {
+    val o = new ShardOffset(json.toLong)
+    planned = math.max(planned, o.n)
+    o
+  }
+  override def latestOffset(): Offset = {
+    planned = math.min(planned + perTrigger, shards.toLong)
+    new ShardOffset(planned)
+  }
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] =
+    (start.asInstanceOf[ShardOffset].n until
+        end.asInstanceOf[ShardOffset].n)
+      .filter(s => ShardSource.shardSurvives(pushed.toSeq, s))
+      .map(s => ShardPartition(s, rowsPerShard): InputPartition)
+      .toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ShardReaderFactory(required.fieldNames)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class ShardPartition(shard: Long, rows: Long) extends InputPartition

@@ -54,6 +54,24 @@ class ShardSourceSpec extends SparkSpec {
     assert(r === ((4L, 4242L, "k" + (4242 % 97), (4242L * 31) % 1000)))
   }
 
+  test("streaming path paces shards across micro-batches") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val src = s.readStream.format("graft.sources.ShardSource")
+      .option("shards", "8").option("rowsPerShard", "100")
+      .option("shardsPerTrigger", "2").load()
+    val q = src.groupBy().agg(count(lit(1)).as("n"), sum($"id").as("s"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("shard_stream_spec").start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    val r = s.table("shard_stream_spec").collect().head
+    assert(r.getLong(0) === 800L)
+    assert(r.getLong(1) === 800L * 799L / 2)
+    assert(batches >= 4, s"expected >=4 paced batches, got $batches")
+  }
+
   test("residual non-shard filters still apply (source is not trusted)") {
     // key filter is NOT pushed; Spark must filter rows post-scan
     val n = shardsDf.filter($"shard" === 1 && $"key" === "k0").count()
