@@ -1337,7 +1337,58 @@ object AnalyticsQueries {
         col("num"), col("den"))
   }
 
+  /** Spark's native `session_window` twin-gated against the first-
+    * principles gaps-and-islands algebra ([[sessionize]]): the oracle
+    * computes sessions as break-on-gap≥10min islands, and the builtin
+    * must land on identical (start, end = last + gap, count) rows —
+    * pinning that the engine's session-merge semantics match the
+    * textbook definition. The builtin's plan is the one a 100 TB run
+    * wants: one user_id exchange, sessions merged inside the
+    * aggregate, no window sort followed by a second aggregate. */
+  def sessionWindowBuiltin(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "10 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"))
+
+  /** Dyadic EWMA over gap-filled daily counts — smoothing with
+    * α = 1/2 makes every weight a power of two, so the 8-term
+    * weighted sum is EXACT integer arithmetic (scaled by 2⁷;
+    * `ewma = scaled/255` is the one IEEE divide) — the reason this
+    * hash-gates where a float EWMA recursion never could. Days with
+    * no events count 0 via the per-type dense calendar (the
+    * [[gapfillFfill]] explode shape); days before a type's first
+    * observation contribute 0 on both engines (lag default). One
+    * aggregate + one per-type ordered window. */
+  def ewmaDyadic(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val dense = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+    val scaled = (0 to 7).map(k =>
+        lit(1L << (7 - k)) * lag(col("c"), k, 0L).over(w))
+      .reduce(_ + _)
+    dense.join(daily, Seq("event_type", "day"), "left_outer")
+      .select(col("event_type"), col("day"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("ewma_scaled", scaled)
+      .select(col("event_type"), col("day"), col("ewma_scaled"),
+        (col("ewma_scaled").cast("double") / lit(255.0)).as("ewma"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "session_window_builtin" -> sessionWindowBuiltin _,
+    "ewma_dyadic" -> ewmaDyadic _,
     "auc_rank_sum" -> aucRankSum _,
     "linear_attribution" -> linearAttribution _,
     "time_weighted_avg" -> timeWeightedAvg _,
@@ -1388,6 +1439,54 @@ object AnalyticsQueries {
     "quantiles_approx_bounds" -> quantilesApproxBounds _)
 
   val oracleSql: Map[String, String] = Map(
+    // the builtin must equal break-on-gap>=10min islands with
+    // end = last event + gap
+    "session_window_builtin" ->
+      """WITH swb_e AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events),
+        |swb_b AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+        |      ORDER BY us) >= 600000000 THEN 1 ELSE 0 END AS brk
+        |  FROM swb_e),
+        |swb_s AS (
+        |  SELECT user_id, us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM swb_b)
+        |SELECT user_id,
+        |  MIN(us) AS session_start_us,
+        |  MAX(us) + 600000000 AS session_end_us,
+        |  COUNT(*) AS n_events
+        |FROM swb_s GROUP BY user_id, sid""".stripMargin,
+    // 8 power-of-two weights: exact integers until the one divide
+    "ewma_dyadic" ->
+      """WITH ew_d AS (
+        |  SELECT event_type,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |ew_s AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+        |         FROM ew_d GROUP BY 1),
+        |ew_f AS (SELECT event_type, unnest(generate_series(lo, hi))
+        |           AS day
+        |         FROM ew_s),
+        |ew_j AS (
+        |  SELECT f.event_type, f.day, COALESCE(d.c, 0) AS c
+        |  FROM ew_f f LEFT JOIN ew_d d
+        |    ON d.event_type = f.event_type AND d.day = f.day),
+        |ew_l AS (
+        |  SELECT event_type, day,
+        |    128 * c + 64 * lag(c, 1, 0) OVER w + 32 * lag(c, 2, 0) OVER w
+        |    + 16 * lag(c, 3, 0) OVER w + 8 * lag(c, 4, 0) OVER w
+        |    + 4 * lag(c, 5, 0) OVER w + 2 * lag(c, 6, 0) OVER w
+        |    + lag(c, 7, 0) OVER w AS ewma_scaled
+        |  FROM ew_j
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, day,
+        |  CAST(ewma_scaled AS BIGINT) AS ewma_scaled,
+        |  CAST(ewma_scaled AS DOUBLE) / CAST(255 AS DOUBLE) AS ewma
+        |FROM ew_l""".stripMargin,
     // doubled-rank-unit Mann-Whitney: all sums BIGINT, one IEEE divide
     "auc_rank_sum" ->
       """WITH auc_ps AS (
