@@ -73,6 +73,7 @@ object Sessions {
       .withExtensions(graft.ext.Bloom.register)
       // whole-operator rung: logical-plan rewrite rules
       .withExtensions(graft.plans.BinRangeJoin.register)
+      .withExtensions(graft.plans.MvRewrite.register)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       // Non-ANSI: engine cast semantics are null-on-failure

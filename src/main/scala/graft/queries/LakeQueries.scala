@@ -313,7 +313,32 @@ object LakeQueries {
           .as("sum_imputed"))
   }
 
+  /** Aggregate answered FROM the materialized summary by the
+    * [[graft.plans.MvRewrite]] optimizer rule: the query groups by a
+    * SUBSET of the MV's keys (a true rollup — partial counts/sums
+    * re-aggregate, partial extrema re-min/max), the rule swaps the
+    * lineitem scan for the in-memory summary (plan pinned by
+    * `MvRewriteSpec`), and the DuckDB oracle computes straight from
+    * the base table — so the gate proves the rewrite changes the
+    * PLAN and not one bit of the answer. */
+  def mvRollupRewrite(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.MvCatalog.registerSummary(s"li_flag_status:$dir",
+      Tables(spark, dir, "lineitem"), s"$dir/lineitem.parquet",
+      keys = Seq("l_returnflag", "l_linestatus"),
+      covered = Seq("l_linenumber", "l_shipdate"))
+    val s = spark.newSession()
+    s.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_linenumber")).as("sum_linenumber"),
+        count(col("l_linenumber")).as("n_linenumber"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_rollup_rewrite" -> mvRollupRewrite _,
     "key_skew_audit" -> keySkewAudit _,
     "impute_median" -> imputeMedian _,
     "incremental_agg" -> incrementalAgg _,
@@ -323,6 +348,14 @@ object LakeQueries {
     "dq_checks" -> dqChecks _)
 
   val oracleSql: Map[String, String] = Map(
+    // straight from the base table — the MV path must agree bit-exactly
+    "mv_rollup_rewrite" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(l_linenumber) AS BIGINT) AS sum_linenumber,
+        |  CAST(COUNT(l_linenumber) AS BIGINT) AS n_linenumber,
+        |  MIN(l_shipdate) AS first_ship,
+        |  MAX(l_shipdate) AS last_ship
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // lower median = exact element at rank (n+1) div 2 of the
     // (value, event_id) order — selection, not interpolation
     "impute_median" ->

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.{MvCatalog, MvRewrite}
+
+/** Pins [[graft.plans.MvRewrite]]: the rewritten plan scans the
+  * in-memory summary (not parquet), answers are bit-identical to the
+  * un-rewritten plan, and non-subsumed aggregates are left alone. */
+class MvRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def registered(): Unit =
+    MvCatalog.registerSummary(s"spec_li:$dir",
+      Tables(spark, dir, "lineitem"), s"$dir/lineitem.parquet",
+      keys = Seq("l_returnflag", "l_linestatus"),
+      covered = Seq("l_linenumber", "l_shipdate"))
+
+  private def query(s: org.apache.spark.sql.SparkSession) =
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"l_linenumber").as("sl"),
+        min($"l_shipdate").as("lo"), max($"l_shipdate").as("hi"))
+
+  test("rewritten plan scans the summary, not parquet") {
+    registered()
+    val on = spark.newSession()
+    on.conf.set(MvRewrite.EnabledKey, "true")
+    val df = query(on)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"), plan)
+    // rollup signature: the aggregate re-rolls MV partials
+    assert(plan.contains("sum(cnt_rows"), plan)
+    // no FileScan ABOVE the cached relation (the InMemoryRelation
+    // node prints its own definition subtree, which does scan parquet)
+    val aboveCache = plan.linesIterator
+      .takeWhile(!_.contains("InMemoryRelation")).toSeq
+    assert(aboveCache.forall(!_.contains("FileScan")),
+      aboveCache.mkString("\n"))
+  }
+
+  test("rewrite changes the plan, not the answer") {
+    registered()
+    val on = spark.newSession()
+    on.conf.set(MvRewrite.EnabledKey, "true")
+    val off = spark.newSession()
+    off.conf.set(MvRewrite.EnabledKey, "false")
+    val a = query(on).collect().map(_.toString).sorted
+    val b = query(off).collect().map(_.toString).sorted
+    assert(a.nonEmpty && (a sameElements b))
+  }
+
+  test("double sums are NOT rewritten (no silent answer change)") {
+    registered()
+    val on = spark.newSession()
+    on.conf.set(MvRewrite.EnabledKey, "true")
+    // l_quantity is double: partial re-aggregation is not bit-stable,
+    // so the rule must refuse even though the keys match
+    val df = Tables(on, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(sum($"l_quantity").as("sq"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("lineitem.parquet"), plan)
+  }
+
+  test("uncovered columns and foreign tables are left alone") {
+    registered()
+    val on = spark.newSession()
+    on.conf.set(MvRewrite.EnabledKey, "true")
+    val uncovered = Tables(on, dir, "lineitem")
+      .groupBy($"l_returnflag").agg(sum($"l_orderkey").as("so"))
+    assert(uncovered.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"))
+    val foreign = Tables(on, dir, "orders")
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(foreign.queryExecution.executedPlan.toString
+      .contains("orders.parquet"))
+  }
+
+  test("disabled conf leaves the plan untouched") {
+    registered()
+    val df = query(spark) // shared session: conf defaults to off
+    assert(df.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"))
+  }
+}
