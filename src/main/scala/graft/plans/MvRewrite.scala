@@ -6,6 +6,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -88,7 +89,17 @@ object MvRewrite {
 
     private def tryRewrite(agg: Aggregate, mv: MvCatalog.Mv)
         : Option[LogicalPlan] = {
-      if (!isBase(strip(agg.child), mv.baseSuffix)) return None
+      // a Filter over KEY columns only commutes with the group-by and
+      // survives the rewrite (rollup of a key slice); any other
+      // predicate blocks the match
+      val (keyFilter, scanSide) = strip(agg.child) match {
+        case f @ logical.Filter(cond, inner)
+            if cond.deterministic &&
+              cond.references.forall(a => mv.keys.contains(a.name)) =>
+          (Some(f), strip(inner))
+        case other => (None, other)
+      }
+      if (!isBase(scanSide, mv.baseSuffix)) return None
       val groupNames = agg.groupingExpressions
         .map(_.asInstanceOf[AttributeReference].name)
       if (!groupNames.forall(mv.keys.contains)) return None
@@ -139,7 +150,15 @@ object MvRewrite {
       }
       if (rewritten.exists(_.isEmpty)) return None
       val newKeys = groupNames.map(n => mvAttr(n).get)
-      Some(Aggregate(newKeys, rewritten.map(_.get), mv.plan))
+      val newChild = keyFilter match {
+        case Some(f) =>
+          val remapped = f.condition.transform {
+            case a: AttributeReference => mvAttr(a.name).get
+          }
+          logical.Filter(remapped, mv.plan)
+        case None => mv.plan
+      }
+      Some(Aggregate(newKeys, rewritten.map(_.get), newChild))
     }
   }
 }

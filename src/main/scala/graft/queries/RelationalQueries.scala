@@ -21,6 +21,11 @@ import graft.ext.TemporalJoins
   * compare); counts coalesced to 0 where Spark's pivot yields null
   * but a FILTER'd COUNT yields 0.
   */
+/** Typed row for [[RelationalQueries.typedPipeline]] — top level so
+  * the product Encoder's TypeTag derivation works (local case classes
+  * break it; same seam note as the transformWithState gate). */
+case class TypedEv(event_id: Long, user_id: Long, event_type: String)
+
 object RelationalQueries {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
@@ -882,7 +887,42 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"),
         min(col("id")).as("min_id"))
 
+  /** Typed Dataset surface end-to-end: case-class `as[T]`, lambda
+    * `filter`, `groupByKey` + `mapGroups` with explicit Encoders —
+    * the API rung users reach for when logic doesn't fit Columns.
+    * Group outputs are order-independent integers (count/min/max/
+    * distinct), so the opaque lambda stays hash-gateable.
+    *
+    * Scale note: mapGroups is an OPAQUE aggregate — no partial
+    * map-side combine, every row shuffles, no codegen. This gate
+    * covers the surface; hot paths in this repo use Column
+    * aggregates or typed `Aggregator`s ([[weightedAvg]]) which DO
+    * partial-combine. */
+  def typedPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val evEnc: Encoder[TypedEv] = Encoders.product[TypedEv]
+    val out = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .as[TypedEv]
+      .filter((e: TypedEv) => e.event_type != "error")
+      .groupByKey((e: TypedEv) => e.user_id % 97L)(Encoders.scalaLong)
+      .mapGroups { (k: Long, it: Iterator[TypedEv]) =>
+        var n = 0L
+        var minId = Long.MaxValue
+        var maxId = Long.MinValue
+        val types = scala.collection.mutable.Set[String]()
+        it.foreach { e =>
+          n += 1; minId = math.min(minId, e.event_id)
+          maxId = math.max(maxId, e.event_id); types += e.event_type
+        }
+        (k, n, minId, maxId, types.size.toLong)
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+    out.toDF("k", "n_events", "min_id", "max_id", "n_types")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "typed_pipeline" -> typedPipeline _,
     "dsv2_shard_scan" -> dsv2ShardScan _,
     "lateral_topk" -> lateralTopk _,
     "null_semantics" -> nullSemantics _,
@@ -926,6 +966,12 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "typed_pipeline" ->
+      """SELECT user_id % 97 AS k, COUNT(*) AS n_events,
+        |  MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY 1""".stripMargin,
     // regenerates ShardSource's deterministic row algebra from range()
     "dsv2_shard_scan" ->
       """WITH ds AS (

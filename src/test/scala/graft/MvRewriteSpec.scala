@@ -52,6 +52,33 @@ class MvRewriteSpec extends SparkSpec {
     assert(a.nonEmpty && (a sameElements b))
   }
 
+  test("key-column filter commutes through the rewrite") {
+    registered()
+    val on = spark.newSession()
+    on.conf.set(MvRewrite.EnabledKey, "true")
+    val off = spark.newSession()
+    def q(s: org.apache.spark.sql.SparkSession) =
+      Tables(s, dir, "lineitem")
+        .filter(col("l_linestatus") === "F")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), max($"l_shipdate").as("hi"))
+    val plan = q(on).queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(q(on).collect().map(_.toString).sorted sameElements
+      q(off).collect().map(_.toString).sorted)
+  }
+
+  test("non-key filter blocks the rewrite") {
+    registered()
+    val on = spark.newSession()
+    on.conf.set(MvRewrite.EnabledKey, "true")
+    val df = Tables(on, dir, "lineitem")
+      .filter($"l_linenumber" > 2) // covered but NOT a key
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"))
+  }
+
   test("double sums are NOT rewritten (no silent answer change)") {
     registered()
     val on = spark.newSession()
