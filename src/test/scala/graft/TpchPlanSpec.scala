@@ -69,6 +69,45 @@ class TpchPlanSpec extends SparkSpec {
     assert(r.getAs[Long]("n_not_exists") > 0L)
   }
 
+  test("q6: all three predicates reach the parquet scan; no shuffle " +
+    "except the final 1-row aggregate") {
+    val plan = formatted(TpchQueries.q6RevenueDelta(spark, dir))
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan.take(3000))
+    assert(plan.contains("GreaterThanOrEqual(l_discount,0.02)"))
+    assert(plan.contains("LessThan(l_quantity,24.0)"))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastHashJoin")) // scan -> agg, nothing else
+  }
+
+  test("q19: the common brand disjunct is pushed into the part side") {
+    val plan = formatted(TpchQueries.q19DisjunctiveRev(spark, dir))
+    // brand IN (...) reaches the part scan as a pushed filter; the
+    // full OR runs as a residual on the joined row
+    assert(plan.contains("In(p_brand"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q21: ONE orderkey shuffle feeds both the per-order aggregate " +
+    "and the flagged join (no second fact scan pattern)") {
+    val tree = TpchQueries.q21WaitingSupplier(spark, dir)
+      .queryExecution.executedPlan.toString
+    // supplier side broadcasts; the heavy joins are on orderkey
+    assert(tree.contains("BroadcastHashJoin"), tree)
+    val q = TpchQueries.q21WaitingSupplier(spark, dir)
+    assert(q.count() >= 1)
+  }
+
+  test("q2: tie rows share the exact-decimal min cost") {
+    val rows = TpchQueries.q2MinCostSupplier(spark, dir).collect()
+    // every returned (part, supplier) carries its part's min cost:
+    // grouping by part, all costs within a part are equal
+    val byPart = rows.groupBy(_.getAs[Long]("p_partkey"))
+    byPart.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Double]("cost")).distinct.length == 1)
+    }
+  }
+
   test("q8/q14 shares are in [0,1] / [0,100] at smoke scale") {
     val q8 = TpchQueries.q8MarketShare(spark, dir).collect()
     assert(q8.nonEmpty)
