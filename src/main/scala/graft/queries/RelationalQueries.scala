@@ -921,7 +921,29 @@ object RelationalQueries {
     out.toDF("k", "n_events", "min_id", "max_id", "n_types")
   }
 
+  /** Correlated scalar subquery in the SELECT list (q17 covers the
+    * WHERE position): per nation, how many "heavy" customers — ones
+    * whose correlated per-customer order count exceeds 5. Spark
+    * decorrelates the SELECT-side subquery to an aggregate + left
+    * outer join (customers with no orders read the count as 0 via
+    * the CASE over NULL>5 = false) — the plan a hand-written join
+    * would produce, never a per-row probe. */
+  def scalarSubquerySelect(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "customer").createOrReplaceTempView("sss_customer")
+    Tables(spark, dir, "orders").createOrReplaceTempView("sss_orders")
+    spark.sql(
+      """SELECT c.c_nationkey,
+        |  COUNT(*) AS n_customers,
+        |  SUM(CASE WHEN (
+        |    SELECT COUNT(*) FROM sss_orders o
+        |    WHERE o.o_custkey = c.c_custkey) > 5
+        |    THEN 1 ELSE 0 END) AS n_heavy
+        |FROM sss_customer c
+        |GROUP BY c.c_nationkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_subquery_select" -> scalarSubquerySelect _,
     "typed_pipeline" -> typedPipeline _,
     "dsv2_shard_scan" -> dsv2ShardScan _,
     "lateral_topk" -> lateralTopk _,
@@ -966,6 +988,15 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "scalar_subquery_select" ->
+      """SELECT c.c_nationkey,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CASE WHEN (
+        |    SELECT COUNT(*) FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey) > 5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy
+        |FROM customer c
+        |GROUP BY c.c_nationkey""".stripMargin,
     "typed_pipeline" ->
       """SELECT user_id % 97 AS k, COUNT(*) AS n_events,
         |  MIN(event_id) AS min_id, MAX(event_id) AS max_id,
