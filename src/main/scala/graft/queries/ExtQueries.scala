@@ -93,6 +93,44 @@ object ExtQueries {
       col("doc_id"), col("text"),
       newScorer = () => new graft.ext.Scoring.HashedLinearScorer()).toDF()
 
+  /** Score-calibration (reliability) readout — the eval that pairs
+    * with [[textModelScoreLinear]]: bin the linear model's score into
+    * deciles of [−1, 1] and report each bin's agreement rate against
+    * the reference labeler ([[textModelScore]]'s stub). Binning is
+    * ALL-INTEGER: score = raw/(1001·n) never materializes — bin =
+    * min(9, 10·(raw + 1001·n) div (2002·n)) on exact BIGINTs, and
+    * the only double is each bin's closing rate divide. The two
+    * scorers here are the repo's deterministic stand-ins; production
+    * swaps real models behind the same seam and this exact query
+    * becomes the calibration monitor. */
+  def scoreCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val tok = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val perDoc = tok
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % 1024).as("b"))
+      .select(col("doc_id"),
+        ((col("b") * 2654435761L) % 2003L - 1001L).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("raw"))
+    val labeled = docs.select(col("doc_id"),
+      (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+        >= 2147483648L).cast("long").as("truth_keep"))
+    perDoc.join(labeled, "doc_id")
+      .select(
+        least(lit(9L), expr("(10 * (raw + 1001 * n)) div (2002 * n)"))
+          .as("bin"),
+        col("truth_keep"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("truth_keep")).as("n_keep"))
+      .select(col("bin"), col("n_docs"), col("n_keep"),
+        (col("n_keep").cast("double") / col("n_docs").cast("double"))
+          .as("keep_rate"))
+  }
+
   // --------------------------------------------------------------- dedup
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -641,6 +679,7 @@ object ExtQueries {
     "dedup_incremental" -> dedupIncremental _,
     "text_scrub" -> textScrub _,
     "text_model_score" -> textModelScore _,
+    "score_calibration" -> scoreCalibration _,
     "text_model_score_linear" -> textModelScoreLinear _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "jaccard_threshold_sweep" -> jaccardThresholdSweep _,
@@ -1342,6 +1381,32 @@ object ExtQueries {
        |  CASE WHEN raw / (1001.0 * n) >= 0.0
        |    THEN 'keep' ELSE 'drop' END AS label
        |FROM s""".stripMargin
+
+  // integer decile binning over the linear score's exact (raw, n)
+  // pair; stub truth via an integer md5 threshold (2^31)
+  private val scoreCalibrationSql =
+    s"""WITH sc_tok AS (
+       |  SELECT doc_id, unnest($toks) AS tok FROM documents),
+       |sc_h AS (SELECT doc_id,
+       |  ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b
+       |  FROM sc_tok),
+       |sc_s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum((b * 2654435761) % 2003 - 1001) AS BIGINT) AS raw
+       |  FROM sc_h GROUP BY doc_id),
+       |sc_l AS (SELECT doc_id,
+       |  CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT
+       |    >= 2147483648 THEN 1 ELSE 0 END AS truth_keep
+       |  FROM documents),
+       |sc_b AS (
+       |  SELECT least(9, CAST((10 * (raw + 1001 * n)) // (2002 * n)
+       |           AS BIGINT)) AS bin,
+       |    truth_keep
+       |  FROM sc_s JOIN sc_l ON sc_s.doc_id = sc_l.doc_id)
+       |SELECT bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(truth_keep) AS BIGINT) AS n_keep,
+       |  CAST(CAST(SUM(truth_keep) AS BIGINT) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) AS keep_rate
+       |FROM sc_b GROUP BY 1""".stripMargin
 
   // StubScorer's arithmetic verbatim: md5-top-32-bits / 2^32 is a
   // dyadic division, bit-exact in both engines' doubles
@@ -2055,6 +2120,7 @@ object ExtQueries {
     "dedup_incremental" -> dedupIncrementalSql,
     "text_scrub" -> textScrubSql,
     "text_model_score" -> textModelScoreSql,
+    "score_calibration" -> scoreCalibrationSql,
     "text_model_score_linear" -> textModelScoreLinearSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "jaccard_threshold_sweep" -> jaccardThresholdSweepSql,
