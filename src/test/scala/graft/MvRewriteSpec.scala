@@ -106,6 +106,34 @@ class MvRewriteSpec extends SparkSpec {
       .contains("orders.parquet"))
   }
 
+  test("every (keys x filter) combination: rewrite fires and answers " +
+      "are bit-identical") {
+    registered()
+    val on = spark.newSession()
+    on.conf.set(MvRewrite.EnabledKey, "true")
+    val off = spark.newSession()
+    val keyCombos = Seq(Seq("l_returnflag"), Seq("l_linestatus"),
+      Seq("l_returnflag", "l_linestatus"))
+    val filters: Seq[org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame] =
+      Seq(identity, _.filter(col("l_returnflag") =!= "A"))
+    for (ks <- keyCombos; f <- filters) {
+      def q(s: org.apache.spark.sql.SparkSession) =
+        f(Tables(s, dir, "lineitem"))
+          .groupBy(ks.map(col): _*)
+          .agg(count(lit(1)).as("n"),
+            sum($"l_linenumber").as("s"),
+            count($"l_linenumber").as("cn"),
+            min($"l_linenumber").as("mn"),
+            max($"l_shipdate").as("hi"))
+      val plan = q(on).queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"), s"$ks no rewrite:\n$plan")
+      val a = q(on).collect().map(_.toString).sorted
+      val b = q(off).collect().map(_.toString).sorted
+      assert(a.nonEmpty && (a sameElements b), s"$ks mismatch")
+    }
+  }
+
   test("disabled conf leaves the plan untouched") {
     registered()
     val df = query(spark) // shared session: conf defaults to off
