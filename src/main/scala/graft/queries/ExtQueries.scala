@@ -131,6 +131,48 @@ object ExtQueries {
           .as("keep_rate"))
   }
 
+  /** MinHash estimation-error audit — per LSH candidate pair, the
+    * 16-component signature agreement rate against the EXACT Jaccard
+    * over the same shingles: the measurement behind choosing
+    * numHashes/bands (is the sketch tight enough to trust its
+    * threshold?). One shingle frame feeds signatures, candidates and
+    * the exact intersection — built once, reused three times. The
+    * error column is two IEEE divides + one subtract on identical
+    * operands in both engines; everything upstream is integer.
+    * Candidate-pair cardinality is LSH-bounded, so the exact-verify
+    * join never goes all-pairs at scale. */
+  def minhashEstimateError(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.Tables.materialize(Dedup.shingles(
+      Tables(spark, dir, "documents"), col("doc_id"), col("text"), n = 3))
+    val sig = Dedup.minhashSignaturesFromShingles(g, numHashes = 16)
+    val cand = Dedup.minhashLshPairsFromShingles(g, numHashes = 16,
+      rowsPerBand = 4)
+    val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(g.select(col("id").as("ga_id"), col("gram")),
+        col("id1") === col("ga_id"))
+      .join(g.select(col("id").as("gb_id"), col("gram")),
+        Seq("gram")).filter(col("id2") === col("gb_id"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+    val matchCnt = (0 until 16)
+      .map(j => (col(s"sa.sig_$j") === col(s"sb.sig_$j")).cast("long"))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("sa"), col("id1") === col("sa.id"))
+      .join(sig.as("sb"), col("id2") === col("sb.id"))
+      .select(col("id1"), col("id2"), matchCnt.as("match_cnt"))
+      .join(inter, Seq("id1", "id2"), "left_outer")
+      .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), "id2")
+      .select(col("id1"), col("id2"), col("match_cnt"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        (col("sz1") + col("sz2") - coalesce(col("inter"), lit(0L)))
+          .as("usz"))
+      .withColumn("est_err",
+        abs(col("match_cnt").cast("double") / lit(16.0) -
+          col("inter").cast("double") / col("usz").cast("double")))
+  }
+
   // --------------------------------------------------------------- dedup
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -680,6 +722,7 @@ object ExtQueries {
     "text_scrub" -> textScrub _,
     "text_model_score" -> textModelScore _,
     "score_calibration" -> scoreCalibration _,
+    "minhash_estimate_error" -> minhashEstimateError _,
     "text_model_score_linear" -> textModelScoreLinear _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "jaccard_threshold_sweep" -> jaccardThresholdSweep _,
@@ -1082,6 +1125,52 @@ object ExtQueries {
        |FROM sig)
        |SELECT x.id AS id1, y.id AS id2
        |FROM bands x JOIN bands y ON x.id < y.id AND ($cond)""".stripMargin
+  }
+
+  private val minhashEstimateErrorSql = {
+    val cond = bandExprs.indices
+      .map(b => s"x.b$b = y.b$b").mkString(" OR ")
+    val bandCols = bandExprs.zipWithIndex
+      .map { case (e, b) => s"  $e AS b$b" }.mkString(",\n")
+    val matchSum = (0 until 16)
+      .map(j => s"CASE WHEN s1.sig_$j = s2.sig_$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $gramsCte,
+       |$hashedCte,
+       |sig AS (
+       |SELECT id,
+       |$sigAggs
+       |FROM hashed GROUP BY id),
+       |bands AS (
+       |SELECT id,
+       |$bandCols
+       |FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS id1, y.id AS id2
+       |  FROM bands x JOIN bands y ON x.id < y.id AND ($cond)),
+       |msizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz
+       |           FROM grams GROUP BY id),
+       |minter AS (
+       |  SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS inter
+       |  FROM cand c
+       |  JOIN grams a ON a.id = c.id1
+       |  JOIN grams b ON b.id = c.id2 AND a.gram = b.gram
+       |  GROUP BY 1, 2),
+       |mrows AS (
+       |  SELECT c.id1, c.id2,
+       |    CAST($matchSum AS BIGINT) AS match_cnt,
+       |    COALESCE(i.inter, 0) AS inter,
+       |    ms1.sz + ms2.sz - COALESCE(i.inter, 0) AS usz
+       |  FROM cand c
+       |  JOIN sig s1 ON s1.id = c.id1
+       |  JOIN sig s2 ON s2.id = c.id2
+       |  LEFT JOIN minter i ON i.id1 = c.id1 AND i.id2 = c.id2
+       |  JOIN msizes ms1 ON ms1.id = c.id1
+       |  JOIN msizes ms2 ON ms2.id = c.id2)
+       |SELECT id1, id2, match_cnt, inter, usz,
+       |  abs(CAST(match_cnt AS DOUBLE) / CAST(16 AS DOUBLE) -
+       |      CAST(inter AS DOUBLE) / CAST(usz AS DOUBLE)) AS est_err
+       |FROM mrows""".stripMargin
   }
 
   /** tok/hash/vote/sketch CTE chain shared by both simhash oracles.
@@ -2121,6 +2210,7 @@ object ExtQueries {
     "text_scrub" -> textScrubSql,
     "text_model_score" -> textModelScoreSql,
     "score_calibration" -> scoreCalibrationSql,
+    "minhash_estimate_error" -> minhashEstimateErrorSql,
     "text_model_score_linear" -> textModelScoreLinearSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "jaccard_threshold_sweep" -> jaccardThresholdSweepSql,
