@@ -313,10 +313,36 @@ object CorpusQueries {
     Corpus.invertedIndex(Tables(spark, dir, "documents"),
       col("doc_id"), col("text"), segments = 4)
 
+  /** Retrieval THROUGH the inverted structure — the query side of
+    * [[invertedIndex]]: for a fixed 3-term query, rank documents by
+    * the integer score Σ_q tf(q, d) · (N − df(q)) (a tf-idf shape
+    * whose idf stays an exact integer — log idf would not cross-engine
+    * hash). Only the query terms' posting rows are touched (term-key
+    * lookup, never a corpus scan at query time); top-10 with doc-id
+    * tie-break. */
+  def invertedIndexQuery(spark: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("spark", "table", "query")
+    val tf = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = Tables(spark, dir, "documents").count()
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.filter(col("term").isin(qTerms: _*))
+      .join(broadcast(df_.filter(col("term").isin(qTerms: _*))), "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * (lit(nDocs) - col("df"))).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "paragraph_dedup" -> paragraphDedup _,
     "skyline_pareto" -> skylinePareto _,
     "inverted_index" -> invertedIndex _,
+    "inverted_index_query" -> invertedIndexQuery _,
     "fuzzy_join_acronym" -> fuzzyJoinAcronym _,
     "gopher_rules" -> gopherRules _,
     "dataset_split" -> datasetSplit _,
@@ -373,6 +399,24 @@ object CorpusQueries {
         |  COALESCE(k.kept_text, '') AS kept_text
         |FROM (SELECT DISTINCT doc_id, n_blocks FROM pd_blk) b
         |LEFT JOIN pd_kept k ON b.doc_id = k.doc_id""".stripMargin,
+    "inverted_index_query" ->
+      """WITH iq_tf AS (
+        |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(trim(text), '\s+')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |iq_df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        |          FROM iq_tf GROUP BY 1),
+        |iq_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents)
+        |SELECT t.doc_id,
+        |  CAST(SUM(t.tf * (n.nd - d.df)) AS BIGINT) AS score,
+        |  COUNT(*) AS n_terms_hit
+        |FROM iq_tf t JOIN iq_df d ON t.term = d.term, iq_n n
+        |WHERE t.term IN ('spark', 'table', 'query')
+        |GROUP BY 1
+        |ORDER BY score DESC, doc_id ASC
+        |LIMIT 10""".stripMargin,
     "inverted_index" ->
       """WITH ii_tf AS (
         |  SELECT term, doc_id, COUNT(*) AS tf
