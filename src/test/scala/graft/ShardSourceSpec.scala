@@ -72,6 +72,22 @@ class ShardSourceSpec extends SparkSpec {
     assert(batches >= 4, s"expected >=4 paced batches, got $batches")
   }
 
+  test("streaming restart resumes from the committed offset") {
+    import graft.sources.{ShardScan, ShardOffset, ShardSource}
+    val scan = new ShardScan(8, 100L, 2, Array.empty, ShardSource.schema)
+    val mbs = scan.toMicroBatchStream("unused")
+    // simulate a restart: Spark hands back the committed offset
+    mbs.deserializeOffset("4")
+    val next = mbs.latestOffset().asInstanceOf[ShardOffset]
+    assert(next.n === 6L) // resumes pacing from 4, not from 0
+    val parts = mbs.planInputPartitions(new ShardOffset(4L), next)
+    assert(parts.map(_.asInstanceOf[graft.sources.ShardPartition].shard)
+      .toSeq === Seq(4L, 5L))
+    // drains to the end and then stops advancing
+    assert(mbs.latestOffset().asInstanceOf[ShardOffset].n === 8L)
+    assert(mbs.latestOffset().asInstanceOf[ShardOffset].n === 8L)
+  }
+
   test("residual non-shard filters still apply (source is not trusted)") {
     // key filter is NOT pushed; Spark must filter rows post-scan
     val n = shardsDf.filter($"shard" === 1 && $"key" === "k0").count()
