@@ -338,7 +338,23 @@ object CorpusQueries {
       .limit(10)
   }
 
+  /** Doc-level decision rule on [[paragraphDedup]] — the block
+    * analog of `substring_dedup_filter`: per doc, the fraction of
+    * blocks that were corpus-wide repeats, and a keep/drop verdict at
+    * 50% via integer cross-multiplication (2·dropped > n_blocks —
+    * the float ratio is only surfaced, never compared). */
+  def paragraphDedupFilter(spark: SparkSession, dir: String): DataFrame =
+    Corpus.paragraphDedup(Tables(spark, dir, "documents"),
+        col("doc_id"), col("text"), blockWords = 10)
+      .select(col("doc_id"), col("n_blocks"),
+        (col("n_blocks") - col("n_kept")).as("n_dropped"),
+        ((col("n_blocks") - col("n_kept")).cast("double") /
+          col("n_blocks").cast("double")).as("dup_ratio"),
+        (lit(2) * (col("n_blocks") - col("n_kept")) <= col("n_blocks"))
+          .as("keep"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "paragraph_dedup_filter" -> paragraphDedupFilter _,
     "paragraph_dedup" -> paragraphDedup _,
     "skyline_pareto" -> skylinePareto _,
     "inverted_index" -> invertedIndex _,
@@ -365,40 +381,55 @@ object CorpusQueries {
     "set_ops" -> setOps _,
     "edit_distance" -> editDistance _)
 
+  // shared CTE chain for the paragraph-dedup pair of gates
+  private val paragraphCtes =
+    """pd_base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT)
+      |      AS n_blocks
+      |  FROM documents),
+      |pd_idx AS (
+      |  SELECT doc_id, ws, n_blocks,
+      |    unnest(range(0, n_blocks)) AS block_idx
+      |  FROM pd_base),
+      |pd_blk AS (
+      |  SELECT doc_id, n_blocks, CAST(block_idx AS BIGINT) AS block_idx,
+      |    array_to_string(list_slice(ws,
+      |      CAST(block_idx * 10 + 1 AS BIGINT),
+      |      CAST(block_idx * 10 + 10 AS BIGINT)), ' ') AS block_text
+      |  FROM pd_idx),
+      |pd_keep AS (
+      |  SELECT doc_id, block_idx, block_text FROM (
+      |    SELECT doc_id, block_idx, block_text,
+      |      row_number() OVER (PARTITION BY block_text
+      |        ORDER BY doc_id, block_idx) AS rn
+      |    FROM pd_blk) WHERE rn = 1),
+      |pd_kept AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |    string_agg(block_text, ' ' ORDER BY block_idx) AS kept_text
+      |  FROM pd_keep GROUP BY 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // integer cross-multiplied keep verdict on the same CTE chain
+    "paragraph_dedup_filter" ->
+      s"""WITH $paragraphCtes
+         |SELECT b.doc_id, b.n_blocks,
+         |  b.n_blocks - COALESCE(k.n_kept, 0) AS n_dropped,
+         |  CAST(b.n_blocks - COALESCE(k.n_kept, 0) AS DOUBLE) /
+         |    CAST(b.n_blocks AS DOUBLE) AS dup_ratio,
+         |  2 * (b.n_blocks - COALESCE(k.n_kept, 0)) <= b.n_blocks
+         |    AS keep
+         |FROM (SELECT DISTINCT doc_id, n_blocks FROM pd_blk) b
+         |LEFT JOIN pd_kept k ON b.doc_id = k.doc_id""".stripMargin,
     // DuckDB // on BIGINT returns DOUBLE — block bounds computed with
     // integer arithmetic via list_slice's inclusive 1-based indexing
     "paragraph_dedup" ->
-      """WITH pd_base AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws,
-        |    CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT)
-        |      AS n_blocks
-        |  FROM documents),
-        |pd_idx AS (
-        |  SELECT doc_id, ws, n_blocks,
-        |    unnest(range(0, n_blocks)) AS block_idx
-        |  FROM pd_base),
-        |pd_blk AS (
-        |  SELECT doc_id, n_blocks, CAST(block_idx AS BIGINT) AS block_idx,
-        |    array_to_string(list_slice(ws,
-        |      CAST(block_idx * 10 + 1 AS BIGINT),
-        |      CAST(block_idx * 10 + 10 AS BIGINT)), ' ') AS block_text
-        |  FROM pd_idx),
-        |pd_keep AS (
-        |  SELECT doc_id, block_idx, block_text FROM (
-        |    SELECT doc_id, block_idx, block_text,
-        |      row_number() OVER (PARTITION BY block_text
-        |        ORDER BY doc_id, block_idx) AS rn
-        |    FROM pd_blk) WHERE rn = 1),
-        |pd_kept AS (
-        |  SELECT doc_id, COUNT(*) AS n_kept,
-        |    string_agg(block_text, ' ' ORDER BY block_idx) AS kept_text
-        |  FROM pd_keep GROUP BY 1)
-        |SELECT b.doc_id, b.n_blocks,
-        |  COALESCE(k.n_kept, 0) AS n_kept,
-        |  COALESCE(k.kept_text, '') AS kept_text
-        |FROM (SELECT DISTINCT doc_id, n_blocks FROM pd_blk) b
-        |LEFT JOIN pd_kept k ON b.doc_id = k.doc_id""".stripMargin,
+      s"""WITH $paragraphCtes
+         |SELECT b.doc_id, b.n_blocks,
+         |  COALESCE(k.n_kept, 0) AS n_kept,
+         |  COALESCE(k.kept_text, '') AS kept_text
+         |FROM (SELECT DISTINCT doc_id, n_blocks FROM pd_blk) b
+         |LEFT JOIN pd_kept k ON b.doc_id = k.doc_id""".stripMargin,
     "inverted_index_query" ->
       """WITH iq_tf AS (
         |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
