@@ -545,7 +545,37 @@ object PipelineQueries {
     }
   }
 
+  /** Streaming materialized-summary maintenance
+    * ([[graft.pipeline.MvMaintenance]]): each micro-batch's PARTIAL
+    * aggregate folds into the stored summary through the idempotent
+    * batch-id-ledgered foreachBatch merge; the end state must equal
+    * the direct batch aggregate (the oracle) exactly — the streaming
+    * lifecycle of the summaries [[graft.plans.MvRewrite]] serves.
+    * `MvMaintenanceSpec` additionally proves multi-batch folding and
+    * replay no-ops with manual splits. */
+  def streamMvMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_mv_maint").toString
+    onStreamSession(spark, 8) { s =>
+      val src = Tables.normalize(
+        s.readStream.schema(schema).option("basePath", dir)
+          .parquet(s"$dir/events*.parquet"))
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.pipeline.MvMaintenance.mergeBatch(s, tmp, batch, id)
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/_ck")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      graft.pipeline.MvMaintenance.readSummary(s, tmp)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_mv_maintenance" -> streamMvMaintenance _,
     "stream_dsv2_source" -> streamDsv2Source _,
     "pipeline_batch_e2e" -> pipelineBatchE2e _,
     "stream_model_score" -> streamModelScore _,
@@ -565,6 +595,15 @@ object PipelineQueries {
     "multimodal_resize" -> multimodalResize _)
 
   val oracleSql: Map[String, String] = Map(
+    // the incrementally-maintained summary must equal the direct
+    // batch aggregate bit for bit
+    "stream_mv_maintenance" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  MIN(epoch_us(ts)) AS min_us,
+        |  MAX(epoch_us(ts)) AS max_us
+        |FROM events GROUP BY 1""".stripMargin,
     // regenerates ShardSource's row algebra; the stream must land on
     // the batch answer exactly
     "stream_dsv2_source" ->
