@@ -359,6 +359,30 @@ object Dedup {
     * Returns (survivors(id, text), verified(id1, id2)). Every stage is
     * the O(docs)-shuffle scale path; the quadratic work is confined to
     * LSH buckets, and the cap bounds the worst bucket. */
+  /** Exact-Jaccard verification of a candidate pair frame against a
+    * shingle frame: keeps (id1, id2, jaccard) for candidates whose
+    * true gram Jaccard meets `threshold`. The verify cost is
+    * proportional to the CANDIDATE set (two gram joins + one
+    * aggregate), never to all pairs — the step every LSH/banding
+    * recall path funnels through before acting on a match. */
+  def verifiedPairsFromCandidates(g: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(g.as("va"), col("id1") === col("va.id"))
+      .join(g.as("vb"),
+        col("id2") === col("vb.id") && col("va.gram") === col("vb.gram"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   def dedupSurvivorsAndVerified(df: DataFrame, id: Column, text: Column,
       n: Int = 3, jaccardThreshold: Double = 0.8,
       maxBandBucket: Int = DefaultMaxBandBucket,

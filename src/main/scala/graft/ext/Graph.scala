@@ -116,6 +116,44 @@ object Graph {
           .otherwise(lit(0.0)).as("lcc"))
   }
 
+  /** Fixed-hop single-source BFS over the undirected graph induced by
+    * a pair frame: (id, dist) for every vertex within `hops` of the
+    * seed, dist = exact hop distance. The seed is the minimum vertex
+    * id — chosen INSIDE the plan (a 1-row aggregate cross-joined in),
+    * so no driver collect and any engine derives the same seed.
+    *
+    * Distributed shape per round: one frontier⋈adjacency hash join +
+    * one min-aggregate, frame materialized to truncate lineage (the
+    * [[Dedup.connectedComponents]] discipline — without it driver-side
+    * analysis doubles per round). Only vertices whose CURRENT label is
+    * `round-1` expand, so each edge is traversed from a given side at
+    * most once per its endpoint's settle round; rounds are FIXED so
+    * the oracle unrolls the identical algebra as CTEs. At 100 TB this
+    * is frontier-parallel BFS with the adjacency pre-shuffled on `u` —
+    * every round reuses that partitioning; no global sort, no windows.
+    * (For multi-source BFS swap the seed frame; the loop is
+    * unchanged.) */
+  def bfsDistances(pairs: DataFrame, a: Column, b: Column,
+      hops: Int = 4): DataFrame = {
+    require(hops >= 1, "hops must be >= 1")
+    val e = canonicalEdges(pairs, a, b)
+    val adj = graft.Tables.materialize(
+      e.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(e.select(col("dst").as("u"), col("src").as("v"))))
+    var dist = graft.Tables.materialize(
+      adj.agg(min(col("u")).as("id")).select(col("id"),
+        lit(0L).as("dist")))
+    for (h <- 1 to hops) {
+      val next = dist.filter(col("dist") === (h - 1))
+        .join(adj, dist("id") === adj("u"))
+        .select(col("v").as("id"), lit(h.toLong).as("dist"))
+      dist = graft.Tables.materialize(
+        dist.unionByName(next)
+          .groupBy(col("id")).agg(min(col("dist")).as("dist")))
+    }
+    dist
+  }
+
   /** Fixed-round INTEGER PageRank over a directed edge frame —
     * importance scores in units of `scale` (pr starts at `scale`,
     * the damping update is `(100-d)/100·scale + d·Σ(pr(u) div

@@ -68,6 +68,14 @@ object Similarity {
     * stay in their storage type — the kernel reads floats in place.
     * Widened to the session's parallelism so downstream per-row
     * kernels run on every core. */
+  /** Public face of the (id, v, norm) vector-frame prep — consumed by
+    * composition queries (decontamination etc.) that need the same
+    * drop-empty/repartition/precomputed-norm discipline as the
+    * operators here. */
+  def vectorsWithNorm(df: DataFrame, id: Column, vec: Column,
+      idName: String, vName: String, normName: String): DataFrame =
+    vectors(df, id, vec, idName, vName, normName)
+
   private def vectors(df: DataFrame, id: Column, vec: Column,
       idName: String, vName: String, normName: String): DataFrame =
     df.select(id.as(idName), vec.as(vName))

@@ -761,7 +761,10 @@ object ExtQueries {
     "bigram_novelty" -> bigramNovelty _,
     "boilerplate_strip" -> boilerplateStrip _,
     "rrf_fusion" -> rrfFusion _,
-    "word_pagerank" -> wordPagerank _)
+    "word_pagerank" -> wordPagerank _,
+    "graph_bfs_dist" -> graphBfsDist _,
+    "split_leakage_audit" -> splitLeakageAudit _,
+    "embed_decontaminate" -> embedDecontaminate _)
 
   /** PageRank over the word co-occurrence (bigram) graph of the
     * corpus — "which tokens sit at the center of the corpus' phrase
@@ -782,6 +785,86 @@ object ExtQueries {
     Graph.pageRank(edges, col("w1"), col("w2"),
         iters = 3, scale = 1000000L, damp = 85L)
       .select(col("id").as("word"), col("pr"))
+  }
+
+  /** Single-source BFS hop distances over the UNDIRECTED word
+    * co-occurrence graph ([[wordPagerank]]'s edge substrate) from the
+    * lexicographically-minimum word, 4 hops — the frontier-parallel
+    * traversal primitive (reachability, influence radius, link-graph
+    * crawl depth) expressed as [[Graph.bfsDistances]]' fixed-round
+    * frontier⋈adjacency loop, so the oracle unrolls the identical
+    * min-label algebra as CTEs. */
+  def graphBfsDist(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Dedup.shingles(
+      Tables(spark, dir, "documents"), col("doc_id"), col("text"), n = 2)
+    val edges = bigrams.select(
+      split(col("gram"), " ").getItem(0).as("w1"),
+      split(col("gram"), " ").getItem(1).as("w2"))
+    Graph.bfsDistances(edges, col("w1"), col("w2"), hops = 4)
+      .select(col("id").as("word"), col("dist"))
+  }
+
+  /** Train/eval split LEAKAGE audit — the contamination check every
+    * dataset release needs: near-duplicate document pairs (LSH
+    * candidates, exact-Jaccard-verified ≥ 0.8) that STRADDLE the
+    * deterministic 80/10/10 split boundary. A verified pair with one
+    * side in train and the other in val/test means the eval example
+    * is memorizable from training data — the audit surfaces the pair
+    * with both split labels and the exact similarity so release
+    * tooling can evict or re-split. Composition: the [[Dedup]] LSH
+    * candidate pass (O(docs × bands), never all-pairs) + candidate-
+    * bounded verify + a broadcast-joined split assignment; adds ZERO
+    * new shuffle shapes over the dedup pipeline it rides. */
+  def splitLeakageAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val g = graft.Tables.materialize(
+      Dedup.shingles(docs, col("doc_id"), col("text"), n = 3))
+    val cand = Dedup.minhashLshPairsFromShingles(g)
+    val verified = Dedup.verifiedPairsFromCandidates(g, cand, 0.8)
+    val splits = Corpus.datasetSplit(docs, col("doc_id"),
+        trainFrac = 0.8, valFrac = 0.1)
+      .select(col("doc_id"), col("split"))
+    verified
+      .join(splits.select(col("doc_id").as("id1"),
+        col("split").as("split1")), "id1")
+      .join(splits.select(col("doc_id").as("id2"),
+        col("split").as("split2")), "id2")
+      .filter(col("split1") =!= col("split2"))
+      .select(col("id1"), col("id2"), col("split1"), col("split2"),
+        col("jaccard"))
+  }
+
+  /** Embedding-space benchmark decontamination — [[docDecontaminate]]'s
+    * semantic twin (SemDeDup-style): corpus vectors whose cosine
+    * against ANY benchmark vector reaches 0.35 are flagged, each with
+    * its closest benchmark item (argmax cosine, ties to the smaller
+    * benchmark id) as the eviction evidence. The benchmark frame
+    * (vec_id ≡ 0 mod 29 here; a real eval suite in production) is
+    * small by construction, so it BROADCASTS and the corpus streams
+    * once with a per-row exact-decimal dot kernel — no shuffle until
+    * the per-doc argmax, which keys on corpus id. At 100 TB the same
+    * contract runs the probed-IVF candidates instead of the full
+    * stream; this exact variant is the auditable baseline, like
+    * [[annBruteForce]] for [[annIvfTopK]]. */
+  def embedDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, dir, "embeddings")
+    val corpus = Similarity.vectorsWithNorm(
+      emb.filter(pmod(col("vec_id"), lit(29)) =!= 0),
+      col("vec_id"), col("embedding"), "vec_id", "cv", "sn_c")
+    val bench = Similarity.vectorsWithNorm(
+      emb.filter(pmod(col("vec_id"), lit(29)) === 0),
+      col("vec_id"), col("embedding"), "bench_id", "qv", "sn_q")
+    val scored = corpus.crossJoin(broadcast(bench))
+      .withColumn("cosine",
+        graft.functions.VecKernels.vecDotDec(col("cv"), col("qv"))
+          .cast("double") / (col("sn_c") * col("sn_q")))
+      .filter(col("cosine") >= 0.35)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("bench_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("bench_id"), col("cosine"))
   }
 
   /** Reciprocal-rank fusion of two rankers (the standard hybrid-
@@ -1071,6 +1154,115 @@ object ExtQueries {
        |    CAST((85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS BIGINT) AS pr
        |  FROM pgr_n n LEFT JOIN pgr_s3 s ON n.id = s.dst)
        |SELECT id AS word, pr FROM pgr_p3""".stripMargin
+
+  /** Unrolled 4-hop min-label BFS — identical algebra to
+    * Graph.bfsDistances: round h expands only vertices whose current
+    * min dist is h-1. */
+  private lazy val graphBfsDistSql = {
+    def round(h: Int): String =
+      s"""bfs_d$h AS (
+         |  SELECT id, min(dist) AS dist FROM (
+         |    SELECT id, dist FROM bfs_d${h - 1}
+         |    UNION ALL
+         |    SELECT a.v, CAST($h AS BIGINT)
+         |    FROM bfs_adj a JOIN bfs_d${h - 1} f
+         |      ON f.id = a.u AND f.dist = ${h - 1}
+         |  ) GROUP BY id)"""
+    s"""WITH bfs_raw AS (
+       |  SELECT DISTINCT t[i] AS src, t[i+1] AS dst
+       |  FROM (SELECT $toks AS t FROM documents),
+       |       LATERAL (SELECT unnest(range(1, greatest(length(t), 1)))
+       |                AS i)),
+       |bfs_c AS (
+       |  SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d
+       |  FROM bfs_raw WHERE least(src, dst) < greatest(src, dst)),
+       |bfs_adj AS (
+       |  SELECT s AS u, d AS v FROM bfs_c
+       |  UNION ALL SELECT d, s FROM bfs_c),
+       |bfs_d0 AS (
+       |  SELECT min(u) AS id, CAST(0 AS BIGINT) AS dist FROM bfs_adj),
+       |${(1 to 4).map(round).mkString(",\n")}
+       |SELECT id AS word, dist FROM bfs_d4""".stripMargin
+  }
+
+  /** LSH candidates over ALL documents + exact-Jaccard verify (same
+    * band/sig constants as dedup_minhash_lsh) + the dataset_split
+    * hash — pairs straddling the split boundary. */
+  private lazy val splitLeakageAuditSql = {
+    val cond = bandExprs.indices.map(b => s"x.b$b = y.b$b")
+      .mkString(" OR ")
+    val bandCols = bandExprs.zipWithIndex
+      .map { case (e, b) => s"  $e AS b$b" }.mkString(",\n")
+    s"""WITH $gramsCte,
+       |$hashedCte,
+       |sig AS (
+       |SELECT id,
+       |$sigAggs
+       |FROM hashed GROUP BY id),
+       |bands AS (
+       |SELECT id,
+       |$bandCols
+       |FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS id1, y.id AS id2
+       |  FROM bands x JOIN bands y ON x.id < y.id AND ($cond)),
+       |lk_sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+       |lk_inter AS (
+       |  SELECT c.id1, c.id2, count(*) AS inter
+       |  FROM cand c
+       |  JOIN grams ga ON ga.id = c.id1
+       |  JOIN grams gb ON gb.id = c.id2 AND gb.gram = ga.gram
+       |  GROUP BY c.id1, c.id2),
+       |lk_ver AS (
+       |  SELECT id1, id2,
+       |    CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE)
+       |      AS jaccard
+       |  FROM lk_inter
+       |  JOIN lk_sizes s1 ON s1.id = id1
+       |  JOIN lk_sizes s2 ON s2.id = id2
+       |  WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE)
+       |    >= 0.8),
+       |-- (0.8 + 0.1) on purpose: the engine adds the fractions in
+       |-- doubles (= 0.9000000000000001, not 0.9); same sum here
+       |lk_split AS (
+       |  SELECT doc_id,
+       |    CASE WHEN hv < 0.8 * 4294967296.0 THEN 'train'
+       |         WHEN hv < (0.8 + 0.1) * 4294967296.0 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |      AS DOUBLE) AS hv
+       |    FROM documents))
+       |SELECT v.id1, v.id2, sa.split AS split1, sb.split AS split2,
+       |  v.jaccard
+       |FROM lk_ver v
+       |JOIN lk_split sa ON sa.doc_id = v.id1
+       |JOIN lk_split sb ON sb.doc_id = v.id2
+       |WHERE sa.split <> sb.split""".stripMargin
+  }
+
+  /** Benchmark split (vec_id ≡ 0 mod 29) vs corpus, exact-decimal
+    * dots, flag ≥ 0.35, argmax benchmark per flagged corpus vector. */
+  private lazy val embedDecontaminateSql =
+    s"""WITH $vecCtes,
+       |dc_dots AS (
+       |  SELECT c.vec_id AS cid, q.vec_id AS bid,
+       |    CAST(sum(CAST(c.x * q.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |  FROM comp c JOIN comp q ON c.i = q.i
+       |    AND c.vec_id % 29 <> 0 AND q.vec_id % 29 = 0
+       |  GROUP BY 1, 2),
+       |dc_cos AS (
+       |  SELECT cid, bid, dot / (nc.sn * nb.sn) AS cosine
+       |  FROM dc_dots
+       |  JOIN norms nc ON nc.vec_id = cid
+       |  JOIN norms nb ON nb.vec_id = bid),
+       |dc_rk AS (
+       |  SELECT cid, bid, cosine,
+       |    row_number() OVER (PARTITION BY cid
+       |                       ORDER BY cosine DESC, bid ASC) AS rk
+       |  FROM dc_cos WHERE cosine >= 0.35)
+       |SELECT cid AS vec_id, bid AS bench_id, cosine
+       |FROM dc_rk WHERE rk = 1""".stripMargin
 
   private val dedupNgramJaccardSql =
     s"""WITH $gramsCte,
@@ -2219,6 +2411,9 @@ object ExtQueries {
     "bigram_novelty" -> bigramNoveltySql,
     "boilerplate_strip" -> boilerplateStripSql,
     "word_pagerank" -> wordPagerankSql,
+    "graph_bfs_dist" -> graphBfsDistSql,
+    "split_leakage_audit" -> splitLeakageAuditSql,
+    "embed_decontaminate" -> embedDecontaminateSql,
     "rrf_fusion" ->
       """WITH rrf_pr AS (
         |  SELECT p_partkey,

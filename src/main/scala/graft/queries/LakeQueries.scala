@@ -337,8 +337,27 @@ object LakeQueries {
         max(col("l_shipdate")).as("last_ship"))
   }
 
+  /** k-anonymity audit ([[graft.ext.Privacy.kAnonymityAudit]]) of a
+    * customer release keyed by (nation, segment) quasi-identifiers,
+    * k = 10: class size, at-risk flag, small-cell-suppressed release
+    * value. One hash aggregate — the shuffle the release itself pays. */
+  def kAnonymityAudit(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Privacy.kAnonymityAudit(Tables(spark, dir, "customer"),
+      Seq(col("c_nationkey"), col("c_mktsegment")), k = 10)
+
+  /** Noisy count release ([[graft.ext.Privacy.noisyCounts]]) per
+    * market segment, noise uniform on [-10, 10] drawn deterministically
+    * from md5(group ∥ epoch salt) — the sticky-noise release seam; a
+    * deployed DP release swaps the draw for a calibrated Laplace RNG
+    * (one Column), everything else unchanged. */
+  def dpNoisyCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Privacy.noisyCounts(Tables(spark, dir, "customer"),
+      col("c_mktsegment"), bound = 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv_rollup_rewrite" -> mvRollupRewrite _,
+    "k_anonymity_audit" -> kAnonymityAudit _,
+    "dp_noisy_counts" -> dpNoisyCounts _,
     "key_skew_audit" -> keySkewAudit _,
     "impute_median" -> imputeMedian _,
     "incremental_agg" -> incrementalAgg _,
@@ -348,6 +367,26 @@ object LakeQueries {
     "dq_checks" -> dqChecks _)
 
   val oracleSql: Map[String, String] = Map(
+    "k_anonymity_audit" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  count(*) < 10 AS at_risk,
+        |  CASE WHEN count(*) >= 10 THEN CAST(count(*) AS BIGINT) END
+        |    AS released_n
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+    "dp_noisy_counts" ->
+      """WITH npc_g AS (
+        |  SELECT c_mktsegment AS group_key,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1),
+        |npc_z AS (
+        |  SELECT group_key, n,
+        |    CAST((('0x' || substr(md5(group_key || '|noise-epoch-1'),
+        |      1, 8))::BIGINT % 21) - 10 AS BIGINT) AS noise
+        |  FROM npc_g)
+        |SELECT group_key, n, noise,
+        |  CAST(greatest(n + noise, 0) AS BIGINT) AS released_n
+        |FROM npc_z""".stripMargin,
     // straight from the base table — the MV path must agree bit-exactly
     "mv_rollup_rewrite" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,

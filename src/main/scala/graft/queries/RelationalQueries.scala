@@ -942,7 +942,49 @@ object RelationalQueries {
         |GROUP BY c.c_nationkey""".stripMargin)
   }
 
+  /** Spark 4 RECURSIVE CTE through the SQL entry path (UnionLoop
+    * plan): per-user event-chain walk with a running sum — the
+    * pointer-chasing recursion shape (linked lists, management
+    * chains, BOM explosion) that windows can't always replace when
+    * the step function depends on the accumulated state. Spark 4.1
+    * supports only UNION ALL recursion (no dedup against prior
+    * levels), so the gate recursion is LINEAR by construction: each
+    * (user, event) has exactly one successor (`lead` over the
+    * time-ordered chain), each level holds ≤ |users| rows, and the
+    * `pos < 60` guard bounds depth independent of data drift (the
+    * default cteRecursionLevelLimit is 100; sf0.1 chains reach 99).
+    * A cyclic-graph BFS must NOT use this seam until UNION recursion
+    * lands — UNION ALL enumerates walks, combinatorial on cycles
+    * (that traversal lives in `graph_bfs_dist`'s fixed-round loop).
+    * The chain frame is built with the DataFrame API and handed to
+    * SQL via a temp view; cents are exact integers so the running
+    * sum is order- and engine-stable. */
+  def recursiveCteBfs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * lit(100.0)).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nxt", lead(col("event_id"), 1).over(w))
+      .createOrReplaceTempView("chain_rcte")
+    spark.sql(
+      """WITH RECURSIVE walk(user_id, event_id, nxt, pos, run_cents) AS (
+        |  SELECT user_id, event_id, nxt, CAST(1 AS BIGINT), cents
+        |  FROM chain_rcte WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.user_id, c.event_id, c.nxt, w.pos + CAST(1 AS BIGINT),
+        |    w.run_cents + c.cents
+        |  FROM walk w JOIN chain_rcte c
+        |    ON c.user_id = w.user_id AND c.event_id = w.nxt
+        |  WHERE w.pos < 60
+        |)
+        |SELECT user_id, event_id, pos, run_cents FROM walk""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "recursive_cte_bfs" -> recursiveCteBfs _,
     "scalar_subquery_select" -> scalarSubquerySelect _,
     "typed_pipeline" -> typedPipeline _,
     "dsv2_shard_scan" -> dsv2ShardScan _,
@@ -988,6 +1030,26 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "recursive_cte_bfs" ->
+      """WITH RECURSIVE rb_ch AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER rb_w AS rn,
+        |    lead(event_id) OVER rb_w AS nxt
+        |  FROM events
+        |  WINDOW rb_w AS (PARTITION BY user_id
+        |                  ORDER BY epoch_us(ts), event_id)),
+        |walk(user_id, event_id, nxt, pos, run_cents) AS (
+        |  SELECT user_id, event_id, nxt, CAST(1 AS BIGINT), cents
+        |  FROM rb_ch WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.user_id, c.event_id, c.nxt, w.pos + CAST(1 AS BIGINT),
+        |    w.run_cents + c.cents
+        |  FROM walk w JOIN rb_ch c
+        |    ON c.user_id = w.user_id AND c.event_id = w.nxt
+        |  WHERE w.pos < 60
+        |)
+        |SELECT user_id, event_id, pos, run_cents FROM walk""".stripMargin,
     "scalar_subquery_select" ->
       """SELECT c.c_nationkey,
         |  COUNT(*) AS n_customers,
