@@ -116,6 +116,66 @@ object Graph {
           .otherwise(lit(0.0)).as("lcc"))
   }
 
+  /** DBSCAN over a precomputed ε-neighbor pair frame — density
+    * clustering factored the way it actually scales: the expensive
+    * part (who is within ε of whom) is delegated to an LSH/banded
+    * candidate pass ([[Similarity.lshNearDupPairs]],
+    * [[Dedup.minhashLshPairs]]), and this operator is the pure graph
+    * algebra on top: degree count → core points (≥ minPts
+    * ε-neighbors) → connected components of the core-core subgraph
+    * (min-id labels via [[Dedup.connectedComponents]]' checkpointed
+    * fixpoint) → border points adopt the smallest adjacent core
+    * cluster → everything else is noise. Classic DBSCAN semantics
+    * with the candidate graph as the ε-oracle; on a banded candidate
+    * graph the result is the standard scalable approximation
+    * (exactly DBSCAN whenever the candidate pass has full recall at
+    * ε, as a verified-threshold pass is).
+    *
+    * `all` supplies the full id universe so noise points appear in
+    * the output (a clustering that silently drops unclustered rows
+    * can't drive a keep/drop decision). Shapes: two degree
+    * aggregates, two semi-joins, the CC fixpoint (O(log n) rounds),
+    * one border min-aggregate — no windows, no driver state. */
+  def dbscanFromPairs(all: DataFrame, id: Column, pairs: DataFrame,
+      minPts: Int = 2): DataFrame = {
+    require(minPts >= 1, "minPts must be >= 1")
+    val e = graft.Tables.materialize(
+      canonicalEdges(pairs, col("id1"), col("id2")))
+    val adj = e.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
+    val core = graft.Tables.materialize(
+      adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= minPts).select(col("u").as("id")))
+    val coreEdges = e
+      .join(core.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(core.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src").as("id1"), col("dst").as("id2"))
+    val comp = Dedup.connectedComponents(coreEdges)
+    // isolated cores (no core neighbor) are their own cluster
+    val clusters = core
+      .join(comp.withColumnRenamed("id", "cid"),
+        col("id") === col("cid"), "left_outer")
+      .select(col("id"), coalesce(col("component"), col("id"))
+        .as("cluster"))
+    val border = adj
+      .join(core.select(col("id").as("u")), Seq("u"), "left_anti")
+      .join(clusters.select(col("id").as("v"),
+        col("cluster").as("vc")), "v")
+      .groupBy(col("u").as("id"))
+      .agg(min(col("vc")).as("cluster"))
+    all.select(id.as("vec_id"))
+      .join(clusters.select(col("id").as("vec_id"),
+        col("cluster").as("core_cluster")), Seq("vec_id"), "left_outer")
+      .join(border.select(col("id").as("vec_id"),
+        col("cluster").as("border_cluster")), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        when(col("core_cluster").isNotNull, "core")
+          .when(col("border_cluster").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("core_cluster"), col("border_cluster"))
+          .as("cluster"))
+  }
+
   /** Fixed-hop single-source BFS over the undirected graph induced by
     * a pair frame: (id, dist) for every vertex within `hops` of the
     * seed, dist = exact hop distance. The seed is the minimum vertex

@@ -1386,7 +1386,72 @@ object AnalyticsQueries {
         (col("ewma_scaled").cast("double") / lit(255.0)).as("ewma"))
   }
 
+  /** Audience overlap matrix: for every pair of event types, how many
+    * users both cohorts share, each cohort's size, and the Jaccard —
+    * the "segment overlap" readout behind audience planning and
+    * cannibalization checks. Shape: one distinct (type, user)
+    * projection, then a self-join keyed on user_id — per-user fanout
+    * is C(types-per-user, 2), bounded by the (small) type universe,
+    * so the join output is O(users · k²), never O(users²); sizes
+    * broadcast back onto the 10-row pair frame. The Jaccard is one
+    * IEEE divide of exact BIGINTs. */
+  def cohortOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.materialize(Tables(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct())
+    val sz = d.groupBy(col("event_type")).agg(count(lit(1)).as("sz"))
+    d.as("a").join(d.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sz.select(col("event_type").as("type_a"),
+        col("sz").as("n_a"))), "type_a")
+      .join(broadcast(sz.select(col("event_type").as("type_b"),
+        col("sz").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** Exact weighted (lower) median: per return flag, the smallest
+    * l_extendedprice whose running quantity-weight reaches half the
+    * group's total weight — the robust center a mean can't give when
+    * line sizes skew. Weights are integral (l_quantity carries whole
+    * units; cast asserts nothing is lost), the threshold test is the
+    * cross-multiplied `2·cumw ≥ totw` (no halving, no floats), and
+    * the selection is deterministic via the (price, orderkey,
+    * linenumber) total order. One partition sort serves both windows
+    * (running sum + pick-first). At 100 TB: medians-of-groups is a
+    * per-key sort within the group's partition — for a GLOBAL
+    * weighted median swap in the two-pass quantile-sketch bound +
+    * exact-scan-within-bound pattern (`quantiles_approx_bounds`). */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+    val order = Seq(col("l_extendedprice").asc, col("l_orderkey").asc,
+      col("l_linenumber").asc)
+    val wRun = Window.partitionBy(col("l_returnflag"))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    li.withColumn("cumw", sum(col("w")).over(wRun))
+      .withColumn("totw", sum(col("w")).over(wAll))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("l_returnflag")).orderBy(order: _*)))
+      .filter(col("rk") === 1)
+      .select(col("l_returnflag"), col("totw").as("total_weight"),
+        col("l_extendedprice").as("weighted_median"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cohort_overlap" -> cohortOverlap _,
+    "weighted_median" -> weightedMedian _,
     "session_window_builtin" -> sessionWindowBuiltin _,
     "ewma_dyadic" -> ewmaDyadic _,
     "auc_rank_sum" -> aucRankSum _,
@@ -1439,6 +1504,47 @@ object AnalyticsQueries {
     "quantiles_approx_bounds" -> quantilesApproxBounds _)
 
   val oracleSql: Map[String, String] = Map(
+    "cohort_overlap" ->
+      """WITH co_d AS (
+        |  SELECT DISTINCT event_type, user_id FROM events),
+        |co_sz AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS sz
+        |  FROM co_d GROUP BY 1),
+        |co_i AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM co_d a JOIN co_d b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT i.type_a, i.type_b, sa.sz AS n_a, sb.sz AS n_b,
+        |  i.n_common,
+        |  CAST(i.n_common AS DOUBLE) /
+        |    CAST(sa.sz + sb.sz - i.n_common AS DOUBLE) AS jaccard
+        |FROM co_i i
+        |JOIN co_sz sa ON sa.event_type = i.type_a
+        |JOIN co_sz sb ON sb.event_type = i.type_b""".stripMargin,
+    "weighted_median" ->
+      """WITH wm AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    CAST(l_quantity AS BIGINT) AS w,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag) AS totw,
+        |    row_number() OVER (
+        |      PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS seq
+        |  FROM lineitem),
+        |wq AS (
+        |  SELECT l_returnflag, totw, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY seq)
+        |      AS rk
+        |  FROM wm WHERE cumw * 2 >= totw)
+        |SELECT l_returnflag, CAST(totw AS BIGINT) AS total_weight,
+        |  l_extendedprice AS weighted_median
+        |FROM wq WHERE rk = 1""".stripMargin,
     // the builtin must equal break-on-gap>=10min islands with
     // end = last event + gap
     "session_window_builtin" ->

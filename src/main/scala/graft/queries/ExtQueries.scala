@@ -469,6 +469,51 @@ object ExtQueries {
       .join(dropped, Seq("id"), "left_anti").select(col("id"))
   }
 
+  /** Density clustering (DBSCAN) over the cosine-verified LSH
+    * ε-candidate graph — the same pair substrate as [[embedDedupCc]]
+    * but with DBSCAN's core/border/noise semantics instead of the
+    * keep-min keeper: cores need ≥ 2 ε-neighbors, clusters are
+    * min-id components of the core-core subgraph, borders adopt the
+    * smallest adjacent core cluster, everything unreached is noise.
+    * The candidate pass carries the geometry; [[Graph
+    * .dbscanFromPairs]] is pure graph algebra on top — see its
+    * scaladoc for the 100 TB shape. */
+  def embedDbscan(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val pairs = Similarity.lshNearDupPairs(emb, col("vec_id"),
+      col("embedding"), dim = 64, numPlanes = 8,
+      threshold = 0.2, numTables = 2, maxBucketSize = 1000)
+    Graph.dbscanFromPairs(emb, col("vec_id"), pairs, minPts = 2)
+  }
+
+  /** Positional phrase search through an inverted index — the
+    * adjacency query (`"the data"` as consecutive tokens) that
+    * term-frequency retrieval (`inverted_index_query`) can't answer.
+    * The postings frame carries (doc, position) rows for ONLY the
+    * phrase's terms — the term filter sits directly on the exploded
+    * tokens, so at 100 TB a pre-built positional index (this frame
+    * written out, partitioned by term) serves the same join and the
+    * full corpus is never re-tokenized per query. Adjacency is one
+    * equi-join on (doc, pos+1); per-doc hit count and first position
+    * close it out with a single aggregate. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(t1, t2) = Seq("the", "data")
+    val pos = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text")))
+          .as(Seq("p", "w")))
+      .filter(col("w").isin(t1, t2))
+    val a = pos.filter(col("w") === t1)
+      .select(col("doc_id"), col("p"))
+    val b = pos.filter(col("w") === t2)
+      .select(col("doc_id").as("doc_b"), col("p").as("p2"))
+    a.join(b, col("doc_id") === col("doc_b") &&
+        col("p2") === col("p") + 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("p")).cast("long").as("first_pos"))
+  }
+
   /** Near-dup graph audit — per-vertex degree, triangle count, and
     * local clustering coefficient over the cosine-verified LSH pair
     * graph (same pairs as `embed_neardup_lsh`). High lcc means the
@@ -747,6 +792,8 @@ object ExtQueries {
     "ann_ivf_cells" -> annIvfCells _,
     "embed_neardup_lsh" -> embedNearDupLsh _,
     "embed_dedup_cc" -> embedDedupCc _,
+    "embed_dbscan" -> embedDbscan _,
+    "phrase_search" -> phraseSearch _,
     "graph_triangles" -> graphTriangles _,
     "graph_two_hop" -> graphTwoHop _,
     "knn_label_eval" -> knnLabelEval _,
@@ -2364,6 +2411,49 @@ object ExtQueries {
        |SELECT vec_id AS id FROM embeddings
        |WHERE vec_id NOT IN (SELECT id FROM compo WHERE id <> component)""".stripMargin
 
+  // DBSCAN: cores (>= 2 eps-neighbors) -> CC over core-core edges
+  // (min-id labels, isolated cores keep their own id) -> borders
+  // adopt min adjacent core cluster -> rest is noise
+  private val embedDbscanSql =
+    s"""WITH RECURSIVE $embedPairCtes,
+       |db_e AS (
+       |  SELECT DISTINCT least(id1, id2) AS s, greatest(id1, id2) AS d
+       |  FROM cos WHERE id1 <> id2),
+       |db_adj AS (
+       |  SELECT s AS u, d AS v FROM db_e UNION ALL SELECT d, s FROM db_e),
+       |db_core AS (
+       |  SELECT u AS id FROM db_adj GROUP BY u HAVING count(*) >= 2),
+       |db_ce AS (
+       |  SELECT s, d FROM db_e
+       |  WHERE s IN (SELECT id FROM db_core)
+       |    AND d IN (SELECT id FROM db_core)),
+       |db_edges AS (
+       |  SELECT s AS src, d AS dst FROM db_ce
+       |  UNION SELECT d, s FROM db_ce),
+       |db_reach(id, label) AS (
+       |  SELECT src, src FROM db_edges
+       |  UNION
+       |  SELECT e.src, r.label
+       |  FROM db_edges e JOIN db_reach r ON r.id = e.dst),
+       |db_comp AS (
+       |  SELECT id, min(label) AS component FROM db_reach GROUP BY id),
+       |db_clu AS (
+       |  SELECT c.id, COALESCE(m.component, c.id) AS cluster
+       |  FROM db_core c LEFT JOIN db_comp m ON m.id = c.id),
+       |db_border AS (
+       |  SELECT a.u AS id, min(cl.cluster) AS cluster
+       |  FROM db_adj a JOIN db_clu cl ON cl.id = a.v
+       |  WHERE a.u NOT IN (SELECT id FROM db_core)
+       |  GROUP BY a.u)
+       |SELECT em.vec_id,
+       |  CASE WHEN c2.id IS NOT NULL THEN 'core'
+       |       WHEN b.id IS NOT NULL THEN 'border'
+       |       ELSE 'noise' END AS role,
+       |  COALESCE(c2.cluster, b.cluster) AS cluster
+       |FROM embeddings em
+       |LEFT JOIN db_clu c2 ON c2.id = em.vec_id
+       |LEFT JOIN db_border b ON b.id = em.vec_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // stepwise magic-number bit spread (x<<16|x masked, …) — the same
     // five rounds the codegen'd kernel runs, unrolled as CTE columns
@@ -2453,6 +2543,22 @@ object ExtQueries {
     "text_repetition" -> textRepetitionSql,
     "embed_neardup_lsh" -> embedNearDupLshSql,
     "embed_dedup_cc" -> embedDedupCcSql,
+    "embed_dbscan" -> embedDbscanSql,
+    "phrase_search" ->
+      s"""WITH ph_tk AS (
+        |  SELECT doc_id, $toks AS t
+        |  FROM documents),
+        |ph_pos AS (
+        |  SELECT doc_id, unnest(range(1, greatest(length(t) + 1, 1)))
+        |    AS i, t
+        |  FROM ph_tk),
+        |ph_a AS (SELECT doc_id, i FROM ph_pos WHERE t[i] = 'the'),
+        |ph_b AS (SELECT doc_id, i FROM ph_pos WHERE t[i] = 'data')
+        |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(min(a.i) - 1 AS BIGINT) AS first_pos
+        |FROM ph_a a JOIN ph_b b
+        |  ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |GROUP BY a.doc_id""".stripMargin,
     "graph_triangles" -> graphTrianglesSql,
     "graph_two_hop" -> graphTwoHopSql,
     "knn_label_eval" -> knnLabelEvalSql,

@@ -354,10 +354,33 @@ object LakeQueries {
     graft.ext.Privacy.noisyCounts(Tables(spark, dir, "customer"),
       col("c_mktsegment"), bound = 10)
 
+  /** Per-group Gini impurity of a categorical column — the data-
+    * profiling "how mixed is this key's label distribution" readout
+    * (feature audits, split-quality checks, label-skew monitoring)
+    * computed in EXACT integer algebra: gini = (n² − Σc²)/n², with
+    * n and Σc² exact BIGINTs and ONE closing IEEE divide, so the
+    * double hash-gates cross-engine (the entropy variant can't —
+    * `ln` differs in the last ulp between libm and the JVM; SKILL).
+    * Two stacked hash aggregates, both map-side combined. */
+  def giniImpurity(spark: SparkSession, dir: String): DataFrame = {
+    val cls = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("c"))
+    cls.groupBy(col("o_orderstatus"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_classes"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .select(col("o_orderstatus"), col("n"), col("n_classes"),
+        col("sum_sq"),
+        ((col("n") * col("n") - col("sum_sq")).cast("double") /
+          (col("n") * col("n")).cast("double")).as("gini"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv_rollup_rewrite" -> mvRollupRewrite _,
     "k_anonymity_audit" -> kAnonymityAudit _,
     "dp_noisy_counts" -> dpNoisyCounts _,
+    "gini_impurity" -> giniImpurity _,
     "key_skew_audit" -> keySkewAudit _,
     "impute_median" -> imputeMedian _,
     "incremental_agg" -> incrementalAgg _,
@@ -374,6 +397,17 @@ object LakeQueries {
         |  CASE WHEN count(*) >= 10 THEN CAST(count(*) AS BIGINT) END
         |    AS released_n
         |FROM customer GROUP BY 1, 2""".stripMargin,
+    "gini_impurity" ->
+      """WITH gcls AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS c
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus,
+        |  CAST(SUM(c) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(c * c) AS BIGINT) AS sum_sq,
+        |  CAST(SUM(c) * SUM(c) - SUM(c * c) AS DOUBLE) /
+        |    CAST(SUM(c) * SUM(c) AS DOUBLE) AS gini
+        |FROM gcls GROUP BY 1""".stripMargin,
     "dp_noisy_counts" ->
       """WITH npc_g AS (
         |  SELECT c_mktsegment AS group_key,

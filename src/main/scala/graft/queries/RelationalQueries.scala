@@ -983,8 +983,42 @@ object RelationalQueries {
         |SELECT user_id, event_id, pos, run_cents FROM walk""".stripMargin)
   }
 
+  /** Source/sink format coverage — CSV (header, quoting) and ORC
+    * round-trips through real temp files, fingerprinted alongside the
+    * parquet original: three rows with identical checksums prove the
+    * write→read cycle is lossless for each codec (the oracle computes
+    * the same fingerprint three times from parquet — any codec
+    * corruption breaks that row's hash). CSV goes through the full
+    * text serialization path (schema re-applied on read — CSV carries
+    * no types); ORC through the native vectorized reader. Avro is
+    * NOT exercised: the spark-avro connector module isn't on this
+    * classpath. */
+  def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables(spark, dir, "nation")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_fmt").toString
+    nation.write.mode("overwrite").option("header", "true")
+      .csv(s"$tmp/csv")
+    nation.write.mode("overwrite").orc(s"$tmp/orc")
+    val csvBack = spark.read.option("header", "true")
+      .schema(nation.schema).csv(s"$tmp/csv")
+    val orcBack = spark.read.orc(s"$tmp/orc")
+    def fp(src: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+          sum(col("n_nationkey")).cast("long").as("key_sum"),
+          sum(col("n_regionkey")).cast("long").as("region_sum"),
+          min(col("n_name")).as("first_name"),
+          max(col("n_name")).as("last_name"))
+        .select(lit(src).as("src"), col("n"), col("key_sum"),
+          col("region_sum"), col("first_name"), col("last_name"))
+    fp("parquet", nation)
+      .unionByName(fp("csv", csvBack))
+      .unionByName(fp("orc", orcBack))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "recursive_cte_bfs" -> recursiveCteBfs _,
+    "format_roundtrip" -> formatRoundtrip _,
     "scalar_subquery_select" -> scalarSubquerySelect _,
     "typed_pipeline" -> typedPipeline _,
     "dsv2_shard_scan" -> dsv2ShardScan _,
@@ -1030,6 +1064,17 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "format_roundtrip" ->
+      """WITH fr AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+        |    CAST(sum(n_regionkey) AS BIGINT) AS region_sum,
+        |    min(n_name) AS first_name,
+        |    max(n_name) AS last_name
+        |  FROM nation)
+        |SELECT s.src, fr.n, fr.key_sum, fr.region_sum,
+        |  fr.first_name, fr.last_name
+        |FROM fr, (VALUES ('parquet'), ('csv'), ('orc')) AS s(src)""".stripMargin,
     "recursive_cte_bfs" ->
       """WITH RECURSIVE rb_ch AS (
         |  SELECT user_id, event_id,
