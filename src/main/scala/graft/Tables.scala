@@ -74,6 +74,9 @@ object Sessions {
       // whole-operator rung: logical-plan rewrite rules
       .withExtensions(graft.plans.BinRangeJoin.register)
       .withExtensions(graft.plans.MvRewrite.register)
+      // whole-operator rung, physical: strategy for the native
+      // as-of-join SparkPlan
+      .withExtensions(graft.plans.AsOfJoinNative.register)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       // Non-ANSI: engine cast semantics are null-on-failure

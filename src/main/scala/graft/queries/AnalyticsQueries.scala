@@ -1449,9 +1449,44 @@ object AnalyticsQueries {
         col("l_extendedprice").as("weighted_median"))
   }
 
+  /** Sequence pattern matching (MATCH_RECOGNIZE's workhorse subset):
+    * each user's chronological event initials pack into one string
+    * (`v`iew `c`lick `p`urchase `s`ignup `e`rror — the same
+    * sort_array(collect_list) shape as [[userEventPaths]], one
+    * shuffle, no window sort), and `vc*p` — a view, any clicks, then
+    * a purchase — is counted as non-overlapping greedy regex matches
+    * over that string. Works because a row-per-event pattern join
+    * can't express "any number of" steps, while a per-user packed
+    * sequence makes it ONE codegen'd regexp per user. Pattern stays
+    * Java/RE2-portable (literal initials + `*`), so both engines
+    * find identical matches; `match_chars` sums matched-span lengths
+    * over the bounded match list. */
+  def eventPatternMatch(spark: SparkSession, dir: String): DataFrame = {
+    val seqStr = concat_ws("",
+      transform(
+        sort_array(collect_list(struct(col("us"), col("event_id"),
+          col("ini")))),
+        s => s.getField("ini")))
+    Tables(spark, dir, "events")
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), substring(col("event_type"), 1, 1).as("ini"))
+      .groupBy(col("user_id"))
+      .agg(seqStr.as("seq"))
+      .select(col("user_id"),
+        length(col("seq")).cast("long").as("seq_len"),
+        size(regexp_extract_all(col("seq"), lit("vc*p"), lit(0)))
+          .cast("long").as("n_matches"),
+        aggregate(
+          transform(regexp_extract_all(col("seq"), lit("vc*p"), lit(0)),
+            m => length(m).cast("long")),
+          lit(0L), (a, b) => a + b).as("match_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cohort_overlap" -> cohortOverlap _,
     "weighted_median" -> weightedMedian _,
+    "event_pattern_match" -> eventPatternMatch _,
     "session_window_builtin" -> sessionWindowBuiltin _,
     "ewma_dyadic" -> ewmaDyadic _,
     "auc_rank_sum" -> aucRankSum _,
@@ -1504,6 +1539,23 @@ object AnalyticsQueries {
     "quantiles_approx_bounds" -> quantilesApproxBounds _)
 
   val oracleSql: Map[String, String] = Map(
+    "event_pattern_match" ->
+      """WITH pm_s AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY epoch_us(ts), event_id) AS seq
+        |  FROM events WHERE ts IS NOT NULL
+        |  GROUP BY user_id),
+        |pm_m AS (
+        |  SELECT user_id, seq,
+        |    regexp_extract_all(seq, 'vc*p') AS ms
+        |  FROM pm_s)
+        |SELECT user_id,
+        |  CAST(length(seq) AS BIGINT) AS seq_len,
+        |  CAST(length(ms) AS BIGINT) AS n_matches,
+        |  CAST(COALESCE(list_sum(list_transform(ms,
+        |    m -> length(m))), 0) AS BIGINT) AS match_chars
+        |FROM pm_m""".stripMargin,
     "cohort_overlap" ->
       """WITH co_d AS (
         |  SELECT DISTINCT event_type, user_id FROM events),

@@ -55,6 +55,30 @@ object RelationalQueries {
         unix_micros(col("o_orderdate")).as("last_order_us"))
   }
 
+  /** [[asofJoin]] through the NATIVE physical operator
+    * ([[graft.plans.AsOfJoinNative]] — custom LogicalPlan node,
+    * planner strategy, and merge-pass SparkPlan) instead of the
+    * composed union+window plan. Identical inputs, identical oracle:
+    * the gate pins that the whole-operator extension rung computes
+    * the same rows the composition does. */
+  def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val lastOrders = Tables(spark, dir, "orders")
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("o_orderdate"),
+        col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("last_orderkey"))
+    graft.plans.AsOfJoinNative.asofBackward(events, lastOrders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("last_orderkey"),
+        unix_micros(col("o_orderdate")).as("last_order_us"))
+  }
+
   /** Forward as-of twin of [[asofJoin]]: each event picks up the
     * user's NEXT order at/after event time
     * ([[TemporalJoins.asofJoinForward]]), same deterministic
@@ -1054,6 +1078,7 @@ object RelationalQueries {
     "topk_per_group" -> topkPerGroup _,
     "window_analytics" -> windowAnalytics _,
     "asof_join" -> asofJoin _,
+    "asof_join_native" -> asofJoinNative _,
     "asof_join_forward" -> asofJoinForward _,
     "range_join" -> rangeJoin _,
     "range_join_auto" -> rangeJoinAuto _,
@@ -1502,6 +1527,14 @@ object RelationalQueries {
         |FROM orders WHERE o_custkey % 10 = 0
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "asof_join_native" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS us,
+        |  o.last_orderkey, epoch_us(o.o_orderdate) AS last_order_us
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
     "asof_join" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.ext.TemporalJoins
+import graft.plans.AsOfJoinNative
+
+/** [[graft.plans.AsOfJoinNative]] — the custom physical operator must
+  * (a) actually plan as AsOfJoinExec, (b) agree row-for-row with the
+  * composed union+window operator on real tables AND adversarial
+  * edge cases, (c) keep left-outer/tie semantics. */
+class AsOfJoinNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sorted(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+
+  test("plans an AsOfJoinExec node (not a window or join fallback)") {
+    val l = Seq((1L, 10L, "a")).toDF("k", "t", "lv")
+    val r = Seq((1L, 5L, "x")).toDF("k2", "t2", "rv")
+    val out = AsOfJoinNative.asofBackward(l, r, "k", "k2", "t", "t2")
+    val s = out.queryExecution.executedPlan.toString
+    // nodeName strips the Exec suffix
+    assert(s.contains("AsOfJoin"), s"expected AsOfJoin in plan:\n$s")
+    assert(!s.contains("Window") && !s.contains("SortMergeJoin"),
+      s"fallback plan detected:\n$s")
+    // EnsureRequirements plans exactly one exchange + sort per side
+    assert(s.linesIterator.count(_.contains("Exchange")) == 2, s)
+    assert(s.linesIterator.count(_.contains("- Sort [")) == 2, s)
+  }
+
+  test("edge cases: ties match, unmatched stay null, interleaved keys") {
+    val l = Seq(
+      (1L, 10L, "l-a"),   // matches r at t=10 (tie)
+      (1L, 9L, "l-b"),    // matches r at t=5
+      (1L, 4L, "l-c"),    // no right row at/before 4 -> null
+      (2L, 100L, "l-d"),  // key 2 has no right rows at all -> null
+      (3L, 7L, "l-e"))    // matches key-3 row at 7 (tie), not key 1's
+      .toDF("k", "t", "lv")
+    val r = Seq(
+      (1L, 5L, "r-5"), (1L, 10L, "r-10"), (1L, 11L, "r-11"),
+      (3L, 7L, "r-7"))
+      .toDF("k2", "t2", "rv")
+    val out = AsOfJoinNative.asofBackward(l, r, "k", "k2", "t", "t2")
+      .select(col("lv"), col("rv")).as[(String, Option[String])]
+      .collect().toMap
+    assert(out == Map(
+      "l-a" -> Some("r-10"), "l-b" -> Some("r-5"), "l-c" -> None,
+      "l-d" -> None, "l-e" -> Some("r-7")))
+  }
+
+  test("agrees with the composed union+window operator on sf0.001") {
+    val events = sf("events").select(col("event_id"),
+      col("user_id"), col("ts"))
+    val lastOrders = sf("orders")
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("o_orderdate"),
+        col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("last_orderkey"))
+    val native = AsOfJoinNative.asofBackward(events, lastOrders,
+        "user_id", "o_custkey", "ts", "o_orderdate")
+      .select(col("event_id"), col("last_orderkey"))
+    val composed = TemporalJoins.asofJoinBackward(events, lastOrders,
+        "user_id", "o_custkey", "ts", "o_orderdate")
+      .select(col("event_id"), col("last_orderkey"))
+    assert(sorted(native) == sorted(composed))
+    assert(native.count() == events.count())
+  }
+
+  test("null keys and times never match but rows survive (left outer)") {
+    val l = Seq((Some(1L), Some(10L), "ok"),
+      (None, Some(10L), "nullkey"), (Some(1L), None, "nulltime"))
+      .toDF("k", "t", "lv")
+    val r = Seq((1L, 5L, "r")).toDF("k2", "t2", "rv")
+    val out = AsOfJoinNative.asofBackward(l, r, "k", "k2", "t", "t2")
+      .select(col("lv"), col("rv")).as[(String, Option[String])]
+      .collect().toMap
+    assert(out == Map("ok" -> Some("r"), "nullkey" -> None,
+      "nulltime" -> None))
+  }
+}
