@@ -95,6 +95,29 @@ object AsOfJoinNative {
         attr(lPlan, leftTime), attr(rPlan, rightTime)))
   }
 
+  /** Forward as-of (smallest `rightTime >= leftTime`) through the
+    * SAME physical operator: backward-on-negated-times is exactly
+    * forward — `max{-rt : -rt <= -lt}` = `min{rt : rt >= lt}`, ties
+    * included on both sides of the equivalence. The wrapper adds one
+    * negated-micros column per side, joins, and drops the helpers;
+    * no second operator to maintain or verify. */
+  def asofForward(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    def negMicros(df: DataFrame, c: String) =
+      if (df.schema(c).dataType == TimestampType)
+        -unix_micros(col(c))
+      else -col(c)
+    val ln = "__graft_neg_lt"
+    val rn = "__graft_neg_rt"
+    asofBackward(
+        left.withColumn(ln, negMicros(left, leftTime)),
+        right.withColumn(rn, negMicros(right, rightTime)),
+        leftKey, rightKey, ln, rn)
+      .drop(ln, rn)
+  }
+
   private def longBacked(a: Attribute): Boolean =
     a.dataType == LongType || a.dataType == TimestampType
 

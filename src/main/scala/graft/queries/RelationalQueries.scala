@@ -102,6 +102,30 @@ object RelationalQueries {
         unix_micros(col("o_orderdate")).as("next_order_us"))
   }
 
+  /** [[asofJoinForward]] through the native operator —
+    * [[graft.plans.AsOfJoinNative.asofForward]] reuses the backward
+    * AsOfJoinExec on negated times, so ONE physical operator serves
+    * both directions; the gate pins the equivalence against the same
+    * DuckDB forward oracle. */
+  def asofJoinForwardNative(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val events = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val firstOrders = Tables(spark, dir, "orders")
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("o_orderdate"),
+        col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("next_orderkey"))
+    graft.plans.AsOfJoinNative.asofForward(events, firstOrders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("next_orderkey"),
+        unix_micros(col("o_orderdate")).as("next_order_us"))
+  }
+
   /** Range join: for every 1-URGENT order, the lineitems (any order)
     * shipped inside [orderdate, orderdate+7d) —
     * [[TemporalJoins.binnedRangeJoin]] with 7-day bins, so the
@@ -975,8 +999,15 @@ object RelationalQueries {
     * levels), so the gate recursion is LINEAR by construction: each
     * (user, event) has exactly one successor (`lead` over the
     * time-ordered chain), each level holds ≤ |users| rows, and the
-    * `pos < 60` guard bounds depth independent of data drift (the
+    * `pos < 12` guard bounds depth independent of data drift (the
     * default cteRecursionLevelLimit is 100; sf0.1 chains reach 99).
+    * Depth 12, not 60: Spark 4.1's UnionLoop executes each level as
+    * its own job with a fixed ~0.3 s driver/scheduling cost at
+    * local[32] REGARDLESS of level size (measured: 60 levels ≈ 18 s
+    * whether the chain frame is lazy, materialized, or broadcast) —
+    * so the gate exercises the seam at a dozen levels and the
+    * PRODUCTION shape for long chains stays the fixed-round
+    * DataFrame loop (`graph_bfs_dist`) or a window.
     * A cyclic-graph BFS must NOT use this seam until UNION recursion
     * lands — UNION ALL enumerates walks, combinatorial on cycles
     * (that traversal lives in `graph_bfs_dist`'s fixed-round loop).
@@ -986,23 +1017,27 @@ object RelationalQueries {
   def recursiveCteBfs(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("us").asc, col("event_id").asc)
-    Tables(spark, dir, "events")
-      .select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("us"),
-        floor(col("value") * lit(100.0)).cast("long").as("cents"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("nxt", lead(col("event_id"), 1).over(w))
+    // materialized: the recursive step re-reads this view once PER
+    // LEVEL — left as a lazy view, 60 levels re-run the window sort
+    // 60 times (measured 20.6 s at sf0.1; materialized: ~2 s)
+    graft.Tables.materialize(Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          floor(col("value") * lit(100.0)).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nxt", lead(col("event_id"), 1).over(w)))
       .createOrReplaceTempView("chain_rcte")
     spark.sql(
       """WITH RECURSIVE walk(user_id, event_id, nxt, pos, run_cents) AS (
         |  SELECT user_id, event_id, nxt, CAST(1 AS BIGINT), cents
         |  FROM chain_rcte WHERE rn = 1
         |  UNION ALL
-        |  SELECT c.user_id, c.event_id, c.nxt, w.pos + CAST(1 AS BIGINT),
+        |  SELECT /*+ BROADCAST(c) */
+        |    c.user_id, c.event_id, c.nxt, w.pos + CAST(1 AS BIGINT),
         |    w.run_cents + c.cents
         |  FROM walk w JOIN chain_rcte c
         |    ON c.user_id = w.user_id AND c.event_id = w.nxt
-        |  WHERE w.pos < 60
+        |  WHERE w.pos < 12
         |)
         |SELECT user_id, event_id, pos, run_cents FROM walk""".stripMargin)
   }
@@ -1079,6 +1114,7 @@ object RelationalQueries {
     "window_analytics" -> windowAnalytics _,
     "asof_join" -> asofJoin _,
     "asof_join_native" -> asofJoinNative _,
+    "asof_join_forward_native" -> asofJoinForwardNative _,
     "asof_join_forward" -> asofJoinForward _,
     "range_join" -> rangeJoin _,
     "range_join_auto" -> rangeJoinAuto _,
@@ -1117,7 +1153,7 @@ object RelationalQueries {
         |    w.run_cents + c.cents
         |  FROM walk w JOIN rb_ch c
         |    ON c.user_id = w.user_id AND c.event_id = w.nxt
-        |  WHERE w.pos < 60
+        |  WHERE w.pos < 12
         |)
         |SELECT user_id, event_id, pos, run_cents FROM walk""".stripMargin,
     "scalar_subquery_select" ->
@@ -1543,6 +1579,14 @@ object RelationalQueries {
         |  o.last_orderkey, epoch_us(o.o_orderdate) AS last_order_us
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "asof_join_forward_native" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS next_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS us,
+        |  o.next_orderkey, epoch_us(o.o_orderdate) AS next_order_us
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate""".stripMargin,
     "asof_join_forward" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS next_orderkey

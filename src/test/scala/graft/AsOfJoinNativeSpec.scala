@@ -30,6 +30,25 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(s.linesIterator.count(_.contains("- Sort [")) == 2, s)
   }
 
+  test("pre-partitioned inputs plan ZERO exchanges (declared " +
+      "distribution is satisfied, not re-shuffled)") {
+    val l = Seq((1L, 10L, "a"), (2L, 5L, "b")).toDF("k", "t", "lv")
+      .repartition(4, col("k"))
+    val r = Seq((1L, 5L, "x")).toDF("k2", "t2", "rv")
+      .repartition(4, col("k2"))
+    val out = AsOfJoinNative.asofBackward(l, r, "k", "k2", "t", "t2")
+    out.collect() // finalize any adaptive planning
+    val s = out.queryExecution.executedPlan.toString
+    // the only exchanges are the inputs' own REPARTITION_BY_NUM; the
+    // join must add NO ENSURE_REQUIREMENTS exchange on top (its
+    // required ClusteredDistribution is already satisfied). AQE's
+    // isFinalPlan string prints the tree twice — assert by origin
+    // tag, not by line count.
+    assert(s.contains("REPARTITION_BY_NUM"), s)
+    assert(!s.contains("ENSURE_REQUIREMENTS"),
+      s"join added its own exchange:\n$s")
+  }
+
   test("edge cases: ties match, unmatched stay null, interleaved keys") {
     val l = Seq(
       (1L, 10L, "l-a"),   // matches r at t=10 (tie)
@@ -67,6 +86,34 @@ class AsOfJoinNativeSpec extends SparkSpec {
       .select(col("event_id"), col("last_orderkey"))
     assert(sorted(native) == sorted(composed))
     assert(native.count() == events.count())
+  }
+
+  test("asofForward (negated-time reuse) agrees with the composed " +
+      "forward operator on sf0.001") {
+    val events = sf("events").select(col("event_id"),
+      col("user_id"), col("ts"))
+    val firstOrders = sf("orders")
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("o_orderdate"),
+        col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("next_orderkey"))
+    val native = AsOfJoinNative.asofForward(events, firstOrders,
+        "user_id", "o_custkey", "ts", "o_orderdate")
+      .select(col("event_id"), col("next_orderkey"))
+    val composed = TemporalJoins.asofJoinForward(events, firstOrders,
+        "user_id", "o_custkey", "ts", "o_orderdate")
+      .select(col("event_id"), col("next_orderkey"))
+    assert(sorted(native) == sorted(composed))
+  }
+
+  test("asofForward tie at equal time matches (rt >= lt inclusive)") {
+    val l = Seq((1L, 10L, "a"), (1L, 11L, "b")).toDF("k", "t", "lv")
+    val r = Seq((1L, 10L, "r10"), (1L, 20L, "r20")).toDF("k2", "t2", "rv")
+    val out = AsOfJoinNative.asofForward(l, r, "k", "k2", "t", "t2")
+      .select(col("lv"), col("rv")).as[(String, Option[String])]
+      .collect().toMap
+    assert(out == Map("a" -> Some("r10"), "b" -> Some("r20")))
   }
 
   test("null keys and times never match but rows survive (left outer)") {
