@@ -921,6 +921,28 @@ object AnalyticsQueries {
         col("n_exact"))
   }
 
+  /** [[hllDistinctEstimates]] through the CUSTOM AGGREGATE FUNCTION:
+    * `graft_hll_est` ([[graft.functions.HllEstAgg]], a
+    * TypedImperativeAggregate over a fixed 64-byte register buffer,
+    * registered via SparkSessionExtensions and called through the SQL
+    * function surface). Same open-book algebra, but the register
+    * frame never materializes — partial aggregation folds 64-byte
+    * sketches map-side and merges them by cell-wise max, the
+    * mergeable-state rollup shape at any scale. The gate pins the
+    * imperative fold bit-equal to the relational twin's oracle. */
+  def hllAggNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), col("user_id"))
+    val est = ev.select(col("event_type"),
+        TextFunctions.hash32(col("user_id").cast("string")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(expr("graft_hll_est(h)").as("hll_est"))
+    val exact = ev.distinct().groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exact"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("hll_est"), col("n_exact"))
+  }
+
   /** Ordered per-user event-type sequence — the secondary-sort export
     * every training-sequence / session-replay pipeline ends with
     * ("user's journey as a token path"). Distributed shape: ONE hash
@@ -1497,6 +1519,7 @@ object AnalyticsQueries {
     "cms_point_estimates" -> cmsPointEstimates _,
     "cms_join_size" -> cmsJoinSize _,
     "hll_distinct_estimates" -> hllDistinctEstimates _,
+    "hll_agg_native" -> hllAggNative _,
     "ratio_to_report" -> ratioToReport _,
     "grouped_regression" -> groupedRegression _,
     "corr_matrix" -> hourlyCorrMatrix _,
@@ -1932,6 +1955,39 @@ object AnalyticsQueries {
     // (never log), 2^-reg as exact dyadic division, double literals
     // CAST explicitly (DuckDB numeric literals are DECIMAL), same
     // left-associative formula text => identical double estimate
+    "hll_agg_native" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h % 64 AS bucket,
+        |    CASE WHEN (h >> 6) = 0 THEN 27
+        |         ELSE 27 - length(bin(h >> 6)) END AS rnk
+        |  FROM h),
+        |regs AS (SELECT event_type, bucket, MAX(rnk) AS reg
+        |         FROM r GROUP BY 1, 2),
+        |est AS (
+        |  SELECT event_type,
+        |    SUM(CAST(1.0 AS DOUBLE) / CAST(1::BIGINT << reg AS DOUBLE))
+        |      AS isum,
+        |    COUNT(*) AS nz
+        |  FROM regs GROUP BY 1),
+        |z AS (SELECT event_type, isum + CAST(64 - nz AS DOUBLE) AS zsum
+        |      FROM est),
+        |exact AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |  FROM (SELECT DISTINCT event_type, user_id FROM events)
+        |  GROUP BY 1)
+        |SELECT z.event_type,
+        |  CAST(0.7213 AS DOUBLE)
+        |    / (CAST(1.0 AS DOUBLE)
+        |       + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE))
+        |    * CAST(64.0 AS DOUBLE) * CAST(64.0 AS DOUBLE) / zsum
+        |    AS hll_est,
+        |  n_exact
+        |FROM z JOIN exact ON z.event_type = exact.event_type""".stripMargin,
     "hll_distinct_estimates" ->
       """WITH h AS (
         |  SELECT event_type,

@@ -417,6 +417,35 @@ object PipelineQueries {
     }
   }
 
+  /** The custom TypedImperativeAggregate ([[graft.functions
+    * .HllEstAgg]]) under STREAMING state: doubled stream, complete
+    * mode — the 64-byte register buffer serializes into the state
+    * store between micro-batches, and the cell-wise-max merge makes
+    * the estimate IDENTICAL to the batch oracle despite every event
+    * arriving twice (the idempotent-state twin of [[streamHll]],
+    * here through the aggregate-function surface instead of the
+    * relational register frame). */
+  def streamHllAgg(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = "stream_hll_agg_sink"
+    onStreamSession(spark, 8) { s =>
+      def src = Tables.normalize(
+        s.readStream.schema(schema).option("basePath", dir)
+          .parquet(s"$dir/events*.parquet"))
+      val doubled = src.unionByName(src)
+        .select(col("event_type"),
+          graft.functions.TextFunctions.hash32(
+            col("user_id").cast("string")).as("h"))
+      val est = doubled.groupBy(col("event_type"))
+        .agg(expr("graft_hll_est(h)").as("hll_est"))
+      val q = est.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+    }
+  }
+
   /** Multimodal: binary content column + stub decode via per-partition
     * mapPartitions (real plumbing, fake codec — see Multimodal). */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
@@ -587,6 +616,7 @@ object PipelineQueries {
     "stream_dedup" -> streamDedup _,
     "stream_cms" -> streamCms _,
     "stream_hll" -> streamHll _,
+    "stream_hll_agg" -> streamHllAgg _,
     "stream_static_join" -> streamStaticJoin _,
     "multimodal_features" -> multimodalFeatures _,
     "media_dedup" -> mediaDedup _,
@@ -695,6 +725,34 @@ object PipelineQueries {
         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
         |WHERE c.c_custkey <= 150
         |GROUP BY 1""".stripMargin,
+    // doubled stream, custom imperative agg: cell-wise-max state is
+    // re-delivery-idempotent, so estimates equal the batch algebra
+    "stream_hll_agg" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h % 64 AS bucket,
+        |    CASE WHEN (h >> 6) = 0 THEN 27
+        |         ELSE 27 - length(bin(h >> 6)) END AS rnk
+        |  FROM h),
+        |regs AS (SELECT event_type, bucket, MAX(rnk) AS reg
+        |         FROM r GROUP BY 1, 2),
+        |est AS (
+        |  SELECT event_type,
+        |    SUM(CAST(1.0 AS DOUBLE) / CAST(1::BIGINT << reg AS DOUBLE))
+        |      AS isum,
+        |    COUNT(*) AS nz
+        |  FROM regs GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(0.7213 AS DOUBLE)
+        |    / (CAST(1.0 AS DOUBLE)
+        |       + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE))
+        |    * CAST(64.0 AS DOUBLE) * CAST(64.0 AS DOUBLE)
+        |    / (isum + CAST(64 - nz AS DOUBLE)) AS hll_est
+        |FROM est""".stripMargin,
     // doubled stream, NO 2x: max-registers are re-delivery-idempotent
     "stream_hll" ->
       """WITH h AS (
