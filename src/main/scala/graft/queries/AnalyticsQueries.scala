@@ -1209,6 +1209,42 @@ object AnalyticsQueries {
         col("sum_value").as("ffill_value"))
   }
 
+  /** [[gapfillFfill]]'s LINEAR-interpolation sibling — the time-series
+    * resample that draws a straight line between consecutive
+    * observations instead of holding the last value: filled bucket b
+    * between observations (b0,v0) and (b1,v1) gets
+    * v0 + (v1−v0)·(b−b0)/(b1−b0). Every term is an IEEE op on exact
+    * inputs (bucket deltas are exact longs, v0/v1 exact-decimal sums
+    * cast once) evaluated in one fixed expression order, so the
+    * doubles hash-gate — the same argument as `grouped_regression`.
+    * Identical single-exchange shape as the ffill variant; the last
+    * observation has no successor and fills nothing beyond itself. */
+  def gapfillLinear(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        (floor(unix_micros(col("ts")) / lit(300000000L)) * lit(300L))
+          .cast("long").as("bucket_s"),
+        col("value"))
+      .repartition(col("user_id"))
+      .groupBy(col("user_id"), col("bucket_s"))
+      .agg(sum(dec(col("value"))).cast("double").as("v0"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("bucket_s").asc)
+    agg
+      .withColumn("b1", lead(col("bucket_s"), 1).over(w))
+      .withColumn("v1", lead(col("v0"), 1).over(w))
+      .select(col("user_id"), col("v0"), col("v1"),
+        col("bucket_s").as("b0"), col("b1"),
+        explode(sequence(col("bucket_s"),
+          coalesce(col("b1") - lit(300L), col("bucket_s")),
+          lit(300L))).as("bucket_s"))
+      .select(col("user_id"), col("bucket_s"),
+        when(col("bucket_s") === col("b0"), col("v0"))
+          .otherwise(col("v0") + (col("v1") - col("v0")) *
+            ((col("bucket_s") - col("b0")).cast("double") /
+              (col("b1") - col("b0")).cast("double")))
+          .as("interp_value"))
+  }
+
   /** Hopping (sliding) event-time windows: 10-minute windows every
     * 5 minutes — each event lands in exactly 2 windows. Spark's
     * `window(ts, size, slide)` replicates rows at the scan (a
@@ -1547,6 +1583,7 @@ object AnalyticsQueries {
     "scd2_history" -> scd2History _,
     "cohort_retention" -> cohortRetention _,
     "gapfill_ffill" -> gapfillFfill _,
+    "gapfill_linear" -> gapfillLinear _,
     "events_hopping_agg" -> eventsHoppingAgg _,
     "q1_agg" -> q1Agg _,
     "q3_join_topk" -> q3JoinTopk _,
@@ -1817,6 +1854,29 @@ object AnalyticsQueries {
         |      AS DOUBLE) / COUNT(*))
         |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
         |GROUP BY p_brand""".stripMargin,
+    "gapfill_linear" ->
+      """WITH ga AS (
+        |  SELECT user_id, (epoch_us(ts) // 300000000) * 300 AS bucket_s,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v0
+        |  FROM events GROUP BY 1, 2),
+        |gl AS (
+        |  SELECT user_id, bucket_s AS b0, v0,
+        |    lead(bucket_s) OVER (PARTITION BY user_id ORDER BY bucket_s)
+        |      AS b1,
+        |    lead(v0) OVER (PARTITION BY user_id ORDER BY bucket_s) AS v1
+        |  FROM ga),
+        |gf AS (
+        |  SELECT user_id, b0, b1, v0, v1,
+        |    unnest(generate_series(b0, coalesce(b1 - 300, b0), 300))
+        |      AS bucket_s
+        |  FROM gl)
+        |SELECT user_id, bucket_s,
+        |  CASE WHEN bucket_s = b0 THEN v0
+        |       ELSE v0 + (v1 - v0) *
+        |         (CAST(bucket_s - b0 AS DOUBLE) /
+        |          CAST(b1 - b0 AS DOUBLE))
+        |  END AS interp_value
+        |FROM gf""".stripMargin,
     "gapfill_ffill" ->
       """WITH a AS (
         |  SELECT user_id, (epoch_us(ts) // 300000000) * 300 AS bucket_s,

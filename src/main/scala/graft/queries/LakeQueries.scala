@@ -376,10 +376,28 @@ object LakeQueries {
           (col("n") * col("n")).cast("double")).as("gini"))
   }
 
+  /** l-diversity audit — k-anonymity's necessary complement: a
+    * quasi-identifier class can be large (k-safe) yet expose its
+    * members anyway when they all share one SENSITIVE value
+    * (homogeneity attack). Per (nation, segment) class: size, the
+    * number of distinct sensitive values (account-balance bands of
+    * 1000), and the l ≥ 3 flag. Same single-aggregate release shape
+    * as [[kAnonymityAudit]]; the two audits together gate a release.
+    * Band = floor(bal/1000) — one IEEE divide + floor, engine-stable. */
+  def lDiversityAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("band")).as("l_distinct"))
+      .withColumn("diverse", col("l_distinct") >= 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv_rollup_rewrite" -> mvRollupRewrite _,
     "k_anonymity_audit" -> kAnonymityAudit _,
     "dp_noisy_counts" -> dpNoisyCounts _,
+    "l_diversity_audit" -> lDiversityAudit _,
     "gini_impurity" -> giniImpurity _,
     "key_skew_audit" -> keySkewAudit _,
     "impute_median" -> imputeMedian _,
@@ -397,6 +415,17 @@ object LakeQueries {
         |  CASE WHEN count(*) >= 10 THEN CAST(count(*) AS BIGINT) END
         |    AS released_n
         |FROM customer GROUP BY 1, 2""".stripMargin,
+    "l_diversity_audit" ->
+      """WITH ld AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / CAST(1000.0 AS DOUBLE)) AS BIGINT)
+        |      AS band
+        |  FROM customer)
+        |SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT band) AS BIGINT) AS l_distinct,
+        |  count(DISTINCT band) >= 3 AS diverse
+        |FROM ld GROUP BY 1, 2""".stripMargin,
     "gini_impurity" ->
       """WITH gcls AS (
         |  SELECT o_orderstatus, o_orderpriority, count(*) AS c

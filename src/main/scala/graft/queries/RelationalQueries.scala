@@ -1075,9 +1075,27 @@ object RelationalQueries {
       .unionByName(fp("orc", orcBack))
   }
 
+  /** Temporal-hierarchy rollup — year → (year, month) → grand total
+    * in ONE Expand + hash-agg pass over derived date parts (the
+    * calendar cousin of [[rollupAgg]]'s categorical rollup; at 100 TB
+    * this replaces three separate scans of the fact table with one).
+    * grouping_id disambiguates NULL-as-aggregated; year()/month()
+    * agree cross-engine because the session TZ is pinned UTC. */
+  def timeRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        col("o_totalprice"))
+      .rollup(col("y"), col("m"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"),
+        grouping_id(col("y"), col("m")).cast("long").as("gid"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "recursive_cte_bfs" -> recursiveCteBfs _,
     "format_roundtrip" -> formatRoundtrip _,
+    "time_rollup" -> timeRollup _,
     "scalar_subquery_select" -> scalarSubquerySelect _,
     "typed_pipeline" -> typedPipeline _,
     "dsv2_shard_scan" -> dsv2ShardScan _,
@@ -1125,6 +1143,15 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "time_rollup" ->
+      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  CAST(GROUPING(year(o_orderdate), month(o_orderdate))
+        |    AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))""".stripMargin,
     "format_roundtrip" ->
       """WITH fr AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n,
