@@ -1395,6 +1395,43 @@ object AnalyticsQueries {
         col("num"), col("den"))
   }
 
+  /** Time-DECAY attribution — completes the attribution family
+    * (first-touch, linear, decay): touches closer to the conversion
+    * earn exponentially more credit, with half-life = 1 day. Exact by
+    * construction: weight = 2^(40−days_before) as a BIGINT (zero past
+    * 40 days; shift amounts bounded 0..40 on BOTH engines — never
+    * trust `>>` with a data-driven amount ≥ 64, Java wraps shift
+    * counts mod 64), per-channel and per-user sums stay integral, and
+    * the credit share is ONE closing divide of exact BIGINTs. Same
+    * two-aggregate shape as [[linearAttribution]]. */
+  def decayAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("us"), col("event_id"))).as("fp"))
+      .select(col("user_id"), col("fp.us").as("p_us"),
+        col("fp.event_id").as("p_id"))
+    val touches = ev.join(firstP, "user_id")
+      .filter(struct(col("us"), col("event_id")) <
+        struct(col("p_us"), col("p_id")))
+      .withColumn("days", expr("(p_us - us) div 86400000000"))
+      .withColumn("w",
+        when(col("days") > 40, lit(0L))
+          .otherwise(expr("shiftleft(1L, cast(40 - days as int))")))
+    val den = touches.groupBy(col("user_id"))
+      .agg(sum(col("w")).as("den"))
+    touches.groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("w")).as("w_sum"))
+      .join(den, "user_id")
+      .filter(col("den") > 0)
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("w_sum"), col("den"),
+        (col("w_sum").cast("double") / col("den").cast("double"))
+          .as("share"))
+  }
+
   /** Spark's native `session_window` twin-gated against the first-
     * principles gaps-and-islands algebra ([[sessionize]]): the oracle
     * computes sessions as break-on-gap≥10min islands, and the builtin
@@ -1583,6 +1620,7 @@ object AnalyticsQueries {
     "scd2_history" -> scd2History _,
     "cohort_retention" -> cohortRetention _,
     "gapfill_ffill" -> gapfillFfill _,
+    "decay_attribution" -> decayAttribution _,
     "gapfill_linear" -> gapfillLinear _,
     "events_hopping_agg" -> eventsHoppingAgg _,
     "q1_agg" -> q1Agg _,
@@ -1854,6 +1892,34 @@ object AnalyticsQueries {
         |      AS DOUBLE) / COUNT(*))
         |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
         |GROUP BY p_brand""".stripMargin,
+    "decay_attribution" ->
+      """WITH de AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |dp AS (
+        |  SELECT user_id, MIN(ROW(us, event_id)) AS fp
+        |  FROM de WHERE event_type = 'purchase' GROUP BY user_id),
+        |dt AS (
+        |  SELECT e.user_id, e.event_type,
+        |    (f.fp[1] - e.us) // 86400000000 AS days
+        |  FROM de e JOIN dp f ON e.user_id = f.user_id
+        |  WHERE ROW(e.us, e.event_id) < f.fp),
+        |dw AS (
+        |  SELECT user_id, event_type,
+        |    CASE WHEN days > 40 THEN CAST(0 AS BIGINT)
+        |         ELSE (CAST(1 AS BIGINT) << CAST(40 - days AS INT)) END
+        |      AS w
+        |  FROM dt),
+        |dden AS (
+        |  SELECT user_id, CAST(SUM(w) AS BIGINT) AS den
+        |  FROM dw GROUP BY user_id)
+        |SELECT n.user_id, n.event_type AS channel,
+        |  CAST(n.w_sum AS BIGINT) AS w_sum, d.den,
+        |  CAST(n.w_sum AS DOUBLE) / CAST(d.den AS DOUBLE) AS share
+        |FROM (SELECT user_id, event_type, SUM(w) AS w_sum
+        |      FROM dw GROUP BY 1, 2) n
+        |JOIN dden d ON d.user_id = n.user_id
+        |WHERE d.den > 0""".stripMargin,
     "gapfill_linear" ->
       """WITH ga AS (
         |  SELECT user_id, (epoch_us(ts) // 300000000) * 300 AS bucket_s,
