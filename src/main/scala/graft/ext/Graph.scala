@@ -214,6 +214,46 @@ object Graph {
     dist
   }
 
+  /** Fixed-round SYNCHRONOUS label propagation — community detection
+    * where [[Dedup.connectedComponents]] is too coarse (connectivity
+    * merges everything touching; LPA lets dense neighborhoods keep
+    * their own label even inside one connected component). Every
+    * round, each vertex adopts its neighbors' most frequent label,
+    * ties broken by the SMALLEST label — the deterministic total
+    * order that makes fixed-round LPA reproducible cross-engine
+    * (async/random-order LPA, the published default, can never
+    * hash-gate). Rounds are fixed so the oracle unrolls them.
+    *
+    * Per round: one labels⋈adjacency join + one (vertex, label)
+    * count + one min-struct argmax — three hash shuffles on stable
+    * keys, frame materialized to truncate lineage. Isolated vertices
+    * never appear (no edges); a vertex keeps its own label only by
+    * re-earning it through neighbors, the standard synchronous-LPA
+    * convention. */
+  def labelPropagation(pairs: DataFrame, a: Column, b: Column,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = canonicalEdges(pairs, a, b)
+    val adj = graft.Tables.materialize(
+      e.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(e.select(col("dst").as("u"), col("src").as("v"))))
+    var labels = graft.Tables.materialize(
+      adj.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")))
+    for (_ <- 1 to rounds) {
+      val nbr = adj.join(labels, adj("v") === labels("id"))
+        .select(col("u"), col("lbl"))
+      labels = graft.Tables.materialize(
+        nbr.groupBy(col("u"), col("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("u"))
+          .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l")))
+            .as("best"))
+          .select(col("u").as("id"), col("best.l").as("lbl")))
+    }
+    labels.select(col("id"), col("lbl").as("community"))
+  }
+
   /** Fixed-round INTEGER PageRank over a directed edge frame —
     * importance scores in units of `scale` (pr starts at `scale`,
     * the damping update is `(100-d)/100·scale + d·Σ(pr(u) div

@@ -810,6 +810,7 @@ object ExtQueries {
     "rrf_fusion" -> rrfFusion _,
     "word_pagerank" -> wordPagerank _,
     "graph_bfs_dist" -> graphBfsDist _,
+    "word_communities" -> wordCommunities _,
     "split_leakage_audit" -> splitLeakageAudit _,
     "embed_decontaminate" -> embedDecontaminate _)
 
@@ -849,6 +850,20 @@ object ExtQueries {
       split(col("gram"), " ").getItem(1).as("w2"))
     Graph.bfsDistances(edges, col("w1"), col("w2"), hops = 4)
       .select(col("id").as("word"), col("dist"))
+  }
+
+  /** Word-community detection over the bigram graph — fixed-round
+    * synchronous [[Graph.labelPropagation]] (3 rounds, min-label
+    * ties), the community companion to [[wordPagerank]]'s centrality
+    * and [[graphBfsDist]]'s traversal on the same substrate. */
+  def wordCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Dedup.shingles(
+      Tables(spark, dir, "documents"), col("doc_id"), col("text"), n = 2)
+    val edges = bigrams.select(
+      split(col("gram"), " ").getItem(0).as("w1"),
+      split(col("gram"), " ").getItem(1).as("w2"))
+    Graph.labelPropagation(edges, col("w1"), col("w2"), rounds = 3)
+      .select(col("id").as("word"), col("community"))
   }
 
   /** Train/eval split LEAKAGE audit — the contamination check every
@@ -1230,6 +1245,34 @@ object ExtQueries {
        |  SELECT min(u) AS id, CAST(0 AS BIGINT) AS dist FROM bfs_adj),
        |${(1 to 4).map(round).mkString(",\n")}
        |SELECT id AS word, dist FROM bfs_d4""".stripMargin
+  }
+
+  /** Unrolled 3-round synchronous LPA: per round, count neighbor
+    * labels and take the (max count, min label) argmax via a min-ROW
+    * fold — identical algebra to Graph.labelPropagation. */
+  private lazy val wordCommunitiesSql = {
+    def round(h: Int): String =
+      s"""lp_r$h AS (
+         |  SELECT a.u, l.lbl, count(*) AS cnt
+         |  FROM lp_adj a JOIN lp_l${h - 1} l ON l.id = a.v
+         |  GROUP BY 1, 2),
+         |lp_l$h AS (
+         |  SELECT u AS id, (MIN(ROW(-cnt, lbl)))[2] AS lbl
+         |  FROM lp_r$h GROUP BY u)"""
+    s"""WITH lp_raw AS (
+       |  SELECT DISTINCT t[i] AS src, t[i+1] AS dst
+       |  FROM (SELECT $toks AS t FROM documents),
+       |       LATERAL (SELECT unnest(range(1, greatest(length(t), 1)))
+       |                AS i)),
+       |lp_c AS (
+       |  SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d
+       |  FROM lp_raw WHERE least(src, dst) < greatest(src, dst)),
+       |lp_adj AS (
+       |  SELECT s AS u, d AS v FROM lp_c
+       |  UNION ALL SELECT d, s FROM lp_c),
+       |lp_l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM lp_adj),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT id AS word, lbl AS community FROM lp_l3""".stripMargin
   }
 
   /** LSH candidates over ALL documents + exact-Jaccard verify (same
@@ -2502,6 +2545,7 @@ object ExtQueries {
     "boilerplate_strip" -> boilerplateStripSql,
     "word_pagerank" -> wordPagerankSql,
     "graph_bfs_dist" -> graphBfsDistSql,
+    "word_communities" -> wordCommunitiesSql,
     "split_leakage_audit" -> splitLeakageAuditSql,
     "embed_decontaminate" -> embedDecontaminateSql,
     "rrf_fusion" ->
