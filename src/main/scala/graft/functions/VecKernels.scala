@@ -103,8 +103,30 @@ object VecKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Integer dot product of two int8-quantized vectors: Σ a_i·b_i as
+    * a LONG — every term is |a_i·b_i| ≤ 127² and a 64-dim sum is
+    * ≤ ~10⁶, so the accumulation is exact integer arithmetic with no
+    * rounding anywhere: the ranking primitive of the quantized
+    * (memory-compressed) ANN serving path. Null element pairs skip
+    * (SUM semantics), zip to the shorter length. Called from
+    * generated code — keep the signature JVM-simple. */
+  def dotI8(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        acc += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
+
   /** Column form of [[DecimalVecDot]] (requires [[register]]ed session). */
   def vecDotDec(a: Column, b: Column): Column = call_function("vec_dot_dec", a, b)
+
+  /** Column form of [[VecDotInt8]] (requires [[register]]ed session). */
+  def vecDotI8(a: Column, b: Column): Column = call_function("vec_dot_i8", a, b)
 
   /** Exact squared L2 norm. */
   def vecNorm2Dec(a: Column): Column = vecDotDec(a, a)
@@ -130,7 +152,46 @@ object VecKernels {
         require(children.size == 1, s"vec_quant_i8 takes 1 arg, got ${children.size}")
         VecQuantInt8(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot_i8"),
+      new ExpressionInfo(classOf[VecDotInt8].getName, "vec_dot_i8"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"vec_dot_i8 takes 2 args, got ${children.size}")
+        VecDotInt8(children.head, children(1))
+      }))
   }
+}
+
+/** Exact integer dot of two int8 vectors as one codegen'd scalar —
+  * see [[VecKernels.dotI8]] for the arithmetic contract. */
+case class VecDotInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ok(e: Expression): Boolean = e.dataType match {
+    case ArrayType(ByteType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "vec_dot_i8 requires array<tinyint> arguments, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "vec_dot_i8"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.dotI8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecKernels.dotI8($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotInt8 =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `sum_i round(a[i]*b[i], 12dp)` as one codegen'd scalar — see

@@ -735,6 +735,35 @@ object ExtQueries {
         graft.functions.VecKernels.vecQuantI8(col("embedding"))
           .cast("array<string>")).as("qcsv"))
 
+  /** Top-k retrieval over int8-QUANTIZED vectors — the serving path a
+    * 100 TB embedding corpus actually runs (4× memory/bandwidth cut;
+    * [[embedQuantize]] gates the compression itself, this gates
+    * RANKING on the compressed form): scores are Σ q_c·q_q exact
+    * integer dots ([[graft.functions.VecKernels.vecDotI8]], a
+    * codegen'd kernel — no floats anywhere in the ranking, so the
+    * whole top-k is deterministic by construction, not by argument).
+    * Same broadcast-queries shape as [[annBruteForce]], which remains
+    * the full-precision audit baseline for this path's recall. */
+  def annQuantizedTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VecKernels
+    val q = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), VecKernels.vecQuantI8(col("embedding"))
+        .as("qv"))
+    val queries = q.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"))
+    val corpus = q
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("nbr_id"), col("qv").as("qc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id").asc)
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("score", VecKernels.vecDotI8(col("qc"), col("qq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("nbr_id"), col("rank"), col("score"))
+  }
+
   /** Z-order cell audit ([[graft.functions.ZOrder]]): Morton-interleave
     * (user_id, floor(value·100)) and aggregate per 16-bit-truncated
     * z-cell — the per-cell min/max of BOTH dimensions is exactly the
@@ -803,6 +832,7 @@ object ExtQueries {
     "ann_hard_negatives_ivf" -> annHardNegativesIvf _,
     "embed_drift" -> embedDrift _,
     "embed_quantize" -> embedQuantize _,
+    "ann_quantized_topk" -> annQuantizedTopK _,
     "doc_decontaminate" -> docDecontaminate _,
     "text_repetition" -> textRepetition _,
     "bigram_novelty" -> bigramNovelty _,
@@ -2106,6 +2136,26 @@ object ExtQueries {
   /** Quantization twin: same max|x| scale over the widened-to-double
     * component view, same round-half-away-from-zero (DuckDB `round`
     * == Spark/kernel BigDecimal HALF_UP on ties). */
+  private lazy val annQuantizedTopKSql =
+    s"""WITH $vecCtes,
+       |qm AS (SELECT vec_id, max(abs(x)) AS m FROM comp GROUP BY vec_id),
+       |qv AS (
+       |  SELECT c.vec_id, c.i,
+       |    CASE WHEN qm.m = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(round(c.x * 127 / qm.m) AS BIGINT) END AS q
+       |  FROM comp c JOIN qm ON qm.vec_id = c.vec_id),
+       |qd AS (
+       |  SELECT c.vec_id AS nbr_id, q.vec_id AS query_id,
+       |    CAST(SUM(c.q * q.q) AS BIGINT) AS score
+       |  FROM qv c JOIN qv q ON q.i = c.i AND q.vec_id < 10
+       |  GROUP BY 1, 2),
+       |qr AS (
+       |  SELECT query_id, nbr_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score DESC, nbr_id ASC) AS rank
+       |  FROM qd)
+       |SELECT query_id, nbr_id, rank, score FROM qr WHERE rank <= 10""".stripMargin
+
   private val embedQuantizeSql =
     s"""WITH $vecCtes,
        |m AS (SELECT vec_id, max(abs(x)) AS m FROM comp GROUP BY vec_id)
@@ -2583,6 +2633,7 @@ object ExtQueries {
     "ann_ivf_recall" -> annIvfRecallSql,
     "ann_ivf_cells" -> annIvfCellsSql,
     "embed_quantize" -> embedQuantizeSql,
+    "ann_quantized_topk" -> annQuantizedTopKSql,
     "doc_decontaminate" -> docDecontaminateSql,
     "text_repetition" -> textRepetitionSql,
     "embed_neardup_lsh" -> embedNearDupLshSql,

@@ -98,6 +98,28 @@ class VecKernelsSpec extends SparkSpec {
     assert(got(4L).isEmpty)
   }
 
+  test("vec_dot_i8: exact integer dot, null skip, shorter-zip, codegen") {
+    val df = Seq(
+      (1L, Seq[Byte](127, -128, 3), Seq[Byte](127, -128, 1)),
+      (2L, Seq[Byte](1, 2, 3, 4), Seq[Byte](10, 20)))
+      .toDF("id", "a", "b")
+    val got = df.select($"id", VecKernels.vecDotI8($"a", $"b").as("d"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 127L * 127 + 128L * 128 + 3L)
+    assert(got(2L) == 10L + 40L)
+    val withNull = Seq((Seq(Some(5.toByte), None), Seq(Some(2.toByte),
+      Some(3.toByte)))).toDF("a", "b")
+    assert(withNull.select(VecKernels.vecDotI8($"a", $"b"))
+      .as[Long].head() == 10L)
+    // a local frame constant-folds into the scan; prove codegen on a
+    // parquet-backed plan like the quant test does
+    val plan = sf("embeddings")
+      .select(VecKernels.vecDotI8(VecKernels.vecQuantI8($"embedding"),
+        VecKernels.vecQuantI8($"embedding")).as("d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [vec_dot_i8"), plan)
+  }
+
   test("vec_quant_i8 runs inside whole-stage codegen and via SQL") {
     val plan = sf("embeddings")
       .select(VecKernels.vecQuantI8($"embedding").as("q"))
