@@ -704,6 +704,23 @@ object ExtQueries {
         (col("n_overlap").cast("double") / lit(10.0)).as("recall"))
   }
 
+  /** Recall audit of the QUANTIZED serving path against the exact
+    * full-precision baseline — the number that licenses shipping int8
+    * vectors (mirror of [[annIvfRecall]] for the compression axis
+    * instead of the probing axis): per query, |quantized top-10 ∩
+    * exact top-10| / 10. */
+  def annQuantizedRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = annBruteForce(spark, dir).select(col("query_id"), col("nbr_id"))
+    val qz = annQuantizedTopK(spark, dir)
+      .select(col("query_id"), col("nbr_id"))
+      .withColumn("hit", lit(1L))
+    bf.join(qz, Seq("query_id", "nbr_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .select(col("query_id"), col("n_overlap"),
+        (col("n_overlap").cast("double") / lit(10.0)).as("recall"))
+  }
+
   /** Repetition quality signals (Gopher/C4-family filters):
     * duplicate-token ratio + most-frequent-bigram fraction per doc. */
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
@@ -833,6 +850,7 @@ object ExtQueries {
     "embed_drift" -> embedDrift _,
     "embed_quantize" -> embedQuantize _,
     "ann_quantized_topk" -> annQuantizedTopK _,
+    "ann_quantized_recall" -> annQuantizedRecall _,
     "doc_decontaminate" -> docDecontaminate _,
     "text_repetition" -> textRepetition _,
     "bigram_novelty" -> bigramNovelty _,
@@ -2136,6 +2154,17 @@ object ExtQueries {
   /** Quantization twin: same max|x| scale over the widened-to-double
     * component view, same round-half-away-from-zero (DuckDB `round`
     * == Spark/kernel BigDecimal HALF_UP on ties). */
+  private lazy val annQuantizedRecallSql =
+    s"""SELECT bf.query_id,
+       |  CAST(SUM(CASE WHEN qz.nbr_id IS NULL THEN 0 ELSE 1 END)
+       |    AS BIGINT) AS n_overlap,
+       |  CAST(SUM(CASE WHEN qz.nbr_id IS NULL THEN 0 ELSE 1 END)
+       |    AS DOUBLE) / 10.0 AS recall
+       |FROM ($annBruteForceSql) bf
+       |LEFT JOIN ($annQuantizedTopKSql) qz
+       |  ON bf.query_id = qz.query_id AND bf.nbr_id = qz.nbr_id
+       |GROUP BY bf.query_id""".stripMargin
+
   private lazy val annQuantizedTopKSql =
     s"""WITH $vecCtes,
        |qm AS (SELECT vec_id, max(abs(x)) AS m FROM comp GROUP BY vec_id),
@@ -2634,6 +2663,7 @@ object ExtQueries {
     "ann_ivf_cells" -> annIvfCellsSql,
     "embed_quantize" -> embedQuantizeSql,
     "ann_quantized_topk" -> annQuantizedTopKSql,
+    "ann_quantized_recall" -> annQuantizedRecallSql,
     "doc_decontaminate" -> docDecontaminateSql,
     "text_repetition" -> textRepetitionSql,
     "embed_neardup_lsh" -> embedNearDupLshSql,

@@ -393,8 +393,64 @@ object LakeQueries {
         countDistinct(col("band")).as("l_distinct"))
       .withColumn("diverse", col("l_distinct") >= 3)
 
+  /** Schema evolution through the real file layer: a v1 batch
+    * (key, name) and a widened v2 batch (+ regionkey) land as
+    * separate parquet writes; `mergeSchema` reads them as ONE table
+    * with nulls where v1 predates the column — the append-only
+    * widening every long-lived lake table goes through. The gate
+    * fingerprint (total rows, rows carrying the new column, key sum,
+    * new-column sum) pins that evolution loses nothing and
+    * fabricates nothing. Per-file footers carry their own schema, so
+    * at 100 TB the merge costs footer reads, not data rewrites. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_evo").toString
+    val nation = Tables(spark, dir, "nation")
+    nation.select(col("n_nationkey"), col("n_name"))
+      .write.mode("overwrite").parquet(s"$tmp/v1")
+    nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("overwrite").parquet(s"$tmp/v2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$tmp/v1", s"$tmp/v2")
+      .agg(count(lit(1)).as("n_total"),
+        count(col("n_regionkey")).as("n_with_region"),
+        sum(col("n_nationkey")).cast("long").as("key_sum"),
+        sum(col("n_regionkey")).cast("long").as("region_sum"))
+  }
+
+  /** Compaction EXECUTED, not just planned ([[compactionPlan]] is the
+    * planning half): a 16-file small-files layout is rewritten to 2
+    * files and both generations are fingerprinted — identical
+    * checksums with the file count dropping 16 → 2 is the whole
+    * contract of a compaction job (fewer tasks/footers downstream,
+    * zero data change). File counts come from the re-read table's
+    * actual file listing. */
+  def compactionExec(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"))
+    ev.repartition(16).write.mode("overwrite").parquet(s"$tmp/small")
+    val small = spark.read.parquet(s"$tmp/small")
+    small.repartition(2).write.mode("overwrite")
+      .parquet(s"$tmp/compacted")
+    val compacted = spark.read.parquet(s"$tmp/compacted")
+    def fp(phase: String, df: DataFrame, nFiles: Int): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(col("event_id")).cast("long").as("id_sum"),
+          sum(col("user_id")).cast("long").as("user_sum"))
+        .select(lit(phase).as("phase"),
+          lit(nFiles.toLong).as("n_files"),
+          col("n_rows"), col("id_sum"), col("user_sum"))
+    fp("small", small, small.inputFiles.length)
+      .unionByName(fp("compacted", compacted,
+        compacted.inputFiles.length))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv_rollup_rewrite" -> mvRollupRewrite _,
+    "schema_evolution" -> schemaEvolution _,
+    "compaction_exec" -> compactionExec _,
     "k_anonymity_audit" -> kAnonymityAudit _,
     "dp_noisy_counts" -> dpNoisyCounts _,
     "l_diversity_audit" -> lDiversityAudit _,
@@ -415,6 +471,21 @@ object LakeQueries {
         |  CASE WHEN count(*) >= 10 THEN CAST(count(*) AS BIGINT) END
         |    AS released_n
         |FROM customer GROUP BY 1, 2""".stripMargin,
+    "schema_evolution" ->
+      """SELECT CAST(2 * count(*) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS n_with_region,
+        |  CAST(2 * sum(n_nationkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(n_regionkey) AS BIGINT) AS region_sum
+        |FROM nation""".stripMargin,
+    "compaction_exec" ->
+      """SELECT p.phase,
+        |  CASE WHEN p.phase = 'small' THEN CAST(16 AS BIGINT)
+        |       ELSE CAST(2 AS BIGINT) END AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(user_id) AS BIGINT) AS user_sum
+        |FROM events, (VALUES ('small'), ('compacted')) AS p(phase)
+        |GROUP BY p.phase""".stripMargin,
     "l_diversity_audit" ->
       """WITH ld AS (
         |  SELECT c_nationkey, c_mktsegment,
