@@ -72,6 +72,7 @@ object Sessions {
       .withExtensions(graft.functions.ZOrder.register)
       .withExtensions(graft.ext.Bloom.register)
       .withExtensions(graft.functions.HllAgg.register)
+      .withExtensions(graft.functions.NgramGen.register)
       // whole-operator rung: logical-plan rewrite rules
       .withExtensions(graft.plans.BinRangeJoin.register)
       .withExtensions(graft.plans.MvRewrite.register)

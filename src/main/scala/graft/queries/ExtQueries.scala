@@ -781,6 +781,22 @@ object ExtQueries {
       .select(col("query_id"), col("nbr_id"), col("rank"), col("score"))
   }
 
+  /** The custom UDTF ([[graft.functions.NgramGenerator]]) through the
+    * SQL LATERAL VIEW surface: every word trigram of every document
+    * with its 0-based token position, generated inside the engine's
+    * `Generate` operator. Positions make the output strictly richer
+    * than the distinct-shingle frame the dedup family uses — this is
+    * the positional-index builder ([[phraseSearch]]'s input) as a
+    * one-liner. */
+  def udtfNgrams(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "documents")
+      .createOrReplaceTempView("docs_udtf")
+    spark.sql(
+      """SELECT doc_id, g.pos, g.gram
+        |FROM docs_udtf
+        |LATERAL VIEW graft_ngrams(text, 3) g AS pos, gram""".stripMargin)
+  }
+
   /** Z-order cell audit ([[graft.functions.ZOrder]]): Morton-interleave
     * (user_id, floor(value·100)) and aggregate per 16-bit-truncated
     * z-cell — the per-cell min/max of BOTH dimensions is exactly the
@@ -851,6 +867,7 @@ object ExtQueries {
     "embed_quantize" -> embedQuantize _,
     "ann_quantized_topk" -> annQuantizedTopK _,
     "ann_quantized_recall" -> annQuantizedRecall _,
+    "udtf_ngrams" -> udtfNgrams _,
     "doc_decontaminate" -> docDecontaminate _,
     "text_repetition" -> textRepetition _,
     "bigram_novelty" -> bigramNovelty _,
@@ -2664,6 +2681,12 @@ object ExtQueries {
     "embed_quantize" -> embedQuantizeSql,
     "ann_quantized_topk" -> annQuantizedTopKSql,
     "ann_quantized_recall" -> annQuantizedRecallSql,
+    "udtf_ngrams" ->
+      s"""SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+         |FROM (SELECT doc_id, $toks AS t FROM documents),
+         |     LATERAL (SELECT unnest(range(1, greatest(length(t) - 1, 1)))
+         |              AS i)""".stripMargin,
     "doc_decontaminate" -> docDecontaminateSql,
     "text_repetition" -> textRepetitionSql,
     "embed_neardup_lsh" -> embedNearDupLshSql,

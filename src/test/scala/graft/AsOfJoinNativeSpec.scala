@@ -116,6 +116,29 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(out == Map("a" -> Some("r10"), "b" -> Some("r20")))
   }
 
+  test("property: native agrees with composed on seeded random frames") {
+    // deterministic LCG so the spec replays identically
+    for (seed <- Seq(7L, 99L, 12345L)) {
+      var s = seed
+      def nxt(mod: Long): Long = {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        math.floorMod(s >>> 16, mod)
+      }
+      val left = (1 to 400).map(i =>
+        (nxt(17), nxt(50), i.toLong)).toDF("k", "t", "lid")
+      val right = (1 to 300).map(i =>
+        (nxt(17), nxt(50), i.toLong)).toDF("k2", "t2", "rid")
+        // composed/native both require unique (key, time) on the right
+        .groupBy(col("k2"), col("t2"))
+        .agg(max(col("rid")).as("rid"))
+      val native = AsOfJoinNative.asofBackward(left, right,
+        "k", "k2", "t", "t2").select(col("lid"), col("rid"))
+      val composed = TemporalJoins.asofJoinBackward(left, right,
+        "k", "k2", "t", "t2").select(col("lid"), col("rid"))
+      assert(sorted(native) == sorted(composed), s"seed $seed")
+    }
+  }
+
   test("null keys and times never match but rows survive (left outer)") {
     val l = Seq((Some(1L), Some(10L), "ok"),
       (None, Some(10L), "nullkey"), (Some(1L), None, "nulltime"))
