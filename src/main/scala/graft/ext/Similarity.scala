@@ -253,6 +253,50 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("rank"), col("cosine"))
   }
 
+  /** IVF probing × int8 ranking — the two compression axes COMPOSED
+    * the way a deployed vector store runs them: the float index side
+    * (cell assignment + query probing, exact-decimal algebra) prunes
+    * the candidate set to the probed cells, and the in-cell ranking
+    * runs entirely on quantized vectors with the exact integer
+    * [[graft.functions.VecKernels.vecDotI8]] kernel — 4× less
+    * candidate bandwidth AND a deterministic integer top-k. Recall
+    * composes multiplicatively from the two audited single-axis
+    * numbers (`ann_ivf_recall`, `ann_quantized_recall`). */
+  def ivfQuantizedTopK(corpus: DataFrame, corpusId: Column,
+      corpusVec: Column, queries: DataFrame, queryId: Column,
+      queryVec: Column, k: Int, numCells: Int = 16, nProbe: Int = 4)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = graft.Tables.materialize(
+      vectors(corpus, corpusId, corpusVec, "nbr_id", "cv", "sn_c"))
+    val q = graft.Tables.materialize(
+      vectors(queries, queryId, queryVec, "query_id", "qv", "sn_q"))
+    val centArr = centroidArrays(corpus, corpusId, corpusVec, numCells,
+      None)
+    val cells = cellAssignments(c, centArr)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cell_id").asc)
+    val probes = q.crossJoin(broadcast(centArr))
+      .withColumn("ccos", cellCos("qv", "sn_q"))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= nProbe)
+      .select(col("query_id"), col("cell_id"))
+    val cq = corpus.select(corpusId.as("nbr_id"),
+      VecKernels.vecQuantI8(corpusVec).as("qc"))
+    val qq = queries.select(queryId.as("query_id"),
+      VecKernels.vecQuantI8(queryVec).as("qq"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id").asc)
+    probes.join(cells, "cell_id")
+      .select(col("query_id"), col("nbr_id"))
+      .join(cq, "nbr_id")
+      .join(broadcast(qq), "query_id")
+      .withColumn("score", VecKernels.vecDotI8(col("qc"), col("qq")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank"), col("score"))
+  }
+
   /** Recall-vs-nProbe sweep — the full IVF tuning curve behind
     * `ann_ivf_recall`'s single point: for each probe budget, the
     * probed top-k's overlap with the exact brute-force top-k,

@@ -626,6 +626,15 @@ object ExtQueries {
           col("idcg_scaled").cast("double")).as("ndcg"))
   }
 
+  /** [[annIvfTopK]]'s probing composed with [[annQuantizedTopK]]'s
+    * integer ranking — see [[Similarity.ivfQuantizedTopK]]. */
+  def annIvfQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.ivfQuantizedTopK(emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 10, numCells = 16, nProbe = 4)
+  }
+
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
@@ -867,6 +876,7 @@ object ExtQueries {
     "embed_quantize" -> embedQuantize _,
     "ann_quantized_topk" -> annQuantizedTopK _,
     "ann_quantized_recall" -> annQuantizedRecall _,
+    "ann_ivf_quantized" -> annIvfQuantized _,
     "udtf_ngrams" -> udtfNgrams _,
     "doc_decontaminate" -> docDecontaminate _,
     "text_repetition" -> textRepetition _,
@@ -2019,6 +2029,37 @@ object ExtQueries {
        |  JOIN norms nq ON nq.vec_id = query_id)
        |SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= 10""".stripMargin
 
+  private val annIvfQuantizedSql =
+    s"""WITH $ivfAssignCtes,
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY ccos DESC, cell_id ASC) AS r
+       |    FROM cellcos WHERE vec_id < 10) WHERE r <= 4),
+       |cand AS (
+       |  SELECT p.query_id, c.nbr_id
+       |  FROM probes p JOIN cells c ON c.cell_id = p.cell_id),
+       |iqm AS (SELECT vec_id, max(abs(x)) AS m FROM comp GROUP BY vec_id),
+       |iqv AS (
+       |  SELECT c.vec_id, c.i,
+       |    CASE WHEN iqm.m = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(round(c.x * 127 / iqm.m) AS BIGINT) END AS q
+       |  FROM comp c JOIN iqm ON iqm.vec_id = c.vec_id),
+       |idots AS (
+       |  SELECT cand.query_id, cand.nbr_id,
+       |    CAST(SUM(a.q * b.q) AS BIGINT) AS score
+       |  FROM cand
+       |  JOIN iqv a ON a.vec_id = cand.nbr_id
+       |  JOIN iqv b ON b.vec_id = cand.query_id AND b.i = a.i
+       |  GROUP BY cand.query_id, cand.nbr_id),
+       |irk AS (
+       |  SELECT query_id, nbr_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score DESC, nbr_id ASC) AS rank
+       |  FROM idots)
+       |SELECT query_id, nbr_id, rank, score FROM irk WHERE rank <= 10""".stripMargin
+
   private val annIvfCellsSql =
     s"""WITH $ivfAssignCtes
        |SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_members,
@@ -2681,6 +2722,7 @@ object ExtQueries {
     "embed_quantize" -> embedQuantizeSql,
     "ann_quantized_topk" -> annQuantizedTopKSql,
     "ann_quantized_recall" -> annQuantizedRecallSql,
+    "ann_ivf_quantized" -> annIvfQuantizedSql,
     "udtf_ngrams" ->
       s"""SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
          |  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
