@@ -446,6 +446,47 @@ object PipelineQueries {
     }
   }
 
+  /** Streaming sequence-pattern matching: the doubled stream is
+    * first deduplicated on event_id (exact-once semantics restored
+    * IN the pipeline — the `vc*p` match count is NOT re-delivery-
+    * idempotent by itself, unlike HLL registers, so the dedup stage
+    * is what makes the streaming result equal the batch oracle), then
+    * the per-user packed-sequence regexp aggregate runs in complete
+    * mode. State note as [[streamCorpusPrep]]: unwatermarked
+    * dropDuplicates is gate-only; production bounds it with
+    * dropDuplicatesWithinWatermark. */
+  def streamEventPattern(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = "stream_event_pattern_sink"
+    onStreamSession(spark, 8) { s =>
+      def src = Tables.normalize(
+        s.readStream.schema(schema).option("basePath", dir)
+          .parquet(s"$dir/events*.parquet"))
+      val deduped = src.unionByName(src)
+        .filter(col("ts").isNotNull)
+        .dropDuplicates("event_id")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"),
+          substring(col("event_type"), 1, 1).as("ini"))
+      val seqStr = concat_ws("",
+        transform(
+          sort_array(collect_list(struct(col("us"), col("event_id"),
+            col("ini")))),
+          x => x.getField("ini")))
+      val agg = deduped.groupBy(col("user_id"))
+        .agg(seqStr.as("seq"))
+        .select(col("user_id"),
+          length(col("seq")).cast("long").as("seq_len"),
+          size(regexp_extract_all(col("seq"), lit("vc*p"), lit(0)))
+            .cast("long").as("n_matches"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+    }
+  }
+
   /** Multimodal: binary content column + stub decode via per-partition
     * mapPartitions (real plumbing, fake codec — see Multimodal). */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
@@ -617,6 +658,7 @@ object PipelineQueries {
     "stream_cms" -> streamCms _,
     "stream_hll" -> streamHll _,
     "stream_hll_agg" -> streamHllAgg _,
+    "stream_event_pattern" -> streamEventPattern _,
     "stream_static_join" -> streamStaticJoin _,
     "multimodal_features" -> multimodalFeatures _,
     "media_dedup" -> mediaDedup _,
@@ -725,6 +767,19 @@ object PipelineQueries {
         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
         |WHERE c.c_custkey <= 150
         |GROUP BY 1""".stripMargin,
+    // doubled stream deduped in-pipeline; equals the batch algebra
+    "stream_event_pattern" ->
+      """WITH sp_s AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY epoch_us(ts), event_id) AS seq
+        |  FROM events WHERE ts IS NOT NULL
+        |  GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(length(seq) AS BIGINT) AS seq_len,
+        |  CAST(length(regexp_extract_all(seq, 'vc*p')) AS BIGINT)
+        |    AS n_matches
+        |FROM sp_s""".stripMargin,
     // doubled stream, custom imperative agg: cell-wise-max state is
     // re-delivery-idempotent, so estimates equal the batch algebra
     "stream_hll_agg" ->

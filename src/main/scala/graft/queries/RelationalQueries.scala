@@ -1092,9 +1092,39 @@ object RelationalQueries {
           .as("revenue"),
         grouping_id(col("y"), col("m")).cast("long").as("gid"))
 
+  /** JSON-lines round-trip — the corpus interchange format
+    * ([[formatRoundtrip]] covers CSV/ORC; JSONL is how raw text
+    * corpora actually arrive and ship). Timestamps survive via
+    * explicit ISO formatting both ways; the fingerprint includes a
+    * timestamp extremum so codec-level time mangling cannot hide. */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_jsonl").toString
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"))
+    // Spark's default JSON timestampFormat is millisecond-precision —
+    // microseconds silently truncate without an explicit format (the
+    // max_us fingerprint is what caught it)
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ev.write.mode("overwrite").option("timestampFormat", tsFmt)
+      .json(s"$tmp/jl")
+    val back = spark.read.schema(ev.schema)
+      .option("timestampFormat", tsFmt).json(s"$tmp/jl")
+    def fp(src: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+          sum(col("event_id")).cast("long").as("id_sum"),
+          countDistinct(col("event_type")).as("n_types"),
+          max(unix_micros(col("ts"))).as("max_us"))
+        .select(lit(src).as("src"), col("n"), col("id_sum"),
+          col("n_types"), col("max_us"))
+    fp("parquet", ev).unionByName(fp("jsonl", back))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "recursive_cte_bfs" -> recursiveCteBfs _,
     "format_roundtrip" -> formatRoundtrip _,
+    "jsonl_roundtrip" -> jsonlRoundtrip _,
     "time_rollup" -> timeRollup _,
     "scalar_subquery_select" -> scalarSubquerySelect _,
     "typed_pipeline" -> typedPipeline _,
@@ -1143,6 +1173,13 @@ object RelationalQueries {
     "stats_agg" -> statsAgg _)
 
   val oracleSql: Map[String, String] = Map(
+    "jsonl_roundtrip" ->
+      """SELECT s.src, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(max(epoch_us(ts)) AS BIGINT) AS max_us
+        |FROM events, (VALUES ('parquet'), ('jsonl')) AS s(src)
+        |GROUP BY s.src""".stripMargin,
     "time_rollup" ->
       """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
         |  count(*) AS n,
