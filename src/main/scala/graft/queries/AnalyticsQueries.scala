@@ -1432,6 +1432,62 @@ object AnalyticsQueries {
           .as("share"))
   }
 
+  /** RFM scoring — the classic customer-value segmentation (recency /
+    * frequency / monetary quintiles), built WITHOUT `ntile`: bucket =
+    * (5·(rank−1)) div n with rank from a fully-tie-broken order, so
+    * the quintile edges are pure integer arithmetic and cannot drift
+    * between engines' ntile remainder conventions. Monetary is exact
+    * cents (floor(value·100)); recency ranks NEWEST first so score 1
+    * = most recent, matching the marketing convention on all three
+    * axes (1 = best quintile... inverted: here 0 = best to keep the
+    * algebra pure div — documented in the column names). One
+    * user-level aggregate + three rank windows over the 1500-row
+    * user frame. */
+  def rfmScores(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum(floor(col("value") * lit(100.0)).cast("long")).as("cents"))
+    val n = count(lit(1)).over(Window.partitionBy())
+    def quintile(order: Seq[Column]): Column =
+      ((lit(5) * (row_number().over(Window.orderBy(order: _*)) - 1))
+        .cast("long") / n).cast("long")
+    base.select(col("user_id"), col("last_us"), col("freq"),
+        col("cents"),
+        quintile(Seq(col("last_us").desc, col("user_id").asc))
+          .as("r_bucket"),
+        quintile(Seq(col("freq").desc, col("user_id").asc))
+          .as("f_bucket"),
+        quintile(Seq(col("cents").desc, col("user_id").asc))
+          .as("m_bucket"))
+  }
+
+  /** ABC / Pareto classification of parts by lineitem revenue: rank
+    * parts by exact revenue cents, then class A = the head covering
+    * 80% of cumulative revenue, B = next 15%, C = tail — with every
+    * threshold test CROSS-MULTIPLIED (`cum·100 ≤ 80·total`) so the
+    * classification never touches a float. The [[skylinePareto]]
+    * cousin in name only — this is the cumulative-share workhorse of
+    * inventory/spend analysis. One aggregate + one ordered running
+    * sum over the part-level frame. */
+  def paretoAbc(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(floor(col("l_extendedprice") * lit(100.0)).cast("long"))
+        .as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = sum(col("cents")).over(Window.partitionBy())
+    rev.withColumn("cum", sum(col("cents")).over(w))
+      .withColumn("total", total)
+      .select(col("l_partkey"), col("cents"), col("cum"),
+        when(col("cum") * 100 <= col("total") * 80, "A")
+          .when(col("cum") * 100 <= col("total") * 95, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
   /** Spark's native `session_window` twin-gated against the first-
     * principles gaps-and-islands algebra ([[sessionize]]): the oracle
     * computes sessions as break-on-gap≥10min islands, and the builtin
@@ -1621,6 +1677,8 @@ object AnalyticsQueries {
     "cohort_retention" -> cohortRetention _,
     "gapfill_ffill" -> gapfillFfill _,
     "decay_attribution" -> decayAttribution _,
+    "rfm_scores" -> rfmScores _,
+    "pareto_abc" -> paretoAbc _,
     "gapfill_linear" -> gapfillLinear _,
     "events_hopping_agg" -> eventsHoppingAgg _,
     "q1_agg" -> q1Agg _,
@@ -1892,6 +1950,43 @@ object AnalyticsQueries {
         |      AS DOUBLE) / COUNT(*))
         |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
         |GROUP BY p_brand""".stripMargin,
+    "rfm_scores" ->
+      """WITH rf AS (
+        |  SELECT user_id, max(epoch_us(ts)) AS last_us,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id),
+        |rr AS (
+        |  SELECT user_id, last_us, freq, cents,
+        |    row_number() OVER (ORDER BY last_us DESC, user_id) AS r_rk,
+        |    row_number() OVER (ORDER BY freq DESC, user_id) AS f_rk,
+        |    row_number() OVER (ORDER BY cents DESC, user_id) AS m_rk,
+        |    count(*) OVER () AS n
+        |  FROM rf)
+        |SELECT user_id, last_us, freq, cents,
+        |  CAST((5 * (r_rk - 1)) // n AS BIGINT) AS r_bucket,
+        |  CAST((5 * (f_rk - 1)) // n AS BIGINT) AS f_bucket,
+        |  CAST((5 * (m_rk - 1)) // n AS BIGINT) AS m_bucket
+        |FROM rr""".stripMargin,
+    "pareto_abc" ->
+      """WITH pa AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY l_partkey),
+        |pc AS (
+        |  SELECT l_partkey, cents,
+        |    sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cents) OVER () AS total
+        |  FROM pa)
+        |SELECT l_partkey, cents, CAST(cum AS BIGINT) AS cum,
+        |  CASE WHEN cum * 100 <= total * 80 THEN 'A'
+        |       WHEN cum * 100 <= total * 95 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM pc""".stripMargin,
     "decay_attribution" ->
       """WITH de AS (
         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
