@@ -1432,6 +1432,43 @@ object AnalyticsQueries {
           .as("share"))
   }
 
+  /** Session concurrency via SWEEP LINE — "how many sessions are open
+    * at once" (capacity planning's base curve), the interval-overlap
+    * counting pattern: each session (from [[sessionize]]'s
+    * gaps-and-islands algebra) emits (+1 at start, −1 just after
+    * last event), and a running sum over the time-ordered deltas IS
+    * the concurrency at every change point. Ties collapse by
+    * pre-aggregating deltas per instant, so the curve is unique and
+    * the global running sum deterministic. The window is global over
+    * CHANGE POINTS (two per session, not per event) — at 100 TB the
+    * same sweep partitions by day/tenant with per-partition offsets
+    * re-based by one scalar pass, the standard distributed sweep-line
+    * story. Output: change points where concurrency moves, with the
+    * concurrency AFTER the point. */
+  def sessionConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc)
+    val sessions = Tables(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("brk",
+        when(col("us") - lag(col("us"), 1).over(w) >= 600000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+    val deltas = sessions
+      .select(col("s_us").as("t"), lit(1L).as("d"))
+      .unionByName(sessions
+        .select((col("e_us") + 1L).as("t"), lit(-1L).as("d")))
+      .groupBy(col("t")).agg(sum(col("d")).as("delta"))
+      .filter(col("delta") =!= 0)
+    val sweep = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("concurrency", sum(col("delta")).over(sweep))
+      .select(col("t"), col("delta"), col("concurrency"))
+  }
+
   /** RFM scoring — the classic customer-value segmentation (recency /
     * frequency / monetary quintiles), built WITHOUT `ntile`: bucket =
     * (5·(rank−1)) div n with rank from a fully-tie-broken order, so
@@ -1678,6 +1715,7 @@ object AnalyticsQueries {
     "gapfill_ffill" -> gapfillFfill _,
     "decay_attribution" -> decayAttribution _,
     "rfm_scores" -> rfmScores _,
+    "session_concurrency" -> sessionConcurrency _,
     "pareto_abc" -> paretoAbc _,
     "gapfill_linear" -> gapfillLinear _,
     "events_hopping_agg" -> eventsHoppingAgg _,
@@ -1950,6 +1988,34 @@ object AnalyticsQueries {
         |      AS DOUBLE) / COUNT(*))
         |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
         |GROUP BY p_brand""".stripMargin,
+    "session_concurrency" ->
+      """WITH sc_e AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events),
+        |sc_b AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+        |      ORDER BY us) >= 600000000 THEN 1 ELSE 0 END AS brk
+        |  FROM sc_e),
+        |sc_s AS (
+        |  SELECT user_id, us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM sc_b),
+        |sc_i AS (
+        |  SELECT user_id, session_id, min(us) AS s_us, max(us) AS e_us
+        |  FROM sc_s GROUP BY 1, 2),
+        |sc_d AS (
+        |  SELECT t, CAST(SUM(d) AS BIGINT) AS delta FROM (
+        |    SELECT s_us AS t, 1 AS d FROM sc_i
+        |    UNION ALL
+        |    SELECT e_us + 1, -1 FROM sc_i)
+        |  GROUP BY t HAVING SUM(d) <> 0)
+        |SELECT t, delta,
+        |  CAST(sum(delta) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS concurrency
+        |FROM sc_d""".stripMargin,
     "rfm_scores" ->
       """WITH rf AS (
         |  SELECT user_id, max(epoch_us(ts)) AS last_us,
