@@ -214,6 +214,47 @@ object Graph {
     dist
   }
 
+  /** Fixed-round k-CORE peeling — the density filter that separates
+    * "vertices with k neighbors" (degree) from "vertices inside a
+    * subgraph where EVERYONE has k neighbors" (core): each round
+    * recomputes degrees over the surviving subgraph and drops
+    * vertices below k, because removing one round's casualties can
+    * push their neighbors below k too. Rounds are FIXED so the
+    * oracle unrolls them; convergence within the round budget is the
+    * caller's contract (spec-asserted at gate scale — peeling depth
+    * is the longest "chain of collapses", small on LSH candidate
+    * graphs). On a near-dup graph the k-core is the "everyone
+    * duplicates everyone" hard kernel — a stronger eviction signal
+    * than membership in a sprawling connected component.
+    *
+    * Per round: one degree aggregate + two semi-joins, frame
+    * materialized (lineage truncation as everywhere). Output: the
+    * surviving vertices with their final in-core degree. */
+  def kCore(pairs: DataFrame, a: Column, b: Column, k: Int,
+      rounds: Int = 6): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    // localCheckpoint, NOT cache: each round's plan references the
+    // previous round's edges THREE times (degree agg + two
+    // semi-joins), so a cache-only loop nests the logical plan ~5×
+    // per round over the candidate pipeline's plan and the driver
+    // drowns in analysis (SKILL.md: iterative loops must truncate
+    // lineage)
+    var e = canonicalEdges(pairs, a, b).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val deg = e.select(explode(array(col("src"), col("dst"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("id"))
+      e = e
+        .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+    }
+    e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("core_deg"))
+      .filter(col("core_deg") >= k)
+  }
+
   /** Fixed-round SYNCHRONOUS label propagation — community detection
     * where [[Dedup.connectedComponents]] is too coarse (connectivity
     * merges everything touching; LPA lets dense neighborhoods keep

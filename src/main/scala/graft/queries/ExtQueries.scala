@@ -514,6 +514,19 @@ object ExtQueries {
         min(col("p")).cast("long").as("first_pos"))
   }
 
+  /** 2-core of the embedding near-dup graph ([[Graph.kCore]], 6
+    * peeling rounds — convergence at this budget is spec-asserted):
+    * the "everyone duplicates everyone" kernel, a stronger eviction
+    * signal than [[embedDedupCc]]'s sprawling components. Same pair
+    * substrate as [[embedDbscan]]. */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val pairs = Similarity.lshNearDupPairs(emb, col("vec_id"),
+      col("embedding"), dim = 64, numPlanes = 8,
+      threshold = 0.2, numTables = 2, maxBucketSize = 1000)
+    Graph.kCore(pairs, col("id1"), col("id2"), k = 2, rounds = 6)
+  }
+
   /** Near-dup graph audit — per-vertex degree, triangle count, and
     * local clustering coefficient over the cosine-verified LSH pair
     * graph (same pairs as `embed_neardup_lsh`). High lcc means the
@@ -864,6 +877,7 @@ object ExtQueries {
     "embed_neardup_lsh" -> embedNearDupLsh _,
     "embed_dedup_cc" -> embedDedupCc _,
     "embed_dbscan" -> embedDbscan _,
+    "graph_kcore" -> graphKcore _,
     "phrase_search" -> phraseSearch _,
     "graph_triangles" -> graphTriangles _,
     "graph_two_hop" -> graphTwoHop _,
@@ -2591,6 +2605,78 @@ object ExtQueries {
        |SELECT vec_id AS id FROM embeddings
        |WHERE vec_id NOT IN (SELECT id FROM compo WHERE id <> component)""".stripMargin
 
+  // 6 unrolled peeling rounds over the cosine pair graph; final
+  // degree filter mirrors Graph.kCore's closing filter
+  private val graphKcoreSql =
+    s"""WITH RECURSIVE $embedPairCtes,
+       |kc_e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(id1, id2) AS src, greatest(id1, id2) AS dst
+       |  FROM cos WHERE id1 <> id2),
+       |kc_d1 AS MATERIALIZED (
+       |  SELECT id, count(*) AS deg FROM (
+       |    SELECT src AS id FROM kc_e0
+       |    UNION ALL SELECT dst FROM kc_e0) u
+       |  GROUP BY id),
+       |kc_k1 AS MATERIALIZED (SELECT id FROM kc_d1 WHERE deg >= 2),
+       |kc_e1 AS MATERIALIZED (
+       |  SELECT src, dst FROM kc_e0
+       |  WHERE src IN (SELECT id FROM kc_k1)
+       |    AND dst IN (SELECT id FROM kc_k1)),
+       |kc_d2 AS MATERIALIZED (
+       |  SELECT id, count(*) AS deg FROM (
+       |    SELECT src AS id FROM kc_e1
+       |    UNION ALL SELECT dst FROM kc_e1) u
+       |  GROUP BY id),
+       |kc_k2 AS MATERIALIZED (SELECT id FROM kc_d2 WHERE deg >= 2),
+       |kc_e2 AS MATERIALIZED (
+       |  SELECT src, dst FROM kc_e1
+       |  WHERE src IN (SELECT id FROM kc_k2)
+       |    AND dst IN (SELECT id FROM kc_k2)),
+       |kc_d3 AS MATERIALIZED (
+       |  SELECT id, count(*) AS deg FROM (
+       |    SELECT src AS id FROM kc_e2
+       |    UNION ALL SELECT dst FROM kc_e2) u
+       |  GROUP BY id),
+       |kc_k3 AS MATERIALIZED (SELECT id FROM kc_d3 WHERE deg >= 2),
+       |kc_e3 AS MATERIALIZED (
+       |  SELECT src, dst FROM kc_e2
+       |  WHERE src IN (SELECT id FROM kc_k3)
+       |    AND dst IN (SELECT id FROM kc_k3)),
+       |kc_d4 AS MATERIALIZED (
+       |  SELECT id, count(*) AS deg FROM (
+       |    SELECT src AS id FROM kc_e3
+       |    UNION ALL SELECT dst FROM kc_e3) u
+       |  GROUP BY id),
+       |kc_k4 AS MATERIALIZED (SELECT id FROM kc_d4 WHERE deg >= 2),
+       |kc_e4 AS MATERIALIZED (
+       |  SELECT src, dst FROM kc_e3
+       |  WHERE src IN (SELECT id FROM kc_k4)
+       |    AND dst IN (SELECT id FROM kc_k4)),
+       |kc_d5 AS MATERIALIZED (
+       |  SELECT id, count(*) AS deg FROM (
+       |    SELECT src AS id FROM kc_e4
+       |    UNION ALL SELECT dst FROM kc_e4) u
+       |  GROUP BY id),
+       |kc_k5 AS MATERIALIZED (SELECT id FROM kc_d5 WHERE deg >= 2),
+       |kc_e5 AS MATERIALIZED (
+       |  SELECT src, dst FROM kc_e4
+       |  WHERE src IN (SELECT id FROM kc_k5)
+       |    AND dst IN (SELECT id FROM kc_k5)),
+       |kc_d6 AS MATERIALIZED (
+       |  SELECT id, count(*) AS deg FROM (
+       |    SELECT src AS id FROM kc_e5
+       |    UNION ALL SELECT dst FROM kc_e5) u
+       |  GROUP BY id),
+       |kc_k6 AS MATERIALIZED (SELECT id FROM kc_d6 WHERE deg >= 2),
+       |kc_e6 AS MATERIALIZED (
+       |  SELECT src, dst FROM kc_e5
+       |  WHERE src IN (SELECT id FROM kc_k6)
+       |    AND dst IN (SELECT id FROM kc_k6))
+       |SELECT id, CAST(count(*) AS BIGINT) AS core_deg FROM (
+       |  SELECT src AS id FROM kc_e6
+       |  UNION ALL SELECT dst FROM kc_e6) f
+       |GROUP BY id HAVING count(*) >= 2""".stripMargin
+
   // DBSCAN: cores (>= 2 eps-neighbors) -> CC over core-core edges
   // (min-id labels, isolated cores keep their own id) -> borders
   // adopt min adjacent core cluster -> rest is noise
@@ -2734,6 +2820,7 @@ object ExtQueries {
     "embed_neardup_lsh" -> embedNearDupLshSql,
     "embed_dedup_cc" -> embedDedupCcSql,
     "embed_dbscan" -> embedDbscanSql,
+    "graph_kcore" -> graphKcoreSql,
     "phrase_search" ->
       s"""WITH ph_tk AS (
         |  SELECT doc_id, $toks AS t

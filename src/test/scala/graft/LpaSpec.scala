@@ -36,6 +36,35 @@ class LpaSpec extends SparkSpec {
     assert(m(5L) == 6L)
   }
 
+  test("kCore: a chain fully dissolves, a triangle with a tail " +
+      "keeps only the triangle") {
+    // chain 1-2-3-4 at k=2: endpoints peel, then the middle — empty.
+    val chain = Graph.kCore(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b"),
+      col("a"), col("b"), k = 2, rounds = 4)
+      .as[(Long, Long)].collect()
+    assert(chain.isEmpty)
+    // triangle {1,2,3} + tail 3-4-5: tail peels over TWO rounds
+    // (5 first, then 4), triangle survives with degree 2 each
+    val tri = Graph.kCore(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+        .toDF("a", "b"),
+      col("a"), col("b"), k = 2, rounds = 4)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(tri.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("kCore: the gate's 6-round budget is converged on sf0.001 " +
+      "(round 6 == round 7)") {
+    val emb = sf("embeddings")
+    def pairs = graft.ext.Similarity.lshNearDupPairs(emb,
+      col("vec_id"), col("embedding"), dim = 64, numPlanes = 8,
+      threshold = 0.2, numTables = 2, maxBucketSize = 1000)
+    def run(r: Int) = Graph.kCore(pairs, col("id1"), col("id2"),
+      k = 2, rounds = r).as[(Long, Long)].collect().toSet
+    assert(run(6) == run(7))
+  }
+
   test("deterministic: two runs agree exactly") {
     val edges = (1L to 20L).flatMap(i =>
       Seq((i, (i % 20) + 1), (i, ((i + 2) % 20) + 1)))
