@@ -529,7 +529,9 @@ object Corpus {
     val bounds = df.groupBy(group.as("_wg"))
       .agg(call_function("percentile", value, lit(lo)).as("winsor_lo"),
         call_function("percentile", value, lit(hi)).as("winsor_hi"))
-    df.join(broadcast(bounds), group === col("_wg"))
+    // null-safe equality: the bounds aggregate emits a NULL-group row,
+    // and plain === would silently drop every NULL-group input row
+    df.join(broadcast(bounds), group <=> col("_wg"))
       .drop("_wg")
       .withColumn("value_w",
         least(greatest(value, col("winsor_lo")), col("winsor_hi")))

@@ -16,10 +16,16 @@ import org.apache.spark.sql.functions._
   * Exactly-once across restarts: Structured Streaming REPLAYS the
   * in-flight batch after a failure, and a blind merge would
   * double-count it — so the merge is guarded by a batch-id ledger
-  * (`_last_batch` marker written AFTER the summary commit; a replay
-  * of batchId ≤ ledger is a no-op). This is the standard idempotent
-  * `foreachBatch` contract; at scale the marker and summary live in
-  * one transactional table commit.
+  * (`_last_batch`; a replay of batchId ≤ ledger is a no-op). The
+  * commit is ATOMIC: each merge writes a fresh versioned directory
+  * (`summary_b<batchId>`), never touching the directory the ledger
+  * currently points at, and then flips the ledger with a same-dir
+  * temp-file + ATOMIC_MOVE rename. A crash anywhere leaves either
+  * the old (ledger → old dir, orphan new dir overwritten on replay)
+  * or the new state (ledger → new dir) — there is no window where a
+  * replayed batch re-merges into a summary that already contains it.
+  * This is the standard idempotent `foreachBatch` contract; at scale
+  * the same shape is one transactional table commit.
   *
   * State is one summary row per group (here: per event_type) — the
   * summary frame is tiny by construction, so the read-merge-overwrite
@@ -41,34 +47,57 @@ object MvMaintenance {
   private def ledgerPath(summaryDir: String) =
     Paths.get(summaryDir, "_last_batch")
 
+  private def versionDir(summaryDir: String, batchId: Long) =
+    s"$summaryDir/summary_b$batchId"
+
   def lastMerged(summaryDir: String): Long = {
     val p = ledgerPath(summaryDir)
     if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
   }
 
   /** Fold one micro-batch into the stored summary; a replayed
-    * batchId is a no-op (returns false). */
+    * batchId is a no-op (returns false). The new version directory is
+    * written BEFORE the ledger flips, and the directory the current
+    * ledger points at is never modified — see the class doc's
+    * crash-window analysis. */
   def mergeBatch(spark: SparkSession, summaryDir: String,
       batch: DataFrame, batchId: Long): Boolean = {
-    if (batchId <= lastMerged(summaryDir)) return false
+    val prev = lastMerged(summaryDir)
+    if (batchId <= prev) return false
     val partial = summarize(batch)
-    val dataDir = s"$summaryDir/summary"
     val merged =
-      if (Files.exists(Paths.get(dataDir))) {
-        val prev = spark.read.parquet(dataDir)
-        // localCheckpoint materializes the merge BEFORE the overwrite
-        // deletes the files it was reading — distributed, no collect
-        prev.unionByName(partial)
+      if (prev >= 0) {
+        spark.read.parquet(versionDir(summaryDir, prev))
+          .unionByName(partial)
           .groupBy(col("event_type"))
           .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"),
             min(col("min_us")).as("min_us"), max(col("max_us")).as("max_us"))
-          .localCheckpoint(true)
       } else partial
-    merged.coalesce(1).write.mode("overwrite").parquet(dataDir)
-    Files.writeString(ledgerPath(summaryDir), batchId.toString)
+    // overwrite handles a crashed prior attempt at this same batchId;
+    // the read side (the PREVIOUS version dir) is untouched
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(versionDir(summaryDir, batchId))
+    // atomic ledger flip: temp file in the same directory + rename
+    val tmp = Files.createTempFile(Paths.get(summaryDir), "_lb", ".tmp")
+    Files.writeString(tmp, batchId.toString)
+    Files.move(tmp, ledgerPath(summaryDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // GC the superseded version — best effort; a crash here leaves an
+    // orphan directory, never a wrong answer
+    if (prev >= 0) {
+      val old = Paths.get(versionDir(summaryDir, prev))
+      try {
+        Files.walk(old).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      } catch { case _: Exception => () }
+    }
     true
   }
 
-  def readSummary(spark: SparkSession, summaryDir: String): DataFrame =
-    spark.read.parquet(s"$summaryDir/summary")
+  def readSummary(spark: SparkSession, summaryDir: String): DataFrame = {
+    val b = lastMerged(summaryDir)
+    require(b >= 0, s"no committed summary under $summaryDir")
+    spark.read.parquet(versionDir(summaryDir, b))
+  }
 }

@@ -170,7 +170,14 @@ object AsOfJoinNative {
       val lOut = left.output
       val rOut = right.output
       left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-        val proj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+        // bind against the nullability-ADJUSTED right attributes: the
+        // operator's output declares every right column nullable (the
+        // null-padding row for unmatched left rows), so the projection
+        // must emit null checks even when the right child's schema says
+        // non-nullable — binding rOut as-is would read the padding row
+        // without isNullAt and turn NULLs into 0/NPE.
+        val proj = UnsafeProjection.create(
+          outAttrs, lOut ++ rOut.map(_.withNullability(true)))
         val joined = new JoinedRow
         val nullRight = new GenericInternalRow(rOut.size)
 

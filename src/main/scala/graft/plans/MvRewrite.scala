@@ -122,28 +122,38 @@ object MvRewrite {
         case al @ Alias(ae: AggregateExpression, name)
             if ae.mode == Complete && !ae.isDistinct &&
               ae.filter.isEmpty =>
-          val nf: Option[AggregateFunction] = ae.aggregateFunction match {
-            case Sum(x: AttributeReference, _)
-                if mv.covered.contains(x.name) && exact(x.dataType) =>
-              mvAttr(s"sum_${x.name}").map(Sum(_))
-            case Min(x: AttributeReference)
-                if mv.covered.contains(x.name) =>
-              mvAttr(s"min_${x.name}").map(Min(_))
-            case Max(x: AttributeReference)
-                if mv.covered.contains(x.name) =>
-              mvAttr(s"max_${x.name}").map(Max(_))
-            case Count(Seq(Literal(_, _))) =>
-              mvAttr("cnt_rows").map(Sum(_))
-            case Count(Seq(x: AttributeReference))
-                if mv.covered.contains(x.name) =>
-              mvAttr(s"cntn_${x.name}").map(Sum(_))
-            case _ => None
-          }
-          nf.map { f =>
+          // second tuple slot marks a COUNT→SUM rewrite: for a GLOBAL
+          // aggregate over an empty base COUNT returns 0 but SUM over
+          // the empty summary returns NULL, so that case must be
+          // coalesced back to 0 (with grouping keys the empty group is
+          // absent on both sides and no fix-up is needed).
+          val nf: Option[(AggregateFunction, Boolean)] =
+            ae.aggregateFunction match {
+              case Sum(x: AttributeReference, _)
+                  if mv.covered.contains(x.name) && exact(x.dataType) =>
+                mvAttr(s"sum_${x.name}").map(a => (Sum(a), false))
+              case Min(x: AttributeReference)
+                  if mv.covered.contains(x.name) =>
+                mvAttr(s"min_${x.name}").map(a => (Min(a), false))
+              case Max(x: AttributeReference)
+                  if mv.covered.contains(x.name) =>
+                mvAttr(s"max_${x.name}").map(a => (Max(a), false))
+              case Count(Seq(Literal(_, _))) =>
+                mvAttr("cnt_rows").map(a => (Sum(a), true))
+              case Count(Seq(x: AttributeReference))
+                  if mv.covered.contains(x.name) =>
+                mvAttr(s"cntn_${x.name}").map(a => (Sum(a), true))
+              case _ => None
+            }
+          nf.map { case (f, isCount) =>
             val nae = ae.copy(aggregateFunction = f)
+            val zeroed: Expression =
+              if (isCount && agg.groupingExpressions.isEmpty)
+                Coalesce(Seq(nae, Literal(0L)))
+              else nae
             val e: Expression =
-              if (nae.dataType == al.dataType) nae
-              else Cast(nae, al.dataType, Some(conf.sessionLocalTimeZone))
+              if (zeroed.dataType == al.dataType) zeroed
+              else Cast(zeroed, al.dataType, Some(conf.sessionLocalTimeZone))
             Alias(e, name)(exprId = al.exprId)
           }
         case _ => None

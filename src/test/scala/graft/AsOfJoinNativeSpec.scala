@@ -139,6 +139,28 @@ class AsOfJoinNativeSpec extends SparkSpec {
     }
   }
 
+  test("unmatched rows null-pad NON-NULLABLE right columns (projection " +
+      "binds against the nullability-adjusted output)") {
+    // toDF on tuples of primitives yields non-nullable long/string
+    // columns; the operator's output declares them nullable, and the
+    // result projection must honor that — a projection bound against
+    // the raw right schema reads the padding row without null checks
+    // and silently turns NULL longs into 0 (and NPEs on strings).
+    val l = Seq((1L, 10L, "hit"), (2L, 10L, "miss")).toDF("k", "t", "lv")
+    val r = Seq((1L, 5L, 42L, "r")).toDF("k2", "t2", "rnum", "rstr")
+    assert(!r.schema("rnum").nullable && !r.schema("k2").nullable &&
+      !r.schema("t2").nullable)
+    val rows = AsOfJoinNative.asofBackward(l, r, "k", "k2", "t", "t2")
+      .select(col("lv"), col("k2"), col("t2"), col("rnum"), col("rstr"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    val hit = rows("hit")
+    assert(hit.getLong(1) == 1L && hit.getLong(3) == 42L &&
+      hit.getString(4) == "r")
+    val miss = rows("miss")
+    for (i <- 1 to 4)
+      assert(miss.isNullAt(i), s"col $i of unmatched row not NULL: $miss")
+  }
+
   test("null keys and times never match but rows survive (left outer)") {
     val l = Seq((Some(1L), Some(10L), "ok"),
       (None, Some(10L), "nullkey"), (Some(1L), None, "nulltime"))
