@@ -303,6 +303,111 @@ object Corpus {
         col("seq_first"), col("seq_last"))
   }
 
+  // ------------------------------------------------- BPE encode
+
+  /** Fixed merge table for the gated BPE encoder: rank-ordered,
+    * derived from the corpus's own frequent character pairs. Every
+    * pair has DISTINCT elements (a ≠ b) — that restriction makes
+    * leftmost-exhaustive merging equal SIMULTANEOUS merging of all
+    * occurrences (an occurrence can only overlap the next when the
+    * pair is a doubled symbol), which is what keeps the operator
+    * replayable in set-oriented SQL. Identical-symbol merges would
+    * need the run-parity variant; real learned tables are
+    * overwhelmingly a ≠ b. */
+  val DefaultBpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("e", "r"), ("a", "n"), ("o", "r"),
+    ("i", "n"), ("s", "t"), ("r", "e"), ("o", "n"), ("a", "t"),
+    ("an", "d"), ("l", "e"))
+
+  /** BPE merge APPLICATION to one word — the encode step
+    * [[bpePairCounts]]' training loop was missing: start from the
+    * word's characters and apply each merge of the fixed table in
+    * rank order, each exhaustively left-to-right (the standard
+    * iterative BPE encoder; a merge's output never re-forms an
+    * earlier-rank pair, so one pass per rank is exact). Implemented
+    * as `merges.length` chained `aggregate` folds — each fold either
+    * replaces the accumulator's last symbol with the merged one or
+    * appends, which handles overlapping occurrences of doubled
+    * symbols correctly ("aaa" + (a,a) → [aa, a]). The whole chain is
+    * ONE per-row expression: no shuffle, no state, and each step
+    * references the previous exactly once, so the plan stays linear
+    * in the table size. */
+  def bpeEncodeWord(word: Column, merges: Seq[(String, String)]): Column = {
+    var syms: Column = filter(split(word, ""), c => c =!= "")
+    for ((a, b) <- merges) {
+      val m = a + b
+      syms = aggregate(syms, typedlit(Seq.empty[String]),
+        (acc, x) =>
+          when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+          .otherwise(concat(acc, array(x))))
+    }
+    syms
+  }
+
+  /** Corpus BPE encode: every DISTINCT word is encoded once (the
+    * classic trick — the expensive per-word fold runs |vocab| times,
+    * not |corpus tokens| times; at 100 TB the distinct-word frame is
+    * millions of rows against trillions of tokens), then docs join
+    * their tokens back and flatten in document order. Output:
+    * (doc_id, n_ws long, bpe array&lt;string&gt;) for docs with ≥ 1
+    * token. One shuffle for the distinct, one broadcast-able join on
+    * word, one doc-keyed aggregate. */
+  def bpeEncodeDocs(docs: DataFrame, id: Column, text: Column,
+      merges: Seq[(String, String)] = DefaultBpeMerges): DataFrame = {
+    val toked = docs.select(id.as("doc_id"),
+        filter(split(text, " "), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val encoded = graft.Tables.materialize(
+      toked.select(explode(col("toks")).as("word")).distinct()
+        .repartition(p) // single-file scans leave 1 partition; the
+                        // fold chain is the expensive stage
+        .select(col("word"), bpeEncodeWord(col("word"), merges).as("syms")))
+    toked
+      .select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("pos", "word")))
+      .join(encoded, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ws"),
+        flatten(transform(
+          sort_array(collect_list(struct(col("pos"), col("syms")))),
+          s => s.getField("syms"))).as("bpe"))
+  }
+
+  /** [[packSequences]] with REAL tokenizer counts: identical layout
+    * algebra (content-hash shards, per-shard exclusive prefix sum,
+    * div-budget sequence spans) but `n_tokens` is the document's BPE
+    * symbol count under `merges` instead of the whitespace
+    * approximation — what an actual trainer's packer sees. The count
+    * needs no doc-order flatten: it's the sum of per-token symbol
+    * counts through the same distinct-word encode. */
+  def packSequencesBpe(df: DataFrame, id: Column, text: Column,
+      budget: Int, nShards: Int,
+      merges: Seq[(String, String)] = DefaultBpeMerges): DataFrame = {
+    require(budget >= 1, "budget >= 1")
+    require(nShards >= 1 && nShards <= 65536, "nShards in [1,65536]")
+    val counts = bpeEncodeDocs(df, id, text, merges)
+      .select(col("doc_id"), size(col("bpe")).cast("long").as("n_tokens"))
+    val h = md5(col("doc_id").cast("string"))
+    val base = counts
+      .filter(col("n_tokens") > 0)
+      .withColumn("_h", h)
+      .withColumn("shard",
+        pmod(conv(substring(col("_h"), 1, 8), 16, 10).cast("long"),
+          lit(nShards)).cast("long"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("_h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_first", expr(s"offset div $budget"))
+      .withColumn("seq_last", expr(s"(offset + n_tokens - 1) div $budget"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("offset"),
+        col("seq_first"), col("seq_last"))
+  }
+
   // ------------------------------------------------- vocab / tf-idf
 
   /** Whitespace tokens of `text`, one row per (rest-of-row, token).

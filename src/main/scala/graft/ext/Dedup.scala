@@ -176,6 +176,129 @@ object Dedup {
     jaccardFromGrams(graft.Tables.materialize(shingles(df, id, text, n)),
       threshold)
 
+  /** Exact thresholded DIRECTED-containment join — c(A→B) =
+    * |grams(A) ∩ grams(B)| / |grams(A)|, one row per unordered pair
+    * with both directions (`c12`, `c21`), kept when either direction
+    * ≥ `threshold`. The asymmetric near-dup relation Jaccard misses:
+    * a short document quoted inside a long one has high containment
+    * but low Jaccard.
+    *
+    * Same adaptive dispatch as [[ngramJaccardPairs]] (the Σ df²
+    * scalar predicts the brute join's exact output size), but the
+    * scale path is NOT the Jaccard prefix filter and NOT MinHash-LSH:
+    * LSH bands estimate JACCARD, and containment-high/Jaccard-low
+    * pairs — the ones this operator exists for — collide with
+    * vanishing probability, so LSH candidates would silently drop
+    * them. The lossless bound instead comes from the CONTAINED side
+    * alone: if c(A→B) ≥ τ then at most ⌊(1−τ)·|A|⌋ of A's grams are
+    * absent from B, so B must share at least one of A's first
+    * ⌊(1−τ)·|A|⌋+1 grams in the global rarest-first (df asc, gram
+    * asc) order. Candidates = contained-side PREFIX grams joined
+    * against the partner's FULL gram set (both docs emit prefixes,
+    * covering both directions); exact verification then computes
+    * both ratios on the candidate pairs only. Hot stopword-like
+    * grams land at the end of every rarest-first order and enter a
+    * prefix only when a doc is nearly all stopwords, so the
+    * candidate join's buckets stay small exactly where df² explodes
+    * — the spec pins both path equality and the no-blowup bound on a
+    * planted ubiquitous gram. */
+  def containmentPairs(df: DataFrame, id: Column, text: Column,
+      n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "0 < threshold <= 1")
+    val g = graft.Tables.materialize(shingles(df, id, text, n))
+    val dfreq = graft.Tables.materialize(
+      g.groupBy(col("gram")).agg(count(lit(1)).as("dfr")))
+    val candVolume = Option(dfreq
+      .agg(sum(col("dfr").cast("decimal(38,0)") * col("dfr")))
+      .collect()(0).getDecimal(0))
+      .getOrElse(java.math.BigDecimal.ZERO)
+    if (candVolume.compareTo(JaccardBruteMaxCandVolume) <= 0)
+      containmentFromGrams(g, threshold)
+    else containmentPrefixFiltered(g, dfreq, threshold)
+  }
+
+  /** All-pairs gram self-join containment over a prepared shingle
+    * frame — the oracle's algebra, selected at harmless Σ df². */
+  private[graft] def containmentFromGrams(g: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = g.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    def d(c: Column) = c.cast("double")
+    inter
+      .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), "id2")
+      .select(col("id1"), col("id2"),
+        (d(col("inter")) / d(col("sz1"))).as("c12"),
+        (d(col("inter")) / d(col("sz2"))).as("c21"))
+      .filter(col("c12") >= threshold || col("c21") >= threshold)
+  }
+
+  /** Contained-side prefix filter over a prepared shingle frame —
+    * the quadratic-safe physical plan [[containmentPairs]] selects
+    * when Σ df² explodes. Prefix length ⌊(1−τ)·sz⌋+1 uses `floor` of
+    * `sz·τ` (`sz − floor(sz·τ) + 1` ≥ the ideal ⌊(1−τ)·sz⌋+1), so
+    * float jitter can only LENGTHEN the prefix — never lose a pair.
+    * Package-visible for the path-equality spec. */
+  private[graft] def containmentPrefixFiltered(g: DataFrame,
+      dfreq: DataFrame, threshold: Double): DataFrame = {
+    val byDoc = graft.Tables.materialize(
+      g.join(dfreq, "gram")
+        .groupBy(col("id"))
+        .agg(sort_array(collect_list(struct(col("dfr"), col("gram"))))
+            .as("fg"),
+          count(lit(1)).as("sz")))
+    val prefix = byDoc.select(col("id"),
+      explode(transform(
+        slice(col("fg"), lit(1),
+          (col("sz") - floor(col("sz") * lit(threshold)) + lit(1))
+            .cast("int")),
+        s => s.getField("gram"))).as("gram"))
+    // contained-side prefix probes the partner's FULL gram frame;
+    // both docs emit prefixes, so both directions are covered
+    val cand = prefix.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id1"),
+        greatest(col("a.id"), col("b.id")).as("id2"))
+      .distinct()
+    def side(sfx: String) = byDoc.select(col("id").as(s"id$sfx"),
+      transform(col("fg"), s => s.getField("gram")).as(s"g$sfx"),
+      col("sz").as(s"sz$sfx"))
+    def d(c: Column) = c.cast("double")
+    cand.join(side("1"), "id1").join(side("2"), "id2")
+      .withColumn("inter",
+        size(array_intersect(col("g1"), col("g2"))).cast("long"))
+      .select(col("id1"), col("id2"),
+        (d(col("inter")) / d(col("sz1"))).as("c12"),
+        (d(col("inter")) / d(col("sz2"))).as("c21"))
+      .filter(col("c12") >= threshold || col("c21") >= threshold)
+  }
+
+  /** Candidate pair count of the prefix-filtered containment plan —
+    * spec instrumentation for the no-blowup bound. */
+  private[graft] def containmentPrefixCandidateCount(g: DataFrame,
+      dfreq: DataFrame, threshold: Double): Long = {
+    val byDoc = g.join(dfreq, "gram")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("dfr"), col("gram"))))
+          .as("fg"),
+        count(lit(1)).as("sz"))
+    val prefix = byDoc.select(col("id"),
+      explode(transform(
+        slice(col("fg"), lit(1),
+          (col("sz") - floor(col("sz") * lit(threshold)) + lit(1))
+            .cast("int")),
+        s => s.getField("gram"))).as("gram"))
+    prefix.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id1"),
+        greatest(col("a.id"), col("b.id")).as("id2"))
+      .distinct()
+      .count()
+  }
+
   /** Benchmark decontamination: drop corpus documents sharing at
     * least `minShared` distinct word n-grams with ANY benchmark
     * document — the standard pre-training step that removes
@@ -264,9 +387,13 @@ object Dedup {
     * cap is trading away on a given corpus. Computed as one extra
     * aggregation over the already-cached band frame (cheap), only when
     * the hook is provided. */
-  def minhashLshPairsFromShingles(g: DataFrame, numHashes: Int = 16,
-      rowsPerBand: Int = 4, maxBandBucket: Int = Int.MaxValue,
-      onDroppedBuckets: Long => Unit = null): DataFrame = {
+  /** MinHash band rows (id, band, bh) for a shingle frame — the
+    * PERSISTABLE unit of the LSH index: a standing corpus stores
+    * exactly this frame (O(docs × bands) rows, no text, no grams) and
+    * incremental ingest probes it ([[incrementalLshDedup]]) instead
+    * of ever re-shingling history. */
+  def minhashBandRows(g: DataFrame, numHashes: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
     val sig = minhashSignaturesFromShingles(g, numHashes)
     val numBands = numHashes / rowsPerBand
     val bands = array((0 until numBands).map { b =>
@@ -275,11 +402,17 @@ object Dedup {
           (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*))
           .as("bh"))
     }: _*)
+    sig.select(col("id"), explode(bands).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  def minhashLshPairsFromShingles(g: DataFrame, numHashes: Int = 16,
+      rowsPerBand: Int = 4, maxBandBucket: Int = Int.MaxValue,
+      onDroppedBuckets: Long => Unit = null): DataFrame = {
     // cache: both sides of the self-join would otherwise recompute the
     // full shingle+signature pipeline
-    val exploded = sig.select(col("id"), explode(bands).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val explodedM = graft.Tables.materialize(exploded)
+    val explodedM = graft.Tables.materialize(
+      minhashBandRows(g, numHashes, rowsPerBand))
     val kept =
       if (maxBandBucket == Int.MaxValue) explodedM
       else {
@@ -423,6 +556,76 @@ object Dedup {
       df, id, text, n, jaccardThreshold, maxBandBucket, onDroppedBuckets)
     survivors.join(verified.select(col("id2").as("id")).distinct(),
       Seq("id"), "left_anti").select(col("id"))
+  }
+
+  /** Incremental NEAR-dup dedup of a new batch against a STANDING
+    * corpus — the nightly-ingest composition exact fingerprints only
+    * half-cover: the standing corpus participates as
+    * two persisted side tables, never re-read at text width and never
+    * re-shingled:
+    *
+    *  - `bandIndex` (id, band, bh) — [[minhashBandRows]] of everything
+    *    retained so far, O(history × bands) rows;
+    *  - `historyFps` (fp) — the canonical-fingerprint ledger, exactly
+    *    [[dedupIncremental]]'s.
+    *
+    * Pipeline: (1) batch-internal first-wins on canonical fingerprint
+    * + anti-join against the fp ledger (exact dups die before any
+    * shingling); (2) shingle + sign + band ONLY the batch survivors;
+    * (3) candidates = batch bands probing the index (history side,
+    * history ALWAYS wins regardless of id order — the standing corpus
+    * is never dropped) ∪ the batch-internal band self-join (smaller
+    * id wins); (4) texts of CANDIDATE history docs only are fetched
+    * (semi-join into `history`) and re-shingled — O(candidates), not
+    * O(history); (5) exact Jaccard verification on candidates;
+    * (6) kept = batch survivors minus verified losers. Returns
+    * (kept ids, index delta) — the delta is the kept docs' band rows,
+    * appended to the index table for the next ingest.
+    *
+    * When history ids precede batch ids and the standing corpus is
+    * itself deduped (the steady state this operator maintains), the
+    * kept set EQUALS the full-corpus [[dedupPipelineKept]] of the
+    * union restricted to the batch — the spec pins that equality, and
+    * a second spec passes a history frame containing ONLY candidate
+    * docs to prove non-candidate history text is never consulted.
+    * Batch and history id spaces must be disjoint. */
+  def incrementalLshDedup(batch: DataFrame, id: Column, text: Column,
+      bandIndex: DataFrame, history: DataFrame,
+      histId: Column, histText: Column, historyFps: DataFrame,
+      n: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): (DataFrame, DataFrame) = {
+    val canon = batch.select(id.as("id"), text.as("text"))
+      .withColumn("fp", TextFunctions.canonicalFingerprint(col("text")))
+    val firstPerFp = canon.groupBy(col("fp")).agg(min(col("id")).as("id"))
+    val surv = graft.Tables.materialize(
+      canon.join(firstPerFp.select(col("id")), "id")
+        .join(historyFps.select(col("fp")), Seq("fp"), "left_anti")
+        .select(col("id"), col("text")))
+    val gb = graft.Tables.materialize(
+      shingles(surv, col("id"), col("text"), n))
+    val bBands = graft.Tables.materialize(
+      minhashBandRows(gb, numHashes, rowsPerBand))
+    val candHist = bBands.as("y").join(bandIndex.as("x"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"))
+    val candBatch = bBands.as("x").join(bBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"))
+    val cand = graft.Tables.materialize(
+      candHist.unionByName(candBatch).distinct())
+    // fetch + shingle CANDIDATE history docs only
+    val histCand = history.select(histId.as("id"), histText.as("text"))
+      .join(cand.select(col("id1").as("id")), Seq("id"), "left_semi")
+    val gh = shingles(histCand, col("id"), col("text"), n)
+    val verified = verifiedPairsFromCandidates(
+      gb.unionByName(gh), cand, threshold)
+    val kept = surv
+      .join(verified.select(col("id2").as("id")).distinct(),
+        Seq("id"), "left_anti")
+      .select(col("id"))
+    val delta = bBands.join(kept, Seq("id"), "left_semi")
+    (kept, delta)
   }
 
   /** Connected components over an undirected pair frame (id1, id2):

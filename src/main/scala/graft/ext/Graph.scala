@@ -43,16 +43,31 @@ object Graph {
     * friend-of-friend neighborhood size, the cheapest useful
     * centrality proxy on a near-dup graph (a vertex reaching far in
     * two hops sits inside a template family even when its own degree
-    * is small). One adjacency self-join + distinct; fan-out is
-    * Σ deg² — on a skew-heavy crawl graph cap or degree-filter hubs
-    * first (the same quadratic-output caveat as band self-joins;
-    * AQE's byte stats don't see it — SKILL.md). */
-  def twoHopReach(pairs: DataFrame, a: Column, b: Column): DataFrame = {
+    * is small).
+    *
+    * The adjacency self-join's fan-out is Σ deg(mid)² over MIDDLE
+    * vertices — one celebrity vertex at crawl scale emits its deg²
+    * pairs, and AQE's map-output-byte stats can't see an
+    * output-exploding join coming (same caveat as band self-joins —
+    * SKILL.md). So the pivot is degree-capped: paths whose middle
+    * vertex has degree > `maxDegree` are excluded (a semi-join of the
+    * left adjacency against sub-cap vertices, planned as one extra
+    * broadcast-able join on the tiny degree frame). Every vertex —
+    * hubs included — still reports its own row: direct neighbors
+    * always count, and hub NEIGHBORHOODS are reachable through their
+    * sub-cap co-members. The cap is part of the operator's declared
+    * semantics (the oracle replays it), not a silent truncation. */
+  def twoHopReach(pairs: DataFrame, a: Column, b: Column,
+      maxDegree: Int = Int.MaxValue): DataFrame = {
     val edges = graft.Tables.materialize(canonicalEdges(pairs, a, b))
     val adj = graft.Tables.materialize(
       edges.select(col("src").as("u"), col("dst").as("v"))
         .unionByName(edges.select(col("dst").as("u"), col("src").as("v"))))
-    val two = adj.as("e1").join(adj.as("e2"), col("e1.v") === col("e2.u"))
+    val subCap = degrees(edges)
+      .filter(col("degree") <= maxDegree)
+      .select(col("id").as("v"))
+    val two = adj.join(subCap, Seq("v"), "left_semi").as("e1")
+      .join(adj.as("e2"), col("e1.v") === col("e2.u"))
       .select(col("e1.u").as("u"), col("e2.v").as("v"))
     adj.unionByName(two)
       .filter(col("u") =!= col("v"))

@@ -152,6 +152,25 @@ object CorpusQueries {
     Corpus.packSequences(Tables(spark, dir, "documents"),
       col("doc_id"), col("text"), budget = 256, nShards = 4)
 
+  /** BPE merge APPLICATION ([[Corpus.bpeEncodeDocs]]) under the fixed
+    * 12-merge table: per doc, whitespace-token count, real BPE symbol
+    * count, and the first 10 symbols in document order — the encode
+    * step that makes token budgets exact instead of whitespace
+    * approximations. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    Corpus.bpeEncodeDocs(Tables(spark, dir, "documents"),
+        col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_ws"),
+        size(col("bpe")).cast("long").as("n_bpe"),
+        concat_ws(" ", slice(col("bpe"), 1, 10)).as("bpe_head"))
+
+  /** [[packSequences]] on REAL BPE token counts
+    * ([[Corpus.packSequencesBpe]]) — same layout algebra, budgets an
+    * actual trainer would see. */
+  def packSequencesBpe(spark: SparkSession, dir: String): DataFrame =
+    Corpus.packSequencesBpe(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"), budget = 256, nShards = 4)
+
   /** End-to-end corpus preparation — the flagship composition a
     * training-data pipeline actually runs, each stage one of the
     * library's operators:
@@ -368,6 +387,8 @@ object CorpusQueries {
     "sample_mixture" -> sampleMixture _,
     "chunk_tokens" -> chunkTokens _,
     "pack_sequences" -> packSequences _,
+    "bpe_encode" -> bpeEncode _,
+    "pack_sequences_bpe" -> packSequencesBpe _,
     "corpus_prep_e2e" -> corpusPrepE2e _,
     "dedup_latest" -> dedupLatest _,
     "sample_hash" -> sampleHash _,
@@ -409,7 +430,84 @@ object CorpusQueries {
       |    string_agg(block_text, ' ' ORDER BY block_idx) AS kept_text
       |  FROM pd_keep GROUP BY 1)""".stripMargin
 
+  /** Shared BPE CTE chain: one CTE per merge of the FIXED table
+    * (constants interpolated from [[Corpus.DefaultBpeMerges]] so the
+    * engines can never drift), each applying its merge to ALL
+    * occurrences simultaneously — equal to the Spark fold's
+    * leftmost-exhaustive pass because every table pair has a ≠ b
+    * (occurrences cannot overlap). Ends with `bpe_j` (doc_id, pos,
+    * syms per token). */
+  private lazy val bpeCtes: String = {
+    val merges = Corpus.DefaultBpeMerges
+    val mergeCtes = merges.zipWithIndex.map { case ((a, b), k) =>
+      val m = a + b
+      s"""bpe_r${k + 1} AS (
+         |  SELECT word, list_filter(list_transform(syms, (x, i) ->
+         |    CASE WHEN x = '$a' AND i < len(syms) AND syms[i+1] = '$b'
+         |           THEN '$m'
+         |         WHEN i > 1 AND syms[i-1] = '$a' AND x = '$b' THEN NULL
+         |         ELSE x END), y -> y IS NOT NULL) AS syms
+         |  FROM bpe_r$k)""".stripMargin
+    }.mkString(",\n")
+    s"""bpe_tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |bpe_nz AS (SELECT doc_id, toks FROM bpe_tk WHERE len(toks) > 0),
+       |bpe_words AS (SELECT DISTINCT unnest(toks) AS word FROM bpe_nz),
+       |bpe_r0 AS (
+       |  SELECT word,
+       |    list_transform(range(1, length(word) + 1), i -> word[i:i])
+       |      AS syms
+       |  FROM bpe_words),
+       |$mergeCtes,
+       |bpe_tok AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS word
+       |  FROM bpe_nz, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)),
+       |bpe_j AS (
+       |  SELECT t.doc_id, t.pos, e.syms
+       |  FROM bpe_tok t JOIN bpe_r${merges.size} e USING (word))""".stripMargin
+  }
+
+  private lazy val bpeEncodeSql =
+    s"""WITH $bpeCtes,
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws,
+       |    CAST(sum(len(syms)) AS BIGINT) AS n_bpe,
+       |    string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos) AS s
+       |  FROM bpe_j GROUP BY doc_id)
+       |SELECT doc_id, n_ws, n_bpe,
+       |  array_to_string(list_slice(string_split(s, ' '), 1, 10), ' ')
+       |    AS bpe_head
+       |FROM agg""".stripMargin
+
+  private lazy val packSequencesBpeSql =
+    s"""WITH $bpeCtes,
+       |cnt AS (
+       |  SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_tokens
+       |  FROM bpe_j GROUP BY doc_id),
+       |d AS (
+       |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h, n_tokens
+       |  FROM cnt WHERE n_tokens > 0),
+       |s AS (
+       |  SELECT doc_id, h, n_tokens,
+       |    ('0x' || substr(h, 1, 8))::BIGINT % 4 AS shard
+       |  FROM d),
+       |o AS (
+       |  SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (
+       |      PARTITION BY shard ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS "offset"
+       |  FROM s)
+       |SELECT doc_id, shard, n_tokens, "offset",
+       |  CAST("offset" // 256 AS BIGINT) AS seq_first,
+       |  CAST(("offset" + n_tokens - 1) // 256 AS BIGINT) AS seq_last
+       |FROM o""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "bpe_encode" -> bpeEncodeSql,
+    "pack_sequences_bpe" -> packSequencesBpeSql,
     // integer cross-multiplied keep verdict on the same CTE chain
     "paragraph_dedup_filter" ->
       s"""WITH $paragraphCtes

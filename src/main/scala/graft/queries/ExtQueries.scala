@@ -189,30 +189,16 @@ object ExtQueries {
     * algebra as the Jaccard join, thresholded on the directed ratio;
     * emitted per direction so A-in-B and B-in-A are distinguishable.
     *
-    * Scale note: this gate runs the plain gram self-join (it IS the
-    * oracle's algebra); at corpus scale front it with the shared-
-    * shingle LSH candidate pass exactly as [[docDedupPipeline]] does —
-    * containment verification swaps in for Jaccard verification on
-    * the same candidate pairs. (AllPairs prefix filtering does not
-    * transfer unchanged: the prefix bound must be taken on the
-    * CONTAINED side's size, which LSH candidates sidestep.) */
-  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
-    val g = graft.Tables.materialize(Dedup.shingles(
-      Tables(spark, dir, "documents"), col("doc_id"), col("text"), n = 3))
-    val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = g.as("a").join(g.as("b"),
-        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
-      .agg(count(lit(1)).as("inter"))
-    def d(c: org.apache.spark.sql.Column) = c.cast("double")
-    inter
-      .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), "id1")
-      .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), "id2")
-      .select(col("id1"), col("id2"),
-        (d(col("inter")) / d(col("sz1"))).as("c12"),
-        (d(col("inter")) / d(col("sz2"))).as("c21"))
-      .filter(col("c12") >= 0.9 || col("c21") >= 0.9)
-  }
+    * Scale path ([[Dedup.containmentPairs]]): adaptive Σ df² dispatch
+    * between the plain gram self-join (the oracle's algebra, chosen
+    * at harmless candidate volume) and the CONTAINED-side prefix
+    * filter — lossless, so the oracle SQL is unchanged. NOT LSH: LSH
+    * bands estimate Jaccard, and the containment-high/Jaccard-low
+    * pairs this operator exists for collide with vanishing
+    * probability. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"), n = 3, threshold = 0.9)
 
   /** Per-document dedup LINEAGE — the audit manifest a corpus release
     * ships: every document tagged with the FIRST pipeline stage that
@@ -561,13 +547,16 @@ object ExtQueries {
   }
 
   /** Two-hop reach over the same LSH pair graph as
-    * [[graphTriangles]] — see [[graft.ext.Graph.twoHopReach]]. */
+    * [[graphTriangles]] — see [[graft.ext.Graph.twoHopReach]]. The
+    * gate exercises the degree-capped pivot (maxDegree=64, mirrored
+    * in the oracle): Σ deg(mid)² fan-out is bounded by cap·Σ deg, so
+    * the plan survives a celebrity vertex at crawl scale. */
   def graphTwoHop(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     val pairs = Similarity.lshNearDupPairs(emb, col("vec_id"),
       col("embedding"), dim = 64, numPlanes = 8,
       threshold = 0.2, numTables = 2, maxBucketSize = 1000)
-    Graph.twoHopReach(pairs, col("id1"), col("id2"))
+    Graph.twoHopReach(pairs, col("id1"), col("id2"), maxDegree = 64)
   }
 
   /** kNN label-consistency evaluation — the standard embedding-
@@ -693,6 +682,36 @@ object ExtQueries {
     batch.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .join(ledger, Seq("fp"), "left_anti")
       .select(col("doc_id"), col("fp"))
+  }
+
+  /** Incremental NEAR-dup dedup probing a PERSISTED MinHash band
+    * index — the other half of [[dedupIncremental]]'s nightly-ingest
+    * story ([[graft.ext.Dedup.incrementalLshDedup]]). The standing
+    * corpus (doc_id ≢ 0 mod 3) contributes two side tables written to
+    * and read back from parquet inside the gate — its band index
+    * ([[graft.ext.Dedup.minhashBandRows]], O(history × bands) rows)
+    * and its fingerprint ledger; history text is consulted ONLY for
+    * band-collision candidates (semi-join), so a 100 TB history costs
+    * O(index) + O(candidates) per ingest, never a re-shingle. */
+  def dedupIncrementalLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val history = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_lsh_index").toString
+    Dedup.minhashBandRows(
+        Dedup.shingles(history, col("doc_id"), col("text"), 3))
+      .write.mode("overwrite").parquet(s"$tmp/band_index")
+    history
+      .select(TextFunctions.canonicalFingerprint(col("text")).as("fp"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$tmp/fp_ledger")
+    val (kept, _) = Dedup.incrementalLshDedup(batch,
+      col("doc_id"), col("text"),
+      spark.read.parquet(s"$tmp/band_index"),
+      history, col("doc_id"), col("text"),
+      spark.read.parquet(s"$tmp/fp_ledger"))
+    kept
   }
 
   /** IVF index-balance audit ([[Similarity.ivfCellSizes]]): member
@@ -848,6 +867,7 @@ object ExtQueries {
     "text_langid" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,
     "dedup_incremental" -> dedupIncremental _,
+    "dedup_incremental_lsh" -> dedupIncrementalLsh _,
     "text_scrub" -> textScrub _,
     "text_model_score" -> textModelScore _,
     "score_calibration" -> scoreCalibration _,
@@ -1160,6 +1180,65 @@ object ExtQueries {
        |  FROM f WHERE doc_id % 3 = 0 GROUP BY fp)
        |SELECT doc_id, fp FROM batch
        |WHERE fp NOT IN (SELECT fp FROM led)""".stripMargin
+
+  /** DuckDB twin of the incremental LSH probe: the pool unions full
+    * history with BATCH SURVIVORS of the exact pass (the operator
+    * bands only those), candidates keep pairs whose LARGER-side rule
+    * matches the operator's — history beats batch at any id order,
+    * batch-internal smaller id wins — and the greedy keeper drops
+    * verified batch losers. */
+  private lazy val dedupIncrementalLshSql = {
+    val cond = bandExprs.indices.map(b => s"x.b$b = y.b$b").mkString(" OR ")
+    val bandCols = bandExprs.zipWithIndex
+      .map { case (e, b) => s"  $e AS b$b" }.mkString(",\n")
+    s"""WITH canon AS (
+       |  SELECT doc_id AS id, text,
+       |    md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp
+       |  FROM documents),
+       |led AS (SELECT DISTINCT fp FROM canon WHERE id % 3 <> 0),
+       |bfirst AS (
+       |  SELECT fp, min(id) AS id FROM canon WHERE id % 3 = 0 GROUP BY fp),
+       |bsurv AS (
+       |  SELECT c.id, c.text FROM canon c JOIN bfirst f ON c.id = f.id
+       |  WHERE c.fp NOT IN (SELECT fp FROM led)),
+       |pool AS (
+       |  SELECT id, text FROM canon WHERE id % 3 <> 0
+       |  UNION ALL SELECT id, text FROM bsurv),
+       |grams AS (
+       |  SELECT DISTINCT sub.id,
+       |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+       |  FROM (SELECT id, $toks AS t FROM pool) sub,
+       |       LATERAL (SELECT unnest(range(1, greatest(length(t) - 1, 1))) AS i)),
+       |$hashedCte,
+       |sig AS (
+       |SELECT id,
+       |$sigAggs
+       |FROM hashed GROUP BY id),
+       |bands AS (
+       |SELECT id,
+       |$bandCols
+       |FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS id1, y.id AS id2
+       |  FROM bands x JOIN bands y
+       |    ON y.id % 3 = 0 AND x.id <> y.id
+       |    AND (x.id % 3 <> 0 OR x.id < y.id)
+       |    AND ($cond)),
+       |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+       |inter AS (
+       |  SELECT c.id1, c.id2, count(*) AS inter FROM cand c
+       |  JOIN grams ga ON ga.id = c.id1
+       |  JOIN grams gb ON gb.id = c.id2 AND gb.gram = ga.gram
+       |  GROUP BY c.id1, c.id2),
+       |verified AS (
+       |  SELECT id1, id2 FROM inter
+       |  JOIN sizes s1 ON s1.id = id1
+       |  JOIN sizes s2 ON s2.id = id2
+       |  WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE)
+       |    >= 0.8)
+       |SELECT id FROM bsurv
+       |WHERE id NOT IN (SELECT DISTINCT id2 FROM verified)""".stripMargin
+  }
 
   /** Shared CTE: distinct word 3-grams per document (1-based list
     * indexing; i in 1..len-2). */
@@ -2538,8 +2617,10 @@ object ExtQueries {
        |adj AS (
        |  SELECT src AS u, dst AS v FROM edges
        |  UNION ALL SELECT dst AS u, src AS v FROM edges),
+       |deg AS (SELECT u AS id, count(*) AS degree FROM adj GROUP BY u),
        |two AS (
-       |  SELECT a.u, b.v FROM adj a JOIN adj b ON b.u = a.v),
+       |  SELECT a.u, b.v FROM adj a JOIN adj b ON b.u = a.v
+       |  JOIN deg d ON d.id = a.v AND d.degree <= 64),
        |reach AS (
        |  SELECT DISTINCT u, v FROM (
        |    SELECT u, v FROM adj UNION ALL SELECT u, v FROM two) r
@@ -2755,6 +2836,7 @@ object ExtQueries {
     "text_langid" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_incremental_lsh" -> dedupIncrementalLshSql,
     "text_scrub" -> textScrubSql,
     "text_model_score" -> textModelScoreSql,
     "score_calibration" -> scoreCalibrationSql,

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Corpus
+
+/** [[graft.ext.Corpus.bpeEncodeWord]]/[[graft.ext.Corpus
+  * .bpeEncodeDocs]] — the fold-chain encoder must match an
+  * INDEPENDENT reference implementation (canonical best-rank-first,
+  * one leftmost occurrence per step) on real corpus words, handle
+  * overlapping doubled-symbol merges, and feed packing with exact
+  * counts. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Canonical BPE encode: repeatedly merge the LEFTMOST occurrence
+    * of the best-ranked pair present — the classic priority-queue
+    * algorithm, structurally different from the operator's
+    * rank-ordered exhaustive passes. */
+  private def refBpe(word: String,
+      merges: Seq[(String, String)]): Seq[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var syms = word.map(_.toString).toVector
+    var done = syms.isEmpty
+    while (!done) {
+      val pairs = syms.indices.dropRight(1).map(i => (syms(i), syms(i + 1)))
+      pairs.filter(rank.contains).sortBy(rank).headOption match {
+        case None => done = true
+        case Some(p) =>
+          val i = pairs.indexOf(p)
+          syms = (syms.take(i) :+ (p._1 + p._2)) ++ syms.drop(i + 2)
+      }
+    }
+    syms
+  }
+
+  test("fold-chain encoder equals the canonical reference on every " +
+      "distinct corpus word (sf0.001)") {
+    val words = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(explode(filter(split(col("text"), " "), t => t =!= ""))
+        .as("word"))
+      .distinct()
+    val got = words
+      .select(col("word"),
+        Corpus.bpeEncodeWord(col("word"), Corpus.DefaultBpeMerges)
+          .as("syms"))
+      .as[(String, Seq[String])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (w, syms) =>
+      assert(syms == refBpe(w, Corpus.DefaultBpeMerges), s"word '$w'")
+    }
+  }
+
+  test("doubled-symbol merge handles overlapping occurrences " +
+      "leftmost-first (the case the SQL-simultaneous form excludes)") {
+    val merges = Seq(("a", "a"), ("aa", "b"))
+    val out = Seq(Tuple1("aaa"), Tuple1("aaaa"), Tuple1("aab"),
+        Tuple1("baaab")).toDF("w")
+      .select(col("w"), Corpus.bpeEncodeWord(col("w"), merges).as("s"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(out("aaa") == Seq("aa", "a"))
+    assert(out("aaaa") == Seq("aa", "aa"))
+    assert(out("aab") == Seq("aab"))
+    // b | aa | a | b — (aa,b) never becomes adjacent after the
+    // leftmost-first (a,a) pass
+    assert(out("baaab") == Seq("b", "aa", "a", "b"))
+    // the reference agrees
+    for (w <- out.keys) assert(out(w) == refBpe(w, merges), s"'$w'")
+  }
+
+  test("bpeEncodeDocs flattens in document order and counts " +
+      "whitespace tokens") {
+    val docs = Seq((1L, "the master and"), (2L, "  stop  "))
+      .toDF("doc_id", "text")
+    val got = Corpus.bpeEncodeDocs(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Seq[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((3L, Seq("the", "m", "a", "st", "er", "and"))))
+    assert(got(2L) == ((1L, Seq("st", "o", "p"))))
+  }
+
+  test("packSequencesBpe: n_tokens is the real BPE count and layout " +
+      "algebra matches packSequences'") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val packed = Corpus.packSequencesBpe(docs, col("doc_id"),
+      col("text"), budget = 256, nShards = 4)
+    val counts = Corpus.bpeEncodeDocs(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), size(col("bpe")).cast("long").as("n_bpe"))
+    // every packed row carries its doc's exact BPE count
+    assert(packed.join(counts, "doc_id")
+      .filter(col("n_tokens") =!= col("n_bpe")).count() == 0)
+    // offsets are exclusive prefix sums within each shard
+    val bad = packed
+      .withColumn("expect", coalesce(sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"))
+          .orderBy(md5(col("doc_id").cast("string")).asc,
+            col("doc_id").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      .filter(col("offset") =!= col("expect")).count()
+    assert(bad == 0)
+  }
+}

@@ -56,6 +56,34 @@ class GraphSpec extends SparkSpec {
       .as[Long].head() == 3L) // one triangle x 3 corners
   }
 
+  test("twoHopReach uncapped: star + one leaf edge, hand-computed") {
+    // hub 0 — leaves 1..5; extra edge 1-2
+    val edges = ((1L to 5L).map(l => (0L, l)) :+ (1L, 2L)).toDF("a", "b")
+    val got = Graph.twoHopReach(edges, col("a"), col("b"))
+      .as[(Long, Long)].collect().toMap
+    // every leaf reaches the hub + all other leaves through it
+    assert(got == Map(0L -> 5L, 1L -> 5L, 2L -> 5L, 3L -> 5L,
+      4L -> 5L, 5L -> 5L))
+  }
+
+  test("twoHopReach maxDegree caps the PIVOT: paths through the hub " +
+      "are dropped, hubs still report their own row") {
+    val edges = ((1L to 50L).map(l => (0L, l)) :+ (1L, 2L)).toDF("a", "b")
+    val got = Graph.twoHopReach(edges, col("a"), col("b"), maxDegree = 10)
+      .as[(Long, Long)].collect().toMap
+    // hub (degree 50 > cap) keeps its full direct neighborhood, and
+    // two-hop through sub-cap leaves adds nothing new
+    assert(got(0L) == 50L)
+    // leaf 1: direct {0, 2}; pivot 2 is sub-cap but only leads back
+    assert(got(1L) == 2L && got(2L) == 2L)
+    // plain leaf: direct {0} only — the hub pivot is capped away
+    assert((3L to 50L).forall(got(_) == 1L))
+    // sanity: uncapped behavior differs (leaves see everyone)
+    val un = Graph.twoHopReach(edges, col("a"), col("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(un(3L) == 50L)
+  }
+
   test("pageRank: hand-computed 2-round integer scores") {
     // a->b, c->b, b->a; odeg all 1
     // round 1: a=150000+850000=1000000, b=150000+85%*2e6=1850000,

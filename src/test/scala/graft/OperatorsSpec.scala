@@ -81,6 +81,72 @@ class OperatorsSpec extends SparkSpec {
     assert(viaApi == viaPrefix)
   }
 
+  test("containment prefix filter equals the all-pairs baseline on " +
+      "real docs at every threshold") {
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val g = graft.Tables.materialize(
+      Dedup.shingles(real, $"doc_id", $"text", 3))
+    val dfreq = g.groupBy($"gram").agg(count(lit(1)).as("dfr"))
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val fast = Dedup.containmentPrefixFiltered(g, dfreq, t)
+        .as[(Long, Long, Double, Double)].collect().toSet
+      val brute = Dedup.containmentFromGrams(g, t)
+        .as[(Long, Long, Double, Double)].collect().toSet
+      assert(fast == brute, s"threshold $t: prefix filter lost/added pairs")
+    }
+  }
+
+  test("containment finds the excerpt pair Jaccard misses — via BOTH " +
+      "physical paths") {
+    val excerpt = Seq(
+      (1L, "p q r s t"),                                   // the quote
+      (2L, "p q r s t a b c d e f g h i j k l m n o"),     // quoting doc
+      (3L, "z y x w v u"))                                 // unrelated
+      .toDF("doc_id", "text")
+    val g = graft.Tables.materialize(
+      Dedup.shingles(excerpt, $"doc_id", $"text", 3))
+    val dfreq = g.groupBy($"gram").agg(count(lit(1)).as("dfr"))
+    for ((name, out) <- Seq(
+        "brute" -> Dedup.containmentFromGrams(g, 0.9),
+        "prefix" -> Dedup.containmentPrefixFiltered(g, dfreq, 0.9))) {
+      val got = out.as[(Long, Long, Double, Double)].collect()
+        .map { case (a, b, c12, c21) => (a, b) -> (c12, c21) }.toMap
+      assert(got.keySet == Set((1L, 2L)), s"$name: $got")
+      assert(got((1L, 2L))._1 == 1.0, name) // doc 1 fully contained
+      // Jaccard on the same pair is low — the asymmetry is the point
+      val j = Dedup.ngramJaccardPairsBrute(excerpt, $"doc_id", $"text",
+        n = 3, threshold = 0.0).as[(Long, Long, Double)].collect()
+        .collectFirst { case (1L, 2L, jac) => jac }.get
+      assert(j < 0.5, s"$name: jaccard $j")
+    }
+  }
+
+  test("planted ubiquitous gram: containment prefix candidates stay " +
+      "linear while the brute join's candidate volume is quadratic") {
+    // 120 docs, every one sharing a hot stopword trigram; the rest of
+    // each doc is unique. The hot gram alone makes the all-pairs gram
+    // self-join emit 120*119/2 = 7140 candidate pairs; rarest-first
+    // prefixes never include it, so the prefix plan generates ZERO.
+    val docs = (1 to 120).map { i =>
+      val unique = (1 to 18).map(k => s"u${i}_$k").mkString(" ")
+      (i.toLong, s"the of and $unique")
+    }.toDF("doc_id", "text")
+    val g = graft.Tables.materialize(
+      Dedup.shingles(docs, $"doc_id", $"text", 3))
+    val dfreq = graft.Tables.materialize(
+      g.groupBy($"gram").agg(count(lit(1)).as("dfr")))
+    val candVolume = dfreq
+      .agg(sum($"dfr".cast("decimal(38,0)") * $"dfr"))
+      .collect()(0).getDecimal(0)
+    assert(candVolume.longValue >= 120L * 120L, s"fixture not hot: $candVolume")
+    val nCand = Dedup.containmentPrefixCandidateCount(g, dfreq, 0.9)
+    assert(nCand <= 120, s"prefix candidates blew up: $nCand")
+    // and the paths still agree (both: no qualifying pairs)
+    val fast = Dedup.containmentPrefixFiltered(g, dfreq, 0.9).count()
+    val brute = Dedup.containmentFromGrams(g, 0.9).count()
+    assert(fast == brute && fast == 0)
+  }
+
   test("minhash signatures are identical for identical docs") {
     val sig = Dedup.minhashSignatures(docs, $"doc_id", $"text").collect()
       .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
