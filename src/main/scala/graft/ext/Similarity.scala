@@ -215,30 +215,20 @@ object Similarity {
         max(col("nbr_id")).as("max_id"))
   }
 
-  def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
-      queries: DataFrame, queryId: Column, queryVec: Column,
-      k: Int, numCells: Int = 16, nProbe: Int = 4,
-      centroids: Option[DataFrame] = None): DataFrame = {
+  /** Probe + exact-rank tail shared by every IVF entry point: nProbe
+    * nearest cells per query, then one vec_dot_dec per surviving
+    * (query, candidate) pair. `cells` is the (nbr_id, cell_id)
+    * assignment frame — computed or LOADED. */
+  private def ivfProbeRank(c: DataFrame, q: DataFrame, centArr: DataFrame,
+      cells: DataFrame, k: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // cache: corpus/query vector frames each feed two stages
-    val c = graft.Tables.materialize(
-      vectors(corpus, corpusId, corpusVec, "nbr_id", "cv", "sn_c"))
-    val q = graft.Tables.materialize(
-      vectors(queries, queryId, queryVec, "query_id", "qv", "sn_q"))
-    val centArr = centroidArrays(corpus, corpusId, corpusVec, numCells,
-      centroids)
-    def ccos(vCol: String, snCol: String): Column = cellCos(vCol, snCol)
-    val cells = cellAssignments(c, centArr)
-    // query probes: nProbe nearest cells per query (query side is tiny)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cell_id").asc)
     val probes = q.crossJoin(broadcast(centArr))
-      .withColumn("ccos", ccos("qv", "sn_q"))
+      .withColumn("ccos", cellCos("qv", "sn_q"))
       .withColumn("r", row_number().over(wProbe))
       .filter(col("r") <= nProbe)
       .select(col("query_id"), col("cell_id"))
-    // exact rank within the probed cells only: one vec_dot_dec per
-    // surviving (query, candidate) pair
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     probes.join(cells, "cell_id")
@@ -251,6 +241,61 @@ object Similarity {
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), col("rank"), col("cosine"))
+  }
+
+  def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, numCells: Int = 16, nProbe: Int = 4,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    // cache: corpus/query vector frames each feed two stages
+    val c = graft.Tables.materialize(
+      vectors(corpus, corpusId, corpusVec, "nbr_id", "cv", "sn_c"))
+    val q = graft.Tables.materialize(
+      vectors(queries, queryId, queryVec, "query_id", "qv", "sn_q"))
+    val centArr = centroidArrays(corpus, corpusId, corpusVec, numCells,
+      centroids)
+    ivfProbeRank(c, q, centArr, cellAssignments(c, centArr), k, nProbe)
+  }
+
+  /** One-time IVF index BUILD — the artifacts a deployed vector store
+    * persists so that probes never retrain or re-assign: trained
+    * centroids (cell_id, i, cx — [[kmeansCentroids]]) and the full
+    * corpus cell assignment (nbr_id, cell_id). Write both as parquet
+    * tables; [[ivfTopKFromIndex]] probes them. Assignment is the one
+    * corpus-sized pass (crossJoin against the broadcast centroid
+    * frame + per-vector argmax); at 100 TB it runs once per retrain,
+    * not once per query batch. */
+  def buildIvfIndex(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      numCells: Int = 16, iters: Int = 3, sampleMod: Long = 1L)
+      : (DataFrame, DataFrame) = {
+    val cent = kmeansCentroids(corpus, corpusId, corpusVec, numCells,
+      iters, sampleMod)
+    val c = graft.Tables.materialize(
+      vectors(corpus, corpusId, corpusVec, "nbr_id", "cv", "sn_c"))
+    val centArr = centroidArrays(corpus, corpusId, corpusVec, numCells,
+      Some(cent))
+    (cent, cellAssignments(c, centArr))
+  }
+
+  /** Probe a PERSISTED IVF index: `centroids` (cell_id, i, cx) and
+    * `assignments` (nbr_id, cell_id) are read from storage — this
+    * entry point has no training inputs and recomputes neither; the
+    * only corpus access is fetching the PROBED cells' member vectors
+    * for exact ranking (semi-join through the assignment table). The
+    * spec proves the table is authoritative: an assignment row edited
+    * on disk changes which candidates a probe sees. */
+  def ivfTopKFromIndex(corpus: DataFrame, corpusId: Column,
+      corpusVec: Column, queries: DataFrame, queryId: Column,
+      queryVec: Column, k: Int, nProbe: Int,
+      centroids: DataFrame, assignments: DataFrame): DataFrame = {
+    val c = graft.Tables.materialize(
+      vectors(corpus, corpusId, corpusVec, "nbr_id", "cv", "sn_c"))
+    val q = graft.Tables.materialize(
+      vectors(queries, queryId, queryVec, "query_id", "qv", "sn_q"))
+    val centArr = centroidArrays(corpus, corpusId, corpusVec,
+      numCells = 0, Some(centroids))
+    ivfProbeRank(c, q, centArr,
+      assignments.select(col("nbr_id"), col("cell_id")), k, nProbe)
   }
 
   /** IVF probing × int8 ranking — the two compression axes COMPOSED

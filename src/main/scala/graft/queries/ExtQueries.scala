@@ -567,6 +567,40 @@ object ExtQueries {
     * scores at chance — this is the measurement behind "are these
     * embeddings worth indexing". Composes [[Similarity.bruteForceTopK]]
     * (the probed IVF path swaps in unchanged at scale). */
+  /** [[knnLabelEval]] at INDEX scale: the same 5-nearest majority
+    * vote, but neighbors come from the probed IVF path
+    * ([[Similarity.ivfTopK]], numCells=16, nProbe=4) instead of the
+    * broadcast cross product — probing bounds per-query work by the
+    * probed cells' population, so the eval runs on the index a
+    * deployment actually serves. The brute gate stays as the
+    * baseline cross-check; recall deltas between the two accuracies
+    * are the audited probe-loss. */
+  def knnLabelEvalIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+    val knn = Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"),
+        k = 6, numCells = 16, nProbe = 4)
+      .filter(col("nbr_id") =!= col("query_id"))
+    val lab = emb.select(col("vec_id"), col("label"))
+    val votes = knn
+      .join(lab.select(col("vec_id").as("nbr_id"),
+        col("label").as("nbr_label")), "nbr_id")
+      .join(broadcast(lab.select(col("vec_id").as("query_id"),
+        col("label").as("query_label"))), "query_id")
+      .groupBy(col("query_id"), col("query_label"), col("nbr_label"))
+      .agg(count(lit(1)).as("nv"))
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("nv").desc, col("nbr_label").asc)
+    votes.withColumn("rk", row_number().over(wVote))
+      .filter(col("rk") === 1)
+      .groupBy(col("query_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum((col("nbr_label") === col("query_label")).cast("long"))
+          .as("n_correct"))
+  }
+
   def knnLabelEval(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables(spark, dir, "embeddings")
@@ -657,6 +691,28 @@ object ExtQueries {
     Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
       emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
       k = 10, numCells = 16, nProbe = 4, centroids = Some(cent))
+  }
+
+  /** IVF index LIFECYCLE gate ([[Similarity.buildIvfIndex]] →
+    * parquet → [[Similarity.ivfTopKFromIndex]]): the trained
+    * centroids and full cell assignment are WRITTEN to disk and the
+    * probe reads them back — no retrain, no re-assignment on the
+    * query path, which is how a 100 TB deployment actually serves
+    * (build once per retrain window, probe many). Same algebra as
+    * [[annIvfKmeans]], so the same oracle gates it. */
+  def annIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ivf_index").toString
+    val (cent, assign) = Similarity.buildIvfIndex(emb, col("vec_id"),
+      col("embedding"), numCells = 16, iters = 3, sampleMod = 4)
+    cent.write.mode("overwrite").parquet(s"$tmp/centroids")
+    assign.write.mode("overwrite").parquet(s"$tmp/assignments")
+    Similarity.ivfTopKFromIndex(emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 10, nProbe = 4,
+      spark.read.parquet(s"$tmp/centroids"),
+      spark.read.parquet(s"$tmp/assignments"))
   }
 
   /** Incremental cross-snapshot dedup — the nightly-ingest twin of
@@ -892,6 +948,7 @@ object ExtQueries {
     "ann_brute_force" -> annBruteForce _,
     "ann_ivf_topk" -> annIvfTopK _,
     "ann_ivf_kmeans" -> annIvfKmeans _,
+    "ann_ivf_persisted" -> annIvfPersisted _,
     "ann_ivf_recall" -> annIvfRecall _,
     "ann_ivf_cells" -> annIvfCells _,
     "embed_neardup_lsh" -> embedNearDupLsh _,
@@ -902,6 +959,7 @@ object ExtQueries {
     "graph_triangles" -> graphTriangles _,
     "graph_two_hop" -> graphTwoHop _,
     "knn_label_eval" -> knnLabelEval _,
+    "knn_label_eval_ivf" -> knnLabelEvalIvf _,
     "ann_ranking_eval" -> annRankingEval _,
     "ann_probe_sweep" -> annProbeSweep _,
     "ann_hard_negatives" -> annHardNegatives _,
@@ -2628,6 +2686,55 @@ object ExtQueries {
        |SELECT u AS id, CAST(count(*) AS BIGINT) AS two_hop_reach
        |FROM reach GROUP BY u""".stripMargin
 
+  // probed-IVF top-6 (seed cells, nProbe=4) incl self, self dropped
+  // AFTER ranking, then the same vote algebra as knnLabelEvalSql
+  private val knnLabelEvalIvfSql =
+    s"""WITH $ivfAssignCtes,
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY ccos DESC, cell_id ASC) AS r
+       |    FROM cellcos WHERE vec_id % 25 = 0) WHERE r <= 4),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, c.nbr_id
+       |  FROM probes p JOIN cells c ON c.cell_id = p.cell_id),
+       |dots AS (
+       |  SELECT cand.query_id, cand.nbr_id,
+       |    CAST(sum(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |  FROM cand
+       |  JOIN comp a ON a.vec_id = cand.nbr_id
+       |  JOIN comp b ON b.vec_id = cand.query_id AND b.i = a.i
+       |  GROUP BY cand.query_id, cand.nbr_id),
+       |ranked AS (
+       |  SELECT query_id, nbr_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dot / (nc.sn * nq.sn) DESC, nbr_id ASC) AS rank
+       |  FROM dots
+       |  JOIN norms nc ON nc.vec_id = nbr_id
+       |  JOIN norms nq ON nq.vec_id = query_id),
+       |knn AS (
+       |  SELECT query_id, nbr_id FROM ranked
+       |  WHERE rank <= 6 AND nbr_id <> query_id),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |votes AS (
+       |  SELECT k.query_id, ql.label AS query_label,
+       |    nl.label AS nbr_label, CAST(count(*) AS BIGINT) AS nv
+       |  FROM knn k
+       |  JOIN lab nl ON nl.vec_id = k.nbr_id
+       |  JOIN lab ql ON ql.vec_id = k.query_id
+       |  GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT query_id, query_label, nbr_label FROM (
+       |    SELECT query_id, query_label, nbr_label,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY nv DESC, nbr_label ASC) AS rk
+       |    FROM votes) v WHERE rk = 1)
+       |SELECT query_label, CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(SUM(CASE WHEN nbr_label = query_label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_correct
+       |FROM pred GROUP BY 1""".stripMargin
+
   // brute top-6 incl self (ranking matches bruteForceTopK), self
   // dropped AFTER ranking, majority vote (count desc, label asc)
   private val knnLabelEvalSql =
@@ -2885,6 +2992,7 @@ object ExtQueries {
     "ann_brute_force" -> annBruteForceSql,
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_ivf_kmeans" -> annIvfKmeansSql,
+    "ann_ivf_persisted" -> annIvfKmeansSql,
     "ann_ivf_recall" -> annIvfRecallSql,
     "ann_ivf_cells" -> annIvfCellsSql,
     "embed_quantize" -> embedQuantizeSql,
@@ -2921,6 +3029,7 @@ object ExtQueries {
     "graph_triangles" -> graphTrianglesSql,
     "graph_two_hop" -> graphTwoHopSql,
     "knn_label_eval" -> knnLabelEvalSql,
+    "knn_label_eval_ivf" -> knnLabelEvalIvfSql,
     "ann_ranking_eval" -> annRankingEvalSql,
     "ann_probe_sweep" -> annProbeSweepSql,
     "ann_hard_negatives" -> annHardNegativesSql,

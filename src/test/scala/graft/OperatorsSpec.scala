@@ -374,6 +374,45 @@ class OperatorsSpec extends SparkSpec {
     assert(got.filter(_._1 == 4L).forall(r => Set(2L, 4L, 6L)(r._2)))
   }
 
+  test("ivf persisted index: probe-from-disk equals the in-memory " +
+      "path, and the assignment TABLE is authoritative (no re-assign " +
+      "on probe)") {
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = corpus.filter($"vec_id" < 6)
+    val (cent, assign) = Similarity.buildIvfIndex(corpus, $"vec_id",
+      $"embedding", numCells = 8, iters = 2, sampleMod = 4)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ivf_spec").toString
+    cent.write.mode("overwrite").parquet(s"$tmp/cent")
+    assign.write.mode("overwrite").parquet(s"$tmp/assign")
+    val centD = spark.read.parquet(s"$tmp/cent")
+    val assignD = spark.read.parquet(s"$tmp/assign")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nbr_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val fromDisk = rows(Similarity.ivfTopKFromIndex(corpus, $"vec_id",
+      $"embedding", queries, $"vec_id", $"embedding",
+      k = 5, nProbe = 2, centD, assignD))
+    val inMem = rows(Similarity.ivfTopK(corpus, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding",
+      k = 5, numCells = 8, nProbe = 2, centroids = Some(cent)))
+    assert(fromDisk == inMem)
+    // authoritative table: DELETE every even nbr_id from the stored
+    // assignment and probe ALL cells — a probe that re-assigned from
+    // geometry would still surface even ids; one that reads the table
+    // can only ever see the odd ones, and over all cells it must
+    // equal brute force on the odd sub-corpus
+    val oddOnly = assignD.filter($"nbr_id" % 2 === 1)
+    val edited = rows(Similarity.ivfTopKFromIndex(corpus, $"vec_id",
+      $"embedding", queries, $"vec_id", $"embedding",
+      k = 5, nProbe = 8, centD, oddOnly))
+    assert(edited.forall(_._2 % 2 == 1), "probe surfaced a deleted id")
+    val bruteOdd = rows(Similarity.bruteForceTopK(
+      corpus.filter($"vec_id" % 2 === 1), $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", k = 5))
+    assert(edited == bruteOdd)
+  }
+
   test("ivf: k-means centroids beat smallest-id seeds on a clustered " +
       "corpus (recall@5 vs brute force)") {
     // 4 orthogonal clusters; ids arranged so ALL smallest-id seeds land
