@@ -1671,7 +1671,70 @@ object AnalyticsQueries {
           lit(0L), (a, b) => a + b).as("match_chars"))
   }
 
+  /** The multi-pattern patterns shared by gate and oracle: all
+    * Java/RE2-portable (literal initials, classes, `*`/`+`). */
+  private[queries] val MultiPatterns = Seq("vc*p", "v+c", "cp")
+
+  /** MULTI-step MATCH_RECOGNIZE: several patterns per user, each with
+    * PER-MATCH MEASURES — the piece [[eventPatternMatch]]'s single
+    * count couldn't express. The key identity: a greedy
+    * non-overlapping scan factors the sequence as
+    * `gap₀ m₁ gap₁ m₂ … gapₙ`, and BOTH engines expose the two
+    * halves (`regexp_extract_all` = the mᵢ, regex `split` = the
+    * gapᵢ), so every match's START POSITION is a prefix-sum of gap
+    * and match lengths — no positional regex API needed. Positions
+    * index into the user's packed, chronologically-sorted timestamp
+    * array, making the per-match TIME SPAN (last event − first
+    * event, integer micros) exact on both engines. Output: one row
+    * per (user, pattern) with ≥1 match — match count, matched chars,
+    * summed span.
+    *
+    * Scale: one shuffle packs each user once (same shape as
+    * [[eventPatternMatch]]); the three patterns then scan the
+    * materialized packed frame with per-row expressions only. The
+    * prefix sums are O(matches²) per user in interpreted HOFs —
+    * bounded by the match count, not the event count. */
+  def eventMultiPattern(spark: SparkSession, dir: String): DataFrame = {
+    val sorted = sort_array(collect_list(struct(col("us"),
+      col("event_id"), col("ini"))))
+    val packed = graft.Tables.materialize(
+      Tables(spark, dir, "events")
+        .filter(col("ts").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), substring(col("event_type"), 1, 1).as("ini"))
+        .groupBy(col("user_id"))
+        .agg(
+          concat_ws("",
+            transform(sorted, s => s.getField("ini"))).as("seq"),
+          transform(sorted, s => s.getField("us")).as("usarr")))
+    MultiPatterns.map { p =>
+      def prefLen(arr: Column, n: Column): Column =
+        aggregate(slice(arr, lit(1), n), lit(0L),
+          (a, x) => a + length(x))
+      packed
+        .select(col("user_id"), col("usarr"),
+          regexp_extract_all(col("seq"), lit(p), lit(0)).as("ms"),
+          split(col("seq"), p, -1).as("gaps"))
+        .filter(size(col("ms")) > 0)
+        .withColumn("starts",
+          transform(sequence(lit(1), size(col("ms"))), i =>
+            prefLen(col("gaps"), i) + prefLen(col("ms"), i - 1) +
+              lit(1L)))
+        .withColumn("spans", zip_with(col("starts"), col("ms"),
+          (s, m) =>
+            element_at(col("usarr"), (s + length(m) - 1).cast("int")) -
+              element_at(col("usarr"), s.cast("int"))))
+        .select(col("user_id"), lit(p).as("pattern"),
+          size(col("ms")).cast("long").as("n_matches"),
+          aggregate(transform(col("ms"), m => length(m).cast("long")),
+            lit(0L), (a, b) => a + b).as("match_chars"),
+          aggregate(col("spans"), lit(0L), (a, b) => a + b)
+            .as("span_us"))
+    }.reduce(_.unionByName(_))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_multi_pattern" -> eventMultiPattern _,
     "cohort_overlap" -> cohortOverlap _,
     "weighted_median" -> weightedMedian _,
     "event_pattern_match" -> eventPatternMatch _,
@@ -1732,7 +1795,46 @@ object AnalyticsQueries {
     "quantiles_agg" -> quantilesAgg _,
     "quantiles_approx_bounds" -> quantilesApproxBounds _)
 
+  /** DuckDB twin of [[eventMultiPattern]]: per pattern, the same
+    * gap/match factoring (`string_split_regex` + `regexp_extract_all`)
+    * and prefix-sum position algebra, UNION ALL across the shared
+    * pattern list. */
+  private lazy val eventMultiPatternSql = {
+    def pref(arr: String) =
+      s"COALESCE(list_sum(list_transform($arr, q -> length(q))), 0)"
+    val perPattern = MultiPatterns.map { p =>
+      s"""SELECT user_id, '$p' AS pattern,
+         |  CAST(len(ms) AS BIGINT) AS n_matches,
+         |  CAST(${pref("ms")} AS BIGINT) AS match_chars,
+         |  CAST(COALESCE(list_sum(list_transform(range(1, len(ms) + 1),
+         |    i ->
+         |      usarr[CAST(${pref("gaps[1:CAST(i AS INT)]")}
+         |         + ${pref("ms[1:CAST(i AS INT) - 1]")}
+         |         + length(ms[CAST(i AS INT)]) AS INT)]
+         |    - usarr[CAST(${pref("gaps[1:CAST(i AS INT)]")}
+         |         + ${pref("ms[1:CAST(i AS INT) - 1]")} + 1 AS INT)])),
+         |    0) AS BIGINT) AS span_us
+         |FROM (
+         |  SELECT user_id, usarr,
+         |    regexp_extract_all(seq, '$p') AS ms,
+         |    string_split_regex(seq, '$p') AS gaps
+         |  FROM mp_s) x
+         |WHERE len(ms) > 0""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH mp_s AS (
+       |  SELECT user_id,
+       |    string_agg(ini, '' ORDER BY us, event_id) AS seq,
+       |    list(us ORDER BY us, event_id) AS usarr
+       |  FROM (
+       |    SELECT user_id, epoch_us(ts) AS us, event_id,
+       |      substr(event_type, 1, 1) AS ini
+       |    FROM events WHERE ts IS NOT NULL) e
+       |  GROUP BY user_id)
+       |$perPattern""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "event_multi_pattern" -> eventMultiPatternSql,
     "event_pattern_match" ->
       """WITH pm_s AS (
         |  SELECT user_id,

@@ -11,6 +11,40 @@ import graft.queries.{PipelineQueries, RelationalQueries}
 class ExtraQueriesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("event_multi_pattern measures match a driver-side Java-regex " +
+      "reference on every sf0.001 user") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.AnalyticsQueries
+      .eventMultiPattern(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // independent reference: per-user chronological (us, event_id)
+    // sort in Scala, java.util.regex matcher with explicit positions
+    val ev = sf("events").filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), substring(col("event_type"), 1, 1).as("ini"))
+      .as[(Long, Long, Long, String)].collect()
+    val byUser = ev.groupBy(_._1).map { case (u, rows) =>
+      val s = rows.sortBy(r => (r._2, r._3))
+      u -> (s.map(_._4).mkString, s.map(_._2))
+    }
+    val want = for {
+      (u, (seq, us)) <- byUser.toSeq
+      p <- Seq("vc*p", "v+c", "cp")
+    } yield {
+      val m = java.util.regex.Pattern.compile(p).matcher(seq)
+      var n = 0L; var chars = 0L; var span = 0L
+      while (m.find()) {
+        n += 1; chars += m.end() - m.start()
+        span += us(m.end() - 1) - us(m.start())
+      }
+      (u, p) -> (n, chars, span)
+    }
+    val wantNonzero = want.filter(_._2._1 > 0).toMap
+    assert(got == wantNonzero)
+    assert(got.nonEmpty)
+  }
+
   test("WeightedMean aggregator: exact sums, null rows skipped") {
     val wm = udaf(TypedAggs.WeightedMean,
       Encoders.tuple(Encoders.DECIMAL, Encoders.DECIMAL))

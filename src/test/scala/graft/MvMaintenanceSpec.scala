@@ -33,6 +33,30 @@ class MvMaintenanceSpec extends SparkSpec {
     assert(got sameElements want)
   }
 
+  test("crash between summary write and ledger flip: replay re-merges " +
+      "against the OLD summary — no double count") {
+    val dir = Files.createTempDirectory("mv_maint_crash").toString
+    val ev = sf("events").limit(600).cache(); ev.count()
+    val b0 = ev.filter(col("event_id") % 2 === 0)
+    val b1 = ev.filter(col("event_id") % 2 === 1)
+    assert(MvMaintenance.mergeBatch(spark, dir, b0, 0L))
+    // simulate the crash: batch 1's versioned summary lands on disk
+    // but the process dies BEFORE the ledger flips — exactly what a
+    // kill between the two steps leaves behind
+    MvMaintenance.summarize(ev) // (any frame) — emulate the orphan dir
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/summary_b1")
+    assert(MvMaintenance.lastMerged(dir) === 0L) // ledger still old
+    // restart replays batch 1: it must merge against batch 0's
+    // summary (the orphan is overwritten), not on top of the orphan
+    assert(MvMaintenance.mergeBatch(spark, dir, b1, 1L))
+    val got = MvMaintenance.readSummary(spark, dir)
+      .orderBy("event_type").collect().map(_.toString)
+    val want = MvMaintenance.summarize(ev)
+      .orderBy("event_type").collect().map(_.toString)
+    assert(got sameElements want)
+  }
+
   test("out-of-order old batch is rejected, newer accepted") {
     val dir = Files.createTempDirectory("mv_maint_spec2").toString
     val ev = sf("events").limit(500)

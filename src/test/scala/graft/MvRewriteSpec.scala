@@ -134,6 +134,31 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("global COUNT over an EMPTY base stays 0 through the rewrite " +
+      "(COUNT->SUM(summary) would be NULL without the coalesce)") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_mv_empty").toString
+    val suffix = "empty_li.parquet"
+    Tables(spark, dir, "lineitem").filter(lit(false))
+      .write.mode("overwrite").parquet(s"$tmp/$suffix")
+    val base = spark.read.parquet(s"$tmp/$suffix")
+    MvCatalog.registerSummary(s"spec_empty:$tmp", base, suffix,
+      keys = Seq("l_returnflag"), covered = Seq("l_linenumber"))
+    val on = spark.newSession()
+    on.conf.set(MvRewrite.EnabledKey, "true")
+    def q(s: org.apache.spark.sql.SparkSession) =
+      s.read.parquet(s"$tmp/$suffix")
+        .agg(count(lit(1)).as("n"), count($"l_linenumber").as("nn"))
+    // the rewrite fires (global agg, empty grouping passes the key
+    // subset check) ...
+    val plan = q(on).queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"), plan)
+    // ... and the answer is COUNT's 0, not SUM-over-no-rows NULL
+    val row = q(on).collect()(0)
+    assert(!row.isNullAt(0) && row.getLong(0) == 0L, row.toString)
+    assert(!row.isNullAt(1) && row.getLong(1) == 0L, row.toString)
+  }
+
   test("disabled conf leaves the plan untouched") {
     registered()
     val df = query(spark) // shared session: conf defaults to off
