@@ -1140,7 +1140,7 @@ object ExtQueries {
   private val stopwordsSql =
     TextFunctions.EnglishStopwords.map(s => s"'$s'").mkString(", ")
 
-  private val toks = "string_split_regex(trim(text), '\\s+')"
+  private[queries] val toks = "string_split_regex(trim(text), '\\s+')"
 
   // The pattern constants interpolate verbatim: DuckDB single-quoted
   // literals don't process backslash escapes, so `\b`/`\d` reach RE2
@@ -1594,7 +1594,7 @@ object ExtQueries {
        |JOIN sizes s2 ON s2.id = id2
        |WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.5""".stripMargin
 
-  private val sigAggs = Dedup.minhashParams(16).zipWithIndex
+  private[queries] val sigAggs = Dedup.minhashParams(16).zipWithIndex
     .map { case ((a, b), j) =>
       s"  min((h * $a + $b) % ${Dedup.MinhashP}) AS sig_$j"
     }.mkString(",\n")
@@ -1611,7 +1611,7 @@ object ExtQueries {
        |$sigAggs
        |FROM hashed GROUP BY id""".stripMargin
 
-  private val bandExprs = (0 until 4).map { b =>
+  private[queries] val bandExprs = (0 until 4).map { b =>
     val cols = (0 until 4).map(r => s"sig_${b * 4 + r}")
     s"md5(${cols.mkString(" || '|' || ")})"
   }

@@ -644,7 +644,77 @@ object PipelineQueries {
     }
   }
 
+  /** STREAMING incremental near-dup dedup — the live lifecycle of
+    * [[graft.ext.Dedup.incrementalLshDedup]]: each micro-batch probes
+    * the three persisted standing-corpus stores (retained docs, the
+    * MinHash band index, the fingerprint ledger), keeps its
+    * survivors, and APPENDS them to all three — so batch N+1 dedups
+    * against everything batch N retained. Two deterministic
+    * MemoryStream batches (doc_id ≡ 0 mod 4, then ≡ 3 mod 4) against
+    * a mod-{1,2} standing corpus; the oracle unrolls the two stages
+    * with the SAME retained-corpus semantics. All frames fed to the
+    * appends are localCheckpoint-materialized BEFORE any write so no
+    * plan re-reads a directory its own batch is appending to. Output:
+    * (doc_id, stage) of every retained batch doc. Gate-only
+    * MemoryStream/collect harness — production feeds the same
+    * foreachBatch from any streaming source. */
+  def streamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Dedup
+    import graft.functions.TextFunctions
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_inc_stream").toString
+    val history = docs.filter(pmod(col("doc_id"), lit(4)).isin(1, 2))
+    history.write.mode("overwrite").parquet(s"$tmp/corpus")
+    Dedup.minhashBandRows(
+        Dedup.shingles(history, col("doc_id"), col("text"), 3))
+      .write.mode("overwrite").parquet(s"$tmp/band_index")
+    history
+      .select(TextFunctions.canonicalFingerprint(col("text")).as("fp"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$tmp/fp_ledger")
+    onStreamSession(spark, 8) { s =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      def batchRows(m: Long): Seq[(Long, String)] = docs
+        .filter(pmod(col("doc_id"), lit(4)) === m)
+        .as[(Long, String)].collect().toSeq
+      val mem = MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val (kept, delta) = Dedup.incrementalLshDedup(b,
+            col("doc_id"), col("text"),
+            s.read.parquet(s"$tmp/band_index"),
+            s.read.parquet(s"$tmp/corpus"),
+            col("doc_id"), col("text"),
+            s.read.parquet(s"$tmp/fp_ledger"))
+          val keptM = b.join(kept.withColumnRenamed("id", "doc_id"),
+            Seq("doc_id"), "left_semi").localCheckpoint(true)
+          val deltaM = delta.localCheckpoint(true)
+          keptM.select(col("doc_id"), lit(id + 1).as("stage"))
+            .write.mode("append").parquet(s"$tmp/kept")
+          keptM.write.mode("append").parquet(s"$tmp/corpus")
+          deltaM.write.mode("append").parquet(s"$tmp/band_index")
+          keptM.select(TextFunctions.canonicalFingerprint(col("text"))
+              .as("fp")).distinct()
+            .write.mode("append").parquet(s"$tmp/fp_ledger")
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/_ck")
+        .start()
+      mem.addData(batchRows(0): _*)
+      q.processAllAvailable()
+      mem.addData(batchRows(3): _*)
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(s"$tmp/kept")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_incremental_dedup" -> streamIncrementalDedup _,
     "stream_mv_maintenance" -> streamMvMaintenance _,
     "stream_dsv2_source" -> streamDsv2Source _,
     "pipeline_batch_e2e" -> pipelineBatchE2e _,
@@ -666,7 +736,86 @@ object PipelineQueries {
     "multimodal_frames" -> multimodalFrames _,
     "multimodal_resize" -> multimodalResize _)
 
+  /** DuckDB twin of [[streamIncrementalDedup]]: the two micro-batch
+    * stages unrolled with retained-corpus semantics — stage 2's
+    * retained set is history ∪ stage-1 kept. Shares the minhash
+    * sig/band constants with the batch oracles via
+    * [[ExtQueries.sigAggs]]/[[ExtQueries.bandExprs]]. */
+  private lazy val streamIncrementalDedupSql = {
+    val cond = ExtQueries.bandExprs.indices
+      .map(b => s"x.b$b = y.b$b").mkString(" OR ")
+    val bandCols = ExtQueries.bandExprs.zipWithIndex
+      .map { case (e, b) => s"  $e AS b$b" }.mkString(",\n")
+    def stage(k: Int, batchPred: String, retainedSel: String): String =
+      s"""s${k}_led AS (
+         |  SELECT DISTINCT c.fp FROM inc_canon c
+         |  JOIN ($retainedSel) r ON r.id = c.id),
+         |s${k}_bfirst AS (
+         |  SELECT fp, min(id) AS id FROM inc_canon
+         |  WHERE $batchPred GROUP BY fp),
+         |s${k}_bsurv AS (
+         |  SELECT c.id, c.text FROM inc_canon c
+         |  JOIN s${k}_bfirst f ON c.id = f.id
+         |  WHERE c.fp NOT IN (SELECT fp FROM s${k}_led)),
+         |s${k}_pool AS (
+         |  SELECT c.id, c.text FROM inc_canon c
+         |  JOIN ($retainedSel) r ON r.id = c.id
+         |  UNION ALL SELECT id, text FROM s${k}_bsurv),
+         |s${k}_grams AS (
+         |  SELECT DISTINCT sub.id,
+         |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+         |  FROM (SELECT id, ${ExtQueries.toks} AS t FROM s${k}_pool) sub,
+         |       LATERAL (SELECT unnest(range(1, greatest(length(t) - 1, 1))) AS i)),
+         |s${k}_hashed AS (
+         |  SELECT id, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h
+         |  FROM s${k}_grams),
+         |s${k}_sig AS (
+         |SELECT id,
+         |${ExtQueries.sigAggs}
+         |FROM s${k}_hashed GROUP BY id),
+         |s${k}_bands AS (
+         |SELECT id,
+         |$bandCols
+         |FROM s${k}_sig),
+         |s${k}_cand AS (
+         |  SELECT DISTINCT x.id AS id1, y.id AS id2
+         |  FROM s${k}_bands x JOIN s${k}_bands y
+         |    ON y.id IN (SELECT id FROM s${k}_bsurv)
+         |    AND x.id <> y.id
+         |    AND (x.id NOT IN (SELECT id FROM s${k}_bsurv) OR x.id < y.id)
+         |    AND ($cond)),
+         |s${k}_sizes AS (
+         |  SELECT id, count(*) AS sz FROM s${k}_grams GROUP BY id),
+         |s${k}_inter AS (
+         |  SELECT c.id1, c.id2, count(*) AS inter FROM s${k}_cand c
+         |  JOIN s${k}_grams ga ON ga.id = c.id1
+         |  JOIN s${k}_grams gb ON gb.id = c.id2 AND gb.gram = ga.gram
+         |  GROUP BY c.id1, c.id2),
+         |s${k}_verified AS (
+         |  SELECT id1, id2 FROM s${k}_inter
+         |  JOIN s${k}_sizes z1 ON z1.id = id1
+         |  JOIN s${k}_sizes z2 ON z2.id = id2
+         |  WHERE CAST(inter AS DOUBLE) / CAST(z1.sz + z2.sz - inter AS DOUBLE)
+         |    >= 0.8),
+         |s${k}_kept AS (
+         |  SELECT id FROM s${k}_bsurv
+         |  WHERE id NOT IN (SELECT DISTINCT id2 FROM s${k}_verified))"""
+    val retained1 = "SELECT id FROM inc_canon WHERE id % 4 IN (1, 2)"
+    val retained2 = s"$retained1 UNION ALL SELECT id FROM s1_kept"
+    s"""WITH inc_canon AS (
+       |  SELECT doc_id AS id, text,
+       |    md5(array_to_string(list_sort(list_distinct(${ExtQueries.toks})), ' '))
+       |      AS fp
+       |  FROM documents),
+       |${stage(1, "id % 4 = 0", retained1)},
+       |${stage(2, "id % 4 = 3", retained2)}
+       |SELECT id AS doc_id, CAST(1 AS BIGINT) AS stage FROM s1_kept
+       |UNION ALL
+       |SELECT id AS doc_id, CAST(2 AS BIGINT) AS stage FROM s2_kept""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "stream_incremental_dedup" -> streamIncrementalDedupSql,
     // the incrementally-maintained summary must equal the direct
     // batch aggregate bit for bit
     "stream_mv_maintenance" ->

@@ -82,6 +82,36 @@ class IncrementalLshSpec extends SparkSpec {
     assert(delta.as[(Long, Int, String)].collect().toSet == expect)
   }
 
+  test("sequential ingest: batch 2 dedups against batch 1's KEPT docs " +
+      "through the updated stores (index delta + fp ledger + corpus)") {
+    val t = (1 to 40).map(i => s"h$i").mkString(" ")
+    val a = (1 to 40).map(i => s"a$i").mkString(" ")
+    val aNear = (1 to 39).map(i => s"a$i").mkString(" ") + " zz"
+    val novel = (1 to 40).map(i => s"n$i").mkString(" ")
+    val history = Seq((1L, t)).toDF("doc_id", "text")
+    val b1 = Seq((10L, a)).toDF("doc_id", "text")
+    val b2 = Seq(
+      (20L, a),     // exact dup of batch-1 kept 10 -> fp ledger kills it
+      (21L, aNear), // near dup of batch-1 kept 10 -> index probe kills it
+      (22L, novel)) // novel -> survives
+      .toDF("doc_id", "text")
+    var corpus = history
+    var idx = graft.Tables.materialize(index(history))
+    var ledger = fps(history)
+    for (b <- Seq(b1, b2)) {
+      val (kept, delta) = Dedup.incrementalLshDedup(b,
+        col("doc_id"), col("text"), idx, corpus,
+        col("doc_id"), col("text"), ledger)
+      val keptDocs = b.join(kept.withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"), "left_semi")
+      corpus = corpus.unionByName(keptDocs)
+      idx = graft.Tables.materialize(idx.unionByName(delta))
+      ledger = ledger.unionByName(fps(keptDocs)).distinct()
+    }
+    val retained = corpus.select(col("doc_id")).as[Long].collect().toSet
+    assert(retained == Set(1L, 10L, 22L), s"retained: $retained")
+  }
+
   test("non-candidate history text is never consulted: a history " +
       "frame holding ONLY band-collision candidates yields the same " +
       "kept set") {
