@@ -414,6 +414,31 @@ object Corpus {
     * Single-space split, empties dropped — the deterministic baseline
     * tokenizer (byte-identical across engines; no locale-dependent
     * lowercasing). */
+  /** Per-document out-of-vocabulary rate against the corpus top-`k`
+    * token vocabulary — the tokenizer-coverage signal that decides
+    * whether a vocab (or a language's share of it) is big enough
+    * before training: high OOV docs either get dropped or argue for
+    * a bigger vocab. Token-level (not distinct — a repeated OOV word
+    * costs every occurrence, as it would in training). Same scale
+    * shape as [[bigramNovelty]]: TakeOrdered vocabulary cut on the
+    * (count desc, token asc) total order, broadcast membership join,
+    * one doc-keyed aggregate; integer counts, one IEEE divide. */
+  def oovRate(docs: DataFrame, id: Column, text: Column,
+      vocabK: Int): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+        explode(filter(split(text, " "), t => t =!= "")).as("token"))
+    val vocab = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(vocabK)
+      .select(col("token"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Bigram-LM novelty scoring — the cheapest useful "how far is this
     * document from the corpus's n-gram language model" signal: the
     * fraction of a document's distinct word bigrams NOT in the corpus

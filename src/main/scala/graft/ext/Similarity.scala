@@ -107,6 +107,40 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("rank"), col("cosine"))
   }
 
+  /** Matryoshka truncation eval — recall@k of retrieval under
+    * PREFIX-truncated embeddings vs the full-dimension exact top-k:
+    * the measurement behind serving MRL-style embeddings at a
+    * fraction of the bandwidth (rank with the first d components,
+    * re-rank or accept the recall loss). One full-dim baseline pass,
+    * then one sliced-vector pass per candidate dim — all the exact
+    * decimal-dot algebra of [[bruteForceTopK]], so the curve is
+    * hash-gateable; output one row per dim: (dim, n_queries,
+    * sum_hits, recall). The full dim itself belongs in `dims` as the
+    * recall=1 sanity row. */
+  def matryoshkaRecall(corpus: DataFrame, corpusId: Column,
+      corpusVec: Column, queries: DataFrame, queryId: Column,
+      queryVec: Column, k: Int, dims: Seq[Int]): DataFrame = {
+    val full = graft.Tables.materialize(
+      bruteForceTopK(corpus, corpusId, corpusVec,
+          queries, queryId, queryVec, k)
+        .select(col("query_id"), col("nbr_id")))
+    val qs = full.select(col("query_id")).distinct()
+    dims.map { d =>
+      val trunc = bruteForceTopK(corpus, corpusId, slice(corpusVec, 1, d),
+          queries, queryId, slice(queryVec, 1, d), k)
+        .select(col("query_id"), col("nbr_id"))
+      val overlap = trunc.join(full, Seq("query_id", "nbr_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      qs.join(overlap, Seq("query_id"), "left_outer")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(coalesce(col("hits"), lit(0L))).as("sum_hits"))
+        .select(lit(d.toLong).as("dim"), col("n_queries"),
+          col("sum_hits"),
+          (col("sum_hits").cast("double") /
+            (col("n_queries") * k).cast("double")).as("recall"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Hard-negative mining for contrastive training: for each labeled
     * query, the k most-SIMILAR corpus vectors carrying a DIFFERENT
     * label — the near-miss negatives a contrastive/embedding trainer

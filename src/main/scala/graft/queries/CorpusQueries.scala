@@ -152,6 +152,13 @@ object CorpusQueries {
     Corpus.packSequences(Tables(spark, dir, "documents"),
       col("doc_id"), col("text"), budget = 256, nShards = 4)
 
+  /** Per-doc OOV rate vs the corpus top-60 vocabulary
+    * ([[Corpus.oovRate]]) — tokenizer-coverage audit; 60 keeps a
+    * meaningful OOV tail on this corpus's compact vocabulary. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame =
+    Corpus.oovRate(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"), vocabK = 60)
+
   /** BPE merge APPLICATION ([[Corpus.bpeEncodeDocs]]) under the fixed
     * 12-merge table: per doc, whitespace-token count, real BPE symbol
     * count, and the first 10 symbols in document order — the encode
@@ -388,6 +395,7 @@ object CorpusQueries {
     "chunk_tokens" -> chunkTokens _,
     "pack_sequences" -> packSequences _,
     "bpe_encode" -> bpeEncode _,
+    "oov_rate" -> oovRate _,
     "pack_sequences_bpe" -> packSequencesBpe _,
     "corpus_prep_e2e" -> corpusPrepE2e _,
     "dedup_latest" -> dedupLatest _,
@@ -507,6 +515,23 @@ object CorpusQueries {
 
   val oracleSql: Map[String, String] = Map(
     "bpe_encode" -> bpeEncodeSql,
+    "oov_rate" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tk AS (SELECT doc_id, token FROM t WHERE token <> ''),
+        |v AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS n FROM tk GROUP BY token
+        |    ORDER BY n DESC, token ASC LIMIT 60)),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN token NOT IN (SELECT token FROM v)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM tk GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+        |FROM agg""".stripMargin,
     "pack_sequences_bpe" -> packSequencesBpeSql,
     // integer cross-multiplied keep verdict on the same CTE chain
     "paragraph_dedup_filter" ->

@@ -715,6 +715,18 @@ object ExtQueries {
       spark.read.parquet(s"$tmp/assignments"))
   }
 
+  /** Matryoshka truncation-recall curve
+    * ([[Similarity.matryoshkaRecall]]): top-10 retrieval with the
+    * first 16/32/64 embedding components vs the full-dim exact
+    * top-10 — the bandwidth/recall frontier of MRL-style serving,
+    * with dim 64 as the recall=1 sanity row. */
+  def annMatryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.matryoshkaRecall(emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 10, dims = Seq(16, 32, 64))
+  }
+
   /** Incremental cross-snapshot dedup — the nightly-ingest twin of
     * [[graft.ext.Dedup.exactDedup]]: today's batch (doc_id ≡ 0 mod 3
     * stands in for the new crawl) deduped within itself (first-wins
@@ -949,6 +961,7 @@ object ExtQueries {
     "ann_ivf_topk" -> annIvfTopK _,
     "ann_ivf_kmeans" -> annIvfKmeans _,
     "ann_ivf_persisted" -> annIvfPersisted _,
+    "ann_matryoshka_recall" -> annMatryoshkaRecall _,
     "ann_ivf_recall" -> annIvfRecall _,
     "ann_ivf_cells" -> annIvfCells _,
     "embed_neardup_lsh" -> embedNearDupLsh _,
@@ -2070,6 +2083,49 @@ object ExtQueries {
       |  SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS sn
       |  FROM comp GROUP BY vec_id)""".stripMargin
 
+  /** Per-dim truncated-component rank + overlap-vs-full counts; the
+    * recall divide mirrors the Spark long*k-then-one-divide shape. */
+  private lazy val annMatryoshkaRecallSql = {
+    val dims = Seq(16, 32, 64)
+    val per = dims.map { d =>
+      s"""md${d}_norm AS (
+         |  SELECT vec_id,
+         |    sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS sn
+         |  FROM comp WHERE i < $d GROUP BY vec_id),
+         |md${d}_dots AS (
+         |  SELECT c.vec_id AS nbr_id, q.vec_id AS query_id,
+         |    CAST(sum(CAST(c.x * q.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+         |  FROM comp c JOIN comp q ON c.i = q.i AND q.vec_id < 10
+         |  WHERE c.i < $d
+         |  GROUP BY c.vec_id, q.vec_id),
+         |md${d}_rank AS (
+         |  SELECT query_id, nbr_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dot / (nc.sn * nq.sn) DESC, nbr_id ASC) AS rank
+         |  FROM md${d}_dots
+         |  JOIN md${d}_norm nc ON nc.vec_id = nbr_id
+         |  JOIN md${d}_norm nq ON nq.vec_id = query_id),
+         |md${d}_top AS (
+         |  SELECT query_id, nbr_id FROM md${d}_rank WHERE rank <= 10)"""
+        .stripMargin
+    }.mkString(",\n")
+    val rows = dims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim,
+         |  CAST((SELECT count(DISTINCT query_id) FROM md64_top)
+         |    AS BIGINT) AS n_queries,
+         |  CAST((SELECT count(*) FROM md${d}_top t
+         |        JOIN md64_top f USING (query_id, nbr_id))
+         |    AS BIGINT) AS sum_hits,
+         |  CAST((SELECT count(*) FROM md${d}_top t
+         |        JOIN md64_top f USING (query_id, nbr_id)) AS DOUBLE) /
+         |  CAST((SELECT count(DISTINCT query_id) FROM md64_top) * 10
+         |    AS DOUBLE) AS recall""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $vecCtes,
+       |$per
+       |$rows""".stripMargin
+  }
+
   private val annBruteForceSql =
     s"""WITH $vecCtes,
        |dots AS (
@@ -2993,6 +3049,7 @@ object ExtQueries {
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_ivf_kmeans" -> annIvfKmeansSql,
     "ann_ivf_persisted" -> annIvfKmeansSql,
+    "ann_matryoshka_recall" -> annMatryoshkaRecallSql,
     "ann_ivf_recall" -> annIvfRecallSql,
     "ann_ivf_cells" -> annIvfCellsSql,
     "embed_quantize" -> embedQuantizeSql,

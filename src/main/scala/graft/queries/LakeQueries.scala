@@ -115,6 +115,73 @@ object LakeQueries {
         col("old_price"), col("new_price"))
   }
 
+  /** SCD Type-2 MERGE — the dimension-history upsert every warehouse
+    * runs: an incoming attribute snapshot closes the current version
+    * of each CHANGED key (valid_to = effective date, is_current
+    * false), inserts a new current version for changed and brand-new
+    * keys, and leaves unchanged keys and closed history untouched.
+    *
+    * Plan shape (the MERGE a lakehouse engine would compile): one
+    * equi-join of current rows against the batch to find changed
+    * keys (null-safe attribute compare so NULL→value transitions
+    * count as changes), one anti-join for new keys, then unions of
+    * semi/anti-filtered slices — no window, no global sort; at
+    * 100 TB the joins co-partition on the dimension key and the
+    * batch side broadcasts when small. History rows are append-only:
+    * closed versions are never rewritten, which is what makes the
+    * table time-travelable. */
+  def scdType2Merge(current: DataFrame, batch: DataFrame,
+      key: String, attrs: Seq[String], effective: Column): DataFrame = {
+    val cur = current.filter(col("is_current"))
+    val diff = attrs.map(a =>
+      !(col(a) <=> col(s"_b_$a"))).reduce(_ || _)
+    val bat = batch.select(col(key) +:
+      attrs.map(a => col(a).as(s"_b_$a")): _*)
+    val changedKeys = cur.join(bat, key)
+      .filter(diff).select(col(key))
+    val newKeys = batch.select(col(key))
+      .join(current.select(col(key)), Seq(key), "left_anti")
+    val upsertKeys = changedKeys.unionByName(newKeys).distinct()
+    val closed = cur.join(changedKeys, Seq(key), "left_semi")
+      .withColumn("valid_to", effective)
+      .withColumn("is_current", lit(false))
+    val inserted = batch.join(upsertKeys, Seq(key), "left_semi")
+      .withColumn("valid_from", effective)
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+    current.filter(!col("is_current"))                 // closed history
+      .unionByName(cur.join(changedKeys, Seq(key), "left_anti")) // untouched
+      .unionByName(closed)
+      .unionByName(inserted.select(current.columns.map(col): _*))
+  }
+
+  /** [[scdType2Merge]] gated: the customer dimension as the standing
+    * history (one open version per key, valid from 2024-01-01), an
+    * incoming snapshot where every mod-7 key's balance moved by +10
+    * (exact DECIMAL, no float drift) — post-merge history emitted
+    * with version bounds. Mod-7 keys carry two rows (closed + new
+    * current); everyone else keeps their single open row. */
+  def scdType2(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), dec(col("c_acctbal")).as("acctbal"))
+    val current = base
+      .withColumn("valid_from", to_date(lit("2024-01-01")))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+    val batch = base
+      .withColumn("acctbal",
+        when(col("c_custkey") % 7 === 0, col("acctbal") + lit(10))
+          .otherwise(col("acctbal")))
+    scdType2Merge(current, batch, "c_custkey", Seq("acctbal"),
+        to_date(lit("2024-06-01")))
+      // version bounds as strings: Spark date32 and DuckDB DATE
+      // stringify differently through the gate's pandas compare
+      .select(col("c_custkey"), col("acctbal").cast("double").as("acctbal"),
+        date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+        col("is_current"))
+  }
+
   /** Quantile feature binning: assign every order to a global price
     * decile — the discretization step in front of any categorical
     * model feature or stratified report. Two passes, no global sort:
@@ -461,9 +528,49 @@ object LakeQueries {
     "snapshot_diff" -> snapshotDiff _,
     "quantile_bins" -> quantileBins _,
     "compaction_plan" -> compactionPlan _,
-    "dq_checks" -> dqChecks _)
+    "dq_checks" -> dqChecks _,
+    "scd_type2" -> scdType2 _)
 
   val oracleSql: Map[String, String] = Map(
+    "scd_type2" ->
+      """WITH base AS (
+        |  SELECT c_custkey,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        |  FROM customer),
+        |cur AS (
+        |  SELECT c_custkey, acctbal, DATE '2024-01-01' AS valid_from,
+        |    CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        |  FROM base),
+        |bat AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN acctbal + 10
+        |         ELSE acctbal END AS acctbal
+        |  FROM base),
+        |changed AS (
+        |  SELECT c.c_custkey FROM cur c JOIN bat b USING (c_custkey)
+        |  WHERE c.acctbal IS DISTINCT FROM b.acctbal),
+        |newk AS (
+        |  SELECT b.c_custkey FROM bat b
+        |  WHERE b.c_custkey NOT IN (SELECT c_custkey FROM cur)),
+        |upsert AS (
+        |  SELECT c_custkey FROM changed
+        |  UNION SELECT c_custkey FROM newk),
+        |closed AS (
+        |  SELECT c_custkey, acctbal, valid_from,
+        |    DATE '2024-06-01' AS valid_to, FALSE AS is_current
+        |  FROM cur WHERE c_custkey IN (SELECT c_custkey FROM changed)),
+        |untouched AS (
+        |  SELECT * FROM cur
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)),
+        |ins AS (
+        |  SELECT c_custkey, acctbal, DATE '2024-06-01' AS valid_from,
+        |    CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        |  FROM bat WHERE c_custkey IN (SELECT c_custkey FROM upsert))
+        |SELECT c_custkey, CAST(acctbal AS DOUBLE) AS acctbal,
+        |  strftime(valid_from, '%Y-%m-%d') AS valid_from,
+        |  strftime(valid_to, '%Y-%m-%d') AS valid_to, is_current
+        |FROM (SELECT * FROM untouched UNION ALL SELECT * FROM closed
+        |      UNION ALL SELECT * FROM ins)""".stripMargin,
     "k_anonymity_audit" ->
       """SELECT c_nationkey, c_mktsegment,
         |  CAST(count(*) AS BIGINT) AS n,

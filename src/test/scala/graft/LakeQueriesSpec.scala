@@ -127,6 +127,39 @@ class LakeQueriesSpec extends SparkSpec {
     assert(!v4("lineitem_discount_in_range") && v4("lineitem_fk_orphans"))
   }
 
+  test("scd_type2 merge: changed key closes + reopens, new key " +
+      "inserts, NULL->value counts as a change, unchanged untouched") {
+    val d0 = to_date(lit("2024-01-01"))
+    val d1 = to_date(lit("2024-06-01"))
+    val current = Seq(
+      (1L, Some("a")),  // unchanged
+      (2L, Some("b")),  // changed b -> b2
+      (3L, None))       // NULL -> c  (null-safe compare must fire)
+      .toDF("k", "attr")
+      .withColumn("valid_from", d0)
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+    val batch = Seq(
+      (1L, Some("a")), (2L, Some("b2")), (3L, Some("c")),
+      (4L, Some("new")))  // brand-new key
+      .toDF("k", "attr")
+    val out = LakeQueries.scdType2Merge(current, batch, "k",
+        Seq("attr"), d1)
+      .select(col("k"), col("attr"),
+        date_format(col("valid_from"), "yyyy-MM-dd").as("vf"),
+        date_format(col("valid_to"), "yyyy-MM-dd").as("vt"),
+        col("is_current"))
+      .as[(Long, Option[String], String, Option[String], Boolean)]
+      .collect().toSet
+    assert(out == Set(
+      (1L, Some("a"), "2024-01-01", None, true),          // untouched
+      (2L, Some("b"), "2024-01-01", Some("2024-06-01"), false),
+      (2L, Some("b2"), "2024-06-01", None, true),
+      (3L, None, "2024-01-01", Some("2024-06-01"), false),
+      (3L, Some("c"), "2024-06-01", None, true),
+      (4L, Some("new"), "2024-06-01", None, true)))
+  }
+
   test("quantile_bins: 10 deciles partition the table near-evenly") {
     val bins = LakeQueries.quantileBins(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
