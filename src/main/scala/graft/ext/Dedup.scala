@@ -628,6 +628,23 @@ object Dedup {
     (kept, delta)
   }
 
+  /** Band-index MAINTENANCE — the compaction pass a standing
+    * [[minhashBandRows]] index needs after many
+    * [[incrementalLshDedup]] append cycles and corpus deletions:
+    * tombstoned docs' rows pruned (anti-join against the deleted-id
+    * frame), duplicate band rows collapsed (idempotent re-appends /
+    * replayed batches), output sorted-by-(band, bh) within
+    * partitions so the rewritten files cluster probe keys together
+    * (parquet row-group stats then prune probes the way Z-order
+    * prunes range scans). One anti-join + one distinct — O(index),
+    * never touches text. */
+  def compactBandIndex(index: DataFrame, deleted: DataFrame): DataFrame =
+    index
+      .join(deleted.select(col("id")), Seq("id"), "left_anti")
+      .distinct()
+      .repartition(col("band"))
+      .sortWithinPartitions(col("band"), col("bh"))
+
   /** Connected components over an undirected pair frame (id1, id2):
     * min-label propagation WITH path halving (pointer jumping). Each
     * round every node takes the min label among itself and its

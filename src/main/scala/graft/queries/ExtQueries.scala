@@ -715,6 +715,32 @@ object ExtQueries {
       spark.read.parquet(s"$tmp/assignments"))
   }
 
+  /** Band-index compaction gate ([[Dedup.compactBandIndex]]): the
+    * standing index dirtied with replayed append duplicates (a fifth
+    * of the docs' rows appended twice) and a tombstone set (doc_id ≡
+    * 0 mod 10), then compacted; per-band row/doc/bucket counts + an
+    * order-independent XOR row checksum. The oracle rebuilds the
+    * CLEAN index from scratch — so the gate passes only if
+    * compaction removed exactly the duplicates and tombstones. */
+  def lshIndexCompact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val index = Dedup.minhashBandRows(
+      Dedup.shingles(docs, col("doc_id"), col("text"), 3))
+    val dirty = index.unionByName(index.filter(col("id") % 5 === 0))
+    val deleted = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("id"))
+    Dedup.compactBandIndex(dirty, deleted)
+      .select(col("band").cast("long").as("band"),
+        col("id"), col("bh"),
+        conv(substring(md5(concat_ws("|", col("id"), col("band"),
+          col("bh"))), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("id")).as("n_docs"),
+        count_distinct(col("bh")).as("n_buckets"),
+        expr("bit_xor(h)").as("checksum"))
+  }
+
   /** Matryoshka truncation-recall curve
     * ([[Similarity.matryoshkaRecall]]): top-10 retrieval with the
     * first 16/32/64 embedding components vs the full-dim exact
@@ -962,6 +988,7 @@ object ExtQueries {
     "ann_ivf_kmeans" -> annIvfKmeans _,
     "ann_ivf_persisted" -> annIvfPersisted _,
     "ann_matryoshka_recall" -> annMatryoshkaRecall _,
+    "lsh_index_compact" -> lshIndexCompact _,
     "ann_ivf_recall" -> annIvfRecall _,
     "ann_ivf_cells" -> annIvfCells _,
     "embed_neardup_lsh" -> embedNearDupLsh _,
@@ -1627,6 +1654,42 @@ object ExtQueries {
   private[queries] val bandExprs = (0 until 4).map { b =>
     val cols = (0 until 4).map(r => s"sig_${b * 4 + r}")
     s"md5(${cols.mkString(" || '|' || ")})"
+  }
+
+  /** Clean-index rebuild: per-doc band rows unnested from the sig
+    * bands, tombstones dropped, per-band stats + XOR checksum. */
+  private lazy val lshIndexCompactSql = {
+    val bandCols = bandExprs.zipWithIndex
+      .map { case (e, b) => s"  $e AS b$b" }.mkString(",\n")
+    val unnested = bandExprs.indices.map(b =>
+      s"SELECT id, $b AS band, b$b AS bh FROM bands").mkString(
+      "\n  UNION ALL ")
+    s"""WITH $gramsCte,
+       |$hashedCte,
+       |sig AS (
+       |SELECT id,
+       |$sigAggs
+       |FROM hashed GROUP BY id),
+       |bands AS (
+       |SELECT id,
+       |$bandCols
+       |FROM sig),
+       |rws AS (
+       |  $unnested),
+       |kept AS (
+       |  SELECT DISTINCT id, band, bh FROM rws WHERE id % 10 <> 0),
+       |hh AS (
+       |  SELECT band,
+       |    ('0x' || substr(md5(id || '|' || band || '|' || bh), 1, 15))
+       |      ::BIGINT AS hv,
+       |    id, bh
+       |  FROM kept)
+       |SELECT CAST(band AS BIGINT) AS band,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT bh) AS BIGINT) AS n_buckets,
+       |  bit_xor(hv) AS checksum
+       |FROM hh GROUP BY band""".stripMargin
   }
 
   private val dedupMinhashLshSql = {
@@ -3050,6 +3113,7 @@ object ExtQueries {
     "ann_ivf_kmeans" -> annIvfKmeansSql,
     "ann_ivf_persisted" -> annIvfKmeansSql,
     "ann_matryoshka_recall" -> annMatryoshkaRecallSql,
+    "lsh_index_compact" -> lshIndexCompactSql,
     "ann_ivf_recall" -> annIvfRecallSql,
     "ann_ivf_cells" -> annIvfCellsSql,
     "embed_quantize" -> embedQuantizeSql,

@@ -161,7 +161,7 @@ object LakeQueries {
     * (exact DECIMAL, no float drift) — post-merge history emitted
     * with version bounds. Mod-7 keys carry two rows (closed + new
     * current); everyone else keeps their single open row. */
-  def scdType2(spark: SparkSession, dir: String): DataFrame = {
+  private def scdHistory(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables(spark, dir, "customer")
       .select(col("c_custkey"), dec(col("c_acctbal")).as("acctbal"))
     val current = base
@@ -173,13 +173,35 @@ object LakeQueries {
         when(col("c_custkey") % 7 === 0, col("acctbal") + lit(10))
           .otherwise(col("acctbal")))
     scdType2Merge(current, batch, "c_custkey", Seq("acctbal"),
-        to_date(lit("2024-06-01")))
+      to_date(lit("2024-06-01")))
+  }
+
+  def scdType2(spark: SparkSession, dir: String): DataFrame =
+    scdHistory(spark, dir)
       // version bounds as strings: Spark date32 and DuckDB DATE
       // stringify differently through the gate's pandas compare
       .select(col("c_custkey"), col("acctbal").cast("double").as("acctbal"),
         date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
         date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
         col("is_current"))
+
+  /** Point-in-time dimension read (time travel) over the SCD2
+    * history: a snapshot as of date D is the rows with
+    * `valid_from <= D < coalesce(valid_to, ∞)` — one scan-side
+    * filter, no join, which is exactly why the type-2 layout is the
+    * time-travelable one. Gated as cent-exact totals at one date
+    * before and one after the merge's effective date: the two
+    * snapshots differ by precisely the mod-7 keys' +10 updates. */
+  def scdAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val hist = graft.Tables.materialize(scdHistory(spark, dir))
+    Seq("2024-03-01", "2024-09-01").map { d =>
+      val asof = to_date(lit(d))
+      hist.filter(col("valid_from") <= asof &&
+          (col("valid_to").isNull || col("valid_to") > asof))
+        .agg(count(lit(1)).as("n_rows"),
+          sum((col("acctbal") * 100).cast("long")).as("sum_cents"))
+        .select(lit(d).as("as_of"), col("n_rows"), col("sum_cents"))
+    }.reduce(_.unionByName(_))
   }
 
   /** Quantile feature binning: assign every order to a global price
@@ -529,9 +551,52 @@ object LakeQueries {
     "quantile_bins" -> quantileBins _,
     "compaction_plan" -> compactionPlan _,
     "dq_checks" -> dqChecks _,
-    "scd_type2" -> scdType2 _)
+    "scd_type2" -> scdType2 _,
+    "scd_as_of" -> scdAsOf _)
 
   val oracleSql: Map[String, String] = Map(
+    "scd_as_of" ->
+      """WITH base AS (
+        |  SELECT c_custkey,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        |  FROM customer),
+        |cur AS (
+        |  SELECT c_custkey, acctbal, DATE '2024-01-01' AS valid_from,
+        |    CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        |  FROM base),
+        |bat AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN acctbal + 10
+        |         ELSE acctbal END AS acctbal
+        |  FROM base),
+        |changed AS (
+        |  SELECT c.c_custkey FROM cur c JOIN bat b USING (c_custkey)
+        |  WHERE c.acctbal IS DISTINCT FROM b.acctbal),
+        |closed AS (
+        |  SELECT c_custkey, acctbal, valid_from,
+        |    DATE '2024-06-01' AS valid_to, FALSE AS is_current
+        |  FROM cur WHERE c_custkey IN (SELECT c_custkey FROM changed)),
+        |untouched AS (
+        |  SELECT * FROM cur
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)),
+        |ins AS (
+        |  SELECT c_custkey, acctbal, DATE '2024-06-01' AS valid_from,
+        |    CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        |  FROM bat WHERE c_custkey IN (SELECT c_custkey FROM changed)),
+        |hist AS (
+        |  SELECT * FROM untouched UNION ALL SELECT * FROM closed
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT '2024-03-01' AS as_of,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(acctbal * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM hist WHERE valid_from <= DATE '2024-03-01'
+        |  AND (valid_to IS NULL OR valid_to > DATE '2024-03-01')
+        |UNION ALL
+        |SELECT '2024-09-01' AS as_of,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(acctbal * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM hist WHERE valid_from <= DATE '2024-09-01'
+        |  AND (valid_to IS NULL OR valid_to > DATE '2024-09-01')""".stripMargin,
     "scd_type2" ->
       """WITH base AS (
         |  SELECT c_custkey,
