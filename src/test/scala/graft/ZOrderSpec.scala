@@ -34,6 +34,43 @@ class ZOrderSpec extends SparkSpec {
         s"($x,$y)")
   }
 
+  test("z-clustered FILES bound 2-D box queries: per-file min/max " +
+      "stats admit few candidate files; round-robin admits all") {
+    val ev = sf("events").limit(20000)
+      .select($"event_id", $"user_id", $"value")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_zlayout").toString
+    ev.repartition(16).write.mode("overwrite").parquet(s"$tmp/rr")
+    ZOrder.cluster(ev, $"event_id", $"user_id", 16)
+      .write.mode("overwrite").parquet(s"$tmp/z")
+    // per-file column stats, as a reader (or the parquet footer
+    // pruner) would see them — plan-independent locality proof
+    def stats(dir: String) = spark.read.parquet(dir)
+      .groupBy(col("_metadata.file_path").as("f"))
+      .agg(min($"event_id").as("elo"), max($"event_id").as("ehi"),
+        min($"user_id").as("ulo"), max($"user_id").as("uhi"))
+    // the box: one 1/16 event-id stripe x the low half of the users
+    val ids = ev.agg(min($"event_id"), max($"event_id"))
+      .as[(Long, Long)].head()
+    val (eLo, eHi) = (ids._1, ids._1 + (ids._2 - ids._1) / 16)
+    val (uLo, uHi) = (0L, 7L)
+    def candidates(dir: String): Long = stats(dir)
+      .filter($"elo" <= eHi && $"ehi" >= eLo &&
+        $"ulo" <= uHi && $"uhi" >= uLo)
+      .count()
+    val rr = candidates(s"$tmp/rr")
+    val z = candidates(s"$tmp/z")
+    // round-robin spreads every (user, day) region across all files;
+    // z-clustering confines the box to a few contiguous z-ranges
+    assert(rr >= 14, s"round-robin candidates: $rr")
+    assert(z * 3 <= rr, s"z candidates $z not < rr/3 ($rr)")
+    // and the layouts hold identical content
+    def sig(dir: String) = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum($"event_id"), sum($"user_id"))
+      .as[(Long, Long, Long)].head()
+    assert(sig(s"$tmp/rr") == sig(s"$tmp/z"))
+  }
+
   test("z2 is monotone in each dimension within a fixed other") {
     val zs = (0L to 100L).map(x => ZOrder.z2(x, 7L))
     assert(zs == zs.sorted)
