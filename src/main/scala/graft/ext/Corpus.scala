@@ -414,6 +414,28 @@ object Corpus {
     * Single-space split, empties dropped — the deterministic baseline
     * tokenizer (byte-identical across engines; no locale-dependent
     * lowercasing). */
+  /** Temperature-scaled mixture ALLOCATION (α = 1/2) — the standard
+    * multilingual rebalancing: sampling weight w_l ∝ n_l^α flattens
+    * the head languages and up-samples the tail (α=1 is proportional,
+    * α=0 uniform). Kept hash-gateable by integer algebra: the weight
+    * is ⌊√n_l⌋ (IEEE sqrt is exact-rounded, so both engines floor the
+    * SAME double), the normalizer is the exact BIGINT Σ⌊√n⌋, and each
+    * stratum's allocation is `budget·w_l div W` — floor division, no
+    * float shares. (Largest-remainder seats are left unassigned;
+    * callers wanting them distribute by (remainder desc, stratum asc)
+    * — documented, not silently approximated.) One stratum-count
+    * aggregate + a 1-row broadcast normalizer at any corpus size. */
+  def mixtureAllocationSqrt(docs: DataFrame, stratum: Column,
+      budget: Long): DataFrame = {
+    val counts = docs.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val total = counts.agg(sum(col("w")).as("tw"))
+    counts.crossJoin(broadcast(total))
+      .select(col("stratum"), col("n_docs"), col("w"),
+        expr(s"CAST($budget * w div tw AS BIGINT)").as("n_take"))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus top-`k`
     * token vocabulary — the tokenizer-coverage signal that decides
     * whether a vocab (or a language's share of it) is big enough

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -151,6 +151,56 @@ object CorpusQueries {
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     Corpus.packSequences(Tables(spark, dir, "documents"),
       col("doc_id"), col("text"), budget = 256, nShards = 4)
+
+  /** Temperature-scaled (α=½) mixture allocation over languages,
+    * 10000-doc budget ([[Corpus.mixtureAllocationSqrt]]). */
+  def mixtureTemperature(spark: SparkSession, dir: String): DataFrame =
+    Corpus.mixtureAllocationSqrt(Tables(spark, dir, "documents"),
+      col("lang"), budget = 10000L)
+
+  /** BM25-lite retrieval ranking over the inverted-index frame: the
+    * classic k1/b term-frequency saturation and length normalization
+    * (k1=1.2, b=0.75) with a RATIONAL idf `(N−df+0.5)/(df+0.5)`
+    * instead of the usual log — `ln` is not cross-engine bit-stable
+    * (SKILL.md) while every op here is an IEEE exact-rounded
+    * multiply/divide on identically-shaped operand trees. Per-doc
+    * score = fixed textual sum of the three query terms' partial
+    * scores (coalesced to 0), so no float-summation-order ambiguity
+    * exists; top-10 on the (score desc, doc_id) total order. */
+  def bm25LiteRank(spark: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("spark", "table", "query")
+    val docs = Tables(spark, dir, "documents")
+    val dl = docs.select(col("doc_id"),
+      size(filter(split(col("text"), " "), t => t =!= ""))
+        .cast("long").as("dl"))
+    val nDocs = docs.count()
+    val sumDl = dl.agg(sum(col("dl"))).collect()(0).getLong(0)
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    def d(c: Column) = c.cast("double")
+    val scored = tf.filter(col("term").isin(qTerms: _*))
+      .join(broadcast(dfreq.filter(col("term").isin(qTerms: _*))), "term")
+      .join(dl, "doc_id")
+      .withColumn("s",
+        ((d(lit(nDocs)) - d(col("df")) + lit(0.5)) /
+          (d(col("df")) + lit(0.5))) *
+        (d(col("tf")) * lit(2.2)) /
+        (d(col("tf")) + lit(1.2) *
+          (lit(0.25) + lit(0.75) *
+            (d(col("dl")) / (d(lit(sumDl)) / d(lit(nDocs)))))))
+    def termScore(t: String) =
+      coalesce(max(when(col("term") === t, col("s"))), lit(0.0))
+    scored.groupBy(col("doc_id"))
+      .agg((termScore("spark") + termScore("table") +
+          termScore("query")).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+  }
 
   /** Per-doc OOV rate vs the corpus top-60 vocabulary
     * ([[Corpus.oovRate]]) — tokenizer-coverage audit; 60 keeps a
@@ -395,6 +445,8 @@ object CorpusQueries {
     "chunk_tokens" -> chunkTokens _,
     "pack_sequences" -> packSequences _,
     "bpe_encode" -> bpeEncode _,
+    "mixture_temperature" -> mixtureTemperature _,
+    "bm25_lite_rank" -> bm25LiteRank _,
     "oov_rate" -> oovRate _,
     "pack_sequences_bpe" -> packSequencesBpe _,
     "corpus_prep_e2e" -> corpusPrepE2e _,
@@ -515,6 +567,59 @@ object CorpusQueries {
 
   val oracleSql: Map[String, String] = Map(
     "bpe_encode" -> bpeEncodeSql,
+    "mixture_temperature" ->
+      """WITH c AS (
+        |  SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang),
+        |w AS (
+        |  SELECT stratum, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w
+        |  FROM c),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w)
+        |SELECT stratum, n_docs, w,
+        |  CAST(10000 * w // tw AS BIGINT) AS n_take
+        |FROM w, t""".stripMargin,
+    "bm25_lite_rank" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tk WHERE term <> '' GROUP BY 1, 2),
+        |dfq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY term),
+        |dln AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS dl
+        |  FROM documents),
+        |nn AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST((SELECT SUM(dl) FROM dln) AS BIGINT) AS sumdl
+        |  FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE)
+        |        + CAST(0.5 AS DOUBLE)) /
+        |      (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+        |    * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |    / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+        |          (CAST(dl AS DOUBLE) /
+        |            (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))) AS s
+        |  FROM tf JOIN dfq USING (term) JOIN dln USING (doc_id), nn
+        |  WHERE term IN ('spark', 'table', 'query'))
+        |SELECT doc_id,
+        |  COALESCE(max(CASE WHEN term = 'spark' THEN s END),
+        |      CAST(0.0 AS DOUBLE))
+        |  + COALESCE(max(CASE WHEN term = 'table' THEN s END),
+        |      CAST(0.0 AS DOUBLE))
+        |  + COALESCE(max(CASE WHEN term = 'query' THEN s END),
+        |      CAST(0.0 AS DOUBLE)) AS score,
+        |  CAST(count(*) AS BIGINT) AS n_terms_hit
+        |FROM s GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "oov_rate" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
