@@ -311,6 +311,19 @@ object Similarity {
     (cent, cellAssignments(c, centArr))
   }
 
+  /** Corpus cell assignment for an EXTERNALLY supplied centroid
+    * frame (cell_id, i, cx) — the builder half [[buildIvfIndex]] uses
+    * for trained centroids, exposed for seed-cell or imported
+    * indexes. Output (nbr_id, cell_id). */
+  def cellAssignmentsFor(corpus: DataFrame, corpusId: Column,
+      corpusVec: Column, centroids: DataFrame): DataFrame = {
+    val c = graft.Tables.materialize(
+      vectors(corpus, corpusId, corpusVec, "nbr_id", "cv", "sn_c"))
+    val centArr = centroidArrays(corpus, corpusId, corpusVec,
+      numCells = 0, Some(centroids))
+    cellAssignments(c, centArr)
+  }
+
   /** Probe a PERSISTED IVF index: `centroids` (cell_id, i, cx) and
     * `assignments` (nbr_id, cell_id) are read from storage — this
     * entry point has no training inputs and recomputes neither; the

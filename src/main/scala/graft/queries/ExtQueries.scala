@@ -2271,6 +2271,8 @@ object ExtQueries {
        |                         ORDER BY ccos DESC, cell_id ASC) AS r
        |    FROM cellcos) WHERE r = 1)""".stripMargin
 
+  private[queries] lazy val annIvfTopKSqlShared: String = annIvfTopKSql
+
   private val annIvfTopKSql =
     s"""WITH $ivfAssignCtes,
        |probes AS (

@@ -713,7 +713,65 @@ object PipelineQueries {
     }
   }
 
+  /** STREAMING ANN serving — the query-side lifecycle of the
+    * persisted IVF index: the index artifacts (centroids + cell
+    * assignments, [[graft.ext.Similarity.buildIvfIndex]]) are built
+    * once and written to parquet; a live query stream then probes
+    * them per micro-batch through
+    * [[graft.ext.Similarity.ivfTopKFromIndex]] — stateless per
+    * batch, no retrain, no re-assignment, exactly how a deployed
+    * vector store serves. Two MemoryStream waves (query ids < 5,
+    * then 5 ≤ id < 10) land in an append memory sink; the end state
+    * must equal the BATCH probe of the same ten queries, which is
+    * what the oracle computes. Seed-cell centroids keep the oracle
+    * the shared ivfAssign algebra. */
+  def streamAnnProbe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Similarity
+    val emb = Tables(spark, dir, "embeddings")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ann_stream").toString
+    // seed-cell "training": centroids = the 16 smallest-id vectors,
+    // matching the ivfAssign oracle; assignments from those centroids
+    emb.orderBy(col("vec_id").asc).limit(16)
+      .select(col("vec_id").as("cell_id"),
+        posexplode(col("embedding")).as(Seq("i", "cx")))
+      .select(col("cell_id"), col("i"), col("cx").cast("double").as("cx"))
+      .write.mode("overwrite").parquet(s"$tmp/centroids")
+    Similarity.cellAssignmentsFor(emb, col("vec_id"), col("embedding"),
+        spark.read.parquet(s"$tmp/centroids"))
+      .write.mode("overwrite").parquet(s"$tmp/assignments")
+    onStreamSession(spark, 8) { s =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      def wave(lo: Long, hi: Long): Seq[(Long, Array[Float])] = emb
+        .filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().toSeq
+      val mem = MemoryStream[(Long, Array[Float])]
+      val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          Similarity.ivfTopKFromIndex(emb, col("vec_id"),
+              col("embedding"), b, col("vec_id"), col("embedding"),
+              k = 10, nProbe = 4,
+              s.read.parquet(s"$tmp/centroids"),
+              s.read.parquet(s"$tmp/assignments"))
+            .write.mode("append").parquet(s"$tmp/results")
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/_ck")
+        .start()
+      mem.addData(wave(0, 5): _*)
+      q.processAllAvailable()
+      mem.addData(wave(5, 10): _*)
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(s"$tmp/results")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_ann_probe" -> streamAnnProbe _,
     "stream_incremental_dedup" -> streamIncrementalDedup _,
     "stream_mv_maintenance" -> streamMvMaintenance _,
     "stream_dsv2_source" -> streamDsv2Source _,
@@ -816,6 +874,8 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "stream_incremental_dedup" -> streamIncrementalDedupSql,
+    // streaming probe of the persisted index == the batch IVF oracle
+    "stream_ann_probe" -> ExtQueries.annIvfTopKSqlShared,
     // the incrementally-maintained summary must equal the direct
     // batch aggregate bit for bit
     "stream_mv_maintenance" ->
