@@ -402,6 +402,80 @@ object LakeQueries {
           .as("sum_imputed"))
   }
 
+  private val StatsCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  /** ANALYZE-style column statistics — the table profile a cost-based
+    * optimizer (or a human sizing a join) consumes: per column, null
+    * count, exact NDV, and min/max (stringified — one report schema
+    * across types; restricted to integer/varchar columns because
+    * float stringification is not cross-engine canonical). ONE fused
+    * aggregate row over a single scan (the dq_checks pattern — a
+    * UNION of per-column branches would rescan once per column),
+    * exploded to report rows. At 100 TB exact NDV swaps for the
+    * gated HLL sketch (`hll_agg_native`) with the same report
+    * shape. */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val aggs = StatsCols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}_nn"),
+      count_distinct(col(c)).as(s"${c}_ndv"),
+      min(col(c)).cast("string").as(s"${c}_min"),
+      max(col(c)).cast("string").as(s"${c}_max")))
+    val allAggs = count(lit(1)).as("n_rows") +: aggs
+    o.agg(allAggs.head, allAggs.tail: _*)
+      .select(col("n_rows"), explode(array(StatsCols.map(c =>
+        struct(lit(c).as("column"),
+          (col("n_rows") - col(s"${c}_nn")).as("n_nulls"),
+          col(s"${c}_ndv").as("ndv"),
+          col(s"${c}_min").as("min_s"),
+          col(s"${c}_max").as("max_s"))): _*)).as("s"))
+      .select(col("s.column").as("column"), col("n_rows"),
+        col("s.n_nulls").as("n_nulls"), col("s.ndv").as("ndv"),
+        col("s.min_s").as("min_s"), col("s.max_s").as("max_s"))
+  }
+
+  /** Robust (median/MAD) outlier audit — the anomaly screen a mean/
+    * stddev z-score can't give on heavy-tailed value columns (the
+    * outliers poison the very moments that should flag them). Fully
+    * integer/selection-exact: values in cents, per-group LOWER median
+    * by rank selection (same two-pass shape as [[imputeMedian]] — no
+    * interpolation, bit-gateable), MAD = lower median of |x − med|,
+    * and the 3·MAD outlier test as pure integer comparison (no float
+    * thresholds anywhere). Output per event type: median/MAD cents,
+    * n, outlier count. At 100 TB both medians swap to the
+    * sketch-bound + exact-scan-within-bound pattern
+    * (`quantiles_approx_bounds`) with identical downstream algebra. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .filter(col("cents").isNotNull)
+    def lowerMedian(df: DataFrame, valueCol: String,
+        outName: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col(valueCol).asc, col("event_id").asc)
+      val cnt = df.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      df.withColumn("rk", row_number().over(w))
+        .join(broadcast(cnt), "event_type")
+        .filter(col("rk") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col(valueCol).as(outName))
+    }
+    val med = lowerMedian(ev, "cents", "median_cents")
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("cents") - col("median_cents")))
+    val mad = lowerMedian(
+      dev.select(col("event_type"), col("event_id"),
+        col("adev").as("cents")), "cents", "mad_cents")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("median_cents"), col("mad_cents"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("adev") > col("mad_cents") * 3).cast("long"))
+          .as("n_outliers"))
+  }
+
   /** Aggregate answered FROM the materialized summary by the
     * [[graft.plans.MvRewrite]] optimizer rule: the query groups by a
     * SUBSET of the MV's keys (a true rollup — partial counts/sums
@@ -552,9 +626,71 @@ object LakeQueries {
     "compaction_plan" -> compactionPlan _,
     "dq_checks" -> dqChecks _,
     "scd_type2" -> scdType2 _,
-    "scd_as_of" -> scdAsOf _)
+    "scd_as_of" -> scdAsOf _,
+    "mad_outliers" -> madOutliers _,
+    "table_stats" -> tableStats _)
 
   val oracleSql: Map[String, String] = Map(
+    "mad_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |m1 AS (
+        |  SELECT event_type, cents AS median_cents FROM (
+        |    SELECT event_type, cents,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY cents, event_id) AS rk,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM ev) WHERE rk = CAST((n + 1) // 2 AS BIGINT)),
+        |dev AS (
+        |  SELECT e.event_type, e.event_id, m1.median_cents,
+        |    abs(e.cents - m1.median_cents) AS adev
+        |  FROM ev e JOIN m1 USING (event_type)),
+        |m2 AS (
+        |  SELECT event_type, adev AS mad_cents FROM (
+        |    SELECT event_type, adev,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY adev, event_id) AS rk,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM dev) WHERE rk = CAST((n + 1) // 2 AS BIGINT))
+        |SELECT d.event_type, d.median_cents, m2.mad_cents,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN d.adev > m2.mad_cents * 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev d JOIN m2 USING (event_type)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "table_stats" ->
+      """WITH f AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(o_orderkey) AS BIGINT) AS o_orderkey_nn,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS o_orderkey_ndv,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS o_orderkey_min,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS o_orderkey_max,
+        |    CAST(count(o_custkey) AS BIGINT) AS o_custkey_nn,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS o_custkey_ndv,
+        |    CAST(min(o_custkey) AS VARCHAR) AS o_custkey_min,
+        |    CAST(max(o_custkey) AS VARCHAR) AS o_custkey_max,
+        |    CAST(count(o_orderstatus) AS BIGINT) AS o_orderstatus_nn,
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS o_orderstatus_ndv,
+        |    CAST(min(o_orderstatus) AS VARCHAR) AS o_orderstatus_min,
+        |    CAST(max(o_orderstatus) AS VARCHAR) AS o_orderstatus_max,
+        |    CAST(count(o_orderpriority) AS BIGINT) AS o_orderpriority_nn,
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS o_orderpriority_ndv,
+        |    CAST(min(o_orderpriority) AS VARCHAR) AS o_orderpriority_min,
+        |    CAST(max(o_orderpriority) AS VARCHAR) AS o_orderpriority_max
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS "column", n_rows, n_rows - o_orderkey_nn AS n_nulls,
+        |  o_orderkey_ndv AS ndv, o_orderkey_min AS min_s, o_orderkey_max AS max_s FROM f
+        |UNION ALL
+        |SELECT 'o_custkey' AS "column", n_rows, n_rows - o_custkey_nn AS n_nulls,
+        |  o_custkey_ndv AS ndv, o_custkey_min AS min_s, o_custkey_max AS max_s FROM f
+        |UNION ALL
+        |SELECT 'o_orderstatus' AS "column", n_rows, n_rows - o_orderstatus_nn AS n_nulls,
+        |  o_orderstatus_ndv AS ndv, o_orderstatus_min AS min_s, o_orderstatus_max AS max_s FROM f
+        |UNION ALL
+        |SELECT 'o_orderpriority' AS "column", n_rows, n_rows - o_orderpriority_nn AS n_nulls,
+        |  o_orderpriority_ndv AS ndv, o_orderpriority_min AS min_s, o_orderpriority_max AS max_s FROM f""".stripMargin,
     "scd_as_of" ->
       """WITH base AS (
         |  SELECT c_custkey,
