@@ -770,7 +770,73 @@ object PipelineQueries {
     }
   }
 
+  /** STREAMING SCD Type-2 maintenance — the CDC-apply loop around
+    * [[graft.queries.LakeQueries.scdType2Merge]]: each micro-batch
+    * delivers a full attribute snapshot, the foreachBatch merges it
+    * into the PERSISTED history table (close-changed / insert-new),
+    * and the next batch merges against what the previous one wrote.
+    * Two deterministic snapshot waves (mod-7 keys +10 effective
+    * 2024-06-01, then additionally mod-11 keys +5 effective
+    * 2024-12-01); the oracle unrolls both merges. The merged frame is
+    * localCheckpoint-materialized before overwriting the directory
+    * its own plan read (same discipline as the incremental-dedup
+    * stream). */
+  def streamScdType2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.LakeQueries
+    val base = Tables(spark, dir, "customer")
+      .select(col("c_custkey"),
+        col("c_acctbal").cast("decimal(18,2)").as("acctbal"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_scd_stream").toString
+    base
+      .withColumn("valid_from", to_date(lit("2024-01-01")))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+      .write.mode("overwrite").parquet(s"$tmp/hist")
+    val snap1 = base.withColumn("acctbal",
+      when(col("c_custkey") % 7 === 0, col("acctbal") + lit(10))
+        .otherwise(col("acctbal")))
+    val snap2 = snap1.withColumn("acctbal",
+      when(col("c_custkey") % 11 === 0, col("acctbal") + lit(5))
+        .otherwise(col("acctbal")))
+    onStreamSession(spark, 8) { s =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      def rows(df: DataFrame): Seq[(Long, java.math.BigDecimal)] = df
+        .select(col("c_custkey"), col("acctbal"))
+        .as[(Long, java.math.BigDecimal)].collect().toSeq
+      val mem = MemoryStream[(Long, java.math.BigDecimal)]
+      val effective = Map(0L -> "2024-06-01", 1L -> "2024-12-01")
+      val q = mem.toDF().toDF("c_custkey", "acctbal").writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val batch = b.select(col("c_custkey"),
+            col("acctbal").cast("decimal(18,2)").as("acctbal"))
+          val merged = LakeQueries.scdType2Merge(
+              s.read.parquet(s"$tmp/hist"), batch, "c_custkey",
+              Seq("acctbal"), to_date(lit(effective(id))))
+            .localCheckpoint(true)
+          merged.write.mode("overwrite").parquet(s"$tmp/hist")
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/_ck")
+        .start()
+      mem.addData(rows(snap1): _*)
+      q.processAllAvailable()
+      mem.addData(rows(snap2): _*)
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(s"$tmp/hist")
+        .select(col("c_custkey"),
+          col("acctbal").cast("double").as("acctbal"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+          col("is_current"))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_scd_type2" -> streamScdType2 _,
     "stream_ann_probe" -> streamAnnProbe _,
     "stream_incremental_dedup" -> streamIncrementalDedup _,
     "stream_mv_maintenance" -> streamMvMaintenance _,
@@ -872,7 +938,56 @@ object PipelineQueries {
        |SELECT id AS doc_id, CAST(2 AS BIGINT) AS stage FROM s2_kept""".stripMargin
   }
 
+  /** Two unrolled SCD2 merges: snapshot 1 (mod-7 +10, eff 2024-06-01)
+    * into the 2024-01-01 base history, snapshot 2 (additionally
+    * mod-11 +5, eff 2024-12-01) into merge 1's output. */
+  private lazy val streamScdType2Sql = {
+    def stage(k: Int, snap: String, eff: String, hist: String) =
+      s"""s${k}_bat AS (
+         |  SELECT c_custkey, $snap AS acctbal FROM scd_base),
+         |s${k}_cur AS (SELECT * FROM $hist WHERE is_current),
+         |s${k}_old AS (SELECT * FROM $hist WHERE NOT is_current),
+         |s${k}_chg AS (
+         |  SELECT c.c_custkey FROM s${k}_cur c
+         |  JOIN s${k}_bat b USING (c_custkey)
+         |  WHERE c.acctbal IS DISTINCT FROM b.acctbal),
+         |s${k}_hist AS (
+         |  SELECT * FROM s${k}_old
+         |  UNION ALL
+         |  SELECT * FROM s${k}_cur
+         |  WHERE c_custkey NOT IN (SELECT c_custkey FROM s${k}_chg)
+         |  UNION ALL
+         |  SELECT c_custkey, acctbal, valid_from,
+         |    DATE '$eff' AS valid_to, FALSE AS is_current
+         |  FROM s${k}_cur
+         |  WHERE c_custkey IN (SELECT c_custkey FROM s${k}_chg)
+         |  UNION ALL
+         |  SELECT c_custkey, acctbal, DATE '$eff' AS valid_from,
+         |    CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+         |  FROM s${k}_bat
+         |  WHERE c_custkey IN (SELECT c_custkey FROM s${k}_chg))"""
+    val snap1 = "CASE WHEN c_custkey % 7 = 0 THEN acctbal + 10 " +
+      "ELSE acctbal END"
+    val snap2 = "CASE WHEN c_custkey % 11 = 0 THEN (" + snap1 +
+      ") + 5 ELSE (" + snap1 + ") END"
+    s"""WITH scd_base AS (
+       |  SELECT c_custkey,
+       |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+       |  FROM customer),
+       |hist0 AS (
+       |  SELECT c_custkey, acctbal, DATE '2024-01-01' AS valid_from,
+       |    CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+       |  FROM scd_base),
+       |${stage(1, snap1, "2024-06-01", "hist0")},
+       |${stage(2, snap2, "2024-12-01", "s1_hist")}
+       |SELECT c_custkey, CAST(acctbal AS DOUBLE) AS acctbal,
+       |  strftime(valid_from, '%Y-%m-%d') AS valid_from,
+       |  strftime(valid_to, '%Y-%m-%d') AS valid_to, is_current
+       |FROM s2_hist""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "stream_scd_type2" -> streamScdType2Sql,
     "stream_incremental_dedup" -> streamIncrementalDedupSql,
     // streaming probe of the persisted index == the batch IVF oracle
     "stream_ann_probe" -> ExtQueries.annIvfTopKSqlShared,
