@@ -642,7 +642,10 @@ object Dedup {
     index
       .join(deleted.select(col("id")), Seq("id"), "left_anti")
       .distinct()
-      .repartition(col("band"))
+      // RANGE partition on (band, bh): hash-by-band alone would give
+      // only numBands giant output files at corpus scale; ranging the
+      // composite keeps files balanced AND bh-clustered
+      .repartitionByRange(col("band"), col("bh"))
       .sortWithinPartitions(col("band"), col("bh"))
 
   /** Connected components over an undirected pair frame (id1, id2):

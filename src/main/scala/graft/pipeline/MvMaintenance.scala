@@ -88,8 +88,10 @@ object MvMaintenance {
     if (prev >= 0) {
       val old = Paths.get(versionDir(summaryDir, prev))
       try {
-        Files.walk(old).sorted(java.util.Comparator.reverseOrder())
+        val walk = Files.walk(old)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
       } catch { case _: Exception => () }
     }
     true

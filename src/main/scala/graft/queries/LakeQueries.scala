@@ -435,9 +435,9 @@ object LakeQueries {
         col("s.min_s").as("min_s"), col("s.max_s").as("max_s"))
   }
 
-  /** Robust (median/MAD) outlier audit — the anomaly screen a mean/
-    * stddev z-score can't give on heavy-tailed value columns (the
-    * outliers poison the very moments that should flag them). Fully
+  /** Robust (median/MAD) outlier audit, SELECTION-exact flavor —
+    * the integer-algebra twin of Analytics' interpolated-percentile
+    * `mad_outliers`: same anomaly screen, but fully
     * integer/selection-exact: values in cents, per-group LOWER median
     * by rank selection (same two-pass shape as [[imputeMedian]] — no
     * interpolation, bit-gateable), MAD = lower median of |x − med|,
@@ -627,11 +627,11 @@ object LakeQueries {
     "dq_checks" -> dqChecks _,
     "scd_type2" -> scdType2 _,
     "scd_as_of" -> scdAsOf _,
-    "mad_outliers" -> madOutliers _,
+    "mad_outliers_cents" -> madOutliers _,
     "table_stats" -> tableStats _)
 
   val oracleSql: Map[String, String] = Map(
-    "mad_outliers" ->
+    "mad_outliers_cents" ->
       """WITH ev AS (
         |  SELECT event_type, event_id,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
