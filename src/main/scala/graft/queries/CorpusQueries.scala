@@ -202,6 +202,36 @@ object CorpusQueries {
       .limit(10)
   }
 
+  /** Retrieve-then-RERANK — the two-stage serving pattern every
+    * production retrieval stack runs: the cheap lexical stage
+    * ([[bm25LiteRank]]) prunes the corpus to 10 candidates, and the
+    * expensive model stage re-scores only those through the
+    * [[graft.ext.Scoring]] seam (cross-encoder shape: the scorer
+    * reads QUERY ‖ DOCUMENT as one text). The deterministic
+    * [[graft.ext.Scoring.HashedLinearScorer]] keeps the gate
+    * oracle-replayable — production swaps a real cross-encoder
+    * behind the same seam and this exact query is the serving path.
+    * Model cost is bounded by the candidate count, never the corpus:
+    * that's the entire economics of rerank. */
+  def retrievalRerank(spark: SparkSession, dir: String): DataFrame = {
+    val top10 = bm25LiteRank(spark, dir)
+      .select(col("doc_id"), col("score").as("bm25_score"))
+    val cands = Tables(spark, dir, "documents")
+      .join(top10, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        concat(lit("spark table query "), col("text")).as("text"))
+    val scored = graft.ext.Scoring.scoreDocuments(cands,
+      col("doc_id"), col("text"),
+      newScorer = () => new graft.ext.Scoring.HashedLinearScorer())
+      .toDF()
+    top10
+      .join(scored.select(col("doc_id"),
+        col("score").as("rerank_score")), "doc_id")
+      .withColumn("rerank", row_number().over(
+        Window.orderBy(col("rerank_score").desc, col("doc_id").asc))
+        .cast("long"))
+  }
+
   /** Per-doc OOV rate vs the corpus top-60 vocabulary
     * ([[Corpus.oovRate]]) — tokenizer-coverage audit; 60 keeps a
     * meaningful OOV tail on this corpus's compact vocabulary. */
@@ -447,6 +477,7 @@ object CorpusQueries {
     "bpe_encode" -> bpeEncode _,
     "mixture_temperature" -> mixtureTemperature _,
     "bm25_lite_rank" -> bm25LiteRank _,
+    "retrieval_rerank" -> retrievalRerank _,
     "oov_rate" -> oovRate _,
     "pack_sequences_bpe" -> packSequencesBpe _,
     "corpus_prep_e2e" -> corpusPrepE2e _,
@@ -565,6 +596,52 @@ object CorpusQueries {
        |  CAST(("offset" + n_tokens - 1) // 256 AS BIGINT) AS seq_last
        |FROM o""".stripMargin
 
+  /** Shared BM25 CTE chain ending in `bm25top` (the 10 candidates);
+    * composed by the lexical gate and the rerank gate. */
+  private lazy val bm25Ctes =
+    """bm_tk AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |bm_tf AS (
+      |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      |  FROM bm_tk WHERE term <> '' GROUP BY 1, 2),
+      |bm_dfq AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df
+      |  FROM bm_tf GROUP BY term),
+      |bm_dln AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS dl
+      |  FROM documents),
+      |bm_nn AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST((SELECT SUM(dl) FROM bm_dln) AS BIGINT) AS sumdl
+      |  FROM documents),
+      |bm_s AS (
+      |  SELECT bm_tf.doc_id, bm_tf.term,
+      |    ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE)
+      |        + CAST(0.5 AS DOUBLE)) /
+      |      (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+      |    * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+      |    / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+      |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+      |          (CAST(dl AS DOUBLE) /
+      |            (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))) AS s
+      |  FROM bm_tf JOIN bm_dfq USING (term) JOIN bm_dln USING (doc_id),
+      |    bm_nn
+      |  WHERE term IN ('spark', 'table', 'query')),
+      |bm25top AS (
+      |  SELECT doc_id,
+      |    COALESCE(max(CASE WHEN term = 'spark' THEN s END),
+      |        CAST(0.0 AS DOUBLE))
+      |    + COALESCE(max(CASE WHEN term = 'table' THEN s END),
+      |        CAST(0.0 AS DOUBLE))
+      |    + COALESCE(max(CASE WHEN term = 'query' THEN s END),
+      |        CAST(0.0 AS DOUBLE)) AS score,
+      |    CAST(count(*) AS BIGINT) AS n_terms_hit
+      |  FROM bm_s GROUP BY doc_id
+      |  ORDER BY score DESC, doc_id LIMIT 10)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "bpe_encode" -> bpeEncodeSql,
     "mixture_temperature" ->
@@ -580,46 +657,29 @@ object CorpusQueries {
         |  CAST(10000 * w // tw AS BIGINT) AS n_take
         |FROM w, t""".stripMargin,
     "bm25_lite_rank" ->
-      """WITH tk AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |  FROM documents),
-        |tf AS (
-        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
-        |  FROM tk WHERE term <> '' GROUP BY 1, 2),
-        |dfq AS (
-        |  SELECT term, CAST(count(*) AS BIGINT) AS df
-        |  FROM tf GROUP BY term),
-        |dln AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
-        |      AS BIGINT) AS dl
-        |  FROM documents),
-        |nn AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n,
-        |    CAST((SELECT SUM(dl) FROM dln) AS BIGINT) AS sumdl
-        |  FROM documents),
-        |s AS (
-        |  SELECT tf.doc_id, tf.term,
-        |    ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE)
-        |        + CAST(0.5 AS DOUBLE)) /
-        |      (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
-        |    * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
-        |    / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
-        |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
-        |          (CAST(dl AS DOUBLE) /
-        |            (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))) AS s
-        |  FROM tf JOIN dfq USING (term) JOIN dln USING (doc_id), nn
-        |  WHERE term IN ('spark', 'table', 'query'))
-        |SELECT doc_id,
-        |  COALESCE(max(CASE WHEN term = 'spark' THEN s END),
-        |      CAST(0.0 AS DOUBLE))
-        |  + COALESCE(max(CASE WHEN term = 'table' THEN s END),
-        |      CAST(0.0 AS DOUBLE))
-        |  + COALESCE(max(CASE WHEN term = 'query' THEN s END),
-        |      CAST(0.0 AS DOUBLE)) AS score,
-        |  CAST(count(*) AS BIGINT) AS n_terms_hit
-        |FROM s GROUP BY doc_id
-        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, score, n_terms_hit FROM bm25top""".stripMargin,
+    "retrieval_rerank" ->
+      s"""WITH $bm25Ctes,
+         |rr_tok AS (
+         |  SELECT t.doc_id,
+         |    unnest(string_split_regex(
+         |      trim('spark table query ' || d.text), '\\s+')) AS tok
+         |  FROM bm25top t JOIN documents d USING (doc_id)),
+         |rr_h AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b
+         |  FROM rr_tok),
+         |rr_s AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum((b * 2654435761) % 2003 - 1001) AS BIGINT) AS raw
+         |  FROM rr_h GROUP BY doc_id)
+         |SELECT t.doc_id, t.score AS bm25_score,
+         |  raw / (1001.0 * n) AS rerank_score,
+         |  CAST(row_number() OVER (
+         |    ORDER BY raw / (1001.0 * n) DESC, t.doc_id ASC)
+         |    AS BIGINT) AS rerank
+         |FROM bm25top t JOIN rr_s USING (doc_id)""".stripMargin,
     "oov_rate" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
