@@ -494,6 +494,45 @@ object Similarity {
           .as("centroid_cosine"))
   }
 
+  /** Anisotropy / collapse audit: cosine of each LABEL's mean
+    * direction against the GLOBAL mean direction. A healthy embedding
+    * space spreads label centroids around the sphere (mixed, even
+    * negative alignments); a collapsing space drags every centroid
+    * toward the global mean — uniformly high alignment is the classic
+    * "all my embeddings point the same way" failure this monitor
+    * catches before retrieval quality craters. Same exact-decimal
+    * component-sum algebra as [[centroidDrift]] (unnormalized sums
+    * ARE the mean directions; 2^-10 exact rescale; one IEEE
+    * sqrt/divide tree), so the readout is hash-gateable. Label×dim
+    * mergeable state — one pass at any corpus size. */
+  def anisotropyAudit(df: DataFrame, id: Column, vec: Column,
+      label: Column): DataFrame = {
+    val comp = df
+      .select(label.as("lbl"), posexplode(vec))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("lbl"), col("pos").as("i"),
+        col("col").cast("double").as("x"))
+    val lsums = graft.Tables.materialize(
+      comp.groupBy(col("lbl"), col("i"))
+        .agg(sum(col("x").cast(Dec)).as("s"))
+        .withColumn("sd", col("s").cast("double") / lit(1024.0)))
+    // the global direction is the label sums re-folded — decimal
+    // addition is exact, so this equals summing the raw rows
+    val gsums = lsums.groupBy(col("i"))
+      .agg((sum(col("s")).cast("double") / lit(1024.0)).as("gd"))
+    lsums.join(broadcast(gsums), Seq("i"))
+      .groupBy(col("lbl"))
+      .agg(sum((col("sd") * col("gd")).cast(Dec)).as("dot"),
+        sum((col("sd") * col("sd")).cast(Dec)).as("nl"),
+        sum((col("gd") * col("gd")).cast(Dec)).as("ng"))
+      .select(col("lbl").as("label"),
+        when(col("nl") > 0 && col("ng") > 0,
+          col("dot").cast("double") /
+            (sqrt(col("nl").cast("double")) *
+              sqrt(col("ng").cast("double"))))
+          .as("align_cosine"))
+  }
+
   /** IVF-probed contrastive hard-negative mining — [[hardNegatives]]'
     * 100 TB path made concrete: candidates come from each query's
     * `nProbe` nearest cells instead of the whole corpus, then the

@@ -741,6 +741,14 @@ object ExtQueries {
         expr("bit_xor(h)").as("checksum"))
   }
 
+  /** Embedding anisotropy / collapse monitor
+    * ([[Similarity.anisotropyAudit]]): per-label centroid alignment
+    * with the global mean direction — uniformly high alignment is
+    * the "all embeddings point the same way" collapse signature. */
+  def embedAnisotropy(spark: SparkSession, dir: String): DataFrame =
+    Similarity.anisotropyAudit(Tables(spark, dir, "embeddings"),
+      col("vec_id"), col("embedding"), col("label"))
+
   /** Matryoshka truncation-recall curve
     * ([[Similarity.matryoshkaRecall]]): top-10 retrieval with the
     * first 16/32/64 embedding components vs the full-dim exact
@@ -988,6 +996,7 @@ object ExtQueries {
     "ann_ivf_kmeans" -> annIvfKmeans _,
     "ann_ivf_persisted" -> annIvfPersisted _,
     "ann_matryoshka_recall" -> annMatryoshkaRecall _,
+    "embed_anisotropy" -> embedAnisotropy _,
     "lsh_index_compact" -> lshIndexCompact _,
     "ann_ivf_recall" -> annIvfRecall _,
     "ann_ivf_cells" -> annIvfCells _,
@@ -2640,6 +2649,34 @@ object ExtQueries {
 
   // exact per-(label, half, i) decimal component sums -> doubles ->
   // per-term products re-folded exactly; CASE guards zero norms
+  private val embedAnisotropySql =
+    """WITH an_comp AS (
+      |  SELECT e.label AS lbl, i,
+      |    CAST(e.embedding[CAST(i AS INT) + 1] AS DOUBLE) AS x
+      |  FROM embeddings e, LATERAL (SELECT unnest(range(0, 64)) AS i)),
+      |an_ls AS (
+      |  SELECT lbl, i, SUM(CAST(x AS DECIMAL(28,12))) AS s
+      |  FROM an_comp GROUP BY 1, 2),
+      |an_lsd AS (
+      |  SELECT lbl, i,
+      |    CAST(s AS DOUBLE) / CAST(1024.0 AS DOUBLE) AS sd
+      |  FROM an_ls),
+      |an_g AS (
+      |  SELECT i, CAST(SUM(s) AS DOUBLE) / CAST(1024.0 AS DOUBLE) AS gd
+      |  FROM an_ls GROUP BY i),
+      |an_agg AS (
+      |  SELECT lbl,
+      |    SUM(CAST(sd * gd AS DECIMAL(28,12))) AS dot,
+      |    SUM(CAST(sd * sd AS DECIMAL(28,12))) AS nl,
+      |    SUM(CAST(gd * gd AS DECIMAL(28,12))) AS ng
+      |  FROM an_lsd JOIN an_g USING (i) GROUP BY 1)
+      |SELECT lbl AS label,
+      |  CASE WHEN nl > 0 AND ng > 0 THEN
+      |    CAST(dot AS DOUBLE)
+      |      / (sqrt(CAST(nl AS DOUBLE)) * sqrt(CAST(ng AS DOUBLE)))
+      |  END AS align_cosine
+      |FROM an_agg""".stripMargin
+
   private val embedDriftSql =
     """WITH comp2 AS (
       |  SELECT e.label AS lbl, e.vec_id % 2 AS half, i,
@@ -3115,6 +3152,7 @@ object ExtQueries {
     "ann_ivf_kmeans" -> annIvfKmeansSql,
     "ann_ivf_persisted" -> annIvfKmeansSql,
     "ann_matryoshka_recall" -> annMatryoshkaRecallSql,
+    "embed_anisotropy" -> embedAnisotropySql,
     "lsh_index_compact" -> lshIndexCompactSql,
     "ann_ivf_recall" -> annIvfRecallSql,
     "ann_ivf_cells" -> annIvfCellsSql,
