@@ -741,6 +741,30 @@ object ExtQueries {
         expr("bit_xor(h)").as("checksum"))
   }
 
+  /** Code-switch / language-mix audit: the marker-token language ID
+    * run on each document HALF independently, documents counted by
+    * their (first-half, second-half) language pair — off-diagonal
+    * mass flags mixed-language documents (concatenation artifacts,
+    * template wrappers around foreign payloads) that a whole-doc
+    * language filter silently mislabels. Per-row expressions only —
+    * token slice + two marker counts — no shuffle beyond the final
+    * |langs|²-bounded aggregate. */
+  def langCodeSwitch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val halves = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .withColumn("h", expr("(size(t) + 1) div 2").cast("int"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("t"), lit(1), col("h"))).as("ta"),
+        concat_ws(" ", slice(col("t"), col("h") + 1, size(col("t"))))
+          .as("tb"))
+    halves
+      .select(TextFunctions.langId(col("ta")).as("lang_a"),
+        TextFunctions.langId(col("tb")).as("lang_b"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Embedding anisotropy / collapse monitor
     * ([[Similarity.anisotropyAudit]]): per-label centroid alignment
     * with the global mean direction — uniformly high alignment is
@@ -997,6 +1021,7 @@ object ExtQueries {
     "ann_ivf_persisted" -> annIvfPersisted _,
     "ann_matryoshka_recall" -> annMatryoshkaRecall _,
     "embed_anisotropy" -> embedAnisotropy _,
+    "lang_code_switch" -> langCodeSwitch _,
     "lsh_index_compact" -> lshIndexCompact _,
     "ann_ivf_recall" -> annIvfRecall _,
     "ann_ivf_cells" -> annIvfCells _,
@@ -2649,6 +2674,43 @@ object ExtQueries {
 
   // exact per-(label, half, i) decimal component sums -> doubles ->
   // per-term products re-folded exactly; CASE guards zero norms
+  /** Per-half marker scores inlined from the same LangMarkers list
+    * the Spark expression compiles from. */
+  private lazy val langCodeSwitchSql = {
+    def scoreExprs(tl: String, pfx: String) =
+      graft.functions.TextFunctions.LangMarkers.map { case (lang, ms) =>
+        val list = ms.map(m => s"'$m'").mkString(", ")
+        lang -> s"len(list_filter($tl, t -> lower(t) IN ($list)))"
+      }.map { case (l, e) => s"  $e AS ${pfx}_$l" }
+    def guess(pfx: String) = {
+      val langs = graft.functions.TextFunctions.LangMarkers.map(_._1)
+      val best = langs.map(l => s"${pfx}_$l")
+        .reduceRight((a, b) => s"greatest($a, $b)")
+      langs.reverse.foldLeft("'und'") { case (els, l) =>
+        s"CASE WHEN ${pfx}_$l = $best AND ${pfx}_$l > 0 " +
+          s"THEN '$l' ELSE $els END"
+      }
+    }
+    val aCols = scoreExprs("t1", "a").mkString(",\n")
+    val bCols = scoreExprs("t2", "b").mkString(",\n")
+    s"""WITH cs_t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |cs_h AS (
+       |  SELECT doc_id,
+       |    t[1:CAST((len(t) + 1) // 2 AS INT)] AS t1,
+       |    t[CAST((len(t) + 1) // 2 AS INT) + 1:CAST(len(t) AS INT)] AS t2
+       |  FROM cs_t),
+       |cs_s AS (
+       |SELECT doc_id,
+       |$aCols,
+       |$bCols
+       |FROM cs_h)
+       |SELECT ${guess("a")} AS lang_a, ${guess("b")} AS lang_b,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM cs_s GROUP BY 1, 2""".stripMargin
+  }
+
   private val embedAnisotropySql =
     """WITH an_comp AS (
       |  SELECT e.label AS lbl, i,
@@ -3153,6 +3215,7 @@ object ExtQueries {
     "ann_ivf_persisted" -> annIvfKmeansSql,
     "ann_matryoshka_recall" -> annMatryoshkaRecallSql,
     "embed_anisotropy" -> embedAnisotropySql,
+    "lang_code_switch" -> langCodeSwitchSql,
     "lsh_index_compact" -> lshIndexCompactSql,
     "ann_ivf_recall" -> annIvfRecallSql,
     "ann_ivf_cells" -> annIvfCellsSql,
