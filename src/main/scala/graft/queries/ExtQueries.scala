@@ -741,6 +741,34 @@ object ExtQueries {
         expr("bit_xor(h)").as("checksum"))
   }
 
+  /** Near-dup EVIDENCE manifest: for every LSH-verified pair, the
+    * three RAREST shared grams (global document frequency asc, gram
+    * asc) — the human-auditable "why does the pipeline claim these
+    * two documents match" record a deletion review needs; rare shared
+    * grams are the discriminative evidence, stopword grams prove
+    * nothing. Cost: one dfreq join + a per-pair top-3 over the
+    * already-bounded verified-pair gram intersections — never touches
+    * non-candidate pairs. */
+  def dedupEvidence(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val g = graft.Tables.materialize(
+      Dedup.shingles(docs, col("doc_id"), col("text"), 3))
+    val dfreq = g.groupBy(col("gram")).agg(count(lit(1)).as("dfr"))
+    val (_, verified) = Dedup.dedupSurvivorsAndVerified(
+      docs, col("doc_id"), col("text"), n = 3, jaccardThreshold = 0.8)
+    verified
+      .join(g.as("ga"), col("id1") === col("ga.id"))
+      .join(g.as("gb"),
+        col("id2") === col("gb.id") && col("ga.gram") === col("gb.gram"))
+      .select(col("id1"), col("id2"), col("ga.gram").as("gram"))
+      .join(dfreq, "gram")
+      .groupBy(col("id1"), col("id2"))
+      .agg(concat_ws(" | ", slice(transform(
+          sort_array(collect_list(struct(col("dfr"), col("gram")))),
+          s => s.getField("gram")), 1, 3)).as("evidence"),
+        count(lit(1)).as("n_shared"))
+  }
+
   /** Code-switch / language-mix audit: the marker-token language ID
     * run on each document HALF independently, documents counted by
     * their (first-half, second-half) language pair — off-diagonal
@@ -1022,6 +1050,7 @@ object ExtQueries {
     "ann_matryoshka_recall" -> annMatryoshkaRecall _,
     "embed_anisotropy" -> embedAnisotropy _,
     "lang_code_switch" -> langCodeSwitch _,
+    "dedup_evidence" -> dedupEvidence _,
     "lsh_index_compact" -> lshIndexCompact _,
     "ann_ivf_recall" -> annIvfRecall _,
     "ann_ivf_cells" -> annIvfCells _,
@@ -2674,6 +2703,30 @@ object ExtQueries {
 
   // exact per-(label, half, i) decimal component sums -> doubles ->
   // per-term products re-folded exactly; CASE guards zero norms
+  private lazy val dedupEvidenceSql =
+    s"""WITH $docDedupCtes,
+       |ev_all AS (
+       |  SELECT DISTINCT sub.doc_id AS id,
+       |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+       |  FROM (SELECT doc_id, $toks AS t FROM documents) sub,
+       |       LATERAL (SELECT unnest(range(1, greatest(length(t) - 1, 1))) AS i)),
+       |ev_df AS (SELECT gram, count(*) AS dfr FROM ev_all GROUP BY gram),
+       |ev_pg AS (
+       |  SELECT v.id1, v.id2, ga.gram FROM verified v
+       |  JOIN grams ga ON ga.id = v.id1
+       |  JOIN grams gb ON gb.id = v.id2 AND gb.gram = ga.gram),
+       |ev_r AS (
+       |  SELECT id1, id2, gram, dfr,
+       |    row_number() OVER (PARTITION BY id1, id2
+       |      ORDER BY dfr, gram) AS rk,
+       |    count(*) OVER (PARTITION BY id1, id2) AS n_shared
+       |  FROM ev_pg JOIN ev_df USING (gram))
+       |SELECT id1, id2,
+       |  string_agg(gram, ' | ' ORDER BY dfr, gram)
+       |    FILTER (WHERE rk <= 3) AS evidence,
+       |  CAST(max(n_shared) AS BIGINT) AS n_shared
+       |FROM ev_r GROUP BY id1, id2""".stripMargin
+
   /** Per-half marker scores inlined from the same LangMarkers list
     * the Spark expression compiles from. */
   private lazy val langCodeSwitchSql = {
@@ -3216,6 +3269,7 @@ object ExtQueries {
     "ann_matryoshka_recall" -> annMatryoshkaRecallSql,
     "embed_anisotropy" -> embedAnisotropySql,
     "lang_code_switch" -> langCodeSwitchSql,
+    "dedup_evidence" -> dedupEvidenceSql,
     "lsh_index_compact" -> lshIndexCompactSql,
     "ann_ivf_recall" -> annIvfRecallSql,
     "ann_ivf_cells" -> annIvfCellsSql,
