@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions
+
 /** Corpus-preparation operators a large-scale training-data pipeline
   * needs around the dedup/similarity family: latest-record compaction,
   * deterministic sampling (uniform, stratified, sharded) and
@@ -204,9 +206,31 @@ object Corpus {
       numPartitions: Int = 32): DataFrame = {
     val keyed = df.select(key.as("id"),
       md5(concat(lit("shuf|"), key.cast("string"))).as("_h"))
-    val sorted = keyed
-      .repartitionByRange(numPartitions, col("_h"), col("id"))
-      .sortWithinPartitions(col("_h"), col("id"))
+    globalOrderRank(keyed, numPartitions, col("_h"), col("id"))
+      .select(col("id"), col("_rank").as("shuffle_pos"))
+  }
+
+  /** Global 0-based rank of every row under the total order given by
+    * `sortCols` (which MUST include a unique tiebreaker), without a
+    * single-partition sort — the distributed machinery behind
+    * [[shuffleRank]] and [[curriculumOrder]]:
+    *   1. range-repartition + sort-within-partitions on `sortCols` —
+    *      the only data-sized shuffle;
+    *   2. `monotonically_increasing_id` over the sorted partitions
+    *      encodes (partitionId, localIndex) in one narrow map;
+    *   3. per-partition counts (numPartitions rows — bounded driver
+    *      collect) prefix-sum into partition offsets;
+    *   4. rank = offset(partition) + localIndex via broadcast join.
+    * The frame is materialized between (2) and (3) so both jobs see
+    * identical range boundaries; the rank itself is boundary-
+    * independent (offsets absorb wherever the sampler cut), so the
+    * output is bit-stable across runs and engines. Returns the input
+    * columns plus `_rank`. */
+  def globalOrderRank(df: DataFrame, numPartitions: Int,
+      sortCols: Column*): DataFrame = {
+    val sorted = df
+      .repartitionByRange(numPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .withColumn("_mono", monotonically_increasing_id())
     val m = graft.Tables.materialize(sorted)
     // monotonically_increasing_id layout: partition id << 33 | local idx
@@ -223,7 +247,48 @@ object Corpus {
     val offsetDf = df.sparkSession
       .createDataFrame(offsets.toSeq).toDF("_pid", "_off")
     withPid.join(broadcast(offsetDf), Seq("_pid"))
-      .select(col("id"), (col("_off") + col("_lidx")).as("shuffle_pos"))
+      .withColumn("_rank", col("_off") + col("_lidx"))
+      .drop("_mono", "_pid", "_lidx")
+  }
+
+  /** Curriculum training order: documents bucketed into quartiles of
+    * a difficulty proxy (token count — short docs first), then given
+    * a corpus-wide position that walks the buckets easy→hard with a
+    * deterministic hash shuffle INSIDE each bucket. This is the
+    * "sort by difficulty, shuffle within stage" export order
+    * curriculum-learning recipes prescribe; emitting an explicit
+    * position makes the order replayable and resumable.
+    *
+    * Quartile cut points come from one `percentile_disc` aggregate
+    * (3 scalars broadcast back — no per-row window), bucket
+    * assignment is three integer compares, and the global position is
+    * [[globalOrderRank]]'s range-partition + offset machinery over
+    * (bucket, md5, id) — no single-partition sort anywhere, so the
+    * plan survives 100 TB exactly like [[shuffleRank]]'s.
+    *
+    * Returns (id, n_tokens, bucket 1..4, curriculum_pos). */
+  def curriculumOrder(df: DataFrame, id: Column, text: Column,
+      numPartitions: Int = 32): DataFrame = {
+    val scored = df.select(id.as("id"),
+      TextFunctions.tokenCount(text).as("n_tokens"),
+      md5(concat(lit("cur|"), id.cast("string"))).as("_h"))
+    val cuts = scored.agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tokens)")
+        .as("_c1"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tokens)")
+        .as("_c2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tokens)")
+        .as("_c3"))
+    val bucketed = scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        (lit(1) + (col("n_tokens") > col("_c1")).cast("int")
+          + (col("n_tokens") > col("_c2")).cast("int")
+          + (col("n_tokens") > col("_c3")).cast("int")).cast("long"))
+      .drop("_c1", "_c2", "_c3")
+    globalOrderRank(bucketed, numPartitions,
+        col("bucket"), col("_h"), col("id"))
+      .select(col("id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("bucket"), col("_rank").as("curriculum_pos"))
   }
 
   // -------------------------------------------- chunking / packing
@@ -709,6 +774,51 @@ object Corpus {
     l.join(r, "blk")
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Sorted-neighborhood record linkage — the third classic blocking
+    * strategy next to [[editDistancePairs]]' standard blocking and
+    * the deletion-neighborhood join: rows sort by a canonical key,
+    * and ONLY rows within `w` positions of each other in that total
+    * order are compared (verified here with exact Levenshtein on a
+    * prefix). Sorted-neighborhood catches the pairs hard blocking
+    * splits apart (a typo in the block key lands the twin in a
+    * different block but usually in a NEARBY sort position) at a
+    * guaranteed candidate budget of ≤ w·n pairs — no hot-block
+    * quadratic anywhere, the property that made multi-pass SNM the
+    * workhorse of pre-LSH record linkage.
+    *
+    * Scale shape: the global sort position comes from
+    * [[globalOrderRank]] (range partition + offset prefix sums — no
+    * single-partition window), and the neighbor pairing is an
+    * EQUI-join on the rank block floor(rank/w): each left row joins
+    * its own block and the next (2 exploded keys), then the true
+    * rank-distance filter keeps 1..w. Shuffle volume is 2n rows
+    * keyed by block id; `w` bounds per-key fan-in by construction.
+    *
+    * Returns (id_a, id_b, dist ≤ maxDist), id_a earlier in sort
+    * order. */
+  def sortedNeighborPairs(docs: DataFrame, id: Column, sortKey: Column,
+      text: Column, prefixLen: Int, w: Int, maxDist: Int,
+      numPartitions: Int = 32): DataFrame = {
+    require(w >= 1, "w must be >= 1")
+    val side = docs.select(id.as("id"), sortKey.as("sk"),
+      substring(text, 1, prefixLen).as("pfx"))
+    val ranked = globalOrderRank(side, numPartitions,
+      col("sk"), col("id"))
+    val a = ranked.select(col("id").as("id_a"), col("pfx").as("pfx_a"),
+        col("_rank").as("rank_a"),
+        explode(array(floor(col("_rank") / w),
+          floor(col("_rank") / w) + 1)).as("bkt"))
+    val b = ranked.select(col("id").as("id_b"), col("pfx").as("pfx_b"),
+      col("_rank").as("rank_b"),
+      floor(col("_rank") / w).as("bkt"))
+    a.join(b, "bkt")
+      .filter((col("rank_b") - col("rank_a")).between(1, w))
+      .withColumn("dist",
+        levenshtein(col("pfx_a"), col("pfx_b")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }

@@ -954,4 +954,62 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("n_gram_hits"))
   }
+
+  /** Winnowing document fingerprints (the Schleimer–Wilkerson–Aiken /
+    * MOSS local algorithm): token k-gram hashes slide under a window
+    * of `w` consecutive grams; each full window contributes its
+    * minimal hash with ties broken RIGHTMOST (the paper's rule), and
+    * the distinct selected (position, hash) pairs are the document's
+    * fingerprint set. Guarantee: any shared token run of at least
+    * `w + k - 1` tokens between two documents yields at least one
+    * shared fingerprint, at an expected density of ~2/(w+1)
+    * fingerprints per gram — the recall/bandwidth dial that sets
+    * winnowing apart from [[minhashSignatures]] (which sketches the
+    * WHOLE document and cannot localize the match).
+    *
+    * Shape: positional grams from one generator (no distinct — order
+    * matters here, unlike [[shingles]]), then a per-doc ROWS window
+    * min. Everything partitions by doc_id, so at 100 TB the pass is
+    * embarrassingly parallel; no cross-doc shuffle exists until a
+    * downstream join ON fp_hash. The rightmost tie-break is encoded
+    * arithmetically — combined = h·2²⁰ + (2²⁰ − p), so equal hashes
+    * order by LATER position first — keeping the window min a plain
+    * long comparison (codegen-friendly, no struct comparator); the
+    * decode back to (position, hash) is two bit ops. Positions are
+    * bounded by 2²⁰ grams/doc (1M tokens — far above any sane
+    * document; chunk first otherwise). md5-derived
+    * [[TextFunctions.hash32]] keeps hashes portable to the DuckDB
+    * oracle; production would swap xxhash64 behind the same algebra.
+    *
+    * Output: (doc_id, fp_pos — 1-based gram index, fp_hash).
+    * Documents with fewer than `w + k - 1` tokens emit nothing (no
+    * full window exists); callers wanting short docs represented
+    * fall back to [[TextFunctions.canonicalFingerprint]]. */
+  def winnowFingerprints(df: DataFrame, id: Column, text: Column,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val M = 1L << 20
+    val toked = df.select(id.as("doc_id"),
+      TextFunctions.tokens(text).as("toks")).repartition(p)
+    val grams = when(size(col("toks")) >= k,
+      transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+        i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
+      .otherwise(array())
+    val posed = toked.select(col("doc_id"), posexplode(grams))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        TextFunctions.hash32(col("col")).as("h"))
+      .withColumn("c", col("h") * M + (lit(M) - col("p")))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("p").asc)
+      .rowsBetween(Window.currentRow, w - 1)
+    val whole = Window.partitionBy(col("doc_id"))
+    posed
+      .withColumn("m", count(lit(1)).over(whole))
+      .withColumn("sel", min(col("c")).over(win))
+      .filter(col("p") <= col("m") - (w - 1))
+      .select(col("doc_id"),
+        (lit(M) - col("sel").bitwiseAND(lit(M - 1))).as("fp_pos"),
+        shiftright(col("sel"), 20).as("fp_hash"))
+      .distinct()
+  }
 }

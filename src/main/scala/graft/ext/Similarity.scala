@@ -765,4 +765,46 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))
   }
+
+  /** Per-dimension moment audit of the embedding matrix — the
+    * dead/constant-dimension screen run after a projection or
+    * quantization change: a dimension whose variance collapses
+    * carries no retrieval signal but still costs its share of every
+    * distance computation, and a drifted mean flags a normalization
+    * bug upstream. One mergeable aggregate over (dim → n, Σx, Σx²,
+    * min, max): at 100 TB this is a single map-side-combined pass at
+    * scan parallelism — dims, not rows, reach the reducer.
+    *
+    * Exactness: components quantize to q = floor(x·2²⁰) — a
+    * power-of-two rescale of a float32 is EXACT in double (exponent
+    * shift only), so q is the same integer on every engine, with no
+    * decimal tie-rounding anywhere (the trap both a scale-12 decimal
+    * cast — per-term ties — and a scale-30 one — DuckDB's
+    * double-rounded decimal→double conversion — fall into). Integer
+    * sums are order-independent; Σq and Σq² stay below 2⁵³ for any
+    * realistic n so their double conversions are exact, and the
+    * mean/variance readout is ONE fixed IEEE divide/multiply tree.
+    * Moments are therefore of the 2⁻²⁰-quantized components —
+    * quantization noise ~2⁻⁴⁰ is far beneath the 1e-6 `is_dead`
+    * screen. */
+  def dimVarianceAudit(df: DataFrame, vec: Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val Q = 1048576.0 // 2^20
+    val comp = df.select(posexplode(vec))
+      .repartition(p)
+      .select(col("pos").as("i"), col("col").cast("double").as("x"))
+      .withColumn("q", floor(col("x") * Q).cast("long"))
+    val meanQ = col("s1").cast("double") / col("n").cast("double")
+    comp.groupBy(col("i"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("s1"),
+        sum(col("q") * col("q")).as("s2"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"))
+      .select(col("i").cast("long").as("i"), col("n"),
+        (meanQ / Q).as("mean"),
+        ((col("s2").cast("double") / col("n").cast("double")
+          - meanQ * meanQ) / (Q * Q)).as("variance"),
+        col("x_min"), col("x_max"))
+      .withColumn("is_dead", col("variance") < lit(1e-6))
+  }
 }

@@ -67,6 +67,14 @@ object CorpusQueries {
   def shuffleRank(spark: SparkSession, dir: String): DataFrame =
     Corpus.shuffleRank(Tables(spark, dir, "documents"), col("doc_id"))
 
+  /** Curriculum export order ([[Corpus.curriculumOrder]]): token-count
+    * quartile buckets walked easy→hard with a deterministic hash
+    * shuffle inside each bucket; same range-partition rank machinery
+    * as [[shuffleRank]], so the plan carries no global window. */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame =
+    Corpus.curriculumOrder(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"))
+
   /** Shard-export manifest — the validation handshake a training-data
     * consumer runs against a delivered shard set: per shard, row
     * count, the position range (contiguity check: max_pos == n_rows
@@ -138,6 +146,21 @@ object CorpusQueries {
     Corpus.editDistancePairs(docs, col("doc_id"), col("text"),
       blockKey = concat_ws("|", col("lang"), col("source")),
       prefixLen = 24, maxDist = 8)
+  }
+
+  /** Sorted-neighborhood record linkage
+    * ([[Corpus.sortedNeighborPairs]]): global sort on a canonical
+    * 16-char lowercase key, Levenshtein verify only within 3 sort
+    * positions — ≤ w·n candidates with no hot-block quadratic, the
+    * complement of [[editDistance]]'s hard blocking. Same
+    * printable-ASCII guard (codepoints == bytes == binary collation
+    * on both engines). */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .filter(substring(col("text"), 1, 24).rlike("^[ -~]*$"))
+    Corpus.sortedNeighborPairs(docs, col("doc_id"),
+      sortKey = lower(substring(col("text"), 1, 16)),
+      text = col("text"), prefixLen = 24, w = 3, maxDist = 8)
   }
 
   /** Sliding 8-token chunks every 4 tokens — the overlapping context
@@ -486,12 +509,14 @@ object CorpusQueries {
     "sample_stratified" -> sampleStratified _,
     "shard_assign" -> shardAssign _,
     "shuffle_rank" -> shuffleRank _,
+    "curriculum_order" -> curriculumOrder _,
     "export_manifest" -> exportManifest _,
     "vocab_topk" -> vocabTopK _,
     "bpe_pair_counts" -> bpePairCounts _,
     "tfidf_topk" -> tfidfTopK _,
     "set_ops" -> setOps _,
-    "edit_distance" -> editDistance _)
+    "edit_distance" -> editDistance _,
+    "sorted_neighborhood" -> sortedNeighborhood _)
 
   // shared CTE chain for the paragraph-dedup pair of gates
   private val paragraphCtes =
@@ -964,6 +989,30 @@ object CorpusQueries {
         |    ORDER BY md5('shuf|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
         |    AS shuffle_pos
         |FROM documents""".stripMargin,
+    // same bucket algebra (percentile_disc cuts + 3 integer compares),
+    // window form of the rank the distributed operator avoids
+    "curriculum_order" ->
+      s"""WITH s AS (
+         |  SELECT doc_id AS id,
+         |    length(${ExtQueries.toks}) AS n_tokens,
+         |    md5('cur|' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT
+         |    percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tokens) AS c1,
+         |    percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_tokens) AS c2,
+         |    percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tokens) AS c3
+         |  FROM s),
+         |b AS (
+         |  SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens, h,
+         |    CAST(1 + CAST(n_tokens > c1 AS INT)
+         |           + CAST(n_tokens > c2 AS INT)
+         |           + CAST(n_tokens > c3 AS INT) AS BIGINT) AS bucket
+         |  FROM s CROSS JOIN c)
+         |SELECT id, n_tokens, bucket,
+         |  row_number() OVER (ORDER BY bucket, h, id) - 1
+         |    AS curriculum_pos
+         |FROM b""".stripMargin,
     // shard/pos algebra verbatim from shard_assign + xor row checksum
     "export_manifest" ->
       """WITH h AS (
@@ -1058,5 +1107,21 @@ object CorpusQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
         |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.pfx, b.pfx) <= 8""".stripMargin,
+    // same sort key / verify algebra; the window-rank form of the
+    // rank the distributed operator derives via range partitioning
+    "sorted_neighborhood" ->
+      """WITH sn_s AS (
+        |  SELECT doc_id, lower(substr(text, 1, 16)) AS sk,
+        |    substr(text, 1, 24) AS pfx
+        |  FROM documents
+        |  WHERE regexp_matches(substr(text, 1, 24), '^[ -~]*$')),
+        |sn_r AS (
+        |  SELECT doc_id, pfx,
+        |    row_number() OVER (ORDER BY sk, doc_id) - 1 AS rnk
+        |  FROM sn_s)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+        |FROM sn_r a JOIN sn_r b ON b.rnk - a.rnk BETWEEN 1 AND 3
         |WHERE levenshtein(a.pfx, b.pfx) <= 8""".stripMargin)
 }

@@ -308,6 +308,14 @@ object ExtQueries {
     Dedup.repeatedSpans(Tables(spark, dir, "documents"),
       col("doc_id"), col("text"), gramChars = 40, minFreq = 2)
 
+  /** Winnowing (MOSS) fingerprint selection over token 3-grams with a
+    * 4-gram window ([[Dedup.winnowFingerprints]]): the localized
+    * fingerprint family — any shared run of ≥ 6 tokens between two
+    * docs is guaranteed a shared fingerprint, at ~2/(w+1) density. */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"), k = 3, w = 4)
+
   /** Doc-level verdict over the span frame (see
     * [[Dedup.repeatedSpanCoverage]]): duplicated-character coverage
     * per doc and the C4-style keep/drop at 50%. */
@@ -801,6 +809,13 @@ object ExtQueries {
     Similarity.anisotropyAudit(Tables(spark, dir, "embeddings"),
       col("vec_id"), col("embedding"), col("label"))
 
+  /** Dead/constant-dimension screen ([[Similarity.dimVarianceAudit]]):
+    * per-dimension n/mean/variance/min/max from one mergeable
+    * moment aggregate, with the variance < 1e-6 dead flag. */
+  def embedDimVariance(spark: SparkSession, dir: String): DataFrame =
+    Similarity.dimVarianceAudit(Tables(spark, dir, "embeddings"),
+      col("embedding"))
+
   /** Matryoshka truncation-recall curve
     * ([[Similarity.matryoshkaRecall]]): top-10 retrieval with the
     * first 16/32/64 embedding components vs the full-dim exact
@@ -1040,6 +1055,7 @@ object ExtQueries {
     "doc_dedup_best" -> docDedupBest _,
     "dedup_cluster_stats" -> dedupClusterStats _,
     "substring_dedup" -> substringDedup _,
+    "winnow_fingerprint" -> winnowFingerprint _,
     "url_dedup_canonical" -> urlDedupCanonical _,
     "substring_dedup_filter" -> substringDedupFilter _,
     "corpus_quality_e2e" -> corpusQualityE2e _,
@@ -1049,6 +1065,7 @@ object ExtQueries {
     "ann_ivf_persisted" -> annIvfPersisted _,
     "ann_matryoshka_recall" -> annMatryoshkaRecall _,
     "embed_anisotropy" -> embedAnisotropy _,
+    "embed_dim_variance" -> embedDimVariance _,
     "lang_code_switch" -> langCodeSwitch _,
     "dedup_evidence" -> dedupEvidence _,
     "lsh_index_compact" -> lshIndexCompact _,
@@ -1979,6 +1996,36 @@ object ExtQueries {
        |SELECT doc_id, span_start, span_end, n_gram_hits FROM spans"""
       .stripMargin
 
+  // mirrors Dedup.winnowFingerprints: same combined-key arithmetic
+  // (h·2²⁰ + (2²⁰ − p) makes the window min tie-break rightmost), same
+  // full-window filter; window form of the per-doc ROWS frame
+  private val winnowFingerprintSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+      |  FROM t WHERE len(tk) >= 3),
+      |g AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+      |    CAST(len(tk) - 2 AS BIGINT) AS m,
+      |    ('0x' || substr(md5(
+      |        array_to_string(list_slice(tk, i, i + 2), ' ')), 1, 8)
+      |      )::BIGINT AS h
+      |  FROM p),
+      |c AS (
+      |  SELECT doc_id, p, m,
+      |    h * 1048576 + (1048576 - p) AS cmb FROM g),
+      |s AS (
+      |  SELECT doc_id, p, m,
+      |    min(cmb) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+      |  FROM c)
+      |SELECT DISTINCT doc_id,
+      |  CAST(1048576 - (sel & 1048575) AS BIGINT) AS fp_pos,
+      |  CAST(sel >> 20 AS BIGINT) AS fp_hash
+      |FROM s WHERE p <= m - 3""".stripMargin
+
   // mirrors Dedup.repeatedSpanCoverage: stitched spans are disjoint so
   // their lengths sum exactly; 0/0 pinned to 0.0 on both engines
   private val substringDedupFilterSql =
@@ -2792,6 +2839,34 @@ object ExtQueries {
       |  END AS align_cosine
       |FROM an_agg""".stripMargin
 
+  // mirrors Similarity.dimVarianceAudit: floor(x·2^20) is an exact
+  // power-of-two rescale of the float32 (same integer on both
+  // engines), BIGINT sums are order-independent and < 2^53, readout
+  // is one fixed IEEE divide/multiply tree repeated for is_dead
+  private val embedDimVarianceSql =
+    """WITH dv_comp AS (
+      |  SELECT i, CAST(e.embedding[CAST(i AS INT) + 1] AS DOUBLE) AS x
+      |  FROM embeddings e, LATERAL (SELECT unnest(range(0, 64)) AS i)),
+      |dv_q AS (
+      |  SELECT i, x, CAST(floor(x * 1048576.0) AS BIGINT) AS q
+      |  FROM dv_comp),
+      |dv_agg AS (
+      |  SELECT i, COUNT(*) AS n, SUM(q) AS s1, SUM(q * q) AS s2,
+      |    MIN(x) AS x_min, MAX(x) AS x_max
+      |  FROM dv_q GROUP BY i)
+      |SELECT CAST(i AS BIGINT) AS i, n,
+      |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS mean,
+      |  (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+      |    / (1048576.0 * 1048576.0) AS variance,
+      |  x_min, x_max,
+      |  ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+      |    / (1048576.0 * 1048576.0)) < 0.000001 AS is_dead
+      |FROM dv_agg""".stripMargin
+
   private val embedDriftSql =
     """WITH comp2 AS (
       |  SELECT e.label AS lbl, e.vec_id % 2 AS half, i,
@@ -3259,6 +3334,7 @@ object ExtQueries {
     "doc_dedup_best" -> docDedupBestSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "substring_dedup" -> substringDedupSql,
+    "winnow_fingerprint" -> winnowFingerprintSql,
     "url_dedup_canonical" -> urlDedupCanonicalSql,
     "substring_dedup_filter" -> substringDedupFilterSql,
     "corpus_quality_e2e" -> corpusQualityE2eSql,
@@ -3268,6 +3344,7 @@ object ExtQueries {
     "ann_ivf_persisted" -> annIvfKmeansSql,
     "ann_matryoshka_recall" -> annMatryoshkaRecallSql,
     "embed_anisotropy" -> embedAnisotropySql,
+    "embed_dim_variance" -> embedDimVarianceSql,
     "lang_code_switch" -> langCodeSwitchSql,
     "dedup_evidence" -> dedupEvidenceSql,
     "lsh_index_compact" -> lshIndexCompactSql,

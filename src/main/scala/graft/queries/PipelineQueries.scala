@@ -835,7 +835,66 @@ object PipelineQueries {
     }
   }
 
+  /** Watermark LATE-DATA semantics pinned under the gate: the one
+    * streaming behavior every production job bets on — rows arriving
+    * behind the watermark are dropped from windowed state — made
+    * deterministic and hash-checked. [[org.apache.spark.sql.execution.streaming.runtime.MemoryStream]]
+    * fixes the micro-batch boundaries: batch 1 is the on-time bulk
+    * (event_id ≢ 0 mod 4), batch 2 the stragglers (≡ 0 — spanning
+    * the whole time range, so some fall behind the watermark batch 1
+    * established), then two far-future sentinel batches whose only
+    * job is to advance the watermark past every real window so ALL
+    * real windows are emitted during DATA batches (append-mode
+    * emission never depends on the racy trailing no-data
+    * micro-batch). The sentinels' own windows never finalize, so
+    * they stay out of the sink. The oracle replays the exact
+    * watermark algebra: wm₁ = max(batch-1 ts) − 600 s; a batch-2 row
+    * survives iff its 5-minute window's END exceeds wm₁. */
+  def streamLateData(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(unix_timestamp(col("ts")).as("ts_s"), col("event_id"))
+    val b1 = ev.filter(col("event_id") % 4 =!= 0)
+    val b2 = ev.filter(col("event_id") % 4 === 0)
+    val maxTs = ev.agg(max(col("ts_s"))).collect()(0).getLong(0)
+    val name = "stream_late_data_sink"
+    onStreamSession(spark, 8) { s =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      def rows(df: DataFrame): Seq[Long] =
+        df.select(col("ts_s")).as[Long].collect().toSeq
+      val mem = MemoryStream[Long]
+      val agg = mem.toDF().toDF("ts_s")
+        .withColumn("ts", timestamp_seconds(col("ts_s")))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      mem.addData(rows(b1): _*)
+      q.processAllAvailable()
+      mem.addData(rows(b2): _*)
+      q.processAllAvailable()
+      // sentinel pair: batch 3 lifts the watermark past every real
+      // window; batch 4 makes batch 3's watermark take effect so the
+      // eviction happens inside a data batch
+      mem.addData(maxTs + 864000L)
+      q.processAllAvailable()
+      mem.addData(maxTs + 1728000L)
+      q.processAllAvailable()
+      q.stop()
+      // sentinel windows may or may not have been flushed by a
+      // trailing no-data micro-batch before stop — excluding them by
+      // time range makes the gate independent of that race
+      s.table(name).select(
+          unix_timestamp(col("window.start")).as("window_start"),
+          col("n"))
+        .filter(col("window_start") <= maxTs)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_late_data" -> streamLateData _,
     "stream_scd_type2" -> streamScdType2 _,
     "stream_ann_probe" -> streamAnnProbe _,
     "stream_incremental_dedup" -> streamIncrementalDedup _,
@@ -1065,6 +1124,24 @@ object PipelineQueries {
         |FROM events
         |WHERE event_type IS NOT NULL AND event_type <> ''
         |GROUP BY event_type""".stripMargin,
+    // watermark algebra replayed exactly: wm1 = max(batch-1 ts) - 600;
+    // a batch-2 straggler survives iff its window END > wm1 (Spark
+    // evicts windows with end <= watermark and drops rows landing in
+    // evicted windows); batch-1 rows all survive (watermark starts -inf)
+    "stream_late_data" ->
+      """WITH ld AS (
+        |  SELECT epoch_us(ts) // 1000000 AS ts_s, event_id FROM events),
+        |ld_b1 AS (SELECT ts_s FROM ld WHERE event_id % 4 <> 0),
+        |ld_b2 AS (SELECT ts_s FROM ld WHERE event_id % 4 = 0),
+        |ld_wm AS (SELECT max(ts_s) - 600 AS wm1 FROM ld_b1),
+        |ld_kept AS (
+        |  SELECT ts_s FROM ld_b1
+        |  UNION ALL
+        |  SELECT b.ts_s FROM ld_b2 b, ld_wm
+        |  WHERE (b.ts_s - b.ts_s % 300) + 300 > wm1)
+        |SELECT ts_s - ts_s % 300 AS window_start,
+        |  count(*) AS n
+        |FROM ld_kept GROUP BY 1""".stripMargin,
     "stream_window_counts" ->
       """SELECT (epoch_us(ts) // 1000000) // 300 * 300 AS window_start,
         |  event_type, COUNT(*) AS n,

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Corpus, Dedup, Similarity}
+
+/** Specs for the wave-5 operators: winnowing fingerprints, curriculum
+  * ordering, sorted-neighborhood linkage, and the dimension-variance
+  * audit. */
+class WinnowCurriculumSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------- winnowFingerprints
+
+  test("winnowing guarantee: a shared run of w+k-1 tokens shares a fingerprint") {
+    // k=3, w=4: any shared run of >= 6 tokens must yield a common
+    // (hash) fingerprint in both docs
+    val shared = "one two three four five six"
+    val df = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon zeta"),
+      (2L, s"$shared completely different suffix tokens here"))
+      .toDF("id", "text")
+    val fp = Dedup.winnowFingerprints(df, col("id"), col("text"))
+    val h1 = fp.filter(col("doc_id") === 1).select("fp_hash")
+      .as[Long].collect().toSet
+    val h2 = fp.filter(col("doc_id") === 2).select("fp_hash")
+      .as[Long].collect().toSet
+    assert((h1 & h2).nonEmpty)
+  }
+
+  test("winnowing density and bounds: one fingerprint per window at most") {
+    val text = (1 to 40).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("id", "text")
+    val fp = Dedup.winnowFingerprints(df, col("id"), col("text"),
+      k = 3, w = 4)
+    val rows = fp.select("fp_pos").as[Long].collect()
+    // 38 grams, 35 full windows; distinct selections bounded by both
+    assert(rows.nonEmpty && rows.length <= 35)
+    assert(rows.forall(p => p >= 1 && p <= 38))
+    // consecutive selected positions never more than w apart (the
+    // winnowing coverage property)
+    val sortedP = rows.sorted
+    sortedP.sliding(2).foreach {
+      case Array(a, b) => assert(b - a <= 4)
+      case _ =>
+    }
+  }
+
+  test("winnowing: short docs emit nothing, determinism holds") {
+    val df = Seq((1L, "too few tokens here"), (2L, "a b"))
+      .toDF("id", "text")
+    // 4 tokens => 2 grams < w+... no full 4-gram window => empty
+    val fp = Dedup.winnowFingerprints(df, col("id"), col("text"))
+    assert(fp.count() == 0)
+    val big = Seq((9L, (1 to 30).map("w" + _).mkString(" ")))
+      .toDF("id", "text")
+    val a = Dedup.winnowFingerprints(big, col("id"), col("text"))
+      .collect().toSet
+    val b = Dedup.winnowFingerprints(big, col("id"), col("text"))
+      .collect().toSet
+    assert(a == b)
+  }
+
+  // ------------------------------------------------- curriculumOrder
+
+  test("curriculumOrder: buckets are quartile-monotone and positions are a permutation") {
+    val docs = spark.range(100)
+      .select(col("id"),
+        concat_ws(" ", transform(sequence(lit(1),
+          (col("id") % 20 + 1).cast("int")), i => concat(lit("w"), i)))
+          .as("text"))
+    val out = Corpus.curriculumOrder(docs, col("id"), col("text"))
+    val rows = out.select("n_tokens", "bucket", "curriculum_pos")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 100)
+    // positions are exactly 0..99
+    assert(rows.map(_._3).sorted.toSeq == (0L until 100L))
+    // bucket is monotone in position (easy->hard walk)
+    val byPos = rows.sortBy(_._3)
+    byPos.map(_._2).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b)
+      case _ =>
+    }
+    // bucket is monotone in n_tokens
+    val maxPerBucket = rows.groupBy(_._2).view
+      .mapValues(_.map(_._1).max).toMap
+    val minPerBucket = rows.groupBy(_._2).view
+      .mapValues(_.map(_._1).min).toMap
+    for (b <- 1L to 3L if maxPerBucket.contains(b)
+         && minPerBucket.contains(b + 1))
+      assert(maxPerBucket(b) <= minPerBucket(b + 1))
+  }
+
+  // --------------------------------------------- sortedNeighborPairs
+
+  test("sortedNeighborPairs: only rank-adjacent pairs, all within maxDist") {
+    val docs = Seq(
+      (1L, "apple pie recipe with extra sugar"),
+      (2L, "apple pie recipf with extra sugar"), // 1 edit from doc 1
+      (3L, "zebra crossing in the city"),
+      (4L, "banana bread with nuts"))
+      .toDF("id", "text")
+    val pairs = Corpus.sortedNeighborPairs(docs, col("id"),
+      lower(substring(col("text"), 1, 16)), col("text"),
+      prefixLen = 24, w = 3, maxDist = 8)
+    val got = pairs.select("id_a", "id_b", "dist")
+      .as[(Long, Long, Long)].collect()
+    // the planted near-pair is found
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1L))
+    assert(got.forall(_._3 <= 8))
+  }
+
+  test("sortedNeighborPairs candidate budget: <= w*n pairs even with identical keys") {
+    // 50 identical sort keys — hard blocking would go quadratic
+    // (50*49/2 = 1225 candidates); SNM stays at <= w*n = 150
+    val docs = (1 to 50).map(i => (i.toLong, s"same same same unique$i"))
+      .toDF("id", "text")
+    val pairs = Corpus.sortedNeighborPairs(docs, col("id"),
+      lower(substring(col("text"), 1, 14)), col("text"),
+      prefixLen = 24, w = 3, maxDist = 100)
+    assert(pairs.count() <= 3L * 50)
+  }
+
+  // ----------------------------------------------- dimVarianceAudit
+
+  test("dimVarianceAudit: constant dimension flagged dead, live one is not") {
+    val vecs = (1 to 50).map { i =>
+      (i.toLong, Array(0.25f, i.toFloat / 100f))
+    }.toDF("id", "vec")
+    val out = Similarity.dimVarianceAudit(vecs, col("vec"))
+      .select("i", "variance", "is_dead", "n")
+      .as[(Long, Double, Boolean, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(0L)._3)                    // constant dim => dead
+    assert(!out(1L)._3)                   // varying dim => live
+    assert(out(0L)._2 === 0.0)
+    assert(out(0L)._4 == 50 && out(1L)._4 == 50)
+    // exact mean/variance on the known ramp .01..0.5: var of the
+    // quantized values sits within quantization noise of the true one
+    val trueVar = {
+      val xs = (1 to 50).map(_ / 100.0)
+      val m = xs.sum / 50
+      xs.map(x => (x - m) * (x - m)).sum / 50
+    }
+    val gotVar = out(1L)._2
+    assert(math.abs(gotVar - trueVar) < 1e-6)
+  }
+}
