@@ -1012,4 +1012,42 @@ object Dedup {
         shiftright(col("sel"), 20).as("fp_hash"))
       .distinct()
   }
+
+  /** Localized near-dup candidate pairs from shared winnowing
+    * fingerprints ([[winnowFingerprints]]) — the join that makes the
+    * fingerprint set an index: docs sharing ≥ `minShared` selected
+    * hashes are candidates, with the shared count as the match
+    * strength. Because winnowing guarantees a fingerprint inside
+    * every w+k−1-token run, this catches PARTIAL overlaps (one
+    * copied paragraph in an otherwise-unrelated doc) that whole-doc
+    * MinHash dilutes below its Jaccard threshold — the plagiarism /
+    * quote-detection shape, complementing [[minhashLshPairs]].
+    *
+    * Scale: identical discipline to the LSH band join — fingerprints
+    * with document frequency > `maxDf` are dropped before the
+    * self-join (a fingerprint shared by thousands of docs is
+    * boilerplate, not evidence, and its bucket alone would emit
+    * df²/2 pairs), so per-key fan-out is capped at maxDf²/2 and the
+    * join is one co-partitioned shuffle on fp_hash. Dropped-hot
+    * fingerprints are observable via [[winnowFingerprints]] minus
+    * this frame's keys. */
+  def winnowPairs(df: DataFrame, id: Column, text: Column,
+      k: Int = 3, w: Int = 4, maxDf: Int = 64,
+      minShared: Int = 2): DataFrame = {
+    require(maxDf >= 2 && minShared >= 1, "maxDf >= 2, minShared >= 1")
+    val fp = winnowFingerprints(df, id, text, k, w)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    val keep = fp.groupBy(col("fp_hash"))
+      .agg(count(lit(1)).as("fdf"))
+      .filter(col("fdf") >= 2 && col("fdf") <= maxDf)
+      .select(col("fp_hash"))
+    val filtered = fp.join(keep, "fp_hash")
+    val a = filtered.select(col("fp_hash"), col("doc_id").as("id_a"))
+    val b = filtered.select(col("fp_hash"), col("doc_id").as("id_b"))
+    a.join(b, "fp_hash")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -316,6 +316,16 @@ object ExtQueries {
     Dedup.winnowFingerprints(Tables(spark, dir, "documents"),
       col("doc_id"), col("text"), k = 3, w = 4)
 
+  /** Localized near-dup pairs over the winnowing index
+    * ([[Dedup.winnowPairs]]): docs sharing ≥ 2 selected fingerprint
+    * hashes, hot fingerprints (df > 64) dropped before the
+    * self-join — the partial-overlap detector whole-doc MinHash
+    * dilutes away. */
+  def winnowPairsQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"), k = 3, w = 4, maxDf = 64,
+      minShared = 2)
+
   /** Doc-level verdict over the span frame (see
     * [[Dedup.repeatedSpanCoverage]]): duplicated-character coverage
     * per doc and the C4-style keep/drop at 50%. */
@@ -1056,6 +1066,7 @@ object ExtQueries {
     "dedup_cluster_stats" -> dedupClusterStats _,
     "substring_dedup" -> substringDedup _,
     "winnow_fingerprint" -> winnowFingerprint _,
+    "winnow_pairs" -> winnowPairsQ _,
     "url_dedup_canonical" -> urlDedupCanonical _,
     "substring_dedup_filter" -> substringDedupFilter _,
     "corpus_quality_e2e" -> corpusQualityE2e _,
@@ -1998,33 +2009,57 @@ object ExtQueries {
 
   // mirrors Dedup.winnowFingerprints: same combined-key arithmetic
   // (h·2²⁰ + (2²⁰ − p) makes the window min tie-break rightmost), same
-  // full-window filter; window form of the per-doc ROWS frame
-  private val winnowFingerprintSql =
-    """WITH t AS (
+  // full-window filter; window form of the per-doc ROWS frame.
+  // Shared by winnow_fingerprint and winnow_pairs (wf_ prefix).
+  private val winnowCtes =
+    """wf_t AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
       |  FROM documents),
-      |p AS (
+      |wf_p AS (
       |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
-      |  FROM t WHERE len(tk) >= 3),
-      |g AS (
+      |  FROM wf_t WHERE len(tk) >= 3),
+      |wf_g AS (
       |  SELECT doc_id, CAST(i AS BIGINT) AS p,
       |    CAST(len(tk) - 2 AS BIGINT) AS m,
       |    ('0x' || substr(md5(
       |        array_to_string(list_slice(tk, i, i + 2), ' ')), 1, 8)
       |      )::BIGINT AS h
-      |  FROM p),
-      |c AS (
+      |  FROM wf_p),
+      |wf_c AS (
       |  SELECT doc_id, p, m,
-      |    h * 1048576 + (1048576 - p) AS cmb FROM g),
-      |s AS (
+      |    h * 1048576 + (1048576 - p) AS cmb FROM wf_g),
+      |wf_s AS (
       |  SELECT doc_id, p, m,
       |    min(cmb) OVER (PARTITION BY doc_id ORDER BY p
       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
-      |  FROM c)
-      |SELECT DISTINCT doc_id,
-      |  CAST(1048576 - (sel & 1048575) AS BIGINT) AS fp_pos,
-      |  CAST(sel >> 20 AS BIGINT) AS fp_hash
-      |FROM s WHERE p <= m - 3""".stripMargin
+      |  FROM wf_c),
+      |wf_fp AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST(1048576 - (sel & 1048575) AS BIGINT) AS fp_pos,
+      |    CAST(sel >> 20 AS BIGINT) AS fp_hash
+      |  FROM wf_s WHERE p <= m - 3)""".stripMargin
+
+  private val winnowFingerprintSql =
+    s"""WITH $winnowCtes
+       |SELECT doc_id, fp_pos, fp_hash FROM wf_fp""".stripMargin
+
+  // mirrors Dedup.winnowPairs: distinct (doc, hash), df cap in [2,64],
+  // co-grouped self-join, shared-count floor of 2
+  private val winnowPairsSql =
+    s"""WITH $winnowCtes,
+       |wf_d AS (SELECT DISTINCT doc_id, fp_hash FROM wf_fp),
+       |wf_keep AS (
+       |  SELECT fp_hash FROM wf_d GROUP BY fp_hash
+       |  HAVING count(*) BETWEEN 2 AND 64),
+       |wf_f AS (
+       |  SELECT d.doc_id, d.fp_hash FROM wf_d d
+       |  JOIN wf_keep k ON d.fp_hash = k.fp_hash)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM wf_f a JOIN wf_f b
+       |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(*) >= 2""".stripMargin
 
   // mirrors Dedup.repeatedSpanCoverage: stitched spans are disjoint so
   // their lengths sum exactly; 0/0 pinned to 0.0 on both engines
@@ -3335,6 +3370,7 @@ object ExtQueries {
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "substring_dedup" -> substringDedupSql,
     "winnow_fingerprint" -> winnowFingerprintSql,
+    "winnow_pairs" -> winnowPairsSql,
     "url_dedup_canonical" -> urlDedupCanonicalSql,
     "substring_dedup_filter" -> substringDedupFilterSql,
     "corpus_quality_e2e" -> corpusQualityE2eSql,

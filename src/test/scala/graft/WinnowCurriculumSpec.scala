@@ -61,6 +61,30 @@ class WinnowCurriculumSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // ------------------------------------------------------ winnowPairs
+
+  test("winnowPairs finds a planted partial overlap and caps hot fingerprints") {
+    val para = (1 to 12).map(i => s"copied$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"unique one text body alpha beta $para gamma delta end"),
+      (2L, s"$para totally different following content words here"),
+      (3L, "nothing in common with the others at all whatsoever okay"))
+      .toDF("id", "text")
+    val pairs = Dedup.winnowPairs(docs, col("id"), col("text"),
+      minShared = 1)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)]
+      .collect().toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+    // hot-fingerprint cap: 20 docs sharing the same text emit zero
+    // pairs at maxDf = 8 (every shared fingerprint exceeds the cap)
+    val hot = (1 to 20).map(i => (i.toLong,
+      "the same boilerplate footer text repeated verbatim everywhere"))
+      .toDF("id", "text")
+    assert(Dedup.winnowPairs(hot, col("id"), col("text"),
+      maxDf = 8, minShared = 1).count() == 0)
+  }
+
   // ------------------------------------------------- curriculumOrder
 
   test("curriculumOrder: buckets are quartile-monotone and positions are a permutation") {
