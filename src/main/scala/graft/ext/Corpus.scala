@@ -778,6 +778,65 @@ object Corpus {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Maximal-Marginal-Relevance re-ranking over a bounded candidate
+    * list — the diversity stage of a retrieval stack: greedily pick
+    * the candidate maximizing λ·relevance − (1−λ)·max-similarity-to-
+    * already-selected, so near-duplicate hits don't crowd the top-k.
+    * Similarity here is exact Jaccard over the candidates' DISTINCT
+    * token arrays (callers pass `array_distinct` columns; pairwise
+    * sims are one bounded cross product, |cand|² rows).
+    *
+    * Serving-shape contract: the candidate list is BOUNDED by the
+    * upstream retriever (10-ish per query), so the k argmax picks are
+    * k driver collects of ONE row each — the same bounded-scalar
+    * discipline as [[shuffleRank]]'s partition counts. At 100 TB
+    * nothing here touches the corpus: the expensive part is upstream
+    * retrieval; MMR cost is |cand|²+k·|cand| on an already-small set.
+    *
+    * Determinism: relevance and λ are doubles combined in ONE fixed
+    * IEEE tree (λ·rel − (1−λ)·maxsim); Jaccard is one exact-rounded
+    * divide of exact integers; argmax ties break on id ascending —
+    * every step replays identically in SQL. Returns (rnk 1..k, id,
+    * mmr_score). */
+  def mmrRerank(cand: DataFrame, id: Column, score: Column,
+      toks: Column, k: Int, lambda: Double = 0.5): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val c = graft.Tables.materialize(
+      cand.select(id.as("id"), score.as("rel"), toks.as("toks")))
+    val a = c.select(col("id").as("id_a"), col("toks").as("ta"))
+    val b = c.select(col("id").as("id_b"), col("toks").as("tb"))
+    def inter = size(array_intersect(col("ta"), col("tb")))
+    val sims = graft.Tables.materialize(
+      a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (inter.cast("double") /
+            (size(col("ta")) + size(col("tb")) - inter).cast("double"))
+            .as("sim")))
+    var selected = List.empty[Long]
+    var out = List.empty[(Long, Long, Double)]
+    for (t <- 1 to k) {
+      val mmr =
+        if (selected.isEmpty)
+          c.select(col("id"), (col("rel") * lambda).as("mmr"))
+        else c.filter(!col("id").isin(selected: _*))
+          .join(sims.filter(col("id_b").isin(selected: _*))
+              .groupBy(col("id_a")).agg(max(col("sim")).as("msim"))
+              .withColumnRenamed("id_a", "id"),
+            Seq("id"), "left")
+          .select(col("id"), (col("rel") * lambda -
+            coalesce(col("msim"), lit(0.0)) * (1.0 - lambda)).as("mmr"))
+      val pick = mmr.orderBy(col("mmr").desc, col("id").asc)
+        .limit(1).collect() // bounded: one row per greedy step
+      if (pick.nonEmpty) {
+        selected ::= pick(0).getLong(0)
+        out ::= ((t.toLong, pick(0).getLong(0), pick(0).getDouble(1)))
+      }
+    }
+    val spark = cand.sparkSession
+    import spark.implicits._
+    out.reverse.toDF("rnk", "id", "mmr_score")
+  }
+
   /** Sorted-neighborhood record linkage — the third classic blocking
     * strategy next to [[editDistancePairs]]' standard blocking and
     * the deletion-neighborhood join: rows sort by a canonical key,

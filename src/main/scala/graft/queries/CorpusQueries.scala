@@ -255,6 +255,23 @@ object CorpusQueries {
         .cast("long"))
   }
 
+  /** MMR diversity re-rank over the BM25 top-10
+    * ([[Corpus.mmrRerank]], λ = 0.5, k = 5): the stage between
+    * retrieve and serve that stops near-duplicate hits from crowding
+    * the result list; similarity is exact Jaccard over candidate
+    * token sets, so every greedy step replays in SQL. */
+  def retrievalMmr(spark: SparkSession, dir: String): DataFrame = {
+    val top10 = bm25LiteRank(spark, dir)
+      .select(col("doc_id"), col("score"))
+    val cand = Tables(spark, dir, "documents")
+      .join(top10, "doc_id")
+      .select(col("doc_id"), col("score"),
+        array_distinct(TextFunctions.tokens(col("text"))).as("toks"))
+    Corpus.mmrRerank(cand, col("doc_id"), col("score"), col("toks"),
+        k = 5, lambda = 0.5)
+      .select(col("rnk"), col("id").as("doc_id"), col("mmr_score"))
+  }
+
   /** Per-doc OOV rate vs the corpus top-60 vocabulary
     * ([[Corpus.oovRate]]) — tokenizer-coverage audit; 60 keeps a
     * meaningful OOV tail on this corpus's compact vocabulary. */
@@ -500,6 +517,7 @@ object CorpusQueries {
     "bpe_encode" -> bpeEncode _,
     "mixture_temperature" -> mixtureTemperature _,
     "bm25_lite_rank" -> bm25LiteRank _,
+    "retrieval_mmr" -> retrievalMmr _,
     "retrieval_rerank" -> retrievalRerank _,
     "oov_rate" -> oovRate _,
     "pack_sequences_bpe" -> packSequencesBpe _,
@@ -667,8 +685,63 @@ object CorpusQueries {
       |  FROM bm_s GROUP BY doc_id
       |  ORDER BY score DESC, doc_id LIMIT 10)""".stripMargin
 
+  /** One MMR greedy round: candidates not yet selected, penalized by
+    * max similarity to the selected set, argmax with doc_id
+    * tie-break. MATERIALIZED pins single evaluation per reference
+    * (mm_sim is referenced every round). */
+  private def mmrRoundSql(t: Int): String =
+    s"""mm_p$t AS MATERIALIZED (
+       |  SELECT c.doc_id AS doc_id,
+       |    c.score * CAST(0.5 AS DOUBLE)
+       |      - COALESCE(ms.m, CAST(0.0 AS DOUBLE))
+       |        * CAST(0.5 AS DOUBLE) AS mmr
+       |  FROM bm25top c
+       |  LEFT JOIN (
+       |    SELECT s.id_a AS doc_id, max(s.sim) AS m
+       |    FROM mm_sim s JOIN mm_sel${t - 1} p ON s.id_b = p.doc_id
+       |    GROUP BY 1) ms ON ms.doc_id = c.doc_id
+       |  WHERE c.doc_id NOT IN (SELECT doc_id FROM mm_sel${t - 1})
+       |  ORDER BY mmr DESC, c.doc_id LIMIT 1),
+       |mm_sel$t AS (
+       |  SELECT doc_id FROM mm_sel${t - 1}
+       |  UNION ALL SELECT doc_id FROM mm_p$t)""".stripMargin
+
+  // mirrors Corpus.mmrRerank over bm25top: exact-Jaccard pair sims
+  // from distinct token rows, then 5 unrolled greedy rounds (round 1
+  // has no selected set: mmr = 0.5*score)
+  private lazy val retrievalMmrSql =
+    s"""WITH $bm25Ctes,
+       |mm_tok AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT d.doc_id,
+       |      unnest(string_split_regex(trim(d.text), '\\s+')) AS tok
+       |    FROM documents d JOIN bm25top USING (doc_id))),
+       |mm_sz AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM mm_tok GROUP BY 1),
+       |mm_sim AS MATERIALIZED (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(*) AS DOUBLE)
+       |      / CAST(sa.n + sb.n - count(*) AS DOUBLE) AS sim
+       |  FROM mm_tok a
+       |  JOIN mm_tok b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+       |  JOIN mm_sz sa ON sa.doc_id = a.doc_id
+       |  JOIN mm_sz sb ON sb.doc_id = b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id, sa.n, sb.n),
+       |mm_p1 AS MATERIALIZED (
+       |  SELECT doc_id, score * CAST(0.5 AS DOUBLE) AS mmr
+       |  FROM bm25top ORDER BY mmr DESC, doc_id LIMIT 1),
+       |mm_sel1 AS (SELECT doc_id FROM mm_p1),
+       |${(2 to 5).map(mmrRoundSql).mkString(",\n")}
+       |SELECT CAST(1 AS BIGINT) AS rnk, doc_id, mmr AS mmr_score
+       |FROM mm_p1
+       |${(2 to 5).map(t =>
+          s"UNION ALL SELECT CAST($t AS BIGINT), doc_id, mmr FROM mm_p$t")
+         .mkString("\n")}""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "bpe_encode" -> bpeEncodeSql,
+    "retrieval_mmr" -> retrievalMmrSql,
     "mixture_temperature" ->
       """WITH c AS (
         |  SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs

@@ -145,6 +145,31 @@ class WinnowCurriculumSpec extends SparkSpec {
     assert(pairs.count() <= 3L * 50)
   }
 
+  // ------------------------------------------------------ mmrRerank
+
+  test("mmrRerank demotes the near-duplicate of the top hit") {
+    // doc 2 is almost identical to doc 1 (higher rel than 3) but MMR
+    // must pick the diverse doc 3 second
+    val cand = Seq(
+      (1L, 1.0, Seq("alpha", "beta", "gamma", "delta")),
+      (2L, 0.9, Seq("alpha", "beta", "gamma", "epsilon")),
+      (3L, 0.5, Seq("zeta", "eta", "theta", "iota")))
+      .toDF("id", "rel", "toks")
+    val out = Corpus.mmrRerank(cand, col("id"), col("rel"),
+        col("toks"), k = 3)
+      .select("rnk", "id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(1L, 3L, 2L))
+  }
+
+  test("mmrRerank: k beyond candidate count stops cleanly, scores descend-ish") {
+    val cand = Seq(
+      (1L, 2.0, Seq("a", "b")), (2L, 1.0, Seq("c", "d")))
+      .toDF("id", "rel", "toks")
+    val out = Corpus.mmrRerank(cand, col("id"), col("rel"),
+      col("toks"), k = 5)
+    assert(out.count() == 2)
+  }
+
   // ----------------------------------------------- dimVarianceAudit
 
   test("dimVarianceAudit: constant dimension flagged dead, live one is not") {
