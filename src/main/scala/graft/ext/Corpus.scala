@@ -778,6 +778,55 @@ object Corpus {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Consistent-hash ring with `vnodes` virtual nodes per shard:
+    * sorted (position, shard) pairs, positions =
+    * [[TextFunctions.hash32Local]] of "node|shard|replica". Driver-
+    * side constant (n·vnodes entries), broadcast into the plan as
+    * array literals by [[ringAssign]]. */
+  def consistentRing(n: Int, vnodes: Int): Seq[(Long, Int)] =
+    (for { s <- 0 until n; r <- 0 until vnodes }
+      yield (TextFunctions.hash32Local(s"node|$s|$r"), s))
+      .sortBy(p => (p._1, p._2))
+
+  /** Shard for a 32-bit key hash under the ring: the first ring
+    * position ≥ h clockwise, wrapping to the ring head. Implemented
+    * as pure per-row array expressions over the broadcast ring
+    * literals — index = |{pos < h}| (the ring is sorted, ties break
+    * by shard asc via the sort), wrap via pmod — so assignment is
+    * map-side only: no join, no shuffle, O(ring) per row (a binary-
+    * search codegen Expression is the micro-optimization at 100 TB;
+    * the ring is ≤ a few hundred entries either way). */
+  def ringAssign(h: Column, ring: Seq[(Long, Int)]): Column = {
+    val pos = lit(ring.map(_._1).toArray)
+    val shards = lit(ring.map(_._2.toLong).toArray)
+    val idx = size(filter(pos, p => p < h)) // 0-based insertion point
+    element_at(shards, (pmod(idx, lit(ring.size)) + 1).cast("int"))
+  }
+
+  /** Consistent-hashing REBALANCE audit — the ops question behind
+    * every shard-count change at 100 TB: how many keys move when the
+    * fleet grows from `nOld` to `nNew` shards? With plain modulo
+    * hashing nearly everything moves; a consistent ring moves ~1/nNew
+    * of the keys, and THIS measurement (per-source-shard key count,
+    * moved count, moved fraction) is how the claim gets verified
+    * before a live resharding. One map-side pass assigns every key
+    * under BOTH rings (broadcast literals, no shuffle), one hash
+    * aggregate reduces to nOld rows. */
+  def shardRebalance(df: DataFrame, key: Column,
+      nOld: Int, nNew: Int, vnodes: Int = 16): DataFrame = {
+    require(nOld >= 1 && nNew >= 1 && vnodes >= 1, "positive ring")
+    val h = TextFunctions.hash32(key.cast("string"))
+    val assigned = df.select(
+      ringAssign(h, consistentRing(nOld, vnodes)).as("shard"),
+      ringAssign(h, consistentRing(nNew, vnodes)).as("shard_new"))
+    assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("shard") =!= col("shard_new"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .withColumn("moved_frac",
+        col("n_moved").cast("double") / col("n_keys").cast("double"))
+  }
+
   /** Maximal-Marginal-Relevance re-ranking over a bounded candidate
     * list — the diversity stage of a retrieval stack: greedily pick
     * the candidate maximizing λ·relevance − (1−λ)·max-similarity-to-

@@ -255,6 +255,14 @@ object CorpusQueries {
         .cast("long"))
   }
 
+  /** Consistent-hash rebalance audit ([[Corpus.shardRebalance]]):
+    * keys assigned under 8- and 9-shard rings (16 vnodes), per-shard
+    * moved fraction — the pre-resharding verification that growing
+    * the fleet moves ~1/9 of keys, not all of them. */
+  def shardRebalance(spark: SparkSession, dir: String): DataFrame =
+    Corpus.shardRebalance(Tables(spark, dir, "documents"),
+      col("doc_id"), nOld = 8, nNew = 9, vnodes = 16)
+
   /** MMR diversity re-rank over the BM25 top-10
     * ([[Corpus.mmrRerank]], λ = 0.5, k = 5): the stage between
     * retrieve and serve that stops near-duplicate hits from crowding
@@ -518,6 +526,7 @@ object CorpusQueries {
     "mixture_temperature" -> mixtureTemperature _,
     "bm25_lite_rank" -> bm25LiteRank _,
     "retrieval_mmr" -> retrievalMmr _,
+    "shard_rebalance" -> shardRebalance _,
     "retrieval_rerank" -> retrievalRerank _,
     "oov_rate" -> oovRate _,
     "pack_sequences_bpe" -> packSequencesBpe _,
@@ -739,9 +748,52 @@ object CorpusQueries {
           s"UNION ALL SELECT CAST($t AS BIGINT), doc_id, mmr FROM mm_p$t")
          .mkString("\n")}""".stripMargin
 
+  // mirrors Corpus.shardRebalance: same md5-derived ring positions,
+  // first-position>=h assignment with (pos, shard) tie order, wrap to
+  // ring head; correlated subqueries are the oracle's form of the
+  // broadcast-array scan
+  private val shardRebalanceSql =
+    """WITH cr_r8 AS (
+      |  SELECT ('0x' || substr(md5('node|' || s || '|' || r), 1, 8)
+      |      )::BIGINT AS pos,
+      |    CAST(s AS BIGINT) AS shard
+      |  FROM (SELECT unnest(range(0, 8)) AS s),
+      |    (SELECT unnest(range(0, 16)) AS r)),
+      |cr_r9 AS (
+      |  SELECT ('0x' || substr(md5('node|' || s || '|' || r), 1, 8)
+      |      )::BIGINT AS pos,
+      |    CAST(s AS BIGINT) AS shard
+      |  FROM (SELECT unnest(range(0, 9)) AS s),
+      |    (SELECT unnest(range(0, 16)) AS r)),
+      |cr_k AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |      )::BIGINT AS h
+      |  FROM documents),
+      |cr_a AS (
+      |  SELECT doc_id,
+      |    COALESCE(
+      |      (SELECT shard FROM cr_r8 x WHERE x.pos >= k.h
+      |       ORDER BY x.pos, x.shard LIMIT 1),
+      |      (SELECT shard FROM cr_r8 ORDER BY pos, shard LIMIT 1))
+      |      AS shard,
+      |    COALESCE(
+      |      (SELECT shard FROM cr_r9 x WHERE x.pos >= k.h
+      |       ORDER BY x.pos, x.shard LIMIT 1),
+      |      (SELECT shard FROM cr_r9 ORDER BY pos, shard LIMIT 1))
+      |      AS shard_new
+      |  FROM cr_k k)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(CASE WHEN shard <> shard_new THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_moved,
+      |  CAST(SUM(CASE WHEN shard <> shard_new THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS moved_frac
+      |FROM cr_a GROUP BY shard""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "bpe_encode" -> bpeEncodeSql,
     "retrieval_mmr" -> retrievalMmrSql,
+    "shard_rebalance" -> shardRebalanceSql,
     "mixture_temperature" ->
       """WITH c AS (
         |  SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs

@@ -835,6 +835,63 @@ object PipelineQueries {
     }
   }
 
+  /** Stream-stream LEFT OUTER join semantics pinned under the gate:
+    * the second streaming behavior production jobs bet on after late
+    * drops — an unmatched left row is emitted null-padded only when
+    * the watermark proves no future match can arrive. MemoryStream
+    * batches make that deterministic: batch 1 carries ALL real rows
+    * on both sides (inner matches emit immediately); two sentinel
+    * batches on BOTH streams (distinct never-matching negative
+    * users) then walk the global watermark past every real
+    * timestamp, so all unmatched purchases null-emit during DATA
+    * batches — no reliance on the racy trailing no-data micro-batch.
+    * The terminal table therefore equals a plain SQL LEFT JOIN under
+    * the same interval predicate, which is exactly what the oracle
+    * runs. Sentinels filter out by id sign. */
+  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("ts_s"),
+        col("event_id"), col("event_type"))
+    val maxTs = ev.agg(max(col("ts_s"))).collect()(0).getLong(0)
+    val name = "stream_outer_join_sink"
+    onStreamSession(spark, 8) { s =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      def rows(t: String): Seq[(Long, Long, Long)] = ev
+        .filter(col("event_type") === t)
+        .select(col("user_id"), col("ts_s"), col("event_id"))
+        .as[(Long, Long, Long)].collect().toSeq
+      val pMem = MemoryStream[(Long, Long, Long)]
+      val cMem = MemoryStream[(Long, Long, Long)]
+      val p = pMem.toDF().toDF("p_user", "p_s", "purchase_id")
+        .withColumn("p_ts", timestamp_seconds(col("p_s")))
+        .withWatermark("p_ts", "10 minutes")
+      val c = cMem.toDF().toDF("c_user", "c_s", "click_id")
+        .withColumn("c_ts", timestamp_seconds(col("c_s")))
+        .withWatermark("c_ts", "10 minutes")
+      val joined = p.join(c,
+        expr("p_user = c_user AND c_ts >= p_ts - INTERVAL 10 MINUTES" +
+          " AND c_ts <= p_ts"),
+        "left_outer")
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      pMem.addData(rows("purchase"): _*)
+      cMem.addData(rows("click"): _*)
+      q.processAllAvailable()
+      pMem.addData((-1L, maxTs + 864000L, -1L))
+      cMem.addData((-2L, maxTs + 864000L, -2L))
+      q.processAllAvailable()
+      pMem.addData((-1L, maxTs + 1728000L, -3L))
+      cMem.addData((-2L, maxTs + 1728000L, -4L))
+      q.processAllAvailable()
+      q.stop()
+      s.table(name).filter(col("purchase_id") >= 0)
+        .select(col("purchase_id"), col("click_id"),
+          col("p_s"), col("c_s"))
+    }
+  }
+
   /** Watermark LATE-DATA semantics pinned under the gate: the one
     * streaming behavior every production job bets on — rows arriving
     * behind the watermark are dropped from windowed state — made
@@ -895,6 +952,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_late_data" -> streamLateData _,
+    "stream_outer_join" -> streamOuterJoin _,
     "stream_scd_type2" -> streamScdType2 _,
     "stream_ann_probe" -> streamAnnProbe _,
     "stream_incremental_dedup" -> streamIncrementalDedup _,
@@ -1124,6 +1182,23 @@ object PipelineQueries {
         |FROM events
         |WHERE event_type IS NOT NULL AND event_type <> ''
         |GROUP BY event_type""".stripMargin,
+    // terminal outer-join table == batch LEFT JOIN under the same
+    // interval predicate (the sentinel batches guarantee every
+    // unmatched left row null-emitted before stop)
+    "stream_outer_join" ->
+      """WITH oj_p AS (
+        |  SELECT user_id AS p_user, epoch_us(ts) // 1000000 AS p_s,
+        |    event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |oj_c AS (
+        |  SELECT user_id AS c_user, epoch_us(ts) // 1000000 AS c_s,
+        |    event_id AS click_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, c.click_id,
+        |  CAST(p.p_s AS BIGINT) AS p_s, CAST(c.c_s AS BIGINT) AS c_s
+        |FROM oj_p p LEFT JOIN oj_c c
+        |  ON p.p_user = c.c_user
+        |  AND c.c_s >= p.p_s - 600 AND c.c_s <= p.p_s""".stripMargin,
     // watermark algebra replayed exactly: wm1 = max(batch-1 ts) - 600;
     // a batch-2 straggler survives iff its window END > wm1 (Spark
     // evicts windows with end <= watermark and drops rows landing in

@@ -145,6 +145,33 @@ class WinnowCurriculumSpec extends SparkSpec {
     assert(pairs.count() <= 3L * 50)
   }
 
+  // -------------------------------------------------- shardRebalance
+
+  test("consistent ring: every moved key lands on the NEW shard") {
+    // adding shard n leaves old vnode positions untouched, so a key
+    // can only move by being claimed by one of the new shard's vnodes
+    val keys = spark.range(2000).toDF("id")
+    val h = graft.functions.TextFunctions.hash32(col("id").cast("string"))
+    val moved = keys.select(
+        Corpus.ringAssign(h, Corpus.consistentRing(8, 16)).as("s8"),
+        Corpus.ringAssign(h, Corpus.consistentRing(9, 16)).as("s9"))
+      .filter(col("s8") =!= col("s9"))
+    assert(moved.count() > 0)
+    assert(moved.filter(col("s9") =!= 8L).count() == 0)
+  }
+
+  test("ringAssign wraps past the last vnode to the ring head") {
+    val ring = Seq((100L, 1), (200L, 0), (300L, 2))
+    val df = Seq(50L, 150L, 250L, 350L).toDF("h")
+    val got = df.select(col("h"),
+        Corpus.ringAssign(col("h"), ring).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(50L) == 1L)   // first pos >= 50 is 100 -> shard 1
+    assert(got(150L) == 0L)  // 200 -> shard 0
+    assert(got(250L) == 2L)  // 300 -> shard 2
+    assert(got(350L) == 1L)  // wraps to head -> shard 1
+  }
+
   // ------------------------------------------------------ mmrRerank
 
   test("mmrRerank demotes the near-duplicate of the top hit") {
