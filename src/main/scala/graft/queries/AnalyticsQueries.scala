@@ -561,6 +561,84 @@ object AnalyticsQueries {
         .as("z"))
   }
 
+  /** Hash-deterministic bootstrap confidence interval for the mean
+    * order value — uncertainty quantification without rand(): B = 20
+    * m-out-of-n resamples, membership decided by
+    * hash32(b|orderkey) % 2 (each resample is an independent ~n/2
+    * content-hash subsample, reproducible on any engine/partitioning),
+    * CI = the 5th/95th percentile_disc over the resample means. The
+    * generator fan-out (×B) is map-side only and collapses to B
+    * groups at the first aggregate, so the plan costs one pass over
+    * the fact table regardless of B; resample means are integer-cent
+    * sums (< 2⁵³, exact) under one fixed divide — hash-gateable. */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val B = 20
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+    val means = ord
+      .select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(0), lit(B - 1))).as("b"))
+      .filter(graft.functions.TextFunctions.hash32(
+        concat_ws("|", col("b"), col("o_orderkey"))) % 2 === 0)
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_b"), sum(col("cents")).as("s_b"))
+      .select((col("s_b").cast("double") / col("n_b").cast("double"))
+        .as("m_b"))
+    val ci = means.agg(count(lit(1)).as("n_resamples"),
+      expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY m_b)")
+        .as("mean_lo"),
+      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY m_b)")
+        .as("mean_hi"))
+    val full = ord.agg(
+      (sum(col("cents")).cast("double") / count(lit(1)).cast("double"))
+        .as("mean_full"))
+    ci.crossJoin(full)
+  }
+
+  /** Chi-square distribution-drift monitor — the data-quality check a
+    * pipeline runs between ingestion windows: does the event-type mix
+    * of the second half of the time range differ from the first? Per
+    * type, observed first/second-half counts vs the homogeneity
+    * expectation e = rowTotal·colTotal/N, reported as the per-type
+    * χ² contribution (the full statistic is their sum; large
+    * contributions name the drifting types, which is what an alert
+    * needs).
+    *
+    * Exactness: all counts are integers from two map-side-combined
+    * aggregates (per-type×half counts + the 1-row totals, broadcast
+    * back); the midpoint split is integer arithmetic on epoch
+    * seconds; expectations and contributions are ONE fixed IEEE
+    * multiply/divide tree over exact-below-2⁵³ integer products —
+    * hash-gateable. Nothing downstream of the first aggregate sees
+    * event volume. */
+  def chisqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), unix_timestamp(col("ts")).as("s"))
+    val mid = ev.agg(expr("(min(s) + max(s)) DIV 2").as("mid"))
+    val per = ev.crossJoin(broadcast(mid))
+      .withColumn("h", when(col("s") < col("mid"), 1L).otherwise(2L))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("h") === 1, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("h") === 2, 1L).otherwise(0L)).as("n_second"))
+    val tot = per.agg(sum(col("n_first")).as("t1"),
+      sum(col("n_second")).as("t2"))
+    def d(c: Column) = c.cast("double")
+    val e1 = d(col("n_first") + col("n_second")) * d(col("t1")) /
+      d(col("t1") + col("t2"))
+    val e2 = d(col("n_first") + col("n_second")) * d(col("t2")) /
+      d(col("t1") + col("t2"))
+    per.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_first"), col("n_second"),
+        e1.as("e_first"),
+        (when(e1 > 0, (d(col("n_first")) - e1) * (d(col("n_first")) - e1)
+            / e1).otherwise(lit(0.0))
+          + when(e2 > 0, (d(col("n_second")) - e2)
+              * (d(col("n_second")) - e2) / e2).otherwise(lit(0.0)))
+          .as("chisq_contrib"))
+  }
+
   /** CUSUM change-point detection over the daily event-count series,
     * kept INTEGER-exact: for day index i of D days with cumulative
     * count S_i and total T, the scaled statistic
@@ -1753,6 +1831,8 @@ object AnalyticsQueries {
     "grouped_regression" -> groupedRegression _,
     "corr_matrix" -> hourlyCorrMatrix _,
     "ab_test_zscore" -> abTestZscore _,
+    "chisq_drift" -> chisqDrift _,
+    "bootstrap_ci" -> bootstrapCi _,
     "assoc_rules" -> assocRules _,
     "conversion_lag_hist" -> conversionLagHist _,
     "funnel_windowed" -> funnelWindowed _,
@@ -2471,6 +2551,83 @@ object AnalyticsQueries {
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM fb GROUP BY 1""".stripMargin,
     // distinct-user incidence + pair self-join; each ratio is exactly
+    // mirrors bootstrapCi: same hash membership, integer-cent sums,
+    // fixed divide per resample mean, percentile_disc CI bounds
+    "bootstrap_ci" ->
+      """WITH bc_o AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |bc_r AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(SUM(cents) AS BIGINT) AS s_b
+        |  FROM bc_o, (SELECT unnest(range(0, 20)) AS b)
+        |  WHERE ('0x' || substr(md5(b || '|' || o_orderkey), 1, 8)
+        |    )::BIGINT % 2 = 0
+        |  GROUP BY b),
+        |bc_m AS (
+        |  SELECT CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m_b
+        |  FROM bc_r),
+        |bc_ci AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+        |    percentile_disc(0.05) WITHIN GROUP (ORDER BY m_b)
+        |      AS mean_lo,
+        |    percentile_disc(0.95) WITHIN GROUP (ORDER BY m_b)
+        |      AS mean_hi
+        |  FROM bc_m),
+        |bc_f AS (
+        |  SELECT CAST(SUM(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS mean_full
+        |  FROM bc_o)
+        |SELECT n_resamples, mean_lo, mean_hi, mean_full
+        |FROM bc_ci, bc_f""".stripMargin,
+    // mirrors chisqDrift: integer midpoint split, integer cell counts,
+    // the e = (row * col) / N and (o-e)^2/e trees in the same operand
+    // order, zero-expectation cells pinned to 0 contribution
+    "chisq_drift" ->
+      """WITH cd_e AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 AS s FROM events),
+        |cd_m AS (
+        |  SELECT CAST((min(s) + max(s)) // 2 AS BIGINT) AS mid
+        |  FROM cd_e),
+        |cd_p AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN s < mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_first,
+        |    CAST(SUM(CASE WHEN s >= mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_second
+        |  FROM cd_e, cd_m GROUP BY event_type),
+        |cd_t AS (
+        |  SELECT CAST(SUM(n_first) AS BIGINT) AS t1,
+        |    CAST(SUM(n_second) AS BIGINT) AS t2
+        |  FROM cd_p)
+        |SELECT event_type, n_first, n_second,
+        |  CAST(n_first + n_second AS DOUBLE) * CAST(t1 AS DOUBLE)
+        |    / CAST(t1 + t2 AS DOUBLE) AS e_first,
+        |  (CASE WHEN CAST(n_first + n_second AS DOUBLE)
+        |      * CAST(t1 AS DOUBLE) / CAST(t1 + t2 AS DOUBLE) > 0
+        |    THEN (CAST(n_first AS DOUBLE)
+        |        - CAST(n_first + n_second AS DOUBLE) * CAST(t1 AS DOUBLE)
+        |          / CAST(t1 + t2 AS DOUBLE))
+        |      * (CAST(n_first AS DOUBLE)
+        |        - CAST(n_first + n_second AS DOUBLE) * CAST(t1 AS DOUBLE)
+        |          / CAST(t1 + t2 AS DOUBLE))
+        |      / (CAST(n_first + n_second AS DOUBLE) * CAST(t1 AS DOUBLE)
+        |          / CAST(t1 + t2 AS DOUBLE))
+        |    ELSE 0.0 END)
+        |  + (CASE WHEN CAST(n_first + n_second AS DOUBLE)
+        |      * CAST(t2 AS DOUBLE) / CAST(t1 + t2 AS DOUBLE) > 0
+        |    THEN (CAST(n_second AS DOUBLE)
+        |        - CAST(n_first + n_second AS DOUBLE) * CAST(t2 AS DOUBLE)
+        |          / CAST(t1 + t2 AS DOUBLE))
+        |      * (CAST(n_second AS DOUBLE)
+        |        - CAST(n_first + n_second AS DOUBLE) * CAST(t2 AS DOUBLE)
+        |          / CAST(t1 + t2 AS DOUBLE))
+        |      / (CAST(n_first + n_second AS DOUBLE) * CAST(t2 AS DOUBLE)
+        |          / CAST(t1 + t2 AS DOUBLE))
+        |    ELSE 0.0 END) AS chisq_contrib
+        |FROM cd_p, cd_t""".stripMargin,
     // one IEEE divide over exact BIGINT counts, lift mirrors the
     // (n_ab * N) / (n_a * n_b) operand order
     "assoc_rules" ->

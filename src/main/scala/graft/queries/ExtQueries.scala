@@ -811,6 +811,38 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Cohen's kappa between two deterministic labelers — the
+    * inter-annotator-agreement readout run over [[langCodeSwitch]]'s
+    * confusion matrix (labeler A = language of the first half,
+    * labeler B = second half): chance-corrected agreement
+    * κ = (p_o − p_e)/(1 − p_e), with p_e from the row×column
+    * marginal products. Low κ on a same-document split means the
+    * label is unstable under content subsampling — the calibration
+    * signal a labeling pipeline tracks per release. All counts are
+    * integers off the gated matrix; p_o/p_e are computed ONCE and
+    * reused so the κ tree is byte-identical cross-engine; κ is NULL
+    * when p_e = 1 (degenerate single-label corpus). */
+  def labelerKappa(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.materialize(langCodeSwitch(spark, dir))
+    val one = m.agg(sum(col("n_docs")).as("n"),
+      sum(when(col("lang_a") === col("lang_b"), col("n_docs"))
+        .otherwise(0L)).as("n_agree"))
+    val rows = m.groupBy(col("lang_a").as("l"))
+      .agg(sum(col("n_docs")).as("ra"))
+    val cols = m.groupBy(col("lang_b").as("l"))
+      .agg(sum(col("n_docs")).as("cb"))
+    val pes = rows.join(cols, "l")
+      .agg(sum(col("ra") * col("cb")).as("pe_num"))
+    def d(c: Column) = c.cast("double")
+    one.crossJoin(pes)
+      .select(col("n"), col("n_agree"),
+        (d(col("n_agree")) / d(col("n"))).as("po"),
+        (d(col("pe_num")) / (d(col("n")) * d(col("n")))).as("pe"))
+      .select(col("n"), col("n_agree"), col("po"), col("pe"),
+        when(col("pe") < 1.0,
+          (col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
+  }
+
   /** Embedding anisotropy / collapse monitor
     * ([[Similarity.anisotropyAudit]]): per-label centroid alignment
     * with the global mean direction — uniformly high alignment is
@@ -1078,6 +1110,7 @@ object ExtQueries {
     "embed_anisotropy" -> embedAnisotropy _,
     "embed_dim_variance" -> embedDimVariance _,
     "lang_code_switch" -> langCodeSwitch _,
+    "labeler_kappa" -> labelerKappa _,
     "dedup_evidence" -> dedupEvidence _,
     "lsh_index_compact" -> lshIndexCompact _,
     "ann_ivf_recall" -> annIvfRecall _,
@@ -2811,7 +2844,7 @@ object ExtQueries {
 
   /** Per-half marker scores inlined from the same LangMarkers list
     * the Spark expression compiles from. */
-  private lazy val langCodeSwitchSql = {
+  private lazy val langCodeSwitchCtes = {
     def scoreExprs(tl: String, pfx: String) =
       graft.functions.TextFunctions.LangMarkers.map { case (lang, ms) =>
         val list = ms.map(m => s"'$m'").mkString(", ")
@@ -2828,7 +2861,7 @@ object ExtQueries {
     }
     val aCols = scoreExprs("t1", "a").mkString(",\n")
     val bCols = scoreExprs("t2", "b").mkString(",\n")
-    s"""WITH cs_t AS (
+    s"""cs_t AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
        |  FROM documents),
        |cs_h AS (
@@ -2840,11 +2873,47 @@ object ExtQueries {
        |SELECT doc_id,
        |$aCols,
        |$bCols
-       |FROM cs_h)
-       |SELECT ${guess("a")} AS lang_a, ${guess("b")} AS lang_b,
-       |  CAST(count(*) AS BIGINT) AS n_docs
-       |FROM cs_s GROUP BY 1, 2""".stripMargin
+       |FROM cs_h),
+       |cs_m AS (
+       |  SELECT ${guess("a")} AS lang_a, ${guess("b")} AS lang_b,
+       |    CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM cs_s GROUP BY 1, 2)""".stripMargin
   }
+
+  private lazy val langCodeSwitchSql =
+    s"""WITH $langCodeSwitchCtes
+       |SELECT lang_a, lang_b, n_docs FROM cs_m""".stripMargin
+
+  // mirrors labelerKappa: po/pe computed ONCE in a CTE layer and
+  // reused (same double values feed the kappa tree on both engines);
+  // inner marginal join is exact (a lang absent on one side
+  // contributes zero to pe)
+  private lazy val labelerKappaSql =
+    s"""WITH $langCodeSwitchCtes,
+       |ka_one AS (
+       |  SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN lang_a = lang_b THEN n_docs ELSE 0 END)
+       |      AS BIGINT) AS n_agree
+       |  FROM cs_m),
+       |ka_r AS (
+       |  SELECT lang_a AS l, CAST(SUM(n_docs) AS BIGINT) AS ra
+       |  FROM cs_m GROUP BY 1),
+       |ka_c AS (
+       |  SELECT lang_b AS l, CAST(SUM(n_docs) AS BIGINT) AS cb
+       |  FROM cs_m GROUP BY 1),
+       |ka_p AS (
+       |  SELECT CAST(SUM(ra * cb) AS BIGINT) AS pe_num
+       |  FROM ka_r JOIN ka_c USING (l)),
+       |ka_d AS (
+       |  SELECT n, n_agree,
+       |    CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+       |    CAST(pe_num AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+       |  FROM ka_one, ka_p)
+       |SELECT n, n_agree, po, pe,
+       |  CASE WHEN pe < CAST(1.0 AS DOUBLE)
+       |    THEN (po - pe) / (CAST(1.0 AS DOUBLE) - pe) END AS kappa
+       |FROM ka_d""".stripMargin
 
   private val embedAnisotropySql =
     """WITH an_comp AS (
@@ -3382,6 +3451,7 @@ object ExtQueries {
     "embed_anisotropy" -> embedAnisotropySql,
     "embed_dim_variance" -> embedDimVarianceSql,
     "lang_code_switch" -> langCodeSwitchSql,
+    "labeler_kappa" -> labelerKappaSql,
     "dedup_evidence" -> dedupEvidenceSql,
     "lsh_index_compact" -> lshIndexCompactSql,
     "ann_ivf_recall" -> annIvfRecallSql,
