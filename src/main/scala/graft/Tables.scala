@@ -73,6 +73,7 @@ object Sessions {
       .withExtensions(graft.ext.Bloom.register)
       .withExtensions(graft.functions.HllAgg.register)
       .withExtensions(graft.functions.NgramGen.register)
+      .withExtensions(graft.functions.RingHash.register)
       // whole-operator rung: logical-plan rewrite rules
       .withExtensions(graft.plans.BinRangeJoin.register)
       .withExtensions(graft.plans.MvRewrite.register)

@@ -789,19 +789,17 @@ object Corpus {
       .sortBy(p => (p._1, p._2))
 
   /** Shard for a 32-bit key hash under the ring: the first ring
-    * position ≥ h clockwise, wrapping to the ring head. Implemented
-    * as pure per-row array expressions over the broadcast ring
-    * literals — index = |{pos < h}| (the ring is sorted, ties break
-    * by shard asc via the sort), wrap via pmod — so assignment is
-    * map-side only: no join, no shuffle, O(ring) per row (a binary-
-    * search codegen Expression is the micro-optimization at 100 TB;
-    * the ring is ≤ a few hundred entries either way). */
-  def ringAssign(h: Column, ring: Seq[(Long, Int)]): Column = {
-    val pos = lit(ring.map(_._1).toArray)
-    val shards = lit(ring.map(_._2.toLong).toArray)
-    val idx = size(filter(pos, p => p < h)) // 0-based insertion point
-    element_at(shards, (pmod(idx, lit(ring.size)) + 1).cast("int"))
-  }
+    * position ≥ h clockwise, wrapping to the ring head. One codegen'd
+    * scalar ([[graft.functions.RingHash.ringAssign]]: JIT-compiled
+    * binary search over the broadcast ring literals) — map-side only,
+    * no join, no shuffle, O(log ring) per row, inside whole-stage
+    * codegen where the `size(filter(...))` HOF formulation would drop
+    * to interpreted per-row lambdas. Ties in ring positions break by
+    * shard ascending via [[consistentRing]]'s (position, shard)
+    * sort. */
+  def ringAssign(h: Column, ring: Seq[(Long, Int)]): Column =
+    graft.functions.RingHash.ringAssign(h,
+      lit(ring.map(_._1).toArray), lit(ring.map(_._2.toLong).toArray))
 
   /** Consistent-hashing REBALANCE audit — the ops question behind
     * every shard-count change at 100 TB: how many keys move when the

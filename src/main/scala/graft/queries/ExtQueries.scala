@@ -518,6 +518,32 @@ object ExtQueries {
         min(col("p")).cast("long").as("first_pos"))
   }
 
+  /** Proximity (slop) search — [[phraseSearch]]'s relaxation and the
+    * other half of a positional index's query surface: docs where the
+    * two terms appear within 5 token positions IN EITHER ORDER, with
+    * the minimal absolute distance as the rank signal (1 = adjacent
+    * = the phrase case). Same positional-postings substrate and
+    * (doc)-co-partitioned join; the slop bound keeps the per-doc
+    * join fan-out at (hits₁ × hits₂) only for docs containing both
+    * terms — the index partition by term bounds everything else. */
+  def proximitySearch(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(t1, t2) = Seq("the", "data")
+    val pos = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text")))
+          .as(Seq("p", "w")))
+      .filter(col("w").isin(t1, t2))
+    val a = pos.filter(col("w") === t1)
+      .select(col("doc_id"), col("p"))
+    val b = pos.filter(col("w") === t2)
+      .select(col("doc_id").as("doc_b"), col("p").as("p2"))
+    a.join(b, col("doc_id") === col("doc_b") &&
+        abs(col("p2") - col("p")) <= 5)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("p2") - col("p"))).cast("long").as("min_dist"))
+  }
+
   /** 2-core of the embedding near-dup graph ([[Graph.kCore]], 6
     * peeling rounds — convergence at this budget is spec-asserted):
     * the "everyone duplicates everyone" kernel, a stronger eviction
@@ -1120,6 +1146,7 @@ object ExtQueries {
     "embed_dbscan" -> embedDbscan _,
     "graph_kcore" -> graphKcore _,
     "phrase_search" -> phraseSearch _,
+    "proximity_search" -> proximitySearch _,
     "graph_triangles" -> graphTriangles _,
     "graph_two_hop" -> graphTwoHop _,
     "knn_label_eval" -> knnLabelEval _,
@@ -3486,6 +3513,24 @@ object ExtQueries {
         |  CAST(min(a.i) - 1 AS BIGINT) AS first_pos
         |FROM ph_a a JOIN ph_b b
         |  ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |GROUP BY a.doc_id""".stripMargin,
+    // same positional substrate as phrase_search, slop-5 either-order
+    // join; positions are 0-based in Spark's posexplode and 1-based
+    // here, but DISTANCES are offset-free
+    "proximity_search" ->
+      s"""WITH px_tk AS (
+        |  SELECT doc_id, $toks AS t
+        |  FROM documents),
+        |px_pos AS (
+        |  SELECT doc_id, unnest(range(1, greatest(length(t) + 1, 1)))
+        |    AS i, t
+        |  FROM px_tk),
+        |px_a AS (SELECT doc_id, i FROM px_pos WHERE t[i] = 'the'),
+        |px_b AS (SELECT doc_id, i FROM px_pos WHERE t[i] = 'data')
+        |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(min(abs(b.i - a.i)) AS BIGINT) AS min_dist
+        |FROM px_a a JOIN px_b b
+        |  ON b.doc_id = a.doc_id AND abs(b.i - a.i) <= 5
         |GROUP BY a.doc_id""".stripMargin,
     "graph_triangles" -> graphTrianglesSql,
     "graph_two_hop" -> graphTwoHopSql,

@@ -160,6 +160,24 @@ class WinnowCurriculumSpec extends SparkSpec {
     assert(moved.filter(col("s9") =!= 8L).count() == 0)
   }
 
+  test("native ring_assign equals the HOF formulation and runs codegen'd") {
+    val ring = Corpus.consistentRing(8, 16)
+    val pos = lit(ring.map(_._1).toArray)
+    val shards = lit(ring.map(_._2.toLong).toArray)
+    val hof = element_at(shards,
+      (pmod(size(filter(pos, p => p < col("h"))), lit(ring.size)) + 1)
+        .cast("int"))
+    val df = sf("documents").select(
+      graft.functions.TextFunctions.hash32(col("doc_id").cast("string"))
+        .as("h"))
+    val cmp = df.select(
+      Corpus.ringAssign(col("h"), ring).as("native"), hof.as("ref"))
+    assert(cmp.filter(col("native") =!= col("ref")).count() == 0)
+    val plan = df.select(Corpus.ringAssign(col("h"), ring).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [ring_assign"), plan)
+  }
+
   test("ringAssign wraps past the last vnode to the ring head") {
     val ring = Seq((100L, 1), (200L, 0), (300L, 2))
     val df = Seq(50L, 150L, 250L, 350L).toDF("h")
