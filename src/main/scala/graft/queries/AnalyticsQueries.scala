@@ -683,6 +683,48 @@ object AnalyticsQueries {
         col("cusum_scaled"), col("days"), col("total"))
   }
 
+  /** Seasonal decomposition of the daily event series — the
+    * trend/seasonality split behind traffic forecasting and anomaly
+    * baselines: per event type, a 7-observation centered moving
+    * average detrends the densified daily counts, and the mean
+    * deviation per day-of-week is the seasonal index (which weekday
+    * runs hot). Kept INTEGER-exact until the final readout: the
+    * deviation is computed ×7 (7·n − windowSum, both integers), so
+    * the only float is ONE division chain at the end — no
+    * order-dependent double summation anywhere ([[cusumChangepoint]]'s
+    * discipline). Edge days without a full 7-row window are excluded
+    * (the standard centered-MA convention).
+    *
+    * Scale: daily counts are one map-side-combined aggregate; all
+    * window work runs on |days|×|types| rows. */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val day = expr(
+      "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) div 86400000000")
+    val daily = Tables(spark, dir, "events")
+      .select(col("event_type"), day.as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val dm = graft.Tables.materialize(daily)
+    val grid = dm.select(col("day")).distinct()
+      .crossJoin(broadcast(dm.select(col("event_type")).distinct()))
+      .join(dm, Seq("day", "event_type"), "left_outer")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    grid
+      .withColumn("wsum", sum(col("n")).over(w7))
+      .withColumn("wcnt", count(lit(1)).over(w7))
+      .filter(col("wcnt") === 7)
+      .withColumn("dev_x7", lit(7L) * col("n") - col("wsum"))
+      .groupBy(col("event_type"), pmod(col("day"), lit(7L)).as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("dev_x7")).as("sum_dev_x7"))
+      .withColumn("seas_dev",
+        col("sum_dev_x7").cast("double") / col("n_days").cast("double")
+          / lit(7.0))
+  }
+
   /** Q13-shaped engagement distribution: how many customers placed
     * exactly k orders — INCLUDING the zero-order customers a plain
     * join silently drops (the left-outer + coalesce(0) is the whole
@@ -1839,6 +1881,7 @@ object AnalyticsQueries {
     "first_touch_attribution" -> firstTouchAttribution _,
     "journey_trigrams" -> journeyTrigrams _,
     "cusum_changepoint" -> cusumChangepoint _,
+    "seasonal_decompose" -> seasonalDecompose _,
     "forecast_backtest" -> forecastBacktest _,
     "activity_heatmap" -> activityHeatmap _,
     "growth_accounting" -> growthAccounting _,
@@ -2794,6 +2837,39 @@ object AnalyticsQueries {
         |  CAST(SUM(abs(err)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mae,
         |  CAST(SUM(err) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS bias
         |FROM s GROUP BY 1""".stripMargin,
+    // mirrors seasonalDecompose: same observed-day grid, ROWS +-3
+    // window sums (integer), x7 deviation, one fixed divide chain
+    "seasonal_decompose" ->
+      """WITH sd_d AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000
+        |      AS day
+        |  FROM events),
+        |sd_c AS (
+        |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+        |  FROM sd_d GROUP BY 1, 2),
+        |sd_g AS (
+        |  SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n
+        |  FROM (SELECT DISTINCT day FROM sd_c) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM sd_c) t
+        |  LEFT JOIN sd_c c
+        |    ON c.day = d.day AND c.event_type = t.event_type),
+        |sd_w AS (
+        |  SELECT event_type, day, n,
+        |    SUM(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wsum,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wcnt
+        |  FROM sd_g),
+        |sd_t AS (
+        |  SELECT event_type, day % 7 AS dow, 7 * n - wsum AS dev_x7
+        |  FROM sd_w WHERE wcnt = 7)
+        |SELECT event_type, CAST(dow AS BIGINT) AS dow,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(dev_x7) AS BIGINT) AS sum_dev_x7,
+        |  CAST(SUM(dev_x7) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / CAST(7.0 AS DOUBLE) AS seas_dev
+        |FROM sd_t GROUP BY 1, 2""".stripMargin,
     // scaled-integer CUSUM: D*S_i - i*T, argmax by (|stat| desc, day)
     "cusum_changepoint" ->
       """WITH daily AS (
