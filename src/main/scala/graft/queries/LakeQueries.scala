@@ -556,6 +556,18 @@ object LakeQueries {
         countDistinct(col("band")).as("l_distinct"))
       .withColumn("diverse", col("l_distinct") >= 3)
 
+  /** t-closeness audit ([[graft.ext.Privacy.tClosenessAudit]]) —
+    * the distribution-skew leg completing k-anonymity + l-diversity:
+    * ordered-domain EMD between each (nation, segment) class's
+    * acctbal-band distribution and the global one, integer-exact
+    * until one closing divide, flagged at t = 0.2. */
+  def tClosenessAudit(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Privacy.tClosenessAudit(Tables(spark, dir, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment")),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long"), t = 0.2)
+      .withColumnRenamed("_q0", "c_nationkey")
+      .withColumnRenamed("_q1", "c_mktsegment")
+
   /** Schema evolution through the real file layer: a v1 batch
     * (key, name) and a widened v2 batch (+ regionkey) land as
     * separate parquet writes; `mergeSchema` reads them as ONE table
@@ -615,6 +627,7 @@ object LakeQueries {
     "schema_evolution" -> schemaEvolution _,
     "compaction_exec" -> compactionExec _,
     "k_anonymity_audit" -> kAnonymityAudit _,
+    "t_closeness_audit" -> tClosenessAudit _,
     "dp_noisy_counts" -> dpNoisyCounts _,
     "l_diversity_audit" -> lDiversityAudit _,
     "gini_impurity" -> giniImpurity _,
@@ -772,6 +785,56 @@ object LakeQueries {
         |  strftime(valid_to, '%Y-%m-%d') AS valid_to, is_current
         |FROM (SELECT * FROM untouched UNION ALL SELECT * FROM closed
         |      UNION ALL SELECT * FROM ins)""".stripMargin,
+    // mirrors Privacy.tClosenessAudit: scaled integer cumulative
+    // differences (cum_c*N - cum_g*n_c), one closing divide
+    "t_closeness_audit" ->
+      """WITH tc_b AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / CAST(1000.0 AS DOUBLE)) AS BIGINT)
+        |      AS band
+        |  FROM customer),
+        |tc_c AS (
+        |  SELECT c_nationkey, c_mktsegment, band,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM tc_b GROUP BY 1, 2, 3),
+        |tc_g AS (
+        |  SELECT band, CAST(count(*) AS BIGINT) AS g
+        |  FROM tc_b GROUP BY 1),
+        |tc_gc AS (
+        |  SELECT band, SUM(g) OVER (ORDER BY band
+        |    ROWS UNBOUNDED PRECEDING) AS cum_g
+        |  FROM tc_g),
+        |tc_t AS (
+        |  SELECT CAST(SUM(g) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM tc_g),
+        |tc_grid AS (
+        |  SELECT q.c_nationkey, q.c_mktsegment, b.band,
+        |    COALESCE(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM tc_c) q
+        |  CROSS JOIN (SELECT band FROM tc_g) b
+        |  LEFT JOIN tc_c c ON c.c_nationkey = q.c_nationkey
+        |    AND c.c_mktsegment = q.c_mktsegment AND c.band = b.band),
+        |tc_cum AS (
+        |  SELECT c_nationkey, c_mktsegment, band, c,
+        |    SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY band ROWS UNBOUNDED PRECEDING) AS cum_c,
+        |    SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment)
+        |      AS n_c
+        |  FROM tc_grid),
+        |tc_s AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(max(n_c) AS BIGINT) AS n,
+        |    CAST(SUM(abs(cum_c * nn - cum_g * n_c)) AS BIGINT) AS num,
+        |    CAST(max(nn) AS BIGINT) AS nx, CAST(max(m) AS BIGINT) AS mx
+        |  FROM tc_cum JOIN tc_gc USING (band), tc_t
+        |  GROUP BY 1, 2)
+        |SELECT c_nationkey, c_mktsegment, n,
+        |  CAST(num AS DOUBLE) / CAST(n * nx * (mx - 1) AS DOUBLE)
+        |    AS emd,
+        |  (CAST(num AS DOUBLE) / CAST(n * nx * (mx - 1) AS DOUBLE))
+        |    <= CAST(0.2 AS DOUBLE) AS t_close
+        |FROM tc_s""".stripMargin,
     "k_anonymity_audit" ->
       """SELECT c_nationkey, c_mktsegment,
         |  CAST(count(*) AS BIGINT) AS n,

@@ -145,6 +145,29 @@ class WinnowCurriculumSpec extends SparkSpec {
     assert(pairs.count() <= 3L * 50)
   }
 
+  // ------------------------------------------------- tClosenessAudit
+
+  test("tClosenessAudit: skewed classes far, proportional class at zero") {
+    // bands {0,1}: A all-band0, B all-band1, C mirrors the global mix
+    // exactly. Global = (20,20)/40; A's EMD = |10/10 - 20/40| = 0.5,
+    // C's = 0 by proportionality.
+    val rows =
+      (1 to 10).map(_ => ("A", 0L)) ++
+        (1 to 10).map(_ => ("B", 1L)) ++
+        (1 to 10).flatMap(_ => Seq(("C", 0L), ("C", 1L)))
+    val df = rows.toDF("grp", "band")
+    val out = graft.ext.Privacy.tClosenessAudit(df, Seq(col("grp")),
+        col("band"), t = 0.2)
+      .select(col("_q0"), col("emd"), col("t_close"))
+      .as[(String, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("C")._2 === 0.0)
+    assert(out("C")._3)
+    assert(math.abs(out("A")._2 - 0.5) < 1e-12)
+    assert(math.abs(out("B")._2 - 0.5) < 1e-12)
+    assert(!out("A")._3 && !out("B")._3)
+  }
+
   // -------------------------------------------------- shardRebalance
 
   test("consistent ring: every moved key lands on the NEW shard") {
