@@ -111,6 +111,55 @@ object CoreQueries {
       .drop("original_row")
   }
 
+  /** DLQ REPLAY — the operational half of the dead-letter channel the
+    * reference only writes (`M/main.py` tags transform errors; nothing
+    * re-drives them): rows dead-lettered under the strict config are
+    * reconstructed from the DLQ's `original_row` JSON audit column
+    * (the replay contract — the DLQ row is self-contained, no source
+    * re-read), re-mapped under a RELAXED config, and accounted as
+    * recovered vs still-bad per event type. The still-bad remainder
+    * is the DLQ's next generation — exactly how a production backfill
+    * drains a dead-letter queue in passes as configs get fixed.
+    * Two compile passes over gate-scale frames; at 100 TB the replay
+    * reads only the DLQ partition, never the source. */
+  def dlqReplay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .withColumn("maybe_user", when(col("value") >= 50.0, col("user_id")))
+    val strict = SourceConfig(
+      configId = "dlq_cfg",
+      sourcePrefix = "gs://bucket/dlq/",
+      staticEventName = Some("e"),
+      fieldMappings = Seq(
+        FieldMapping("maybe_user", "$user_id", CastType.StringT,
+          isRequiredInSource = true),
+        FieldMapping("event_id", "$insert_id", CastType.StringT),
+        FieldMapping("ts", "time", CastType.UnixTimestampAuto)))
+    val restored = ConfigCompiler.compile(strict, ev).dlq
+      .select(from_json(col("original_row"), ev.schema).as("r"))
+      .select(col("r.*"))
+      .withColumn("maybe_user2",
+        when(col("value") >= 20.0, col("user_id")))
+    val relaxed = strict.copy(configId = "dlq_cfg_fixed",
+      fieldMappings = Seq(
+        FieldMapping("maybe_user2", "$user_id", CastType.StringT,
+          isRequiredInSource = true),
+        FieldMapping("event_id", "$insert_id", CastType.StringT),
+        FieldMapping("ts", "time", CastType.UnixTimestampAuto)))
+    val restoredM = graft.Tables.materialize(restored)
+    val nDlq = restoredM.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_dlq"))
+    val stillBad = ConfigCompiler.compile(relaxed, restoredM).dlq
+      .select(from_json(col("original_row"), restoredM.schema).as("r"))
+      .select(col("r.event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_still_bad"))
+    nDlq.join(stillBad, Seq("event_type"), "left_outer")
+      .select(col("event_type"), col("n_dlq"),
+        (col("n_dlq") - coalesce(col("n_still_bad"), lit(0L)))
+          .as("n_recovered"),
+        coalesce(col("n_still_bad"), lit(0L)).as("n_still_bad"))
+  }
+
   /** A3 router counters as data (`M/main.py:55-63`): matched count per
     * config + the unmatched-URI count. */
   def routeCounters(spark: SparkSession, dir: String): DataFrame = {
@@ -160,11 +209,24 @@ object CoreQueries {
     "route_files_parquet" -> routeFilesParquet _,
     "dedup_exact" -> dedupExact _,
     "dlq_required" -> dlqRequired _,
+    "dlq_replay" -> dlqReplay _,
     "event_json_counts" -> eventJsonCounts _,
     "route_counters" -> routeCounters _,
     "mapping_counters" -> mappingCounters _)
 
   val oracleSql: Map[String, String] = Map(
+    // DLQ membership: required-miss iff NOT(value >= threshold) —
+    // CASE's ELSE catches SQL NULL exactly like when().otherwise
+    "dlq_replay" ->
+      """SELECT event_type,
+        |  CAST(SUM(CASE WHEN value >= 50.0 THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_dlq,
+        |  CAST(SUM(CASE WHEN value >= 50.0 THEN 0
+        |    WHEN value >= 20.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_recovered,
+        |  CAST(SUM(CASE WHEN value >= 20.0 THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_still_bad
+        |FROM events GROUP BY event_type""".stripMargin,
     "map_events" ->
       """SELECT event_type AS event,
         |       epoch_us(ts) // 1000000 AS "time",
