@@ -935,6 +935,21 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"),
         min(col("id")).as("min_id"))
 
+  /** DSv2 AGGREGATE pushdown end-to-end: shard-filtered COUNT/MIN/MAX
+    * grouped by shard runs ENTIRELY inside the source
+    * ([[graft.sources.ShardAggScan]]) — the executed plan carries no
+    * Aggregate node and no exchange (one output row per surviving
+    * shard; `ShardSourceSpec` pins the plan shape). The parquet-scan
+    * analog for a custom source: at 100 TB this is the difference
+    * between shipping statistics and shipping rows. */
+  def dsv2AggPushdown(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.ShardSource")
+      .option("shards", "8").option("rowsPerShard", "1000").load()
+      .filter(col("shard") >= 2 && col("shard") <= 6)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), min(col("val")).as("min_val"),
+        max(col("id")).as("max_id"), min(col("id")).as("min_id"))
+
   /** Typed Dataset surface end-to-end: case-class `as[T]`, lambda
     * `filter`, `groupByKey` + `mapGroups` with explicit Encoders —
     * the API rung users reach for when logic doesn't fit Columns.
@@ -1129,6 +1144,7 @@ object RelationalQueries {
     "scalar_subquery_select" -> scalarSubquerySelect _,
     "typed_pipeline" -> typedPipeline _,
     "dsv2_shard_scan" -> dsv2ShardScan _,
+    "dsv2_agg_pushdown" -> dsv2AggPushdown _,
     "lateral_topk" -> lateralTopk _,
     "null_semantics" -> nullSemantics _,
     "null_safe_join" -> nullSafeJoin _,
@@ -1246,6 +1262,16 @@ object RelationalQueries {
         |SELECT key, COUNT(*) AS n,
         |  CAST(SUM(v) AS BIGINT) AS sum_val, MIN(id) AS min_id
         |FROM ds WHERE shard BETWEEN 2 AND 5
+        |GROUP BY 1""".stripMargin,
+    "dsv2_agg_pushdown" ->
+      """WITH dsa AS (
+        |  SELECT CAST(i AS BIGINT) // 1000 AS shard,
+        |    CAST(i AS BIGINT) AS id,
+        |    (CAST(i AS BIGINT) * 31) % 1000 AS v
+        |  FROM range(0, 8000) t(i))
+        |SELECT shard, COUNT(*) AS n,
+        |  MIN(v) AS min_val, MAX(id) AS max_id, MIN(id) AS min_id
+        |FROM dsa WHERE shard BETWEEN 2 AND 6
         |GROUP BY 1""".stripMargin,
     "lateral_topk" ->
       """SELECT n.n_name, t.o_orderkey, t.o_totalprice

@@ -118,24 +118,161 @@ class ShardTable(shards: Int, rowsPerShard: Long, shardsPerTrigger: Int)
 class ShardScanBuilder(shards: Int, rowsPerShard: Long,
     shardsPerTrigger: Int)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ShardSource.schema
+  private var aggSpec: Option[Seq[ShardAggScan.AggDesc]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // accept shard filters for partition pruning; everything is also
-    // returned as residual — the source prunes PARTITIONS, Spark
-    // keeps row-level responsibility (the conservative DSv2 contract)
+    // shard filters are FULLY consumed (not returned as residual):
+    // every row in shard s has shard == s, so whole-shard partition
+    // pruning is row-exact and Spark need not re-check — and a
+    // residual Filter would block aggregate pushdown below (Spark
+    // only pushes aggregates when nothing sits between the Aggregate
+    // and the scan). Non-shard filters stay with Spark.
     pushed = filters.filter(ShardSource.isShardFilter)
-    filters
+    filters.filterNot(ShardSource.isShardFilter)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // ignored once an aggregation is pushed — the scan's schema is
+    // then the aggregate output, not a projection of the base table
+    if (aggSpec.isEmpty) required = requiredSchema
 
-  override def build(): Scan =
-    new ShardScan(shards, rowsPerShard, shardsPerTrigger, pushed, required)
+  // ---- aggregate pushdown (the parquet-scan analog: COUNT/MIN/MAX
+  // answered by the source, GROUP BY shard = one group per partition
+  // so the pushdown is COMPLETE and Spark plans NO aggregate at all)
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = ShardAggScan.parse(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    ShardAggScan.parse(agg) match {
+      case some @ Some(_) => aggSpec = some; true
+      case None => false
+    }
+
+  override def build(): Scan = aggSpec match {
+    case Some(spec) => new ShardAggScan(shards, rowsPerShard, pushed, spec)
+    case None =>
+      new ShardScan(shards, rowsPerShard, shardsPerTrigger, pushed, required)
+  }
+}
+
+/** Aggregate-pushdown scan: one row PER SURVIVING SHARD carrying the
+  * pushed COUNT(*)/MIN/MAX values — the scan output IS the final
+  * aggregate (grouping is exactly [shard] and each shard is one
+  * partition, so `supportCompletePushDown` holds and Spark's plan
+  * contains no Aggregate node and no shuffle). A production source
+  * answers these from footer/statistics; here the reader folds its
+  * partition's arithmetic rows — the rows-out contraction (R rows →
+  * 1) and the plan shape are the seam being demonstrated. */
+class ShardAggScan(shards: Int, rowsPerShard: Long,
+    pushed: Array[Filter], spec: Seq[ShardAggScan.AggDesc])
+    extends Scan with Batch {
+  import ShardAggScan._
+
+  override def readSchema(): StructType = StructType(
+    StructField("shard", LongType, nullable = false) +:
+      spec.zipWithIndex.map {
+        case (CountStarD, i) =>
+          StructField(s"agg_$i", LongType, nullable = false)
+        case (MinD(f), i) =>
+          StructField(s"agg_$i", LongType, nullable = false)
+        case (MaxD(f), i) =>
+          StructField(s"agg_$i", LongType, nullable = false)
+      })
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft_shards AGG pushed=[${pushed.mkString(", ")}] " +
+      s"aggs=[${spec.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (0L until shards.toLong)
+      .filter(s => ShardSource.shardSurvives(pushed.toSeq, s))
+      .map(s => ShardPartition(s, rowsPerShard): InputPartition)
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ShardAggReaderFactory(spec)
+}
+
+object ShardAggScan {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+
+  sealed trait AggDesc
+  case object CountStarD extends AggDesc
+  final case class MinD(field: String) extends AggDesc
+  final case class MaxD(field: String) extends AggDesc
+
+  private def longField(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 &&
+        Set("shard", "id", "val")(r.fieldNames.head) =>
+      Some(r.fieldNames.head)
+    case _ => None
+  }
+
+  /** Accept iff grouping is exactly [shard] and every aggregate is
+    * COUNT(*) or MIN/MAX of a long column. */
+  def parse(agg: Aggregation): Option[Seq[AggDesc]] = {
+    val groupOk = agg.groupByExpressions.toSeq match {
+      case Seq(g) => longField(g).contains("shard")
+      case _ => false
+    }
+    if (!groupOk) return None
+    val parsed = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(CountStarD)
+      case m: Min => longField(m.column).map(MinD)
+      case m: Max => longField(m.column).map(MaxD)
+      case _ => None
+    }
+    if (parsed.forall(_.isDefined)) Some(parsed.map(_.get)) else None
+  }
+}
+
+class ShardAggReaderFactory(spec: Seq[ShardAggScan.AggDesc])
+    extends PartitionReaderFactory {
+  import ShardAggScan._
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ShardPartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = { val r = !done; done = true; r }
+      override def get(): InternalRow = {
+        def fold(field: String, max: Boolean): Long = {
+          var best = if (max) Long.MinValue else Long.MaxValue
+          var i = 0L
+          while (i < p.rows) {
+            val id = p.shard * p.rows + i
+            val v = ShardSource.cell(field, p.shard, id)
+              .asInstanceOf[Long]
+            if (if (max) v > best else v < best) best = v
+            i += 1
+          }
+          best
+        }
+        val out = new Array[Any](spec.size + 1)
+        out(0) = p.shard
+        spec.zipWithIndex.foreach {
+          case (CountStarD, i) => out(i + 1) = p.rows
+          case (MinD(f), i) => out(i + 1) = fold(f, max = false)
+          case (MaxD(f), i) => out(i + 1) = fold(f, max = true)
+        }
+        new GenericInternalRow(out)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class ShardScan(shards: Int, rowsPerShard: Long, shardsPerTrigger: Int,

@@ -88,6 +88,35 @@ class ShardSourceSpec extends SparkSpec {
     assert(mbs.latestOffset().asInstanceOf[ShardOffset].n === 8L)
   }
 
+  test("aggregate pushdown: GROUP BY shard count/min/max plans NO aggregate") {
+    val agg = shardsDf.filter($"shard" < 4).groupBy($"shard")
+      .agg(count(lit(1)).as("n"), min($"val").as("mn"), max($"id").as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), plan)
+    val got = agg.collect().map(r =>
+      (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // independent expectation from the row algebra
+    val exp = (0L until 4L).map { s =>
+      val vals = (0L until 1000L).map(i => (s * 1000 + i) * 31 % 1000)
+      val ids = (0L until 1000L).map(i => s * 1000 + i)
+      s -> ((1000L, vals.min, ids.max))
+    }.toMap
+    assert(got === exp)
+  }
+
+  test("aggregate pushdown falls back for unsupported shapes") {
+    // SUM and a non-shard grouping are not pushed: Spark aggregates
+    val bySum = shardsDf.groupBy($"shard").agg(sum($"val").as("s"))
+    assert(bySum.queryExecution.executedPlan.toString
+      .contains("HashAggregate"))
+    val byKey = shardsDf.groupBy($"key").agg(count(lit(1)).as("n"))
+    assert(byKey.queryExecution.executedPlan.toString
+      .contains("HashAggregate"))
+    // and both still compute correctly through the base scan
+    assert(bySum.collect().length === 8)
+    assert(byKey.collect().map(_.getLong(1)).sum === 8000L)
+  }
+
   test("residual non-shard filters still apply (source is not trusted)") {
     // key filter is NOT pushed; Spark must filter rows post-scan
     val n = shardsDf.filter($"shard" === 1 && $"key" === "k0").count()
