@@ -119,10 +119,20 @@ class ShardScanBuilder(shards: Int, rowsPerShard: Long,
     shardsPerTrigger: Int)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ShardSource.schema
   private var aggSpec: Option[Seq[ShardAggScan.AggDesc]] = None
+  private var limit: Int = -1
+
+  // ---- limit pushdown: the reader caps each PARTITION at the limit
+  // (a per-shard early stop — the source cannot know the global row
+  // order, so this is a PARTIAL push: isPartiallyPushed keeps Spark's
+  // own Limit in the plan for the global cut, but each task now reads
+  // ≤ limit rows instead of the whole shard)
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // shard filters are FULLY consumed (not returned as residual):
@@ -159,7 +169,8 @@ class ShardScanBuilder(shards: Int, rowsPerShard: Long,
   override def build(): Scan = aggSpec match {
     case Some(spec) => new ShardAggScan(shards, rowsPerShard, pushed, spec)
     case None =>
-      new ShardScan(shards, rowsPerShard, shardsPerTrigger, pushed, required)
+      new ShardScan(shards, rowsPerShard, shardsPerTrigger, pushed,
+        required, limit)
   }
 }
 
@@ -253,7 +264,7 @@ class ShardAggReaderFactory(spec: Seq[ShardAggScan.AggDesc])
           var best = if (max) Long.MinValue else Long.MaxValue
           var i = 0L
           while (i < p.rows) {
-            val id = p.shard * p.rows + i
+            val id = p.shard * p.stride + i
             val v = ShardSource.cell(field, p.shard, id)
               .asInstanceOf[Long]
             if (if (max) v > best else v < best) best = v
@@ -276,17 +287,21 @@ class ShardAggReaderFactory(spec: Seq[ShardAggScan.AggDesc])
 }
 
 class ShardScan(shards: Int, rowsPerShard: Long, shardsPerTrigger: Int,
-    pushed: Array[Filter], required: StructType) extends Scan with Batch {
+    pushed: Array[Filter], required: StructType,
+    limit: Int = -1) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_shards pushed=[${pushed.mkString(", ")}] " +
-      s"read=[${required.fieldNames.mkString(", ")}]"
+      s"read=[${required.fieldNames.mkString(", ")}]" +
+      (if (limit >= 0) s" limit=$limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
     (0L until shards.toLong)
       .filter(s => ShardSource.shardSurvives(pushed.toSeq, s))
-      .map(s => ShardPartition(s, rowsPerShard): InputPartition)
+      .map(s => ShardPartition(s,
+        if (limit >= 0) math.min(rowsPerShard, limit.toLong)
+        else rowsPerShard, rowsPerShard): InputPartition)
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -338,7 +353,16 @@ class ShardMicroBatchStream(shards: Int, rowsPerShard: Long,
   override def stop(): Unit = ()
 }
 
-case class ShardPartition(shard: Long, rows: Long) extends InputPartition
+/** `rows` is how many rows this task emits (a pushed limit may cap
+  * it); `stride` is the table's rowsPerShard and anchors the global
+  * id arithmetic regardless of the cap. */
+case class ShardPartition(shard: Long, rows: Long,
+    stride: Long) extends InputPartition
+
+object ShardPartition {
+  def apply(shard: Long, rows: Long): ShardPartition =
+    ShardPartition(shard, rows, rows)
+}
 
 class ShardReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
@@ -349,7 +373,7 @@ class ShardReaderFactory(fields: Array[String])
       private var i = -1L
       override def next(): Boolean = { i += 1; i < p.rows }
       override def get(): InternalRow = {
-        val id = p.shard * p.rows + i
+        val id = p.shard * p.stride + i
         new GenericInternalRow(
           fields.map(f => ShardSource.cell(f, p.shard, id))
             .asInstanceOf[Array[Any]])

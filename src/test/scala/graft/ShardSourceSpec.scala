@@ -117,6 +117,20 @@ class ShardSourceSpec extends SparkSpec {
     assert(byKey.collect().map(_.getLong(1)).sum === 8000L)
   }
 
+  test("limit pushdown caps every task's read; Spark keeps the global cut") {
+    val lim = shardsDf.limit(5)
+    val plan = lim.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=5"), plan)           // reached the scan
+    assert(plan.contains("CollectLimit") ||
+      plan.contains("GlobalLimit"), plan)            // partial: Spark cuts
+    assert(lim.collect().length === 5)
+    // id arithmetic is anchored on the stride, not the capped count:
+    // each task emits the FIRST rows of its shard
+    val ids = shardsDf.filter($"shard" === 2).limit(3)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(2000L, 2001L, 2002L))
+  }
+
   test("residual non-shard filters still apply (source is not trusted)") {
     // key filter is NOT pushed; Spark must filter rows post-scan
     val n = shardsDf.filter($"shard" === 1 && $"key" === "k0").count()
