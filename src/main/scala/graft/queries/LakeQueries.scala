@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -556,6 +557,36 @@ object LakeQueries {
         countDistinct(col("band")).as("l_distinct"))
       .withColumn("diverse", col("l_distinct") >= 3)
 
+  /** Partition-gap audit — the backfill planner's input: which hourly
+    * partitions are MISSING per event type between each type's first
+    * and last observed hour, reported as contiguous gap runs
+    * (gaps-and-islands on the anti-joined expected grid: island key =
+    * hr − row_number). An ingestion pipeline alerts on fresh gaps and
+    * feeds the (start, end) ranges straight to a backfill job —
+    * ranges, not single hours, because backfills are launched per
+    * contiguous window. All integer arithmetic; the window runs over
+    * |missing hours| × |types| rows, never event volume. */
+  def partitionGapAudit(spark: SparkSession, dir: String): DataFrame = {
+    val hr = expr("unix_micros(ts) div 1000000 div 3600")
+    val obs = Tables(spark, dir, "events")
+      .select(col("event_type"), hr.as("hr")).distinct()
+    val obsM = graft.Tables.materialize(obs)
+    val expected = obsM.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("hr"))
+    val missing = expected.join(obsM, Seq("event_type", "hr"), "left_anti")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    missing
+      .withColumn("grp", col("hr") - row_number().over(w))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(min(col("hr")).as("gap_start_hr"),
+        max(col("hr")).as("gap_end_hr"),
+        count(lit(1)).as("n_missing"))
+      .select(col("event_type"), col("gap_start_hr"),
+        col("gap_end_hr"), col("n_missing"))
+  }
+
   /** t-closeness audit ([[graft.ext.Privacy.tClosenessAudit]]) —
     * the distribution-skew leg completing k-anonymity + l-diversity:
     * ordered-domain EMD between each (nation, segment) class's
@@ -628,6 +659,7 @@ object LakeQueries {
     "compaction_exec" -> compactionExec _,
     "k_anonymity_audit" -> kAnonymityAudit _,
     "t_closeness_audit" -> tClosenessAudit _,
+    "partition_gap_audit" -> partitionGapAudit _,
     "dp_noisy_counts" -> dpNoisyCounts _,
     "l_diversity_audit" -> lDiversityAudit _,
     "gini_impurity" -> giniImpurity _,
@@ -785,6 +817,34 @@ object LakeQueries {
         |  strftime(valid_to, '%Y-%m-%d') AS valid_to, is_current
         |FROM (SELECT * FROM untouched UNION ALL SELECT * FROM closed
         |      UNION ALL SELECT * FROM ins)""".stripMargin,
+    // gaps-and-islands over the anti-joined expected hour grid;
+    // island key = hr - row_number
+    "partition_gap_audit" ->
+      """WITH pg_o AS (
+        |  SELECT DISTINCT event_type,
+        |    epoch_us(ts) // 1000000 // 3600 AS hr
+        |  FROM events),
+        |pg_b AS (
+        |  SELECT event_type, min(hr) AS lo, max(hr) AS hi
+        |  FROM pg_o GROUP BY 1),
+        |pg_e AS (
+        |  SELECT event_type, unnest(range(lo, hi + 1)) AS hr
+        |  FROM pg_b),
+        |pg_m AS (
+        |  SELECT e.event_type, e.hr FROM pg_e e
+        |  LEFT JOIN pg_o o
+        |    ON o.event_type = e.event_type AND o.hr = e.hr
+        |  WHERE o.hr IS NULL),
+        |pg_g AS (
+        |  SELECT event_type, hr,
+        |    hr - row_number() OVER (PARTITION BY event_type
+        |      ORDER BY hr) AS grp
+        |  FROM pg_m)
+        |SELECT event_type,
+        |  CAST(min(hr) AS BIGINT) AS gap_start_hr,
+        |  CAST(max(hr) AS BIGINT) AS gap_end_hr,
+        |  CAST(count(*) AS BIGINT) AS n_missing
+        |FROM pg_g GROUP BY event_type, grp""".stripMargin,
     // mirrors Privacy.tClosenessAudit: scaled integer cumulative
     // differences (cum_c*N - cum_g*n_c), one closing divide
     "t_closeness_audit" ->
