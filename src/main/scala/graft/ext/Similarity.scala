@@ -787,6 +787,46 @@ object Similarity {
     * Moments are therefore of the 2⁻²⁰-quantized components —
     * quantization noise ~2⁻⁴⁰ is far beneath the 1e-6 `is_dead`
     * screen. */
+  /** Embedding covariance matrix (upper triangle) — the whitening /
+    * PCA-prep statistic: cov(i,j) over the 2⁻²⁰-quantized components,
+    * from exact integer sums (Σqᵢqⱼ, Σqᵢ, n) under one fixed IEEE
+    * readout tree — [[dimVarianceAudit]]'s exactness contract
+    * extended to pairs (that audit is this matrix's diagonal).
+    *
+    * Shape: components co-partition by vector id, one self-join
+    * fans each vector to its d(d+1)/2 index pairs, one
+    * map-side-combined aggregate reduces to d(d+1)/2 cells. At
+    * 100 TB the join shuffle is rows×d; the further optimization is
+    * a per-partition d×d accumulator in `mapPartitions` (X^T X via
+    * outer products, d² merge state) — same algebra, no fan-out;
+    * the gate keeps the join form because every operator stays in
+    * whole-stage codegen. Σqᵢqⱼ ≤ 2⁴⁰·n, so the BIGINT is exact to
+    * n ≈ 8·10⁶ and its double conversion to n ≈ 8000 — quantize
+    * coarser or shard the sum beyond that. */
+  def covarianceMatrix(df: DataFrame, id: Column, vec: Column)
+      : DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val Q = 1048576.0 // 2^20
+    val comp = df.select(id.as("vid"), posexplode(vec))
+      .repartition(p, col("vid"))
+      .select(col("vid"), col("pos").as("i"),
+        floor(col("col").cast("double") * Q).cast("long").as("q"))
+    val a = comp.select(col("vid"), col("i"), col("q"))
+    val b = comp.select(col("vid"), col("i").as("j"),
+      col("q").as("qj"))
+    val meanI = col("s_i").cast("double") / col("n").cast("double")
+    val meanJ = col("s_j").cast("double") / col("n").cast("double")
+    a.join(b, "vid").filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q") * col("qj")).as("s_ij"),
+        sum(col("q")).as("s_i"), sum(col("qj")).as("s_j"))
+      .select(col("i").cast("long").as("i"),
+        col("j").cast("long").as("j"), col("n"),
+        ((col("s_ij").cast("double") / col("n").cast("double")
+          - meanI * meanJ) / (Q * Q)).as("cov"))
+  }
+
   def dimVarianceAudit(df: DataFrame, vec: Column): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     val Q = 1048576.0 // 2^20

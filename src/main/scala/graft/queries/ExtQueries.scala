@@ -877,6 +877,14 @@ object ExtQueries {
     Similarity.anisotropyAudit(Tables(spark, dir, "embeddings"),
       col("vec_id"), col("embedding"), col("label"))
 
+  /** Embedding covariance upper triangle
+    * ([[Similarity.covarianceMatrix]]) — the whitening/PCA-prep
+    * statistic over quantized components; `embed_dim_variance` is
+    * this matrix's diagonal. */
+  def embedCovariance(spark: SparkSession, dir: String): DataFrame =
+    Similarity.covarianceMatrix(Tables(spark, dir, "embeddings"),
+      col("vec_id"), col("embedding"))
+
   /** Dead/constant-dimension screen ([[Similarity.dimVarianceAudit]]):
     * per-dimension n/mean/variance/min/max from one mergeable
     * moment aggregate, with the variance < 1e-6 dead flag. */
@@ -1135,6 +1143,7 @@ object ExtQueries {
     "ann_matryoshka_recall" -> annMatryoshkaRecall _,
     "embed_anisotropy" -> embedAnisotropy _,
     "embed_dim_variance" -> embedDimVariance _,
+    "embed_covariance" -> embedCovariance _,
     "lang_code_switch" -> langCodeSwitch _,
     "labeler_kappa" -> labelerKappa _,
     "dedup_evidence" -> dedupEvidence _,
@@ -2998,6 +3007,28 @@ object ExtQueries {
       |    / (1048576.0 * 1048576.0)) < 0.000001 AS is_dead
       |FROM dv_agg""".stripMargin
 
+  // mirrors Similarity.covarianceMatrix: same floor(x*2^20) quanta,
+  // exact BIGINT pair sums, same fixed readout tree
+  private val embedCovarianceSql =
+    """WITH cv_c AS (
+      |  SELECT e.vec_id AS vid, i,
+      |    CAST(floor(CAST(e.embedding[CAST(i AS INT) + 1] AS DOUBLE)
+      |      * 1048576.0) AS BIGINT) AS q
+      |  FROM embeddings e, LATERAL (SELECT unnest(range(0, 64)) AS i)),
+      |cv_p AS (
+      |  SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
+      |    CAST(SUM(a.q * b.q) AS BIGINT) AS s_ij,
+      |    CAST(SUM(a.q) AS BIGINT) AS s_i,
+      |    CAST(SUM(b.q) AS BIGINT) AS s_j
+      |  FROM cv_c a JOIN cv_c b ON a.vid = b.vid AND a.i <= b.i
+      |  GROUP BY 1, 2)
+      |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n,
+      |  (CAST(s_ij AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - (CAST(s_i AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(s_j AS DOUBLE) / CAST(n AS DOUBLE)))
+      |    / (1048576.0 * 1048576.0) AS cov
+      |FROM cv_p""".stripMargin
+
   private val embedDriftSql =
     """WITH comp2 AS (
       |  SELECT e.label AS lbl, e.vec_id % 2 AS half, i,
@@ -3477,6 +3508,7 @@ object ExtQueries {
     "ann_matryoshka_recall" -> annMatryoshkaRecallSql,
     "embed_anisotropy" -> embedAnisotropySql,
     "embed_dim_variance" -> embedDimVarianceSql,
+    "embed_covariance" -> embedCovarianceSql,
     "lang_code_switch" -> langCodeSwitchSql,
     "labeler_kappa" -> labelerKappaSql,
     "dedup_evidence" -> dedupEvidenceSql,

@@ -145,6 +145,23 @@ class WinnowCurriculumSpec extends SparkSpec {
     assert(pairs.count() <= 3L * 50)
   }
 
+  // ------------------------------------------------ covarianceMatrix
+
+  test("covariance diagonal equals the dim-variance audit bit for bit") {
+    val emb = sf("embeddings")
+    val diag = graft.ext.Similarity
+      .covarianceMatrix(emb, col("vec_id"), col("embedding"))
+      .filter(col("i") === col("j"))
+      .select(col("i"), col("cov"))
+      .as[(Long, Double)].collect().toMap
+    val vars = graft.ext.Similarity
+      .dimVarianceAudit(emb, col("embedding"))
+      .select(col("i"), col("variance"))
+      .as[(Long, Double)].collect().toMap
+    assert(diag.keySet == vars.keySet && diag.nonEmpty)
+    diag.foreach { case (i, c) => assert(c == vars(i), s"dim $i") }
+  }
+
   // ------------------------------------------------- tClosenessAudit
 
   test("tClosenessAudit: skewed classes far, proportional class at zero") {
