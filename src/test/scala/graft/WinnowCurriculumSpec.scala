@@ -145,6 +145,44 @@ class WinnowCurriculumSpec extends SparkSpec {
     assert(pairs.count() <= 3L * 50)
   }
 
+  // --------------------------------------- winnowing guarantee (random)
+
+  test("winnowing guarantee holds on random corpora (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], seed: Long): T =
+      g(Gen.Parameters.default, Seed(seed))
+        .getOrElse(sys.error(s"gen failed for seed $seed"))
+    val vocab = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    val toksGen = (n: Int) => Gen.listOfN(n, Gen.oneOf(vocab))
+    // k=3, w=4: any shared run of >= 6 tokens guarantees a shared
+    // fingerprint hash — plant a random 6..10-token run inside two
+    // random docs at random offsets, check the intersection
+    val caseGen = for {
+      run <- Gen.choose(6, 10).flatMap(toksGen)
+      pre1 <- Gen.choose(0, 12).flatMap(toksGen)
+      suf1 <- Gen.choose(0, 12).flatMap(toksGen)
+      pre2 <- Gen.choose(0, 12).flatMap(toksGen)
+      suf2 <- Gen.choose(0, 12).flatMap(toksGen)
+    } yield ((pre1 ++ run ++ suf1).mkString(" "),
+      (pre2 ++ run ++ suf2).mkString(" "))
+    // batch all seeds into ONE DataFrame: doc ids 2s / 2s+1 pair up
+    val cases = (1L to 24L).map(s => sample(caseGen, s))
+    val docs = cases.zipWithIndex.flatMap { case ((d1, d2), i) =>
+      Seq((2L * i, d1), (2L * i + 1, d2))
+    }.toDF("id", "text")
+    val fp = graft.ext.Dedup
+      .winnowFingerprints(docs, col("id"), col("text"))
+      .select(col("doc_id"), col("fp_hash"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    cases.indices.foreach { i =>
+      val (a, b) = (fp.getOrElse(2L * i, Set.empty[Long]),
+        fp.getOrElse(2L * i + 1, Set.empty[Long]))
+      assert((a & b).nonEmpty, s"case $i: no shared fingerprint")
+    }
+  }
+
   // ------------------------------------------------ covarianceMatrix
 
   test("covariance diagonal equals the dim-variance audit bit for bit") {
