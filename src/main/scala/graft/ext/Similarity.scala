@@ -152,6 +152,49 @@ object Similarity {
     * 100 TB the same mining runs over [[ivfTopK]]'s probed candidates
     * instead of the full cross product; this exact variant is the
     * auditable baseline. */
+  /** Metadata-FILTERED exact top-k — the other constrained-search
+    * shape next to [[hardNegatives]]' cross-label mining: each query
+    * retrieves its k nearest SAME-label neighbors (self excluded),
+    * the "search within category / tenant / language" query every
+    * production vector store fields. This is the PRE-filter form —
+    * the constraint enters before ranking, so the result always
+    * carries k qualifying rows; post-filtering an unconstrained
+    * top-k would silently return fewer (the classic filtered-ANN
+    * recall trap). The label equi-join confines the cross product to
+    * label blocks; at 100 TB the deployment form is one IVF index
+    * per label shard (or label-partitioned cells), same algebra. */
+  def filteredTopK(corpus: DataFrame, corpusId: Column,
+      corpusVec: Column, corpusLabel: Column, queries: DataFrame,
+      queryId: Column, queryVec: Column, queryLabel: Column,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus.select(corpusId.as("nbr_id"), corpusVec.as("cv"),
+        corpusLabel.as("nbr_label"))
+      .filter(size(col("cv")) > 0)
+      .repartition(p)
+      .withColumn("sn_c",
+        sqrt(VecKernels.vecDotDec(col("cv"), col("cv")).cast("double")))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"),
+        queryLabel.as("query_label"))
+      .filter(size(col("qv")) > 0)
+      .withColumn("sn_q",
+        sqrt(VecKernels.vecDotDec(col("qv"), col("qv")).cast("double")))
+    val scored = c.join(broadcast(q),
+        col("nbr_label") === col("query_label") &&
+          col("nbr_id") =!= col("query_id"))
+      .withColumn("cosine",
+        VecKernels.vecDotDec(col("cv"), col("qv")).cast("double") /
+          (col("sn_c") * col("sn_q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("nbr_id"),
+        col("rank"), col("cosine"))
+  }
+
   def hardNegatives(corpus: DataFrame, corpusId: Column, corpusVec: Column,
       corpusLabel: Column, queries: DataFrame, queryId: Column,
       queryVec: Column, queryLabel: Column, k: Int): DataFrame = {

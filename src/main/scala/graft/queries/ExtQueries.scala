@@ -421,6 +421,18 @@ object ExtQueries {
       col("label"), k = 10)
   }
 
+  /** Metadata-filtered retrieval ([[Similarity.filteredTopK]]): each
+    * query's 5 nearest SAME-label neighbors, self excluded — the
+    * pre-filter "search within category" shape; the label equi-join
+    * blocks the cross product. */
+  def annFilteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.filteredTopK(
+      emb, col("vec_id"), col("embedding"), col("label"),
+      emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      col("label"), k = 5)
+  }
+
   /** Per-label centroid drift between the two vec_id-parity halves of
     * the embeddings table (standing in for consecutive snapshots) —
     * see [[Similarity.centroidDrift]]. */
@@ -1163,6 +1175,7 @@ object ExtQueries {
     "ann_ranking_eval" -> annRankingEval _,
     "ann_probe_sweep" -> annProbeSweep _,
     "ann_hard_negatives" -> annHardNegatives _,
+    "ann_filtered_topk" -> annFilteredTopK _,
     "ann_hard_negatives_ivf" -> annHardNegativesIvf _,
     "embed_drift" -> embedDrift _,
     "embed_quantize" -> embedQuantize _,
@@ -2422,6 +2435,33 @@ object ExtQueries {
        |  FROM scored)
        |SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= 10""".stripMargin
 
+  // hardNegatives' algebra with the filter flipped to SAME label and
+  // the query itself excluded — Similarity.filteredTopK verbatim
+  private val annFilteredTopKSql =
+    s"""WITH $vecCtes,
+       |flab AS (SELECT vec_id, label FROM embeddings),
+       |fdots AS (
+       |  SELECT c.vec_id AS nbr_id, q.vec_id AS query_id,
+       |    CAST(sum(CAST(c.x * q.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |  FROM comp c JOIN comp q ON c.i = q.i AND q.vec_id < 10
+       |  GROUP BY c.vec_id, q.vec_id),
+       |fscored AS (
+       |  SELECT query_id, ql.label AS query_label, nbr_id,
+       |    dot / (nc.sn * nq.sn) AS cosine
+       |  FROM fdots
+       |  JOIN norms nc ON nc.vec_id = nbr_id
+       |  JOIN norms nq ON nq.vec_id = query_id
+       |  JOIN flab nl ON nl.vec_id = nbr_id
+       |  JOIN flab ql ON ql.vec_id = query_id
+       |  WHERE nl.label = ql.label AND nbr_id <> query_id),
+       |franked AS (
+       |  SELECT query_id, query_label, nbr_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, nbr_id ASC) AS rank
+       |  FROM fscored)
+       |SELECT query_id, query_label, nbr_id, rank, cosine
+       |FROM franked WHERE rank <= 5""".stripMargin
+
   // bruteForce's dot/norm algebra + label join + cross-label filter
   // before the per-query rank — Similarity.hardNegatives verbatim
   private val annHardNegativesSql =
@@ -3502,6 +3542,7 @@ object ExtQueries {
     "substring_dedup_filter" -> substringDedupFilterSql,
     "corpus_quality_e2e" -> corpusQualityE2eSql,
     "ann_brute_force" -> annBruteForceSql,
+    "ann_filtered_topk" -> annFilteredTopKSql,
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_ivf_kmeans" -> annIvfKmeansSql,
     "ann_ivf_persisted" -> annIvfKmeansSql,
