@@ -421,6 +421,30 @@ object ExtQueries {
       col("label"), k = 10)
   }
 
+  /** The pre-filter-vs-post-filter deficit MEASURED: per query, how
+    * many same-label rows actually appear in the UNFILTERED exact
+    * top-10 (what post-filtering would return) vs the 5 the
+    * pre-filtered search guarantees. A positive deficit row is a
+    * query the post-filter strategy silently under-serves — the
+    * audit that justifies [[annFilteredTopK]]'s join shape. */
+  def annPostfilterDeficit(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val lab = emb.select(col("vec_id").as("nbr_id"),
+      col("label").as("nbr_label"))
+    val qlab = emb.select(col("vec_id").as("query_id"),
+      col("label").as("query_label"))
+    annBruteForce(spark, dir)
+      .join(lab, "nbr_id").join(qlab, "query_id")
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("nbr_label") === col("query_label") &&
+          col("nbr_id") =!= col("query_id"), 1L).otherwise(0L))
+        .as("post_filter_hits"))
+      .select(col("query_id"), col("post_filter_hits"),
+        greatest(lit(5L) - col("post_filter_hits"), lit(0L))
+          .as("deficit"))
+  }
+
   /** Metadata-filtered retrieval ([[Similarity.filteredTopK]]): each
     * query's 5 nearest SAME-label neighbors, self excluded — the
     * pre-filter "search within category" shape; the label equi-join
@@ -1176,6 +1200,7 @@ object ExtQueries {
     "ann_probe_sweep" -> annProbeSweep _,
     "ann_hard_negatives" -> annHardNegatives _,
     "ann_filtered_topk" -> annFilteredTopK _,
+    "ann_postfilter_deficit" -> annPostfilterDeficit _,
     "ann_hard_negatives_ivf" -> annHardNegativesIvf _,
     "embed_drift" -> embedDrift _,
     "embed_quantize" -> embedQuantize _,
@@ -3543,6 +3568,22 @@ object ExtQueries {
     "corpus_quality_e2e" -> corpusQualityE2eSql,
     "ann_brute_force" -> annBruteForceSql,
     "ann_filtered_topk" -> annFilteredTopKSql,
+    "ann_postfilter_deficit" ->
+      s"""WITH pf_lab AS (SELECT vec_id, label FROM embeddings),
+         |pf AS (
+         |  SELECT bf.query_id, bf.nbr_id,
+         |    nl.label AS nbr_label, ql.label AS query_label
+         |  FROM ($annBruteForceSql) bf
+         |  JOIN pf_lab nl ON nl.vec_id = bf.nbr_id
+         |  JOIN pf_lab ql ON ql.vec_id = bf.query_id)
+         |SELECT query_id,
+         |  CAST(SUM(CASE WHEN nbr_label = query_label
+         |    AND nbr_id <> query_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS post_filter_hits,
+         |  CAST(greatest(5 - SUM(CASE WHEN nbr_label = query_label
+         |    AND nbr_id <> query_id THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS deficit
+         |FROM pf GROUP BY query_id""".stripMargin,
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_ivf_kmeans" -> annIvfKmeansSql,
     "ann_ivf_persisted" -> annIvfKmeansSql,
