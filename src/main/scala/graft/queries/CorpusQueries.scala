@@ -280,6 +280,33 @@ object CorpusQueries {
       .select(col("rnk"), col("id").as("doc_id"), col("mmr_score"))
   }
 
+  /** OOV-rate CURVE — the vocabulary sizing tool behind [[oovRate]]'s
+    * single point: corpus-level out-of-vocabulary share at top-k
+    * vocabularies k ∈ {20,40,60,80}, from ONE token-frequency pass
+    * (covered_k = Σ counts of the rank ≤ k tokens; the ranked top-80
+    * is a bounded TakeOrdered, so the curve costs one aggregate +
+    * an 80-row broadcast regardless of corpus size). Where the curve
+    * flattens is where vocabulary growth stops buying coverage. */
+  def oovRateCurve(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir, "documents")
+      .select(explode(filter(split(col("text"), " "), t => t =!= ""))
+        .as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val top = counts.orderBy(col("n").desc, col("token").asc).limit(80)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("token").asc)))
+    val ks = spark.range(1, 5).select((col("id") * 20).as("vocab_k"))
+    ks.crossJoin(broadcast(top))
+      .filter(col("rank") <= col("vocab_k"))
+      .groupBy(col("vocab_k"))
+      .agg(sum(col("n")).as("covered"))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_k"), col("covered"), col("total"),
+        ((col("total") - col("covered")).cast("double") /
+          col("total").cast("double")).as("oov_rate"))
+  }
+
   /** Per-doc OOV rate vs the corpus top-60 vocabulary
     * ([[Corpus.oovRate]]) — tokenizer-coverage audit; 60 keeps a
     * meaningful OOV tail on this corpus's compact vocabulary. */
@@ -529,6 +556,7 @@ object CorpusQueries {
     "shard_rebalance" -> shardRebalance _,
     "retrieval_rerank" -> retrievalRerank _,
     "oov_rate" -> oovRate _,
+    "oov_rate_curve" -> oovRateCurve _,
     "pack_sequences_bpe" -> packSequencesBpe _,
     "corpus_prep_e2e" -> corpusPrepE2e _,
     "dedup_latest" -> dedupLatest _,
@@ -847,6 +875,28 @@ object CorpusQueries {
         |SELECT doc_id, n_tokens, n_oov,
         |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
         |FROM agg""".stripMargin,
+    // same rank order as oov_rate's vocab cut; covered_k = sum of the
+    // rank<=k counts, one closing divide
+    "oov_rate_curve" ->
+      """WITH oc_t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |oc_tk AS (SELECT token FROM oc_t WHERE token <> ''),
+        |oc_c AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS n
+        |  FROM oc_tk GROUP BY token),
+        |oc_tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM oc_c),
+        |oc_top AS (
+        |  SELECT token, n,
+        |    row_number() OVER (ORDER BY n DESC, token ASC) AS rnk
+        |  FROM oc_c ORDER BY n DESC, token ASC LIMIT 80),
+        |oc_k AS (SELECT unnest([20, 40, 60, 80]) AS vocab_k)
+        |SELECT CAST(k.vocab_k AS BIGINT) AS vocab_k,
+        |  CAST(SUM(t.n) AS BIGINT) AS covered, tot.total,
+        |  CAST(tot.total - SUM(t.n) AS DOUBLE)
+        |    / CAST(tot.total AS DOUBLE) AS oov_rate
+        |FROM oc_k k JOIN oc_top t ON t.rnk <= k.vocab_k, oc_tot tot
+        |GROUP BY k.vocab_k, tot.total""".stripMargin,
     "pack_sequences_bpe" -> packSequencesBpeSql,
     // integer cross-multiplied keep verdict on the same CTE chain
     "paragraph_dedup_filter" ->

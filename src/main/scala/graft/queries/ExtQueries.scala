@@ -873,6 +873,43 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic over the
+    * token-count distribution, doc_id-parity halves standing in for
+    * two corpus releases — the ORDERED-domain drift test completing
+    * [[AnalyticsQueries.chisqDrift]]'s categorical one: KS catches a
+    * length-distribution shift (truncation bugs, a new source mix)
+    * that per-type counts never see. Integer-exact by the
+    * [[graft.ext.Privacy.tClosenessAudit]] scaling trick: the CDF gap
+    * at value v scales to |cum_a·n_b − cum_b·n_a| (pure BIGINTs),
+    * D = max over the merged value grid, KS = D/(n_a·n_b) in one
+    * closing divide; argmax value reported with a smallest-value
+    * tie-break. The window runs over |distinct token counts| rows —
+    * bounded by document length, not corpus size. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "documents")
+      .select((col("doc_id") % 2).as("half"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("v"))
+    val counts = base.groupBy(col("v"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+    val tot = counts.agg(sum(col("ca")).as("n_a"),
+      sum(col("cb")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("gap",
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+      .orderBy(col("gap").desc, col("v").asc)
+      .limit(1)
+      .select(col("n_a"), col("n_b"), col("v").as("v_at_max"),
+        col("gap").as("d_scaled"),
+        (col("gap").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("ks"))
+  }
+
   /** Cohen's kappa between two deterministic labelers — the
     * inter-annotator-agreement readout run over [[langCodeSwitch]]'s
     * confusion matrix (labeler A = language of the first half,
@@ -1182,6 +1219,7 @@ object ExtQueries {
     "embed_covariance" -> embedCovariance _,
     "lang_code_switch" -> langCodeSwitch _,
     "labeler_kappa" -> labelerKappa _,
+    "ks_drift" -> ksDrift _,
     "dedup_evidence" -> dedupEvidence _,
     "lsh_index_compact" -> lshIndexCompact _,
     "ann_ivf_recall" -> annIvfRecall _,
@@ -3016,6 +3054,36 @@ object ExtQueries {
        |    THEN (po - pe) / (CAST(1.0 AS DOUBLE) - pe) END AS kappa
        |FROM ka_d""".stripMargin
 
+  // mirrors ksDrift: same scaled CDF gap (cum_a*n_b - cum_b*n_a),
+  // same (gap desc, v asc) argmax, one closing divide
+  private val ksDriftSql =
+    s"""WITH ks_b AS (
+       |  SELECT doc_id % 2 AS half, CAST(length($toks) AS BIGINT) AS v
+       |  FROM documents),
+       |ks_c AS (
+       |  SELECT v,
+       |    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ca,
+       |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cb
+       |  FROM ks_b GROUP BY v),
+       |ks_cum AS (
+       |  SELECT v,
+       |    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+       |    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+       |  FROM ks_c),
+       |ks_t AS (
+       |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+       |    CAST(SUM(cb) AS BIGINT) AS n_b
+       |  FROM ks_c)
+       |SELECT n_a, n_b, CAST(v AS BIGINT) AS v_at_max,
+       |  CAST(abs(cum_a * n_b - cum_b * n_a) AS BIGINT) AS d_scaled,
+       |  CAST(abs(cum_a * n_b - cum_b * n_a) AS DOUBLE)
+       |    / CAST(n_a * n_b AS DOUBLE) AS ks
+       |FROM ks_cum, ks_t
+       |ORDER BY abs(cum_a * n_b - cum_b * n_a) DESC, v
+       |LIMIT 1""".stripMargin
+
   private val embedAnisotropySql =
     """WITH an_comp AS (
       |  SELECT e.label AS lbl, i,
@@ -3593,6 +3661,7 @@ object ExtQueries {
     "embed_covariance" -> embedCovarianceSql,
     "lang_code_switch" -> langCodeSwitchSql,
     "labeler_kappa" -> labelerKappaSql,
+    "ks_drift" -> ksDriftSql,
     "dedup_evidence" -> dedupEvidenceSql,
     "lsh_index_compact" -> lshIndexCompactSql,
     "ann_ivf_recall" -> annIvfRecallSql,
