@@ -873,6 +873,35 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Spearman rank correlation between two per-document metrics
+    * (char length vs subword count) — the monotone-association
+    * complement of `corr_matrix`'s Pearson: outlier-robust, catches
+    * any monotone relation. Ranks come from
+    * [[graft.ext.Corpus.globalOrderRank]] (range partition + offset
+    * prefix sums — no single-partition sort even at corpus scale),
+    * ties broken deterministically by doc_id (documented deviation
+    * from classical average ranks — identical on both engines, which
+    * is what the gate needs); ρ = 1 − 6Σd²/(n(n²−1)) is integer
+    * algebra until one closing divide. */
+  def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables.materialize(
+      Tables(spark, dir, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("x"),
+        TextFunctions.regexTokenCount(col("text")).cast("long").as("y")))
+    def rank(c: String, out: String) = Corpus
+      .globalOrderRank(base.select(col("doc_id"), col(c)), 32,
+        col(c), col("doc_id"))
+      .select(col("doc_id"), col("_rank").as(out))
+    rank("x", "rx").join(rank("y", "ry"), "doc_id")
+      .select(col("doc_id"), (col("rx") - col("ry")).as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d") * col("d")).as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        (lit(1.0) - (lit(6L) * col("sum_d2")).cast("double") /
+          (col("n") * (col("n") * col("n") - 1)).cast("double"))
+          .as("rho"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift statistic over the
     * token-count distribution, doc_id-parity halves standing in for
     * two corpus releases — the ORDERED-domain drift test completing
@@ -1220,6 +1249,7 @@ object ExtQueries {
     "lang_code_switch" -> langCodeSwitch _,
     "labeler_kappa" -> labelerKappa _,
     "ks_drift" -> ksDrift _,
+    "spearman_corr" -> spearmanCorr _,
     "dedup_evidence" -> dedupEvidence _,
     "lsh_index_compact" -> lshIndexCompact _,
     "ann_ivf_recall" -> annIvfRecall _,
@@ -3054,6 +3084,28 @@ object ExtQueries {
        |    THEN (po - pe) / (CAST(1.0 AS DOUBLE) - pe) END AS kappa
        |FROM ka_d""".stripMargin
 
+  // mirrors spearmanCorr: same (value, doc_id) rank order, integer
+  // sum of squared rank differences, one closing divide
+  private val spearmanCorrSql =
+    """WITH sp_b AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS x,
+      |    CAST(length(regexp_extract_all(text,
+      |      '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS y
+      |  FROM documents),
+      |sp_r AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY x, doc_id) - 1 AS rx,
+      |    row_number() OVER (ORDER BY y, doc_id) - 1 AS ry
+      |  FROM sp_b),
+      |sp_a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+      |  FROM sp_r)
+      |SELECT n, sum_d2,
+      |  CAST(1.0 AS DOUBLE) - CAST(6 * sum_d2 AS DOUBLE)
+      |    / CAST(n * (n * n - 1) AS DOUBLE) AS rho
+      |FROM sp_a""".stripMargin
+
   // mirrors ksDrift: same scaled CDF gap (cum_a*n_b - cum_b*n_a),
   // same (gap desc, v asc) argmax, one closing divide
   private val ksDriftSql =
@@ -3662,6 +3714,7 @@ object ExtQueries {
     "lang_code_switch" -> langCodeSwitchSql,
     "labeler_kappa" -> labelerKappaSql,
     "ks_drift" -> ksDriftSql,
+    "spearman_corr" -> spearmanCorrSql,
     "dedup_evidence" -> dedupEvidenceSql,
     "lsh_index_compact" -> lshIndexCompactSql,
     "ann_ivf_recall" -> annIvfRecallSql,
