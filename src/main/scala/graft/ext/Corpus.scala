@@ -264,7 +264,12 @@ object Corpus {
     * assignment is three integer compares, and the global position is
     * [[globalOrderRank]]'s range-partition + offset machinery over
     * (bucket, md5, id) — no single-partition sort anywhere, so the
-    * plan survives 100 TB exactly like [[shuffleRank]]'s.
+    * plan survives 100 TB exactly like [[shuffleRank]]'s. One
+    * caveat at that scale: `percentile_disc` is exact and therefore
+    * holds its input on the final reducer — swap the cut computation
+    * to `approx_percentile` (mergeable t-digest, same 3 broadcast
+    * scalars) once the corpus outgrows a single executor's memory;
+    * the bucket walk and rank machinery are unchanged.
     *
     * Returns (id, n_tokens, bucket 1..4, curriculum_pos). */
   def curriculumOrder(df: DataFrame, id: Column, text: Column,
