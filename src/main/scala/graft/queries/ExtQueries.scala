@@ -326,6 +326,23 @@ object ExtQueries {
       col("doc_id"), col("text"), k = 3, w = 4, maxDf = 64,
       minShared = 2)
 
+  /** Survivors after clustering the winnowing pair graph
+    * ([[Dedup.winnowPairs]] → [[Dedup.connectedComponents]], min-id
+    * keeper) — the fingerprint family run end-to-end
+    * (select → pair → cluster → keep), the localized-overlap twin of
+    * [[embedDedupCc]]'s geometric one. */
+  def winnowDedupCc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val pairs = Dedup.winnowPairs(docs, col("doc_id"), col("text"),
+        k = 3, w = 4, maxDf = 64, minShared = 2)
+      .select(col("id_a").as("id1"), col("id_b").as("id2"))
+    val cc = Dedup.connectedComponents(pairs)
+    val dropped = cc.filter(col("id") =!= col("component"))
+      .select(col("id"))
+    docs.select(col("doc_id").as("id"))
+      .join(dropped, Seq("id"), "left_anti").select(col("id"))
+  }
+
   /** Doc-level verdict over the span frame (see
     * [[Dedup.repeatedSpanCoverage]]): duplicated-character coverage
     * per doc and the C4-style keep/drop at 50%. */
@@ -1235,6 +1252,7 @@ object ExtQueries {
     "substring_dedup" -> substringDedup _,
     "winnow_fingerprint" -> winnowFingerprint _,
     "winnow_pairs" -> winnowPairsQ _,
+    "winnow_dedup_cc" -> winnowDedupCc _,
     "url_dedup_canonical" -> urlDedupCanonical _,
     "substring_dedup_filter" -> substringDedupFilter _,
     "corpus_quality_e2e" -> corpusQualityE2e _,
@@ -2219,22 +2237,47 @@ object ExtQueries {
        |SELECT doc_id, fp_pos, fp_hash FROM wf_fp""".stripMargin
 
   // mirrors Dedup.winnowPairs: distinct (doc, hash), df cap in [2,64],
-  // co-grouped self-join, shared-count floor of 2
-  private val winnowPairsSql =
-    s"""WITH $winnowCtes,
+  // co-grouped self-join, shared-count floor of 2; shared by
+  // winnow_pairs and winnow_dedup_cc
+  private val winnowPairCtes =
+    s"""$winnowCtes,
        |wf_d AS (SELECT DISTINCT doc_id, fp_hash FROM wf_fp),
        |wf_keep AS (
        |  SELECT fp_hash FROM wf_d GROUP BY fp_hash
        |  HAVING count(*) BETWEEN 2 AND 64),
        |wf_f AS (
        |  SELECT d.doc_id, d.fp_hash FROM wf_d d
-       |  JOIN wf_keep k ON d.fp_hash = k.fp_hash)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  CAST(count(*) AS BIGINT) AS n_shared
-       |FROM wf_f a JOIN wf_f b
-       |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2
-       |HAVING count(*) >= 2""".stripMargin
+       |  JOIN wf_keep k ON d.fp_hash = k.fp_hash),
+       |wf_pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM wf_f a JOIN wf_f b
+       |    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= 2)""".stripMargin
+
+  private val winnowPairsSql =
+    s"""WITH $winnowPairCtes
+       |SELECT id_a, id_b, n_shared FROM wf_pairs""".stripMargin
+
+  // min-label CC over the winnow pair graph, min-id keeper — the
+  // same recursive-reach shape as embed_dedup_cc
+  private val winnowDedupCcSql =
+    s"""WITH RECURSIVE $winnowPairCtes,
+       |wf_edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM wf_pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM wf_pairs),
+       |wf_reach(id, label) AS (
+       |  SELECT src, src FROM wf_edges
+       |  UNION
+       |  SELECT e.src, r.label
+       |  FROM wf_edges e JOIN wf_reach r ON r.id = e.dst),
+       |wf_compo AS (
+       |  SELECT id, min(label) AS component FROM wf_reach GROUP BY id)
+       |SELECT doc_id AS id FROM documents
+       |WHERE doc_id NOT IN
+       |  (SELECT id FROM wf_compo WHERE id <> component)""".stripMargin
 
   // mirrors Dedup.repeatedSpanCoverage: stitched spans are disjoint so
   // their lengths sum exactly; 0/0 pinned to 0.0 on both engines
@@ -3683,6 +3726,7 @@ object ExtQueries {
     "substring_dedup" -> substringDedupSql,
     "winnow_fingerprint" -> winnowFingerprintSql,
     "winnow_pairs" -> winnowPairsSql,
+    "winnow_dedup_cc" -> winnowDedupCcSql,
     "url_dedup_canonical" -> urlDedupCanonicalSql,
     "substring_dedup_filter" -> substringDedupFilterSql,
     "corpus_quality_e2e" -> corpusQualityE2eSql,

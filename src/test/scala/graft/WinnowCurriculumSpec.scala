@@ -183,6 +183,24 @@ class WinnowCurriculumSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------- streaming gates are not vacuous
+
+  test("stream_late_data actually drops stragglers; outer join actually null-emits") {
+    val dir = "/root/testdata/sf0.001"
+    val nEvents = sf("events").count()
+    val lateTotal = graft.queries.PipelineQueries
+      .streamLateData(spark, dir)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(lateTotal < nEvents, "no late rows were dropped")
+    assert(lateTotal > nEvents / 2, "dropped far too much")
+    val outer = graft.queries.PipelineQueries
+      .streamOuterJoin(spark, dir)
+    assert(outer.filter(col("click_id").isNull).count() > 0,
+      "no null-padded outer rows emitted")
+    assert(outer.filter(col("click_id").isNotNull).count() > 0,
+      "no inner matches emitted")
+  }
+
   // ------------------------------------------------ covarianceMatrix
 
   test("covariance diagonal equals the dim-variance audit bit for bit") {
