@@ -253,6 +253,30 @@ object ExtQueries {
     Dedup.minhashLshPairs(Tables(spark, dir, "documents"),
       col("doc_id"), col("text"), n = 3, numHashes = 16, rowsPerBand = 4)
 
+  /** LSH candidate quality MEASURED — precision/recall of the raw
+    * MinHash band candidates ([[dedupMinhashLsh]]) against the exact
+    * Jaccard ≥ 0.5 truth set ([[dedupNgramJaccard]]): the one-number
+    * answer to "are 16 hashes × 4 bands the right sketch for this
+    * corpus". Low precision → wasted verify work (more bands/rows);
+    * low recall → silently surviving near-dups (fewer rows per
+    * band). Both operands are the already-gated frames; the audit
+    * adds two counts and one join on the bounded pair sets. */
+  def lshPairPr(spark: SparkSession, dir: String): DataFrame = {
+    val exact = graft.Tables.materialize(
+      dedupNgramJaccard(spark, dir).select(col("id1"), col("id2")))
+    val cand = graft.Tables.materialize(
+      dedupMinhashLsh(spark, dir).select(col("id1"), col("id2")))
+    val nExact = exact.count()
+    val nCand = cand.count()
+    val nBoth = exact.join(cand, Seq("id1", "id2")).count()
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((nExact, nCand, nBoth,
+      if (nCand > 0) nBoth.toDouble / nCand.toDouble else 1.0,
+      if (nExact > 0) nBoth.toDouble / nExact.toDouble else 1.0))
+      .toDF("n_exact", "n_cand", "n_both", "precision", "recall")
+  }
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables(spark, dir, "documents"), col("doc_id"), col("text"))
 
@@ -1243,6 +1267,7 @@ object ExtQueries {
     "dedup_lineage" -> dedupLineage _,
     "dedup_minhash_sig" -> dedupMinhashSig _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
+    "lsh_pair_pr" -> lshPairPr _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "doc_dedup_pipeline" -> docDedupPipeline _,
@@ -1993,6 +2018,54 @@ object ExtQueries {
        |FROM sig)
        |SELECT x.id AS id1, y.id AS id2
        |FROM bands x JOIN bands y ON x.id < y.id AND ($cond)""".stripMargin
+  }
+
+  // exact truth set and band candidates from their gated CTE chains,
+  // two counts + one join, CASE-guarded divides
+  private lazy val lshPairPrSql = {
+    val cond = bandExprs.zipWithIndex
+      .map { case (_, b) => s"x.b$b = y.b$b" }.mkString(" OR ")
+    val bandCols = bandExprs.zipWithIndex
+      .map { case (e, b) => s"  $e AS b$b" }.mkString(",\n")
+    s"""WITH $gramsCte,
+       |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+       |inter AS (
+       |  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+       |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+       |  GROUP BY a.id, b.id),
+       |pr_exact AS (
+       |  SELECT id1, id2 FROM inter
+       |  JOIN sizes s1 ON s1.id = id1
+       |  JOIN sizes s2 ON s2.id = id2
+       |  WHERE CAST(inter AS DOUBLE)
+       |    / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.5),
+       |$hashedCte,
+       |sig AS (
+       |SELECT id,
+       |$sigAggs
+       |FROM hashed GROUP BY id),
+       |bands AS (
+       |SELECT id,
+       |$bandCols
+       |FROM sig),
+       |pr_cand AS (
+       |  SELECT x.id AS id1, y.id AS id2
+       |  FROM bands x JOIN bands y ON x.id < y.id AND ($cond)),
+       |pr_a AS (
+       |  SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM pr_exact) AS n_exact,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM pr_cand) AS n_cand,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM pr_exact e
+       |     JOIN pr_cand c ON c.id1 = e.id1 AND c.id2 = e.id2)
+       |      AS n_both)
+       |SELECT n_exact, n_cand, n_both,
+       |  CASE WHEN n_cand > 0
+       |    THEN CAST(n_both AS DOUBLE) / CAST(n_cand AS DOUBLE)
+       |    ELSE CAST(1.0 AS DOUBLE) END AS precision,
+       |  CASE WHEN n_exact > 0
+       |    THEN CAST(n_both AS DOUBLE) / CAST(n_exact AS DOUBLE)
+       |    ELSE CAST(1.0 AS DOUBLE) END AS recall
+       |FROM pr_a""".stripMargin
   }
 
   private val minhashEstimateErrorSql = {
@@ -3717,6 +3790,7 @@ object ExtQueries {
         |LIMIT 20""".stripMargin,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "lsh_pair_pr" -> lshPairPrSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "doc_dedup_pipeline" -> docDedupPipelineSql,
