@@ -253,6 +253,48 @@ object ExtQueries {
     Dedup.minhashLshPairs(Tables(spark, dir, "documents"),
       col("doc_id"), col("text"), n = 3, numHashes = 16, rowsPerBand = 4)
 
+  /** Sketch-family bake-off — [[lshPairPr]] generalized to the three
+    * candidate generators on the SAME exact-Jaccard truth set: raw
+    * MinHash band collisions, raw SimHash band collisions (no
+    * hamming verify — the generator alone), and capped winnowing
+    * pairs. One table answers "which sketch fits this corpus":
+    * per family, candidate volume, precision (verify cost) and
+    * recall (what survives dedup silently). All operands reuse the
+    * gated operators verbatim; the audit is one union + one join
+    * against the bounded truth set. */
+  def dedupFamilyCompare(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val exact = graft.Tables.materialize(
+      Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, threshold = 0.5).select(col("id1"), col("id2")))
+    val nExact = exact.count()
+    val fams = Seq(
+      "minhash_lsh" -> Dedup.minhashLshPairs(docs, col("doc_id"),
+        col("text"), n = 3, numHashes = 16, rowsPerBand = 4)
+        .select(col("id1"), col("id2")),
+      "simhash" -> Dedup.simhashNearDupPairs(docs, col("doc_id"),
+        col("text"), maxBits = 64).select(col("id1"), col("id2")),
+      "winnow" -> Dedup.winnowPairs(docs, col("doc_id"), col("text"),
+        k = 3, w = 4, maxDf = 64, minShared = 2)
+        .select(col("id_a").as("id1"), col("id_b").as("id2")))
+    val union = fams.map { case (f, df) =>
+      df.withColumn("family", lit(f))
+    }.reduce(_ unionByName _)
+    def d(c: Column) = c.cast("double")
+    union
+      .join(exact.withColumn("hit", lit(1L)), Seq("id1", "id2"), "left")
+      .groupBy(col("family"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_both"))
+      .withColumn("n_exact", lit(nExact))
+      .select(col("family"), col("n_exact"), col("n_cand"),
+        col("n_both"),
+        when(col("n_cand") > 0, d(col("n_both")) / d(col("n_cand")))
+          .otherwise(lit(1.0)).as("precision"),
+        when(col("n_exact") > 0, d(col("n_both")) / d(col("n_exact")))
+          .otherwise(lit(1.0)).as("recall"))
+  }
+
   /** LSH candidate quality MEASURED — precision/recall of the raw
     * MinHash band candidates ([[dedupMinhashLsh]]) against the exact
     * Jaccard ≥ 0.5 truth set ([[dedupNgramJaccard]]): the one-number
@@ -1268,6 +1310,7 @@ object ExtQueries {
     "dedup_minhash_sig" -> dedupMinhashSig _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "lsh_pair_pr" -> lshPairPr _,
+    "dedup_family_compare" -> dedupFamilyCompare _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "doc_dedup_pipeline" -> docDedupPipeline _,
@@ -2066,6 +2109,72 @@ object ExtQueries {
        |    THEN CAST(n_both AS DOUBLE) / CAST(n_exact AS DOUBLE)
        |    ELSE CAST(1.0 AS DOUBLE) END AS recall
        |FROM pr_a""".stripMargin
+  }
+
+  // three raw candidate generators against one MATERIALIZED exact
+  // truth set; per-family left-join hit counts, guarded divides
+  private lazy val dedupFamilyCompareSql = {
+    val cond = bandExprs.zipWithIndex
+      .map { case (_, b) => s"x.b$b = y.b$b" }.mkString(" OR ")
+    val bandCols = bandExprs.zipWithIndex
+      .map { case (e, b) => s"  $e AS b$b" }.mkString(",\n")
+    s"""WITH $gramsCte,
+       |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+       |inter AS (
+       |  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+       |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+       |  GROUP BY a.id, b.id),
+       |fc_exact AS MATERIALIZED (
+       |  SELECT id1, id2 FROM inter
+       |  JOIN sizes s1 ON s1.id = id1
+       |  JOIN sizes s2 ON s2.id = id2
+       |  WHERE CAST(inter AS DOUBLE)
+       |    / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.5),
+       |$hashedCte,
+       |sig AS (
+       |SELECT id,
+       |$sigAggs
+       |FROM hashed GROUP BY id),
+       |bands AS (
+       |SELECT id,
+       |$bandCols
+       |FROM sig),
+       |fc_mh AS (
+       |  SELECT x.id AS id1, y.id AS id2
+       |  FROM bands x JOIN bands y ON x.id < y.id AND ($cond)),
+       |$simhashCtes,
+       |fc_shb AS (
+       |  SELECT id, b AS band,
+       |    (simhash >> (CAST(b AS INT) * 16)) & 65535 AS bv
+       |  FROM sk, LATERAL (SELECT unnest(range(0, 4)) AS b)),
+       |fc_sh AS (
+       |  SELECT DISTINCT x.id AS id1, y.id AS id2
+       |  FROM fc_shb x JOIN fc_shb y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.id < y.id),
+       |$winnowPairCtes,
+       |fc_fam AS (
+       |  SELECT 'minhash_lsh' AS family, id1, id2 FROM fc_mh
+       |  UNION ALL SELECT 'simhash', id1, id2 FROM fc_sh
+       |  UNION ALL SELECT 'winnow', id_a, id_b FROM wf_pairs),
+       |fc_tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_exact FROM fc_exact),
+       |fc_j AS (
+       |  SELECT f.family,
+       |    CASE WHEN e.id1 IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM fc_fam f LEFT JOIN fc_exact e
+       |    ON e.id1 = f.id1 AND e.id2 = f.id2),
+       |fc_a AS (
+       |  SELECT family, CAST(count(*) AS BIGINT) AS n_cand,
+       |    CAST(SUM(hit) AS BIGINT) AS n_both
+       |  FROM fc_j GROUP BY family)
+       |SELECT family, n_exact, n_cand, n_both,
+       |  CASE WHEN n_cand > 0
+       |    THEN CAST(n_both AS DOUBLE) / CAST(n_cand AS DOUBLE)
+       |    ELSE CAST(1.0 AS DOUBLE) END AS precision,
+       |  CASE WHEN n_exact > 0
+       |    THEN CAST(n_both AS DOUBLE) / CAST(n_exact AS DOUBLE)
+       |    ELSE CAST(1.0 AS DOUBLE) END AS recall
+       |FROM fc_a, fc_tot""".stripMargin
   }
 
   private val minhashEstimateErrorSql = {
@@ -3791,6 +3900,7 @@ object ExtQueries {
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "lsh_pair_pr" -> lshPairPrSql,
+    "dedup_family_compare" -> dedupFamilyCompareSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "doc_dedup_pipeline" -> docDedupPipelineSql,
