@@ -253,6 +253,27 @@ object ExtQueries {
     Dedup.minhashLshPairs(Tables(spark, dir, "documents"),
       col("doc_id"), col("text"), n = 3, numHashes = 16, rowsPerBand = 4)
 
+  /** Reorder-attack surface — how much duplication BYTE hashing
+    * misses: docs collapsed by the canonical (sorted-distinct-token)
+    * fingerprint minus docs collapsed by the plain content hash. A
+    * positive `reorder_only` count is exactly the dup mass that
+    * survives a naive md5 dedup (token-shuffled spam, re-serialized
+    * scrapes) and is why [[dedupIncremental]]'s ledger keys on the
+    * canonical form. Two distinct-counts over one scan. */
+  def dedupReorderAudit(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "documents")
+      .select(TextFunctions.fingerprint(col("text")).as("bfp"),
+        TextFunctions.canonicalFingerprint(col("text")).as("cfp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("bfp")).as("n_byte_distinct"),
+        countDistinct(col("cfp")).as("n_canon_distinct"))
+      .select(col("n_docs"),
+        (col("n_docs") - col("n_byte_distinct")).as("byte_dups"),
+        (col("n_docs") - col("n_canon_distinct")).as("canon_dups"),
+        (col("n_byte_distinct") - col("n_canon_distinct"))
+          .as("reorder_only"))
+  }
+
   /** Sketch-family bake-off — [[lshPairPr]] generalized to the three
     * candidate generators on the SAME exact-Jaccard truth set: raw
     * MinHash band collisions, raw SimHash band collisions (no
@@ -1311,6 +1332,7 @@ object ExtQueries {
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "lsh_pair_pr" -> lshPairPr _,
     "dedup_family_compare" -> dedupFamilyCompare _,
+    "dedup_reorder_audit" -> dedupReorderAudit _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "doc_dedup_pipeline" -> docDedupPipeline _,
@@ -3901,6 +3923,19 @@ object ExtQueries {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "lsh_pair_pr" -> lshPairPrSql,
     "dedup_family_compare" -> dedupFamilyCompareSql,
+    "dedup_reorder_audit" ->
+      s"""WITH ra AS (
+         |  SELECT md5(text) AS bfp,
+         |    md5(array_to_string(list_sort(list_distinct($toks)), ' '))
+         |      AS cfp
+         |  FROM documents)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) - count(DISTINCT bfp) AS BIGINT) AS byte_dups,
+         |  CAST(count(*) - count(DISTINCT cfp) AS BIGINT)
+         |    AS canon_dups,
+         |  CAST(count(DISTINCT bfp) - count(DISTINCT cfp) AS BIGINT)
+         |    AS reorder_only
+         |FROM ra""".stripMargin,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "doc_dedup_pipeline" -> docDedupPipelineSql,
