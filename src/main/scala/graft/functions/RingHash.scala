@@ -40,6 +40,16 @@ object RingHash {
     * JVM-simple. */
   def ringPick(h: Long, positions: ArrayData, shards: ArrayData): Long = {
     val n = positions.numElements()
+    // ring_assign is a registered SQL function, so user SQL can reach
+    // it with arrays outside the consistentRing contract — fail loudly
+    // instead of reading past an empty/mismatched ArrayData
+    if (n == 0)
+      throw new IllegalArgumentException(
+        "ring_assign: positions array is empty (the ring has no nodes)")
+    if (shards.numElements() != n)
+      throw new IllegalArgumentException(
+        s"ring_assign: positions ($n) and shards " +
+          s"(${shards.numElements()}) must be parallel arrays")
     var lo = 0
     var hi = n
     while (lo < hi) {

@@ -83,19 +83,38 @@ object MvMaintenance {
     Files.move(tmp, ledgerPath(summaryDir),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // GC the superseded version — best effort; a crash here leaves an
-    // orphan directory, never a wrong answer
-    if (prev >= 0) {
-      val old = Paths.get(versionDir(summaryDir, prev))
-      try {
-        val walk = Files.walk(old)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-        finally walk.close()
-      } catch { case _: Exception => () }
-    }
+    // GC every superseded version — best effort; sweeping ALL
+    // summary_b* dirs other than the one the ledger now points at
+    // (not just the immediate prev) also collects orphans left by a
+    // crash between an earlier flip and its GC
+    sweepStaleVersions(summaryDir, keep = batchId)
     true
   }
+
+  /** Delete every `summary_b<id>` directory whose id is not `keep`
+    * (the committed ledger value). Safe at any time after the ledger
+    * flip: readers only ever open the ledger's directory. */
+  private def sweepStaleVersions(summaryDir: String, keep: Long): Unit =
+    try {
+      val dir = Paths.get(summaryDir)
+      val ls = Files.list(dir)
+      val stale =
+        try ls.filter(p => {
+            val n = p.getFileName.toString
+            n.startsWith("summary_b") &&
+              scala.util.Try(n.stripPrefix("summary_b").toLong)
+                .toOption.exists(_ != keep)
+          }).toArray
+        finally ls.close()
+      stale.foreach { case p: java.nio.file.Path =>
+        try {
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => Files.deleteIfExists(q))
+          finally walk.close()
+        } catch { case _: Exception => () }
+      }
+    } catch { case _: Exception => () }
 
   def readSummary(spark: SparkSession, summaryDir: String): DataFrame = {
     val b = lastMerged(summaryDir)

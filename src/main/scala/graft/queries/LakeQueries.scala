@@ -140,8 +140,11 @@ object LakeQueries {
       attrs.map(a => col(a).as(s"_b_$a")): _*)
     val changedKeys = cur.join(bat, key)
       .filter(diff).select(col(key))
+    // anti-join against OPEN versions only: a key whose history holds
+    // only closed rows (externally authored / hard-deleted current)
+    // must re-enter as a new current version, not vanish
     val newKeys = batch.select(col(key))
-      .join(current.select(col(key)), Seq(key), "left_anti")
+      .join(cur.select(col(key)), Seq(key), "left_anti")
     val upsertKeys = changedKeys.unionByName(newKeys).distinct()
     val closed = cur.join(changedKeys, Seq(key), "left_semi")
       .withColumn("valid_to", effective)

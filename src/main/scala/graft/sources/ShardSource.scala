@@ -94,10 +94,22 @@ object ShardSource {
       case _ => true // not a shard filter — kept by Spark anyway
     }
 
+  /** Only Int/Long literals are evaluable by [[shardSurvives]]; any
+    * other value type must stay a RESIDUAL filter so Spark re-applies
+    * it — a consumed-but-unevaluable predicate would silently return
+    * unfiltered rows. */
+  private def intLike(v: Any): Boolean = v match {
+    case _: Long | _: Int => true
+    case _ => false
+  }
+
   def isShardFilter(f: Filter): Boolean = f match {
-    case EqualTo("shard", _) | GreaterThan("shard", _) |
-         GreaterThanOrEqual("shard", _) | LessThan("shard", _) |
-         LessThanOrEqual("shard", _) | In("shard", _) => true
+    case EqualTo("shard", v) => intLike(v)
+    case GreaterThan("shard", v) => intLike(v)
+    case GreaterThanOrEqual("shard", v) => intLike(v)
+    case LessThan("shard", v) => intLike(v)
+    case LessThanOrEqual("shard", v) => intLike(v)
+    case In("shard", vs) => vs.forall(intLike)
     case _ => false
   }
 }

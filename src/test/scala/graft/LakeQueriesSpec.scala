@@ -177,4 +177,26 @@ class LakeQueriesSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("scd_type2 merge: key with only CLOSED history re-enters as a " +
+      "new current version (externally authored hard-delete)") {
+    val d1 = to_date(lit("2024-06-01"))
+    val current = Seq((5L, Some("x")))
+      .toDF("k", "attr")
+      .withColumn("valid_from", to_date(lit("2024-01-01")))
+      .withColumn("valid_to", to_date(lit("2024-03-01")))
+      .withColumn("is_current", lit(false)) // no open version anywhere
+    val batch = Seq((5L, Some("y"))).toDF("k", "attr")
+    val out = LakeQueries.scdType2Merge(current, batch, "k",
+        Seq("attr"), d1)
+      .select(col("k"), col("attr"),
+        date_format(col("valid_from"), "yyyy-MM-dd").as("vf"),
+        date_format(col("valid_to"), "yyyy-MM-dd").as("vt"),
+        col("is_current"))
+      .as[(Long, Option[String], String, Option[String], Boolean)]
+      .collect().toSet
+    assert(out == Set(
+      (5L, Some("x"), "2024-01-01", Some("2024-03-01"), false),
+      (5L, Some("y"), "2024-06-01", None, true)))
+  }
 }

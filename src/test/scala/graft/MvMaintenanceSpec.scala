@@ -68,4 +68,18 @@ class MvMaintenanceSpec extends SparkSpec {
       .agg(sum(col("n"))).collect().head.getLong(0)
     assert(n === 1000L)
   }
+
+  test("stale version dirs (crash orphans) are swept by the next merge") {
+    val dir = Files.createTempDirectory("mv_sweep_spec").toString
+    // orphan from a hypothetical crash between flip and GC
+    Files.createDirectories(java.nio.file.Paths.get(dir, "summary_b99"))
+    val ev = sf("events").limit(100)
+    assert(MvMaintenance.mergeBatch(spark, dir, ev, 0L))
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "summary_b99")))
+    assert(Files.exists(java.nio.file.Paths.get(dir, "summary_b0")))
+    assert(MvMaintenance.mergeBatch(spark, dir, ev, 1L))
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "summary_b0")))
+    assert(Files.exists(java.nio.file.Paths.get(dir, "summary_b1")))
+    assert(MvMaintenance.readSummary(spark, dir).count() > 0)
+  }
 }

@@ -138,4 +138,17 @@ class ShardSourceSpec extends SparkSpec {
       .collect().count(r => r.getString(2) == "k0").toLong)
     assert(n > 0)
   }
+
+  test("isShardFilter accepts exactly the value types shardSurvives " +
+      "evaluates — anything else stays residual") {
+    import org.apache.spark.sql.sources.{EqualTo, In, LessThan}
+    import graft.sources.ShardSource
+    assert(ShardSource.isShardFilter(EqualTo("shard", 3L)))
+    assert(ShardSource.isShardFilter(LessThan("shard", 5)))
+    assert(ShardSource.isShardFilter(In("shard", Array[Any](1L, 2))))
+    // unevaluable literal types must NOT be consumed (no-op drop)
+    assert(!ShardSource.isShardFilter(EqualTo("shard", "3")))
+    assert(!ShardSource.isShardFilter(LessThan("shard", 5.0)))
+    assert(!ShardSource.isShardFilter(In("shard", Array[Any](1L, "x"))))
+  }
 }

@@ -286,6 +286,20 @@ class WinnowCurriculumSpec extends SparkSpec {
     assert(got(350L) == 1L)  // wraps to head -> shard 1
   }
 
+  test("ring_assign on an empty ring fails loudly, not with a " +
+      "buffer overread") {
+    val df = Seq(1L).toDF("h")
+    val e = intercept[Exception] {
+      df.select(graft.functions.RingHash.ringAssign(col("h"),
+        lit(Array.empty[Long]), lit(Array.empty[Long]))).collect()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ::: messages(t.getCause)
+    assert(messages(e).exists(_.contains("ring has no nodes")),
+      messages(e).mkString(" | "))
+  }
+
   // ------------------------------------------------------ mmrRerank
 
   test("mmrRerank demotes the near-duplicate of the top hit") {
