@@ -838,55 +838,90 @@ object Corpus {
     * token arrays (callers pass `array_distinct` columns; pairwise
     * sims are one bounded cross product, |cand|² rows).
     *
-    * Serving-shape contract: the candidate list is BOUNDED by the
-    * upstream retriever (10-ish per query), so the k argmax picks are
-    * k driver collects of ONE row each — the same bounded-scalar
-    * discipline as [[shuffleRank]]'s partition counts. At 100 TB
-    * nothing here touches the corpus: the expensive part is upstream
-    * retrieval; MMR cost is |cand|²+k·|cand| on an already-small set.
-    *
-    * Determinism: relevance and λ are doubles combined in ONE fixed
-    * IEEE tree (λ·rel − (1−λ)·maxsim); Jaccard is one exact-rounded
-    * divide of exact integers; argmax ties break on id ascending —
-    * every step replays identically in SQL. Returns (rnk 1..k, id,
+    * Single-list convenience form of [[mmrRerankGrouped]] (one
+    * constant group) — same semantics, same IEEE trees, ONE plan
+    * with zero driver round-trips. Returns (rnk 1..k, id,
     * mmr_score). */
   def mmrRerank(cand: DataFrame, id: Column, score: Column,
-      toks: Column, k: Int, lambda: Double = 0.5): DataFrame = {
+      toks: Column, k: Int, lambda: Double = 0.5): DataFrame =
+    mmrRerankGrouped(cand, lit("q"), id, score, toks, k, lambda)
+      .select(col("rnk"), col("id"), col("mmr_score"))
+
+  /** PER-QUERY-GROUP Maximal-Marginal-Relevance re-ranking — the
+    * batch shape a retrieval stack actually runs: thousands of query
+    * candidate lists re-ranked in ONE plan. Each group's candidates
+    * are BOUNDED by the upstream retriever (10-ish per query), so the
+    * whole greedy state fits in a `flatMapGroups` over one shuffle on
+    * the query id: pairwise exact-Jaccard sims and the k argmax picks
+    * run in-memory per group, never through the driver — at 100 TB
+    * the expensive part stays upstream retrieval; MMR cost is
+    * |cand|²+k·|cand| per group, embarrassingly parallel across
+    * groups.
+    *
+    * Determinism (hash-gate contract, identical to the SQL twin):
+    * round 1 scores λ·rel; later rounds λ·rel − (1−λ)·max-sim-to-
+    * selected in that exact IEEE order; Jaccard over the candidates'
+    * DISTINCT token sets is one exact-rounded divide of exact
+    * integers; argmax ties break on id ascending. max over sims is
+    * order-independent, so per-group replay is bit-exact. Returns
+    * (qid string, rnk 1..k, id, mmr_score). */
+  def mmrRerankGrouped(cand: DataFrame, qid: Column, id: Column,
+      score: Column, toks: Column, k: Int,
+      lambda: Double = 0.5): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val c = graft.Tables.materialize(
-      cand.select(id.as("id"), score.as("rel"), toks.as("toks")))
-    val a = c.select(col("id").as("id_a"), col("toks").as("ta"))
-    val b = c.select(col("id").as("id_b"), col("toks").as("tb"))
-    def inter = size(array_intersect(col("ta"), col("tb")))
-    val sims = graft.Tables.materialize(
-      a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          (inter.cast("double") /
-            (size(col("ta")) + size(col("tb")) - inter).cast("double"))
-            .as("sim")))
-    var selected = List.empty[Long]
-    var out = List.empty[(Long, Long, Double)]
-    for (t <- 1 to k) {
-      val mmr =
-        if (selected.isEmpty)
-          c.select(col("id"), (col("rel") * lambda).as("mmr"))
-        else c.filter(!col("id").isin(selected: _*))
-          .join(sims.filter(col("id_b").isin(selected: _*))
-              .groupBy(col("id_a")).agg(max(col("sim")).as("msim"))
-              .withColumnRenamed("id_a", "id"),
-            Seq("id"), "left")
-          .select(col("id"), (col("rel") * lambda -
-            coalesce(col("msim"), lit(0.0)) * (1.0 - lambda)).as("mmr"))
-      val pick = mmr.orderBy(col("mmr").desc, col("id").asc)
-        .limit(1).collect() // bounded: one row per greedy step
-      if (pick.nonEmpty) {
-        selected ::= pick(0).getLong(0)
-        out ::= ((t.toLong, pick(0).getLong(0), pick(0).getDouble(1)))
-      }
-    }
     val spark = cand.sparkSession
     import spark.implicits._
-    out.reverse.toDF("rnk", "id", "mmr_score")
+    cand.select(qid.cast("string").as("qid"), id.cast("long").as("id"),
+        score.cast("double").as("rel"), toks.as("toks"))
+      .as[(String, Long, Double, Seq[String])]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val cs = it.toArray // bounded per contract (retriever top-N)
+        val n = cs.length
+        val sets: Array[Set[String]] = cs.map(_._4.toSet)
+        def sim(i: Int, j: Int): Double = {
+          var inter = 0
+          val (small, large) =
+            if (sets(i).size <= sets(j).size) (sets(i), sets(j))
+            else (sets(j), sets(i))
+          small.foreach(t => if (large.contains(t)) inter += 1)
+          inter.toDouble / (sets(i).size + sets(j).size - inter).toDouble
+        }
+        val selected = new scala.collection.mutable.ArrayBuffer[Int](k)
+        val chosen = new Array[Boolean](n)
+        val out =
+          new scala.collection.mutable.ArrayBuffer[(String, Long, Long, Double)](k)
+        var t = 1
+        while (t <= k && selected.length < n) {
+          var best = -1
+          var bestMmr = 0.0
+          var i = 0
+          while (i < n) {
+            if (!chosen(i)) {
+              val mmr =
+                if (selected.isEmpty) cs(i)._3 * lambda
+                else {
+                  var ms = 0.0 // sims are >= 0; matches SQL coalesce(max, 0)
+                  selected.foreach { j =>
+                    val s0 = sim(i, j); if (s0 > ms) ms = s0
+                  }
+                  cs(i)._3 * lambda - ms * (1.0 - lambda)
+                }
+              if (best < 0 || mmr > bestMmr ||
+                  (mmr == bestMmr && cs(i)._2 < cs(best)._2)) {
+                best = i; bestMmr = mmr
+              }
+            }
+            i += 1
+          }
+          chosen(best) = true
+          selected += best
+          out += ((q, t.toLong, cs(best)._2, bestMmr))
+          t += 1
+        }
+        out
+      }
+      .toDF("qid", "rnk", "id", "mmr_score")
   }
 
   /** Sorted-neighborhood record linkage — the third classic blocking

@@ -280,6 +280,31 @@ object CorpusQueries {
       .select(col("rnk"), col("id").as("doc_id"), col("mmr_score"))
   }
 
+  /** BATCH MMR over many query groups at once
+    * ([[Corpus.mmrRerankGrouped]], λ = 0.5, k = 5): each language is
+    * a query group, its candidates the lang's top-10 docs by
+    * whitespace-token count (ties doc_id asc), relevance = the token
+    * count — the many-queries-one-plan shape a serving stack re-ranks
+    * per batch. One shuffle on the group key, greedy picks in-memory
+    * per bounded group, zero driver round-trips. */
+  def retrievalMmrGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val tk = filter(TextFunctions.tokens(col("text")), t => t =!= "")
+    val toked = Tables(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"), tk.as("tk"))
+    val cand = toked
+      .withColumn("rel", size(col("tk")).cast("double"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("rel").desc, col("doc_id").asc)))
+      .filter(col("rn") <= 10)
+      .select(col("lang"), col("doc_id"), col("rel"),
+        array_distinct(col("tk")).as("toks"))
+    Corpus.mmrRerankGrouped(cand, col("lang"), col("doc_id"),
+        col("rel"), col("toks"), k = 5, lambda = 0.5)
+      .select(col("qid").as("lang"), col("rnk"),
+        col("id").as("doc_id"), col("mmr_score"))
+  }
+
   /** OOV-rate CURVE — the vocabulary sizing tool behind [[oovRate]]'s
     * single point: corpus-level out-of-vocabulary share at top-k
     * vocabularies k ∈ {20,40,60,80}, from ONE token-frequency pass
@@ -553,6 +578,7 @@ object CorpusQueries {
     "mixture_temperature" -> mixtureTemperature _,
     "bm25_lite_rank" -> bm25LiteRank _,
     "retrieval_mmr" -> retrievalMmr _,
+    "retrieval_mmr_grouped" -> retrievalMmrGrouped _,
     "shard_rebalance" -> shardRebalance _,
     "retrieval_rerank" -> retrievalRerank _,
     "oov_rate" -> oovRate _,
@@ -776,6 +802,80 @@ object CorpusQueries {
           s"UNION ALL SELECT CAST($t AS BIGINT), doc_id, mmr FROM mm_p$t")
          .mkString("\n")}""".stripMargin
 
+  /** One per-GROUP MMR greedy round: within each lang, candidates not
+    * yet selected, penalized by max similarity to that lang's selected
+    * set, per-lang argmax with doc_id tie-break. */
+  private def gmRoundSql(t: Int): String =
+    s"""gm_p$t AS MATERIALIZED (
+       |  SELECT lang, doc_id, mmr FROM (
+       |    SELECT lang, doc_id, mmr, row_number() OVER (
+       |      PARTITION BY lang ORDER BY mmr DESC, doc_id) AS rn
+       |    FROM (
+       |      SELECT c.lang, c.doc_id,
+       |        c.score * CAST(0.5 AS DOUBLE)
+       |          - COALESCE(ms.m, CAST(0.0 AS DOUBLE))
+       |            * CAST(0.5 AS DOUBLE) AS mmr
+       |      FROM gm_cand c
+       |      LEFT JOIN (
+       |        SELECT s.lang, s.id_a AS doc_id, max(s.sim) AS m
+       |        FROM gm_sim s JOIN gm_sel${t - 1} p
+       |          ON s.lang = p.lang AND s.id_b = p.doc_id
+       |        GROUP BY 1, 2) ms
+       |        ON ms.lang = c.lang AND ms.doc_id = c.doc_id
+       |      WHERE NOT EXISTS (SELECT 1 FROM gm_sel${t - 1} q
+       |        WHERE q.lang = c.lang AND q.doc_id = c.doc_id)))
+       |  WHERE rn = 1),
+       |gm_sel$t AS (
+       |  SELECT lang, doc_id FROM gm_sel${t - 1}
+       |  UNION ALL SELECT lang, doc_id FROM gm_p$t)""".stripMargin
+
+  // mirrors Corpus.mmrRerankGrouped over per-lang top-10-by-token-
+  // count candidates: per-lang exact-Jaccard sims from distinct token
+  // rows, then 5 unrolled greedy rounds each argmaxing WITHIN lang
+  private lazy val retrievalMmrGroupedSql =
+    s"""WITH gm_tk AS MATERIALIZED (
+       |  SELECT lang, doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> x <> '') AS tk
+       |  FROM documents),
+       |gm_cand AS MATERIALIZED (
+       |  SELECT lang, doc_id, CAST(n_tk AS DOUBLE) AS score FROM (
+       |    SELECT lang, doc_id, n_tk, row_number() OVER (
+       |      PARTITION BY lang ORDER BY n_tk DESC, doc_id) AS rn
+       |    FROM (SELECT lang, doc_id, len(tk) AS n_tk FROM gm_tk))
+       |  WHERE rn <= 10),
+       |gm_tok AS MATERIALIZED (
+       |  SELECT DISTINCT lang, doc_id, tok FROM (
+       |    SELECT t.lang, t.doc_id, unnest(t.tk) AS tok
+       |    FROM gm_tk t JOIN gm_cand USING (lang, doc_id))),
+       |gm_sz AS (
+       |  SELECT lang, doc_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM gm_tok GROUP BY 1, 2),
+       |gm_sim AS MATERIALIZED (
+       |  SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(*) AS DOUBLE)
+       |      / CAST(sa.n + sb.n - count(*) AS DOUBLE) AS sim
+       |  FROM gm_tok a
+       |  JOIN gm_tok b ON a.lang = b.lang AND a.tok = b.tok
+       |    AND a.doc_id <> b.doc_id
+       |  JOIN gm_sz sa ON sa.lang = a.lang AND sa.doc_id = a.doc_id
+       |  JOIN gm_sz sb ON sb.lang = b.lang AND sb.doc_id = b.doc_id
+       |  GROUP BY a.lang, a.doc_id, b.doc_id, sa.n, sb.n),
+       |gm_p1 AS MATERIALIZED (
+       |  SELECT lang, doc_id, mmr FROM (
+       |    SELECT lang, doc_id, score * CAST(0.5 AS DOUBLE) AS mmr,
+       |      row_number() OVER (PARTITION BY lang
+       |        ORDER BY score * CAST(0.5 AS DOUBLE) DESC, doc_id) AS rn
+       |    FROM gm_cand) WHERE rn = 1),
+       |gm_sel1 AS (SELECT lang, doc_id FROM gm_p1),
+       |${(2 to 5).map(gmRoundSql).mkString(",\n")}
+       |SELECT lang, CAST(1 AS BIGINT) AS rnk, doc_id, mmr AS mmr_score
+       |FROM gm_p1
+       |${(2 to 5).map(t =>
+          s"UNION ALL SELECT lang, CAST($t AS BIGINT), doc_id, mmr " +
+            s"FROM gm_p$t")
+         .mkString("\n")}""".stripMargin
+
   // mirrors Corpus.shardRebalance: same md5-derived ring positions,
   // first-position>=h assignment with (pos, shard) tie order, wrap to
   // ring head; correlated subqueries are the oracle's form of the
@@ -821,6 +921,7 @@ object CorpusQueries {
   val oracleSql: Map[String, String] = Map(
     "bpe_encode" -> bpeEncodeSql,
     "retrieval_mmr" -> retrievalMmrSql,
+    "retrieval_mmr_grouped" -> retrievalMmrGroupedSql,
     "shard_rebalance" -> shardRebalanceSql,
     "mixture_temperature" ->
       """WITH c AS (

@@ -325,6 +325,56 @@ class WinnowCurriculumSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("mmrRerankGrouped: groups re-rank independently in one plan") {
+    val cand = Seq(
+      // group A: near-dup of the top hit must be demoted
+      ("A", 1L, 1.0, Seq("alpha", "beta", "gamma", "delta")),
+      ("A", 2L, 0.9, Seq("alpha", "beta", "gamma", "epsilon")),
+      ("A", 3L, 0.5, Seq("zeta", "eta", "theta", "iota")),
+      // group B: disjoint tokens — pure relevance order
+      ("B", 4L, 0.3, Seq("k", "l")),
+      ("B", 5L, 0.8, Seq("m", "n")))
+      .toDF("q", "id", "rel", "toks")
+    val out = Corpus.mmrRerankGrouped(cand, col("q"), col("id"),
+        col("rel"), col("toks"), k = 3)
+      .select("qid", "rnk", "id").as[(String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(out.filter(_._1 == "A").map(_._3).toSeq == Seq(1L, 3L, 2L))
+    assert(out.filter(_._1 == "B").map(_._3).toSeq == Seq(5L, 4L))
+  }
+
+  test("mmrRerank runs ONE distributed plan — no per-pick driver jobs") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val jobs = new AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val cand = (1 to 12).map(i =>
+        (i.toLong, i.toDouble, Seq(s"t$i", s"u$i")))
+      .toDF("id", "rel", "toks")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = Corpus.mmrRerank(cand, col("id"), col("rel"),
+        col("toks"), k = 12).collect().length
+      assert(n == 12)
+      // listener delivery is async — wait for the count to go quiet
+      var prev = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 50) {
+        Thread.sleep(100); waited += 1
+        val cur = jobs.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      // the old shape ran k sequential limit(1).collect() jobs (12+);
+      // the grouped plan is collect + AQE shuffle stages
+      assert(jobs.get() <= 6, s"per-pick jobs leaked: ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   // ----------------------------------------------- dimVarianceAudit
 
   test("dimVarianceAudit: constant dimension flagged dead, live one is not") {
