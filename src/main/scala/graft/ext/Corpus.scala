@@ -404,17 +404,89 @@ object Corpus {
     * in the table size. */
   def bpeEncodeWord(word: Column, merges: Seq[(String, String)]): Column = {
     var syms: Column = filter(split(word, ""), c => c =!= "")
-    for ((a, b) <- merges) {
-      val m = a + b
-      syms = aggregate(syms, typedlit(Seq.empty[String]),
-        (acc, x) =>
-          when(size(acc) > 0 &&
-              element_at(acc, -1) === lit(a) && x === lit(b),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
-          .otherwise(concat(acc, array(x))))
-    }
+    for ((a, b) <- merges) syms = bpeMergeStep(syms, a, b)
     syms
   }
+
+  /** ONE merge rank applied exhaustively left-to-right to a
+    * symbol-sequence column — the shared pass of [[bpeEncodeWord]]'s
+    * fixed-table encode and [[bpeTrainState]]'s training loop. */
+  def bpeMergeStep(syms: Column, a: String, b: String): Column = {
+    val m = a + b
+    aggregate(syms, typedlit(Seq.empty[String]),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+        .otherwise(concat(acc, array(x))))
+  }
+
+  /** BPE merge-table TRAINING — the iterated learner that closes the
+    * tokenizer lifecycle over [[bpePairCounts]]' one-iteration
+    * algebra: starting from each distinct word's characters, repeat
+    * `rounds` times: count adjacent symbol pairs across the vocab
+    * (each word's pairs weighted by its corpus frequency), merge the
+    * argmax pair (ties n desc, then (lhs, rhs) ascending — a total
+    * order), rewrite the vocab with [[bpeMergeStep]]. Only pairs with
+    * DISTINCT symbols are candidates (the [[DefaultBpeMerges]]
+    * restriction that makes every pass replayable in set-oriented
+    * SQL; real learned tables are overwhelmingly a ≠ b).
+    *
+    * Scale shape: the corpus is touched ONCE (the word-frequency
+    * aggregate); every round runs on |vocab| rows — one
+    * map-side-combined pair aggregate + a 1-row argmax (the classic
+    * driver-bounded scalar, N rounds of one row each) + one per-row
+    * rewrite, materialized per round so the plan stays constant-depth.
+    *
+    * Returns (merges, vocab): `merges` (round, lhs, rhs, merged, n)
+    * is the learned table in application order; `vocab` (word, wf,
+    * syms) is the trained word encoding under it — joining doc tokens
+    * against `vocab` IS encoding with the learned tokenizer. */
+  def bpeTrainState(docs: DataFrame, text: Column,
+      rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 1 && rounds <= 64, "rounds in [1,64]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = spark.sparkContext.defaultParallelism
+    val words = tokens(docs, text)
+      .groupBy(col("token")).agg(count(lit(1)).as("wf"))
+    var vocab = graft.Tables.materialize(
+      words.select(col("token").as("word"), col("wf"),
+          filter(split(col("token"), ""), c => c =!= "").as("syms"))
+        .repartition(p)) // single-file scans leave 1 partition
+    val learned =
+      scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val pick = vocab
+        .select(col("wf"), explode(when(size(col("syms")) >= 2,
+            transform(sequence(lit(1), size(col("syms")) - 1),
+              i => struct(element_at(col("syms"), i).as("a"),
+                element_at(col("syms"), i + 1).as("b"))))
+          .otherwise(array())).as("pr"))
+        .select(col("wf"), col("pr.a"), col("pr.b"))
+        .filter(col("a") =!= col("b"))
+        .groupBy(col("a"), col("b")).agg(sum(col("wf")).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect() // bounded: ONE argmax row per round
+      if (pick.isEmpty) exhausted = true
+      else {
+        val (a, b, n) =
+          (pick(0).getString(0), pick(0).getString(1), pick(0).getLong(2))
+        learned += ((r.toLong, a, b, a + b, n))
+        vocab = graft.Tables.materialize(
+          vocab.select(col("word"), col("wf"),
+            bpeMergeStep(col("syms"), a, b).as("syms")))
+        r += 1
+      }
+    }
+    (learned.toSeq.toDF("round", "lhs", "rhs", "merged", "n"), vocab)
+  }
+
+  /** Learned-merge table only — see [[bpeTrainState]]. */
+  def bpeTrain(docs: DataFrame, text: Column, rounds: Int): DataFrame =
+    bpeTrainState(docs, text, rounds)._1
 
   /** Corpus BPE encode: every DISTINCT word is encoded once (the
     * classic trick — the expensive per-word fold runs |vocab| times,
@@ -435,16 +507,24 @@ object Corpus {
         .repartition(p) // single-file scans leave 1 partition; the
                         // fold chain is the expensive stage
         .select(col("word"), bpeEncodeWord(col("word"), merges).as("syms")))
+    bpeEncodeDocsWithVocab(toked, encoded)
+  }
+
+  /** Encode against an EXISTING (word, syms) vocabulary frame — how
+    * [[bpeTrainState]]'s trained vocab encodes the corpus without
+    * re-running any fold: the trained frame IS the encoder. `toked`
+    * is (doc_id, toks array) with ≥ 1 token per row. */
+  def bpeEncodeDocsWithVocab(toked: DataFrame,
+      vocab: DataFrame): DataFrame =
     toked
       .select(col("doc_id"),
         posexplode(col("toks")).as(Seq("pos", "word")))
-      .join(encoded, "word")
+      .join(vocab.select(col("word"), col("syms")), "word")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_ws"),
         flatten(transform(
           sort_array(collect_list(struct(col("pos"), col("syms")))),
           s => s.getField("syms"))).as("bpe"))
-  }
 
   /** [[packSequences]] with REAL tokenizer counts: identical layout
     * algebra (content-hash shards, per-shard exclusive prefix sum,

@@ -351,6 +351,33 @@ object CorpusQueries {
         size(col("bpe")).cast("long").as("n_bpe"),
         concat_ws(" ", slice(col("bpe"), 1, 10)).as("bpe_head"))
 
+  /** BPE merge-table TRAINING over the documents corpus
+    * ([[Corpus.bpeTrain]], 8 rounds): the learned merge list in
+    * application order with per-round weighted pair counts — the
+    * iterated argmax→merge→recount loop a tokenizer trainer runs,
+    * gated bit-for-bit against an oracle that unrolls the same 8
+    * deterministic rounds. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    Corpus.bpeTrain(Tables(spark, dir, "documents"), col("text"),
+      rounds = 8)
+
+  /** Corpus encoded with the merge table LEARNED on itself
+    * ([[Corpus.bpeTrainState]] 8 rounds →
+    * [[Corpus.bpeEncodeDocsWithVocab]]): the trained vocab frame is
+    * the encoder — same output shape as [[bpeEncode]], so the gates
+    * make the fixed-table vs learned-table comparison directly. */
+  def bpeEncodeLearned(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val (_, vocab) = Corpus.bpeTrainState(docs, col("text"), rounds = 8)
+    val toked = docs.select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
+    Corpus.bpeEncodeDocsWithVocab(toked, vocab)
+      .select(col("doc_id"), col("n_ws"),
+        size(col("bpe")).cast("long").as("n_bpe"),
+        concat_ws(" ", slice(col("bpe"), 1, 10)).as("bpe_head"))
+  }
+
   /** [[packSequences]] on REAL BPE token counts
     * ([[Corpus.packSequencesBpe]]) — same layout algebra, budgets an
     * actual trainer would see. */
@@ -575,6 +602,8 @@ object CorpusQueries {
     "chunk_tokens" -> chunkTokens _,
     "pack_sequences" -> packSequences _,
     "bpe_encode" -> bpeEncode _,
+    "bpe_train" -> bpeTrain _,
+    "bpe_encode_learned" -> bpeEncodeLearned _,
     "mixture_temperature" -> mixtureTemperature _,
     "bm25_lite_rank" -> bm25LiteRank _,
     "retrieval_mmr" -> retrievalMmr _,
@@ -665,6 +694,80 @@ object CorpusQueries {
        |  SELECT t.doc_id, t.pos, e.syms
        |  FROM bpe_tok t JOIN bpe_r${merges.size} e USING (word))""".stripMargin
   }
+
+  /** Training CTE chain mirroring [[Corpus.bpeTrainState]]: bt_v0 is
+    * every distinct word's characters with its corpus frequency; each
+    * round counts adjacent DISTINCT-symbol pairs weighted by wf,
+    * argmaxes (n desc, lhs, rhs), and rewrites the vocab with the
+    * same simultaneous-merge lambda as [[bpeCtes]] — the chosen pair
+    * rides in as the 1-row `bt_pk\$k` cross join. Ends with
+    * `bt_v\$rounds` (word → trained syms). */
+  private def bpeTrainCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { k =>
+      s"""bt_pc$k AS (
+         |  SELECT syms[i] AS a, syms[i+1] AS b,
+         |    CAST(sum(wf) AS BIGINT) AS n
+         |  FROM bt_v${k - 1},
+         |    LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+         |  WHERE syms[i] <> syms[i+1]
+         |  GROUP BY 1, 2),
+         |bt_pk$k AS MATERIALIZED (
+         |  SELECT a, b, n FROM bt_pc$k ORDER BY n DESC, a, b LIMIT 1),
+         |bt_v$k AS MATERIALIZED (
+         |  SELECT word, wf, list_filter(list_transform(syms, (x, i) ->
+         |    CASE WHEN x = p.a AND i < len(syms) AND syms[i+1] = p.b
+         |           THEN p.a || p.b
+         |         WHEN i > 1 AND syms[i-1] = p.a AND x = p.b THEN NULL
+         |         ELSE x END), y -> y IS NOT NULL) AS syms
+         |  FROM bt_v${k - 1}, bt_pk$k p)""".stripMargin
+    }.mkString(",\n")
+    s"""bt_w AS MATERIALIZED (
+       |  SELECT token AS word, CAST(count(*) AS BIGINT) AS wf FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS token
+       |    FROM documents)
+       |  WHERE token <> '' GROUP BY 1),
+       |bt_v0 AS (
+       |  SELECT word, wf,
+       |    list_transform(range(1, length(word) + 1), i -> word[i:i])
+       |      AS syms
+       |  FROM bt_w),
+       |$roundCtes""".stripMargin
+  }
+
+  private lazy val bpeTrainSql = {
+    val rounds = 8
+    s"""WITH ${bpeTrainCtes(rounds)}
+       |SELECT CAST(1 AS BIGINT) AS round, a AS lhs, b AS rhs,
+       |  a || b AS merged, n
+       |FROM bt_pk1
+       |${(2 to rounds).map(k =>
+          s"UNION ALL SELECT CAST($k AS BIGINT), a, b, a || b, n " +
+            s"FROM bt_pk$k")
+         .mkString("\n")}""".stripMargin
+  }
+
+  private lazy val bpeEncodeLearnedSql =
+    s"""WITH ${bpeTrainCtes(8)},
+       |bl_tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |bl_nz AS (SELECT doc_id, toks FROM bl_tk WHERE len(toks) > 0),
+       |bl_tok AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS word
+       |  FROM bl_nz, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)),
+       |bl_j AS (
+       |  SELECT t.doc_id, t.pos, e.syms
+       |  FROM bl_tok t JOIN bt_v8 e USING (word)),
+       |bl_agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws,
+       |    CAST(sum(len(syms)) AS BIGINT) AS n_bpe,
+       |    string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos) AS s
+       |  FROM bl_j GROUP BY doc_id)
+       |SELECT doc_id, n_ws, n_bpe,
+       |  array_to_string(list_slice(string_split(s, ' '), 1, 10), ' ')
+       |    AS bpe_head
+       |FROM bl_agg""".stripMargin
 
   private lazy val bpeEncodeSql =
     s"""WITH $bpeCtes,
@@ -920,6 +1023,8 @@ object CorpusQueries {
 
   val oracleSql: Map[String, String] = Map(
     "bpe_encode" -> bpeEncodeSql,
+    "bpe_train" -> bpeTrainSql,
+    "bpe_encode_learned" -> bpeEncodeLearnedSql,
     "retrieval_mmr" -> retrievalMmrSql,
     "retrieval_mmr_grouped" -> retrievalMmrGroupedSql,
     "shard_rebalance" -> shardRebalanceSql,

@@ -101,4 +101,62 @@ class BpeSpec extends SparkSpec {
       .filter(col("offset") =!= col("expect")).count()
     assert(bad == 0)
   }
+
+  // --------------------------------------------------- bpeTrainState
+
+  test("bpeTrain learns the hand-computed merge sequence on a fixture " +
+      "corpus (weighted counts, lexicographic ties)") {
+    val docs = Seq("the the cat", "the hat").toDF("text")
+    val merges = Corpus.bpeTrain(docs, col("text"), rounds = 3)
+      .select("round", "lhs", "rhs", "merged", "n")
+      .as[(Long, String, String, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    // r1: (h,e)=3 ties (t,h)=3, lex 'h'<'t' -> he
+    // r2: the->[t,he]: (t,he)=3 beats (a,t)=2 -> the
+    // r3: (a,t)=2 -> at
+    assert(merges == Seq(
+      (1L, "h", "e", "he", 3L),
+      (2L, "t", "he", "the", 3L),
+      (3L, "a", "t", "at", 2L)))
+  }
+
+  test("trained vocab IS the encoder: joining tokens against it " +
+      "yields the learned encoding") {
+    val docs = Seq("the the cat", "the hat").toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val (_, vocab) = Corpus.bpeTrainState(docs, col("text"), rounds = 3)
+    // round-trip: trained syms concatenate back to the word
+    val broken = vocab
+      .filter(concat_ws("", col("syms")) =!= col("word")).count()
+    assert(broken == 0)
+    val toked = docs.select(col("doc_id"),
+      filter(split(col("text"), " "), t => t =!= "").as("toks"))
+    val enc = Corpus.bpeEncodeDocsWithVocab(toked, vocab)
+      .select(col("n_ws"), concat_ws(" ", col("bpe")).as("s"))
+      .as[(Long, String)].collect().toSet
+    assert(enc == Set(
+      (3L, "the the c at"),   // the->[the], cat->[c,at]
+      (2L, "the h at")))      // hat->[h,at]
+  }
+
+  test("training exhausts cleanly when no distinct-symbol pair is left") {
+    val docs = Seq("aa bb").toDF("text") // only doubled-symbol pairs
+    val merges = Corpus.bpeTrain(docs, col("text"), rounds = 5)
+    assert(merges.count() == 0)
+  }
+
+  test("learned-table encode on real corpus words round-trips and " +
+      "never lengthens (sf0.001, 4 rounds)") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val (merges, vocab) = Corpus.bpeTrainState(docs, col("text"),
+      rounds = 4)
+    assert(merges.count() == 4)
+    val rows = vocab
+      .select(col("word"), concat_ws("", col("syms")).as("rt"),
+        size(col("syms")).as("n"), length(col("word")).as("l"))
+    assert(rows.filter(col("rt") =!= col("word")).count() == 0)
+    assert(rows.filter(col("n") > col("l")).count() == 0)
+    // at least one real compression happened in 4 rounds
+    assert(rows.filter(col("n") < col("l")).count() > 0)
+  }
 }
