@@ -367,6 +367,28 @@ object Similarity {
     cellAssignments(c, centArr)
   }
 
+  /** Assignment-only APPEND to a persisted IVF index — how a deployed
+    * vector store absorbs a day's new vectors WITHOUT retraining:
+    * the stored centroids are read (never recomputed) and only the
+    * incoming vectors run the one crossJoin-against-broadcast-
+    * centroids argmax; history contributes just its (nbr_id, cell_id)
+    * rows. Because assignment is per-row against fixed centroids,
+    * append-then-probe is EXACTLY equal to assigning the union corpus
+    * from scratch with the same centroids — the property the
+    * `ann_ivf_append` gate checks. Ids already present in `stored`
+    * are skipped (anti-join), so a replayed append batch is
+    * idempotent. Pair with the gated drift monitors
+    * (`ann_drift_trigger`) to decide when a real retrain is due.
+    * Returns the merged (nbr_id, cell_id) assignment table. */
+  def appendIvfAssignments(stored: DataFrame, newVecs: DataFrame,
+      id: Column, vec: Column, centroids: DataFrame): DataFrame = {
+    val fresh = newVecs.select(id.as("nbr_id"), vec.as("v"))
+      .join(stored.select(col("nbr_id")), Seq("nbr_id"), "left_anti")
+    val delta = cellAssignmentsFor(fresh, col("nbr_id"), col("v"),
+      centroids)
+    stored.select(col("nbr_id"), col("cell_id")).unionByName(delta)
+  }
+
   /** Probe a PERSISTED IVF index: `centroids` (cell_id, i, cx) and
     * `assignments` (nbr_id, cell_id) are read from storage — this
     * entry point has no training inputs and recomputes neither; the

@@ -899,6 +899,78 @@ object ExtQueries {
       spark.read.parquet(s"$tmp/assignments"))
   }
 
+  /** Persisted-IVF INCREMENTAL APPEND gate
+    * ([[Similarity.appendIvfAssignments]]): the index is built and
+    * persisted over the STANDING corpus only (vec_id ≡ 0..3 mod 5),
+    * then the incoming batch (≡ 4 mod 5) is absorbed assignment-only
+    * — stored centroids read from parquet, never retrained — and the
+    * probe serves from the appended table. The oracle trains on the
+    * standing corpus and assigns the union, which is bit-equal
+    * precisely because append reuses the frozen centroids; a retrain
+    * on the union would produce different centroids and fail the
+    * hash. */
+  def annIvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val standing = emb.filter(col("vec_id") % 5 =!= 4)
+    val incoming = emb.filter(col("vec_id") % 5 === 4)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ivf_append").toString
+    val (cent, assign) = Similarity.buildIvfIndex(standing,
+      col("vec_id"), col("embedding"), numCells = 16, iters = 3,
+      sampleMod = 4)
+    cent.write.mode("overwrite").parquet(s"$tmp/centroids")
+    assign.write.mode("overwrite").parquet(s"$tmp/assignments")
+    Similarity.appendIvfAssignments(
+        spark.read.parquet(s"$tmp/assignments"), incoming,
+        col("vec_id"), col("embedding"),
+        spark.read.parquet(s"$tmp/centroids"))
+      .write.mode("overwrite").parquet(s"$tmp/assignments_v2")
+    Similarity.ivfTopKFromIndex(emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 10, nProbe = 4,
+      spark.read.parquet(s"$tmp/centroids"),
+      spark.read.parquet(s"$tmp/assignments_v2"))
+  }
+
+  /** Index-maintenance DRIFT TRIGGER — the readout that decides when
+    * [[annIvfAppend]]'s assignment-only path stops being enough and a
+    * centroid retrain is due: a KS test between the standing corpus
+    * (vec_id ≢ 4 mod 5) and the incoming batch (≡ 4) over the first
+    * embedding component, integer-exact via the
+    * [[graft.ext.Privacy.tClosenessAudit]] scaling trick on
+    * power-of-two-quantized values (float→double cast and the 2^20
+    * rescale are both exact, so the grid is identical cross-engine).
+    * Emits counts, the scaled max CDF gap, KS, and the retrain flag
+    * at the declared 0.1 threshold. The value grid is |distinct
+    * quantized values| rows — bounded by quantization, not corpus
+    * size. */
+  def annDriftTrigger(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "embeddings")
+      .select(when(col("vec_id") % 5 === 4, 1L).otherwise(0L).as("half"),
+        floor(element_at(col("embedding"), 1).cast("double") *
+          lit(1048576.0)).cast("long").as("v"))
+    val counts = base.groupBy(col("v"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+    val tot = counts.agg(sum(col("ca")).as("n_a"),
+      sum(col("cb")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("gap",
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+      .orderBy(col("gap").desc, col("v").asc)
+      .limit(1)
+      .select(col("n_a"), col("n_b"), col("v").as("v_at_max"),
+        col("gap").as("d_scaled"),
+        (col("gap").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("ks"))
+      .withColumn("retrain", col("ks") > lit(0.1))
+  }
+
   /** Band-index compaction gate ([[Dedup.compactBandIndex]]): the
     * standing index dirtied with replayed append duplicates (a fifth
     * of the docs' rows appended twice) and a tombstone set (doc_id ≡
@@ -1350,6 +1422,8 @@ object ExtQueries {
     "ann_ivf_topk" -> annIvfTopK _,
     "ann_ivf_kmeans" -> annIvfKmeans _,
     "ann_ivf_persisted" -> annIvfPersisted _,
+    "ann_ivf_append" -> annIvfAppend _,
+    "ann_drift_trigger" -> annDriftTrigger _,
     "ann_matryoshka_recall" -> annMatryoshkaRecall _,
     "embed_anisotropy" -> embedAnisotropy _,
     "embed_dim_variance" -> embedDimVariance _,
@@ -2895,6 +2969,47 @@ object ExtQueries {
        |  JOIN norms nq ON nq.vec_id = query_id)
        |SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= 10""".stripMargin
 
+  private lazy val annIvfKmeansSql = ivfKmeansProbeSql("TRUE")
+
+  // append gate: train on the standing corpus only; assigning the
+  // UNION with those frozen centroids is what assignment-only append
+  // equals by construction
+  private lazy val annIvfAppendSql = ivfKmeansProbeSql("vec_id % 5 <> 4")
+
+  /** [[ksDriftSql]]'s chain over the standing/incoming embedding
+    * split on the 2^20-quantized first component. */
+  private val annDriftTriggerSql =
+    """WITH ad_b AS (
+      |  SELECT CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END AS half,
+      |    CAST(floor(CAST(embedding[1] AS DOUBLE)
+      |      * CAST(1048576.0 AS DOUBLE)) AS BIGINT) AS v
+      |  FROM embeddings),
+      |ad_c AS (
+      |  SELECT v,
+      |    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ca,
+      |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cb
+      |  FROM ad_b GROUP BY v),
+      |ad_cum AS (
+      |  SELECT v,
+      |    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+      |    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+      |  FROM ad_c),
+      |ad_t AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+      |    CAST(SUM(cb) AS BIGINT) AS n_b
+      |  FROM ad_c)
+      |SELECT n_a, n_b, CAST(v AS BIGINT) AS v_at_max,
+      |  CAST(abs(cum_a * n_b - cum_b * n_a) AS BIGINT) AS d_scaled,
+      |  CAST(abs(cum_a * n_b - cum_b * n_a) AS DOUBLE)
+      |    / CAST(n_a * n_b AS DOUBLE) AS ks,
+      |  CAST(abs(cum_a * n_b - cum_b * n_a) AS DOUBLE)
+      |    / CAST(n_a * n_b AS DOUBLE) > CAST(0.1 AS DOUBLE) AS retrain
+      |FROM ad_cum, ad_t
+      |ORDER BY abs(cum_a * n_b - cum_b * n_a) DESC, v
+      |LIMIT 1""".stripMargin
+
   private val annIvfQuantizedSql =
     s"""WITH $ivfAssignCtes,
        |probes AS (
@@ -2953,7 +3068,13 @@ object ExtQueries {
     * probe/rank tail as [[annIvfTopKSql]] against the trained cells.
     * Constants in lockstep with annIvfKmeans (numCells=16, iters=3,
     * nProbe=4, k=10). */
-  private val annIvfKmeansSql = {
+  /** IVF kmeans-train + full-corpus assign + probe chain,
+    * parameterized by the TRAINING-corpus predicate: `TRUE` replays
+    * [[annIvfKmeans]]/[[annIvfPersisted]]; the standing-corpus
+    * predicate replays [[annIvfAppend]] (train on standing, assign
+    * the union with the frozen centroids — exactly what
+    * assignment-only append computes). */
+  private def ivfKmeansProbeSql(trainPred: String): String = {
     val iters = (0 until 3).map { t =>
       s"""cn$t AS (
          |  SELECT cell_id,
@@ -2983,11 +3104,13 @@ object ExtQueries {
          |  LEFT JOIN mn$t m ON m.cell_id = c.cell_id AND m.i = c.i)""".stripMargin
     }.mkString(",\n")
     s"""WITH $vecCtes,
-       |tcomp AS (SELECT * FROM comp WHERE vec_id % 4 = 0),
+       |tcomp AS (SELECT * FROM comp
+       |          WHERE vec_id % 4 = 0 AND ($trainPred)),
        |cent0 AS (
        |  SELECT ct.cell_id, comp.i, comp.x AS cx
        |  FROM (SELECT vec_id AS cell_id FROM embeddings
-       |        WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 16) ct
+       |        WHERE vec_id % 4 = 0 AND ($trainPred)
+       |        ORDER BY vec_id LIMIT 16) ct
        |  JOIN comp ON comp.vec_id = ct.cell_id),
        |$iters,
        |tn AS (
@@ -3970,6 +4093,8 @@ object ExtQueries {
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_ivf_kmeans" -> annIvfKmeansSql,
     "ann_ivf_persisted" -> annIvfKmeansSql,
+    "ann_ivf_append" -> annIvfAppendSql,
+    "ann_drift_trigger" -> annDriftTriggerSql,
     "ann_matryoshka_recall" -> annMatryoshkaRecallSql,
     "embed_anisotropy" -> embedAnisotropySql,
     "embed_dim_variance" -> embedDimVarianceSql,

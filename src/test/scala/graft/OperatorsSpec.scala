@@ -413,6 +413,46 @@ class OperatorsSpec extends SparkSpec {
     assert(edited == bruteOdd)
   }
 
+  test("ivf append: assignment-only absorb equals full re-assignment " +
+      "with frozen centroids, is idempotent, and READS the stored " +
+      "centroids (an edit changes the delta)") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val standing = emb.filter($"vec_id" % 5 =!= 4)
+    val incoming = emb.filter($"vec_id" % 5 === 4)
+    val (cent, assign) = Similarity.buildIvfIndex(standing, $"vec_id",
+      $"embedding", numCells = 8, iters = 2, sampleMod = 4)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ivf_append_spec").toString
+    cent.write.mode("overwrite").parquet(s"$tmp/cent")
+    assign.write.mode("overwrite").parquet(s"$tmp/assign")
+    val centD = spark.read.parquet(s"$tmp/cent")
+    val assignD = spark.read.parquet(s"$tmp/assign")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("nbr_id", "cell_id").as[(Long, Long)].collect().toSet
+    val appended = rows(Similarity.appendIvfAssignments(assignD,
+      incoming, $"vec_id", $"embedding", centD))
+    // == assigning the UNION corpus from scratch with the same centroids
+    val rebuilt = rows(Similarity.cellAssignmentsFor(emb, $"vec_id",
+      $"embedding", centD))
+    assert(appended == rebuilt)
+    // replayed batch is a no-op (anti-join skips present ids)
+    val replayed = Similarity.appendIvfAssignments(assignD, incoming,
+      $"vec_id", $"embedding", centD)
+    assert(rows(Similarity.appendIvfAssignments(replayed, incoming,
+      $"vec_id", $"embedding", centD)) == appended)
+    // centroids are READ, not retrained: zeroing out all but one
+    // stored centroid must re-route the incoming delta
+    import org.apache.spark.sql.functions.{col => c, transform => tr, lit => l}
+    val squashed = centD
+      .withColumn("cx", when(c("cell_id") === centD
+          .agg(org.apache.spark.sql.functions.min("cell_id"))
+          .collect()(0).getLong(0), c("cx")).otherwise(l(0.0)))
+    val editedDelta = rows(Similarity.appendIvfAssignments(assignD,
+      incoming, $"vec_id", $"embedding", squashed))
+    assert(editedDelta != appended,
+      "append ignored the stored centroid values")
+  }
+
   test("ivf: k-means centroids beat smallest-id seeds on a clustered " +
       "corpus (recall@5 vs brute force)") {
     // 4 orthogonal clusters; ids arranged so ALL smallest-id seeds land
