@@ -649,15 +649,15 @@ object PipelineQueries {
     * the three persisted standing-corpus stores (retained docs, the
     * MinHash band index, the fingerprint ledger), keeps its
     * survivors, and APPENDS them to all three — so batch N+1 dedups
-    * against everything batch N retained. Two deterministic
-    * MemoryStream batches (doc_id ≡ 0 mod 4, then ≡ 3 mod 4) against
-    * a mod-{1,2} standing corpus; the oracle unrolls the two stages
-    * with the SAME retained-corpus semantics. All frames fed to the
-    * appends are localCheckpoint-materialized BEFORE any write so no
-    * plan re-reads a directory its own batch is appending to. Output:
-    * (doc_id, stage) of every retained batch doc. Gate-only
-    * MemoryStream/collect harness — production feeds the same
-    * foreachBatch from any streaming source. */
+    * against everything batch N retained. Two deterministic file-
+    * arrival waves (doc_id ≡ 0 mod 4, then ≡ 3 mod 4, each written as
+    * parquet into the watched drop folder — no rows through the
+    * driver) against a mod-{1,2} standing corpus; the oracle unrolls
+    * the two stages with the SAME retained-corpus semantics. All
+    * frames fed to the appends are localCheckpoint-materialized
+    * BEFORE any write so no plan re-reads a directory its own batch
+    * is appending to. Output: (doc_id, stage) of every retained
+    * batch doc. */
   def streamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.ext.Dedup
     import graft.functions.TextFunctions
@@ -675,14 +675,19 @@ object PipelineQueries {
       .distinct()
       .write.mode("overwrite").parquet(s"$tmp/fp_ledger")
     onStreamSession(spark, 8) { s =>
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx = s.sqlContext
-      def batchRows(m: Long): Seq[(Long, String)] = docs
+      // FILE-ARRIVAL feed: each wave is written as parquet files into
+      // the watched directory (a distributed write — no rows through
+      // the driver), and the file source's new-file discovery forms
+      // the micro-batch — the exact path a production drop-folder
+      // pipeline exercises
+      def writeWave(m: Long): Unit = docs
         .filter(pmod(col("doc_id"), lit(4)) === m)
-        .as[(Long, String)].collect().toSeq
-      val mem = MemoryStream[(Long, String)]
-      val q = mem.toDF().toDF("doc_id", "text").writeStream
+        .write.mode("append").parquet(s"$tmp/in")
+      writeWave(0)
+      val q = s.readStream
+        .schema("doc_id LONG, text STRING")
+        .parquet(s"$tmp/in")
+        .writeStream
         .foreachBatch { (b: DataFrame, id: Long) =>
           val (kept, delta) = Dedup.incrementalLshDedup(b,
             col("doc_id"), col("text"),
@@ -704,9 +709,8 @@ object PipelineQueries {
         }
         .option("checkpointLocation", s"$tmp/_ck")
         .start()
-      mem.addData(batchRows(0): _*)
       q.processAllAvailable()
-      mem.addData(batchRows(3): _*)
+      writeWave(3)
       q.processAllAvailable()
       q.stop()
       s.read.parquet(s"$tmp/kept")
