@@ -305,6 +305,91 @@ object CorpusQueries {
         col("id").as("doc_id"), col("mmr_score"))
   }
 
+  /** The E2E query battery: 4 queries × 3 terms, all drawn from the
+    * corpus's head vocabulary so every query has a full candidate
+    * slate. Terms within a query are DISTINCT (the pivoted
+    * three-join scoring assumes it). */
+  private val e2eQueryDefs: Seq[(Long, String, String, String)] = Seq(
+    (1L, "spark", "table", "query"),
+    (2L, "hash", "join", "merge"),
+    (3L, "stream", "batch", "window"),
+    (4L, "scan", "filter", "column"))
+
+  /** Retrieval pipeline END-TO-END over a query TABLE — the serving
+    * stack composed: inverted-index build (tf/df/doclen aggregates —
+    * the one corpus-sized pass), per-query BM25-lite scoring of ONLY
+    * the posting lists the query's terms touch, per-query top-10
+    * (window over the scored candidates, not the corpus), then
+    * [[Corpus.mmrRerankGrouped]] diversity re-ranking of every
+    * query's list in one plan. Corpus-side work is index-bounded:
+    * after the index aggregates, every frame is keyed by (term ∈
+    * query battery) or (query_id, candidate) — nothing downstream
+    * rescans documents except the bounded top-10 token fetch.
+    *
+    * Determinism: per-(term, doc) partial scores are the
+    * [[bm25LiteRank]] IEEE tree; a query's score is the FIXED
+    * three-term sum t1+t2+t3 via a pivoted three-join (coalesce 0
+    * each) — no float-summation-order ambiguity; n/sumdl ride in as
+    * bounded collected scalars exactly as in [[bm25LiteRank]]. */
+  def retrievalPipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val allTerms =
+      e2eQueryDefs.flatMap(q => Seq(q._2, q._3, q._4)).distinct
+    val dl = docs.select(col("doc_id"),
+      size(filter(split(col("text"), " "), t => t =!= ""))
+        .cast("long").as("dl"))
+    val nDocs = docs.count()
+    val sumDl = dl.agg(sum(col("dl"))).collect()(0).getLong(0)
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    def d(c: Column) = c.cast("double")
+    val ts = graft.Tables.materialize(
+      tf.filter(col("term").isin(allTerms: _*))
+        .join(broadcast(dfreq.filter(col("term").isin(allTerms: _*))),
+          "term")
+        .join(dl, "doc_id")
+        .select(col("term"), col("doc_id"),
+          (((d(lit(nDocs)) - d(col("df")) + lit(0.5)) /
+            (d(col("df")) + lit(0.5))) *
+          (d(col("tf")) * lit(2.2)) /
+          (d(col("tf")) + lit(1.2) *
+            (lit(0.25) + lit(0.75) *
+              (d(col("dl")) / (d(lit(sumDl)) / d(lit(nDocs)))))))
+            .as("s")))
+    val qdf = e2eQueryDefs.toDF("query_id", "t1", "t2", "t3")
+    val cand = qdf
+      .select(col("query_id"),
+        explode(array(col("t1"), col("t2"), col("t3"))).as("term"))
+      .join(ts.select(col("term"), col("doc_id")), "term")
+      .select(col("query_id"), col("doc_id")).distinct()
+    def side(i: Int) = ts.select(col("term").as(s"t$i"),
+      col("doc_id"), col("s").as(s"s$i"))
+    val scored = cand.join(broadcast(qdf), "query_id")
+      .join(side(1), Seq("t1", "doc_id"), "left")
+      .join(side(2), Seq("t2", "doc_id"), "left")
+      .join(side(3), Seq("t3", "doc_id"), "left")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0))
+          + coalesce(col("s3"), lit(0.0))).as("score"))
+    val top = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rn") <= 10).drop("rn")
+    val withToks = top.join(docs.select(col("doc_id"),
+        array_distinct(TextFunctions.tokens(col("text"))).as("toks")),
+      "doc_id")
+    Corpus.mmrRerankGrouped(withToks, col("query_id"), col("doc_id"),
+        col("score"), col("toks"), k = 5, lambda = 0.5)
+      .select(col("qid").cast("long").as("query_id"), col("rnk"),
+        col("id").as("doc_id"), col("mmr_score"))
+  }
+
   /** OOV-rate CURVE — the vocabulary sizing tool behind [[oovRate]]'s
     * single point: corpus-level out-of-vocabulary share at top-k
     * vocabularies k ∈ {20,40,60,80}, from ONE token-frequency pass
@@ -608,6 +693,7 @@ object CorpusQueries {
     "bm25_lite_rank" -> bm25LiteRank _,
     "retrieval_mmr" -> retrievalMmr _,
     "retrieval_mmr_grouped" -> retrievalMmrGrouped _,
+    "retrieval_pipeline_e2e" -> retrievalPipelineE2e _,
     "shard_rebalance" -> shardRebalance _,
     "retrieval_rerank" -> retrievalRerank _,
     "oov_rate" -> oovRate _,
@@ -905,32 +991,57 @@ object CorpusQueries {
           s"UNION ALL SELECT CAST($t AS BIGINT), doc_id, mmr FROM mm_p$t")
          .mkString("\n")}""".stripMargin
 
-  /** One per-GROUP MMR greedy round: within each lang, candidates not
-    * yet selected, penalized by max similarity to that lang's selected
-    * set, per-lang argmax with doc_id tie-break. */
-  private def gmRoundSql(t: Int): String =
-    s"""gm_p$t AS MATERIALIZED (
-       |  SELECT lang, doc_id, mmr FROM (
-       |    SELECT lang, doc_id, mmr, row_number() OVER (
-       |      PARTITION BY lang ORDER BY mmr DESC, doc_id) AS rn
-       |    FROM (
-       |      SELECT c.lang, c.doc_id,
-       |        c.score * CAST(0.5 AS DOUBLE)
-       |          - COALESCE(ms.m, CAST(0.0 AS DOUBLE))
-       |            * CAST(0.5 AS DOUBLE) AS mmr
-       |      FROM gm_cand c
-       |      LEFT JOIN (
-       |        SELECT s.lang, s.id_a AS doc_id, max(s.sim) AS m
-       |        FROM gm_sim s JOIN gm_sel${t - 1} p
-       |          ON s.lang = p.lang AND s.id_b = p.doc_id
-       |        GROUP BY 1, 2) ms
-       |        ON ms.lang = c.lang AND ms.doc_id = c.doc_id
-       |      WHERE NOT EXISTS (SELECT 1 FROM gm_sel${t - 1} q
-       |        WHERE q.lang = c.lang AND q.doc_id = c.doc_id)))
-       |  WHERE rn = 1),
-       |gm_sel$t AS (
-       |  SELECT lang, doc_id FROM gm_sel${t - 1}
-       |  UNION ALL SELECT lang, doc_id FROM gm_p$t)""".stripMargin
+  /** Unrolled per-GROUP greedy MMR rounds over two caller-supplied
+    * CTEs — `${p}_cand` ($key, doc_id, score) and `${p}_sim` ($key,
+    * id_a, id_b, sim): each round's candidates not yet selected in
+    * their group, penalized by max similarity to that group's
+    * selected set, per-group argmax with doc_id tie-break. Returns
+    * (round CTEs, final union SELECT). */
+  private def grpMmrSql(p: String, key: String,
+      rounds: Int): (String, String) = {
+    def round(t: Int): String =
+      s"""${p}_p$t AS MATERIALIZED (
+         |  SELECT $key, doc_id, mmr FROM (
+         |    SELECT $key, doc_id, mmr, row_number() OVER (
+         |      PARTITION BY $key ORDER BY mmr DESC, doc_id) AS rn
+         |    FROM (
+         |      SELECT c.$key, c.doc_id,
+         |        c.score * CAST(0.5 AS DOUBLE)
+         |          - COALESCE(ms.m, CAST(0.0 AS DOUBLE))
+         |            * CAST(0.5 AS DOUBLE) AS mmr
+         |      FROM ${p}_cand c
+         |      LEFT JOIN (
+         |        SELECT s.$key, s.id_a AS doc_id, max(s.sim) AS m
+         |        FROM ${p}_sim s JOIN ${p}_sel${t - 1} p
+         |          ON s.$key = p.$key AND s.id_b = p.doc_id
+         |        GROUP BY 1, 2) ms
+         |        ON ms.$key = c.$key AND ms.doc_id = c.doc_id
+         |      WHERE NOT EXISTS (SELECT 1 FROM ${p}_sel${t - 1} q
+         |        WHERE q.$key = c.$key AND q.doc_id = c.doc_id)))
+         |  WHERE rn = 1),
+         |${p}_sel$t AS (
+         |  SELECT $key, doc_id FROM ${p}_sel${t - 1}
+         |  UNION ALL SELECT $key, doc_id FROM ${p}_p$t)""".stripMargin
+    val ctes =
+      s"""${p}_p1 AS MATERIALIZED (
+         |  SELECT $key, doc_id, mmr FROM (
+         |    SELECT $key, doc_id, score * CAST(0.5 AS DOUBLE) AS mmr,
+         |      row_number() OVER (PARTITION BY $key
+         |        ORDER BY score * CAST(0.5 AS DOUBLE) DESC, doc_id)
+         |        AS rn
+         |    FROM ${p}_cand) WHERE rn = 1),
+         |${p}_sel1 AS (SELECT $key, doc_id FROM ${p}_p1),
+         |${(2 to rounds).map(round).mkString(",\n")}""".stripMargin
+    val sel =
+      s"""SELECT $key, CAST(1 AS BIGINT) AS rnk, doc_id,
+         |  mmr AS mmr_score
+         |FROM ${p}_p1
+         |${(2 to rounds).map(t =>
+            s"UNION ALL SELECT $key, CAST($t AS BIGINT), doc_id, mmr " +
+              s"FROM ${p}_p$t")
+           .mkString("\n")}""".stripMargin
+    (ctes, sel)
+  }
 
   // mirrors Corpus.mmrRerankGrouped over per-lang top-10-by-token-
   // count candidates: per-lang exact-Jaccard sims from distinct token
@@ -964,20 +1075,91 @@ object CorpusQueries {
        |  JOIN gm_sz sa ON sa.lang = a.lang AND sa.doc_id = a.doc_id
        |  JOIN gm_sz sb ON sb.lang = b.lang AND sb.doc_id = b.doc_id
        |  GROUP BY a.lang, a.doc_id, b.doc_id, sa.n, sb.n),
-       |gm_p1 AS MATERIALIZED (
-       |  SELECT lang, doc_id, mmr FROM (
-       |    SELECT lang, doc_id, score * CAST(0.5 AS DOUBLE) AS mmr,
-       |      row_number() OVER (PARTITION BY lang
-       |        ORDER BY score * CAST(0.5 AS DOUBLE) DESC, doc_id) AS rn
-       |    FROM gm_cand) WHERE rn = 1),
-       |gm_sel1 AS (SELECT lang, doc_id FROM gm_p1),
-       |${(2 to 5).map(gmRoundSql).mkString(",\n")}
-       |SELECT lang, CAST(1 AS BIGINT) AS rnk, doc_id, mmr AS mmr_score
-       |FROM gm_p1
-       |${(2 to 5).map(t =>
-          s"UNION ALL SELECT lang, CAST($t AS BIGINT), doc_id, mmr " +
-            s"FROM gm_p$t")
-         .mkString("\n")}""".stripMargin
+       |${grpMmrSql("gm", "lang", 5)._1}
+       |${grpMmrSql("gm", "lang", 5)._2}""".stripMargin
+
+  // mirrors retrievalPipelineE2e: query-table BM25 (pivoted fixed
+  // three-term sum), per-query top-10, then the shared per-group MMR
+  // rounds keyed by query_id
+  private lazy val retrievalPipelineE2eSql = {
+    val qValues = e2eQueryDefs.map { case (id, a, b, c) =>
+      s"(CAST($id AS BIGINT), '$a', '$b', '$c')"
+    }.mkString(", ")
+    val allTerms = e2eQueryDefs.flatMap(q => Seq(q._2, q._3, q._4))
+      .distinct.map(t => s"'$t'").mkString(", ")
+    val (mmrCtes, mmrSel) = grpMmrSql("pe", "query_id", 5)
+    s"""WITH pe_q(query_id, t1, t2, t3) AS (VALUES $qValues),
+       |pe_tf AS (
+       |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |    FROM documents)
+       |  WHERE term <> '' GROUP BY 1, 2),
+       |pe_df AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df
+       |  FROM pe_tf GROUP BY term),
+       |pe_dl AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |      AS BIGINT) AS dl
+       |  FROM documents),
+       |pe_nn AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST((SELECT SUM(dl) FROM pe_dl) AS BIGINT) AS sumdl
+       |  FROM documents),
+       |pe_s AS MATERIALIZED (
+       |  SELECT pe_tf.term, pe_tf.doc_id,
+       |    ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE)
+       |        + CAST(0.5 AS DOUBLE)) /
+       |      (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |    * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+       |    / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+       |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+       |          (CAST(dl AS DOUBLE) /
+       |            (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))) AS s
+       |  FROM pe_tf JOIN pe_df USING (term) JOIN pe_dl USING (doc_id),
+       |    pe_nn
+       |  WHERE pe_tf.term IN ($allTerms)),
+       |pe_cd AS (
+       |  SELECT DISTINCT q.query_id, s.doc_id
+       |  FROM pe_q q JOIN pe_s s ON s.term IN (q.t1, q.t2, q.t3)),
+       |pe_sc AS MATERIALIZED (
+       |  SELECT c.query_id, c.doc_id,
+       |    COALESCE(s1.s, CAST(0.0 AS DOUBLE))
+       |      + COALESCE(s2.s, CAST(0.0 AS DOUBLE))
+       |      + COALESCE(s3.s, CAST(0.0 AS DOUBLE)) AS score
+       |  FROM pe_cd c JOIN pe_q q USING (query_id)
+       |  LEFT JOIN pe_s s1 ON s1.term = q.t1 AND s1.doc_id = c.doc_id
+       |  LEFT JOIN pe_s s2 ON s2.term = q.t2 AND s2.doc_id = c.doc_id
+       |  LEFT JOIN pe_s s3 ON s3.term = q.t3 AND s3.doc_id = c.doc_id),
+       |pe_cand AS MATERIALIZED (
+       |  SELECT query_id, doc_id, score FROM (
+       |    SELECT query_id, doc_id, score, row_number() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rn
+       |    FROM pe_sc) WHERE rn <= 10),
+       |pe_tok AS MATERIALIZED (
+       |  SELECT DISTINCT query_id, doc_id, tok FROM (
+       |    SELECT p.query_id, p.doc_id,
+       |      unnest(string_split_regex(trim(d.text), '\\s+')) AS tok
+       |    FROM pe_cand p JOIN documents d USING (doc_id))),
+       |pe_sz AS (
+       |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM pe_tok GROUP BY 1, 2),
+       |pe_sim AS MATERIALIZED (
+       |  SELECT a.query_id, a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(*) AS DOUBLE)
+       |      / CAST(sa.n + sb.n - count(*) AS DOUBLE) AS sim
+       |  FROM pe_tok a
+       |  JOIN pe_tok b ON a.query_id = b.query_id AND a.tok = b.tok
+       |    AND a.doc_id <> b.doc_id
+       |  JOIN pe_sz sa ON sa.query_id = a.query_id
+       |    AND sa.doc_id = a.doc_id
+       |  JOIN pe_sz sb ON sb.query_id = b.query_id
+       |    AND sb.doc_id = b.doc_id
+       |  GROUP BY a.query_id, a.doc_id, b.doc_id, sa.n, sb.n),
+       |$mmrCtes
+       |$mmrSel""".stripMargin
+  }
 
   // mirrors Corpus.shardRebalance: same md5-derived ring positions,
   // first-position>=h assignment with (pos, shard) tie order, wrap to
@@ -1027,6 +1209,7 @@ object CorpusQueries {
     "bpe_encode_learned" -> bpeEncodeLearnedSql,
     "retrieval_mmr" -> retrievalMmrSql,
     "retrieval_mmr_grouped" -> retrievalMmrGroupedSql,
+    "retrieval_pipeline_e2e" -> retrievalPipelineE2eSql,
     "shard_rebalance" -> shardRebalanceSql,
     "mixture_temperature" ->
       """WITH c AS (

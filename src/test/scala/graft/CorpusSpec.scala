@@ -397,4 +397,31 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].head()
     assert(row == ((1000000L, 1000000L, 0L, 999999L)))
   }
+
+  test("retrieval_pipeline_e2e: every query group serves exactly k " +
+      "diverse picks with contiguous ranks, and every pick matches " +
+      "at least one of its query's terms") {
+    val out = queries.CorpusQueries
+      .retrievalPipelineE2e(spark, "/root/testdata/sf0.001")
+      .select("query_id", "rnk", "doc_id")
+      .as[(Long, Long, Long)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == Set(1L, 2L, 3L, 4L))
+    byQ.foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to 5L))
+      assert(rows.map(_._3).distinct.length == 5) // no repeated docs
+    }
+    // each picked doc actually contains >= 1 of its query's terms
+    val terms = Map(
+      1L -> Set("spark", "table", "query"),
+      2L -> Set("hash", "join", "merge"),
+      3L -> Set("stream", "batch", "window"),
+      4L -> Set("scan", "filter", "column"))
+    val texts = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    out.foreach { case (q, _, d) =>
+      assert(texts(d).split("\\s+").toSet.intersect(terms(q)).nonEmpty,
+        s"doc $d in query $q matches no query term")
+    }
+  }
 }
