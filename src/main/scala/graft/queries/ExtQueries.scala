@@ -274,6 +274,41 @@ object ExtQueries {
           .as("reorder_only"))
   }
 
+  /** Winnowing-vs-exact RECALL table at two gram sizes — the recorded
+    * miss rate of the approximation [[winnowPairsQ]] deploys: per
+    * k ∈ {3, 5}, the exact n-gram-Jaccard ≥ 0.5 truth set
+    * ([[Dedup.ngramJaccardPairs]], the Σdf²-dispatched exact join)
+    * vs capped winnowing pairs ([[Dedup.winnowPairs]], w = 4), with
+    * pair counts, hits, recall, and detector precision. Two exact
+    * integers and two closing divides per row — hash-stable; the
+    * counts compose via crossed 1-row aggregates, nothing through
+    * the driver. A production run points the same audit at a
+    * deterministic sample tier. */
+  def winnowRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    Seq(3, 5).map { k =>
+      val truth = graft.Tables.materialize(
+        Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+          n = k, threshold = 0.5).select(col("id1"), col("id2")))
+      val wp = graft.Tables.materialize(
+        Dedup.winnowPairs(docs, col("doc_id"), col("text"),
+          k = k, w = 4, maxDf = 64, minShared = 2)
+          .select(col("id_a").as("id1"), col("id_b").as("id2")))
+      val hit = truth.join(wp, Seq("id1", "id2"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(wp.agg(count(lit(1)).as("n_winnow")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(lit(k.toLong).as("gram_k"), col("n_truth"),
+          col("n_winnow"), col("n_hit"),
+          when(col("n_truth") > 0, col("n_hit").cast("double") /
+              col("n_truth").cast("double"))
+            .otherwise(lit(1.0)).as("recall"),
+          when(col("n_winnow") > 0, col("n_hit").cast("double") /
+              col("n_winnow").cast("double"))
+            .otherwise(lit(1.0)).as("prec"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Sketch-family bake-off — [[lshPairPr]] generalized to the three
     * candidate generators on the SAME exact-Jaccard truth set: raw
     * MinHash band collisions, raw SimHash band collisions (no
@@ -1414,6 +1449,7 @@ object ExtQueries {
     "substring_dedup" -> substringDedup _,
     "winnow_fingerprint" -> winnowFingerprint _,
     "winnow_pairs" -> winnowPairsQ _,
+    "winnow_recall_audit" -> winnowRecallAudit _,
     "winnow_dedup_cc" -> winnowDedupCc _,
     "url_dedup_canonical" -> urlDedupCanonical _,
     "substring_dedup_filter" -> substringDedupFilter _,
@@ -2481,6 +2517,86 @@ object ExtQueries {
   // mirrors Dedup.winnowFingerprints: same combined-key arithmetic
   // (h·2²⁰ + (2²⁰ − p) makes the window min tie-break rightmost), same
   // full-window filter; window form of the per-doc ROWS frame.
+  /** One gram size's truth + winnow + count row for the recall audit
+    * (prefix wr$k): exact k-gram-Jaccard ≥ 0.5 truth pairs and the
+    * k-parameterized winnow chain (w = 4, df cap [2,64], shared ≥ 2),
+    * each the gated single-size chains with the gram arithmetic
+    * generalized. */
+  private def wrCtes(k: Int): String = {
+    val p = s"wr$k"
+    s"""${p}_g AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id AS id,
+       |    array_to_string(t[i:i+${k - 1}], ' ') AS gram
+       |  FROM (SELECT doc_id, $toks AS t FROM documents),
+       |    LATERAL (SELECT unnest(range(1,
+       |      greatest(length(t) - ${k - 2}, 1))) AS i)),
+       |${p}_sz AS (SELECT id, count(*) AS sz FROM ${p}_g GROUP BY id),
+       |${p}_tr AS MATERIALIZED (
+       |  SELECT id1, id2 FROM (
+       |    SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+       |    FROM ${p}_g a JOIN ${p}_g b
+       |      ON a.gram = b.gram AND a.id < b.id
+       |    GROUP BY a.id, b.id) i
+       |  JOIN ${p}_sz s1 ON s1.id = id1
+       |  JOIN ${p}_sz s2 ON s2.id = id2
+       |  WHERE CAST(inter AS DOUBLE)
+       |    / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.5),
+       |${p}_wg AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+       |    CAST(len(tk) - ${k - 1} AS BIGINT) AS m,
+       |    ('0x' || substr(md5(
+       |        array_to_string(tk[i:i+${k - 1}], ' ')), 1, 8)
+       |      )::BIGINT AS h
+       |  FROM (SELECT doc_id, tk,
+       |      unnest(range(1, len(tk) - ${k - 2})) AS i
+       |    FROM (SELECT doc_id, $toks AS tk FROM documents)
+       |    WHERE len(tk) >= $k)),
+       |${p}_ws AS (
+       |  SELECT doc_id, p, m,
+       |    min(h * 1048576 + (1048576 - p)) OVER (
+       |      PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+       |  FROM ${p}_wg),
+       |${p}_fp AS (
+       |  SELECT DISTINCT doc_id, CAST(sel >> 20 AS BIGINT) AS fp_hash
+       |  FROM ${p}_ws WHERE p <= m - 3),
+       |${p}_keep AS (
+       |  SELECT fp_hash FROM ${p}_fp GROUP BY fp_hash
+       |  HAVING count(*) BETWEEN 2 AND 64),
+       |${p}_f AS (
+       |  SELECT d.doc_id, d.fp_hash FROM ${p}_fp d
+       |  JOIN ${p}_keep kk ON d.fp_hash = kk.fp_hash),
+       |${p}_wp AS MATERIALIZED (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM ${p}_f a JOIN ${p}_f b
+       |    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |${p}_row AS (
+       |  SELECT CAST($k AS BIGINT) AS gram_k,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM ${p}_tr) AS n_truth,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM ${p}_wp) AS n_winnow,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM ${p}_tr t
+       |       JOIN ${p}_wp w ON t.id1 = w.id1 AND t.id2 = w.id2)
+       |      AS n_hit)""".stripMargin
+  }
+
+  private lazy val winnowRecallAuditSql = {
+    def row(k: Int) =
+      s"""SELECT gram_k, n_truth, n_winnow, n_hit,
+         |  CASE WHEN n_truth > 0
+         |    THEN CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+         |    ELSE CAST(1.0 AS DOUBLE) END AS recall,
+         |  CASE WHEN n_winnow > 0
+         |    THEN CAST(n_hit AS DOUBLE) / CAST(n_winnow AS DOUBLE)
+         |    ELSE CAST(1.0 AS DOUBLE) END AS prec
+         |FROM wr${k}_row""".stripMargin
+    s"""WITH ${wrCtes(3)},
+       |${wrCtes(5)}
+       |${row(3)}
+       |UNION ALL
+       |${row(5)}""".stripMargin
+  }
+
   // Shared by winnow_fingerprint and winnow_pairs (wf_ prefix).
   private val winnowCtes =
     """wf_t AS (
@@ -4068,6 +4184,7 @@ object ExtQueries {
     "substring_dedup" -> substringDedupSql,
     "winnow_fingerprint" -> winnowFingerprintSql,
     "winnow_pairs" -> winnowPairsSql,
+    "winnow_recall_audit" -> winnowRecallAuditSql,
     "winnow_dedup_cc" -> winnowDedupCcSql,
     "url_dedup_canonical" -> urlDedupCanonicalSql,
     "substring_dedup_filter" -> substringDedupFilterSql,
