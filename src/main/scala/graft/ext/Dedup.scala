@@ -1031,6 +1031,43 @@ object Dedup {
     * join is one co-partitioned shuffle on fp_hash. Dropped-hot
     * fingerprints are observable via [[winnowFingerprints]] minus
     * this frame's keys. */
+  /** Exact LONGEST SHARED TOKEN RUN per candidate pair — the
+    * suffix-array-style verification run only on pairs a sketch
+    * already surfaced: token-position matches between the two docs,
+    * grouped by alignment offset pa − pb (the diagonal); consecutive
+    * pa within one diagonal form a shared run, so the max island size
+    * is the exact LCS run length in tokens. Corpus contributes only
+    * the PAIRED docs' positions (semi-join); the islands window
+    * partitions by (pair, diagonal) — state bounded by doc length.
+    * All integers. Returns (id_a, id_b, lcs_run). */
+  def longestSharedRuns(pairs: DataFrame, docs: DataFrame, id: Column,
+      text: Column): DataFrame = {
+    val ids = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val pos = graft.Tables.materialize(
+      docs.select(id.as("doc_id"), text.as("text"))
+        .join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text")))
+            .as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
+          col("tok")))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(pos.select(col("doc_id").as("id_a"), col("p").as("pa"),
+        col("tok")), "id_a")
+      .join(pos.select(col("doc_id").as("id_b"), col("p").as("pb"),
+        col("tok")), Seq("id_b", "tok"))
+      .select(col("id_a"), col("id_b"), col("pa"),
+        (col("pa") - col("pb")).as("d"))
+      .withColumn("g", col("pa") - row_number().over(
+        Window.partitionBy(col("id_a"), col("id_b"), col("d"))
+          .orderBy(col("pa").asc)))
+      .groupBy(col("id_a"), col("id_b"), col("d"), col("g"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("run")).as("lcs_run"))
+  }
+
   def winnowPairs(df: DataFrame, id: Column, text: Column,
       k: Int = 3, w: Int = 4, maxDf: Int = 64,
       minShared: Int = 2): DataFrame = {

@@ -309,6 +309,35 @@ object ExtQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** EXACT verification tier above winnowing — the suffix-array-style
+    * check run only on the candidates the sketch surfaced: for each
+    * [[Dedup.winnowPairs]] pair, the exact LONGEST SHARED TOKEN RUN
+    * between the two documents via the diagonal-islands algebra
+    * (token-position matches grouped by the alignment offset
+    * pa − pb; a run of consecutive pa within one diagonal is a
+    * shared run, so max island size = exact LCS run length). The
+    * winnowing guarantee says any shared run of ≥ w+k−1 = 6 tokens
+    * MUST surface a shared fingerprint, so `verified` (run ≥ 6) is
+    * precisely "the guarantee, not a hash accident, produced this
+    * pair".
+    *
+    * Scale shape: the corpus contributes only the PAIRED docs' token
+    * positions (semi-join); per-pair match volume is bounded by
+    * token-frequency products within two documents, and the islands
+    * window partitions by (pair, diagonal) — state bounded by doc
+    * length, never corpus size. All integers; hash-exact. */
+  def winnowVerifyExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val pairs = graft.Tables.materialize(
+      Dedup.winnowPairs(docs, col("doc_id"), col("text"),
+        k = 3, w = 4, maxDf = 64, minShared = 2))
+    val runs = Dedup.longestSharedRuns(pairs, docs, col("doc_id"),
+      col("text"))
+    pairs.join(runs, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("lcs_run"), (col("lcs_run") >= 6).as("verified"))
+  }
+
   /** Sketch-family bake-off — [[lshPairPr]] generalized to the three
     * candidate generators on the SAME exact-Jaccard truth set: raw
     * MinHash band collisions, raw SimHash band collisions (no
@@ -1450,6 +1479,7 @@ object ExtQueries {
     "winnow_fingerprint" -> winnowFingerprint _,
     "winnow_pairs" -> winnowPairsQ _,
     "winnow_recall_audit" -> winnowRecallAudit _,
+    "winnow_verify_exact" -> winnowVerifyExact _,
     "winnow_dedup_cc" -> winnowDedupCc _,
     "url_dedup_canonical" -> urlDedupCanonical _,
     "substring_dedup_filter" -> substringDedupFilter _,
@@ -2579,6 +2609,39 @@ object ExtQueries {
        |       JOIN ${p}_wp w ON t.id1 = w.id1 AND t.id2 = w.id2)
        |      AS n_hit)""".stripMargin
   }
+
+  // mirrors winnowVerifyExact: the shared winnow-pair chain plus the
+  // diagonal-islands longest-common-run per candidate pair
+  private lazy val winnowVerifyExactSql =
+    s"""WITH $winnowPairCtes,
+       |wv_ids AS (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT id_a AS id FROM wf_pairs
+       |    UNION ALL SELECT id_b FROM wf_pairs)),
+       |wv_pos AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS p, tk[i] AS tok
+       |  FROM (SELECT doc_id, $toks AS tk FROM documents
+       |        WHERE doc_id IN (SELECT id FROM wv_ids)),
+       |    LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i)),
+       |wv_m AS (
+       |  SELECT pr.id_a, pr.id_b, a.p AS pa, a.p - b.p AS d
+       |  FROM wf_pairs pr
+       |  JOIN wv_pos a ON a.doc_id = pr.id_a
+       |  JOIN wv_pos b ON b.doc_id = pr.id_b AND b.tok = a.tok),
+       |wv_i AS (
+       |  SELECT id_a, id_b, d, pa,
+       |    pa - row_number() OVER (
+       |      PARTITION BY id_a, id_b, d ORDER BY pa) AS g
+       |  FROM wv_m),
+       |wv_r AS (
+       |  SELECT id_a, id_b, CAST(max(run) AS BIGINT) AS lcs_run FROM (
+       |    SELECT id_a, id_b, d, g, count(*) AS run
+       |    FROM wv_i GROUP BY 1, 2, 3, 4)
+       |  GROUP BY 1, 2)
+       |SELECT p.id_a, p.id_b, p.n_shared, r.lcs_run,
+       |  r.lcs_run >= 6 AS verified
+       |FROM wf_pairs p
+       |JOIN wv_r r ON r.id_a = p.id_a AND r.id_b = p.id_b""".stripMargin
 
   private lazy val winnowRecallAuditSql = {
     def row(k: Int) =
@@ -4185,6 +4248,7 @@ object ExtQueries {
     "winnow_fingerprint" -> winnowFingerprintSql,
     "winnow_pairs" -> winnowPairsSql,
     "winnow_recall_audit" -> winnowRecallAuditSql,
+    "winnow_verify_exact" -> winnowVerifyExactSql,
     "winnow_dedup_cc" -> winnowDedupCcSql,
     "url_dedup_canonical" -> urlDedupCanonicalSql,
     "substring_dedup_filter" -> substringDedupFilterSql,

@@ -286,6 +286,39 @@ class WinnowCurriculumSpec extends SparkSpec {
     assert(got(350L) == 1L)  // wraps to head -> shard 1
   }
 
+  test("longestSharedRuns: planted 7-token run measured exactly, " +
+      "disjoint pair drops out, repeats don't inflate the run") {
+    import graft.ext.Dedup
+    val docs = Seq(
+      (1L, "x1 x2 a b c d e f g y1 y2"),
+      (2L, "z1 a b c d e f g z2 z3 z4"), // shares the 7-token run a..g
+      (3L, "p q r s t u v w"),           // disjoint from doc 1
+      (4L, "a b a b a b"),               // repeats, max aligned run 4
+      (5L, "a b a b q q"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val runs = Dedup.longestSharedRuns(pairs, docs,
+        col("doc_id"), col("text"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    assert(runs((1L, 2L)) == 7L)
+    assert(!runs.contains((1L, 3L))) // zero shared tokens -> no row
+    assert(runs((4L, 5L)) == 4L)     // "a b a b" aligned at offset 0
+  }
+
+  test("winnow_verify_exact gate: verified == (lcs_run >= w+k-1) and " +
+      "every winnow pair gets an exact run measurement") {
+    val out = graft.queries.ExtQueries
+      .winnowVerifyExact(spark, "/root/testdata/sf0.001")
+      .select("n_shared", "lcs_run", "verified")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (ns, run, v) =>
+      assert(ns >= 2 && run >= 1)
+      assert(v == (run >= 6))
+    }
+  }
+
   test("ring_assign on an empty ring fails loudly, not with a " +
       "buffer overread") {
     val df = Seq(1L).toDF("h")
