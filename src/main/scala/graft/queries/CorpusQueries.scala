@@ -99,6 +99,33 @@ object CorpusQueries {
   def bpePairCounts(spark: SparkSession, dir: String): DataFrame =
     Corpus.bpePairCounts(Tables(spark, dir, "documents"), col("text"), 50)
 
+  /** Tokenizer DRIFT trigger — the BPE-side twin of the ANN index's
+    * `ann_drift_trigger`: the top-20 weighted adjacent-pair sets
+    * ([[Corpus.bpePairCounts]], the round-1 training signal) on the
+    * standing corpus (doc_id ≢ 4 mod 5) vs the incoming batch (≡ 4),
+    * compared as an exact set Jaccard with the retrain flag at 0.5 —
+    * when the incoming text's pair statistics stop agreeing with the
+    * standing corpus's, the learned merge table is stale and
+    * [[bpeTrain]] is due. Counts are integers; one closing divide. */
+  def bpeDriftAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val a = graft.Tables.materialize(
+      Corpus.bpePairCounts(docs.filter(col("doc_id") % 5 =!= 4),
+        col("text"), k = 20).select(col("pair")))
+    val b = graft.Tables.materialize(
+      Corpus.bpePairCounts(docs.filter(col("doc_id") % 5 === 4),
+        col("text"), k = 20).select(col("pair")))
+    val common = a.join(b, "pair")
+    a.agg(count(lit(1)).as("n_standing"))
+      .crossJoin(b.agg(count(lit(1)).as("n_incoming")))
+      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+      .select(col("n_standing"), col("n_incoming"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_standing") + col("n_incoming") - col("n_common"))
+            .cast("double")).as("pair_jaccard"))
+      .withColumn("retrain", col("pair_jaccard") < lit(0.5))
+  }
+
   /** Vocabulary: top-100 tokens by (count desc, token asc). */
   def vocabTopK(spark: SparkSession, dir: String): DataFrame =
     Corpus.vocabTopK(Tables(spark, dir, "documents"), col("text"), 100)
@@ -688,6 +715,7 @@ object CorpusQueries {
     "pack_sequences" -> packSequences _,
     "bpe_encode" -> bpeEncode _,
     "bpe_train" -> bpeTrain _,
+    "bpe_drift_audit" -> bpeDriftAudit _,
     "bpe_encode_learned" -> bpeEncodeLearned _,
     "mixture_temperature" -> mixtureTemperature _,
     "bm25_lite_rank" -> bm25LiteRank _,
@@ -1206,6 +1234,47 @@ object CorpusQueries {
   val oracleSql: Map[String, String] = Map(
     "bpe_encode" -> bpeEncodeSql,
     "bpe_train" -> bpeTrainSql,
+    "bpe_drift_audit" ->
+      """WITH bd_wa AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS wf
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |        FROM documents WHERE doc_id % 5 <> 4)
+        |  WHERE token <> '' GROUP BY 1),
+        |bd_a AS MATERIALIZED (
+        |  SELECT pair FROM (
+        |    SELECT substr(token, CAST(i AS INT), 2) AS pair,
+        |      CAST(SUM(wf) AS BIGINT) AS n
+        |    FROM bd_wa,
+        |      LATERAL (SELECT unnest(range(1, length(token))) AS i)
+        |    WHERE length(token) >= 2
+        |    GROUP BY 1 ORDER BY n DESC, pair LIMIT 20)),
+        |bd_wb AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS wf
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |        FROM documents WHERE doc_id % 5 = 4)
+        |  WHERE token <> '' GROUP BY 1),
+        |bd_b AS MATERIALIZED (
+        |  SELECT pair FROM (
+        |    SELECT substr(token, CAST(i AS INT), 2) AS pair,
+        |      CAST(SUM(wf) AS BIGINT) AS n
+        |    FROM bd_wb,
+        |      LATERAL (SELECT unnest(range(1, length(token))) AS i)
+        |    WHERE length(token) >= 2
+        |    GROUP BY 1 ORDER BY n DESC, pair LIMIT 20)),
+        |bd_n AS (
+        |  SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM bd_a) AS n_standing,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM bd_b) AS n_incoming,
+        |    (SELECT CAST(count(*) AS BIGINT)
+        |     FROM bd_a a JOIN bd_b b ON a.pair = b.pair) AS n_common)
+        |SELECT n_standing, n_incoming, n_common,
+        |  CAST(n_common AS DOUBLE)
+        |    / CAST(n_standing + n_incoming - n_common AS DOUBLE)
+        |    AS pair_jaccard,
+        |  CAST(n_common AS DOUBLE)
+        |    / CAST(n_standing + n_incoming - n_common AS DOUBLE)
+        |    < CAST(0.5 AS DOUBLE) AS retrain
+        |FROM bd_n""".stripMargin,
     "bpe_encode_learned" -> bpeEncodeLearnedSql,
     "retrieval_mmr" -> retrievalMmrSql,
     "retrieval_mmr_grouped" -> retrievalMmrGroupedSql,
