@@ -916,6 +916,60 @@ object Dedup {
       .withColumn("keep", col("dup_coverage") <= maxCoverage)
   }
 
+  /** SURGICAL span splice — the removal step [[repeatedSpans]]'
+    * scaladoc promises: rebuild each document with its repeated spans
+    * cut out exactly. Spans are disjoint and non-adjacent after
+    * stitching, so the clean text is the ordered concatenation of the
+    * complement gaps: each span contributes the gap ending just
+    * before it (lag window per doc), plus one tail gap after the last
+    * span; docs with no spans pass through unchanged, fully-covered
+    * docs become "". One window + one ordered per-doc concat over the
+    * SPAN frame (bounded by span count, not corpus size); the corpus
+    * is touched once more only for text + length. Output (doc_id,
+    * n_spans, removed_chars, clean_text). */
+  def spliceRepeatedSpans(df: DataFrame, id: Column, text: Column,
+      gramChars: Int = 40, minFreq: Int = 2): DataFrame = {
+    val docs = df.select(id.as("doc_id"), text.as("text"),
+      length(text).cast("long").as("len"))
+    val spans = graft.Tables.materialize(
+      repeatedSpans(df, id, text, gramChars, minFreq)
+        .select(col("doc_id"), col("span_start"), col("span_end")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("span_start"))
+    val mid = spans
+      .withColumn("gs",
+        coalesce(lag(col("span_end"), 1).over(w), lit(0L)) + 1)
+      .withColumn("ge", col("span_start") - 1)
+      .select(col("doc_id"), col("gs"), col("ge"))
+    val tail = spans.groupBy(col("doc_id"))
+      .agg(max(col("span_end")).as("le"))
+      .join(docs.select(col("doc_id"), col("len")), "doc_id")
+      .select(col("doc_id"), (col("le") + 1).as("gs"),
+        col("len").as("ge"))
+    val rebuilt = mid.unionByName(tail)
+      .filter(col("ge") >= col("gs"))
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("gs"),
+        expr("substr(text, CAST(gs AS INT), CAST(ge - gs + 1 AS INT))")
+          .as("piece"))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("", transform(
+        sort_array(collect_list(struct(col("gs"), col("piece")))),
+        s => s.getField("piece"))).as("clean_text"))
+    val stats = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1)
+          .as("removed_chars"))
+    docs.select(col("doc_id"), col("text"))
+      .join(stats, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        when(col("n_spans").isNull, col("text"))
+          .otherwise(coalesce(col("clean_text"), lit("")))
+          .as("clean_text"))
+  }
+
   def repeatedSpans(df: DataFrame, id: Column, text: Column,
       gramChars: Int = 40, minFreq: Int = 2): DataFrame = {
     require(gramChars >= 2, s"gramChars must be >= 2, got $gramChars")

@@ -459,6 +459,15 @@ object ExtQueries {
     Dedup.repeatedSpans(Tables(spark, dir, "documents"),
       col("doc_id"), col("text"), gramChars = 40, minFreq = 2)
 
+  /** Surgical substring removal ([[Dedup.spliceRepeatedSpans]]):
+    * every repeated span cut out exactly, docs rebuilt from the
+    * complement gaps — the splice the span frame exists to drive
+    * (coverage-filter drops WHOLE docs; this keeps the unique
+    * remainder). */
+  def substringSplice(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spliceRepeatedSpans(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"), gramChars = 40, minFreq = 2)
+
   /** Winnowing (MOSS) fingerprint selection over token 3-grams with a
     * 4-gram window ([[Dedup.winnowFingerprints]]): the localized
     * fingerprint family — any shared run of ≥ 6 tokens between two
@@ -1476,6 +1485,7 @@ object ExtQueries {
     "doc_dedup_best" -> docDedupBest _,
     "dedup_cluster_stats" -> dedupClusterStats _,
     "substring_dedup" -> substringDedup _,
+    "substring_splice" -> substringSplice _,
     "winnow_fingerprint" -> winnowFingerprint _,
     "winnow_pairs" -> winnowPairsQ _,
     "winnow_recall_audit" -> winnowRecallAudit _,
@@ -2543,6 +2553,44 @@ object ExtQueries {
     s"""WITH $substringSpanCtes
        |SELECT doc_id, span_start, span_end, n_gram_hits FROM spans"""
       .stripMargin
+
+  // mirrors Dedup.spliceRepeatedSpans: complement gaps via lag + one
+  // tail gap, ordered concat; no-span docs pass through, fully-covered
+  // docs become ''
+  private val substringSpliceSql =
+    s"""WITH $substringSpanCtes,
+       |sp_mid AS (
+       |  SELECT doc_id,
+       |    COALESCE(lag(span_end) OVER (
+       |      PARTITION BY doc_id ORDER BY span_start), 0) + 1 AS gs,
+       |    span_start - 1 AS ge
+       |  FROM spans),
+       |sp_tail AS (
+       |  SELECT s.doc_id, max(s.span_end) + 1 AS gs,
+       |    max(length(d.text)) AS ge
+       |  FROM spans s JOIN documents d USING (doc_id)
+       |  GROUP BY s.doc_id),
+       |sp_reb AS (
+       |  SELECT g.doc_id,
+       |    string_agg(substr(d.text, CAST(g.gs AS INT),
+       |      CAST(g.ge - g.gs + 1 AS INT)), '' ORDER BY g.gs)
+       |      AS clean_text
+       |  FROM (SELECT * FROM sp_mid UNION ALL SELECT * FROM sp_tail) g
+       |  JOIN documents d USING (doc_id)
+       |  WHERE g.ge >= g.gs GROUP BY g.doc_id),
+       |sp_st AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(sum(span_end - span_start + 1) AS BIGINT)
+       |      AS removed_chars
+       |  FROM spans GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(st.n_spans, 0) AS n_spans,
+       |  COALESCE(st.removed_chars, 0) AS removed_chars,
+       |  CASE WHEN st.n_spans IS NULL THEN d.text
+       |       ELSE COALESCE(reb.clean_text, '') END AS clean_text
+       |FROM documents d
+       |LEFT JOIN sp_st st USING (doc_id)
+       |LEFT JOIN sp_reb reb USING (doc_id)""".stripMargin
 
   // mirrors Dedup.winnowFingerprints: same combined-key arithmetic
   // (h·2²⁰ + (2²⁰ − p) makes the window min tie-break rightmost), same
@@ -4245,6 +4293,7 @@ object ExtQueries {
     "doc_dedup_best" -> docDedupBestSql,
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "substring_dedup" -> substringDedupSql,
+    "substring_splice" -> substringSpliceSql,
     "winnow_fingerprint" -> winnowFingerprintSql,
     "winnow_pairs" -> winnowPairsSql,
     "winnow_recall_audit" -> winnowRecallAuditSql,

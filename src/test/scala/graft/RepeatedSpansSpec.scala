@@ -76,4 +76,39 @@ class RepeatedSpansSpec extends SparkSpec {
     assert(got(2L) == ((20L, 20.0 / 60.0, true)))
     assert(got(3L) == ((0L, 0.0, true)))
   }
+
+  test("spliceRepeatedSpans cuts planted passages exactly: middle " +
+      "span, leading span, untouched doc, fully-covered doc") {
+    val passage = "0123456789abcdef" // 16 chars, repeated across docs
+    val head1 = filler('A', 10)
+    val tail1 = filler('a', 10)
+    val tail2 = filler('Ѐ', 20)
+    val docs = Seq(
+      (1L, head1 + passage + tail1), // middle span -> head+tail remain
+      (2L, passage + tail2),         // leading span -> tail remains
+      (3L, filler('か', 30)),        // no repeats -> unchanged
+      (4L, passage))                 // fully covered -> ""
+    val got = Dedup.spliceRepeatedSpans(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), gramChars = L, minFreq = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((1L, 16L, head1 + tail1)))
+    assert(got(2L) == ((1L, 16L, tail2)))
+    assert(got(3L) == ((0L, 0L, filler('か', 30))))
+    assert(got(4L) == ((1L, 16L, "")))
+  }
+
+  test("splice invariant on the real corpus: clean length = original " +
+      "- removed, and clean text contains no span content (sf0.001)") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val out = Dedup.spliceRepeatedSpans(docs, col("doc_id"),
+      col("text"), gramChars = 40, minFreq = 2)
+    val bad = out.join(docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("olen")), "doc_id")
+      .filter(length(col("clean_text")).cast("long") =!=
+        col("olen") - col("removed_chars"))
+      .count()
+    assert(bad == 0)
+    assert(out.filter(col("n_spans") > 0).count() > 0) // non-vacuous
+  }
 }
