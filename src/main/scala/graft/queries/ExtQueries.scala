@@ -459,6 +459,46 @@ object ExtQueries {
     Dedup.repeatedSpans(Tables(spark, dir, "documents"),
       col("doc_id"), col("text"), gramChars = 40, minFreq = 2)
 
+  /** Contrastive TRIPLET mining — the training-pair prep a
+    * retrieval/embedding trainer runs over the dedup graph: every
+    * LSH-verified near-dup pair is an (anchor, positive); negatives
+    * are drawn deterministically from a small mod-sampled pool
+    * (doc_id ≡ 0 mod 29, broadcast), excluding pool docs in the
+    * anchor's duplicate component (a near-dup is NOT a negative —
+    * exactly the false-negative poisoning in-batch sampling suffers),
+    * ranked per (anchor, positive) by md5(anchor|neg) with 2 kept.
+    * Pool-bounded: the candidate frame is |pairs| × |pool| with a
+    * per-pair window over ≤ |pool| rows — never corpus². */
+  def contrastiveTriplets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val (_, verified) = Dedup.dedupSurvivorsAndVerified(docs,
+      col("doc_id"), col("text"), 3, 0.8, Dedup.DefaultMaxBandBucket,
+      null)
+    val pairs = graft.Tables.materialize(
+      verified.select(col("id1").as("anchor"),
+        col("id2").as("positive")))
+    val cc = graft.Tables.materialize(Dedup.connectedComponents(
+      pairs.select(col("anchor").as("id1"), col("positive").as("id2"))))
+    val pool = docs.filter(col("doc_id") % 29 === 0)
+      .select(col("doc_id").as("neg_id"))
+    val aComp = cc.select(col("id").as("anchor"),
+      col("component").as("ac"))
+    val nComp = cc.select(col("id").as("neg_id"),
+      col("component").as("nc"))
+    pairs.crossJoin(broadcast(pool))
+      .join(aComp, Seq("anchor"), "left")
+      .join(nComp, Seq("neg_id"), "left")
+      .filter(col("neg_id") =!= col("anchor"))
+      .filter(col("nc").isNull || col("nc") =!= col("ac"))
+      .withColumn("h", md5(concat_ws("|", col("anchor"), col("neg_id"))))
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy(col("anchor"), col("positive"))
+          .orderBy(col("h").asc, col("neg_id").asc)).cast("long"))
+      .filter(col("neg_rank") <= 2)
+      .select(col("anchor"), col("positive"), col("neg_id"),
+        col("neg_rank"))
+  }
+
   /** Surgical substring removal ([[Dedup.spliceRepeatedSpans]]):
     * every repeated span cut out exactly, docs rebuilt from the
     * complement gaps — the splice the span frame exists to drive
@@ -1486,6 +1526,7 @@ object ExtQueries {
     "dedup_cluster_stats" -> dedupClusterStats _,
     "substring_dedup" -> substringDedup _,
     "substring_splice" -> substringSplice _,
+    "contrastive_triplets" -> contrastiveTriplets _,
     "winnow_fingerprint" -> winnowFingerprint _,
     "winnow_pairs" -> winnowPairsQ _,
     "winnow_recall_audit" -> winnowRecallAudit _,
@@ -2486,6 +2527,40 @@ object ExtQueries {
        |  JOIN sizes s2 ON s2.id = id2
        |  WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.8)""".stripMargin
   }
+
+  // mirrors contrastiveTriplets: verified pairs as (anchor, positive),
+  // min-reach components, mod-29 negative pool, same-component
+  // exclusion, md5(anchor|neg) rank with 2 kept
+  private lazy val contrastiveTripletsSql =
+    s"""WITH RECURSIVE $docDedupCtes,
+       |ct_edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM verified
+       |  UNION SELECT id2, id1 FROM verified),
+       |ct_reach(id, label) AS (
+       |  SELECT src, src FROM ct_edges
+       |  UNION
+       |  SELECT e.src, r.label
+       |  FROM ct_edges e JOIN ct_reach r ON r.id = e.dst),
+       |ct_compo AS (
+       |  SELECT id, min(label) AS component FROM ct_reach GROUP BY id),
+       |ct_pool AS (
+       |  SELECT doc_id AS neg_id FROM documents WHERE doc_id % 29 = 0),
+       |ct_cand AS (
+       |  SELECT v.id1 AS anchor, v.id2 AS positive, p.neg_id,
+       |    md5(CAST(v.id1 AS VARCHAR) || '|'
+       |      || CAST(p.neg_id AS VARCHAR)) AS h
+       |  FROM verified v
+       |  CROSS JOIN ct_pool p
+       |  LEFT JOIN ct_compo ca ON ca.id = v.id1
+       |  LEFT JOIN ct_compo cn ON cn.id = p.neg_id
+       |  WHERE p.neg_id <> v.id1
+       |    AND (cn.component IS NULL OR cn.component <> ca.component))
+       |SELECT anchor, positive, neg_id, neg_rank FROM (
+       |  SELECT anchor, positive, neg_id,
+       |    CAST(row_number() OVER (PARTITION BY anchor, positive
+       |      ORDER BY h, neg_id) AS BIGINT) AS neg_rank
+       |  FROM ct_cand)
+       |WHERE neg_rank <= 2""".stripMargin
 
   /** Greedy keeper: drop every id2 of a verified pair. */
   private val docDedupPipelineSql =
@@ -4294,6 +4369,7 @@ object ExtQueries {
     "dedup_cluster_stats" -> dedupClusterStatsSql,
     "substring_dedup" -> substringDedupSql,
     "substring_splice" -> substringSpliceSql,
+    "contrastive_triplets" -> contrastiveTripletsSql,
     "winnow_fingerprint" -> winnowFingerprintSql,
     "winnow_pairs" -> winnowPairsSql,
     "winnow_recall_audit" -> winnowRecallAuditSql,

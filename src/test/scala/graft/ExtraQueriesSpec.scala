@@ -446,4 +446,28 @@ class ExtraQueriesSpec extends SparkSpec {
         s"query $q: probed best exceeds brute best")
     }
   }
+
+  test("contrastive_triplets: every pair carries ranks {1,2}, no " +
+      "negative is the anchor or shares its duplicate component") {
+    import graft.ext.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val out = queries.ExtQueries.contrastiveTriplets(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val byPair = out.groupBy(r => (r._1, r._2))
+    byPair.foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == Seq(1L, 2L))
+    }
+    val docs = Tables(spark, dir, "documents")
+    val (_, verified) = Dedup.dedupSurvivorsAndVerified(docs,
+      col("doc_id"), col("text"), 3, 0.8,
+      Dedup.DefaultMaxBandBucket, null)
+    val comp = Dedup.connectedComponents(verified)
+      .as[(Long, Long)].collect().toMap
+    out.foreach { case (a, p, n, _) =>
+      assert(n != a && n != p)
+      assert(comp.get(n).isEmpty || comp(n) != comp(a),
+        s"negative $n shares anchor $a's component")
+    }
+  }
 }
