@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.RelationalQueries.queries ++
       graft.queries.CorpusQueries.queries ++
       graft.queries.LakeQueries.queries ++
+      graft.queries.TrainQueries.queries ++
       graft.queries.TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.RelationalQueries.oracleSql ++
       graft.queries.CorpusQueries.oracleSql ++
       graft.queries.LakeQueries.oracleSql ++
+      graft.queries.TrainQueries.oracleSql ++
       graft.queries.TpchQueries.oracleSql
 }

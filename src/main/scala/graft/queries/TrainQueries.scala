@@ -1,0 +1,321 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.Lm
+import graft.functions.TextFunctions
+
+/** Training-run preparation gates: the corpus-statistics passes that
+  * sit between a deduplicated corpus and a training job — n-gram LM
+  * quality scoring ([[graft.ext.Lm]]), per-source distribution
+  * divergence, token-budget apportionment, and dedup-aware epoch
+  * weighting. Reference has nothing comparable (its pipeline ends at
+  * the event sink); all of this is extended-engine surface for the
+  * 100 TB corpus-prep story.
+  *
+  * Cross-engine determinism notes specific to this file:
+  *  - every statistic that conceptually wants a `log` (LM scoring,
+  *    KL divergence) is re-expressed in integer algebra instead —
+  *    2⁻²⁰-quantized smoothed probabilities ([[Lm]]) and
+  *    total-variation distance (pure BIGINT cross products) — because
+  *    `ln` is not bit-stable across libm/JVM (SKILL.md);
+  *  - the only double ops are single divides on identical operand
+  *    trees (exact-rounded, hash-stable);
+  *  - the TV distance over the FULL vocabulary needs no source×vocab
+  *    grid: Σ over tokens absent from a source is N_s·(N − Σ_{t∈s}n_t),
+  *    so the join stays proportional to the observed (source, token)
+  *    pairs.
+  */
+object TrainQueries {
+
+  /** Per-document bigram-LM quality score over the whole corpus
+    * ([[Lm.scoreDocs]]): n sequential bigrams, Σ of 2⁻²⁰-quantized
+    * add-one-smoothed transition probabilities, and their mean — the
+    * cheap-LM document scorer of a quality-filtering pass. */
+  def lmBigramScore(spark: SparkSession, dir: String): DataFrame =
+    Lm.scoreDocs(Tables(spark, dir, "documents"),
+        col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("q_sum"),
+        col("mean_p"))
+
+  /** Held-out LM scoring per language: train the bigram model on even
+    * doc_ids, score odd doc_ids (unseen bigrams smooth to
+    * (0+1)/(0+V)), aggregate per language — the
+    * decontamination-safe form of corpus quality measurement (the
+    * scored half never contributes counts to the model that scores
+    * it). */
+  def lmHoldoutPerlang(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val big = Lm.seqBigrams(docs, col("doc_id"), col("text"),
+      carry = Seq("lang"))
+    val c12 = Lm.bigramCounts(big.filter(col("id") % 2 === 0))
+    val scored = Lm.scoreBigrams(big.filter(col("id") % 2 === 1),
+      c12, Lm.contextCounts(c12),
+      Lm.vocabSize(docs.filter(col("doc_id") % 2 === 0), col("text")))
+    scored.groupBy(col("lang"))
+      .agg(count_distinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_bigrams"), sum(col("q")).as("q_sum"))
+      .withColumn("mean_p", col("q_sum").cast("double") /
+        (col("n_bigrams") * lit(1048576L)).cast("double"))
+  }
+
+  /** LM quality gate: per language, how many documents pass the
+    * mean-transition-probability threshold 35/1024 (≈ the corpus
+    * median at sf0.01, so the gate exercises both branches). The
+    * keep predicate is pure integer algebra:
+    * q_sum ≥ n_bigrams · 35·2²⁰/1024 = n_bigrams · 35840. */
+  def lmQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val per = Lm.scoreDocs(docs, col("doc_id"), col("text"))
+    val kept = col("n_bigrams") > 0 &&
+      col("q_sum") >= col("n_bigrams") * lit(35840L)
+    docs.select(col("doc_id").as("id"), col("lang"))
+      .join(per, Seq("id"))
+      .groupBy(col("lang"))
+      .agg(sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(kept, 0L).otherwise(1L)).as("n_dropped"))
+  }
+
+  /** Per-source total-variation divergence of the token distribution
+    * vs the whole corpus — the "is this source drifting from the
+    * mixture" monitor. TV = Σ_t |p_s(t) − p(t)| / 2 computed as pure
+    * BIGINT cross products over the common denominator 2·N_s·N; the
+    * absent-token tail folds to N_s·(N − Σ_{t∈s} n_t), so no
+    * source×vocab grid materializes. */
+  def tokenTvDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir, "documents")
+      .select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val nSt = tok.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n_st"))
+    val nS = nSt.groupBy(col("source")).agg(sum(col("n_st")).as("n_s"))
+    val nT = nSt.groupBy(col("tok")).agg(sum(col("n_st")).as("n_t"))
+    val nTot = nT.agg(sum(col("n_t")).as("n"))
+    nSt.join(nT, "tok").join(nS, "source")
+      .crossJoin(broadcast(nTot))
+      .groupBy(col("source"), col("n_s"), col("n"))
+      .agg(sum(abs(col("n_st") * col("n") - col("n_t") * col("n_s")))
+          .as("part1"),
+        sum(col("n_t")).as("cov"))
+      .select(col("source"), col("n_s").as("n_tokens"),
+        (col("part1") + col("n_s") * (col("n") - col("cov")))
+          .as("tv_num"),
+        (lit(2L) * col("n_s") * col("n")).as("tv_den"),
+        ((col("part1") + col("n_s") * (col("n") - col("cov")))
+          .cast("double") /
+          (lit(2L) * col("n_s") * col("n")).cast("double")).as("tv"))
+  }
+
+  /** Largest-remainder (Hamilton) apportionment of a 100 000-token
+    * sampling budget across languages, proportional to token counts —
+    * the integer-exact completion of [[CorpusQueries.mixtureTemperature]]'s
+    * floor-only allocation (Σ alloc == budget exactly). The
+    * remainder-rank window runs over one row per language (bounded by
+    * the stratum count, the house rule for unpartitioned windows). */
+  def tokenBudgetAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 100000L
+    val cnt = Tables(spark, dir, "documents")
+      .select(col("lang"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("lang")).agg(sum(col("nt")).as("n_tok"))
+    val b = cnt.crossJoin(broadcast(cnt.agg(sum(col("n_tok")).as("n"))))
+      .withColumn("base", expr(s"($budget * n_tok) div n"))
+      .withColumn("rem", expr(s"($budget * n_tok) % n"))
+    val k = b.agg((lit(budget) - sum(col("base"))).as("k"))
+    b.withColumn("rr", row_number()
+        .over(Window.orderBy(col("rem").desc, col("lang").asc))
+        .cast("long"))
+      .crossJoin(broadcast(k))
+      .select(col("lang"), col("n_tok"),
+        (col("base") +
+          when(col("rr") <= col("k"), 1L).otherwise(0L)).as("alloc"))
+  }
+
+  /** Dedup-aware epoch weighting: documents cluster by a 2-token
+    * prefix fingerprint (the cheap stand-in for the near-dup
+    * component id a production run takes from `doc_dedup_cc`), and
+    * smaller clusters earn more repeats (unique→4, 2-3 siblings→2,
+    * 4+→1) — the "repeat rare data, don't over-train duplicates"
+    * token-accounting plan, rolled up per language. */
+  def epochRepeatPlan(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextFunctions.tokens(col("text"))
+    val keyed = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(t).cast("long").as("n_tok"),
+        md5(concat_ws(" ", slice(t, 1, 2))).as("h"))
+    val sz = keyed.groupBy(col("h")).agg(count(lit(1)).as("sz"))
+    keyed.join(sz, "h")
+      .withColumn("f", when(col("sz") === 1, 4L)
+        .when(col("sz") <= 3, 2L).otherwise(1L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_tok") * col("f")).as("effective_tokens"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_bigram_score" -> lmBigramScore _,
+    "lm_holdout_perlang" -> lmHoldoutPerlang _,
+    "lm_quality_filter" -> lmQualityFilter _,
+    "token_tv_divergence" -> tokenTvDivergence _,
+    "token_budget_alloc" -> tokenBudgetAlloc _,
+    "epoch_repeat_plan" -> epochRepeatPlan _)
+
+  // Whole-corpus bigram-LM CTE chain (shared by lm_bigram_score and
+  // lm_quality_filter). `//` on positive BIGINTs floors exactly like
+  // Spark's `div`; the result is CAST back to BIGINT (DuckDB floor-div
+  // returns DOUBLE-typed values otherwise).
+  private val lmCtes =
+    s"""lm_t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |lm_b AS (
+       |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       |  FROM lm_t,
+       |    LATERAL (SELECT unnest(range(1, greatest(length(t), 1))) AS i)),
+       |lm_c12 AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |  FROM lm_b GROUP BY 1, 2),
+       |lm_c1 AS (
+       |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM lm_c12
+       |  GROUP BY 1),
+       |lm_v AS (
+       |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+       |  FROM (SELECT unnest(t) AS tok FROM lm_t) WHERE tok <> ''),
+       |lm_q AS (
+       |  SELECT b.doc_id,
+       |    CAST(((c12 + 1) * 1048576) // (c1 + v) AS BIGINT) AS q
+       |  FROM lm_b b JOIN lm_c12 USING (w1, w2) JOIN lm_c1 USING (w1),
+       |    lm_v),
+       |lm_per AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(SUM(q) AS BIGINT) AS q_sum
+       |  FROM lm_q GROUP BY 1)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "lm_bigram_score" ->
+      s"""WITH $lmCtes
+         |SELECT d.doc_id,
+         |  COALESCE(p.n, 0) AS n_bigrams,
+         |  COALESCE(p.q_sum, 0) AS q_sum,
+         |  CASE WHEN COALESCE(p.n, 0) > 0
+         |    THEN CAST(p.q_sum AS DOUBLE) / CAST(p.n * 1048576 AS BIGINT)
+         |  END AS mean_p
+         |FROM documents d LEFT JOIN lm_per p USING (doc_id)""".stripMargin,
+    "lm_quality_filter" ->
+      s"""WITH $lmCtes
+         |SELECT d.lang,
+         |  CAST(SUM(CASE WHEN p.n IS NOT NULL AND p.q_sum >= p.n * 35840
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN p.n IS NOT NULL AND p.q_sum >= p.n * 35840
+         |    THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+         |FROM documents d LEFT JOIN lm_per p USING (doc_id)
+         |GROUP BY 1""".stripMargin,
+    "lm_holdout_perlang" ->
+      """WITH hl_t AS (
+        |  SELECT doc_id, lang, doc_id % 2 AS grp,
+        |    string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |hl_b AS (
+        |  SELECT doc_id, lang, grp, t[i] AS w1, t[i+1] AS w2
+        |  FROM hl_t,
+        |    LATERAL (SELECT unnest(range(1, greatest(length(t), 1))) AS i)),
+        |hl_c12 AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM hl_b WHERE grp = 0 GROUP BY 1, 2),
+        |hl_c1 AS (
+        |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM hl_c12
+        |  GROUP BY 1),
+        |hl_v AS (
+        |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        |  FROM (SELECT unnest(t) AS tok FROM hl_t WHERE grp = 0)
+        |  WHERE tok <> ''),
+        |hl_q AS (
+        |  SELECT b.doc_id, b.lang,
+        |    CAST(((COALESCE(c.c12, 0) + 1) * 1048576)
+        |      // (COALESCE(u.c1, 0) + v) AS BIGINT) AS q
+        |  FROM hl_b b
+        |  LEFT JOIN hl_c12 c ON b.w1 = c.w1 AND b.w2 = c.w2
+        |  LEFT JOIN hl_c1 u ON b.w1 = u.w1, hl_v
+        |  WHERE b.grp = 1)
+        |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(q) AS BIGINT) AS q_sum,
+        |  CAST(SUM(q) AS DOUBLE)
+        |    / CAST(count(*) * 1048576 AS BIGINT) AS mean_p
+        |FROM hl_q GROUP BY 1""".stripMargin,
+    "token_tv_divergence" ->
+      """WITH tv_tok AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> ''),
+        |tv_n AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS n_st
+        |  FROM tv_tok GROUP BY 1, 2),
+        |tv_s AS (
+        |  SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_s FROM tv_n
+        |  GROUP BY 1),
+        |tv_c AS (
+        |  SELECT tok, CAST(SUM(n_st) AS BIGINT) AS n_t FROM tv_n
+        |  GROUP BY 1),
+        |tv_tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n FROM tv_c),
+        |tv_j AS (
+        |  SELECT source, n_s, n,
+        |    CAST(SUM(ABS(n_st * n - n_t * n_s)) AS BIGINT) AS part1,
+        |    CAST(SUM(n_t) AS BIGINT) AS cov
+        |  FROM tv_n JOIN tv_c USING (tok) JOIN tv_s USING (source),
+        |    tv_tot
+        |  GROUP BY 1, 2, 3)
+        |SELECT source, n_s AS n_tokens,
+        |  CAST(part1 + n_s * (n - cov) AS BIGINT) AS tv_num,
+        |  CAST(2 * n_s * n AS BIGINT) AS tv_den,
+        |  CAST(part1 + n_s * (n - cov) AS DOUBLE)
+        |    / CAST(2 * n_s * n AS BIGINT) AS tv
+        |FROM tv_j""".stripMargin,
+    "token_budget_alloc" ->
+      """WITH ba_t AS (
+        |  SELECT lang,
+        |    CAST(SUM(length(string_split_regex(trim(text), '\s+')))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY 1),
+        |ba_n AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n FROM ba_t),
+        |ba_b AS (
+        |  SELECT lang, n_tok,
+        |    CAST((100000 * n_tok) // n AS BIGINT) AS base,
+        |    CAST((100000 * n_tok) % n AS BIGINT) AS rem
+        |  FROM ba_t, ba_n),
+        |ba_k AS (SELECT CAST(100000 - SUM(base) AS BIGINT) AS k
+        |         FROM ba_b),
+        |ba_r AS (
+        |  SELECT lang, n_tok, base,
+        |    CAST(row_number() OVER (ORDER BY rem DESC, lang ASC)
+        |      AS BIGINT) AS rr
+        |  FROM ba_b)
+        |SELECT lang, n_tok,
+        |  CAST(base + CASE WHEN rr <= k THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM ba_r, ba_k""".stripMargin,
+    "epoch_repeat_plan" ->
+      """WITH ep_t AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |ep_k AS (
+        |  SELECT doc_id, lang, CAST(length(t) AS BIGINT) AS n_tok,
+        |    md5(array_to_string(t[1:2], ' ')) AS h
+        |  FROM ep_t),
+        |ep_c AS (SELECT h, CAST(count(*) AS BIGINT) AS sz FROM ep_k
+        |         GROUP BY 1)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_tok * (CASE WHEN sz = 1 THEN 4
+        |    WHEN sz <= 3 THEN 2 ELSE 1 END)) AS BIGINT)
+        |    AS effective_tokens
+        |FROM ep_k JOIN ep_c USING (h)
+        |GROUP BY 1""".stripMargin)
+}

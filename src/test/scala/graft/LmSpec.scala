@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Lm
+import graft.queries.TrainQueries
+
+/** [[graft.ext.Lm]] + [[graft.queries.TrainQueries]]: hand-computed
+  * bigram-LM scores on a toy corpus, apportionment invariants, and
+  * non-vacuity of every gate on sf0.001. */
+class LmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("scoreDocs matches hand-computed add-one bigram algebra") {
+    // corpus: "a b a b" and "a c" → bigrams ab, ba, ab, ac
+    // c(a,b)=2 c(b,a)=1 c(a,c)=1; c1(a)=3 c1(b)=1; V=3
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = Lm.scoreDocs(docs, col("doc_id"), col("text"))
+      .orderBy("id").collect()
+    val qAb = (2L + 1L) * 1048576L / (3L + 3L) // 524288
+    val qBa = (1L + 1L) * 1048576L / (1L + 3L) // 524288
+    val qAc = (1L + 1L) * 1048576L / (3L + 3L) // 349525
+    assert(out(0).getLong(1) === 3L) // doc 1: ab, ba, ab
+    assert(out(0).getLong(2) === qAb + qBa + qAb)
+    assert(out(1).getLong(1) === 1L)
+    assert(out(1).getLong(2) === qAc)
+    assert(out(1).getDouble(3) === qAc.toDouble / 1048576.0)
+  }
+
+  test("scoreDocs keeps 0-bigram docs with n=0, q_sum=0, null mean") {
+    val docs = Seq((1L, "solo"), (2L, "a a")).toDF("doc_id", "text")
+    val r = Lm.scoreDocs(docs, col("doc_id"), col("text"))
+      .orderBy("id").collect()
+    assert(r(0).getLong(1) === 0L && r(0).getLong(2) === 0L)
+    assert(r(0).isNullAt(3))
+    assert(r(1).getLong(1) === 1L)
+  }
+
+  test("holdout scoring never consults held-out counts") {
+    // even doc trains: "x y"; odd doc scored: "y z" — bigram (y,z)
+    // unseen, context y unseen → q = 1·2^20/(0+V), V=2 ({x,y}).
+    val docs = Seq((0L, "x y", "en"), (1L, "y z", "en"))
+      .toDF("doc_id", "text", "lang")
+    val big = Lm.seqBigrams(docs, col("doc_id"), col("text"),
+      carry = Seq("lang"))
+    val c12 = Lm.bigramCounts(big.filter(col("id") % 2 === 0))
+    val scored = Lm.scoreBigrams(big.filter(col("id") % 2 === 1),
+      c12, Lm.contextCounts(c12),
+      Lm.vocabSize(docs.filter(col("doc_id") % 2 === 0), col("text")))
+    val q = scored.select("q").as[Long].collect()
+    assert(q.toSeq === Seq(1048576L / 2))
+  }
+
+  test("token_budget_alloc sums exactly to the budget") {
+    val out = TrainQueries.tokenBudgetAlloc(spark, dir)
+    val total = out.agg(sum("alloc")).as[Long].collect()(0)
+    assert(total === 100000L)
+    assert(out.filter(col("alloc") <= 0).count() === 0)
+  }
+
+  test("tv divergence is a [0,1] fraction and covers every source") {
+    val out = TrainQueries.tokenTvDivergence(spark, dir)
+    val n = Tables(spark, dir, "documents")
+      .select("source").distinct().count()
+    assert(out.count() === n)
+    assert(out.filter(col("tv_num") < 0 ||
+      col("tv_num") > col("tv_den")).count() === 0)
+  }
+
+  test("epoch plan: effective tokens bounded by 1x..4x raw tokens") {
+    val out = TrainQueries.epochRepeatPlan(spark, dir)
+    assert(out.count() > 0)
+    assert(out.filter(col("effective_tokens") < col("n_tokens") ||
+      col("effective_tokens") > col("n_tokens") * 4).count() === 0)
+  }
+
+  test("gates are non-vacuous on sf0.001") {
+    assert(TrainQueries.lmBigramScore(spark, dir)
+      .filter(col("n_bigrams") > 0).count() > 0)
+    assert(TrainQueries.lmHoldoutPerlang(spark, dir).count() > 0)
+    val f = TrainQueries.lmQualityFilter(spark, dir)
+      .agg(sum("n_kept"), sum("n_dropped")).collect()(0)
+    assert(f.getLong(0) > 0 && f.getLong(1) > 0)
+  }
+}
