@@ -292,6 +292,29 @@ object Similarity {
         max(col("nbr_id")).as("max_id"))
   }
 
+  /** Cluster-balanced diversity sample: assign every vector to its
+    * nearest seed cell (the [[ivfCellSizes]] assignment) and keep at
+    * most `cap` members per cell, chosen in content-hash order — the
+    * "sample evenly across embedding-space regions" pass that stops a
+    * dominant mode from monopolizing a fine-tuning batch. The
+    * per-cell window is bounded by the cell population (cells are
+    * capped by design in a healthy index; a hot cell argues for
+    * retraining — see `ann_drift_trigger`), and the hash order makes
+    * the draw deterministic on any engine/partitioning. */
+  def clusterBalancedSample(corpus: DataFrame, corpusId: Column,
+      corpusVec: Column, numCells: Int = 16, cap: Int = 24): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = graft.Tables.materialize(
+      vectors(corpus, corpusId, corpusVec, "nbr_id", "cv", "sn_c"))
+    val centArr = centroidArrays(corpus, corpusId, corpusVec, numCells, None)
+    val w = Window.partitionBy(col("cell_id"))
+      .orderBy(md5(col("nbr_id").cast("string")).asc, col("nbr_id").asc)
+    cellAssignments(c, centArr)
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= cap)
+      .select(col("nbr_id"), col("cell_id"))
+  }
+
   /** Probe + exact-rank tail shared by every IVF entry point: nProbe
     * nearest cells per query, then one vec_dot_dec per surviving
     * (query, candidate) pair. `cells` is the (nbr_id, cell_id)

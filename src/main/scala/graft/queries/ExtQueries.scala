@@ -3081,7 +3081,7 @@ object ExtQueries {
   /** Per-component view + exact-decimal norm CTEs shared by the vector
     * oracles. Components widened to DOUBLE before any multiply, matching
     * Similarity.dotExact. */
-  private val vecCtes =
+  private[queries] val vecCtes =
     """comp AS (
       |  SELECT vec_id, i, CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS x
       |  FROM embeddings, LATERAL (SELECT unnest(range(0, 64)) AS i)),
@@ -3212,7 +3212,7 @@ object ExtQueries {
   /** Shared CTE prefix: seed-cell IVF assignment of every corpus
     * vector to its nearest cell (ends at the `cells` relation) —
     * composed by both the top-k oracle and the cell-balance audit. */
-  private val ivfAssignCtes =
+  private[queries] val ivfAssignCtes =
     s"""$vecCtes,
        |cent AS (SELECT vec_id AS cell_id FROM embeddings
        |         ORDER BY vec_id LIMIT 16),

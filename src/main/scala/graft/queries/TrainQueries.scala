@@ -156,7 +156,45 @@ object TrainQueries {
         sum(col("n_tok") * col("f")).as("effective_tokens"))
   }
 
+  /** Bitext margin mining (forward ratio-margin variant): for each
+    * "source-side" query vector (even ids < 40), the best "target
+    * side" (odd ids) match by cosine, scored by the margin criterion
+    * margin = cos₁ / mean(cos₁..cos₄) — accepted iff margin ≥ 9/8
+    * (a dyadic literal, exact in double on both engines; ≈ the
+    * observed median, so both branches are exercised). The mean is a
+    * FIXED association tree (c1+c2)+(c3+c4) — no float-summation-
+    * order ambiguity. Production form of parallel-corpus mining:
+    * the top-4 come from the ANN index instead of the brute pass;
+    * the margin algebra is unchanged. */
+  def bitextMarginMining(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val top = graft.ext.Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") % 2 === 1), col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 40),
+      col("vec_id"), col("embedding"), k = 4)
+    top.groupBy(col("query_id")).agg(
+        max(when(col("rank") === 1, col("nbr_id"))).as("nbr_id"),
+        max(when(col("rank") === 1, col("cosine"))).as("c1"),
+        max(when(col("rank") === 2, col("cosine"))).as("c2"),
+        max(when(col("rank") === 3, col("cosine"))).as("c3"),
+        max(when(col("rank") === 4, col("cosine"))).as("c4"))
+      .withColumn("margin", (lit(4.0) * col("c1")) /
+        ((col("c1") + col("c2")) + (col("c3") + col("c4"))))
+      .select(col("query_id"), col("nbr_id"), col("c1").as("cosine"),
+        col("margin"), (col("margin") >= lit(1.125)).as("accepted"))
+  }
+
+  /** Cluster-balanced diversity sample over the embedding corpus
+    * ([[graft.ext.Similarity.clusterBalancedSample]]): ≤24 vectors
+    * per seed cell in content-hash order. */
+  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Similarity.clusterBalancedSample(
+      Tables(spark, dir, "embeddings"), col("vec_id"), col("embedding"),
+      numCells = 16, cap = 24)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bitext_margin_mining" -> bitextMarginMining _,
+    "cluster_balanced_sample" -> clusterBalancedSample _,
     "lm_bigram_score" -> lmBigramScore _,
     "lm_holdout_perlang" -> lmHoldoutPerlang _,
     "lm_quality_filter" -> lmQualityFilter _,
@@ -196,6 +234,45 @@ object TrainQueries {
        |  FROM lm_q GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "bitext_margin_mining" ->
+      s"""WITH ${ExtQueries.vecCtes},
+         |bm_d AS (
+         |  SELECT c.vec_id AS nbr_id, q.vec_id AS query_id,
+         |    CAST(sum(CAST(c.x * q.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+         |  FROM comp c JOIN comp q
+         |    ON c.i = q.i AND q.vec_id % 2 = 0 AND q.vec_id < 40
+         |  WHERE c.vec_id % 2 = 1
+         |  GROUP BY 1, 2),
+         |bm_s AS (
+         |  SELECT query_id, nbr_id, dot / (nc.sn * nq.sn) AS cosine
+         |  FROM bm_d JOIN norms nc ON nc.vec_id = nbr_id
+         |  JOIN norms nq ON nq.vec_id = query_id),
+         |bm_r AS (
+         |  SELECT query_id, nbr_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, nbr_id ASC) AS r
+         |  FROM bm_s),
+         |bm_p AS (
+         |  SELECT query_id,
+         |    MAX(CASE WHEN r = 1 THEN nbr_id END) AS nbr_id,
+         |    MAX(CASE WHEN r = 1 THEN cosine END) AS c1,
+         |    MAX(CASE WHEN r = 2 THEN cosine END) AS c2,
+         |    MAX(CASE WHEN r = 3 THEN cosine END) AS c3,
+         |    MAX(CASE WHEN r = 4 THEN cosine END) AS c4
+         |  FROM bm_r WHERE r <= 4 GROUP BY 1)
+         |SELECT query_id, nbr_id, c1 AS cosine,
+         |  (CAST(4 AS DOUBLE) * c1) / ((c1 + c2) + (c3 + c4)) AS margin,
+         |  (CAST(4 AS DOUBLE) * c1) / ((c1 + c2) + (c3 + c4))
+         |    >= CAST(1.125 AS DOUBLE) AS accepted
+         |FROM bm_p""".stripMargin,
+    "cluster_balanced_sample" ->
+      s"""WITH ${ExtQueries.ivfAssignCtes},
+         |cbs_r AS (
+         |  SELECT nbr_id, cell_id,
+         |    row_number() OVER (PARTITION BY cell_id
+         |      ORDER BY md5(CAST(nbr_id AS VARCHAR)) ASC, nbr_id ASC) AS r
+         |  FROM cells)
+         |SELECT nbr_id, cell_id FROM cbs_r WHERE r <= 24""".stripMargin,
     "lm_bigram_score" ->
       s"""WITH $lmCtes
          |SELECT d.doc_id,

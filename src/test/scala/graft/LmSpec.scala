@@ -76,6 +76,24 @@ class LmSpec extends SparkSpec {
       col("effective_tokens") > col("n_tokens") * 4).count() === 0)
   }
 
+  test("cluster_balanced_sample respects the per-cell cap") {
+    val out = TrainQueries.clusterBalancedSample(spark, dir)
+    val per = out.groupBy("cell_id").count()
+    assert(per.filter(col("count") > 24).count() === 0)
+    assert(out.count() > 0)
+    // sampling never invents ids
+    val ids = Tables(spark, dir, "embeddings").select(col("vec_id"))
+    assert(out.join(ids, out("nbr_id") === ids("vec_id"), "left_anti")
+      .count() === 0)
+  }
+
+  test("bitext margin mining: margins >= 1, queries from even side") {
+    val out = TrainQueries.bitextMarginMining(spark, dir).collect()
+    assert(out.length > 0)
+    assert(out.forall(r => r.getDouble(3) >= 1.0))
+    assert(out.forall(r => r.getLong(0) % 2 == 0 && r.getLong(1) % 2 == 1))
+  }
+
   test("gates are non-vacuous on sf0.001") {
     assert(TrainQueries.lmBigramScore(spark, dir)
       .filter(col("n_bigrams") > 0).count() > 0)
