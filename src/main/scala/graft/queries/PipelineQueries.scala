@@ -954,7 +954,48 @@ object PipelineQueries {
     }
   }
 
+  /** Streaming LM scoring — the serving shape of [[graft.ext.Lm]]:
+    * the bigram model is trained BATCH-side (the two count frames stay
+    * static), and the document stream scores against it through
+    * stream-static left joins, aggregating per language in complete
+    * mode. The vocabulary size rides as a literal (one bounded batch
+    * scalar, like shuffleRank's partition counts) because a
+    * stream-static CROSS join of the 1-row frame is what it would
+    * replace. Distinct aggregates are unsupported on streams, so the
+    * gate surfaces (lang, n_bigrams, q_sum) and derives mean_p
+    * batch-side from the sink table. Same gate-only memory-sink
+    * caveat as [[streamWindowCounts]]. */
+  def streamLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val name = "stream_lm_score_sink"
+    onStreamSession(spark, 8) { s =>
+      val docs = graft.Tables(s, dir, "documents")
+      val big = graft.ext.Lm.seqBigrams(docs, col("doc_id"), col("text"))
+      val c12 = graft.ext.Lm.bigramCounts(big)
+      val c1 = graft.ext.Lm.contextCounts(c12)
+      val v = graft.ext.Lm.vocabSize(docs, col("text"))
+        .collect()(0).getLong(0)
+      val src = s.readStream.schema(schema).option("basePath", dir)
+        .parquet(s"$dir/documents*.parquet")
+      val scored = graft.ext.Lm
+        .seqBigrams(src, col("doc_id"), col("text"), carry = Seq("lang"))
+        .join(c12, Seq("w1", "w2"), "left_outer")
+        .join(c1, Seq("w1"), "left_outer")
+        .withColumn("q", expr(
+          s"((coalesce(c12, 0L) + 1L) * 1048576L) div (coalesce(c1, 0L) + ${v}L)"))
+      val agg = scored.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("q_sum"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name).withColumn("mean_p", col("q_sum").cast("double") /
+        (col("n_bigrams") * lit(1048576L)).cast("double"))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_lm_score" -> streamLmScore _,
     "stream_late_data" -> streamLateData _,
     "stream_outer_join" -> streamOuterJoin _,
     "stream_scd_type2" -> streamScdType2 _,
@@ -1162,6 +1203,37 @@ object PipelineQueries {
         |SELECT label, CAST(count(*) AS BIGINT) AS n,
         |  min(score) AS min_score, max(score) AS max_score
         |FROM scored GROUP BY label""".stripMargin,
+    // whole-corpus bigram model scored over the same corpus, per-lang
+    // roll-up — the stream sees every file, so the terminal complete-
+    // mode table equals the batch equivalent (graft.ext.Lm algebra)
+    "stream_lm_score" ->
+      """WITH sl_t AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sl_b AS (
+        |  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+        |  FROM sl_t,
+        |    LATERAL (SELECT unnest(range(1, greatest(length(t), 1))) AS i)),
+        |sl_c12 AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM sl_b GROUP BY 1, 2),
+        |sl_c1 AS (
+        |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM sl_c12
+        |  GROUP BY 1),
+        |sl_v AS (
+        |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        |  FROM (SELECT unnest(t) AS tok FROM sl_t) WHERE tok <> ''),
+        |sl_q AS (
+        |  SELECT b.lang,
+        |    CAST(((c12 + 1) * 1048576) // (c1 + v) AS BIGINT) AS q
+        |  FROM sl_b b JOIN sl_c12 USING (w1, w2) JOIN sl_c1 USING (w1),
+        |    sl_v)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(q) AS BIGINT) AS q_sum,
+        |  CAST(SUM(q) AS DOUBLE)
+        |    / CAST(count(*) * 1048576 AS BIGINT) AS mean_p
+        |FROM sl_q GROUP BY 1""".stripMargin,
     // HashedLinearScorer algebra (see ExtQueries.textModelScoreLinearSql)
     // reduced per label with order-independent aggregates only
     "stream_model_score" ->

@@ -192,7 +192,39 @@ object TrainQueries {
       Tables(spark, dir, "embeddings"), col("vec_id"), col("embedding"),
       numCells = 16, cap = 24)
 
+  /** Quality-signal ensemble: three independent integer votes per
+    * document — LM fluency (the [[lmQualityFilter]] predicate),
+    * length (≥ 30 tokens), and bigram diversity (distinct/total
+    * bigrams ≥ 15/16, the repetition guard) — rolled up as a
+    * (lang, votes) histogram. The production keep rule is votes ≥ 2;
+    * surfacing the full histogram keeps the gate informative about
+    * how the signals overlap rather than just the final count.
+    * Every vote is pure integer algebra, so the composition
+    * hash-gates. */
+  def qualityEnsembleGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val per = Lm.scoreDocs(docs, col("doc_id"), col("text"))
+    val div = Lm.seqBigrams(docs, col("doc_id"), col("text"))
+      .groupBy(col("id"))
+      .agg(count_distinct(concat_ws(" ", col("w1"), col("w2")))
+        .as("nd"))
+    val base = docs.select(col("doc_id").as("id"), col("lang"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+    base.join(per, Seq("id")).join(div, Seq("id"), "left_outer")
+      .withColumn("votes",
+        when(col("n_bigrams") > 0 &&
+          col("q_sum") >= col("n_bigrams") * lit(35840L), 1L)
+          .otherwise(0L) +
+        when(col("n_tok") >= 30, 1L).otherwise(0L) +
+        when(coalesce(col("nd"), lit(0L)) * 16 >=
+          col("n_bigrams") * 15 && col("n_bigrams") > 0, 1L)
+          .otherwise(0L))
+      .groupBy(col("lang"), col("votes"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_ensemble_gate" -> qualityEnsembleGate _,
     "bitext_margin_mining" -> bitextMarginMining _,
     "cluster_balanced_sample" -> clusterBalancedSample _,
     "lm_bigram_score" -> lmBigramScore _,
@@ -234,6 +266,28 @@ object TrainQueries {
        |  FROM lm_q GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "quality_ensemble_gate" ->
+      s"""WITH $lmCtes,
+         |qe_d AS (
+         |  SELECT doc_id,
+         |    CAST(count(DISTINCT w1 || ' ' || w2) AS BIGINT) AS nd
+         |  FROM lm_b GROUP BY 1),
+         |qe_n AS (
+         |  SELECT doc_id, CAST(length(t) AS BIGINT) AS n_tok
+         |  FROM lm_t)
+         |SELECT d.lang,
+         |  CAST((CASE WHEN p.n IS NOT NULL AND p.q_sum >= p.n * 35840
+         |      THEN 1 ELSE 0 END)
+         |    + (CASE WHEN n.n_tok >= 30 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN p.n IS NOT NULL
+         |        AND COALESCE(dd.nd, 0) * 16 >= p.n * 15
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS votes,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM documents d
+         |JOIN qe_n n USING (doc_id)
+         |LEFT JOIN lm_per p USING (doc_id)
+         |LEFT JOIN qe_d dd USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
     "bitext_margin_mining" ->
       s"""WITH ${ExtQueries.vecCtes},
          |bm_d AS (

@@ -94,6 +94,32 @@ class LmSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(0) % 2 == 0 && r.getLong(1) % 2 == 1))
   }
 
+  test("quality ensemble: votes in 0..3, multiple levels populated") {
+    val out = TrainQueries.qualityEnsembleGate(spark, dir)
+    assert(out.filter(col("votes") < 0 || col("votes") > 3).count() === 0)
+    assert(out.select("votes").distinct().count() >= 2)
+    val total = out.agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(total === Tables(spark, dir, "documents").count())
+  }
+
+  test("stream_lm_score equals the batch per-lang roll-up") {
+    import graft.ext.Lm
+    val docs = Tables(spark, dir, "documents")
+    val big = Lm.seqBigrams(docs, col("doc_id"), col("text"),
+      carry = Seq("lang"))
+    val c12 = Lm.bigramCounts(big)
+    val batch = Lm.scoreBigrams(big, c12, Lm.contextCounts(c12),
+        Lm.vocabSize(docs, col("text")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("q_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val stream = graft.queries.PipelineQueries.streamLmScore(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(stream === batch)
+  }
+
   test("gates are non-vacuous on sf0.001") {
     assert(TrainQueries.lmBigramScore(spark, dir)
       .filter(col("n_bigrams") > 0).count() > 0)
