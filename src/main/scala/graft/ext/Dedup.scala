@@ -1141,4 +1141,54 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Cross-release corpus diff: classify every INCOMING document
+    * against the STANDING corpus as `exact` (byte-identical content
+    * already present), `near` (n-gram Jaccard ≥ `threshold` to some
+    * standing doc), or `new`. The ops report behind accepting a crawl
+    * delta: how much of the new release is actually new.
+    *
+    * Shape: the exact tier is one semi-join on content fingerprints;
+    * the near tier is a CROSS-SET gram join (standing grams × incoming
+    * grams — never standing×standing, so absorbing a small delta
+    * against a huge standing corpus costs |delta|-proportional
+    * candidates). At 100 TB the cross-set join runs behind the same
+    * prefix-filter/LSH candidate generators as [[ngramJaccardPairs]] /
+    * [[incrementalLshDedup]]; the exact gram intersection here is the
+    * verification-grade tier, applied to the delta only. Output:
+    * (id, class) for incoming docs. */
+  def releaseDiff(docs: DataFrame, id: Column, text: Column,
+      incomingPred: Column, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val base = graft.Tables.materialize(
+      docs.select(id.as("id"), text.as("text"), incomingPred.as("inc")))
+    val g = graft.Tables.materialize(
+      shingles(base, col("id"), col("text"), n)
+        .join(base.select(col("id"), col("inc")), "id"))
+    val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = g.filter(!col("inc"))
+      .select(col("id").as("sid"), col("gram"))
+      .join(g.filter(col("inc")).select(col("id").as("iid"), col("gram")),
+        "gram")
+      .groupBy(col("sid"), col("iid")).agg(count(lit(1)).as("inter"))
+    val near = inter
+      .join(sizes.select(col("id").as("sid"), col("sz").as("sz1")), "sid")
+      .join(sizes.select(col("id").as("iid"), col("sz").as("sz2")), "iid")
+      .filter(col("inter").cast("double") /
+        (col("sz1") + col("sz2") - col("inter")).cast("double")
+        >= threshold)
+      .select(col("iid").as("id")).distinct()
+      .withColumn("is_near", lit(1L))
+    val standingFp = base.filter(!col("inc"))
+      .select(md5(col("text")).as("fp")).distinct()
+      .withColumn("is_exact", lit(1L))
+    base.filter(col("inc"))
+      .select(col("id"), md5(col("text")).as("fp"))
+      .join(standingFp, Seq("fp"), "left_outer")
+      .join(near, Seq("id"), "left_outer")
+      .select(col("id"),
+        when(col("is_exact") === 1, "exact")
+          .when(col("is_near") === 1, "near")
+          .otherwise("new").as("class"))
+  }
 }

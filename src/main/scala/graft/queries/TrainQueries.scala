@@ -223,7 +223,23 @@ object TrainQueries {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Cross-release corpus diff ([[graft.ext.Dedup.releaseDiff]]):
+    * incoming quarter (doc_id % 4 == 3) classified against the
+    * standing three quarters as exact / near (3-gram Jaccard ≥ 0.5) /
+    * new, rolled up per (lang, class). The exact tier is empty on this
+    * corpus (no byte dups at sf0.01) — its firing is pinned by
+    * LmSpec's synthetic-frame test instead. */
+  def releaseNeardupDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    graft.ext.Dedup.releaseDiff(docs, col("doc_id"), col("text"),
+        col("doc_id") % 4 === 3)
+      .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      .groupBy(col("lang"), col("class"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "release_neardup_diff" -> releaseNeardupDiff _,
     "quality_ensemble_gate" -> qualityEnsembleGate _,
     "bitext_margin_mining" -> bitextMarginMining _,
     "cluster_balanced_sample" -> clusterBalancedSample _,
@@ -266,6 +282,42 @@ object TrainQueries {
        |  FROM lm_q GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "release_neardup_diff" ->
+      """WITH rd_t AS (
+        |  SELECT doc_id, lang, text, doc_id % 4 = 3 AS inc
+        |  FROM documents),
+        |rd_g AS (
+        |  SELECT DISTINCT doc_id AS id, inc,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |  FROM (SELECT doc_id, inc,
+        |          string_split_regex(trim(text), '\s+') AS t FROM rd_t),
+        |    LATERAL (SELECT unnest(range(1, greatest(length(t) - 1, 1)))
+        |             AS i)),
+        |rd_sz AS (SELECT id, count(*) AS sz FROM rd_g GROUP BY 1),
+        |rd_i AS (
+        |  SELECT a.id AS sid, b.id AS iid, count(*) AS inter
+        |  FROM rd_g a JOIN rd_g b ON a.gram = b.gram
+        |  WHERE NOT a.inc AND b.inc
+        |  GROUP BY 1, 2),
+        |rd_near AS (
+        |  SELECT DISTINCT iid AS id FROM rd_i
+        |  JOIN rd_sz s1 ON s1.id = sid
+        |  JOIN rd_sz s2 ON s2.id = iid
+        |  WHERE CAST(inter AS DOUBLE)
+        |    / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.5),
+        |rd_fp AS (
+        |  SELECT DISTINCT md5(text) AS fp FROM rd_t WHERE NOT inc),
+        |rd_cls AS (
+        |  SELECT t.doc_id, t.lang,
+        |    CASE WHEN e.fp IS NOT NULL THEN 'exact'
+        |      WHEN nn.id IS NOT NULL THEN 'near'
+        |      ELSE 'new' END AS class
+        |  FROM rd_t t
+        |  LEFT JOIN rd_fp e ON md5(t.text) = e.fp
+        |  LEFT JOIN rd_near nn ON nn.id = t.doc_id
+        |  WHERE t.inc)
+        |SELECT lang, class, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM rd_cls GROUP BY 1, 2""".stripMargin,
     "quality_ensemble_gate" ->
       s"""WITH $lmCtes,
          |qe_d AS (

@@ -120,6 +120,23 @@ class LmSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("releaseDiff classifies exact, near, and new correctly") {
+    import graft.ext.Dedup
+    // standing: ids 0,1; incoming: 3 (exact copy of 0), 7 (near of 1),
+    // 11 (unrelated). incomingPred = id % 4 == 3.
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "p q r s t u v w"),
+      (3L, "a b c d e f g h"),          // exact dup of 0
+      (7L, "p q r s t u v x"),          // near dup of 1 (J >= 0.5)
+      (11L, "z1 z2 z3 z4 z5 z6 z7 z8")) // new
+      .toDF("doc_id", "text")
+    val out = Dedup.releaseDiff(docs, col("doc_id"), col("text"),
+      col("doc_id") % 4 === 3).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out === Map(3L -> "exact", 7L -> "near", 11L -> "new"))
+  }
+
   test("gates are non-vacuous on sf0.001") {
     assert(TrainQueries.lmBigramScore(spark, dir)
       .filter(col("n_bigrams") > 0).count() > 0)
