@@ -89,7 +89,10 @@ object Lm {
     * bigrams. Every input doc appears (0-bigram docs carry n=0,
     * q_sum=0, mean_p NULL). */
   def scoreDocs(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val big = seqBigrams(docs, id, text)
+    // the bigram explosion feeds BOTH the model aggregation and the
+    // scoring join — materialize so it runs once (house rule: eager
+    // fill, lazy caches under one job serialize on block locks)
+    val big = graft.Tables.materialize(seqBigrams(docs, id, text))
     val c12 = bigramCounts(big)
     val scored = scoreBigrams(big, c12, contextCounts(c12),
       vocabSize(docs, text))

@@ -971,8 +971,10 @@ object PipelineQueries {
     onStreamSession(spark, 8) { s =>
       val docs = graft.Tables(s, dir, "documents")
       val big = graft.ext.Lm.seqBigrams(docs, col("doc_id"), col("text"))
-      val c12 = graft.ext.Lm.bigramCounts(big)
-      val c1 = graft.ext.Lm.contextCounts(c12)
+      // static model frames are re-executed per micro-batch by the
+      // stream-static joins — materialize both once
+      val c12 = graft.Tables.materialize(graft.ext.Lm.bigramCounts(big))
+      val c1 = graft.Tables.materialize(graft.ext.Lm.contextCounts(c12))
       val v = graft.ext.Lm.vocabSize(docs, col("text"))
         .collect()(0).getLong(0)
       val src = s.readStream.schema(schema).option("basePath", dir)

@@ -49,8 +49,9 @@ object TrainQueries {
     * it). */
   def lmHoldoutPerlang(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val big = Lm.seqBigrams(docs, col("doc_id"), col("text"),
-      carry = Seq("lang"))
+    val big = graft.Tables.materialize(
+      Lm.seqBigrams(docs, col("doc_id"), col("text"),
+        carry = Seq("lang")))
     val c12 = Lm.bigramCounts(big.filter(col("id") % 2 === 0))
     val scored = Lm.scoreBigrams(big.filter(col("id") % 2 === 1),
       c12, Lm.contextCounts(c12),
@@ -203,22 +204,28 @@ object TrainQueries {
     * hash-gates. */
   def qualityEnsembleGate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val per = Lm.scoreDocs(docs, col("doc_id"), col("text"))
-    val div = Lm.seqBigrams(docs, col("doc_id"), col("text"))
+    // ONE materialized bigram explosion feeds model training, LM
+    // scoring, and the diversity count; per-doc stats come out of a
+    // single aggregation pass over the scored stream.
+    val big = graft.Tables.materialize(
+      Lm.seqBigrams(docs, col("doc_id"), col("text")))
+    val c12 = Lm.bigramCounts(big)
+    val per = Lm.scoreBigrams(big, c12, Lm.contextCounts(c12),
+        Lm.vocabSize(docs, col("text")))
       .groupBy(col("id"))
-      .agg(count_distinct(concat_ws(" ", col("w1"), col("w2")))
-        .as("nd"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("q_sum"),
+        count_distinct(concat_ws(" ", col("w1"), col("w2"))).as("nd"))
     val base = docs.select(col("doc_id").as("id"), col("lang"),
       size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
-    base.join(per, Seq("id")).join(div, Seq("id"), "left_outer")
+    base.join(per, Seq("id"), "left_outer")
       .withColumn("votes",
         when(col("n_bigrams") > 0 &&
           col("q_sum") >= col("n_bigrams") * lit(35840L), 1L)
           .otherwise(0L) +
         when(col("n_tok") >= 30, 1L).otherwise(0L) +
         when(coalesce(col("nd"), lit(0L)) * 16 >=
-          col("n_bigrams") * 15 && col("n_bigrams") > 0, 1L)
-          .otherwise(0L))
+          col("n_bigrams") * 15 && coalesce(col("n_bigrams"), lit(0L)) > 0,
+          1L).otherwise(0L))
       .groupBy(col("lang"), col("votes"))
       .agg(count(lit(1)).as("n_docs"))
   }

@@ -22,6 +22,8 @@ class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
       graft.queries.CorpusQueries.oracleSql.keySet),
     "Lake" -> (graft.queries.LakeQueries.queries.keySet,
       graft.queries.LakeQueries.oracleSql.keySet),
+    "Train" -> (graft.queries.TrainQueries.queries.keySet,
+      graft.queries.TrainQueries.oracleSql.keySet),
     "Tpch" -> (graft.queries.TpchQueries.queries.keySet,
       graft.queries.TpchQueries.oracleSql.keySet))
 
