@@ -1804,7 +1804,7 @@ object ExtQueries {
        |      ELSE 0.0 END) * 4.0, 1.0) * 0.2, 6) AS quality
        |FROM documents""".stripMargin
 
-  private val langScoreExprs = TextFunctions.LangMarkers.map { case (lang, ms) =>
+  private[queries] val langScoreExprs = TextFunctions.LangMarkers.map { case (lang, ms) =>
     val list = ms.map(m => s"'$m'").mkString(", ")
     lang -> s"len(list_filter($toks, t -> lower(t) IN ($list)))"
   }

@@ -245,7 +245,107 @@ object TrainQueries {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Quality-bucketed curriculum: LM fluency (integer floor of the
+    * mean quantized transition probability, [[Lm.scoreDocs]]) cut at
+    * its quartiles, buckets walked MOST-fluent-first with a
+    * deterministic hash shuffle inside each — [[CorpusQueries
+    * .curriculumOrder]]'s machinery (range-partition rank, no global
+    * window) keyed on a learned quality signal instead of length. */
+  def curriculumByQuality(spark: SparkSession, dir: String): DataFrame = {
+    val per = Lm.scoreDocs(Tables(spark, dir, "documents"),
+        col("doc_id"), col("text"))
+      .select(col("id"),
+        when(col("n_bigrams") > 0, expr("q_sum div n_bigrams"))
+          .otherwise(0L).as("flu"),
+        md5(concat(lit("cq|"), col("id").cast("string"))).as("_h"))
+    val cuts = per.agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY flu)").as("_c1"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY flu)").as("_c2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY flu)").as("_c3"))
+    val bucketed = per.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        (lit(1) + (col("flu") > col("_c1")).cast("int")
+          + (col("flu") > col("_c2")).cast("int")
+          + (col("flu") > col("_c3")).cast("int")).cast("long"))
+      .drop("_c1", "_c2", "_c3")
+      .withColumn("_ord", -col("bucket"))
+    graft.ext.Corpus.globalOrderRank(bucketed, 32,
+        col("_ord"), col("_h"), col("id"))
+      .select(col("id"), col("flu"), col("bucket"),
+        col("_rank").as("curriculum_pos"))
+  }
+
+  /** Vocabulary growth curve (Heaps'-law audit): documents split into
+    * 4 hash strata; for each cumulative prefix k, the distinct-token
+    * vocabulary and the NEW tokens stratum k contributes. Computed
+    * with one min-stratum aggregate per token (no per-prefix rescan —
+    * the trick that makes the curve one pass at any corpus size); the
+    * cumulative roll-up window runs over exactly 4 rows. */
+  def vocabGrowthCurve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        (TextFunctions.hash32(col("doc_id").cast("string")) % 4).as("k"))
+    val tok = docs.select(col("k"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val newT = tok.groupBy(col("tok")).agg(min(col("k")).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("new_tokens"))
+    val nDocs = docs.groupBy(col("k")).agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nDocs.join(newT, Seq("k"), "left_outer")
+      .withColumn("new_tokens", coalesce(col("new_tokens"), lit(0L)))
+      .withColumn("n_docs_cum", sum(col("n_docs")).over(w))
+      .withColumn("vocab_cum", sum(col("new_tokens")).over(w))
+      .select(col("k"), col("n_docs_cum"), col("vocab_cum"),
+        col("new_tokens"))
+  }
+
+  /** Held-out n-gram coverage (generalization-gap proxy): what
+    * fraction of the test split's 3-gram OCCURRENCES (and distinct
+    * types) appear in the train split's gram vocabulary, per
+    * language. The structural complement of `split_leakage_audit`:
+    * leakage measures what should NOT cross the split, coverage
+    * measures what a model trained on one half has even seen of the
+    * other. */
+  def ngramCoverageAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val t = TextFunctions.tokens(col("text"))
+    val grams = docs.select(col("doc_id"), col("lang"),
+        explode(when(size(t) >= 3,
+          transform(sequence(lit(1), size(t) - 2),
+            i => concat_ws(" ", slice(t, i, lit(3)))))
+          .otherwise(array())).as("gram"))
+    val trainSet = grams.filter(col("doc_id") % 2 === 0)
+      .select(col("gram")).distinct().withColumn("hit", lit(1L))
+    grams.filter(col("doc_id") % 2 === 1)
+      .join(trainSet, Seq("gram"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_covered"),
+        count_distinct(col("gram")).as("n_types"),
+        count_distinct(when(col("hit") === 1, col("gram")))
+          .as("n_types_covered"))
+      .withColumn("coverage",
+        col("n_covered").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Language-ID confusion matrix: the n-gram-marker heuristic
+    * ([[TextFunctions.langId]], gated standalone as `text_langid`)
+    * evaluated against the table's lang labels — the quality eval a
+    * pipeline runs before trusting a classifier to route documents. */
+  def langConfusionAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("lang"),
+        TextFunctions.langId(col("text")).as("lang_guess"))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n_docs"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curriculum_by_quality" -> curriculumByQuality _,
+    "vocab_growth_curve" -> vocabGrowthCurve _,
+    "ngram_coverage_audit" -> ngramCoverageAudit _,
+    "lang_confusion_audit" -> langConfusionAudit _,
     "release_neardup_diff" -> releaseNeardupDiff _,
     "quality_ensemble_gate" -> qualityEnsembleGate _,
     "bitext_margin_mining" -> bitextMarginMining _,
@@ -288,7 +388,98 @@ object TrainQueries {
        |    CAST(SUM(q) AS BIGINT) AS q_sum
        |  FROM lm_q GROUP BY 1)""".stripMargin
 
+  // langId's score/argmax algebra rebuilt from the shared expr list so
+  // the confusion matrix can never drift from the text_langid gate
+  private val lcParts = {
+    val scoreCols = ExtQueries.langScoreExprs
+      .map { case (l, e) => s"  $e AS score_$l" }.mkString(",\n")
+    val best = ExtQueries.langScoreExprs.map { case (l, _) => s"score_$l" }
+      .reduceRight((a, b) => s"greatest($a, $b)")
+    val guess = ExtQueries.langScoreExprs.reverse
+      .foldLeft("'und'") { case (els, (l, _)) =>
+        s"CASE WHEN score_$l = best AND score_$l > 0 THEN '$l' ELSE $els END"
+      }
+    (scoreCols, best, guess)
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "curriculum_by_quality" ->
+      s"""WITH $lmCtes,
+         |cq_s AS (
+         |  SELECT d.doc_id AS id,
+         |    CAST(COALESCE(p.q_sum // p.n, 0) AS BIGINT) AS flu,
+         |    md5('cq|' || CAST(d.doc_id AS VARCHAR)) AS h
+         |  FROM documents d LEFT JOIN lm_per p USING (doc_id)),
+         |cq_c AS (
+         |  SELECT
+         |    percentile_disc(0.25) WITHIN GROUP (ORDER BY flu) AS c1,
+         |    percentile_disc(0.5)  WITHIN GROUP (ORDER BY flu) AS c2,
+         |    percentile_disc(0.75) WITHIN GROUP (ORDER BY flu) AS c3
+         |  FROM cq_s),
+         |cq_b AS (
+         |  SELECT id, flu,  h,
+         |    CAST(1 + CAST(flu > c1 AS INT)
+         |           + CAST(flu > c2 AS INT)
+         |           + CAST(flu > c3 AS INT) AS BIGINT) AS bucket
+         |  FROM cq_s CROSS JOIN cq_c)
+         |SELECT id, flu, bucket,
+         |  row_number() OVER (ORDER BY bucket DESC, h, id) - 1
+         |    AS curriculum_pos
+         |FROM cq_b""".stripMargin,
+    "vocab_growth_curve" ->
+      s"""WITH vg_d AS (
+         |  SELECT doc_id, text,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      % 4 AS k
+         |  FROM documents),
+         |vg_t AS (
+         |  SELECT k, tok FROM (
+         |    SELECT k, unnest(${ExtQueries.toks}) AS tok FROM vg_d)
+         |  WHERE tok <> ''),
+         |vg_m AS (SELECT tok, MIN(k) AS k FROM vg_t GROUP BY 1),
+         |vg_n AS (SELECT k, CAST(count(*) AS BIGINT) AS new_tokens
+         |         FROM vg_m GROUP BY 1),
+         |vg_c AS (SELECT k, CAST(count(*) AS BIGINT) AS n_docs
+         |         FROM vg_d GROUP BY 1)
+         |SELECT c.k,
+         |  CAST(SUM(c.n_docs) OVER (ORDER BY c.k
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS n_docs_cum,
+         |  CAST(SUM(COALESCE(n.new_tokens, 0)) OVER (ORDER BY c.k
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS vocab_cum,
+         |  CAST(COALESCE(n.new_tokens, 0) AS BIGINT) AS new_tokens
+         |FROM vg_c c LEFT JOIN vg_n n ON n.k = c.k""".stripMargin,
+    "ngram_coverage_audit" ->
+      s"""WITH nc_g AS (
+         |  SELECT doc_id, lang,
+         |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+         |  FROM (SELECT doc_id, lang, ${ExtQueries.toks} AS t FROM documents),
+         |    LATERAL (SELECT unnest(range(1, greatest(length(t) - 1, 1)))
+         |             AS i)),
+         |nc_tr AS (SELECT DISTINCT gram FROM nc_g WHERE doc_id % 2 = 0),
+         |nc_te AS (
+         |  SELECT g.lang, g.gram, (t.gram IS NOT NULL) AS hit
+         |  FROM nc_g g LEFT JOIN nc_tr t USING (gram)
+         |  WHERE g.doc_id % 2 = 1)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_covered,
+         |  CAST(count(DISTINCT gram) AS BIGINT) AS n_types,
+         |  CAST(count(DISTINCT CASE WHEN hit THEN gram END) AS BIGINT)
+         |    AS n_types_covered,
+         |  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS BIGINT) AS coverage
+         |FROM nc_te GROUP BY 1""".stripMargin,
+    "lang_confusion_audit" ->
+      s"""WITH lc_s AS (
+         |SELECT doc_id, lang,
+         |${lcParts._1}
+         |FROM documents),
+         |lc_b AS (SELECT *, ${lcParts._2} AS best FROM lc_s)
+         |SELECT lang, ${lcParts._3} AS lang_guess,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM lc_b GROUP BY 1, 2""".stripMargin,
     "release_neardup_diff" ->
       """WITH rd_t AS (
         |  SELECT doc_id, lang, text, doc_id % 4 = 3 AS inc

@@ -137,6 +137,42 @@ class LmSpec extends SparkSpec {
     assert(out === Map(3L -> "exact", 7L -> "near", 11L -> "new"))
   }
 
+  test("curriculum_by_quality: dense 0-based rank, buckets walked desc") {
+    val out = TrainQueries.curriculumByQuality(spark, dir)
+      .select("curriculum_pos", "bucket").collect()
+      .map(r => (r.getLong(1), r.getLong(0))).sortBy(_._2)
+    assert(out.map(_._2).toSeq === out.indices.map(_.toLong))
+    // bucket sequence along the curriculum is non-increasing
+    assert(out.map(_._1).sliding(2).forall(p =>
+      p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("vocab_growth_curve is monotone and ends at the full vocab") {
+    val out = TrainQueries.vocabGrowthCurve(spark, dir)
+      .orderBy("k").collect()
+    val vocab = out.map(_.getLong(2))
+    assert(vocab.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    val full = Tables(spark, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("tok"))
+      .filter(col("tok") =!= "").distinct().count()
+    assert(vocab.last === full)
+    assert(out.map(_.getLong(3)).sum === full)
+  }
+
+  test("ngram coverage and confusion audits are internally consistent") {
+    val cov = TrainQueries.ngramCoverageAudit(spark, dir).collect()
+    assert(cov.nonEmpty)
+    assert(cov.forall(r => r.getLong(2) <= r.getLong(1) &&
+      r.getLong(4) <= r.getLong(3)))
+    val conf = TrainQueries.langConfusionAudit(spark, dir)
+    assert(conf.agg(sum("n_docs")).collect()(0).getLong(0) ===
+      Tables(spark, dir, "documents").count())
+    val codes = Set("en", "de", "es", "fr", "zh", "und")
+    assert(conf.select("lang_guess").distinct().collect()
+      .forall(r => codes(r.getString(0))))
+  }
+
   test("gates are non-vacuous on sf0.001") {
     assert(TrainQueries.lmBigramScore(spark, dir)
       .filter(col("n_bigrams") > 0).count() > 0)
