@@ -85,6 +85,27 @@ object Lm {
       .withColumn("q", expr(
         "((coalesce(c12, 0L) + 1L) * 1048576L) div (coalesce(c1, 0L) + v)"))
 
+  /** Merge a delta batch's counts into a persisted count frame: count
+    * frames are mergeable monoids (rows add by key), so absorbing a
+    * batch is one union + re-aggregate over the STORED ROWS + delta —
+    * the standing corpus is never re-tokenized, and by associativity
+    * of counting the merged model is bit-equal to a full retrain on
+    * the union (the property the `lm_incremental_update` gate pins:
+    * its oracle retrains from scratch). Works for any (keys..., count)
+    * frame — bigram counts and token counts alike. */
+  def mergeCounts(stored: DataFrame, delta: DataFrame,
+      keys: Seq[String], cnt: String): DataFrame =
+    stored.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(cnt)).as(cnt))
+
+  /** Token-occurrence counts (the vocabulary frame — its row count is
+    * V; mergeable with [[mergeCounts]]). */
+  def tokenCounts(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(TextFunctions.tokens(text)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+
   /** Per-document score: bigram count and Σq over the doc's sequential
     * bigrams. Every input doc appears (0-bigram docs carry n=0,
     * q_sum=0, mean_p NULL). */

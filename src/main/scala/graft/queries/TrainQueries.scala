@@ -341,7 +341,44 @@ object TrainQueries {
       .groupBy(col("lang"), col("lang_guess"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Incremental LM-model update — the model-maintenance lifecycle
+    * gate ([[Lm.mergeCounts]]), the LM twin of `ann_ivf_append` /
+    * `lsh_index_compact`: the standing corpus's count frames (bigrams
+    * + vocabulary) are PERSISTED to parquet; an incoming batch
+    * (doc_id ≡ 0 mod 3) is absorbed by merging its delta counts into
+    * the stored rows — the standing corpus is never re-tokenized.
+    * The merged model then scores the incoming docs per language. The
+    * oracle retrains from scratch on the union, which is bit-equal
+    * precisely because counting is associative; any model state
+    * beyond pure counts (e.g. stored probabilities) would fail the
+    * hash here — counts are the mergeable representation. */
+  def lmIncrementalUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val standing = docs.filter(col("doc_id") % 3 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 3 === 0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_lm_model").toString
+    Lm.bigramCounts(Lm.seqBigrams(standing, col("doc_id"), col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/bigrams")
+    Lm.tokenCounts(standing, col("text"))
+      .write.mode("overwrite").parquet(s"$tmp/vocab")
+    val incBig = graft.Tables.materialize(
+      Lm.seqBigrams(incoming, col("doc_id"), col("text"),
+        carry = Seq("lang")))
+    val c12 = Lm.mergeCounts(spark.read.parquet(s"$tmp/bigrams"),
+      Lm.bigramCounts(incBig), Seq("w1", "w2"), "c12")
+    val vocab = Lm.mergeCounts(spark.read.parquet(s"$tmp/vocab"),
+      Lm.tokenCounts(incoming, col("text")), Seq("tok"), "n")
+    val v = vocab.agg(count(lit(1)).as("v"))
+    Lm.scoreBigrams(incBig, c12, Lm.contextCounts(c12), v)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("q_sum"))
+      .withColumn("mean_p", col("q_sum").cast("double") /
+        (col("n_bigrams") * lit(1048576L)).cast("double"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_incremental_update" -> lmIncrementalUpdate _,
     "curriculum_by_quality" -> curriculumByQuality _,
     "vocab_growth_curve" -> vocabGrowthCurve _,
     "ngram_coverage_audit" -> ngramCoverageAudit _,
@@ -403,6 +440,35 @@ object TrainQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "lm_incremental_update" ->
+      """WITH li_t AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |li_b AS (
+        |  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+        |  FROM li_t,
+        |    LATERAL (SELECT unnest(range(1, greatest(length(t), 1))) AS i)),
+        |li_c12 AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM li_b GROUP BY 1, 2),
+        |li_c1 AS (
+        |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM li_c12
+        |  GROUP BY 1),
+        |li_v AS (
+        |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        |  FROM (SELECT unnest(t) AS tok FROM li_t) WHERE tok <> ''),
+        |li_q AS (
+        |  SELECT b.lang,
+        |    CAST(((c12 + 1) * 1048576) // (c1 + v) AS BIGINT) AS q
+        |  FROM li_b b JOIN li_c12 USING (w1, w2) JOIN li_c1 USING (w1),
+        |    li_v
+        |  WHERE b.doc_id % 3 = 0)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(q) AS BIGINT) AS q_sum,
+        |  CAST(SUM(q) AS DOUBLE)
+        |    / CAST(count(*) * 1048576 AS BIGINT) AS mean_p
+        |FROM li_q GROUP BY 1""".stripMargin,
     "curriculum_by_quality" ->
       s"""WITH $lmCtes,
          |cq_s AS (

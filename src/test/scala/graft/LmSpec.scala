@@ -173,6 +173,24 @@ class LmSpec extends SparkSpec {
       .forall(r => codes(r.getString(0))))
   }
 
+  test("mergeCounts equals a recount on the union") {
+    import graft.ext.Lm
+    val a = Seq((10L, "x y x"), (11L, "y x")).toDF("doc_id", "text")
+    val b = Seq((12L, "x y")).toDF("doc_id", "text")
+    val union = a.unionByName(b)
+    val merged = Lm.mergeCounts(
+      Lm.bigramCounts(Lm.seqBigrams(a, col("doc_id"), col("text"))),
+      Lm.bigramCounts(Lm.seqBigrams(b, col("doc_id"), col("text"))),
+      Seq("w1", "w2"), "c12")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getLong(2))).toMap
+    val full = Lm.bigramCounts(
+      Lm.seqBigrams(union, col("doc_id"), col("text")))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getLong(2))).toMap
+    assert(merged === full)
+  }
+
   test("gates are non-vacuous on sf0.001") {
     assert(TrainQueries.lmBigramScore(spark, dir)
       .filter(col("n_bigrams") > 0).count() > 0)
