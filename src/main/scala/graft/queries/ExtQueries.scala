@@ -2819,7 +2819,7 @@ object ExtQueries {
   // mirrors Dedup.winnowPairs: distinct (doc, hash), df cap in [2,64],
   // co-grouped self-join, shared-count floor of 2; shared by
   // winnow_pairs and winnow_dedup_cc
-  private val winnowPairCtes =
+  private[queries] val winnowPairCtes =
     s"""$winnowCtes,
        |wf_d AS (SELECT DISTINCT doc_id, fp_hash FROM wf_fp),
        |wf_keep AS (

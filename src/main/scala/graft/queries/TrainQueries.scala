@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -202,11 +202,14 @@ object TrainQueries {
     * how the signals overlap rather than just the final count.
     * Every vote is pure integer algebra, so the composition
     * hash-gates. */
-  def qualityEnsembleGate(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document ensemble votes (0..3) — the shared substrate of
+    * [[qualityEnsembleGate]] and [[qualityLabelPropagation]]. ONE
+    * materialized bigram explosion feeds model training, LM scoring,
+    * and the diversity count; per-doc stats come out of a single
+    * aggregation pass over the scored stream. Output
+    * (id, lang, votes). */
+  private def ensembleVotes(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    // ONE materialized bigram explosion feeds model training, LM
-    // scoring, and the diversity count; per-doc stats come out of a
-    // single aggregation pass over the scored stream.
     val big = graft.Tables.materialize(
       Lm.seqBigrams(docs, col("doc_id"), col("text")))
     val c12 = Lm.bigramCounts(big)
@@ -218,16 +221,57 @@ object TrainQueries {
     val base = docs.select(col("doc_id").as("id"), col("lang"),
       size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
     base.join(per, Seq("id"), "left_outer")
-      .withColumn("votes",
-        when(col("n_bigrams") > 0 &&
+      .select(col("id"), col("lang"),
+        (when(col("n_bigrams") > 0 &&
           col("q_sum") >= col("n_bigrams") * lit(35840L), 1L)
           .otherwise(0L) +
         when(col("n_tok") >= 30, 1L).otherwise(0L) +
         when(coalesce(col("nd"), lit(0L)) * 16 >=
           col("n_bigrams") * 15 && coalesce(col("n_bigrams"), lit(0L)) > 0,
-          1L).otherwise(0L))
+          1L).otherwise(0L)).as("votes"))
+  }
+
+  def qualityEnsembleGate(spark: SparkSession, dir: String): DataFrame =
+    ensembleVotes(spark, dir)
       .groupBy(col("lang"), col("votes"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** Semi-supervised quality labeling: the ensemble's confident docs
+    * seed ±1 labels (votes==3 → +1, votes≤1 → −1, else 0) and two
+    * fixed integer propagation rounds push them through the winnowing
+    * near-dup pair graph (`winnow_pairs`' exact parameters):
+    * score_{t+1}(v) = 2·seed(v) + Σ_{u∼v} sign(score_t(u)). All
+    * integer, so the oracle unrolls the two rounds exactly. The
+    * pipeline trick this encodes: quality judgments transfer across
+    * near-duplicates, so a cheap classifier on a confident subset
+    * labels the duplicated tail for free. */
+  def qualityLabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val seeds = graft.Tables.materialize(
+      ensembleVotes(spark, dir).select(col("id"), col("lang"),
+        when(col("votes") === 3, 1L).when(col("votes") <= 1, -1L)
+          .otherwise(0L).as("seed")))
+    val pairs = graft.ext.Dedup.winnowPairs(docs, col("doc_id"),
+      col("text"), k = 3, w = 4, maxDf = 64, minShared = 2)
+    val edges = graft.Tables.materialize(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(
+          pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    def sgn(c: Column) =
+      when(c > 0, 1L).when(c < 0, -1L).otherwise(0L)
+    var score = seeds.select(col("id"), col("seed").as("score"))
+    for (_ <- 1 to 2) {
+      val in = edges.join(score, edges("src") === score("id"))
+        .groupBy(col("dst")).agg(sum(sgn(col("score"))).as("m"))
+      score = graft.Tables.materialize(
+        seeds.join(in, seeds("id") === in("dst"), "left_outer")
+          .select(seeds("id"),
+            (lit(2L) * col("seed") + coalesce(col("m"), lit(0L)))
+              .as("score")))
+    }
+    seeds.join(score, "id")
+      .select(col("id"), col("lang"), col("seed"), col("score"),
+        sgn(col("score")).as("label"))
   }
 
   /** Cross-release corpus diff ([[graft.ext.Dedup.releaseDiff]]):
@@ -377,7 +421,41 @@ object TrainQueries {
         (col("n_bigrams") * lit(1048576L)).cast("double"))
   }
 
+  /** Dedup survivor-bias audit: does the keep-first pair-dedup policy
+    * (drop the larger id of every winnowing near-dup pair) skew the
+    * language mixture? Per language: doc/token counts before and
+    * after, and each side's corpus share — the measurement a pipeline
+    * records before trusting post-dedup mixture weights, since
+    * duplication is never uniform across sources. */
+  def dedupSurvivorBias(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val removed = graft.ext.Dedup.winnowPairs(docs, col("doc_id"),
+        col("text"), k = 3, w = 4, maxDf = 64, minShared = 2)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("rm", lit(1L))
+    val base = docs.select(col("doc_id").as("id"), col("lang"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+    val per = base.join(removed, Seq("id"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs_before"),
+        sum(col("n_tok")).as("tokens_before"),
+        sum(when(col("rm").isNull, 1L).otherwise(0L)).as("docs_after"),
+        sum(when(col("rm").isNull, col("n_tok")).otherwise(0L))
+          .as("tokens_after"))
+    val tots = per.agg(sum(col("tokens_before")).as("tb"),
+      sum(col("tokens_after")).as("ta"))
+    per.crossJoin(broadcast(tots))
+      .select(col("lang"), col("docs_before"), col("tokens_before"),
+        col("docs_after"), col("tokens_after"),
+        (col("tokens_before").cast("double") / col("tb").cast("double"))
+          .as("share_before"),
+        (col("tokens_after").cast("double") / col("ta").cast("double"))
+          .as("share_after"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_label_propagation" -> qualityLabelPropagation _,
+    "dedup_survivor_bias" -> dedupSurvivorBias _,
     "lm_incremental_update" -> lmIncrementalUpdate _,
     "curriculum_by_quality" -> curriculumByQuality _,
     "vocab_growth_curve" -> vocabGrowthCurve _,
@@ -439,7 +517,93 @@ object TrainQueries {
     (scoreCols, best, guess)
   }
 
+  // per-doc ensemble votes CTE chain (lm chain + diversity + length),
+  // shared by quality_ensemble_gate and quality_label_propagation
+  private val votesCtes =
+    s"""$lmCtes,
+       |qv_d AS (
+       |  SELECT doc_id,
+       |    CAST(count(DISTINCT w1 || ' ' || w2) AS BIGINT) AS nd
+       |  FROM lm_b GROUP BY 1),
+       |qv_n AS (
+       |  SELECT doc_id, CAST(length(t) AS BIGINT) AS n_tok
+       |  FROM lm_t),
+       |qv_v AS (
+       |  SELECT d.doc_id AS id, d.lang,
+       |    CAST((CASE WHEN p.n IS NOT NULL AND p.q_sum >= p.n * 35840
+       |        THEN 1 ELSE 0 END)
+       |      + (CASE WHEN n.n_tok >= 30 THEN 1 ELSE 0 END)
+       |      + (CASE WHEN p.n IS NOT NULL
+       |          AND COALESCE(dd.nd, 0) * 16 >= p.n * 15
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS votes
+       |  FROM documents d
+       |  JOIN qv_n n USING (doc_id)
+       |  LEFT JOIN lm_per p USING (doc_id)
+       |  LEFT JOIN qv_d dd USING (doc_id))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "quality_label_propagation" ->
+      s"""WITH $votesCtes,
+         |${ExtQueries.winnowPairCtes},
+         |qp_seed AS (
+         |  SELECT id, lang,
+         |    CAST(CASE WHEN votes = 3 THEN 1 WHEN votes <= 1 THEN -1
+         |      ELSE 0 END AS BIGINT) AS seed
+         |  FROM qv_v),
+         |qp_e AS (
+         |  SELECT id_a AS src, id_b AS dst FROM wf_pairs
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM wf_pairs),
+         |qp_m1 AS (
+         |  SELECT e.dst AS id,
+         |    CAST(SUM(CASE WHEN x.seed > 0 THEN 1 WHEN x.seed < 0
+         |      THEN -1 ELSE 0 END) AS BIGINT) AS m
+         |  FROM qp_e e JOIN qp_seed x ON e.src = x.id GROUP BY 1),
+         |qp_r1 AS (
+         |  SELECT s.id, CAST(2 * s.seed + COALESCE(m.m, 0) AS BIGINT)
+         |    AS score
+         |  FROM qp_seed s LEFT JOIN qp_m1 m USING (id)),
+         |qp_m2 AS (
+         |  SELECT e.dst AS id,
+         |    CAST(SUM(CASE WHEN x.score > 0 THEN 1 WHEN x.score < 0
+         |      THEN -1 ELSE 0 END) AS BIGINT) AS m
+         |  FROM qp_e e JOIN qp_r1 x ON e.src = x.id GROUP BY 1),
+         |qp_r2 AS (
+         |  SELECT s.id, CAST(2 * s.seed + COALESCE(m.m, 0) AS BIGINT)
+         |    AS score
+         |  FROM qp_seed s LEFT JOIN qp_m2 m USING (id))
+         |SELECT s.id, s.lang, s.seed, r.score,
+         |  CAST(CASE WHEN r.score > 0 THEN 1 WHEN r.score < 0 THEN -1
+         |    ELSE 0 END AS BIGINT) AS label
+         |FROM qp_seed s JOIN qp_r2 r USING (id)""".stripMargin,
+    "dedup_survivor_bias" ->
+      s"""WITH ${ExtQueries.winnowPairCtes},
+         |sb_rm AS (SELECT DISTINCT id_b AS id FROM wf_pairs),
+         |sb_b AS (
+         |  SELECT doc_id AS id, lang,
+         |    CAST(length(${ExtQueries.toks}) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |sb_m AS (
+         |  SELECT b.lang, b.n_tok, (r.id IS NOT NULL) AS rm
+         |  FROM sb_b b LEFT JOIN sb_rm r USING (id)),
+         |sb_p AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS docs_before,
+         |    CAST(SUM(n_tok) AS BIGINT) AS tokens_before,
+         |    CAST(SUM(CASE WHEN rm THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS docs_after,
+         |    CAST(SUM(CASE WHEN rm THEN 0 ELSE n_tok END) AS BIGINT)
+         |      AS tokens_after
+         |  FROM sb_m GROUP BY 1),
+         |sb_t AS (
+         |  SELECT CAST(SUM(tokens_before) AS BIGINT) AS tb,
+         |    CAST(SUM(tokens_after) AS BIGINT) AS ta
+         |  FROM sb_p)
+         |SELECT lang, docs_before, tokens_before, docs_after,
+         |  tokens_after,
+         |  CAST(tokens_before AS DOUBLE) / CAST(tb AS BIGINT)
+         |    AS share_before,
+         |  CAST(tokens_after AS DOUBLE) / CAST(ta AS BIGINT)
+         |    AS share_after
+         |FROM sb_p, sb_t""".stripMargin,
     "lm_incremental_update" ->
       """WITH li_t AS (
         |  SELECT doc_id, lang,
@@ -583,27 +747,9 @@ object TrainQueries {
         |SELECT lang, class, CAST(count(*) AS BIGINT) AS n_docs
         |FROM rd_cls GROUP BY 1, 2""".stripMargin,
     "quality_ensemble_gate" ->
-      s"""WITH $lmCtes,
-         |qe_d AS (
-         |  SELECT doc_id,
-         |    CAST(count(DISTINCT w1 || ' ' || w2) AS BIGINT) AS nd
-         |  FROM lm_b GROUP BY 1),
-         |qe_n AS (
-         |  SELECT doc_id, CAST(length(t) AS BIGINT) AS n_tok
-         |  FROM lm_t)
-         |SELECT d.lang,
-         |  CAST((CASE WHEN p.n IS NOT NULL AND p.q_sum >= p.n * 35840
-         |      THEN 1 ELSE 0 END)
-         |    + (CASE WHEN n.n_tok >= 30 THEN 1 ELSE 0 END)
-         |    + (CASE WHEN p.n IS NOT NULL
-         |        AND COALESCE(dd.nd, 0) * 16 >= p.n * 15
-         |      THEN 1 ELSE 0 END) AS BIGINT) AS votes,
-         |  CAST(count(*) AS BIGINT) AS n_docs
-         |FROM documents d
-         |JOIN qe_n n USING (doc_id)
-         |LEFT JOIN lm_per p USING (doc_id)
-         |LEFT JOIN qe_d dd USING (doc_id)
-         |GROUP BY 1, 2""".stripMargin,
+      s"""WITH $votesCtes
+         |SELECT lang, votes, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM qv_v GROUP BY 1, 2""".stripMargin,
     "bitext_margin_mining" ->
       s"""WITH ${ExtQueries.vecCtes},
          |bm_d AS (

@@ -191,6 +191,29 @@ class LmSpec extends SparkSpec {
     assert(merged === full)
   }
 
+  test("label propagation covers every doc; isolated seeds keep sign") {
+    val out = TrainQueries.qualityLabelPropagation(spark, dir)
+    assert(out.count() === Tables(spark, dir, "documents").count())
+    // a doc outside the pair graph ends at score = 2*(2*seed) + 0,
+    // hence label == sign(seed); propagation only touches paired docs
+    assert(out.filter(col("score") === col("seed") * 4 &&
+      sign(col("score").cast("double")).cast("long") =!= col("label"))
+      .count() === 0)
+    // labels populated on both confident sides
+    assert(out.filter(col("label") === 1).count() > 0)
+    assert(out.filter(col("label") === -1).count() > 0)
+  }
+
+  test("survivor bias: survivors are a subset, shares sum to 1") {
+    val out = TrainQueries.dedupSurvivorBias(spark, dir)
+    assert(out.filter(col("docs_after") > col("docs_before"))
+      .count() === 0)
+    val sums = out.agg(sum("share_before"), sum("share_after"))
+      .collect()(0)
+    assert(math.abs(sums.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(sums.getDouble(1) - 1.0) < 1e-9)
+  }
+
   test("gates are non-vacuous on sf0.001") {
     assert(TrainQueries.lmBigramScore(spark, dir)
       .filter(col("n_bigrams") > 0).count() > 0)
