@@ -294,7 +294,11 @@ object TrainQueries {
     * its quartiles, buckets walked MOST-fluent-first with a
     * deterministic hash shuffle inside each — [[CorpusQueries
     * .curriculumOrder]]'s machinery (range-partition rank, no global
-    * window) keyed on a learned quality signal instead of length. */
+    * window) keyed on a learned quality signal instead of length.
+    * Same scale note as curriculum_order: the exact percentile_disc
+    * cuts (a global collect-per-group aggregate) swap to
+    * `approx_percentile` beyond one executor — bucket boundaries are
+    * a tuning choice, not a correctness surface. */
   def curriculumByQuality(spark: SparkSession, dir: String): DataFrame = {
     val per = Lm.scoreDocs(Tables(spark, dir, "documents"),
         col("doc_id"), col("text"))
@@ -453,7 +457,60 @@ object TrainQueries {
           .as("share_after"))
   }
 
+  /** Collocation extraction by LIFT — the log-free PMI:
+    * lift(w1,w2) = p(w1w2)/(p(w1)·p(w2)) = c12·N / (c1·c2), a ratio of
+    * exact BIGINT products (PMI's log only monotonically rescales the
+    * ranking, so dropping it loses nothing and buys hash-gateability).
+    * Frequency floor 5 kills the rare-pair lift explosion; top-20 on
+    * (lift desc, w1, w2). The phrase-mining pass that feeds tokenizer
+    * vocab candidates and stop-phrase lists. */
+  def collocationLift(spark: SparkSession, dir: String): DataFrame = {
+    val big = Lm.seqBigrams(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"))
+    val c12 = graft.Tables.materialize(Lm.bigramCounts(big))
+    val n = c12.agg(sum(col("c12")).as("n"))
+    val cl = c12.groupBy(col("w1")).agg(sum(col("c12")).as("cl"))
+    val cr = c12.groupBy(col("w2")).agg(sum(col("c12")).as("cr"))
+    c12.filter(col("c12") >= 5)
+      .join(cl, "w1").join(cr, "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"),
+        ((col("c12") * col("n")).cast("double") /
+          (col("cl") * col("cr")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+  }
+
+  /** Hashing-trick featurization of the events table — the tabular
+    * export that feeds a downstream classical model: event types hash
+    * into 16 signed buckets (sign from an independent hash bit, the
+    * collision-debiasing trick), per-user bucket sums become the
+    * sparse feature vector (surfaced sorted+joined — the gate cannot
+    * hash raw arrays), labeled by purchase presence. Pure per-row
+    * projection + one aggregation; vocabulary-free, so schema is
+    * stable at any scale. */
+  def featureHashExport(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"))
+    val feat = ev
+      .withColumn("b", TextFunctions.hash32(col("event_type")) % 16)
+      .withColumn("s",
+        when(TextFunctions.hash32b(col("event_type")) % 2 === 0, 1L)
+          .otherwise(-1L))
+      .groupBy(col("user_id"), col("b")).agg(sum(col("s")).as("v"))
+      .filter(col("v") =!= 0)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(",", sort_array(collect_list(
+        concat_ws(":", col("b"), col("v"))))).as("features"))
+    val label = ev.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("label"))
+    feat.join(label, "user_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "collocation_lift" -> collocationLift _,
+    "feature_hash_export" -> featureHashExport _,
     "quality_label_propagation" -> qualityLabelPropagation _,
     "dedup_survivor_bias" -> dedupSurvivorBias _,
     "lm_incremental_update" -> lmIncrementalUpdate _,
@@ -542,6 +599,49 @@ object TrainQueries {
        |  LEFT JOIN qv_d dd USING (doc_id))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "collocation_lift" ->
+      s"""WITH cl_t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         |  FROM documents),
+         |cl_b AS (
+         |  SELECT t[i] AS w1, t[i+1] AS w2
+         |  FROM cl_t,
+         |    LATERAL (SELECT unnest(range(1, greatest(length(t), 1))) AS i)),
+         |cl_c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |         FROM cl_b GROUP BY 1, 2),
+         |cl_n AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM cl_c),
+         |cl_l AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS cl FROM cl_c
+         |         GROUP BY 1),
+         |cl_r AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS cr FROM cl_c
+         |         GROUP BY 1)
+         |SELECT w1, w2, c12,
+         |  CAST(c12 * n AS DOUBLE) / CAST(cl * cr AS BIGINT) AS lift
+         |FROM cl_c JOIN cl_l USING (w1) JOIN cl_r USING (w2), cl_n
+         |WHERE c12 >= 5
+         |ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
+    "feature_hash_export" ->
+      """WITH fh_e AS (
+        |  SELECT user_id, event_type,
+        |    ('0x' || substr(md5(event_type), 1, 8))::BIGINT % 16 AS b,
+        |    CASE WHEN ('0x' || substr(md5(event_type), 9, 8))::BIGINT
+        |      % 2 = 0 THEN 1 ELSE -1 END AS s
+        |  FROM events),
+        |fh_v AS (
+        |  SELECT user_id, b, CAST(SUM(s) AS BIGINT) AS v
+        |  FROM fh_e GROUP BY 1, 2),
+        |fh_f AS (
+        |  SELECT user_id,
+        |    array_to_string(list_sort(array_agg(
+        |      CAST(b AS VARCHAR) || ':' || CAST(v AS VARCHAR))), ',')
+        |      AS features
+        |  FROM fh_v WHERE v <> 0 GROUP BY 1),
+        |fh_l AS (
+        |  SELECT user_id,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS label
+        |  FROM fh_e GROUP BY 1)
+        |SELECT f.user_id, f.features, l.label
+        |FROM fh_f f JOIN fh_l l USING (user_id)""".stripMargin,
     "quality_label_propagation" ->
       s"""WITH $votesCtes,
          |${ExtQueries.winnowPairCtes},

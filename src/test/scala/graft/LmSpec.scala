@@ -214,6 +214,23 @@ class LmSpec extends SparkSpec {
     assert(math.abs(sums.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("collocation lift: floor respected, ranked desc, bounded top-k") {
+    val out = TrainQueries.collocationLift(spark, dir).collect()
+    assert(out.length <= 20 && out.nonEmpty)
+    assert(out.forall(_.getLong(2) >= 5))
+    val lifts = out.map(_.getDouble(3))
+    assert(lifts.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("feature hash export: one row per active user, labels 0/1") {
+    val out = TrainQueries.featureHashExport(spark, dir)
+    val users = Tables(spark, dir, "events")
+      .select("user_id").distinct().count()
+    assert(out.count() === users)
+    assert(out.filter(!col("label").isin(0L, 1L)).count() === 0)
+    assert(out.filter(col("features") === "").count() === 0)
+  }
+
   test("gates are non-vacuous on sf0.001") {
     assert(TrainQueries.lmBigramScore(spark, dir)
       .filter(col("n_bigrams") > 0).count() > 0)
