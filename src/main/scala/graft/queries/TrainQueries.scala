@@ -508,7 +508,39 @@ object TrainQueries {
     feat.join(label, "user_id")
   }
 
+  /** Rank-biased overlap between the lexical (BM25) and model-reranked
+    * orderings of the same candidate list
+    * ([[CorpusQueries.retrievalRerank]]) — the ranking-churn metric an
+    * index or model rollout is judged by. RBO with p = 1/2 truncated
+    * at depth 10: term_d = |A_{:d} ∩ B_{:d}| / (d·2^d) — a DYADIC
+    * weight, so each term is one exact-rounded divide and the
+    * cumulative sum runs in fixed depth order on both engines. The
+    * d·2^d denominators ride a 10-row literal frame (both lists rank
+    * the same 10 candidates, so overlap_d = #{max(ra,rb) ≤ d}). */
+  def rankingRbo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = CorpusQueries.retrievalRerank(spark, dir)
+      .select(col("doc_id"), col("bm25_score"), col("rerank"))
+    val ranked = r.withColumn("ra", row_number().over(
+        Window.orderBy(col("bm25_score").desc, col("doc_id").asc))
+        .cast("long"))
+      .select(greatest(col("ra"), col("rerank")).as("m"))
+    val dens = (1 to 10).map(d => (d.toLong, d.toLong * (1L << d)))
+      .toDF("d", "den")
+    dens.crossJoin(ranked)
+      .groupBy(col("d"), col("den"))
+      .agg(sum(when(col("m") <= col("d"), 1L).otherwise(0L))
+        .as("overlap"))
+      .withColumn("term",
+        col("overlap").cast("double") / col("den").cast("double"))
+      .withColumn("rbo_cum", sum(col("term")).over(
+        Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("d"), col("overlap"), col("term"), col("rbo_cum"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ranking_rbo" -> rankingRbo _,
     "collocation_lift" -> collocationLift _,
     "feature_hash_export" -> featureHashExport _,
     "quality_label_propagation" -> qualityLabelPropagation _,
@@ -599,6 +631,33 @@ object TrainQueries {
        |  LEFT JOIN qv_d dd USING (doc_id))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // the rerank subquery is pulled from CorpusQueries.oracleSql at
+    // build time, so the two gates can never drift
+    "ranking_rbo" ->
+      s"""WITH rb_r AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY bm25_score DESC, doc_id)
+         |      AS BIGINT) AS ra,
+         |    rerank AS rb
+         |  FROM (${CorpusQueries.oracleSql("retrieval_rerank")})),
+         |rb_m AS (SELECT greatest(ra, rb) AS m FROM rb_r),
+         |rb_d AS (
+         |  SELECT CAST(d AS BIGINT) AS d, CAST(den AS BIGINT) AS den
+         |  FROM (VALUES (1, 2), (2, 8), (3, 24), (4, 64), (5, 160),
+         |    (6, 384), (7, 896), (8, 2048), (9, 4608), (10, 10240))
+         |    AS v(d, den)),
+         |rb_o AS (
+         |  SELECT d, den,
+         |    CAST(SUM(CASE WHEN m <= d THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS overlap
+         |  FROM rb_d, rb_m GROUP BY 1, 2)
+         |SELECT d, overlap,
+         |  CAST(overlap AS DOUBLE) / CAST(den AS BIGINT) AS term,
+         |  SUM(CAST(overlap AS DOUBLE) / CAST(den AS BIGINT))
+         |    OVER (ORDER BY d
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS rbo_cum
+         |FROM rb_o""".stripMargin,
     "collocation_lift" ->
       s"""WITH cl_t AS (
          |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t

@@ -231,6 +231,16 @@ class LmSpec extends SparkSpec {
     assert(out.filter(col("features") === "").count() === 0)
   }
 
+  test("ranking RBO: overlap monotone, rbo in (0,1], depth-10 overlap full") {
+    val out = TrainQueries.rankingRbo(spark, dir).orderBy("d").collect()
+    assert(out.length === 10)
+    val ov = out.map(_.getLong(1))
+    assert(ov.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    assert(ov.last === 10L) // same 10 candidates in both lists
+    val rbo = out.last.getDouble(3)
+    assert(rbo > 0.0 && rbo <= 1.0 + 1e-12)
+  }
+
   test("gates are non-vacuous on sf0.001") {
     assert(TrainQueries.lmBigramScore(spark, dir)
       .filter(col("n_bigrams") > 0).count() > 0)
