@@ -85,6 +85,27 @@ object Lm {
       .withColumn("q", expr(
         "((coalesce(c12, 0L) + 1L) * 1048576L) div (coalesce(c1, 0L) + v)"))
 
+  /** Sequential trigram stream (WITH multiplicity): one row per
+    * adjacent token triple per document, plus carried columns. */
+  def seqTrigrams(docs: DataFrame, id: Column, text: Column,
+      carry: Seq[String] = Nil): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val toked = docs
+      .select((id.as("id") +: carry.map(col)) :+
+        TextFunctions.tokens(text).as("t"): _*)
+      .repartition(p)
+    val triples = when(size(col("t")) >= 3,
+      transform(sequence(lit(1), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2"),
+          element_at(col("t"), i + 2).as("w3"))))
+      .otherwise(array())
+    toked.select((col("id") +: carry.map(col)) :+
+        explode(triples).as("g"): _*)
+      .select((col("id") +: carry.map(col)) :+
+        col("g.w1") :+ col("g.w2") :+ col("g.w3"): _*)
+  }
+
   /** Merge a delta batch's counts into a persisted count frame: count
     * frames are mergeable monoids (rows add by key), so absorbing a
     * batch is one union + re-aggregate over the STORED ROWS + delta —

@@ -539,7 +539,65 @@ object TrainQueries {
       .select(col("d"), col("overlap"), col("term"), col("rbo_cum"))
   }
 
+  /** Trigram LM with STUPID BACKOFF (Brants et al.'s web-scale
+    * recipe — the backoff weight is a constant, no discounting
+    * renormalization, which is exactly what keeps it expressible in
+    * integer algebra): train on even doc_ids, score odd doc_ids;
+    * per trigram occurrence the score is the first tier that fires,
+    * quantized to 2⁻²⁰ units with λ = 2/5 per backoff level:
+    *
+    *   tier 3: ⌊2²⁰·c₃/c₂⌋          (trigram seen in train)
+    *   tier 2: ⌊2·2²⁰·b₂/(5·b₁)⌋    (bigram (w2,w3) seen)
+    *   tier 1: ⌊4·2²⁰·u(w3)/(25·N)⌋ (unigram seen)
+    *   tier 0: 0                     (w3 unseen entirely)
+    *
+    * Surfaced per (lang, tier) so the gate also records HOW OFTEN the
+    * model backs off — the coverage statistic that decides whether a
+    * bigger n-gram order is worth the storage. */
+  def lmTrigramBackoff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val all = graft.Tables.materialize(
+      Lm.seqTrigrams(docs, col("doc_id"), col("text"),
+        carry = Seq("lang")))
+    val tr = all.filter(col("id") % 2 === 0)
+    val c3 = graft.Tables.materialize(
+      tr.groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("c3")))
+    val c2 = c3.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c2"))
+    val b2 = tr.groupBy(col("w2").as("u"), col("w3").as("v"))
+      .agg(count(lit(1)).as("b2"))
+    // b1 derives from b2 — rename its key so the twin joins below
+    // don't trip the ambiguous-self-join check
+    val b1 = b2.groupBy(col("u")).agg(sum(col("b2")).as("b1"))
+      .withColumnRenamed("u", "u1")
+    val u = Lm.tokenCounts(docs.filter(col("doc_id") % 2 === 0),
+      col("text")).withColumnRenamed("n", "cu")
+    val n = u.agg(sum(col("cu")).as("n"))
+    all.filter(col("id") % 2 === 1)
+      .join(c3, Seq("w1", "w2", "w3"), "left_outer")
+      .join(c2, Seq("w1", "w2"), "left_outer")
+      .join(b2, col("w2") === b2("u") && col("w3") === b2("v"),
+        "left_outer")
+      .join(b1, col("w2") === b1("u1"), "left_outer")
+      .join(u, col("w3") === u("tok"), "left_outer")
+      .crossJoin(broadcast(n))
+      .withColumn("tier",
+        when(col("c3").isNotNull, 3L)
+          .when(col("b2").isNotNull, 2L)
+          .when(col("cu").isNotNull, 1L).otherwise(0L))
+      .withColumn("q",
+        when(col("c3").isNotNull, expr("(c3 * 1048576L) div c2"))
+          .when(col("b2").isNotNull,
+            expr("(2L * b2 * 1048576L) div (5L * b1)"))
+          .when(col("cu").isNotNull,
+            expr("(4L * cu * 1048576L) div (25L * n)"))
+          .otherwise(0L))
+      .groupBy(col("lang"), col("tier"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("q")).as("q_sum"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_trigram_backoff" -> lmTrigramBackoff _,
     "ranking_rbo" -> rankingRbo _,
     "collocation_lift" -> collocationLift _,
     "feature_hash_export" -> featureHashExport _,
@@ -631,6 +689,57 @@ object TrainQueries {
        |  LEFT JOIN qv_d dd USING (doc_id))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "lm_trigram_backoff" ->
+      """WITH tb_t AS (
+        |  SELECT doc_id, lang, doc_id % 2 AS grp,
+        |    string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |tb_3 AS (
+        |  SELECT doc_id, lang, grp, t[i] AS w1, t[i+1] AS w2,
+        |    t[i+2] AS w3
+        |  FROM tb_t,
+        |    LATERAL (SELECT unnest(range(1, greatest(length(t) - 1, 1)))
+        |             AS i)),
+        |tb_tr AS (SELECT * FROM tb_3 WHERE grp = 0),
+        |tb_c3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+        |          FROM tb_tr GROUP BY 1, 2, 3),
+        |tb_c2 AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c2
+        |          FROM tb_c3 GROUP BY 1, 2),
+        |tb_b2 AS (SELECT w2 AS u, w3 AS v,
+        |            CAST(count(*) AS BIGINT) AS b2
+        |          FROM tb_tr GROUP BY 1, 2),
+        |tb_b1 AS (SELECT u, CAST(SUM(b2) AS BIGINT) AS b1 FROM tb_b2
+        |          GROUP BY 1),
+        |tb_u AS (
+        |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS cu
+        |  FROM (SELECT unnest(t) AS tok FROM tb_t WHERE grp = 0)
+        |  WHERE tok <> '' GROUP BY 1),
+        |tb_n AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM tb_u),
+        |tb_q AS (
+        |  SELECT g.lang,
+        |    CASE WHEN c.c3 IS NOT NULL THEN 3
+        |         WHEN bb.b2 IS NOT NULL THEN 2
+        |         WHEN uu.cu IS NOT NULL THEN 1 ELSE 0 END AS tier,
+        |    CASE WHEN c.c3 IS NOT NULL
+        |      THEN CAST((c.c3 * 1048576) // t2.c2 AS BIGINT)
+        |      WHEN bb.b2 IS NOT NULL
+        |      THEN CAST((2 * bb.b2 * 1048576) // (5 * b1.b1) AS BIGINT)
+        |      WHEN uu.cu IS NOT NULL
+        |      THEN CAST((4 * uu.cu * 1048576) // (25 * n.n) AS BIGINT)
+        |      ELSE 0 END AS q
+        |  FROM tb_3 g
+        |  LEFT JOIN tb_c3 c
+        |    ON c.w1 = g.w1 AND c.w2 = g.w2 AND c.w3 = g.w3
+        |  LEFT JOIN tb_c2 t2 ON t2.w1 = g.w1 AND t2.w2 = g.w2
+        |  LEFT JOIN tb_b2 bb ON bb.u = g.w2 AND bb.v = g.w3
+        |  LEFT JOIN tb_b1 b1 ON b1.u = g.w2
+        |  LEFT JOIN tb_u uu ON uu.w = g.w3
+        |  CROSS JOIN tb_n n
+        |  WHERE g.grp = 1)
+        |SELECT lang, CAST(tier AS BIGINT) AS tier,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(q) AS BIGINT) AS q_sum
+        |FROM tb_q GROUP BY 1, 2""".stripMargin,
     // the rerank subquery is pulled from CorpusQueries.oracleSql at
     // build time, so the two gates can never drift
     "ranking_rbo" ->

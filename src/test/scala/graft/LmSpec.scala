@@ -241,6 +241,21 @@ class LmSpec extends SparkSpec {
     assert(rbo > 0.0 && rbo <= 1.0 + 1e-12)
   }
 
+  test("trigram backoff: tiers partition the test grams, q bounded") {
+    val out = TrainQueries.lmTrigramBackoff(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 3))
+    // every tier-3/2/1 q is at most 2^20 scaled by the backoff weight
+    assert(out.forall(r => r.getLong(3) >= 0))
+    val total = out.map(_.getLong(2)).sum
+    // matches the count of test-side trigram occurrences
+    import graft.ext.Lm
+    val test = Lm.seqTrigrams(
+      Tables(spark, dir, "documents").filter(col("doc_id") % 2 === 1),
+      col("doc_id"), col("text")).count()
+    assert(total === test)
+  }
+
   test("gates are non-vacuous on sf0.001") {
     assert(TrainQueries.lmBigramScore(spark, dir)
       .filter(col("n_bigrams") > 0).count() > 0)
