@@ -91,8 +91,11 @@ object TrainQueries {
       .select(col("source"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
-    val nSt = tok.groupBy(col("source"), col("tok"))
-      .agg(count(lit(1)).as("n_st"))
+    // (source, token) counts feed three consumers (n_s, n_t, the
+    // join) — materialize so the gram aggregate runs once
+    val nSt = graft.Tables.materialize(
+      tok.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("n_st")))
     val nS = nSt.groupBy(col("source")).agg(sum(col("n_st")).as("n_s"))
     val nT = nSt.groupBy(col("tok")).agg(sum(col("n_st")).as("n_t"))
     val nTot = nT.agg(sum(col("n_t")).as("n"))
@@ -596,7 +599,41 @@ object TrainQueries {
       .agg(count(lit(1)).as("n_grams"), sum(col("q")).as("q_sum"))
   }
 
+  /** LM drift trigger — the corpus-fluency twin of `ann_drift_trigger`
+    * (embedding drift) and `bpe_drift_audit` (tokenizer drift),
+    * completing the retrain-monitor family: the STANDING model
+    * (doc_id % 4 < 3) scores both halves; if the incoming batch's mean
+    * transition probability drops more than 5% below the standing
+    * corpus's own score, the model is stale. The flag is the
+    * cross-multiplied integer predicate
+    * q_inc·n_std·100 < q_std·n_inc·95 — no float compare decides the
+    * retrain. */
+  def lmDriftTrigger(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val big = graft.Tables.materialize(
+      Lm.seqBigrams(docs, col("doc_id"), col("text")))
+    val c12 = Lm.bigramCounts(big.filter(col("id") % 4 < 3))
+    val scored = Lm.scoreBigrams(big, c12, Lm.contextCounts(c12),
+        Lm.vocabSize(docs.filter(col("doc_id") % 4 < 3), col("text")))
+      .withColumn("inc", col("id") % 4 === 3)
+    val agg = scored.groupBy(col("inc"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("qs"))
+    val std = agg.filter(!col("inc"))
+      .select(col("n").as("n_std"), col("qs").as("q_std"))
+    val inc = agg.filter(col("inc"))
+      .select(col("n").as("n_inc"), col("qs").as("q_inc"))
+    std.crossJoin(inc).select(
+      col("n_std"), col("q_std"), col("n_inc"), col("q_inc"),
+      (col("q_std").cast("double") /
+        (col("n_std") * lit(1048576L)).cast("double")).as("mean_p_std"),
+      (col("q_inc").cast("double") /
+        (col("n_inc") * lit(1048576L)).cast("double")).as("mean_p_inc"),
+      (col("q_inc") * col("n_std") * 100 <
+        col("q_std") * col("n_inc") * 95).as("retrain"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_drift_trigger" -> lmDriftTrigger _,
     "lm_trigram_backoff" -> lmTrigramBackoff _,
     "ranking_rbo" -> rankingRbo _,
     "collocation_lift" -> collocationLift _,
@@ -689,6 +726,45 @@ object TrainQueries {
        |  LEFT JOIN qv_d dd USING (doc_id))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "lm_drift_trigger" ->
+      """WITH ld_t AS (
+        |  SELECT doc_id, doc_id % 4 AS grp,
+        |    string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |ld_b AS (
+        |  SELECT doc_id, grp, t[i] AS w1, t[i+1] AS w2
+        |  FROM ld_t,
+        |    LATERAL (SELECT unnest(range(1, greatest(length(t), 1))) AS i)),
+        |ld_c12 AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM ld_b WHERE grp < 3 GROUP BY 1, 2),
+        |ld_c1 AS (
+        |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM ld_c12
+        |  GROUP BY 1),
+        |ld_v AS (
+        |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        |  FROM (SELECT unnest(t) AS tok FROM ld_t WHERE grp < 3)
+        |  WHERE tok <> ''),
+        |ld_q AS (
+        |  SELECT (b.grp = 3) AS inc,
+        |    CAST(((COALESCE(c.c12, 0) + 1) * 1048576)
+        |      // (COALESCE(u.c1, 0) + v) AS BIGINT) AS q
+        |  FROM ld_b b
+        |  LEFT JOIN ld_c12 c ON b.w1 = c.w1 AND b.w2 = c.w2
+        |  LEFT JOIN ld_c1 u ON b.w1 = u.w1, ld_v),
+        |ld_a AS (
+        |  SELECT inc, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(q) AS BIGINT) AS qs
+        |  FROM ld_q GROUP BY 1)
+        |SELECT s.n AS n_std, s.qs AS q_std, i.n AS n_inc,
+        |  i.qs AS q_inc,
+        |  CAST(s.qs AS DOUBLE) / CAST(s.n * 1048576 AS BIGINT)
+        |    AS mean_p_std,
+        |  CAST(i.qs AS DOUBLE) / CAST(i.n * 1048576 AS BIGINT)
+        |    AS mean_p_inc,
+        |  i.qs * s.n * 100 < s.qs * i.n * 95 AS retrain
+        |FROM (SELECT * FROM ld_a WHERE NOT inc) s,
+        |  (SELECT * FROM ld_a WHERE inc) i""".stripMargin,
     "lm_trigram_backoff" ->
       """WITH tb_t AS (
         |  SELECT doc_id, lang, doc_id % 2 AS grp,
