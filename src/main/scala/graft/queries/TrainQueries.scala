@@ -632,7 +632,50 @@ object TrainQueries {
         col("q_std") * col("n_inc") * 95).as("retrain"))
   }
 
+  /** Training-order E2E — the composition gate for this module, the
+    * corpus-prep counterpart of `corpus_quality_e2e` /
+    * `retrieval_pipeline_e2e`: LM quality filter (integer predicate)
+    * → winnowing keep-first dedup → quality-bucketed curriculum over
+    * the SURVIVORS (cuts computed post-filter, where they belong) →
+    * per-(lang, bucket) export stats with the curriculum position
+    * range. One plan; every stage is an already-gated shape, so the
+    * oracle composes the existing CTE chains. */
+  def corpusTrainOrderE2e(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val per = Lm.scoreDocs(docs, col("doc_id"), col("text"))
+    val removed = graft.ext.Dedup.winnowPairs(docs, col("doc_id"),
+        col("text"), k = 3, w = 4, maxDf = 64, minShared = 2)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("rm", lit(1L))
+    val t = TextFunctions.tokens(col("text"))
+    val survivors = docs.select(col("doc_id").as("id"), col("lang"),
+        size(t).cast("long").as("n_tok"))
+      .join(per, Seq("id"))
+      .join(removed, Seq("id"), "left_outer")
+      .filter(col("rm").isNull && col("n_bigrams") > 0 &&
+        col("q_sum") >= col("n_bigrams") * lit(35840L))
+      .withColumn("flu", expr("q_sum div n_bigrams"))
+      .withColumn("_h", md5(concat(lit("cq|"), col("id").cast("string"))))
+    val cuts = survivors.agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY flu)").as("_c1"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY flu)").as("_c2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY flu)").as("_c3"))
+    val bucketed = survivors.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        (lit(1) + (col("flu") > col("_c1")).cast("int")
+          + (col("flu") > col("_c2")).cast("int")
+          + (col("flu") > col("_c3")).cast("int")).cast("long"))
+      .drop("_c1", "_c2", "_c3")
+      .withColumn("_ord", -col("bucket"))
+    graft.ext.Corpus.globalOrderRank(bucketed, 32,
+        col("_ord"), col("_h"), col("id"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("_rank")).as("min_pos"), max(col("_rank")).as("max_pos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_train_order_e2e" -> corpusTrainOrderE2e _,
     "lm_drift_trigger" -> lmDriftTrigger _,
     "lm_trigram_backoff" -> lmTrigramBackoff _,
     "ranking_rbo" -> rankingRbo _,
@@ -726,6 +769,39 @@ object TrainQueries {
        |  LEFT JOIN qv_d dd USING (doc_id))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "corpus_train_order_e2e" ->
+      s"""WITH $lmCtes,
+         |${ExtQueries.winnowPairCtes},
+         |eo_rm AS (SELECT DISTINCT id_b AS id FROM wf_pairs),
+         |eo_s AS (
+         |  SELECT d.doc_id AS id, d.lang,
+         |    CAST(length(${ExtQueries.toks}) AS BIGINT) AS n_tok,
+         |    CAST(p.q_sum // p.n AS BIGINT) AS flu,
+         |    md5('cq|' || CAST(d.doc_id AS VARCHAR)) AS h
+         |  FROM documents d
+         |  JOIN lm_per p ON p.doc_id = d.doc_id
+         |  LEFT JOIN eo_rm r ON r.id = d.doc_id
+         |  WHERE r.id IS NULL AND p.q_sum >= p.n * 35840),
+         |eo_c AS (
+         |  SELECT
+         |    percentile_disc(0.25) WITHIN GROUP (ORDER BY flu) AS c1,
+         |    percentile_disc(0.5)  WITHIN GROUP (ORDER BY flu) AS c2,
+         |    percentile_disc(0.75) WITHIN GROUP (ORDER BY flu) AS c3
+         |  FROM eo_s),
+         |eo_b AS (
+         |  SELECT id, lang, n_tok, h,
+         |    CAST(1 + CAST(flu > c1 AS INT) + CAST(flu > c2 AS INT)
+         |           + CAST(flu > c3 AS INT) AS BIGINT) AS bucket
+         |  FROM eo_s CROSS JOIN eo_c),
+         |eo_r AS (
+         |  SELECT lang, bucket, n_tok,
+         |    row_number() OVER (ORDER BY bucket DESC, h, id) - 1 AS pos
+         |  FROM eo_b)
+         |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(MIN(pos) AS BIGINT) AS min_pos,
+         |  CAST(MAX(pos) AS BIGINT) AS max_pos
+         |FROM eo_r GROUP BY 1, 2""".stripMargin,
     "lm_drift_trigger" ->
       """WITH ld_t AS (
         |  SELECT doc_id, doc_id % 4 AS grp,

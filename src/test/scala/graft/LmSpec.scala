@@ -256,6 +256,15 @@ class LmSpec extends SparkSpec {
     assert(total === test)
   }
 
+  test("train-order e2e: positions dense over survivors, buckets 1..4") {
+    val out = TrainQueries.corpusTrainOrderE2e(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 4))
+    val n = out.map(_.getLong(2)).sum
+    assert(out.map(_.getLong(4)).min === 0L)
+    assert(out.map(_.getLong(5)).max === n - 1)
+  }
+
   test("gates are non-vacuous on sf0.001") {
     assert(TrainQueries.lmBigramScore(spark, dir)
       .filter(col("n_bigrams") > 0).count() > 0)
