@@ -674,7 +674,39 @@ object TrainQueries {
         min(col("_rank")).as("min_pos"), max(col("_rank")).as("max_pos"))
   }
 
+  /** SFT conversation prep: each user's event stream becomes a
+    * training "conversation" — turns rendered `<role>event_type` in
+    * (ts, event_id) order (purchase/signup play the assistant role),
+    * with the LOSS-MASK accounting every instruction-tuning exporter
+    * needs: total rendered length vs assistant-only (unmasked)
+    * length, plus an md5 fingerprint of the rendered dialog (the
+    * dedup key for conversations). The ordered concat rides the
+    * array_sort(collect_list(struct(...))) idiom — a per-group sort
+    * bounded by the user's turn count, no global window. */
+  def sftTurnMask(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"),
+        when(col("event_type").isin("purchase", "signup"), lit("a"))
+          .otherwise(lit("u")).as("role"))
+      .withColumn("turn",
+        concat(lit("<"), col("role"), lit(">"), col("event_type")))
+      .withColumn("mlen",
+        when(col("role") === "a", length(col("turn")).cast("long"))
+          .otherwise(0L))
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("mlen") > 0, 1L).otherwise(0L)).as("n_assistant"),
+        sum(length(col("turn")).cast("long")).as("total_len"),
+        sum(col("mlen")).as("masked_len"),
+        md5(concat_ws("", transform(
+          array_sort(collect_list(struct(col("us"), col("event_id"),
+            col("turn")))),
+          s => s.getField("turn")))).as("fp"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sft_turn_mask" -> sftTurnMask _,
     "corpus_train_order_e2e" -> corpusTrainOrderE2e _,
     "lm_drift_trigger" -> lmDriftTrigger _,
     "lm_trigram_backoff" -> lmTrigramBackoff _,
@@ -769,6 +801,21 @@ object TrainQueries {
        |  LEFT JOIN qv_d dd USING (doc_id))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "sft_turn_mask" ->
+      """WITH sf_r AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    '<' || (CASE WHEN event_type IN ('purchase', 'signup')
+        |      THEN 'a' ELSE 'u' END) || '>' || event_type AS turn,
+        |    CASE WHEN event_type IN ('purchase', 'signup')
+        |      THEN length('<a>' || event_type) ELSE 0 END AS mlen
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_turns,
+        |  CAST(SUM(CASE WHEN mlen > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_assistant,
+        |  CAST(SUM(length(turn)) AS BIGINT) AS total_len,
+        |  CAST(SUM(mlen) AS BIGINT) AS masked_len,
+        |  md5(string_agg(turn, '' ORDER BY us, event_id)) AS fp
+        |FROM sf_r GROUP BY 1""".stripMargin,
     "corpus_train_order_e2e" ->
       s"""WITH $lmCtes,
          |${ExtQueries.winnowPairCtes},

@@ -265,6 +265,15 @@ class LmSpec extends SparkSpec {
     assert(out.map(_.getLong(5)).max === n - 1)
   }
 
+  test("sft turn mask: masked <= total, turns partition, fp unique") {
+    val out = TrainQueries.sftTurnMask(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(4) <= r.getLong(3)))
+    assert(out.forall(r => r.getLong(2) <= r.getLong(1)))
+    // rendered fingerprints should be unique across users here
+    assert(out.map(_.getString(5)).distinct.length === out.length)
+  }
+
   test("gates are non-vacuous on sf0.001") {
     assert(TrainQueries.lmBigramScore(spark, dir)
       .filter(col("n_bigrams") > 0).count() > 0)
