@@ -705,7 +705,49 @@ object TrainQueries {
           s => s.getField("turn")))).as("fp"))
   }
 
+  /** Dataset card — the one-row release artifact summarizing what a
+    * consumer needs to know before training on the corpus: size
+    * (docs/tokens/languages), LM-quality pass rate, near-dup document
+    * rate (winnowing pairs), and langid/label agreement. Every
+    * statistic reuses an already-gated chain; the divides are single
+    * exact-rounded ops on identical operand trees. Fused the DQ-report
+    * way (LakeQueries.dqChecks): the per-doc flag frame aggregates
+    * ONCE — per-branch aggregation would rescan the corpus per
+    * statistic. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val per = Lm.scoreDocs(docs, col("doc_id"), col("text"))
+    val dup = graft.ext.Dedup.winnowPairs(docs, col("doc_id"),
+        col("text"), k = 3, w = 4, maxDf = 64, minShared = 2)
+    val dupIds = dup.select(col("id_a").as("id"))
+      .unionByName(dup.select(col("id_b").as("id"))).distinct()
+      .withColumn("dup", lit(1L))
+    val flags = docs.select(col("doc_id").as("id"), col("lang"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"),
+        (TextFunctions.langId(col("text")) === col("lang"))
+          .cast("long").as("lid_ok"))
+      .join(per, Seq("id"))
+      .join(dupIds, Seq("id"), "left_outer")
+    flags.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("n_tokens"),
+      count_distinct(col("lang")).as("n_langs"),
+      sum(when(col("n_bigrams") > 0 &&
+        col("q_sum") >= col("n_bigrams") * lit(35840L), 1L)
+        .otherwise(0L)).as("n_quality"),
+      sum(coalesce(col("dup"), lit(0L))).as("n_near_dup"),
+      sum(col("lid_ok")).as("n_lid_agree"))
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+        (col("n_quality").cast("double") / col("n_docs").cast("double"))
+          .as("quality_rate"),
+        (col("n_near_dup").cast("double") / col("n_docs").cast("double"))
+          .as("near_dup_rate"),
+        (col("n_lid_agree").cast("double") / col("n_docs").cast("double"))
+          .as("langid_agreement"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dataset_card" -> datasetCard _,
     "sft_turn_mask" -> sftTurnMask _,
     "corpus_train_order_e2e" -> corpusTrainOrderE2e _,
     "lm_drift_trigger" -> lmDriftTrigger _,
@@ -801,6 +843,43 @@ object TrainQueries {
        |  LEFT JOIN qv_d dd USING (doc_id))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "dataset_card" ->
+      s"""WITH $lmCtes,
+         |${ExtQueries.winnowPairCtes},
+         |dc_dup AS (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT id_a AS id FROM wf_pairs
+         |    UNION ALL SELECT id_b FROM wf_pairs)),
+         |dc_s AS (
+         |  SELECT doc_id,
+         |${ExtQueries.langScoreExprs
+             .map { case (l, e) => s"    $e AS score_$l" }
+             .mkString(",\n")}
+         |  FROM documents),
+         |dc_b AS (SELECT *, ${lcParts._2} AS best FROM dc_s),
+         |dc_g AS (SELECT doc_id, ${lcParts._3} AS guess FROM dc_b),
+         |dc_f AS (
+         |  SELECT d.doc_id,
+         |    CAST(length(${ExtQueries.toks}) AS BIGINT) AS n_tok,
+         |    d.lang,
+         |    CASE WHEN g.guess = d.lang THEN 1 ELSE 0 END AS lid_ok,
+         |    CASE WHEN p.n IS NOT NULL AND p.q_sum >= p.n * 35840
+         |      THEN 1 ELSE 0 END AS q_ok,
+         |    CASE WHEN u.id IS NOT NULL THEN 1 ELSE 0 END AS dup
+         |  FROM documents d
+         |  JOIN dc_g g ON g.doc_id = d.doc_id
+         |  LEFT JOIN lm_per p ON p.doc_id = d.doc_id
+         |  LEFT JOIN dc_dup u ON u.id = d.doc_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(SUM(q_ok) AS DOUBLE) / CAST(count(*) AS BIGINT)
+         |    AS quality_rate,
+         |  CAST(SUM(dup) AS DOUBLE) / CAST(count(*) AS BIGINT)
+         |    AS near_dup_rate,
+         |  CAST(SUM(lid_ok) AS DOUBLE) / CAST(count(*) AS BIGINT)
+         |    AS langid_agreement
+         |FROM dc_f""".stripMargin,
     "sft_turn_mask" ->
       """WITH sf_r AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id,

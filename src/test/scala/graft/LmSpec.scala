@@ -274,6 +274,17 @@ class LmSpec extends SparkSpec {
     assert(out.map(_.getString(5)).distinct.length === out.length)
   }
 
+  test("dataset card: one row, rates in [0,1], totals consistent") {
+    val r = TrainQueries.datasetCard(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getLong(0) === Tables(spark, dir, "documents").count())
+    for (i <- 3 to 5) {
+      val v = row.getDouble(i)
+      assert(v >= 0.0 && v <= 1.0, s"col $i = $v")
+    }
+  }
+
   test("gates are non-vacuous on sf0.001") {
     assert(TrainQueries.lmBigramScore(spark, dir)
       .filter(col("n_bigrams") > 0).count() > 0)
