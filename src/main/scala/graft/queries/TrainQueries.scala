@@ -746,7 +746,51 @@ object TrainQueries {
           .as("langid_agreement"))
   }
 
+  /** Per-epoch reproducible shuffles: epoch e's training order is the
+    * hash rank of md5("ep" ‖ e ‖ "|" ‖ id) — orders differ across
+    * epochs (no epoch sees the previous epoch's neighbor pairs, the
+    * gradient-correlation hygiene multi-epoch training wants) yet each
+    * is reproducible on any engine. Surfaced as one row per epoch with
+    * an ORDER-SENSITIVE integer checksum Σ pos·(id+1), so the gate
+    * pins the exact permutation, and the head doc as a spot check.
+    * The rank machinery is [[graft.ext.Corpus.globalOrderRank]], once
+    * per epoch (a fixed, small count). */
+  def epochShuffleOrders(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"))
+    val perEpoch = (0 to 2).map { e =>
+      graft.ext.Corpus.globalOrderRank(
+        docs.withColumn("_h", md5(concat(lit(s"ep$e|"),
+          col("doc_id").cast("string")))),
+        32, col("_h"), col("doc_id"))
+        .select(lit(e.toLong).as("epoch"), col("doc_id"),
+          col("_rank").as("pos"))
+    }
+    perEpoch.reduce(_ unionByName _)
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pos") * (col("doc_id") + 1)).as("order_checksum"),
+        max(when(col("pos") === 0, col("doc_id"))).as("first_doc"))
+  }
+
+  /** Curriculum export manifest: the quality-curriculum order
+    * ([[curriculumByQuality]]) sharded 64 docs per file, with the
+    * per-shard contiguity evidence (min/max position, count) and an
+    * order-sensitive checksum — the validation handshake the training
+    * reader runs against a delivered curriculum export (the
+    * quality-ordered twin of `export_manifest`). */
+  def curriculumExportManifest(spark: SparkSession, dir: String)
+      : DataFrame =
+    curriculumByQuality(spark, dir)
+      .withColumn("shard", expr("curriculum_pos div 64"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("curriculum_pos")).as("min_pos"),
+        max(col("curriculum_pos")).as("max_pos"),
+        sum(col("id") * (col("curriculum_pos") + 1)).as("order_checksum"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "epoch_shuffle_orders" -> epochShuffleOrders _,
+    "curriculum_export_manifest" -> curriculumExportManifest _,
     "dataset_card" -> datasetCard _,
     "sft_turn_mask" -> sftTurnMask _,
     "corpus_train_order_e2e" -> corpusTrainOrderE2e _,
@@ -843,6 +887,47 @@ object TrainQueries {
        |  LEFT JOIN qv_d dd USING (doc_id))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "epoch_shuffle_orders" ->
+      """WITH es_e AS (SELECT unnest([0, 1, 2]) AS epoch),
+        |es_r AS (
+        |  SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+        |    row_number() OVER (PARTITION BY epoch
+        |      ORDER BY md5('ep' || CAST(epoch AS VARCHAR) || '|'
+        |        || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+        |  FROM documents, es_e)
+        |SELECT epoch, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(pos * (doc_id + 1)) AS BIGINT) AS order_checksum,
+        |  CAST(MAX(CASE WHEN pos = 0 THEN doc_id END) AS BIGINT)
+        |    AS first_doc
+        |FROM es_r GROUP BY 1""".stripMargin,
+    "curriculum_export_manifest" ->
+      s"""WITH $lmCtes,
+         |cm_s AS (
+         |  SELECT d.doc_id AS id,
+         |    CAST(COALESCE(p.q_sum // p.n, 0) AS BIGINT) AS flu,
+         |    md5('cq|' || CAST(d.doc_id AS VARCHAR)) AS h
+         |  FROM documents d LEFT JOIN lm_per p USING (doc_id)),
+         |cm_c AS (
+         |  SELECT
+         |    percentile_disc(0.25) WITHIN GROUP (ORDER BY flu) AS c1,
+         |    percentile_disc(0.5)  WITHIN GROUP (ORDER BY flu) AS c2,
+         |    percentile_disc(0.75) WITHIN GROUP (ORDER BY flu) AS c3
+         |  FROM cm_s),
+         |cm_b AS (
+         |  SELECT id, flu, h,
+         |    CAST(1 + CAST(flu > c1 AS INT) + CAST(flu > c2 AS INT)
+         |           + CAST(flu > c3 AS INT) AS BIGINT) AS bucket
+         |  FROM cm_s CROSS JOIN cm_c),
+         |cm_r AS (
+         |  SELECT id,
+         |    row_number() OVER (ORDER BY bucket DESC, h, id) - 1 AS pos
+         |  FROM cm_b)
+         |SELECT CAST(pos // 64 AS BIGINT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(MIN(pos) AS BIGINT) AS min_pos,
+         |  CAST(MAX(pos) AS BIGINT) AS max_pos,
+         |  CAST(SUM(id * (pos + 1)) AS BIGINT) AS order_checksum
+         |FROM cm_r GROUP BY 1""".stripMargin,
     "dataset_card" ->
       s"""WITH $lmCtes,
          |${ExtQueries.winnowPairCtes},

@@ -285,6 +285,23 @@ class LmSpec extends SparkSpec {
     }
   }
 
+  test("epoch shuffles: three distinct permutations of the same set") {
+    val out = TrainQueries.epochShuffleOrders(spark, dir).collect()
+    assert(out.length === 3)
+    assert(out.map(_.getLong(1)).distinct.length === 1) // same n
+    // different epochs => different order checksums (distinct perms)
+    assert(out.map(_.getLong(2)).distinct.length === 3)
+  }
+
+  test("curriculum manifest: shards contiguous and full except tail") {
+    val out = TrainQueries.curriculumExportManifest(spark, dir)
+      .orderBy("shard").collect()
+    assert(out.nonEmpty)
+    for (r <- out)
+      assert(r.getLong(3) - r.getLong(2) + 1 === r.getLong(1))
+    assert(out.init.forall(_.getLong(1) === 64L))
+  }
+
   test("gates are non-vacuous on sf0.001") {
     assert(TrainQueries.lmBigramScore(spark, dir)
       .filter(col("n_bigrams") > 0).count() > 0)
