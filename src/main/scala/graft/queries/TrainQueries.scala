@@ -788,7 +788,45 @@ object TrainQueries {
         max(col("curriculum_pos")).as("max_pos"),
         sum(col("id") * (col("curriculum_pos") + 1)).as("order_checksum"))
 
+  /** Quality-signal redundancy: Spearman rank correlation between the
+    * LM fluency score and the hashed-linear-scorer score (its
+    * relational twin — the stream_model_score algebra) over all
+    * documents — the measurement run before adding a signal to the
+    * ensemble: a new signal that rank-correlates ~1 with an existing
+    * one buys nothing. Integer-exact rank algebra (spearman_corr's
+    * machinery); the scorer's double is only an ORDERING key, and
+    * identical expression trees order identically on both engines. */
+  def qualitySignalCorr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val flu = Lm.scoreDocs(docs, col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"),
+        when(col("n_bigrams") > 0, expr("q_sum div n_bigrams"))
+          .otherwise(0L).as("x"))
+    val sc = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .withColumn("b", TextFunctions.hash32(col("tok")) % 1024)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nt"),
+        sum((col("b") * lit(2654435761L)) % 2003L - 1001L).as("raw"))
+      .select(col("doc_id"), (col("raw").cast("double") /
+        (lit(1001.0) * col("nt").cast("double"))).as("y"))
+    val base = graft.Tables.materialize(flu.join(sc, "doc_id"))
+    def rank(c: String, out: String) = graft.ext.Corpus
+      .globalOrderRank(base.select(col("doc_id"), col(c)), 32,
+        col(c), col("doc_id"))
+      .select(col("doc_id"), col("_rank").as(out))
+    rank("x", "rx").join(rank("y", "ry"), "doc_id")
+      .select((col("rx") - col("ry")).as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d") * col("d")).as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        (lit(1.0) - (lit(6L) * col("sum_d2")).cast("double") /
+          (col("n") * (col("n") * col("n") - 1)).cast("double"))
+          .as("rho"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_signal_corr" -> qualitySignalCorr _,
     "epoch_shuffle_orders" -> epochShuffleOrders _,
     "curriculum_export_manifest" -> curriculumExportManifest _,
     "dataset_card" -> datasetCard _,
@@ -887,6 +925,38 @@ object TrainQueries {
        |  LEFT JOIN qv_d dd USING (doc_id))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "quality_signal_corr" ->
+      s"""WITH $lmCtes,
+         |qc_f AS (
+         |  SELECT d.doc_id,
+         |    CAST(COALESCE(p.q_sum // p.n, 0) AS BIGINT) AS x
+         |  FROM documents d LEFT JOIN lm_per p USING (doc_id)),
+         |qc_h AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b
+         |  FROM (SELECT doc_id, unnest(${ExtQueries.toks}) AS tok
+         |        FROM documents)),
+         |qc_s AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nt,
+         |    CAST(SUM((b * 2654435761) % 2003 - 1001) AS BIGINT) AS raw
+         |  FROM qc_h GROUP BY 1),
+         |qc_y AS (
+         |  SELECT doc_id, CAST(raw AS DOUBLE)
+         |    / (CAST(1001 AS DOUBLE) * CAST(nt AS DOUBLE)) AS y
+         |  FROM qc_s),
+         |qc_r AS (
+         |  SELECT f.doc_id,
+         |    row_number() OVER (ORDER BY x, f.doc_id) - 1 AS rx,
+         |    row_number() OVER (ORDER BY y, f.doc_id) - 1 AS ry
+         |  FROM qc_f f JOIN qc_y USING (doc_id)),
+         |qc_a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+         |  FROM qc_r)
+         |SELECT n, sum_d2,
+         |  CAST(1.0 AS DOUBLE) - CAST(6 * sum_d2 AS DOUBLE)
+         |    / CAST(n * (n * n - 1) AS DOUBLE) AS rho
+         |FROM qc_a""".stripMargin,
     "epoch_shuffle_orders" ->
       """WITH es_e AS (SELECT unnest([0, 1, 2]) AS epoch),
         |es_r AS (

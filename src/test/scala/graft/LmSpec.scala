@@ -302,6 +302,12 @@ class LmSpec extends SparkSpec {
     assert(out.init.forall(_.getLong(1) === 64L))
   }
 
+  test("quality signal corr: rho in [-1,1], n covers the corpus") {
+    val r = TrainQueries.qualitySignalCorr(spark, dir).collect()(0)
+    assert(r.getLong(0) === Tables(spark, dir, "documents").count())
+    assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
+  }
+
   test("gates are non-vacuous on sf0.001") {
     assert(TrainQueries.lmBigramScore(spark, dir)
       .filter(col("n_bigrams") > 0).count() > 0)
