@@ -825,7 +825,34 @@ object TrainQueries {
           .as("rho"))
   }
 
+  /** Per-language token concentration: the share of token occurrences
+    * held by each language's top-8 tokens — the head-heaviness
+    * diversity audit (a language whose head dominates is boilerplate-
+    * heavy; complements the corpus-global `vocab_topk` and the Gini
+    * gate). The per-language rank window is bounded by the language's
+    * VOCABULARY (not its token count), the same bound vocab_topk
+    * documents. */
+  def tokenTailAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables(spark, dir, "documents")
+      .select(col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val ranked = cnt.withColumn("r", row_number().over(
+      Window.partitionBy(col("lang"))
+        .orderBy(col("c").desc, col("tok").asc)))
+    ranked.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("r") <= 8, col("c")).otherwise(0L)).as("head8"))
+      .select(col("lang"), col("n_tokens"), col("n_distinct"),
+        col("head8"),
+        (col("head8").cast("double") / col("n_tokens").cast("double"))
+          .as("head8_share"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_tail_audit" -> tokenTailAudit _,
     "quality_signal_corr" -> qualitySignalCorr _,
     "epoch_shuffle_orders" -> epochShuffleOrders _,
     "curriculum_export_manifest" -> curriculumExportManifest _,
@@ -925,6 +952,24 @@ object TrainQueries {
        |  LEFT JOIN qv_d dd USING (doc_id))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "token_tail_audit" ->
+      s"""WITH tt_c AS (
+         |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT lang, unnest(${ExtQueries.toks}) AS tok
+         |        FROM documents)
+         |  WHERE tok <> '' GROUP BY 1, 2),
+         |tt_r AS (
+         |  SELECT lang, c,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY c DESC, tok ASC) AS r
+         |  FROM tt_c)
+         |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(SUM(CASE WHEN r <= 8 THEN c ELSE 0 END) AS BIGINT)
+         |    AS head8,
+         |  CAST(SUM(CASE WHEN r <= 8 THEN c ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(c) AS BIGINT) AS head8_share
+         |FROM tt_r GROUP BY 1""".stripMargin,
     "quality_signal_corr" ->
       s"""WITH $lmCtes,
          |qc_f AS (

@@ -308,6 +308,13 @@ class LmSpec extends SparkSpec {
     assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
   }
 
+  test("token tail audit: head share in (0,1], head <= total") {
+    val out = TrainQueries.tokenTailAudit(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(3) <= r.getLong(1)))
+    assert(out.forall(r => r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0))
+  }
+
   test("gates are non-vacuous on sf0.001") {
     assert(TrainQueries.lmBigramScore(spark, dir)
       .filter(col("n_bigrams") > 0).count() > 0)
