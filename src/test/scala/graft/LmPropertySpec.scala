@@ -77,6 +77,34 @@ class LmPropertySpec extends SparkSpec {
     }
   }
 
+  test("trigram backoff: per-tier q bounds hold on random corpora") {
+    // tier 3: q <= 2^20 (probability); tier 2: q <= (2/5)·2^20;
+    // tier 1: q <= (4/25)·2^20 — the backoff weights really do
+    // discount, whatever the corpus
+    for (seed <- 30L to 32L) {
+      val texts = sample(corpusGen, seed)
+      val spark2 = spark
+      import spark2.implicits._
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "xx") }
+        .toDF("doc_id", "text", "lang")
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_lmprop_$seed").toString
+      docs.write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      val out = graft.queries.TrainQueries
+        .lmTrigramBackoff(spark, tmp).collect()
+      val bound = Map(3L -> 1048576L, 2L -> 1048576L * 2 / 5,
+        1L -> 1048576L * 4 / 25, 0L -> 0L)
+      for (r <- out) {
+        val tier = r.getLong(1)
+        // q_sum <= n_grams * per-tier max q
+        assert(r.getLong(3) <= r.getLong(2) * bound(tier),
+          s"seed $seed tier $tier")
+      }
+    }
+  }
+
   test("releaseDiff: byte-identical incoming docs always classify exact") {
     for (seed <- 20L to 22L) {
       val texts = sample(corpusGen, seed).filter(_.nonEmpty)
