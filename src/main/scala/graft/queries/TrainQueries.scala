@@ -120,8 +120,14 @@ object TrainQueries {
     * floor-only allocation (Σ alloc == budget exactly). The
     * remainder-rank window runs over one row per language (bounded by
     * the stratum count, the house rule for unpartitioned windows). */
-  def tokenBudgetAlloc(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 100000L
+  def tokenBudgetAlloc(spark: SparkSession, dir: String): DataFrame =
+    hamiltonAlloc(spark, dir, budget = 100000L)
+
+  /** [[tokenBudgetAlloc]]'s algebra with the budget as a parameter —
+    * shared with [[mixtureResampleToAlloc]], which needs a budget
+    * below the corpus size so acceptance rates actually bind. */
+  private def hamiltonAlloc(spark: SparkSession, dir: String,
+      budget: Long): DataFrame = {
     val cnt = Tables(spark, dir, "documents")
       .select(col("lang"),
         size(TextFunctions.tokens(col("text"))).cast("long").as("nt"))
@@ -851,7 +857,36 @@ object TrainQueries {
           .as("head8_share"))
   }
 
+  /** Resample the corpus to a COMPUTED target mixture — the closing
+    * half of the allocation story: [[tokenBudgetAlloc]]'s Hamilton
+    * shares (budget 8192 tokens, small enough that rates bind) become
+    * per-language acceptance rates in 2⁻²⁰ units, and documents accept
+    * on a content-hash draw below the rate — deterministic,
+    * engine-independent, and proportional in expectation. Output per
+    * language: target allocation vs what the draw actually sampled
+    * (docs + tokens) — the report a mixture-rebalancing job emits.
+    * Unlike `sample_mixture` (operator-supplied fixed rates) the
+    * rates here are DERIVED from the measured corpus. */
+  def mixtureResampleToAlloc(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val rate = hamiltonAlloc(spark, dir, budget = 8192L)
+      .withColumn("rate",
+        least(lit(1048576L), expr("(1048576L * alloc) div n_tok")))
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("nt"),
+        (TextFunctions.hash32(concat(lit("mr|"),
+          col("doc_id").cast("string"))) % 1048576L).as("h"))
+    docs.join(broadcast(rate), "lang")
+      .groupBy(col("lang"), col("n_tok"), col("alloc"))
+      .agg(sum(when(col("h") < col("rate"), 1L).otherwise(0L))
+          .as("n_docs_sampled"),
+        sum(when(col("h") < col("rate"), col("nt")).otherwise(0L))
+          .as("n_tokens_sampled"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mixture_resample_to_alloc" -> mixtureResampleToAlloc _,
     "token_tail_audit" -> tokenTailAudit _,
     "quality_signal_corr" -> qualitySignalCorr _,
     "epoch_shuffle_orders" -> epochShuffleOrders _,
@@ -952,6 +987,45 @@ object TrainQueries {
        |  LEFT JOIN qv_d dd USING (doc_id))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "mixture_resample_to_alloc" ->
+      """WITH mr_t AS (
+        |  SELECT lang,
+        |    CAST(SUM(length(string_split_regex(trim(text), '\s+')))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY 1),
+        |mr_n AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n FROM mr_t),
+        |mr_b AS (
+        |  SELECT lang, n_tok,
+        |    CAST((8192 * n_tok) // n AS BIGINT) AS base,
+        |    CAST((8192 * n_tok) % n AS BIGINT) AS rem
+        |  FROM mr_t, mr_n),
+        |mr_k AS (SELECT CAST(8192 - SUM(base) AS BIGINT) AS k
+        |         FROM mr_b),
+        |mr_a AS (
+        |  SELECT lang, n_tok,
+        |    CAST(base + CASE WHEN
+        |      row_number() OVER (ORDER BY rem DESC, lang ASC) <= k
+        |      THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |  FROM mr_b, mr_k),
+        |mr_r AS (
+        |  SELECT lang, n_tok, alloc,
+        |    least(1048576, CAST((1048576 * alloc) // n_tok AS BIGINT))
+        |      AS rate
+        |  FROM mr_a),
+        |mr_d AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(length(string_split_regex(trim(d.text), '\s+'))
+        |      AS BIGINT) AS nt,
+        |    ('0x' || substr(md5('mr|' || CAST(d.doc_id AS VARCHAR)),
+        |      1, 8))::BIGINT % 1048576 AS h
+        |  FROM documents d)
+        |SELECT r.lang, r.n_tok, r.alloc,
+        |  CAST(SUM(CASE WHEN d.h < r.rate THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_docs_sampled,
+        |  CAST(SUM(CASE WHEN d.h < r.rate THEN d.nt ELSE 0 END)
+        |    AS BIGINT) AS n_tokens_sampled
+        |FROM mr_d d JOIN mr_r r USING (lang)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "token_tail_audit" ->
       s"""WITH tt_c AS (
          |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c

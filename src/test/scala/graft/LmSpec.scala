@@ -315,6 +315,16 @@ class LmSpec extends SparkSpec {
     assert(out.forall(r => r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0))
   }
 
+  test("mixture resample: rates bind, samples within corpus bounds") {
+    val out = TrainQueries.mixtureResampleToAlloc(spark, dir).collect()
+    assert(out.nonEmpty)
+    // sampled counts never exceed the language's corpus
+    assert(out.forall(r => r.getLong(4) <= r.getLong(1)))
+    // budget << corpus, so at least one language must subsample
+    assert(out.exists(r => r.getLong(4) < r.getLong(1)))
+    assert(out.forall(r => r.getLong(3) >= 0))
+  }
+
   test("gates are non-vacuous on sf0.001") {
     assert(TrainQueries.lmBigramScore(spark, dir)
       .filter(col("n_bigrams") > 0).count() > 0)
