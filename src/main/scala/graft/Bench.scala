@@ -244,8 +244,43 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // ---- steal-probe gating --------------------------------------------
+    // The box sees episodic hypervisor steal storms (30-90 s bursts;
+    // three rounds of driver benches landed inside one). The honest
+    // engine numbers come from quiet windows, so the bench now gates
+    // ITSELF: (a) before the loop, wait for a quiet probe window;
+    // (b) after any query whose window absorbed real steal, wait for
+    // quiet and re-measure, within a bounded retry budget. Accepted
+    // measurements are the reported walls; `steal_s` sums steal inside
+    // ACCEPTED windows only, `steal_run_s` keeps the whole-run
+    // envelope so the gating is transparent, and `retried` names the
+    // re-measured queries.
+    val probeMs = sys.env.getOrElse("SPARK_GRAFT_STEAL_PROBE_MS", "8000").toLong
+    // ~1 tick/8 s: the launch bar the round-10..12 protocol converged on
+    val quietBar = probeMs / 1000.0 * 0.02
+    def awaitQuiet(maxWaitMs: Long, tag: String): Double = {
+      val t0 = System.currentTimeMillis()
+      var last = Double.MaxValue
+      while (last > quietBar &&
+          System.currentTimeMillis() - t0 + probeMs <= maxWaitMs) {
+        val s0 = stealSeconds
+        Thread.sleep(probeMs)
+        last = stealSeconds - s0
+        if (last > quietBar)
+          System.err.println(f"[bench-quiet] $tag: steal $last%.2f s/" +
+            f"${probeMs / 1000}%d s window — waiting")
+      }
+      (System.currentTimeMillis() - t0) / 1e3
+    }
+    val quietWaitS = awaitQuiet(
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_MAX_MS", "480000").toLong, "pre-run")
+    var retryBudgetMs =
+      sys.env.getOrElse("SPARK_GRAFT_RETRY_BUDGET_MS", "480000").toLong
+    val retried = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val stealRun0 = stealSeconds
-    val results = selected.map { case (name, fn) =>
+    def runOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String], Map[String, Double]) = {
       listener.reset()
       currentQuery.set(name)
       val gc0 = driverGcMs
@@ -284,6 +319,27 @@ object Bench {
       // straggler forensics to stderr (stdout carries only the JSON line)
       listener.slowTasks.asScala.foreach(s =>
         System.err.println(s"[bench-slow] $name: $s"))
+      (dt, err, diag)
+    }
+    val results = selected.map { case (name, fn) =>
+      var (dt, err, diag) = runOnce(name, fn)
+      var attempts = 1
+      // a steal-polluted window (absolute and relative floor — tiny
+      // walls absorb scheduler jitter) re-measures after a quiet wait;
+      // retries stop when the global budget is spent so a full-blown
+      // storm degrades to the old single-measurement behavior
+      while (err.isEmpty && attempts <= 2 && retryBudgetMs > 0 &&
+          diag("steal_s") > math.max(1.0, 0.25 * dt)) {
+        val w0 = System.currentTimeMillis()
+        val waited = awaitQuiet(math.min(120000L, retryBudgetMs), name)
+        System.err.println(f"[bench-retry] $name: steal ${diag("steal_s")}%.1f s" +
+          f" in a ${dt}%.1f s wall — re-measuring (waited $waited%.1f s)")
+        val again = runOnce(name, fn)
+        retryBudgetMs -= (System.currentTimeMillis() - w0)
+        dt = again._1; err = again._2; diag = again._3
+        attempts += 1
+        retried.updateWith(name)(n => Some(n.getOrElse(0) + 1))
+      }
       // a crashed query must not bench as a perf win: sentinel -1
       (name, if (err.isDefined) -1.0 else dt, err, diag)
     }
@@ -366,9 +422,18 @@ object Bench {
         .map { case (k, e) => "\"" + k + "\":\"" + esc(e.take(msgLen)) + "\"" }
         .mkString(",\"errors\":{", ",", "}")
     val total = results.collect { case (_, v, None, _) => v }.sum
-    val steal = f2(stealSeconds - stealRun0)
+    // steal_s: steal inside the ACCEPTED measurement windows (what the
+    // reported walls actually absorbed); steal_run_s: the whole-run
+    // envelope including waits and discarded attempts. retried/
+    // quiet_wait_s make the gating auditable from the JSON alone.
+    val steal = f2(results.map(_._4.getOrElse("steal_s", 0.0)).sum)
+    val stealRun = f2(stealSeconds - stealRun0)
+    val retriedJson =
+      if (retried.isEmpty) ""
+      else retried.map { case (q, n) => "\"" + q + "\":" + n }
+        .mkString(",\"retried\":{", ",", "}")
     def line(queries: String, diag: String, errJson: String): String =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$queries,"steal_s":$steal$diag$errJson,"sf":"$sfDir","failed":${errsAll.size}}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$queries,"steal_s":$steal,"steal_run_s":$stealRun,"quiet_wait_s":${f2(quietWaitS)}$retriedJson$diag$errJson,"sf":"$sfDir","failed":${errsAll.size}}"""
     // belt-and-braces: if the line would still overflow the driver
     // tail, shed in stages — (1) the diag maps (wall times and kill
     // accountability outrank per-query CPU forensics, which stderr

@@ -24,6 +24,35 @@ object Tables {
     c
   }
 
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val scratchHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchDirs.forEach { root =>
+        try {
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } catch { case _: Exception => () }
+      }
+    }, "graft-scratch-cleanup"))
+  }
+
+  /** Driver-local scratch directory for gate queries that persist an
+    * index/model to parquet and read it back (the persisted-store
+    * lifecycle gates). Registered for recursive deletion at JVM exit,
+    * so repeated Verify/Bench runs don't leak disk. Single-node by
+    * construction — the `file:` path is only visible to local
+    * executors; a cluster deployment swaps this for a configurable
+    * shared scratch URI (the `readSummary`-style persisted stores show
+    * that shape). */
+  def scratchDir(prefix: String): String = {
+    scratchHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p.toString
+  }
+
   /** Normalize every physical timestamp encoding a parquet writer may
     * emit to ONE engine-facing type: TimestampType (session-local,
     * pinned UTC by [[Sessions.builder]]).

@@ -947,7 +947,7 @@ object Corpus {
     * (qid string, rnk 1..k, id, mmr_score). */
   def mmrRerankGrouped(cand: DataFrame, qid: Column, id: Column,
       score: Column, toks: Column, k: Int,
-      lambda: Double = 0.5): DataFrame = {
+      lambda: Double = 0.5, maxCand: Int = 4096): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val spark = cand.sparkSession
     import spark.implicits._
@@ -956,7 +956,14 @@ object Corpus {
       .as[(String, Long, Double, Seq[String])]
       .groupByKey(_._1)
       .flatMapGroups { (q, it) =>
-        val cs = it.toArray // bounded per contract (retriever top-N)
+        // bounded per contract (retriever top-N). The cap turns an
+        // upstream bug feeding an unbounded group into a loud failure
+        // instead of an executor OOM from the |cand|² sim matrix.
+        val cs = it.take(maxCand + 1).toArray
+        require(cs.length <= maxCand,
+          s"mmrRerankGrouped: query group '$q' exceeds maxCand=" +
+            s"$maxCand candidates — the upstream retriever must bound " +
+            "per-query candidate lists (or raise maxCand)")
         val n = cs.length
         val sets: Array[Set[String]] = cs.map(_._4.toSet)
         def sim(i: Int, j: Int): Double = {

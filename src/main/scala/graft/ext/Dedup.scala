@@ -38,10 +38,30 @@ object Dedup {
     * are widened to the session's parallelism (a single-file local scan
     * is 1 partition; the gram explosion is the expensive stage, so it
     * must run wide). */
-  def shingles(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
+  def shingles(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
+    shinglesFromToks(tokenize(df, id, text), n)
+
+  /** Tokenized (id, toks) frame — the shared upstream of
+    * [[shinglesFromToks]] / [[winnowFingerprintsFromToks]]. Audits
+    * that need several gram sizes over the same corpus (e.g. the
+    * winnowing recall audit at k ∈ {3, 5}) materialize this ONCE and
+    * derive every k from the cached token arrays instead of
+    * re-reading and re-splitting the corpus per gram size. Widened to
+    * the session's parallelism: a single-file local scan is 1
+    * partition and the downstream gram explosion is the expensive
+    * stage, so it must run wide. */
+  def tokenize(df: DataFrame, id: Column, text: Column): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    val toked = df.select(id.as("id"), TextFunctions.tokens(text).as("toks"))
+    df.select(id.as("id"), TextFunctions.tokens(text).as("toks"))
       .repartition(p)
+  }
+
+  /** Gram explosion over a prepared (id, toks) frame — see
+    * [[shingles]]. Tokens are a materialized column BEFORE the gram
+    * lambda (a lambda body re-evaluates embedded expressions per
+    * element — with split() inlined that made gram building O(len²)
+    * per doc in interpreted eval). */
+  def shinglesFromToks(toked: DataFrame, n: Int): DataFrame = {
     // grams[i] = toks[i..i+n-1], for i in 1..len-n+1 (slice is 1-based)
     val grams = when(size(col("toks")) >= n,
       transform(sequence(lit(1), size(col("toks")) - (n - 1)),
@@ -85,9 +105,16 @@ object Dedup {
   private val JaccardBruteMaxCandVolume = new java.math.BigDecimal(1L << 28)
 
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
+      n: Int = 3, threshold: Double = 0.5): DataFrame =
+    ngramJaccardPairsFromToks(tokenize(df, id, text), n, threshold)
+
+  /** [[ngramJaccardPairs]] over a prepared (id, toks) frame — lets
+    * multi-k audits share ONE tokenization. Same adaptive Σ df²
+    * dispatch, same output. */
+  def ngramJaccardPairsFromToks(toked: DataFrame,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0 && threshold <= 1, "0 < threshold <= 1")
-    val g = graft.Tables.materialize(shingles(df, id, text, n))
+    val g = graft.Tables.materialize(shinglesFromToks(toked, n))
     // dfreq is materialized too: the dispatch scalar reads it once
     // and the prefix path joins it again — without the cache that
     // full gram-frequency aggregate would run twice
@@ -1040,12 +1067,16 @@ object Dedup {
     * full window exists); callers wanting short docs represented
     * fall back to [[TextFunctions.canonicalFingerprint]]. */
   def winnowFingerprints(df: DataFrame, id: Column, text: Column,
+      k: Int = 3, w: Int = 4): DataFrame =
+    winnowFingerprintsFromToks(tokenize(df, id, text), k, w)
+
+  /** [[winnowFingerprints]] over a prepared (id, toks) frame from
+    * [[tokenize]] — the multi-k-audit entry point. */
+  def winnowFingerprintsFromToks(tokedIn: DataFrame,
       k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
-    val p = df.sparkSession.sparkContext.defaultParallelism
     val M = 1L << 20
-    val toked = df.select(id.as("doc_id"),
-      TextFunctions.tokens(text).as("toks")).repartition(p)
+    val toked = tokedIn.select(col("id").as("doc_id"), col("toks"))
     val grams = when(size(col("toks")) >= k,
       transform(sequence(lit(1), size(col("toks")) - (k - 1)),
         i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
@@ -1124,9 +1155,15 @@ object Dedup {
 
   def winnowPairs(df: DataFrame, id: Column, text: Column,
       k: Int = 3, w: Int = 4, maxDf: Int = 64,
+      minShared: Int = 2): DataFrame =
+    winnowPairsFromToks(tokenize(df, id, text), k, w, maxDf, minShared)
+
+  /** [[winnowPairs]] over a prepared (id, toks) frame. */
+  def winnowPairsFromToks(toked: DataFrame,
+      k: Int = 3, w: Int = 4, maxDf: Int = 64,
       minShared: Int = 2): DataFrame = {
     require(maxDf >= 2 && minShared >= 1, "maxDf >= 2, minShared >= 1")
-    val fp = winnowFingerprints(df, id, text, k, w)
+    val fp = winnowFingerprintsFromToks(toked, k, w)
       .select(col("doc_id"), col("fp_hash")).distinct()
     val keep = fp.groupBy(col("fp_hash"))
       .agg(count(lit(1)).as("fdf"))

@@ -671,6 +671,39 @@ object Similarity {
         col("nbr_label"), col("rank"), col("cosine"))
   }
 
+  /** Deterministic id-mod training sample, collected to the driver
+    * for the bounded-sample trainers ([[kmeansCentroids]],
+    * [[pqTrainCodebooks]]). Guarded by a BYTE budget before the
+    * collect — a row-count cap alone is blind to dimensionality
+    * (2^20 rows × 768 dims ≈ 6 GB on the driver). One cheap
+    * pruned-scan aggregate sizes the sample; the budget is conf'd
+    * (`spark.graft.kmeans.maxSampleBytes`, default 1 GiB) so a
+    * beefier driver can raise it. */
+  private def collectTrainingSample(corpus: DataFrame, corpusId: Column,
+      corpusVec: Column, sampleMod: Long): Array[(Long, Array[Double])] = {
+    val spark = corpus.sparkSession
+    val sampleDf = corpus
+      .filter(pmod(corpusId.cast("long"), lit(sampleMod)) === 0)
+      .select(corpusId.cast("long").as("id"),
+        corpusVec.cast("array<double>").as("v"))
+      .filter(size(col("v")) > 0)
+    val stats = sampleDf
+      .agg(count(lit(1)).as("n"), max(size(col("v"))).as("dim"))
+      .collect()(0)
+    val nRows = stats.getLong(0)
+    val dim = if (stats.isNullAt(1)) 0 else stats.getInt(1)
+    val budget = spark.conf
+      .get("spark.graft.kmeans.maxSampleBytes", (1L << 30).toString).toLong
+    val bytes = nRows * dim.toLong * 8L
+    require(bytes <= budget,
+      s"training sample ≈ $bytes bytes ($nRows rows × $dim dims × 8) " +
+        s"exceeds spark.graft.kmeans.maxSampleBytes=$budget — raise " +
+        "sampleMod or the byte budget")
+    sampleDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+  }
+
   /** Spherical k-means centroids for [[ivfTopK]]: Lloyd's iterations —
     * assign each vector to its max-cosine centroid, re-center each cell
     * on the member direction — from the deterministic smallest-id
@@ -715,18 +748,9 @@ object Similarity {
     // against the previous in-cluster trainer via the unchanged
     // DuckDB oracle at sampleMod=1.
     val spark = corpus.sparkSession
-    val sample: Array[(Long, Array[Double])] = corpus
-      .filter(pmod(corpusId.cast("long"), lit(sampleMod)) === 0)
-      .select(corpusId.cast("long").as("id"),
-        corpusVec.cast("array<double>").as("v"))
-      .filter(size(col("v")) > 0)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
+    val sample = collectTrainingSample(corpus, corpusId, corpusVec, sampleMod)
     require(sample.length >= numCells,
       s"training sample ${sample.length} < numCells $numCells — lower sampleMod")
-    require(sample.length <= (1 << 20),
-      s"training sample ${sample.length} too large to collect — raise sampleMod")
     def round12(d: Double): java.math.BigDecimal =
       java.math.BigDecimal.valueOf(d)
         .setScale(12, java.math.RoundingMode.HALF_UP)
@@ -770,6 +794,247 @@ object Similarity {
         (cid, i, cx) } }
       .toDF("cell_id", "i", "cx")
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (IVF-PQ) — the 32-64× compression axis that
+  // makes a 100 TB embedding corpus servable: each vector is stored as
+  // m sub-codebook codes (one byte each at ksub ≤ 256) instead of dim
+  // floats, and query scoring is m integer table lookups per candidate
+  // (asymmetric distance computation, ADC) instead of a dim-wide dot.
+  // Jégou/Douze/Schmid PQ, FAISS IVF-PQ layout; every stage below is
+  // deterministic integer/exact-decimal algebra so a SQL oracle can
+  // replay train → encode → serve bit-for-bit.
+  // ------------------------------------------------------------------
+
+  /** Per-subspace PQ codebooks: the vector's `dim` components split
+    * into `m` contiguous subvectors of dim/m; each subspace trains its
+    * own `ksub`-centroid codebook with driver-local L2 Lloyd's over
+    * the bounded id-mod sample ([[collectTrainingSample]], byte-budget
+    * guarded — the [[kmeansCentroids]] discipline, L2 instead of
+    * cosine because PQ approximates the vector itself, not its
+    * direction).
+    *
+    * Deterministic end to end, same contract as the IVF trainer:
+    * initial centroids are the sample's first `ksub` vectors' slices
+    * (codes 0..ksub−1 in id order); assignment argmin uses
+    * d² = ‖c‖² − 2⟨x,c⟩ (the ‖x‖² term is constant per x) with both
+    * dots as exact-decimal sums of HALF_UP-rounded 12dp products cast
+    * to double and ONE IEEE combine, ties to the smallest code;
+    * re-centering is the exact-decimal component sum divided by the
+    * member count in double (L2 means need the division — unlike the
+    * spherical trainer — and double ÷ integer is IEEE-identical
+    * cross-engine). Empty codes keep their centroid; fixed `iters`
+    * keeps the job graph static.
+    *
+    * 100 TB sizing: training reads ONE pruned id-mod sample scan;
+    * per-subspace Lloyd's is O(sample × ksub × dim/m) on the driver.
+    * Returns (j, code, i, cx): subspace, code id, within-subspace
+    * component index, component value. */
+  def pqTrainCodebooks(corpus: DataFrame, corpusId: Column,
+      corpusVec: Column, m: Int = 4, ksub: Int = 8, iters: Int = 2,
+      sampleMod: Long = 1L): DataFrame = {
+    val spark = corpus.sparkSession
+    val sample = collectTrainingSample(corpus, corpusId, corpusVec,
+      sampleMod)
+    require(sample.length >= ksub,
+      s"training sample ${sample.length} < ksub $ksub — lower sampleMod")
+    val dim = sample(0)._2.length
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(sample.forall(_._2.length == dim), "ragged embedding dims")
+    val sub = dim / m
+    def round12(d: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    def dotDec(a: Array[Double], b: Array[Double]): Double = {
+      var acc = java.math.BigDecimal.ZERO
+      var i = 0
+      while (i < a.length) { acc = acc.add(round12(a(i) * b(i))); i += 1 }
+      acc.doubleValue()
+    }
+    val rows = (0 until m).flatMap { j =>
+      val xs: Array[Array[Double]] =
+        sample.map(_._2.slice(j * sub, (j + 1) * sub))
+      var cent: Array[Array[Double]] = xs.take(ksub).map(_.clone())
+      for (_ <- 1 to iters) {
+        val cn2 = cent.map(c => dotDec(c, c))
+        val sums = Array.fill(ksub)(
+          Array.fill(sub)(java.math.BigDecimal.ZERO))
+        val counts = new Array[Int](ksub)
+        xs.foreach { x =>
+          var best = -1; var bestD2 = Double.PositiveInfinity
+          for (ci <- 0 until ksub) {
+            val d2 = cn2(ci) - 2.0 * dotDec(x, cent(ci))
+            if (d2 < bestD2) { bestD2 = d2; best = ci }
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < sub) {
+            sums(best)(i) = sums(best)(i).add(round12(x(i))); i += 1
+          }
+        }
+        cent = Array.tabulate(ksub) { ci =>
+          if (counts(ci) == 0) cent(ci)
+          else sums(ci).map(_.doubleValue() / counts(ci).toDouble)
+        }
+      }
+      for (code <- 0 until ksub; i <- 0 until sub)
+        yield (j, code.toLong, i, cent(code)(i))
+    }
+    import spark.implicits._
+    rows.toDF("j", "code", "i", "cx")
+  }
+
+  /** Codebook rows re-packed to per-(subspace, code) arrays with the
+    * precomputed exact-decimal ‖c‖² — the broadcast-sized frame every
+    * PQ stage joins against (m × ksub rows). */
+  private def pqCodebookArrays(codebooks: DataFrame): DataFrame =
+    graft.Tables.materialize(codebooks
+      .groupBy(col("j"), col("code"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("cx")))),
+        s => s.getField("cx")).as("cvec"))
+      .withColumn("cn2",
+        VecKernels.vecDotDec(col("cvec"), col("cvec")).cast("double")))
+
+  /** PQ ENCODE — the one corpus-sized pass of the PQ lifecycle: each
+    * vector's m subvector slices assign to their subspace's
+    * argmin-d² code against the broadcast codebook (m × ksub rows per
+    * vector of fan-out, map-side only, partial-aggregated argmin —
+    * no shuffle wider than the output). Output (nbr_id, j, code):
+    * m small ints per vector, the 32-64× storage cut. Runs once per
+    * retrain window and appends like [[appendIvfAssignments]]
+    * (per-row against frozen codebooks ⇒ append ≡ re-encode). */
+  def pqEncode(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      codebooks: DataFrame): DataFrame = {
+    val cb = pqCodebookArrays(codebooks)
+    val subDim = size(col("cvec"))
+    corpus.select(corpusId.as("nbr_id"),
+        corpusVec.cast("array<double>").as("v"))
+      .crossJoin(broadcast(cb))
+      .withColumn("d2", col("cn2") - lit(2.0) *
+        VecKernels.vecDotDec(
+          slice(col("v"), col("j") * subDim + lit(1), subDim),
+          col("cvec")).cast("double"))
+      .groupBy(col("nbr_id"), col("j"))
+      .agg(max_by(col("code"),
+        struct((-col("d2")).as("nd"), (-col("code")).as("nc"))).as("code"))
+  }
+
+  /** Per-query ADC lookup table: for every (subspace, code), the
+    * query slice's exact-decimal dot with the codebook centroid,
+    * quantized to an INTEGER in 2⁻²⁰ units (round-half-away — the
+    * audited [[graft.functions.VecKernels]] i8 discipline: both
+    * engines round the same exact double). Scoring a candidate is
+    * then Σ_j adc[j, code_j] — pure BIGINT, deterministic top-k.
+    * m × ksub rows per query; broadcast. */
+  def pqAdcTable(queries: DataFrame, queryId: Column, queryVec: Column,
+      codebooks: DataFrame): DataFrame = {
+    val cb = pqCodebookArrays(codebooks)
+    val subDim = size(col("cvec"))
+    queries.select(queryId.as("query_id"),
+        queryVec.cast("array<double>").as("qv"))
+      .crossJoin(broadcast(cb))
+      .select(col("query_id"), col("j"), col("code"),
+        round(VecKernels.vecDotDec(
+            slice(col("qv"), col("j") * subDim + lit(1), subDim),
+            col("cvec")).cast("double") * lit(1048576.0), 0)
+          .cast("long").as("a"))
+  }
+
+  /** ADC top-k over ENCODED candidates: join the candidate code rows
+    * against the broadcast per-query ADC table on (j, code), sum the
+    * m integer lookups per (query, candidate), rank. `cand` is the
+    * (query_id, nbr_id) candidate set — the full corpus for the
+    * exhaustive-ADC baseline, or the probed cells' members for
+    * IVF-PQ. The scan reads CODES only (m longs per vector), never
+    * the float vectors — the bandwidth shape that makes PQ serving
+    * scale. */
+  def pqAdcTopK(cand: DataFrame, codes: DataFrame, adc: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id").asc)
+    cand.join(codes, "nbr_id")
+      .join(broadcast(adc), Seq("query_id", "j", "code"))
+      .groupBy(col("query_id"), col("nbr_id"))
+      .agg(sum(col("a")).as("score"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank"), col("score"))
+  }
+
+  /** IVF-PQ serving — the composed 100 TB ANN shape: IVF cells prune
+    * the candidate set to the probed cells' members (coarse float
+    * stage: numCells × dim of broadcast centroids), then PQ-ADC ranks
+    * the survivors from their m-byte codes (fine integer stage). The
+    * corpus's float vectors are touched ONLY by the build-side passes
+    * (assignment + encode, once per retrain window); the query path
+    * reads centroids, the assignment table, and codes. */
+  /** Seed-cell IVF candidate set (query_id, nbr_id): the probed
+    * cells' members per query — the coarse pruning stage IVF-PQ
+    * composes under the ADC ranker. */
+  private def ivfCandidates(corpus: DataFrame, corpusId: Column,
+      corpusVec: Column, queries: DataFrame, queryId: Column,
+      queryVec: Column, numCells: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = graft.Tables.materialize(
+      vectors(corpus, corpusId, corpusVec, "nbr_id", "cv", "sn_c"))
+    val q = graft.Tables.materialize(
+      vectors(queries, queryId, queryVec, "query_id", "qv", "sn_q"))
+    val centArr = centroidArrays(corpus, corpusId, corpusVec, numCells,
+      None)
+    val cells = cellAssignments(c, centArr)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cell_id").asc)
+    q.crossJoin(broadcast(centArr))
+      .withColumn("ccos", cellCos("qv", "sn_q"))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= nProbe)
+      .select(col("query_id"), col("cell_id"))
+      .join(cells, "cell_id")
+      .select(col("query_id"), col("nbr_id"))
+  }
+
+  /** One-time PQ index BUILD — train + encode, the two artifacts a
+    * PQ store persists (codebooks: m × ksub × dim/m components;
+    * codes: m small ints per vector). [[ivfPqTopKFromIndex]] serves
+    * from them without retraining or re-encoding. */
+  def buildPqIndex(corpus: DataFrame, corpusId: Column,
+      corpusVec: Column, m: Int = 4, ksub: Int = 8, iters: Int = 2,
+      sampleMod: Long = 1L): (DataFrame, DataFrame) = {
+    val cbs = pqTrainCodebooks(corpus, corpusId, corpusVec, m, ksub,
+      iters, sampleMod)
+    (cbs, pqEncode(corpus, corpusId, corpusVec, cbs))
+  }
+
+  def ivfPqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, numCells: Int = 16, nProbe: Int = 4, m: Int = 4,
+      ksub: Int = 8, iters: Int = 2, sampleMod: Long = 1L): DataFrame = {
+    val (cbs, codes) = buildPqIndex(corpus, corpusId, corpusVec, m,
+      ksub, iters, sampleMod)
+    pqAdcTopK(
+      ivfCandidates(corpus, corpusId, corpusVec, queries, queryId,
+        queryVec, numCells, nProbe),
+      codes, pqAdcTable(queries, queryId, queryVec, cbs), k)
+  }
+
+  /** Serve IVF-PQ from a PERSISTED index: `codebooks` (j, code, i,
+    * cx) and `codes` (nbr_id, j, code) are read from storage — no
+    * training, no encoding on the query path; the candidates' float
+    * vectors are never read for ranking (codes only). The coarse IVF
+    * stage here recomputes seed-cell candidates from the corpus; a
+    * deployment passes its stored assignment table through
+    * [[ivfTopKFromIndex]]'s shape instead. */
+  def ivfPqTopKFromIndex(corpus: DataFrame, corpusId: Column,
+      corpusVec: Column, queries: DataFrame, queryId: Column,
+      queryVec: Column, k: Int, numCells: Int, nProbe: Int,
+      codebooks: DataFrame, codes: DataFrame): DataFrame =
+    pqAdcTopK(
+      ivfCandidates(corpus, corpusId, corpusVec, queries, queryId,
+        queryVec, numCells, nProbe),
+      codes.select(col("nbr_id"), col("j"), col("code")),
+      pqAdcTable(queries, queryId, queryVec, codebooks), k)
 
   /** Deterministic hyperplane weight for (plane, dim): md5-derived
     * integer in [-1000, 1000]. Computed driver-side; shipped as a tiny

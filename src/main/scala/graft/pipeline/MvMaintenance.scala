@@ -83,18 +83,25 @@ object MvMaintenance {
     Files.move(tmp, ledgerPath(summaryDir),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // GC every superseded version — best effort; sweeping ALL
-    // summary_b* dirs other than the one the ledger now points at
-    // (not just the immediate prev) also collects orphans left by a
-    // crash between an earlier flip and its GC
-    sweepStaleVersions(summaryDir, keep = batchId)
+    // GC superseded versions — best effort. The IMMEDIATELY
+    // superseded dir survives one extra generation: readSummary
+    // returns a LAZY frame over the resolved dir, so a reader that
+    // resolved the ledger just before this flip (or a frame held
+    // across one subsequent mergeBatch) must not lose its backing
+    // files mid-scan. Older generations and crash orphans are swept.
+    sweepStaleVersions(summaryDir, keep = batchId, prevKeep = prev)
     true
   }
 
-  /** Delete every `summary_b<id>` directory whose id is not `keep`
-    * (the committed ledger value). Safe at any time after the ledger
-    * flip: readers only ever open the ledger's directory. */
-  private def sweepStaleVersions(summaryDir: String, keep: Long): Unit =
+  /** Delete every `summary_b<id>` directory other than `keep` (the
+    * committed ledger value) and `prevKeep` (the one generation of
+    * grace for in-flight lazy readers — see [[mergeBatch]]). Safe at
+    * any time after the ledger flip: a frame resolved against any
+    * OLDER generation has survived a full merge cycle already, which
+    * is outside [[readSummary]]'s read-before-the-next-two-merges
+    * contract. */
+  private def sweepStaleVersions(summaryDir: String, keep: Long,
+      prevKeep: Long): Unit =
     try {
       val dir = Paths.get(summaryDir)
       val ls = Files.list(dir)
@@ -103,7 +110,7 @@ object MvMaintenance {
             val n = p.getFileName.toString
             n.startsWith("summary_b") &&
               scala.util.Try(n.stripPrefix("summary_b").toLong)
-                .toOption.exists(_ != keep)
+                .toOption.exists(id => id != keep && id != prevKeep)
           }).toArray
         finally ls.close()
       stale.foreach { case p: java.nio.file.Path =>
@@ -116,6 +123,11 @@ object MvMaintenance {
       }
     } catch { case _: Exception => () }
 
+  /** Lazy frame over the ledger's current version directory. Read
+    * contract: consume (or checkpoint) the frame before TWO further
+    * [[mergeBatch]] calls land — the resolved directory survives the
+    * next merge's sweep (one generation of grace) but not the one
+    * after. */
   def readSummary(spark: SparkSession, summaryDir: String): DataFrame = {
     val b = lastMerged(summaryDir)
     require(b >= 0, s"no committed summary under $summaryDir")

@@ -286,12 +286,17 @@ object ExtQueries {
     * deterministic sample tier. */
   def winnowRecallAudit(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
+    // ONE tokenization serves both gram sizes and both detectors —
+    // the corpus is read and split once, each k derives its grams
+    // from the cached token arrays
+    val toked = graft.Tables.materialize(
+      Dedup.tokenize(docs, col("doc_id"), col("text")))
     Seq(3, 5).map { k =>
       val truth = graft.Tables.materialize(
-        Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        Dedup.ngramJaccardPairsFromToks(toked,
           n = k, threshold = 0.5).select(col("id1"), col("id2")))
       val wp = graft.Tables.materialize(
-        Dedup.winnowPairs(docs, col("doc_id"), col("text"),
+        Dedup.winnowPairsFromToks(toked,
           k = k, w = 4, maxDf = 64, minShared = 2)
           .select(col("id_a").as("id1"), col("id_b").as("id2")))
       val hit = truth.join(wp, Seq("id1", "id2"), "left_semi")
@@ -315,11 +320,14 @@ object ExtQueries {
     * between the two documents via the diagonal-islands algebra
     * (token-position matches grouped by the alignment offset
     * pa − pb; a run of consecutive pa within one diagonal is a
-    * shared run, so max island size = exact LCS run length). The
-    * winnowing guarantee says any shared run of ≥ w+k−1 = 6 tokens
-    * MUST surface a shared fingerprint, so `verified` (run ≥ 6) is
-    * precisely "the guarantee, not a hash accident, produced this
-    * pair".
+    * shared run, so max island size = exact LCS run length).
+    * `verified` (run ≥ 6 = w+k−1) certifies the pair is a true
+    * long-run overlap, not a hash accident. Note the implication
+    * only runs one way: the winnowing guarantee (any shared run ≥ 6
+    * shares a fingerprint) holds for RAW fingerprints, but
+    * [[Dedup.winnowPairs]]' df cap (maxDf=64) and minShared ≥ 2 can
+    * drop hot fingerprints, so run ≥ 6 does not certify WHICH
+    * surviving fingerprints surfaced the pair under the cap.
     *
     * Scale shape: the corpus contributes only the PAIRED docs' token
     * positions (semi-join); per-pair match volume is bounded by
@@ -999,8 +1007,7 @@ object ExtQueries {
     * [[annIvfKmeans]], so the same oracle gates it. */
   def annIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_ivf_index").toString
+    val tmp = graft.Tables.scratchDir("graft_ivf_index")
     val (cent, assign) = Similarity.buildIvfIndex(emb, col("vec_id"),
       col("embedding"), numCells = 16, iters = 3, sampleMod = 4)
     cent.write.mode("overwrite").parquet(s"$tmp/centroids")
@@ -1026,8 +1033,7 @@ object ExtQueries {
     val emb = Tables(spark, dir, "embeddings")
     val standing = emb.filter(col("vec_id") % 5 =!= 4)
     val incoming = emb.filter(col("vec_id") % 5 === 4)
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_ivf_append").toString
+    val tmp = graft.Tables.scratchDir("graft_ivf_append")
     val (cent, assign) = Similarity.buildIvfIndex(standing,
       col("vec_id"), col("embedding"), numCells = 16, iters = 3,
       sampleMod = 4)
@@ -1333,8 +1339,7 @@ object ExtQueries {
     val docs = Tables(spark, dir, "documents")
     val history = docs.filter(col("doc_id") % 3 =!= 0)
     val batch = docs.filter(col("doc_id") % 3 === 0)
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_lsh_index").toString
+    val tmp = graft.Tables.scratchDir("graft_lsh_index")
     Dedup.minhashBandRows(
         Dedup.shingles(history, col("doc_id"), col("text"), 3))
       .write.mode("overwrite").parquet(s"$tmp/band_index")

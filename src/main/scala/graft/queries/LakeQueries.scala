@@ -612,8 +612,7 @@ object LakeQueries {
     * fabricates nothing. Per-file footers carry their own schema, so
     * at 100 TB the merge costs footer reads, not data rewrites. */
   def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_evo").toString
+    val tmp = graft.Tables.scratchDir("graft_evo")
     val nation = Tables(spark, dir, "nation")
     nation.select(col("n_nationkey"), col("n_name"))
       .write.mode("overwrite").parquet(s"$tmp/v1")
@@ -635,8 +634,7 @@ object LakeQueries {
     * zero data change). File counts come from the re-read table's
     * actual file listing. */
   def compactionExec(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_compact").toString
+    val tmp = graft.Tables.scratchDir("graft_compact")
     val ev = Tables(spark, dir, "events")
       .select(col("event_id"), col("user_id"))
     ev.repartition(16).write.mode("overwrite").parquet(s"$tmp/small")

@@ -625,8 +625,7 @@ object PipelineQueries {
     * replay no-ops with manual splits. */
   def streamMvMaintenance(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_mv_maint").toString
+    val tmp = graft.Tables.scratchDir("graft_mv_maint")
     onStreamSession(spark, 8) { s =>
       val src = Tables.normalize(
         s.readStream.schema(schema).option("basePath", dir)
@@ -663,8 +662,7 @@ object PipelineQueries {
     import graft.functions.TextFunctions
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_inc_stream").toString
+    val tmp = graft.Tables.scratchDir("graft_inc_stream")
     val history = docs.filter(pmod(col("doc_id"), lit(4)).isin(1, 2))
     history.write.mode("overwrite").parquet(s"$tmp/corpus")
     Dedup.minhashBandRows(
@@ -732,8 +730,7 @@ object PipelineQueries {
   def streamAnnProbe(spark: SparkSession, dir: String): DataFrame = {
     import graft.ext.Similarity
     val emb = Tables(spark, dir, "embeddings")
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_ann_stream").toString
+    val tmp = graft.Tables.scratchDir("graft_ann_stream")
     // seed-cell "training": centroids = the 16 smallest-id vectors,
     // matching the ivfAssign oracle; assignments from those centroids
     emb.orderBy(col("vec_id").asc).limit(16)
@@ -790,8 +787,7 @@ object PipelineQueries {
     val base = Tables(spark, dir, "customer")
       .select(col("c_custkey"),
         col("c_acctbal").cast("decimal(18,2)").as("acctbal"))
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_scd_stream").toString
+    val tmp = graft.Tables.scratchDir("graft_scd_stream")
     base
       .withColumn("valid_from", to_date(lit("2024-01-01")))
       .withColumn("valid_to", lit(null).cast("date"))

@@ -1069,8 +1069,7 @@ object RelationalQueries {
     * classpath. */
   def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val nation = Tables(spark, dir, "nation")
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_fmt").toString
+    val tmp = graft.Tables.scratchDir("graft_fmt")
     nation.write.mode("overwrite").option("header", "true")
       .csv(s"$tmp/csv")
     nation.write.mode("overwrite").orc(s"$tmp/orc")
@@ -1113,8 +1112,7 @@ object RelationalQueries {
     * explicit ISO formatting both ways; the fingerprint includes a
     * timestamp extremum so codec-level time mangling cannot hide. */
   def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_jsonl").toString
+    val tmp = graft.Tables.scratchDir("graft_jsonl")
     val ev = Tables(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts"))

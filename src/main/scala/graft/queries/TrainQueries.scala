@@ -27,7 +27,16 @@ import graft.functions.TextFunctions
   *  - the TV distance over the FULL vocabulary needs no source×vocab
   *    grid: Σ over tokens absent from a source is N_s·(N − Σ_{t∈s}n_t),
   *    so the join stays proportional to the observed (source, token)
-  *    pairs.
+  *    pairs;
+  *  - every cross-multiplied count statistic (TV numerators, the LM
+  *    drift predicate, Spearman's n·(n²−1)) runs in DECIMAL(38,0) on
+  *    the Spark side and HUGEINT on the DuckDB side — BIGINT products
+  *    of corpus-scale counts wrap silently in non-ANSI Spark while
+  *    DuckDB throws, which would diverge the hash gate exactly at the
+  *    scales the statistics exist for. Wide intermediates surface as
+  *    DOUBLE (both engines round-to-nearest the same exact integer),
+  *    never as raw DECIMAL (the oracle harness lowers DuckDB decimals
+  *    to float64, which would hash-mismatch Spark's Decimal).
   */
 object TrainQueries {
 
@@ -82,10 +91,13 @@ object TrainQueries {
 
   /** Per-source total-variation divergence of the token distribution
     * vs the whole corpus — the "is this source drifting from the
-    * mixture" monitor. TV = Σ_t |p_s(t) − p(t)| / 2 computed as pure
-    * BIGINT cross products over the common denominator 2·N_s·N; the
-    * absent-token tail folds to N_s·(N − Σ_{t∈s} n_t), so no
-    * source×vocab grid materializes. */
+    * mixture" monitor. TV = Σ_t |p_s(t) − p(t)| / 2 computed as exact
+    * integer cross products over the common denominator 2·N_s·N in
+    * DECIMAL(38,0) (n_st·N and n_t·N_s wrap BIGINT around 10¹⁰ total
+    * tokens — far below a 100 TB corpus's ~10¹³); the absent-token
+    * tail folds to N_s·(N − Σ_{t∈s} n_t), so no source×vocab grid
+    * materializes. The wide numerator/denominator surface as DOUBLE
+    * (same nearest-even rounding on both engines). */
   def tokenTvDivergence(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables(spark, dir, "documents")
       .select(col("source"),
@@ -99,19 +111,21 @@ object TrainQueries {
     val nS = nSt.groupBy(col("source")).agg(sum(col("n_st")).as("n_s"))
     val nT = nSt.groupBy(col("tok")).agg(sum(col("n_st")).as("n_t"))
     val nTot = nT.agg(sum(col("n_t")).as("n"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
     nSt.join(nT, "tok").join(nS, "source")
       .crossJoin(broadcast(nTot))
       .groupBy(col("source"), col("n_s"), col("n"))
-      .agg(sum(abs(col("n_st") * col("n") - col("n_t") * col("n_s")))
-          .as("part1"),
+      .agg(sum(abs(dec(col("n_st")) * col("n") -
+          dec(col("n_t")) * col("n_s"))).as("part1"),
         sum(col("n_t")).as("cov"))
       .select(col("source"), col("n_s").as("n_tokens"),
-        (col("part1") + col("n_s") * (col("n") - col("cov")))
-          .as("tv_num"),
-        (lit(2L) * col("n_s") * col("n")).as("tv_den"),
-        ((col("part1") + col("n_s") * (col("n") - col("cov")))
+        (col("part1") + dec(col("n_s")) * (col("n") - col("cov")))
+          .cast("double").as("tv_num"),
+        (dec(lit(2L)) * col("n_s") * col("n")).cast("double")
+          .as("tv_den"),
+        ((col("part1") + dec(col("n_s")) * (col("n") - col("cov")))
           .cast("double") /
-          (lit(2L) * col("n_s") * col("n")).cast("double")).as("tv"))
+          (dec(lit(2L)) * col("n_s") * col("n")).cast("double")).as("tv"))
   }
 
   /** Largest-remainder (Hamilton) apportionment of a 100 000-token
@@ -413,8 +427,7 @@ object TrainQueries {
     val docs = Tables(spark, dir, "documents")
     val standing = docs.filter(col("doc_id") % 3 =!= 0)
     val incoming = docs.filter(col("doc_id") % 3 === 0)
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_lm_model").toString
+    val tmp = graft.Tables.scratchDir("graft_lm_model")
     Lm.bigramCounts(Lm.seqBigrams(standing, col("doc_id"), col("text")))
       .write.mode("overwrite").parquet(s"$tmp/bigrams")
     Lm.tokenCounts(standing, col("text"))
@@ -613,7 +626,9 @@ object TrainQueries {
     * corpus's own score, the model is stale. The flag is the
     * cross-multiplied integer predicate
     * q_inc·n_std·100 < q_std·n_inc·95 — no float compare decides the
-    * retrain. */
+    * retrain. The q sums and every cross product run in DECIMAL(38,0)
+    * (q ≈ n_bigrams·2²⁰ wraps a BIGINT sum near 10¹³ bigrams, and the
+    * predicate products far earlier); the q sums surface as DOUBLE. */
   def lmDriftTrigger(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val big = graft.Tables.materialize(
@@ -622,18 +637,22 @@ object TrainQueries {
     val scored = Lm.scoreBigrams(big, c12, Lm.contextCounts(c12),
         Lm.vocabSize(docs.filter(col("doc_id") % 4 < 3), col("text")))
       .withColumn("inc", col("id") % 4 === 3)
+    def dec(c: Column) = c.cast("decimal(38,0)")
     val agg = scored.groupBy(col("inc"))
-      .agg(count(lit(1)).as("n"), sum(col("q")).as("qs"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("q"))).as("qs"))
     val std = agg.filter(!col("inc"))
       .select(col("n").as("n_std"), col("qs").as("q_std"))
     val inc = agg.filter(col("inc"))
       .select(col("n").as("n_inc"), col("qs").as("q_inc"))
     std.crossJoin(inc).select(
-      col("n_std"), col("q_std"), col("n_inc"), col("q_inc"),
+      col("n_std"), col("q_std").cast("double").as("q_std"),
+      col("n_inc"), col("q_inc").cast("double").as("q_inc"),
       (col("q_std").cast("double") /
-        (col("n_std") * lit(1048576L)).cast("double")).as("mean_p_std"),
+        (dec(col("n_std")) * lit(1048576L)).cast("double"))
+        .as("mean_p_std"),
       (col("q_inc").cast("double") /
-        (col("n_inc") * lit(1048576L)).cast("double")).as("mean_p_inc"),
+        (dec(col("n_inc")) * lit(1048576L)).cast("double"))
+        .as("mean_p_inc"),
       (col("q_inc") * col("n_std") * 100 <
         col("q_std") * col("n_inc") * 95).as("retrain"))
   }
@@ -801,7 +820,9 @@ object TrainQueries {
     * ensemble: a new signal that rank-correlates ~1 with an existing
     * one buys nothing. Integer-exact rank algebra (spearman_corr's
     * machinery); the scorer's double is only an ORDERING key, and
-    * identical expression trees order identically on both engines. */
+    * identical expression trees order identically on both engines.
+    * Σd² and the n·(n²−1) denominator run in DECIMAL(38,0) (they wrap
+    * BIGINT past ~2M documents); Σd² surfaces as DOUBLE. */
   def qualitySignalCorr(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val flu = Lm.scoreDocs(docs, col("doc_id"), col("text"))
@@ -821,13 +842,14 @@ object TrainQueries {
       .globalOrderRank(base.select(col("doc_id"), col(c)), 32,
         col(c), col("doc_id"))
       .select(col("doc_id"), col("_rank").as(out))
+    def dec(c: Column) = c.cast("decimal(38,0)")
     rank("x", "rx").join(rank("y", "ry"), "doc_id")
       .select((col("rx") - col("ry")).as("d"))
       .agg(count(lit(1)).as("n"),
-        sum(col("d") * col("d")).as("sum_d2"))
-      .select(col("n"), col("sum_d2"),
-        (lit(1.0) - (lit(6L) * col("sum_d2")).cast("double") /
-          (col("n") * (col("n") * col("n") - 1)).cast("double"))
+        sum(dec(col("d")) * col("d")).as("sum_d2"))
+      .select(col("n"), col("sum_d2").cast("double").as("sum_d2"),
+        (lit(1.0) - (dec(lit(6L)) * col("sum_d2")).cast("double") /
+          (dec(col("n")) * (dec(col("n")) * col("n") - 1)).cast("double"))
           .as("rho"))
   }
 
@@ -1070,11 +1092,12 @@ object TrainQueries {
          |  FROM qc_f f JOIN qc_y USING (doc_id)),
          |qc_a AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n,
-         |    CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+         |    SUM(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS sum_d2
          |  FROM qc_r)
-         |SELECT n, sum_d2,
+         |SELECT n, CAST(sum_d2 AS DOUBLE) AS sum_d2,
          |  CAST(1.0 AS DOUBLE) - CAST(6 * sum_d2 AS DOUBLE)
-         |    / CAST(n * (n * n - 1) AS DOUBLE) AS rho
+         |    / CAST(CAST(n AS HUGEINT)
+         |           * (CAST(n AS HUGEINT) * n - 1) AS DOUBLE) AS rho
          |FROM qc_a""".stripMargin,
     "epoch_shuffle_orders" ->
       """WITH es_e AS (SELECT unnest([0, 1, 2]) AS epoch),
@@ -1230,15 +1253,18 @@ object TrainQueries {
         |  LEFT JOIN ld_c1 u ON b.w1 = u.w1, ld_v),
         |ld_a AS (
         |  SELECT inc, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(SUM(q) AS BIGINT) AS qs
+        |    SUM(CAST(q AS HUGEINT)) AS qs
         |  FROM ld_q GROUP BY 1)
-        |SELECT s.n AS n_std, s.qs AS q_std, i.n AS n_inc,
-        |  i.qs AS q_inc,
-        |  CAST(s.qs AS DOUBLE) / CAST(s.n * 1048576 AS BIGINT)
+        |SELECT s.n AS n_std, CAST(s.qs AS DOUBLE) AS q_std,
+        |  i.n AS n_inc, CAST(i.qs AS DOUBLE) AS q_inc,
+        |  CAST(s.qs AS DOUBLE)
+        |    / CAST(CAST(s.n AS HUGEINT) * 1048576 AS DOUBLE)
         |    AS mean_p_std,
-        |  CAST(i.qs AS DOUBLE) / CAST(i.n * 1048576 AS BIGINT)
+        |  CAST(i.qs AS DOUBLE)
+        |    / CAST(CAST(i.n AS HUGEINT) * 1048576 AS DOUBLE)
         |    AS mean_p_inc,
-        |  i.qs * s.n * 100 < s.qs * i.n * 95 AS retrain
+        |  i.qs * CAST(s.n AS HUGEINT) * 100
+        |    < s.qs * CAST(i.n AS HUGEINT) * 95 AS retrain
         |FROM (SELECT * FROM ld_a WHERE NOT inc) s,
         |  (SELECT * FROM ld_a WHERE inc) i""".stripMargin,
     "lm_trigram_backoff" ->
@@ -1679,16 +1705,18 @@ object TrainQueries {
         |tv_tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n FROM tv_c),
         |tv_j AS (
         |  SELECT source, n_s, n,
-        |    CAST(SUM(ABS(n_st * n - n_t * n_s)) AS BIGINT) AS part1,
+        |    SUM(ABS(CAST(n_st AS HUGEINT) * n
+        |      - CAST(n_t AS HUGEINT) * n_s)) AS part1,
         |    CAST(SUM(n_t) AS BIGINT) AS cov
         |  FROM tv_n JOIN tv_c USING (tok) JOIN tv_s USING (source),
         |    tv_tot
         |  GROUP BY 1, 2, 3)
         |SELECT source, n_s AS n_tokens,
-        |  CAST(part1 + n_s * (n - cov) AS BIGINT) AS tv_num,
-        |  CAST(2 * n_s * n AS BIGINT) AS tv_den,
-        |  CAST(part1 + n_s * (n - cov) AS DOUBLE)
-        |    / CAST(2 * n_s * n AS BIGINT) AS tv
+        |  CAST(part1 + CAST(n_s AS HUGEINT) * (n - cov) AS DOUBLE)
+        |    AS tv_num,
+        |  CAST(2 * CAST(n_s AS HUGEINT) * n AS DOUBLE) AS tv_den,
+        |  CAST(part1 + CAST(n_s AS HUGEINT) * (n - cov) AS DOUBLE)
+        |    / CAST(2 * CAST(n_s AS HUGEINT) * n AS DOUBLE) AS tv
         |FROM tv_j""".stripMargin,
     "token_budget_alloc" ->
       """WITH ba_t AS (

@@ -69,7 +69,7 @@ class MvMaintenanceSpec extends SparkSpec {
     assert(n === 1000L)
   }
 
-  test("stale version dirs (crash orphans) are swept by the next merge") {
+  test("sweep keeps one generation of grace; older dirs and orphans go") {
     val dir = Files.createTempDirectory("mv_sweep_spec").toString
     // orphan from a hypothetical crash between flip and GC
     Files.createDirectories(java.nio.file.Paths.get(dir, "summary_b99"))
@@ -77,9 +77,16 @@ class MvMaintenanceSpec extends SparkSpec {
     assert(MvMaintenance.mergeBatch(spark, dir, ev, 0L))
     assert(!Files.exists(java.nio.file.Paths.get(dir, "summary_b99")))
     assert(Files.exists(java.nio.file.Paths.get(dir, "summary_b0")))
+    // a lazy reader resolved against b0 survives the NEXT merge (one
+    // generation of grace) — the read-before-two-merges contract
+    val held = MvMaintenance.readSummary(spark, dir)
     assert(MvMaintenance.mergeBatch(spark, dir, ev, 1L))
+    assert(Files.exists(java.nio.file.Paths.get(dir, "summary_b0")))
+    assert(held.count() > 0) // backing files still there mid-grace
+    assert(MvMaintenance.mergeBatch(spark, dir, ev, 2L))
     assert(!Files.exists(java.nio.file.Paths.get(dir, "summary_b0")))
     assert(Files.exists(java.nio.file.Paths.get(dir, "summary_b1")))
+    assert(Files.exists(java.nio.file.Paths.get(dir, "summary_b2")))
     assert(MvMaintenance.readSummary(spark, dir).count() > 0)
   }
 }

@@ -499,6 +499,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("kmeans byte-budget guard trips on a wide-dim sample and names " +
+      "the budget") {
+    // 64 rows × 256 dims × 8 B = 131072 B > the 65536 B budget — a
+    // row-count guard alone would never see this
+    val wide = (1L to 64L).map(i => (i, Array.fill(256)(i / 64.0f)))
+      .toDF("vec_id", "embedding")
+    spark.conf.set("spark.graft.kmeans.maxSampleBytes", "65536")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.kmeansCentroids(wide, $"vec_id", $"embedding",
+          numCells = 4, iters = 1)
+      }
+      assert(e.getMessage.contains("maxSampleBytes=65536"))
+      assert(e.getMessage.contains("256 dims"))
+      // under budget at a higher sampleMod: trains fine
+      spark.conf.set("spark.graft.kmeans.maxSampleBytes", "1048576")
+      assert(Similarity.kmeansCentroids(wide, $"vec_id", $"embedding",
+        numCells = 4, iters = 1).count() == 4 * 256)
+    } finally spark.conf.unset("spark.graft.kmeans.maxSampleBytes")
+  }
+
   test("multi-table lsh drops degenerate buckets at the cap") {
     // 20 identical vectors collide into ONE bucket in every table —
     // the O(n^2) degenerate case the cap exists for
