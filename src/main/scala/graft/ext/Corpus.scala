@@ -558,6 +558,161 @@ object Corpus {
         col("seq_first"), col("seq_last"))
   }
 
+  // --------------------------------------- unigram-LM tokenizer
+
+  /** Viterbi segmentation of one word under a quantized unigram piece
+    * model — the inference kernel of [[unigramTrainState]] /
+    * [[unigramEncodeDocs]], shared so train-time counting and
+    * encode-time segmentation cannot drift. dp[i] = best product of
+    * piece probabilities covering word[0,i); each piece probability
+    * is q/2³⁰ — an EXACT dyadic double (q is the ⌊(cnt+1)·2³⁰/(C+V)⌋
+    * integer), so every DP step is ONE IEEE multiply on an identical
+    * operand tree cross-engine, and the SQL oracle's unrolled DP
+    * reproduces every dp value bit-for-bit. Ties at a position break
+    * to the LONGER last piece (score desc, len desc — a total order
+    * the oracle's row_number replays). Single-char pieces are always
+    * in the vocab (trainer invariant), so every position is
+    * reachable. */
+  private[graft] def viterbiSegment(q: Map[String, Long], maxPieceLen: Int,
+      word: String): List[String] = {
+    val L = word.length
+    val dp = new Array[Double](L + 1)
+    val bl = new Array[Int](L + 1)
+    dp(0) = 1.0
+    var i = 1
+    while (i <= L) {
+      var best = -1.0
+      var bestL = 0
+      var l = 1
+      while (l <= math.min(maxPieceLen, i)) {
+        if (i - l == 0 || bl(i - l) > 0) {
+          q.get(word.substring(i - l, i)) match {
+            case Some(qv) =>
+              val s = dp(i - l) * (qv.toDouble / 1073741824.0)
+              if (s > best || (s == best && l > bestL)) {
+                best = s; bestL = l
+              }
+            case None => ()
+          }
+        }
+        l += 1
+      }
+      dp(i) = if (bestL == 0) 0.0 else best
+      bl(i) = bestL
+      i += 1
+    }
+    require(L == 0 || bl(L) > 0,
+      s"unreachable word '$word' — single-char pieces missing from vocab")
+    var out = List.empty[String]
+    var pos = L
+    while (pos > 0) {
+      out = word.substring(pos - bl(pos), pos) :: out
+      pos -= bl(pos)
+    }
+    out
+  }
+
+  /** Unigram-LM (SentencePiece-family) tokenizer TRAINER — the other
+    * dominant tokenizer family next to BPE ([[bpeTrainState]]):
+    * pieces carry a quantized unigram probability and words segment
+    * by Viterbi argmax of the piece-probability product (Kudo 2018,
+    * reduced to hash-gateable integer/dyadic algebra).
+    *
+    *  1. SEED — every substring occurrence of length ≤ `maxPieceLen`
+    *     across the distinct-word frame, weighted by word frequency;
+    *     the top `vocabSize` multi-char pieces by (count desc, piece
+    *     asc) plus ALL single chars (the coverage guarantee) form the
+    *     candidate vocabulary.
+    *  2. Quantized probabilities — q = ⌊(cnt+1)·2³⁰/(C+V)⌋ (add-one,
+    *     the [[graft.ext.Lm]] discipline; BigInt products so corpus-
+    *     scale counts cannot wrap); piece probability q/2³⁰ is an
+    *     exact dyadic double.
+    *  3. ONE hard-EM round — Viterbi-segment the weighted vocab under
+    *     the seed model, recount pieces along best paths (Viterbi
+    *     counts = hard-EM expected counts), PRUNE pieces no best path
+    *     uses (single chars always survive, with count 0 smoothing to
+    *     a positive q), re-quantize. This is the SentencePiece
+    *     EM+prune round with soft expectations hardened to keep the
+    *     algebra integer-exact.
+    *
+    * Scale shape, identical to the BPE trainer's contract: the corpus
+    * is touched once (word-frequency aggregate); the piece table is
+    * the only driver-held state (≤ vocabSize + alphabet — bounded
+    * scalar by contract); each Viterbi pass is one typed map over the
+    * DISTINCT-WORD frame (|vocab| rows, never |corpus tokens|) with
+    * the piece map as a broadcast-sized closure.
+    *
+    * Returns (pieces, vocab): pieces (piece, cnt, q) is the trained
+    * model after the EM round; vocab (word, wf, syms) is each word's
+    * Viterbi segmentation UNDER that final model — joining doc tokens
+    * against it IS encoding. */
+  def unigramTrainState(docs: DataFrame, text: Column,
+      maxPieceLen: Int = 4, vocabSize: Int = 24)
+      : (DataFrame, DataFrame) = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 16, "maxPieceLen in [1,16]")
+    require(vocabSize >= 1 && vocabSize <= 65536, "vocabSize in [1,65536]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = spark.sparkContext.defaultParallelism
+    val words = graft.Tables.materialize(
+      tokens(docs, text).groupBy(col("token"))
+        .agg(count(lit(1)).as("wf"))
+        .select(col("token").as("word"), col("wf"))
+        .repartition(p))
+    val cand = words.select(col("wf"), explode(flatten(
+        transform(sequence(lit(1), length(col("word"))), st =>
+          transform(sequence(lit(1), least(lit(maxPieceLen),
+              length(col("word")) - st + lit(1))),
+            l => col("word").substr(st, l))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wf")).as("cnt"))
+    val multi = cand.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(vocabSize)
+    val chars = cand.filter(length(col("piece")) === 1)
+    // bounded collect: vocabSize + alphabet rows — the piece table IS
+    // the model and must live on the driver for the typed-map closures
+    val seedRows = multi.unionByName(chars)
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    def quantize(rows: Seq[(String, Long)]): Map[String, Long] = {
+      val c = rows.map(r => BigInt(r._2)).sum
+      val v = BigInt(rows.size)
+      rows.map { case (pc, cnt) =>
+        pc -> ((BigInt(cnt) + 1) * BigInt(1L << 30) / (c + v)).toLong
+      }.toMap
+    }
+    val q0 = quantize(seedRows)
+    val maxL = maxPieceLen
+    val emRows = words.as[(String, Long)]
+      .flatMap { case (w, wf) =>
+        viterbiSegment(q0, maxL, w).map(pc => (pc, wf)) }
+      .toDF("piece", "wf")
+      .groupBy(col("piece")).agg(sum(col("wf")).as("cnt"))
+      .as[(String, Long)].collect().toSeq
+    val used = emRows.map(_._1).toSet
+    val kept = (emRows ++ seedRows.collect {
+        case (pc, _) if pc.length == 1 && !used(pc) => (pc, 0L)
+      }).sortBy(_._1)
+    val q1 = quantize(kept)
+    val pieces = kept.map { case (pc, cnt) => (pc, cnt, q1(pc)) }
+      .toDF("piece", "cnt", "q")
+    val vocab = words.as[(String, Long)]
+      .map { case (w, wf) => (w, wf, viterbiSegment(q1, maxL, w)) }
+      .toDF("word", "wf", "syms")
+    (pieces, vocab)
+  }
+
+  /** Corpus encode under a TRAINED unigram model — the
+    * [[bpeEncodeDocsWithVocab]] shape: the trained vocab frame (each
+    * distinct word's Viterbi segmentation) joins doc tokens back and
+    * flattens in document order; the per-word DP never re-runs per
+    * occurrence. Output (doc_id, n_ws, bpe — the piece sequence). */
+  def unigramEncodeDocs(docs: DataFrame, id: Column, text: Column,
+      vocab: DataFrame): DataFrame = {
+    val toked = docs.select(id.as("doc_id"),
+        filter(split(text, " "), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
+    bpeEncodeDocsWithVocab(toked, vocab)
+  }
+
   // ------------------------------------------------- vocab / tf-idf
 
   /** Whitespace tokens of `text`, one row per (rest-of-row, token).

@@ -126,6 +126,32 @@ object CorpusQueries {
       .withColumn("retrain", col("pair_jaccard") < lit(0.5))
   }
 
+  /** Unigram-LM (SentencePiece-family) tokenizer trainer —
+    * [[Corpus.unigramTrainState]]: substring seeding, quantized
+    * add-one piece probabilities (2⁻³⁰ units, BigInt algebra), one
+    * hard-EM Viterbi round with pruning. Output: the trained piece
+    * table (piece, cnt — the Viterbi recount, q — the quantized
+    * probability). The oracle replays seeding, both quantizations,
+    * and the EM round's Viterbi pass as an unrolled DP. */
+  def unigramTrain(spark: SparkSession, dir: String): DataFrame =
+    Corpus.unigramTrainState(Tables(spark, dir, "documents"),
+      col("text"))._1
+
+  /** Corpus encode under the TRAINED unigram model — train →
+    * segment-vocab → join-back-and-flatten in one plan
+    * ([[Corpus.unigramEncodeDocs]]); the per-word Viterbi DP runs
+    * once per DISTINCT word, never per occurrence. Output mirrors
+    * `bpe_encode_learned`: whitespace-token count, piece count, and
+    * the first 10 pieces. */
+  def unigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val (_, vocab) = Corpus.unigramTrainState(docs, col("text"))
+    Corpus.unigramEncodeDocs(docs, col("doc_id"), col("text"), vocab)
+      .select(col("doc_id"), col("n_ws"),
+        size(col("bpe")).cast("long").as("n_pieces"),
+        concat_ws(" ", slice(col("bpe"), 1, 10)).as("piece_head"))
+  }
+
   /** Vocabulary: top-100 tokens by (count desc, token asc). */
   def vocabTopK(spark: SparkSession, dir: String): DataFrame =
     Corpus.vocabTopK(Tables(spark, dir, "documents"), col("text"), 100)
@@ -715,6 +741,8 @@ object CorpusQueries {
     "pack_sequences" -> packSequences _,
     "bpe_encode" -> bpeEncode _,
     "bpe_train" -> bpeTrain _,
+    "unigram_train" -> unigramTrain _,
+    "unigram_encode" -> unigramEncode _,
     "bpe_drift_audit" -> bpeDriftAudit _,
     "bpe_encode_learned" -> bpeEncodeLearned _,
     "mixture_temperature" -> mixtureTemperature _,
@@ -918,6 +946,156 @@ object CorpusQueries {
        |  CAST("offset" // 256 AS BIGINT) AS seq_first,
        |  CAST(("offset" + n_tokens - 1) // 256 AS BIGINT) AS seq_last
        |FROM o""".stripMargin
+
+  /** Unrolled Viterbi DP + backtrack over the distinct-word frame
+    * `ug_w` for ONE segmentation round: the pieces relation
+    * `${pref}p` (piece, pd) must precede; emits `${pref}seg`
+    * (word, piece, k — steps from the word's END, so k DESC is
+    * document order). dp[i] rides `${pref}d$i` with the winning last
+    * piece length (ties score DESC, length DESC — exactly
+    * [[graft.ext.Corpus.viterbiSegment]]'s loop). maxW bounds word
+    * length (corpus max is 8; 16 is headroom — a longer word would
+    * need a longer unroll, which the gate corpus cannot produce). */
+  private def unigramDpCtes(pref: String, maxW: Int, maxL: Int): String = {
+    val dp = (1 to maxW).map { i =>
+      val cands = (1 to math.min(maxL, i)).map { l =>
+        s"""SELECT w.word, d.s * p.pd AS s, $l AS bl
+           |      FROM ug_w w
+           |      JOIN ${pref}d${i - l} d ON d.word = w.word
+           |      JOIN ${pref}p p
+           |        ON p.piece = substr(w.word, ${i - l + 1}, $l)
+           |      WHERE length(w.word) >= $i""".stripMargin
+      }.mkString("\n      UNION ALL\n")
+      // MATERIALIZED is load-bearing: dp$i references up to maxL
+      // prior rounds, so un-materialized CTEs re-expand ~maxL^maxW
+      // times at plan time (the loop-unroll gotcha)
+      s"""${pref}d$i AS MATERIALIZED (
+         |  SELECT word, s, bl FROM (
+         |    SELECT word, s, bl,
+         |      row_number() OVER (PARTITION BY word
+         |                         ORDER BY s DESC, bl DESC) AS r
+         |    FROM (
+         |      $cands))
+         |  WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+    val da = (1 to maxW).map(i =>
+      s"SELECT word, $i AS pos, bl FROM ${pref}d$i")
+      .mkString("\n  UNION ALL ")
+    val bt = (1 to maxW).map { k =>
+      // MATERIALIZED: each b$k is referenced twice (next hop + seg)
+      s"""${pref}b$k AS MATERIALIZED (
+         |  SELECT b.word, b.pos - a.bl AS pos,
+         |    substr(b.word, b.pos - a.bl + 1, a.bl) AS piece
+         |  FROM ${pref}b${k - 1} b
+         |  JOIN ${pref}da a ON a.word = b.word AND a.pos = b.pos
+         |  WHERE b.pos > 0)""".stripMargin
+    }.mkString(",\n")
+    val segs = (1 to maxW).map(k =>
+      s"SELECT word, piece, $k AS k FROM ${pref}b$k")
+      .mkString("\n  UNION ALL ")
+    s"""${pref}d0 AS (
+       |  SELECT word, CAST(1.0 AS DOUBLE) AS s, 0 AS bl FROM ug_w),
+       |$dp,
+       |${pref}da AS MATERIALIZED (
+       |  $da),
+       |${pref}b0 AS (SELECT word, length(word) AS pos FROM ug_w),
+       |$bt,
+       |${pref}seg AS MATERIALIZED (
+       |  $segs)""".stripMargin
+  }
+
+  /** Unigram trainer chain mirroring [[Corpus.unigramTrainState]]:
+    * substring seed counts → top-24 multi-char + all chars → q₀ =
+    * ⌊(cnt+1)·2³⁰/(C+V)⌋ (HUGEINT, exact) → Viterbi recount (e0
+    * round) → prune (chars always kept, count 0) → q₁ re-quantize →
+    * `ug_final` (piece, cnt, q); `e1p`/e1 round segments under the
+    * FINAL model for the encode gate. Piece probability q/2³⁰ is an
+    * exact dyadic double, so every DP product matches the Scala loop
+    * bit-for-bit. */
+  private lazy val unigramCtes = {
+    val (maxW, maxL, vs) = (16, 4, 24)
+    s"""ug_w AS MATERIALIZED (
+       |  SELECT token AS word, CAST(count(*) AS BIGINT) AS wf FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS token
+       |    FROM documents)
+       |  WHERE token <> '' GROUP BY 1),
+       |ug_sub AS (
+       |  SELECT substr(word, CAST(st AS INT), CAST(l AS INT)) AS piece,
+       |    CAST(SUM(wf) AS BIGINT) AS cnt
+       |  FROM ug_w,
+       |    LATERAL (SELECT unnest(range(1, length(word) + 1)) AS st),
+       |    LATERAL (SELECT unnest(range(1,
+       |      least($maxL, length(word) - st + 1) + 1)) AS l)
+       |  GROUP BY 1),
+       |ug_seed AS MATERIALIZED (
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM ug_sub WHERE length(piece) >= 2
+       |    ORDER BY cnt DESC, piece LIMIT $vs)
+       |  UNION ALL
+       |  SELECT piece, cnt FROM ug_sub WHERE length(piece) = 1),
+       |ug_t0 AS (
+       |  SELECT CAST(SUM(cnt) AS HUGEINT) AS c,
+       |    CAST(COUNT(*) AS HUGEINT) AS v FROM ug_seed),
+       |e0p AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST((CAST(cnt AS HUGEINT) + 1) * 1073741824 // (c + v)
+       |      AS DOUBLE) / CAST(1073741824.0 AS DOUBLE) AS pd
+       |  FROM ug_seed, ug_t0),
+       |${unigramDpCtes("e0", maxW, maxL)},
+       |ug_cnt AS MATERIALIZED (
+       |  SELECT s.piece, CAST(SUM(w.wf) AS BIGINT) AS cnt
+       |  FROM e0seg s JOIN ug_w w USING (word) GROUP BY 1),
+       |ug_kept AS MATERIALIZED (
+       |  SELECT piece, cnt FROM ug_cnt
+       |  UNION ALL
+       |  SELECT s.piece, CAST(0 AS BIGINT) AS cnt FROM ug_seed s
+       |  WHERE length(s.piece) = 1
+       |    AND NOT EXISTS (SELECT 1 FROM ug_cnt c WHERE c.piece = s.piece)),
+       |ug_t1 AS (
+       |  SELECT CAST(SUM(cnt) AS HUGEINT) AS c,
+       |    CAST(COUNT(*) AS HUGEINT) AS v FROM ug_kept),
+       |ug_final AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |    CAST((CAST(cnt AS HUGEINT) + 1) * 1073741824 // (c + v)
+       |      AS BIGINT) AS q
+       |  FROM ug_kept, ug_t1),
+       |e1p AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(q AS DOUBLE) / CAST(1073741824.0 AS DOUBLE) AS pd
+       |  FROM ug_final),
+       |${unigramDpCtes("e1", maxW, maxL)}""".stripMargin
+  }
+
+  private lazy val unigramTrainSql =
+    s"""WITH $unigramCtes
+       |SELECT piece, cnt, q FROM ug_final""".stripMargin
+
+  private lazy val unigramEncodeSql =
+    s"""WITH $unigramCtes,
+       |ug_ws AS (
+       |  SELECT word, string_agg(piece, ' ' ORDER BY k DESC) AS sstr,
+       |    CAST(count(*) AS BIGINT) AS ns
+       |  FROM e1seg GROUP BY 1),
+       |ug_tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |ug_tok AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS word
+       |  FROM (SELECT doc_id, toks FROM ug_tk WHERE len(toks) > 0),
+       |    LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)),
+       |ug_j AS (
+       |  SELECT t.doc_id, t.pos, e.sstr, e.ns
+       |  FROM ug_tok t JOIN ug_ws e USING (word)),
+       |ug_agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws,
+       |    CAST(sum(ns) AS BIGINT) AS n_pieces,
+       |    string_agg(sstr, ' ' ORDER BY pos) AS s
+       |  FROM ug_j GROUP BY 1)
+       |SELECT doc_id, n_ws, n_pieces,
+       |  array_to_string(list_slice(string_split(s, ' '), 1, 10), ' ')
+       |    AS piece_head
+       |FROM ug_agg""".stripMargin
 
   /** Shared BM25 CTE chain ending in `bm25top` (the 10 candidates);
     * composed by the lexical gate and the rerank gate. */
@@ -1234,6 +1412,8 @@ object CorpusQueries {
   val oracleSql: Map[String, String] = Map(
     "bpe_encode" -> bpeEncodeSql,
     "bpe_train" -> bpeTrainSql,
+    "unigram_train" -> unigramTrainSql,
+    "unigram_encode" -> unigramEncodeSql,
     "bpe_drift_audit" ->
       """WITH bd_wa AS (
         |  SELECT token, CAST(count(*) AS BIGINT) AS wf
