@@ -558,6 +558,53 @@ object Corpus {
         col("seq_first"), col("seq_last"))
   }
 
+  // --------------------------------------- markup extraction
+
+  /** Markup/boilerplate extraction (trafilatura-shape, reduced to the
+    * dialect-portable regex subset — RE2-safe: no lookbehind, no
+    * backreferences): split the document on BLOCK-level tags, strip
+    * inline tags per block, and keep blocks by an INTEGER
+    * link-density rule — a block whose anchor text is half or more of
+    * its visible text is navigation/boilerplate, not content. This is
+    * the extraction pass a crawl-derived corpus runs BEFORE any dedup
+    * or quality stage.
+    *
+    * Per block (all integers, hash-exact): `clean` = tags stripped,
+    * whitespace normalized; `linked` = Σ lengths of `<a>` anchor
+    * texts (captured with `[^<]*` — no lazy quantifiers needed).
+    * Keep iff length(clean) ≥ `minChars` AND 2·linked < length(clean).
+    * Kept blocks re-join in document order via the bounded
+    * sort_array(collect_list) idiom — block count per doc, never a
+    * global window.
+    *
+    * Returns (doc_id, n_blocks — nonempty blocks, n_kept,
+    * n_link_chars, extracted). */
+  def htmlExtract(docs: DataFrame, id: Column, html: Column,
+      minChars: Int = 2): DataFrame = {
+    val blocks = docs.select(id.as("doc_id"),
+        posexplode(split(html,
+          "</?(?:p|div|li|h[1-6]|br|body|html)[^>]*>"))
+          .as(Seq("pos", "blk")))
+      .select(col("doc_id"), col("pos"),
+        trim(regexp_replace(
+          regexp_replace(col("blk"), "<[^>]*>", ""),
+          "\\s+", " ")).as("clean"),
+        length(concat_ws("", regexp_extract_all(col("blk"),
+          lit("<a[^>]*>([^<]*)</a>"), lit(1)))).as("linked"))
+      .filter(length(col("clean")) > 0)
+      .withColumn("keep",
+        length(col("clean")) >= minChars &&
+          col("linked") * 2 < length(col("clean")))
+    blocks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("linked").cast("long")).as("n_link_chars"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("clean"))))),
+          s => s.getField("clean"))).as("extracted"))
+  }
+
   // --------------------------------------- unigram-LM tokenizer
 
   /** Viterbi segmentation of one word under a quantized unigram piece

@@ -547,14 +547,28 @@ object Dedup {
       n: Int = 3, jaccardThreshold: Double = 0.8,
       maxBandBucket: Int = DefaultMaxBandBucket,
       onDroppedBuckets: Long => Unit = null): (DataFrame, DataFrame) = {
+    val (s, _, v) = dedupStagesWithCandidates(df, id, text, n,
+      jaccardThreshold, maxBandBucket, onDroppedBuckets)
+    (s, v)
+  }
+
+  /** [[dedupSurvivorsAndVerified]] with the LSH CANDIDATE frame
+    * exposed — (survivors, candidates, verified): the stage-cost
+    * audit reads the generator's raw volume (and the bytes the verify
+    * stage must touch) BEFORE verification prunes it. */
+  def dedupStagesWithCandidates(df: DataFrame, id: Column, text: Column,
+      n: Int = 3, jaccardThreshold: Double = 0.8,
+      maxBandBucket: Int = DefaultMaxBandBucket,
+      onDroppedBuckets: Long => Unit = null)
+      : (DataFrame, DataFrame, DataFrame) = {
     val canon = df.select(id.as("id"), text.as("text"))
       .withColumn("canon_fp", TextFunctions.canonicalFingerprint(col("text")))
     val firstPerFp = canon.groupBy(col("canon_fp")).agg(min(col("id")).as("id"))
     val survivors = graft.Tables.materialize(canon.join(firstPerFp.select(col("id")), "id")
       .select(col("id"), col("text")))
     val g = graft.Tables.materialize(shingles(survivors, col("id"), col("text"), n))
-    val cand = minhashLshPairsFromShingles(g,
-      maxBandBucket = maxBandBucket, onDroppedBuckets = onDroppedBuckets)
+    val cand = graft.Tables.materialize(minhashLshPairsFromShingles(g,
+      maxBandBucket = maxBandBucket, onDroppedBuckets = onDroppedBuckets))
     val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(g.as("ga"), col("id1") === col("ga.id"))
@@ -568,7 +582,7 @@ object Dedup {
         (col("sz1") + col("sz2") - col("inter")).cast("double")
         >= jaccardThreshold)
       .select(col("id1"), col("id2"))
-    (survivors, verified)
+    (survivors, cand, verified)
   }
 
   /** Composed dedup with GREEDY keep-lowest-id per verified pair: drops

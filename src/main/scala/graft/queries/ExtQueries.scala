@@ -38,6 +38,28 @@ object ExtQueries {
       col("doc_id") +: langId(col("text")).as("lang_guess") +: scores: _*)
   }
 
+  /** Markup/boilerplate extraction gate ([[Corpus.htmlExtract]]):
+    * the documents table carries plain text, so the gate PLANTS a
+    * deterministic markup wrapper around each doc (two content
+    * paragraphs split from the text, a nav div whose anchor text
+    * dominates it, and an empty paragraph) and extracts — the kept
+    * blocks must be exactly the two content paragraphs, with the nav
+    * block dropped by the integer link-density rule and the empty
+    * block never counted. The DuckDB twin replays the same planting
+    * concat and the same RE2-safe regex chain. */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables(spark, dir, "documents").select(col("doc_id"),
+      concat(lit("<html><body><p>"), substring(col("text"), 1, 120),
+        lit("</p><div class=\"nav\"><a href=\"/l1\">click here</a> " +
+          "<a href=\"/l2\">more links</a> nav menu</div><p>"),
+        substring(col("text"), 121, 100000),
+        lit("</p><br><p>  </p></body></html>")).as("html"))
+    Corpus.htmlExtract(planted, col("doc_id"), col("html"))
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        col("n_link_chars"),
+        substring(col("extracted"), 1, 200).as("head"))
+  }
+
   /** Corpus-LM novelty: fraction of each document's distinct bigrams
     * outside the corpus top-1000 bigram vocabulary
     * ([[Corpus.bigramNovelty]]) — the hash-gateable stand-in for a
@@ -229,6 +251,76 @@ object ExtQueries {
           .when(col("near"), lit("near_dup"))
           .when(!col("keep"), lit("high_coverage"))
           .otherwise(lit("kept")).as("verdict"))
+  }
+
+  /** Dedup-stage COST manifest — the operational readout next to
+    * [[dedupLineage]]'s per-document verdicts: where does the dedup
+    * budget actually go at 100 TB. One row per stage with input/
+    * output doc counts, pair volumes, and the BYTES the stage must
+    * touch: `exact` scans every document once; `near_candidates`
+    * reports the LSH generator's raw pair volume and the text bytes
+    * the verify stage reads for it (the precision-of-the-generator
+    * number — candidates vs verified IS the wasted-work ratio);
+    * `near_verify` the surviving pair count and post-CC doc count;
+    * `coverage` the final keep. All counts are exact aggregates over
+    * the SAME materialized frames the lineage gate composes — no
+    * stage recomputes another's work. */
+  def dedupStageCosts(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.materialize(Tables(spark, dir, "documents")
+      .select(col("doc_id").as("id"), col("text")))
+    val (survivors, cand, verified0) = Dedup.dedupStagesWithCandidates(
+      docs, col("id"), col("text"), n = 3, jaccardThreshold = 0.8)
+    val verified = graft.Tables.materialize(verified0)
+    val lens = graft.Tables.materialize(
+      docs.select(col("id"), length(col("text")).cast("long").as("len")))
+    val nearDropped = graft.Tables.materialize(
+      Dedup.connectedComponents(verified)
+        .filter(col("id") =!= col("component")).select(col("id")))
+    val afterNear = graft.Tables.materialize(
+      survivors.select(col("id"))
+        .join(nearDropped, Seq("id"), "left_anti"))
+    val kept = afterNear
+      .join(Dedup.repeatedSpanCoverage(docs, col("id"), col("text"),
+          gramChars = 40, minFreq = 2, maxCoverage = 0.5)
+        .select(col("doc_id").as("id"), col("keep")), "id")
+      .filter(col("keep"))
+    val docsStats = docs.join(lens, "id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("bytes_all"))
+    val survStats = survivors.select(col("id")).join(lens, "id")
+      .agg(count(lit(1)).as("n_surv"), sum(col("len")).as("bytes_surv"))
+    val candStats = cand
+      .join(lens.select(col("id").as("id1"), col("len").as("l1")), "id1")
+      .join(lens.select(col("id").as("id2"), col("len").as("l2")), "id2")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_cand"),
+        coalesce(sum(col("l1") + col("l2")), lit(0L)).as("bytes_cand"))
+    val verStats = verified.agg(count(lit(1)).as("n_ver"))
+    val nearStats = afterNear.join(lens, "id")
+      .agg(count(lit(1)).as("n_after_near"),
+        sum(col("len")).as("bytes_after_near"))
+    val keptStats = kept.agg(count(lit(1)).as("n_kept"))
+    docsStats.crossJoin(broadcast(survStats))
+      .crossJoin(broadcast(candStats))
+      .crossJoin(broadcast(verStats))
+      .crossJoin(broadcast(nearStats))
+      .crossJoin(broadcast(keptStats))
+      .select(explode(array(
+        struct(lit("1_exact").as("stage"), col("n_docs").as("n_in"),
+          col("n_surv").as("n_out"), lit(0L).as("n_pairs"),
+          col("bytes_all").as("bytes_touched")),
+        struct(lit("2_near_candidates").as("stage"),
+          col("n_surv").as("n_in"), col("n_surv").as("n_out"),
+          col("n_cand").as("n_pairs"),
+          col("bytes_cand").as("bytes_touched")),
+        struct(lit("3_near_verify").as("stage"), col("n_surv").as("n_in"),
+          col("n_after_near").as("n_out"), col("n_ver").as("n_pairs"),
+          lit(0L).as("bytes_touched")),
+        struct(lit("4_coverage").as("stage"),
+          col("n_after_near").as("n_in"), col("n_kept").as("n_out"),
+          lit(0L).as("n_pairs"),
+          col("bytes_after_near").as("bytes_touched")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.n_in").as("n_in"),
+        col("s.n_out").as("n_out"), col("s.n_pairs").as("n_pairs"),
+        col("s.bytes_touched").as("bytes_touched"))
   }
 
   /** Jaccard threshold sweep — the LSH parameter-tuning histogram:
@@ -1576,6 +1668,7 @@ object ExtQueries {
     "jaccard_threshold_sweep" -> jaccardThresholdSweep _,
     "dedup_containment" -> dedupContainment _,
     "dedup_lineage" -> dedupLineage _,
+    "dedup_stage_costs" -> dedupStageCosts _,
     "dedup_minhash_sig" -> dedupMinhashSig _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "lsh_pair_pr" -> lshPairPr _,
@@ -1603,6 +1696,7 @@ object ExtQueries {
     "ann_ivf_kmeans" -> annIvfKmeans _,
     "ann_ivf_persisted" -> annIvfPersisted _,
     "ann_ivf_pq" -> annIvfPq _,
+    "html_extract" -> htmlExtract _,
     "ann_pq_recall" -> annPqRecall _,
     "ann_ivf_append" -> annIvfAppend _,
     "ann_drift_trigger" -> annDriftTrigger _,
@@ -2948,6 +3042,67 @@ object ExtQueries {
   // composed lineage: exact survivors + reach CC + span coverage in
   // one WITH (CTE names across the three prefixes are disjoint);
   // CASE precedence mirrors pipeline execution order
+  /** Stage-cost twin: the SAME canon→LSH→verify→CC→coverage CTEs,
+    * aggregated to per-stage counts/byte volumes instead of
+    * per-document verdicts. */
+  private val dedupStageCostsSql =
+    s"""WITH RECURSIVE $docDedupCtes,
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM verified
+       |  UNION
+       |  SELECT id2 AS src, id1 AS dst FROM verified),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst),
+       |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+       |$substringSpanCtes,
+       |dsc_cov AS (
+       |  SELECT doc_id,
+       |    CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_chars
+       |  FROM spans GROUP BY doc_id),
+       |dsc_keep AS (
+       |  SELECT d.doc_id AS id,
+       |    (CASE WHEN length(d.text) = 0 THEN 0.0
+       |      ELSE COALESCE(c.dup_chars, 0)
+       |        / CAST(length(d.text) AS DOUBLE) END) <= 0.5 AS keep
+       |  FROM documents d LEFT JOIN dsc_cov c ON c.doc_id = d.doc_id),
+       |dsc_len AS (
+       |  SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS len
+       |  FROM documents),
+       |dsc_docs AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len) AS BIGINT) AS bytes_all FROM dsc_len),
+       |dsc_surv AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_surv FROM survivors),
+       |dsc_cand AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_cand,
+       |    CAST(COALESCE(SUM(a.len + b.len), 0) AS BIGINT) AS bytes_cand
+       |  FROM cand
+       |  JOIN dsc_len a ON a.id = cand.id1
+       |  JOIN dsc_len b ON b.id = cand.id2),
+       |dsc_ver AS (SELECT CAST(count(*) AS BIGINT) AS n_ver FROM verified),
+       |dsc_after AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_after,
+       |    CAST(SUM(l.len) AS BIGINT) AS bytes_after
+       |  FROM survivors s JOIN dsc_len l ON l.id = s.id
+       |  WHERE s.id NOT IN (SELECT id FROM comp WHERE id <> component)),
+       |dsc_kept AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_kept
+       |  FROM survivors s JOIN dsc_keep k ON k.id = s.id
+       |  WHERE k.keep
+       |    AND s.id NOT IN (SELECT id FROM comp WHERE id <> component))
+       |SELECT '1_exact' AS stage, n_docs AS n_in, n_surv AS n_out,
+       |  CAST(0 AS BIGINT) AS n_pairs, bytes_all AS bytes_touched
+       |FROM dsc_docs, dsc_surv
+       |UNION ALL SELECT '2_near_candidates', n_surv, n_surv, n_cand,
+       |  bytes_cand FROM dsc_surv, dsc_cand
+       |UNION ALL SELECT '3_near_verify', n_surv, n_after, n_ver,
+       |  CAST(0 AS BIGINT) FROM dsc_surv, dsc_after, dsc_ver
+       |UNION ALL SELECT '4_coverage', n_after, n_kept,
+       |  CAST(0 AS BIGINT), bytes_after FROM dsc_after, dsc_kept"""
+      .stripMargin
+
   private val dedupLineageSql =
     s"""WITH RECURSIVE $docDedupCtes,
        |edges AS (
@@ -3525,6 +3680,44 @@ object ExtQueries {
        |  JOIN norms nq ON nq.vec_id = query_id)
        |SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= 10""".stripMargin
   }
+
+  /** htmlExtract twin: same planted wrapper, same block split, same
+    * strip/normalize/anchor-capture regexes (RE2 subset), same
+    * integer keep rule, ordered re-join. */
+  private val htmlExtractSql =
+    """WITH he_h AS (
+      |  SELECT doc_id, '<html><body><p>' || substr(text, 1, 120)
+      |    || '</p><div class="nav"><a href="/l1">click here</a> '
+      |    || '<a href="/l2">more links</a> nav menu</div><p>'
+      |    || substr(text, 121, 100000)
+      |    || '</p><br><p>  </p></body></html>' AS html
+      |  FROM documents),
+      |he_s AS (
+      |  SELECT doc_id,
+      |    string_split_regex(html,
+      |      '</?(?:p|div|li|h[1-6]|br|body|html)[^>]*>') AS b
+      |  FROM he_h),
+      |he_b AS (
+      |  SELECT doc_id, i AS pos, b[i] AS blk
+      |  FROM he_s, LATERAL (SELECT unnest(range(1, len(b) + 1)) AS i)),
+      |he_c AS (
+      |  SELECT doc_id, pos,
+      |    trim(regexp_replace(regexp_replace(blk, '<[^>]*>', '', 'g'),
+      |      '\s+', ' ', 'g')) AS clean,
+      |    length(coalesce(array_to_string(
+      |      regexp_extract_all(blk, '<a[^>]*>([^<]*)</a>', 1), ''), ''))
+      |      AS linked
+      |  FROM he_b),
+      |he_f AS (
+      |  SELECT doc_id, pos, clean, linked,
+      |    length(clean) >= 2 AND linked * 2 < length(clean) AS keep
+      |  FROM he_c WHERE length(clean) > 0)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(linked) AS BIGINT) AS n_link_chars,
+      |  substr(coalesce(string_agg(CASE WHEN keep THEN clean END, ' '
+      |    ORDER BY pos), ''), 1, 200) AS head
+      |FROM he_f GROUP BY doc_id""".stripMargin
 
   /** PQ train→encode→ADC CTE chain shared by the two PQ oracles.
     * Subspace rides as a COLUMN (j = i // 16), so all m codebooks
@@ -4519,6 +4712,7 @@ object ExtQueries {
     "jaccard_threshold_sweep" -> jaccardThresholdSweepSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_lineage" -> dedupLineageSql,
+    "dedup_stage_costs" -> dedupStageCostsSql,
     "bigram_novelty" -> bigramNoveltySql,
     "boilerplate_strip" -> boilerplateStripSql,
     "word_pagerank" -> wordPagerankSql,
@@ -4599,6 +4793,7 @@ object ExtQueries {
     "ann_ivf_kmeans" -> annIvfKmeansSql,
     "ann_ivf_persisted" -> annIvfKmeansSql,
     "ann_ivf_pq" -> annIvfPqSql,
+    "html_extract" -> htmlExtractSql,
     "ann_pq_recall" -> annPqRecallSql,
     "ann_ivf_append" -> annIvfAppendSql,
     "ann_drift_trigger" -> annDriftTriggerSql,
