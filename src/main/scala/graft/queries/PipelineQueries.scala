@@ -722,11 +722,13 @@ object PipelineQueries {
     * them per micro-batch through
     * [[graft.ext.Similarity.ivfTopKFromIndex]] — stateless per
     * batch, no retrain, no re-assignment, exactly how a deployed
-    * vector store serves. Two MemoryStream waves (query ids < 5,
-    * then 5 ≤ id < 10) land in an append memory sink; the end state
-    * must equal the BATCH probe of the same ten queries, which is
-    * what the oracle computes. Seed-cell centroids keep the oracle
-    * the shared ivfAssign algebra. */
+    * vector store serves. Two FILE-ARRIVAL waves (query ids < 5,
+    * then 5 ≤ id < 10, each a distributed parquet write into the
+    * watched drop folder — no rows through the driver) land in an
+    * append parquet sink; the end state must equal the BATCH probe of
+    * the same ten queries, which is what the oracle computes.
+    * Seed-cell centroids keep the oracle the shared ivfAssign
+    * algebra. */
   def streamAnnProbe(spark: SparkSession, dir: String): DataFrame = {
     import graft.ext.Similarity
     val emb = Tables(spark, dir, "embeddings")
@@ -742,15 +744,15 @@ object PipelineQueries {
         spark.read.parquet(s"$tmp/centroids"))
       .write.mode("overwrite").parquet(s"$tmp/assignments")
     onStreamSession(spark, 8) { s =>
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx = s.sqlContext
-      def wave(lo: Long, hi: Long): Seq[(Long, Array[Float])] = emb
+      def writeWave(lo: Long, hi: Long): Unit = emb
         .filter(col("vec_id") >= lo && col("vec_id") < hi)
         .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])].collect().toSeq
-      val mem = MemoryStream[(Long, Array[Float])]
-      val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+        .write.mode("append").parquet(s"$tmp/in")
+      writeWave(0, 5)
+      val q = s.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .parquet(s"$tmp/in")
+        .writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
           Similarity.ivfTopKFromIndex(emb, col("vec_id"),
               col("embedding"), b, col("vec_id"), col("embedding"),
@@ -762,9 +764,8 @@ object PipelineQueries {
         }
         .option("checkpointLocation", s"$tmp/_ck")
         .start()
-      mem.addData(wave(0, 5): _*)
       q.processAllAvailable()
-      mem.addData(wave(5, 10): _*)
+      writeWave(5, 10)
       q.processAllAvailable()
       q.stop()
       s.read.parquet(s"$tmp/results")
@@ -776,12 +777,13 @@ object PipelineQueries {
     * delivers a full attribute snapshot, the foreachBatch merges it
     * into the PERSISTED history table (close-changed / insert-new),
     * and the next batch merges against what the previous one wrote.
-    * Two deterministic snapshot waves (mod-7 keys +10 effective
-    * 2024-06-01, then additionally mod-11 keys +5 effective
-    * 2024-12-01); the oracle unrolls both merges. The merged frame is
-    * localCheckpoint-materialized before overwriting the directory
-    * its own plan read (same discipline as the incremental-dedup
-    * stream). */
+    * Two deterministic FILE-ARRIVAL snapshot waves (mod-7 keys +10
+    * effective 2024-06-01, then additionally mod-11 keys +5 effective
+    * 2024-12-01 — each a distributed parquet write into the watched
+    * drop folder, no rows through the driver); the oracle unrolls
+    * both merges. The merged frame is localCheckpoint-materialized
+    * before overwriting the directory its own plan read (same
+    * discipline as the incremental-dedup stream). */
   def streamScdType2(spark: SparkSession, dir: String): DataFrame = {
     import graft.queries.LakeQueries
     val base = Tables(spark, dir, "customer")
@@ -800,15 +802,19 @@ object PipelineQueries {
       when(col("c_custkey") % 11 === 0, col("acctbal") + lit(5))
         .otherwise(col("acctbal")))
     onStreamSession(spark, 8) { s =>
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx = s.sqlContext
-      def rows(df: DataFrame): Seq[(Long, java.math.BigDecimal)] = df
-        .select(col("c_custkey"), col("acctbal"))
-        .as[(Long, java.math.BigDecimal)].collect().toSeq
-      val mem = MemoryStream[(Long, java.math.BigDecimal)]
+      // acctbal rides as STRING through the drop folder (the
+      // streaming parquet reader rejects the batch writer's
+      // FIXED_LEN_BYTE_ARRAY decimal encoding); decimal → string →
+      // decimal(18,2) is an identity round-trip
+      def writeWave(df: DataFrame): Unit = df
+        .select(col("c_custkey"), col("acctbal").cast("string"))
+        .write.mode("append").parquet(s"$tmp/in")
+      writeWave(snap1)
       val effective = Map(0L -> "2024-06-01", 1L -> "2024-12-01")
-      val q = mem.toDF().toDF("c_custkey", "acctbal").writeStream
+      val q = s.readStream
+        .schema("c_custkey LONG, acctbal STRING")
+        .parquet(s"$tmp/in")
+        .writeStream
         .foreachBatch { (b: DataFrame, id: Long) =>
           val batch = b.select(col("c_custkey"),
             col("acctbal").cast("decimal(18,2)").as("acctbal"))
@@ -821,9 +827,8 @@ object PipelineQueries {
         }
         .option("checkpointLocation", s"$tmp/_ck")
         .start()
-      mem.addData(rows(snap1): _*)
       q.processAllAvailable()
-      mem.addData(rows(snap2): _*)
+      writeWave(snap2)
       q.processAllAvailable()
       q.stop()
       s.read.parquet(s"$tmp/hist")
@@ -838,36 +843,47 @@ object PipelineQueries {
   /** Stream-stream LEFT OUTER join semantics pinned under the gate:
     * the second streaming behavior production jobs bet on after late
     * drops — an unmatched left row is emitted null-padded only when
-    * the watermark proves no future match can arrive. MemoryStream
-    * batches make that deterministic: batch 1 carries ALL real rows
-    * on both sides (inner matches emit immediately); two sentinel
-    * batches on BOTH streams (distinct never-matching negative
-    * users) then walk the global watermark past every real
-    * timestamp, so all unmatched purchases null-emit during DATA
-    * batches — no reliance on the racy trailing no-data micro-batch.
-    * The terminal table therefore equals a plain SQL LEFT JOIN under
-    * the same interval predicate, which is exactly what the oracle
-    * runs. Sentinels filter out by id sign. */
+    * the watermark proves no future match can arrive. FILE-ARRIVAL
+    * waves make that deterministic (one drop folder per side, each
+    * wave a distributed parquet write — no rows through the driver):
+    * wave 1 carries ALL real rows on both sides (inner matches emit
+    * immediately); two sentinel waves into BOTH folders (distinct
+    * never-matching negative users) then walk the global watermark
+    * past every real timestamp, so all unmatched purchases null-emit
+    * during DATA batches — no reliance on the racy trailing no-data
+    * micro-batch. The terminal table therefore equals a plain SQL
+    * LEFT JOIN under the same interval predicate, which is exactly
+    * what the oracle runs. Sentinels filter out by id sign. */
   def streamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
       .select(col("user_id"), unix_timestamp(col("ts")).as("ts_s"),
         col("event_id"), col("event_type"))
     val maxTs = ev.agg(max(col("ts_s"))).collect()(0).getLong(0)
     val name = "stream_outer_join_sink"
+    val tmp = graft.Tables.scratchDir("graft_oj_stream")
     onStreamSession(spark, 8) { s =>
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx = s.sqlContext
-      def rows(t: String): Seq[(Long, Long, Long)] = ev
+      def writeWave(folder: String, t: String): Unit = ev
         .filter(col("event_type") === t)
         .select(col("user_id"), col("ts_s"), col("event_id"))
-        .as[(Long, Long, Long)].collect().toSeq
-      val pMem = MemoryStream[(Long, Long, Long)]
-      val cMem = MemoryStream[(Long, Long, Long)]
-      val p = pMem.toDF().toDF("p_user", "p_s", "purchase_id")
+        .write.mode("append").parquet(s"$tmp/$folder")
+      def writeSentinel(folder: String, user: Long, tsS: Long,
+          id: Long): Unit = s.range(1)
+        .select(lit(user).as("user_id"), lit(tsS).as("ts_s"),
+          lit(id).as("event_id"))
+        .write.mode("append").parquet(s"$tmp/$folder")
+      def src(folder: String) = s.readStream
+        .schema("user_id LONG, ts_s LONG, event_id LONG")
+        .parquet(s"$tmp/$folder")
+      writeWave("p", "purchase")
+      writeWave("c", "click")
+      val p = src("p")
+        .select(col("user_id").as("p_user"), col("ts_s").as("p_s"),
+          col("event_id").as("purchase_id"))
         .withColumn("p_ts", timestamp_seconds(col("p_s")))
         .withWatermark("p_ts", "10 minutes")
-      val c = cMem.toDF().toDF("c_user", "c_s", "click_id")
+      val c = src("c")
+        .select(col("user_id").as("c_user"), col("ts_s").as("c_s"),
+          col("event_id").as("click_id"))
         .withColumn("c_ts", timestamp_seconds(col("c_s")))
         .withWatermark("c_ts", "10 minutes")
       val joined = p.join(c,
@@ -875,15 +891,14 @@ object PipelineQueries {
           " AND c_ts <= p_ts"),
         "left_outer")
       val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$tmp/_ck")
         .format("memory").queryName(name).start()
-      pMem.addData(rows("purchase"): _*)
-      cMem.addData(rows("click"): _*)
       q.processAllAvailable()
-      pMem.addData((-1L, maxTs + 864000L, -1L))
-      cMem.addData((-2L, maxTs + 864000L, -2L))
+      writeSentinel("p", -1L, maxTs + 864000L, -1L)
+      writeSentinel("c", -2L, maxTs + 864000L, -2L)
       q.processAllAvailable()
-      pMem.addData((-1L, maxTs + 1728000L, -3L))
-      cMem.addData((-2L, maxTs + 1728000L, -4L))
+      writeSentinel("p", -1L, maxTs + 1728000L, -3L)
+      writeSentinel("c", -2L, maxTs + 1728000L, -4L)
       q.processAllAvailable()
       q.stop()
       s.table(name).filter(col("purchase_id") >= 0)
@@ -895,8 +910,10 @@ object PipelineQueries {
   /** Watermark LATE-DATA semantics pinned under the gate: the one
     * streaming behavior every production job bets on — rows arriving
     * behind the watermark are dropped from windowed state — made
-    * deterministic and hash-checked. [[org.apache.spark.sql.execution.streaming.runtime.MemoryStream]]
-    * fixes the micro-batch boundaries: batch 1 is the on-time bulk
+    * deterministic and hash-checked. File-arrival waves into a
+    * watched drop folder (one distributed parquet write per wave, a
+    * processAllAvailable turning each into one micro-batch) fix the
+    * batch boundaries: batch 1 is the on-time bulk
     * (event_id ≢ 0 mod 4), batch 2 the stragglers (≡ 0 — spanning
     * the whole time range, so some fall behind the watermark batch 1
     * established), then two far-future sentinel batches whose only
@@ -914,30 +931,32 @@ object PipelineQueries {
     val b2 = ev.filter(col("event_id") % 4 === 0)
     val maxTs = ev.agg(max(col("ts_s"))).collect()(0).getLong(0)
     val name = "stream_late_data_sink"
+    val tmp = graft.Tables.scratchDir("graft_late_stream")
     onStreamSession(spark, 8) { s =>
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx = s.sqlContext
-      def rows(df: DataFrame): Seq[Long] =
-        df.select(col("ts_s")).as[Long].collect().toSeq
-      val mem = MemoryStream[Long]
-      val agg = mem.toDF().toDF("ts_s")
+      // FILE-ARRIVAL waves: on-time bulk, stragglers, then the two
+      // sentinel files — distributed writes, no rows through the
+      // driver; each processAllAvailable turns one write into one
+      // micro-batch
+      def writeWave(df: DataFrame): Unit = df.select(col("ts_s"))
+        .write.mode("append").parquet(s"$tmp/in")
+      writeWave(b1)
+      val agg = s.readStream.schema("ts_s LONG").parquet(s"$tmp/in")
         .withColumn("ts", timestamp_seconds(col("ts_s")))
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "5 minutes"))
         .agg(count(lit(1)).as("n"))
       val q = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$tmp/_ck")
         .format("memory").queryName(name).start()
-      mem.addData(rows(b1): _*)
       q.processAllAvailable()
-      mem.addData(rows(b2): _*)
+      writeWave(b2)
       q.processAllAvailable()
       // sentinel pair: batch 3 lifts the watermark past every real
       // window; batch 4 makes batch 3's watermark take effect so the
       // eviction happens inside a data batch
-      mem.addData(maxTs + 864000L)
+      writeWave(s.range(1).select(lit(maxTs + 864000L).as("ts_s")))
       q.processAllAvailable()
-      mem.addData(maxTs + 1728000L)
+      writeWave(s.range(1).select(lit(maxTs + 1728000L).as("ts_s")))
       q.processAllAvailable()
       q.stop()
       // sentinel windows may or may not have been flushed by a
