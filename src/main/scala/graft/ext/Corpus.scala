@@ -659,6 +659,30 @@ object Corpus {
     out
   }
 
+  /** Weighted substring-occurrence counts over a (word, wf) frame —
+    * the unigram trainer's SEED signal, shared with the drift audit
+    * (which compares the top-piece sets of two corpus halves the way
+    * `bpe_drift_audit` compares top pair sets). */
+  def substringCounts(words: DataFrame, maxPieceLen: Int): DataFrame =
+    words.select(col("wf"), explode(flatten(
+        transform(sequence(lit(1), length(col("word"))), st =>
+          transform(sequence(lit(1), least(lit(maxPieceLen),
+              length(col("word")) - st + lit(1))),
+            l => col("word").substr(st, l))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wf")).as("cnt"))
+
+  /** Top-`vocabSize` multi-char seed pieces of a document set — the
+    * round-1 unigram training signal, exposed for the drift audit. */
+  def unigramSeedPieces(docs: DataFrame, text: Column,
+      maxPieceLen: Int = 4, vocabSize: Int = 24): DataFrame = {
+    val words = tokens(docs, text).groupBy(col("token"))
+      .agg(count(lit(1)).as("wf"))
+      .select(col("token").as("word"), col("wf"))
+    substringCounts(words, maxPieceLen)
+      .filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(vocabSize)
+  }
+
   /** Unigram-LM (SentencePiece-family) tokenizer TRAINER — the other
     * dominant tokenizer family next to BPE ([[bpeTrainState]]):
     * pieces carry a quantized unigram probability and words segment
@@ -706,12 +730,7 @@ object Corpus {
         .agg(count(lit(1)).as("wf"))
         .select(col("token").as("word"), col("wf"))
         .repartition(p))
-    val cand = words.select(col("wf"), explode(flatten(
-        transform(sequence(lit(1), length(col("word"))), st =>
-          transform(sequence(lit(1), least(lit(maxPieceLen),
-              length(col("word")) - st + lit(1))),
-            l => col("word").substr(st, l))))).as("piece"))
-      .groupBy(col("piece")).agg(sum(col("wf")).as("cnt"))
+    val cand = substringCounts(words, maxPieceLen)
     val multi = cand.filter(length(col("piece")) >= 2)
       .orderBy(col("cnt").desc, col("piece").asc).limit(vocabSize)
     val chars = cand.filter(length(col("piece")) === 1)

@@ -152,6 +152,52 @@ object CorpusQueries {
         concat_ws(" ", slice(col("bpe"), 1, 10)).as("piece_head"))
   }
 
+  /** Unigram-tokenizer drift trigger — the unigram twin of
+    * [[bpeDriftAudit]], completing the retrain-monitor family for
+    * BOTH tokenizer families: the top-24 weighted multi-char
+    * substring piece sets ([[Corpus.unigramSeedPieces]], the round-1
+    * training signal) on the standing corpus (doc_id ≢ 4 mod 5) vs
+    * the incoming batch (≡ 4), as an exact set Jaccard with the
+    * retrain flag at 0.5. */
+  def unigramDriftAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val a = graft.Tables.materialize(
+      Corpus.unigramSeedPieces(docs.filter(col("doc_id") % 5 =!= 4),
+        col("text")).select(col("piece")))
+    val b = graft.Tables.materialize(
+      Corpus.unigramSeedPieces(docs.filter(col("doc_id") % 5 === 4),
+        col("text")).select(col("piece")))
+    val common = a.join(b, "piece")
+    a.agg(count(lit(1)).as("n_standing"))
+      .crossJoin(b.agg(count(lit(1)).as("n_incoming")))
+      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+      .select(col("n_standing"), col("n_incoming"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_standing") + col("n_incoming") - col("n_common"))
+            .cast("double")).as("piece_jaccard"))
+      .withColumn("retrain", col("piece_jaccard") < lit(0.5))
+  }
+
+  /** Tokenizer FERTILITY per language — pieces emitted per
+    * whitespace word under the trained unigram model, the standard
+    * multilingual tokenizer-health metric (a language with fertility
+    * ≫ corpus mean is under-served by the vocabulary and pays more
+    * sequence length per sentence; the number that drives vocabSize
+    * and per-language vocab budgets). One roll-up over the encode
+    * chain. */
+  def unigramFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val (_, vocab) = Corpus.unigramTrainState(docs, col("text"))
+    Corpus.unigramEncodeDocs(docs, col("doc_id"), col("text"), vocab)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(sum(col("n_ws")).as("n_words"),
+        sum(size(col("bpe")).cast("long")).as("n_pieces"))
+      .select(col("lang"), col("n_words"), col("n_pieces"),
+        (col("n_pieces").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+  }
+
   /** Vocabulary: top-100 tokens by (count desc, token asc). */
   def vocabTopK(spark: SparkSession, dir: String): DataFrame =
     Corpus.vocabTopK(Tables(spark, dir, "documents"), col("text"), 100)
@@ -742,6 +788,8 @@ object CorpusQueries {
     "bpe_encode" -> bpeEncode _,
     "bpe_train" -> bpeTrain _,
     "unigram_train" -> unigramTrain _,
+    "unigram_drift_audit" -> unigramDriftAudit _,
+    "unigram_fertility" -> unigramFertility _,
     "unigram_encode" -> unigramEncode _,
     "bpe_drift_audit" -> bpeDriftAudit _,
     "bpe_encode_learned" -> bpeEncodeLearned _,
@@ -1066,12 +1114,55 @@ object CorpusQueries {
        |${unigramDpCtes("e1", maxW, maxL)}""".stripMargin
   }
 
+  /** Drift twin: the seed-piece chain per corpus half, exact set
+    * Jaccard of the two top-24 multi-char piece sets. */
+  private val unigramDriftAuditSql =
+    """WITH ud_w AS (
+      |  SELECT half, token AS word, CAST(count(*) AS BIGINT) AS wf
+      |  FROM (
+      |    SELECT CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS half,
+      |      unnest(string_split(text, ' ')) AS token
+      |    FROM documents)
+      |  WHERE token <> '' GROUP BY 1, 2),
+      |ud_sub AS (
+      |  SELECT half, substr(word, CAST(st AS INT), CAST(l AS INT)) AS piece,
+      |    CAST(SUM(wf) AS BIGINT) AS cnt
+      |  FROM ud_w,
+      |    LATERAL (SELECT unnest(range(1, length(word) + 1)) AS st),
+      |    LATERAL (SELECT unnest(range(1,
+      |      least(4, length(word) - st + 1) + 1)) AS l)
+      |  GROUP BY 1, 2),
+      |ud_a AS (
+      |  SELECT piece FROM ud_sub
+      |  WHERE half = 0 AND length(piece) >= 2
+      |  ORDER BY cnt DESC, piece LIMIT 24),
+      |ud_b AS (
+      |  SELECT piece FROM ud_sub
+      |  WHERE half = 1 AND length(piece) >= 2
+      |  ORDER BY cnt DESC, piece LIMIT 24),
+      |ud_c AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+      |         FROM ud_a JOIN ud_b USING (piece))
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ud_a) AS n_standing,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ud_b) AS n_incoming,
+      |  n_common,
+      |  CAST(n_common AS DOUBLE) /
+      |    CAST((SELECT count(*) FROM ud_a) + (SELECT count(*) FROM ud_b)
+      |      - n_common AS DOUBLE) AS piece_jaccard,
+      |  CAST(n_common AS DOUBLE) /
+      |    CAST((SELECT count(*) FROM ud_a) + (SELECT count(*) FROM ud_b)
+      |      - n_common AS DOUBLE) < CAST(0.5 AS DOUBLE) AS retrain
+      |FROM ud_c""".stripMargin
+
   private lazy val unigramTrainSql =
     s"""WITH $unigramCtes
        |SELECT piece, cnt, q FROM ug_final""".stripMargin
 
-  private lazy val unigramEncodeSql =
-    s"""WITH $unigramCtes,
+  /** Encode-chain suffix shared by the encode and fertility gates:
+    * per-word piece strings/counts from the FINAL model's
+    * segmentation, doc tokens joined back, per-doc aggregation. */
+  private lazy val unigramEncodeCtes =
+    s"""$unigramCtes,
        |ug_ws AS (
        |  SELECT word, string_agg(piece, ' ' ORDER BY k DESC) AS sstr,
        |    CAST(count(*) AS BIGINT) AS ns
@@ -1091,11 +1182,24 @@ object CorpusQueries {
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws,
        |    CAST(sum(ns) AS BIGINT) AS n_pieces,
        |    string_agg(sstr, ' ' ORDER BY pos) AS s
-       |  FROM ug_j GROUP BY 1)
+       |  FROM ug_j GROUP BY 1)""".stripMargin
+
+  private lazy val unigramEncodeSql =
+    s"""WITH $unigramEncodeCtes
        |SELECT doc_id, n_ws, n_pieces,
        |  array_to_string(list_slice(string_split(s, ' '), 1, 10), ' ')
        |    AS piece_head
        |FROM ug_agg""".stripMargin
+
+  /** Fertility twin: the encode chain rolled up per language. */
+  private lazy val unigramFertilitySql =
+    s"""WITH $unigramEncodeCtes
+       |SELECT d.lang, CAST(SUM(a.n_ws) AS BIGINT) AS n_words,
+       |  CAST(SUM(a.n_pieces) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(a.n_pieces) AS DOUBLE) / CAST(SUM(a.n_ws) AS DOUBLE)
+       |    AS fertility
+       |FROM ug_agg a JOIN documents d USING (doc_id)
+       |GROUP BY 1""".stripMargin
 
   /** Shared BM25 CTE chain ending in `bm25top` (the 10 candidates);
     * composed by the lexical gate and the rerank gate. */
@@ -1413,6 +1517,8 @@ object CorpusQueries {
     "bpe_encode" -> bpeEncodeSql,
     "bpe_train" -> bpeTrainSql,
     "unigram_train" -> unigramTrainSql,
+    "unigram_drift_audit" -> unigramDriftAuditSql,
+    "unigram_fertility" -> unigramFertilitySql,
     "unigram_encode" -> unigramEncodeSql,
     "bpe_drift_audit" ->
       """WITH bd_wa AS (

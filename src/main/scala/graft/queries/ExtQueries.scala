@@ -47,17 +47,44 @@ object ExtQueries {
     * block dropped by the integer link-density rule and the empty
     * block never counted. The DuckDB twin replays the same planting
     * concat and the same RE2-safe regex chain. */
-  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
-    val planted = Tables(spark, dir, "documents").select(col("doc_id"),
+  /** Deterministic markup wrapper around each document — the shared
+    * fixture of the extraction gates. */
+  private def plantedHtml(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       concat(lit("<html><body><p>"), substring(col("text"), 1, 120),
         lit("</p><div class=\"nav\"><a href=\"/l1\">click here</a> " +
           "<a href=\"/l2\">more links</a> nav menu</div><p>"),
         substring(col("text"), 121, 100000),
         lit("</p><br><p>  </p></body></html>")).as("html"))
-    Corpus.htmlExtract(planted, col("doc_id"), col("html"))
+
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame =
+    Corpus.htmlExtract(plantedHtml(Tables(spark, dir, "documents")),
+        col("doc_id"), col("html"))
       .select(col("doc_id"), col("n_blocks"), col("n_kept"),
         col("n_link_chars"),
         substring(col("extracted"), 1, 200).as("head"))
+
+  /** Extraction → quality composed, the crawl-ingest E2E: the
+    * planted-markup corpus is EXTRACTED ([[Corpus.htmlExtract]]) and
+    * the bigram-LM fluency scorer ([[graft.ext.Lm.scoreDocs]]) runs
+    * over the extracted text — nav/anchor boilerplate never reaches
+    * the model's counts, which is the point of running extraction
+    * before any quality stage. Per-language doc counts and fluency
+    * aggregates over the extracted corpus, one plan. */
+  def htmlCorpusE2e(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val ex = Corpus.htmlExtract(plantedHtml(docs), col("doc_id"),
+        col("html"))
+      .select(col("doc_id"), col("extracted"))
+    val per = graft.ext.Lm.scoreDocs(ex, col("doc_id"), col("extracted"))
+    docs.select(col("doc_id").as("id"), col("lang"))
+      .join(per, Seq("id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("q_sum")).as("q_sum"))
+      .withColumn("mean_p", col("q_sum").cast("double") /
+        (col("n_bigrams") * lit(1048576L)).cast("double"))
   }
 
   /** Corpus-LM novelty: fraction of each document's distinct bigrams
@@ -1697,6 +1724,7 @@ object ExtQueries {
     "ann_ivf_persisted" -> annIvfPersisted _,
     "ann_ivf_pq" -> annIvfPq _,
     "html_extract" -> htmlExtract _,
+    "html_corpus_e2e" -> htmlCorpusE2e _,
     "ann_pq_recall" -> annPqRecall _,
     "ann_ivf_append" -> annIvfAppend _,
     "ann_drift_trigger" -> annDriftTrigger _,
@@ -3683,14 +3711,18 @@ object ExtQueries {
 
   /** htmlExtract twin: same planted wrapper, same block split, same
     * strip/normalize/anchor-capture regexes (RE2 subset), same
-    * integer keep rule, ordered re-join. */
-  private val htmlExtractSql =
-    """WITH he_h AS (
-      |  SELECT doc_id, '<html><body><p>' || substr(text, 1, 120)
-      |    || '</p><div class="nav"><a href="/l1">click here</a> '
-      |    || '<a href="/l2">more links</a> nav menu</div><p>'
-      |    || substr(text, 121, 100000)
-      |    || '</p><br><p>  </p></body></html>' AS html
+    * integer keep rule, ordered re-join. Chain ends at `he_f`
+    * (doc_id, pos, clean, linked, keep) — shared with the E2E. */
+  private val htmlExtractCtes =
+    // continuation lines must not START with || — this chain is
+    // interpolated into s"""...""".stripMargin consumers, and a
+    // second stripMargin would eat a leading whitespace+| prefix
+    """he_h AS (
+      |  SELECT doc_id, '<html><body><p>' || substr(text, 1, 120) ||
+      |    '</p><div class="nav"><a href="/l1">click here</a> ' ||
+      |    '<a href="/l2">more links</a> nav menu</div><p>' ||
+      |    substr(text, 121, 100000) ||
+      |    '</p><br><p>  </p></body></html>' AS html
       |  FROM documents),
       |he_s AS (
       |  SELECT doc_id,
@@ -3711,13 +3743,60 @@ object ExtQueries {
       |he_f AS (
       |  SELECT doc_id, pos, clean, linked,
       |    length(clean) >= 2 AND linked * 2 < length(clean) AS keep
-      |  FROM he_c WHERE length(clean) > 0)
-      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
-      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-      |  CAST(SUM(linked) AS BIGINT) AS n_link_chars,
-      |  substr(coalesce(string_agg(CASE WHEN keep THEN clean END, ' '
-      |    ORDER BY pos), ''), 1, 200) AS head
-      |FROM he_f GROUP BY doc_id""".stripMargin
+      |  FROM he_c WHERE length(clean) > 0)""".stripMargin
+
+  private lazy val htmlExtractSql =
+    s"""WITH $htmlExtractCtes
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(linked) AS BIGINT) AS n_link_chars,
+       |  substr(coalesce(string_agg(CASE WHEN keep THEN clean END, ' '
+       |    ORDER BY pos), ''), 1, 200) AS head
+       |FROM he_f GROUP BY doc_id""".stripMargin
+
+  /** E2E twin: extraction chain → full extracted text per doc → the
+    * lm bigram chain over THAT text → per-language roll-up. */
+  private lazy val htmlCorpusE2eSql =
+    s"""WITH $htmlExtractCtes,
+       |hq_x AS (
+       |  SELECT doc_id, coalesce(string_agg(
+       |    CASE WHEN keep THEN clean END, ' ' ORDER BY pos), '') AS text
+       |  FROM he_f GROUP BY doc_id),
+       |hq_t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM hq_x),
+       |hq_b AS (
+       |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       |  FROM hq_t,
+       |    LATERAL (SELECT unnest(range(1, greatest(length(t), 1))) AS i)),
+       |hq_c12 AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |  FROM hq_b GROUP BY 1, 2),
+       |hq_c1 AS (
+       |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM hq_c12
+       |  GROUP BY 1),
+       |hq_v AS (
+       |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+       |  FROM (SELECT unnest(t) AS tok FROM hq_t) WHERE tok <> ''),
+       |hq_q AS (
+       |  SELECT b.doc_id,
+       |    CAST(((c12 + 1) * 1048576) // (c1 + v) AS BIGINT) AS q
+       |  FROM hq_b b JOIN hq_c12 USING (w1, w2) JOIN hq_c1 USING (w1),
+       |    hq_v),
+       |hq_per AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(q) AS BIGINT) AS q_sum
+       |  FROM hq_q GROUP BY 1)
+       |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(coalesce(p.n_bigrams, 0)) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(coalesce(p.q_sum, 0)) AS BIGINT) AS q_sum,
+       |  CAST(SUM(coalesce(p.q_sum, 0)) AS DOUBLE) /
+       |    CAST(SUM(coalesce(p.n_bigrams, 0)) * 1048576 AS BIGINT)
+       |    AS mean_p
+       |FROM documents d
+       |JOIN hq_x x ON x.doc_id = d.doc_id
+       |LEFT JOIN hq_per p ON p.doc_id = d.doc_id
+       |GROUP BY 1""".stripMargin
 
   /** PQ train→encode→ADC CTE chain shared by the two PQ oracles.
     * Subspace rides as a COLUMN (j = i // 16), so all m codebooks
@@ -4794,6 +4873,7 @@ object ExtQueries {
     "ann_ivf_persisted" -> annIvfKmeansSql,
     "ann_ivf_pq" -> annIvfPqSql,
     "html_extract" -> htmlExtractSql,
+    "html_corpus_e2e" -> htmlCorpusE2eSql,
     "ann_pq_recall" -> annPqRecallSql,
     "ann_ivf_append" -> annIvfAppendSql,
     "ann_drift_trigger" -> annDriftTriggerSql,
