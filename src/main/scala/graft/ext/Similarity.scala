@@ -851,7 +851,12 @@ object Similarity {
       while (i < a.length) { acc = acc.add(round12(a(i) * b(i))); i += 1 }
       acc.doubleValue()
     }
-    val rows = (0 until m).flatMap { j =>
+    // subspaces are independent — train them on a driver thread pool
+    // (the serial BigDecimal inner loop is the training cost: sample ×
+    // ksub × iters × sub exact-decimal products per subspace).
+    // Determinism is untouched: each subspace's arithmetic is
+    // self-contained and results assemble in j order.
+    def trainSubspace(j: Int): IndexedSeq[(Int, Long, Int, Double)] = {
       val xs: Array[Array[Double]] =
         sample.map(_._2.slice(j * sub, (j + 1) * sub))
       var cent: Array[Array[Double]] = xs.take(ksub).map(_.clone())
@@ -880,6 +885,17 @@ object Similarity {
       for (code <- 0 until ksub; i <- 0 until sub)
         yield (j, code.toLong, i, cent(code)(i))
     }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(m, Runtime.getRuntime.availableProcessors().max(1)))
+    val rows =
+      try {
+        val futures = (0 until m).map(j =>
+          pool.submit(new java.util.concurrent.Callable[
+            IndexedSeq[(Int, Long, Int, Double)]] {
+            def call() = trainSubspace(j)
+          }))
+        futures.flatMap(_.get())
+      } finally pool.shutdown()
     import spark.implicits._
     rows.toDF("j", "code", "i", "cx")
   }
@@ -908,8 +924,12 @@ object Similarity {
       codebooks: DataFrame): DataFrame = {
     val cb = pqCodebookArrays(codebooks)
     val subDim = size(col("cvec"))
+    val p = corpus.sparkSession.sparkContext.defaultParallelism
     corpus.select(corpusId.as("nbr_id"),
         corpusVec.cast("array<double>").as("v"))
+      // the m×ksub fan-out below is the expensive stage and a
+      // single-file local scan is ONE partition — widen first
+      .repartition(p)
       .crossJoin(broadcast(cb))
       .withColumn("d2", col("cn2") - lit(2.0) *
         VecKernels.vecDotDec(
