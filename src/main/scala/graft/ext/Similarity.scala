@@ -1056,6 +1056,70 @@ object Similarity {
       codes.select(col("nbr_id"), col("j"), col("code")),
       pqAdcTable(queries, queryId, queryVec, codebooks), k)
 
+  /** IVF-PQ recall-vs-nProbe sweep — [[ivfRecallSweep]] with the fine
+    * stage swapped to integer ADC ranking over the PQ codes: the
+    * measurement a PQ deployment reads to place itself on the
+    * latency/recall frontier, where the loss now COMPOSES the coarse
+    * probing miss and the compression miss (grade against
+    * `ann_pq_recall`'s flat-ADC ceiling to separate the two). One
+    * candidate pass serves every budget — a smaller probe set is a
+    * PREFIX of a larger one under the same (ccos, cell_id) order. */
+  def ivfPqRecallSweep(corpus: DataFrame, corpusId: Column,
+      corpusVec: Column, queries: DataFrame, queryId: Column,
+      queryVec: Column, k: Int = 10, numCells: Int = 16,
+      probes: Seq[Int] = Seq(1, 2, 4, 8), m: Int = 4, ksub: Int = 8,
+      iters: Int = 2, sampleMod: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probes.nonEmpty && probes.forall(_ >= 1))
+    val (cbs, codes0) = buildPqIndex(corpus, corpusId, corpusVec, m,
+      ksub, iters, sampleMod)
+    val codes = graft.Tables.materialize(codes0)
+    val adc = graft.Tables.materialize(
+      pqAdcTable(queries, queryId, queryVec, cbs))
+    val c = graft.Tables.materialize(
+      vectors(corpus, corpusId, corpusVec, "nbr_id", "cv", "sn_c"))
+    val q = graft.Tables.materialize(
+      vectors(queries, queryId, queryVec, "query_id", "qv", "sn_q"))
+    val centArr = centroidArrays(corpus, corpusId, corpusVec, numCells,
+      None)
+    val cells = cellAssignments(c, centArr)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cell_id").asc)
+    val probeRank = q.crossJoin(broadcast(centArr))
+      .withColumn("ccos", cellCos("qv", "sn_q"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= probes.max)
+      .select(col("query_id"), col("cell_id"), col("pr"))
+    val truth = graft.Tables.materialize(
+      bruteForceTopK(corpus, corpusId, corpusVec, queries, queryId,
+          queryVec, k)
+        .select(col("query_id"), col("nbr_id")))
+    val probeSet = broadcast(corpus.sparkSession
+      .createDataFrame(probes.map(Tuple1(_))).toDF("n_probe"))
+    val wTop = Window.partitionBy(col("query_id"), col("n_probe"))
+      .orderBy(col("score").desc, col("nbr_id").asc)
+    val topk = probeRank.join(cells, "cell_id")
+      .select(col("query_id"), col("nbr_id"), col("pr"))
+      .crossJoin(probeSet)
+      .filter(col("pr") <= col("n_probe"))
+      .join(codes, "nbr_id")
+      .join(broadcast(adc), Seq("query_id", "j", "code"))
+      .groupBy(col("n_probe"), col("query_id"), col("nbr_id"))
+      .agg(sum(col("a")).as("score"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("n_probe"), col("query_id"), col("nbr_id"))
+    val hits = topk.join(truth, Seq("query_id", "nbr_id"), "left_semi")
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("n_hits"))
+    val nq = truth.select(col("query_id")).distinct()
+      .agg(count(lit(1)).as("nq"))
+    hits.crossJoin(broadcast(nq))
+      .select(col("n_probe"), col("n_hits"),
+        (col("nq") * k).as("n_possible"),
+        (col("n_hits").cast("double") /
+          (col("nq") * k).cast("double")).as("recall"))
+  }
+
   /** Deterministic hyperplane weight for (plane, dim): md5-derived
     * integer in [-1000, 1000]. Computed driver-side; shipped as a tiny
     * broadcast table. */

@@ -47,6 +47,21 @@ object ExtQueries {
     * block dropped by the integer link-density rule and the empty
     * block never counted. The DuckDB twin replays the same planting
     * concat and the same RE2-safe regex chain. */
+  /** IVF-PQ recall-vs-nProbe sweep
+    * ([[Similarity.ivfPqRecallSweep]]): per probe budget, the
+    * ADC-ranked top-10's overlap with the exact brute-force top-10 —
+    * the tuning curve that places an IVF-PQ deployment on the
+    * latency/recall frontier; `ann_pq_recall`'s flat-ADC number is
+    * the budget→∞ ceiling that separates compression loss from
+    * probing loss. */
+  def annPqProbeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.ivfPqRecallSweep(emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 10, numCells = 16, probes = Seq(1, 2, 4, 8), m = 16,
+      ksub = 64, iters = 2, sampleMod = 1)
+  }
+
   /** Deterministic markup wrapper around each document — the shared
     * fixture of the extraction gates. */
   private def plantedHtml(docs: DataFrame): DataFrame =
@@ -1726,6 +1741,7 @@ object ExtQueries {
     "html_extract" -> htmlExtract _,
     "html_corpus_e2e" -> htmlCorpusE2e _,
     "ann_pq_recall" -> annPqRecall _,
+    "ann_pq_probe_sweep" -> annPqProbeSweep _,
     "ann_ivf_append" -> annIvfAppend _,
     "ann_drift_trigger" -> annDriftTrigger _,
     "ann_matryoshka_recall" -> annMatryoshkaRecall _,
@@ -3932,6 +3948,60 @@ object ExtQueries {
        |  ON pq.query_id = bf.query_id AND pq.nbr_id = bf.nbr_id
        |GROUP BY 1""".stripMargin
 
+  /** IVF-PQ sweep twin: seed-cell probing ranks to max(probes); each
+    * budget filters its prefix; candidates rank by the integer ADC
+    * sum; exact truth reuses the outer `comp`/`norms`. */
+  private lazy val annPqProbeSweepSql =
+    s"""WITH $ivfAssignCtes,
+       |${pqCtes(2)},
+       |pw_pr AS (
+       |  SELECT vec_id AS query_id, cell_id, r AS pr FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY ccos DESC, cell_id ASC) AS r
+       |    FROM cellcos WHERE vec_id < 10) WHERE r <= 8),
+       |pw_ps AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
+       |pw_sc AS (
+       |  SELECT ps.n_probe, p.query_id, c.nbr_id,
+       |    CAST(SUM(adc.a) AS BIGINT) AS score
+       |  FROM pw_pr p
+       |  JOIN cells c ON c.cell_id = p.cell_id
+       |  CROSS JOIN pw_ps ps
+       |  JOIN pqcode co ON co.nbr_id = c.nbr_id
+       |  JOIN pqadc adc ON adc.query_id = p.query_id
+       |    AND adc.j = co.j AND adc.code = co.code
+       |  WHERE p.pr <= ps.n_probe
+       |  GROUP BY 1, 2, 3),
+       |pw_top AS (
+       |  SELECT n_probe, query_id, nbr_id FROM (
+       |    SELECT n_probe, query_id, nbr_id,
+       |      row_number() OVER (PARTITION BY query_id, n_probe
+       |                         ORDER BY score DESC, nbr_id ASC) AS r
+       |    FROM pw_sc) WHERE r <= 10),
+       |pw_d AS (
+       |  SELECT c.vec_id AS nbr_id, q.vec_id AS query_id,
+       |    CAST(sum(CAST(c.x * q.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |  FROM comp c JOIN comp q ON c.i = q.i AND q.vec_id < 10
+       |  GROUP BY 1, 2),
+       |pw_t AS (
+       |  SELECT query_id, nbr_id FROM (
+       |    SELECT query_id, nbr_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY dot / (nc.sn * nq.sn) DESC, nbr_id ASC) AS r
+       |    FROM pw_d
+       |    JOIN norms nc ON nc.vec_id = nbr_id
+       |    JOIN norms nq ON nq.vec_id = query_id) WHERE r <= 10),
+       |pw_h AS (
+       |  SELECT t.n_probe, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM pw_top t JOIN pw_t USING (query_id, nbr_id)
+       |  GROUP BY 1),
+       |pw_nq AS (
+       |  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq FROM pw_t)
+       |SELECT CAST(n_probe AS INT) AS n_probe, n_hits,
+       |  CAST(nq * 10 AS BIGINT) AS n_possible,
+       |  CAST(n_hits AS DOUBLE) / CAST(nq * 10 AS DOUBLE) AS recall
+       |FROM pw_h, pw_nq""".stripMargin
+
   /** Repetition twin: bigrams via range(1, len) (i in 1..len-1);
     * integer counts divided once as doubles at the end. */
   private val textRepetitionSql =
@@ -4875,6 +4945,7 @@ object ExtQueries {
     "html_extract" -> htmlExtractSql,
     "html_corpus_e2e" -> htmlCorpusE2eSql,
     "ann_pq_recall" -> annPqRecallSql,
+    "ann_pq_probe_sweep" -> annPqProbeSweepSql,
     "ann_ivf_append" -> annIvfAppendSql,
     "ann_drift_trigger" -> annDriftTriggerSql,
     "ann_matryoshka_recall" -> annMatryoshkaRecallSql,
