@@ -1056,6 +1056,72 @@ object Similarity {
       codes.select(col("nbr_id"), col("j"), col("code")),
       pqAdcTable(queries, queryId, queryVec, codebooks), k)
 
+  /** RESIDUAL IVF-PQ — the full FAISS IVF-PQ layout: PQ codebooks
+    * train on and codes encode the residual r = x − c(x) (what's left
+    * after the coarse quantizer), which concentrates the codebooks'
+    * capacity on within-cell structure instead of re-spending it on
+    * the cell means. Inner-product scoring decomposes exactly:
+    * ⟨q, c + r̂⟩ = ⟨q, c⟩ + ⟨q, r̂⟩ — so the serving path is ONE
+    * integer coarse term per (query, probed cell)
+    * (round(⟨q,c⟩·2²⁰), exact-decimal dot) plus the m ADC lookups of
+    * raw-query-slice × residual-codebook tables; the candidate's
+    * float vector is never read. All stages reuse the audited PQ
+    * pieces ([[pqTrainCodebooks]]/[[pqEncode]]/[[pqAdcTable]]) over
+    * the residual frame. The residual subtract here is a zip_with
+    * (interpreted, bounded by dim); a 100 TB deployment swaps it for
+    * a codegen'd kernel like the dot kernels. */
+  def ivfPqResidualTopK(corpus: DataFrame, corpusId: Column,
+      corpusVec: Column, queries: DataFrame, queryId: Column,
+      queryVec: Column, k: Int, numCells: Int = 16, nProbe: Int = 4,
+      m: Int = 4, ksub: Int = 8, iters: Int = 2,
+      sampleMod: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = graft.Tables.materialize(
+      vectors(corpus, corpusId, corpusVec, "nbr_id", "cv", "sn_c"))
+    val q = graft.Tables.materialize(
+      vectors(queries, queryId, queryVec, "query_id", "qv", "sn_q"))
+    val centArr = centroidArrays(corpus, corpusId, corpusVec, numCells,
+      None)
+    val cells = graft.Tables.materialize(cellAssignments(c, centArr))
+    val resid = corpus
+      .select(corpusId.as("nbr_id"), corpusVec.cast("array<double>").as("v"))
+      .join(cells, "nbr_id")
+      .join(broadcast(centArr.select(col("cell_id"), col("cvec"))),
+        "cell_id")
+      .select(col("nbr_id"),
+        zip_with(col("v"), col("cvec"), (a, b) => a - b).as("rv"))
+    val cbs = pqTrainCodebooks(resid, col("nbr_id"), col("rv"), m, ksub,
+      iters, sampleMod)
+    val codes = pqEncode(resid, col("nbr_id"), col("rv"), cbs)
+    // ADC over RAW query slices vs the residual codebooks
+    val adc = pqAdcTable(queries, queryId, queryVec, cbs)
+    // exact coarse term per (query, cell), integer-quantized like ADC
+    val qcell = q.crossJoin(broadcast(centArr))
+      .select(col("query_id"), col("cell_id"),
+        round(VecKernels.vecDotDec(col("qv"), col("cvec"))
+          .cast("double") * lit(1048576.0), 0).cast("long").as("qc"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cell_id").asc)
+    val cand = q.crossJoin(broadcast(centArr))
+      .withColumn("ccos", cellCos("qv", "sn_q"))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= nProbe)
+      .select(col("query_id"), col("cell_id"))
+      .join(cells, "cell_id")
+      .select(col("query_id"), col("nbr_id"), col("cell_id"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id").asc)
+    cand.join(codes, "nbr_id")
+      .join(broadcast(adc), Seq("query_id", "j", "code"))
+      .groupBy(col("query_id"), col("nbr_id"), col("cell_id"))
+      .agg(sum(col("a")).as("adc_sum"))
+      .join(broadcast(qcell), Seq("query_id", "cell_id"))
+      .withColumn("score", col("qc") + col("adc_sum"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank"), col("score"))
+  }
+
   /** IVF-PQ recall-vs-nProbe sweep — [[ivfRecallSweep]] with the fine
     * stage swapped to integer ADC ranking over the PQ codes: the
     * measurement a PQ deployment reads to place itself on the

