@@ -535,11 +535,20 @@ object Corpus {
     * counts through the same distinct-word encode. */
   def packSequencesBpe(df: DataFrame, id: Column, text: Column,
       budget: Int, nShards: Int,
-      merges: Seq[(String, String)] = DefaultBpeMerges): DataFrame = {
+      merges: Seq[(String, String)] = DefaultBpeMerges): DataFrame =
+    packSequencesFromCounts(
+      bpeEncodeDocs(df, id, text, merges)
+        .select(col("doc_id"), size(col("bpe")).cast("long").as("n_tokens")),
+      budget, nShards)
+
+  /** The packing LAYOUT over any (doc_id, n_tokens) count frame —
+    * content-hash shards, per-shard exclusive prefix sum, div-budget
+    * sequence spans; shared by the BPE and unigram packers so the
+    * layout algebra cannot drift between tokenizer families. */
+  def packSequencesFromCounts(counts: DataFrame,
+      budget: Int, nShards: Int): DataFrame = {
     require(budget >= 1, "budget >= 1")
     require(nShards >= 1 && nShards <= 65536, "nShards in [1,65536]")
-    val counts = bpeEncodeDocs(df, id, text, merges)
-      .select(col("doc_id"), size(col("bpe")).cast("long").as("n_tokens"))
     val h = md5(col("doc_id").cast("string"))
     val base = counts
       .filter(col("n_tokens") > 0)

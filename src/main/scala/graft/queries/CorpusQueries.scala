@@ -198,6 +198,24 @@ object CorpusQueries {
           .as("fertility"))
   }
 
+  /** Sequence packing with UNIGRAM token counts — the
+    * `pack_sequences_bpe` layout (content-hash shards, exclusive
+    * prefix sums, div-budget spans via
+    * [[Corpus.packSequencesFromCounts]]) driven by the trained
+    * unigram model's per-document piece counts: what the packer of a
+    * unigram-tokenized training run actually sees. Completes the
+    * unigram lifecycle's parity with BPE (train / encode / drift /
+    * fertility / pack). */
+  def packSequencesUnigram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val (_, vocab) = Corpus.unigramTrainState(docs, col("text"))
+    Corpus.packSequencesFromCounts(
+      Corpus.unigramEncodeDocs(docs, col("doc_id"), col("text"), vocab)
+        .select(col("doc_id"),
+          size(col("bpe")).cast("long").as("n_tokens")),
+      budget = 256, nShards = 4)
+  }
+
   /** Vocabulary: top-100 tokens by (count desc, token asc). */
   def vocabTopK(spark: SparkSession, dir: String): DataFrame =
     Corpus.vocabTopK(Tables(spark, dir, "documents"), col("text"), 100)
@@ -790,6 +808,7 @@ object CorpusQueries {
     "unigram_train" -> unigramTrain _,
     "unigram_drift_audit" -> unigramDriftAudit _,
     "unigram_fertility" -> unigramFertility _,
+    "pack_sequences_unigram" -> packSequencesUnigram _,
     "unigram_encode" -> unigramEncode _,
     "bpe_drift_audit" -> bpeDriftAudit _,
     "bpe_encode_learned" -> bpeEncodeLearned _,
@@ -1201,6 +1220,32 @@ object CorpusQueries {
        |FROM ug_agg a JOIN documents d USING (doc_id)
        |GROUP BY 1""".stripMargin
 
+  /** Unigram-pack twin: the encode chain's per-doc piece counts
+    * through the shared packing-layout algebra. */
+  private lazy val packSequencesUnigramSql =
+    s"""WITH $unigramEncodeCtes,
+       |up_c AS (
+       |  SELECT doc_id, n_pieces AS n_tokens FROM ug_agg
+       |  WHERE n_pieces > 0),
+       |up_d AS (
+       |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h, n_tokens
+       |  FROM up_c),
+       |up_s AS (
+       |  SELECT doc_id, h, n_tokens,
+       |    ('0x' || substr(h, 1, 8))::BIGINT % 4 AS shard
+       |  FROM up_d),
+       |up_o AS (
+       |  SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (
+       |      PARTITION BY shard ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS "offset"
+       |  FROM up_s)
+       |SELECT doc_id, shard, n_tokens, "offset",
+       |  CAST("offset" // 256 AS BIGINT) AS seq_first,
+       |  CAST(("offset" + n_tokens - 1) // 256 AS BIGINT) AS seq_last
+       |FROM up_o""".stripMargin
+
   /** Shared BM25 CTE chain ending in `bm25top` (the 10 candidates);
     * composed by the lexical gate and the rerank gate. */
   private lazy val bm25Ctes =
@@ -1519,6 +1564,7 @@ object CorpusQueries {
     "unigram_train" -> unigramTrainSql,
     "unigram_drift_audit" -> unigramDriftAuditSql,
     "unigram_fertility" -> unigramFertilitySql,
+    "pack_sequences_unigram" -> packSequencesUnigramSql,
     "unigram_encode" -> unigramEncodeSql,
     "bpe_drift_audit" ->
       """WITH bd_wa AS (
