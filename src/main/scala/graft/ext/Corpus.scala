@@ -578,9 +578,25 @@ object Corpus {
     * the extraction pass a crawl-derived corpus runs BEFORE any dedup
     * or quality stage.
     *
+    * BEFORE the block split, one lazy-quantifier pre-pass per
+    * non-content element kind removes `<script>`/`<style>` bodies and
+    * HTML comments whole (`(?is)<script[^>]*>.*?</script>` etc. —
+    * RE2-portable: lazy quantifiers, no backrefs): script/style text
+    * has zero anchor density, so without the pre-pass it would sail
+    * through the link-density rule and feed JavaScript/CSS into the
+    * corpus. An UNCLOSED script tag (malformed markup) degrades to
+    * tag-stripping only — its body leaks like any other text; real
+    * extractors share this failure mode.
+    *
     * Per block (all integers, hash-exact): `clean` = tags stripped,
-    * whitespace normalized; `linked` = Σ lengths of `<a>` anchor
-    * texts (captured with `[^<]*` — no lazy quantifiers needed).
+    * character entities decoded (`&lt; &gt; &quot; &#39;/&#x27;
+    * &nbsp;` to their characters, any OTHER numeric entity normalized
+    * to a space — deterministic and portable where a full decoder is
+    * not — and `&amp;` LAST so `&amp;lt;` decodes to the literal
+    * `&lt;` it encodes), whitespace normalized; `linked` = Σ lengths
+    * of `<a>` anchor texts (captured with `[^<]*` — no lazy
+    * quantifiers needed), same entity decode so the density ratio
+    * compares decoded chars to decoded chars.
     * Keep iff length(clean) ≥ `minChars` AND 2·linked < length(clean).
     * Kept blocks re-join in document order via the bounded
     * sort_array(collect_list) idiom — block count per doc, never a
@@ -590,16 +606,30 @@ object Corpus {
     * n_link_chars, extracted). */
   def htmlExtract(docs: DataFrame, id: Column, html: Column,
       minChars: Int = 2): DataFrame = {
+    val stripped = regexp_replace(
+      regexp_replace(
+        regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " "),
+        "(?is)<style[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    def decodeEntities(c: Column): Column =
+      replace(
+        regexp_replace(
+          replace(replace(replace(replace(
+            regexp_replace(c, "&#x27;|&#39;", "'"),
+            lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+            lit("&quot;"), lit("\"")), lit("&nbsp;"), lit(" ")),
+          "&#x?[0-9a-fA-F]{1,6};", " "),
+        lit("&amp;"), lit("&"))
     val blocks = docs.select(id.as("doc_id"),
-        posexplode(split(html,
+        posexplode(split(stripped,
           "</?(?:p|div|li|h[1-6]|br|body|html)[^>]*>"))
           .as(Seq("pos", "blk")))
       .select(col("doc_id"), col("pos"),
         trim(regexp_replace(
-          regexp_replace(col("blk"), "<[^>]*>", ""),
+          decodeEntities(regexp_replace(col("blk"), "<[^>]*>", "")),
           "\\s+", " ")).as("clean"),
-        length(concat_ws("", regexp_extract_all(col("blk"),
-          lit("<a[^>]*>([^<]*)</a>"), lit(1)))).as("linked"))
+        length(decodeEntities(concat_ws("", regexp_extract_all(col("blk"),
+          lit("<a[^>]*>([^<]*)</a>"), lit(1))))).as("linked"))
       .filter(length(col("clean")) > 0)
       .withColumn("keep",
         length(col("clean")) >= minChars &&

@@ -38,15 +38,6 @@ object ExtQueries {
       col("doc_id") +: langId(col("text")).as("lang_guess") +: scores: _*)
   }
 
-  /** Markup/boilerplate extraction gate ([[Corpus.htmlExtract]]):
-    * the documents table carries plain text, so the gate PLANTS a
-    * deterministic markup wrapper around each doc (two content
-    * paragraphs split from the text, a nav div whose anchor text
-    * dominates it, and an empty paragraph) and extracts — the kept
-    * blocks must be exactly the two content paragraphs, with the nav
-    * block dropped by the integer link-density rule and the empty
-    * block never counted. The DuckDB twin replays the same planting
-    * concat and the same RE2-safe regex chain. */
   /** RESIDUAL IVF-PQ serving gate
     * ([[Similarity.ivfPqResidualTopK]]): the full FAISS layout —
     * codebooks over x − c(x), inner-product scoring decomposed as the
@@ -88,15 +79,35 @@ object ExtQueries {
   }
 
   /** Deterministic markup wrapper around each document — the shared
-    * fixture of the extraction gates. */
+    * fixture of the extraction gates. Plants every hazard the chain
+    * must survive: a nav div whose anchor text dominates it (link
+    * density), a `<script>` body carrying a raw `<` comparison and a
+    * `<style>` rule (both must vanish WHOLE — zero anchor density
+    * would otherwise sail them through the keep rule), an HTML
+    * comment, a content paragraph of character entities, and an empty
+    * paragraph. */
   private def plantedHtml(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       concat(lit("<html><body><p>"), substring(col("text"), 1, 120),
         lit("</p><div class=\"nav\"><a href=\"/l1\">click here</a> " +
-          "<a href=\"/l2\">more links</a> nav menu</div><p>"),
+          "<a href=\"/l2\">more links</a> nav menu</div>" +
+          "<script type=\"text/javascript\">var n = 1; " +
+          "if (n < 2) { track(\"menu\"); }</script>" +
+          "<style>.nav a { color: #fff; }</style>" +
+          "<!-- boilerplate wrapper --><p>"),
         substring(col("text"), 121, 100000),
-        lit("</p><br><p>  </p></body></html>")).as("html"))
+        lit("</p><p>Tom &amp; Jerry &lt;3 &quot;ads&quot; " +
+          "&#39;n&#8217; more</p><br><p>  </p></body></html>"))
+        .as("html"))
 
+  /** Markup/boilerplate extraction gate ([[Corpus.htmlExtract]]):
+    * the documents table carries plain text, so the gate runs over
+    * the [[plantedHtml]] wrapper — the kept blocks must be exactly
+    * the two content paragraphs plus the decoded entity paragraph,
+    * with the nav block dropped by the integer link-density rule, the
+    * script/style/comment bodies stripped whole, and the empty block
+    * never counted. The DuckDB twin replays the same planting concat
+    * and the same RE2-safe regex chain. */
   def htmlExtract(spark: SparkSession, dir: String): DataFrame =
     Corpus.htmlExtract(plantedHtml(Tables(spark, dir, "documents")),
         col("doc_id"), col("html"))
@@ -3751,35 +3762,60 @@ object ExtQueries {
        |SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= 10""".stripMargin
   }
 
-  /** htmlExtract twin: same planted wrapper, same block split, same
-    * strip/normalize/anchor-capture regexes (RE2 subset), same
-    * integer keep rule, ordered re-join. Chain ends at `he_f`
+  /** The engine's entity-decode chain around a SQL expression:
+    * apostrophe entities, the four named entities, any remaining
+    * numeric entity to a space, `&amp;` LAST (so `&amp;lt;` decodes
+    * to the literal `&lt;` it encodes). */
+  private def heDecode(x: String): String =
+    "replace(regexp_replace(replace(replace(replace(replace(" +
+      s"regexp_replace($x, '&#x27;|&#39;', '''', 'g'), " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&nbsp;', ' '), " +
+      "'&#x?[0-9a-fA-F]{1,6};', ' ', 'g'), '&amp;', '&')"
+
+  /** htmlExtract twin: same planted wrapper (nav div, script/style
+    * bodies, comment, entity paragraph), same script/style/comment
+    * pre-strip, same block split, same strip/decode/normalize/
+    * anchor-capture regexes (RE2 subset), same integer keep rule,
+    * ordered re-join. Chain ends at `he_f`
     * (doc_id, pos, clean, linked, keep) — shared with the E2E. */
-  private val htmlExtractCtes =
+  private lazy val htmlExtractCtes =
     // continuation lines must not START with || — this chain is
     // interpolated into s"""...""".stripMargin consumers, and a
     // second stripMargin would eat a leading whitespace+| prefix
-    """he_h AS (
+    s"""he_h AS (
       |  SELECT doc_id, '<html><body><p>' || substr(text, 1, 120) ||
       |    '</p><div class="nav"><a href="/l1">click here</a> ' ||
-      |    '<a href="/l2">more links</a> nav menu</div><p>' ||
+      |    '<a href="/l2">more links</a> nav menu</div>' ||
+      |    '<script type="text/javascript">var n = 1; ' ||
+      |    'if (n < 2) { track("menu"); }</script>' ||
+      |    '<style>.nav a { color: #fff; }</style>' ||
+      |    '<!-- boilerplate wrapper --><p>' ||
       |    substr(text, 121, 100000) ||
-      |    '</p><br><p>  </p></body></html>' AS html
+      |    '</p><p>Tom &amp; Jerry &lt;3 &quot;ads&quot; ' ||
+      |    '&#39;n&#8217; more</p><br><p>  </p></body></html>' AS html
       |  FROM documents),
+      |he_x AS (
+      |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+      |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |    '(?s)<!--.*?-->', ' ', 'g') AS html
+      |  FROM he_h),
       |he_s AS (
       |  SELECT doc_id,
       |    string_split_regex(html,
       |      '</?(?:p|div|li|h[1-6]|br|body|html)[^>]*>') AS b
-      |  FROM he_h),
+      |  FROM he_x),
       |he_b AS (
       |  SELECT doc_id, i AS pos, b[i] AS blk
       |  FROM he_s, LATERAL (SELECT unnest(range(1, len(b) + 1)) AS i)),
       |he_c AS (
       |  SELECT doc_id, pos,
-      |    trim(regexp_replace(regexp_replace(blk, '<[^>]*>', '', 'g'),
-      |      '\s+', ' ', 'g')) AS clean,
-      |    length(coalesce(array_to_string(
-      |      regexp_extract_all(blk, '<a[^>]*>([^<]*)</a>', 1), ''), ''))
+      |    trim(regexp_replace(${heDecode(
+            "regexp_replace(blk, '<[^>]*>', '', 'g')")},
+      |      '\\s+', ' ', 'g')) AS clean,
+      |    length(${heDecode(
+            """coalesce(array_to_string(
+      |      regexp_extract_all(blk, '<a[^>]*>([^<]*)</a>', 1), ''), '')""")})
       |      AS linked
       |  FROM he_b),
       |he_f AS (

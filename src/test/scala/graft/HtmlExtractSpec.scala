@@ -47,6 +47,23 @@ class HtmlExtractSpec extends SparkSpec {
     assert(extracted == "read the docs now")
   }
 
+  test("script/style bodies and comments strip whole; entities decode") {
+    val (_, nBlocks, nKept, _, extracted) = run(
+      "<p>alpha beta</p>" +
+        "<script type=\"text/javascript\">var n = 1; if (n < 2) { track(); }</script>" +
+        "<STYLE>.nav a { color: #fff; }</STYLE>" +
+        "<!-- wrapper <p>comment para</p> -->" +
+        "<p>Tom &amp; Jerry &lt;3 &quot;ads&quot; &#39;n&#8217; more</p>" +
+        "<p>&amp;lt; stays literal</p>")
+    // script/style/comment bodies vanish entirely — including the raw
+    // `< 2` comparison and the <p> inside the comment; nothing of them
+    // survives as a block
+    assert(nBlocks == 3)
+    assert(nKept == 3)
+    assert(extracted ==
+      "alpha beta Tom & Jerry <3 \"ads\" 'n more &lt; stays literal")
+  }
+
   test("attribute-carrying block tags split; whitespace normalizes") {
     val (_, nBlocks, nKept, _, extracted) = run(
       "<div id=\"a\" class=\"main\">one\n\n  two</div>" +
