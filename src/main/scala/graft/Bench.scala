@@ -336,7 +336,15 @@ object Bench {
           f" in a ${dt}%.1f s wall — re-measuring (waited $waited%.1f s)")
         val again = runOnce(name, fn)
         retryBudgetMs -= (System.currentTimeMillis() - w0)
-        dt = again._1; err = again._2; diag = again._3
+        // keep the CLEANEST attempt, not the last: a retry window can
+        // be more polluted than the first (budget exhausted
+        // mid-storm) — accept the re-measurement only if it absorbed
+        // less steal (ties to the lower wall), and never let a
+        // crashed retry replace a good measurement
+        val cleaner = again._2.isEmpty &&
+          (again._3("steal_s") < diag("steal_s") ||
+            (again._3("steal_s") == diag("steal_s") && again._1 < dt))
+        if (cleaner) { dt = again._1; err = again._2; diag = again._3 }
         attempts += 1
         retried.updateWith(name)(n => Some(n.getOrElse(0) + 1))
       }
@@ -422,6 +430,14 @@ object Bench {
         .map { case (k, e) => "\"" + k + "\":\"" + esc(e.take(msgLen)) + "\"" }
         .mkString(",\"errors\":{", ",", "}")
     val total = results.collect { case (_, v, None, _) => v }.sum
+    // STEAL-INVARIANT headline: Σ per-query executor task time. Wall
+    // clock stretches under hypervisor steal while task run time stays
+    // put (tasks that aren't scheduled aren't running), so this is the
+    // series to compare rounds on when the box is noisy; the wall
+    // total stays alongside as the latency-shaped number. Failed
+    // queries are excluded from both totals.
+    val engineTotal =
+      results.collect { case (_, _, None, d) => d.getOrElse("task_s", 0.0) }.sum
     // steal_s: steal inside the ACCEPTED measurement windows (what the
     // reported walls actually absorbed); steal_run_s: the whole-run
     // envelope including waits and discarded attempts. retried/
@@ -432,8 +448,17 @@ object Bench {
       if (retried.isEmpty) ""
       else retried.map { case (q, n) => "\"" + q + "\":" + n }
         .mkString(",\"retried\":{", ",", "}")
-    def line(queries: String, diag: String, errJson: String): String =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$queries,"steal_s":$steal,"steal_run_s":$stealRun,"quiet_wait_s":${f2(quietWaitS)}$retriedJson$diag$errJson,"sf":"$sfDir","failed":${errsAll.size}}"""
+    // per-query engine (task) seconds, filtered to a name set so the
+    // shedding ladder can carry it at the same threshold as the walls
+    def taskJson(names: Set[String]): String = {
+      val entries = results.collect { case (k, _, _, d) if names(k) =>
+        "\"" + k + "\":" + f2(d.getOrElse("task_s", 0.0))
+      }
+      if (entries.isEmpty) "" else entries.mkString(""","task_s":{""", ",", "}")
+    }
+    def line(queries: String, taskMap: String, diag: String,
+        errJson: String): String =
+      s"""{"metric":"total","value":${f2(total)},"engine_total":${f2(engineTotal)},"unit":"sec","queries":$queries$taskMap,"steal_s":$steal,"steal_run_s":$stealRun,"quiet_wait_s":${f2(quietWaitS)}$retriedJson$diag$errJson,"sf":"$sfDir","failed":${errsAll.size}}"""
     // belt-and-braces: if the line would still overflow the driver
     // tail, shed in stages — (1) the diag maps (wall times and kill
     // accountability outrank per-query CPU forensics, which stderr
@@ -442,19 +467,26 @@ object Bench {
     // the line fits at ANY query count (the slow queries are the ones
     // worth reading; the full map is on stderr). A parseable partial
     // line always beats a truncated complete one.
-    val full = line(qs, s"$maxCpuJson$relaunchJson$wedges$kills", errJsonN(20, 160))
-    lazy val noDiag = line(qs, s"$relaunchJson$wedges$kills", errJsonN(6, 90))
-    def atLeast(th: Double): String = line(
-      results.collect { case (k, v, _, _) if v >= th =>
-        s"\"" + k + "\":" + f2(v)
-      }.mkString("{", ",", "}"),
-      s"$relaunchJson$wedges$kills", errJsonN(3, 60))
+    val allNames = results.map(_._1).toSet
+    val full = line(qs, taskJson(allNames),
+      s"$maxCpuJson$relaunchJson$wedges$kills", errJsonN(20, 160))
+    lazy val noDiag = line(qs, taskJson(allNames),
+      s"$relaunchJson$wedges$kills", errJsonN(6, 90))
+    def atLeast(th: Double): String = {
+      val names = results.collect { case (k, v, _, _) if v >= th => k }.toSet
+      line(
+        results.collect { case (k, v, _, _) if names(k) =>
+          s"\"" + k + "\":" + f2(v)
+        }.mkString("{", ",", "}"),
+        taskJson(names),
+        s"$relaunchJson$wedges$kills", errJsonN(3, 60))
+    }
     val out =
       if (full.length <= 1900) full
       else if (noDiag.length <= 1900) noDiag
       else Seq(0.1, 0.2, 0.5, 1.0, 2.0, 5.0).iterator.map(atLeast)
         .find(_.length <= 1900)
-        .getOrElse(line("{}", s"$wedges$kills", errJsonN(1, 60)))
+        .getOrElse(line("{}", "", s"$wedges$kills", errJsonN(1, 60)))
     // durable copy: a partial/overflowed stdout tail can no longer
     // lose the run's numbers — the un-shed line lands on disk too.
     // cwd-relative on purpose (the driver launches from the repo
