@@ -1057,48 +1057,71 @@ object Similarity {
       pqAdcTable(queries, queryId, queryVec, codebooks), k)
 
   /** RESIDUAL IVF-PQ — the full FAISS IVF-PQ layout: PQ codebooks
-    * train on and codes encode the residual r = x − c(x) (what's left
-    * after the coarse quantizer), which concentrates the codebooks'
-    * capacity on within-cell structure instead of re-spending it on
-    * the cell means. Inner-product scoring decomposes exactly:
-    * ⟨q, c + r̂⟩ = ⟨q, c⟩ + ⟨q, r̂⟩ — so the serving path is ONE
+    * train on and codes encode the residual r = x − ĉ(x) (what's left
+    * after the coarse quantizer; ĉ is the UNIT-normalized cell
+    * centroid — the FAISS spherical-kmeans convention, see the
+    * in-body note), which concentrates the codebooks' capacity on
+    * within-cell structure instead of re-spending it on the cell
+    * means. Inner-product scoring decomposes exactly:
+    * ⟨q, ĉ + r̂⟩ = ⟨q, ĉ⟩ + ⟨q, r̂⟩ — so the serving path is ONE
     * integer coarse term per (query, probed cell)
-    * (round(⟨q,c⟩·2²⁰), exact-decimal dot) plus the m ADC lookups of
+    * (round(⟨q,ĉ⟩·2²⁰), exact-decimal dot) plus the m ADC lookups of
     * raw-query-slice × residual-codebook tables; the candidate's
     * float vector is never read. All stages reuse the audited PQ
     * pieces ([[pqTrainCodebooks]]/[[pqEncode]]/[[pqAdcTable]]) over
     * the residual frame. The residual subtract here is a zip_with
     * (interpreted, bounded by dim); a 100 TB deployment swaps it for
-    * a codegen'd kernel like the dot kernels. */
+    * a codegen'd kernel like the dot kernels.
+    *
+    * `centroids` swaps the deterministic seed cells for TRAINED
+    * coarse cells (the [[kmeansCentroids]] frame) — residual PQ's
+    * whole value is residuals against GOOD centroids: under seed
+    * cells the residual distribution keeps the cell means' spread and
+    * can be HARDER to quantize than the raw vectors (measured on this
+    * corpus — see `ann_residual_recall_audit`), while trained cells
+    * concentrate the codebooks on within-cell structure. Only the
+    * cell frame changes; every downstream stage is identical. */
   def ivfPqResidualTopK(corpus: DataFrame, corpusId: Column,
       corpusVec: Column, queries: DataFrame, queryId: Column,
       queryVec: Column, k: Int, numCells: Int = 16, nProbe: Int = 4,
       m: Int = 4, ksub: Int = 8, iters: Int = 2,
-      sampleMod: Long = 1L): DataFrame = {
+      sampleMod: Long = 1L, centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = graft.Tables.materialize(
       vectors(corpus, corpusId, corpusVec, "nbr_id", "cv", "sn_c"))
     val q = graft.Tables.materialize(
       vectors(queries, queryId, queryVec, "query_id", "qv", "sn_q"))
     val centArr = centroidArrays(corpus, corpusId, corpusVec, numCells,
-      None)
+      centroids)
     val cells = graft.Tables.materialize(cellAssignments(c, centArr))
+    // Residuals subtract the UNIT-normalized centroid (FAISS spherical
+    // kmeans normalizes its centroids; our trainer returns the
+    // unnormalized mean-direction SUM for oracle-exactness). Without
+    // this, a trained centroid's ~√members magnitude dominates the
+    // residual — per-cell offsets the GLOBAL codebooks must span grow
+    // with cell size and recall collapses (trained-cell recall@10
+    // measured 0.34 before the fix, 0.47 after, on the fixture). The
+    // divide is one IEEE op per component on identical operands, so
+    // the SQL twin reproduces it bit-for-bit; assignment/probing stay
+    // on the raw frame (cosine is scale-invariant).
+    val ncent = graft.Tables.materialize(centArr
+      .select(col("cell_id"),
+        transform(col("cvec"), cx => cx / col("sn_cell")).as("ncvec")))
     val resid = corpus
       .select(corpusId.as("nbr_id"), corpusVec.cast("array<double>").as("v"))
       .join(cells, "nbr_id")
-      .join(broadcast(centArr.select(col("cell_id"), col("cvec"))),
-        "cell_id")
+      .join(broadcast(ncent), "cell_id")
       .select(col("nbr_id"),
-        zip_with(col("v"), col("cvec"), (a, b) => a - b).as("rv"))
+        zip_with(col("v"), col("ncvec"), (a, b) => a - b).as("rv"))
     val cbs = pqTrainCodebooks(resid, col("nbr_id"), col("rv"), m, ksub,
       iters, sampleMod)
     val codes = pqEncode(resid, col("nbr_id"), col("rv"), cbs)
     // ADC over RAW query slices vs the residual codebooks
     val adc = pqAdcTable(queries, queryId, queryVec, cbs)
     // exact coarse term per (query, cell), integer-quantized like ADC
-    val qcell = q.crossJoin(broadcast(centArr))
+    val qcell = q.crossJoin(broadcast(ncent))
       .select(col("query_id"), col("cell_id"),
-        round(VecKernels.vecDotDec(col("qv"), col("cvec"))
+        round(VecKernels.vecDotDec(col("qv"), col("ncvec"))
           .cast("double") * lit(1048576.0), 0).cast("long").as("qc"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cell_id").asc)

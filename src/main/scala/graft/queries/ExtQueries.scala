@@ -46,21 +46,129 @@ object ExtQueries {
     * relation from the shared cell-assignment CTEs and reuses the
     * whole PQ chain over it.
     *
-    * Measured on THIS corpus: recall@10 0.59 vs raw-PQ's 0.68 — the
+    * Measured on THIS corpus: recall@10 0.61 vs raw-PQ's 0.68 — the
     * residual variant LOSES here, and that is the instructive number:
     * residuals concentrate codebook capacity on within-cell structure
     * only when the coarse quantizer captures real structure; under
     * near-uniform data with seed cells the residual distribution is
     * HARDER to quantize than the raw vectors. A deployment reads
-    * exactly this audit (against clustered data + trained cells,
-    * where residuals win — the spec's fixture) before picking the
-    * layout. */
+    * exactly `ann_residual_recall_audit` (against clustered data,
+    * where residuals win) before picking the layout. */
   def annIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     Similarity.ivfPqResidualTopK(emb, col("vec_id"), col("embedding"),
       emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
       k = 10, numCells = 16, nProbe = 4, m = 16, ksub = 64, iters = 2,
       sampleMod = 1)
+  }
+
+  /** TRAINED-cell residual IVF-PQ — the full FAISS production layout:
+    * coarse cells from 3 Lloyd's rounds ([[Similarity.kmeansCentroids]],
+    * the `ann_ivf_kmeans` constants), residual codebooks trained on
+    * x − ĉ(x) against the UNIT-normalized trained cells. The oracle
+    * composes the unrolled kmeans CTE chain with the residual-PQ
+    * chain — the same audited pieces, adapted relation names.
+    *
+    * Reading the audit (`ann_residual_recall_audit`): the GATED rows
+    * show flat 0.68 / seed 0.61 / trained 0.47 — but the seed number
+    * rides a fixture artifact: the gate's queries (vec_id < 10) are
+    * THEMSELVES seed centroids, so seed cells are query-centered
+    * (near-zero residual and an exact coarse term for each query's
+    * own cell). [[graft.tools.ResidualAb]] re-runs the same A/B over
+    * query bands that are NOT seed ids: trained wins every band
+    * (45/48/49 vs seed's 38/39/37 hits of 100 at bands 100/200/300) —
+    * the Lloyd's rounds buy ~+25% relative recall for the residual
+    * layout on honest queries, even on this near-uniform corpus. */
+  def annIvfPqTrained(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cent = Similarity.kmeansCentroids(emb, col("vec_id"),
+      col("embedding"), numCells = 16, iters = 3, sampleMod = 4)
+    Similarity.ivfPqResidualTopK(emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 10, numCells = 16, nProbe = 4, m = 16, ksub = 64, iters = 2,
+      sampleMod = 1, centroids = Some(cent))
+  }
+
+  /** Residual-layout recall audit — the measurement that picks the PQ
+    * layout before anything ships: recall@10 against the exact
+    * brute-force top-10 for (a) flat ADC (no IVF pruning — the
+    * compression ceiling), (b) seed-cell residual IVF-PQ, (c)
+    * TRAINED-cell residual IVF-PQ, all at the same m/ksub/probe
+    * budget. The flat−residual gap separates probing loss from
+    * compression loss; the trained−seed gap is what the Lloyd's
+    * rounds buy the residual layout — on THIS gate's query band it
+    * reads inverted because the queries double as seed centroids (see
+    * [[annIvfPqTrained]]'s scaladoc and [[graft.tools.ResidualAb]],
+    * which shows trained > seed on every off-seed band). One
+    * brute-force truth set, three candidate stacks. */
+  def annResidualRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val truth = Tables.materialize(
+      Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+          queries, col("vec_id"), col("embedding"), 10)
+        .select(col("query_id"), col("nbr_id")))
+    val nq = truth.select(col("query_id")).distinct()
+      .agg(count(lit(1)).as("nq"))
+    val (cbs, codes) = Similarity.buildPqIndex(emb, col("vec_id"),
+      col("embedding"), m = 16, ksub = 64, iters = 2, sampleMod = 1)
+    val flat = Similarity.pqAdcTopK(
+      emb.select(col("vec_id").as("nbr_id"))
+        .crossJoin(broadcast(queries.select(col("vec_id").as("query_id")))),
+      codes,
+      Similarity.pqAdcTable(queries, col("vec_id"), col("embedding"), cbs),
+      k = 10)
+    val seed = Similarity.ivfPqResidualTopK(emb, col("vec_id"),
+      col("embedding"), queries, col("vec_id"), col("embedding"),
+      k = 10, numCells = 16, nProbe = 4, m = 16, ksub = 64, iters = 2,
+      sampleMod = 1)
+    val trained = Similarity.ivfPqResidualTopK(emb, col("vec_id"),
+      col("embedding"), queries, col("vec_id"), col("embedding"),
+      k = 10, numCells = 16, nProbe = 4, m = 16, ksub = 64, iters = 2,
+      sampleMod = 1,
+      centroids = Some(Similarity.kmeansCentroids(emb, col("vec_id"),
+        col("embedding"), numCells = 16, iters = 3, sampleMod = 4)))
+    def hitRow(name: String, top: DataFrame): DataFrame =
+      top.select(col("query_id"), col("nbr_id"))
+        .join(truth, Seq("query_id", "nbr_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("variant"), col("n_hits"))
+    hitRow("flat_adc", flat)
+      .unionByName(hitRow("seed_residual", seed))
+      .unionByName(hitRow("trained_residual", trained))
+      .crossJoin(broadcast(nq))
+      .select(col("variant"), col("n_hits"),
+        (col("nq") * 10).as("n_possible"),
+        (col("n_hits").cast("double") /
+          (col("nq") * 10).cast("double")).as("recall"))
+  }
+
+  /** PQ encode-APPEND gate ([[Similarity.pqEncode]] against FROZEN
+    * codebooks): codebooks train on the STANDING corpus (vec_id ≢ 4
+    * mod 5) and persist; the standing codes persist; the incoming
+    * batch (≡ 4 mod 5) encodes against the frozen codebooks read back
+    * from storage and APPENDS. The oracle trains on the standing
+    * relation and encodes the full corpus in one pass — bit-equal
+    * precisely because encode is per-row against frozen artifacts
+    * (the `ann_ivf_append` argument, PQ edition); a retrain on the
+    * union would move codebooks and fail the hash. */
+  def pqEncodeAppend(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val standing = emb.filter(col("vec_id") % 5 =!= 4)
+    val incoming = emb.filter(col("vec_id") % 5 === 4)
+    val tmp = graft.Tables.scratchDir("graft_pq_append")
+    Similarity.pqTrainCodebooks(standing, col("vec_id"),
+        col("embedding"), m = 16, ksub = 64, iters = 2, sampleMod = 1)
+      .write.mode("overwrite").parquet(s"$tmp/codebooks")
+    val frozen = spark.read.parquet(s"$tmp/codebooks")
+    Similarity.pqEncode(standing, col("vec_id"), col("embedding"), frozen)
+      .write.mode("overwrite").parquet(s"$tmp/codes")
+    spark.read.parquet(s"$tmp/codes")
+      .unionByName(
+        Similarity.pqEncode(incoming, col("vec_id"), col("embedding"),
+          frozen))
+      .select(col("nbr_id"), col("j").cast("long").as("j"),
+        col("code").cast("long").as("code"))
   }
 
   /** IVF-PQ recall-vs-nProbe sweep
@@ -1779,6 +1887,9 @@ object ExtQueries {
     "ann_pq_recall" -> annPqRecall _,
     "ann_pq_probe_sweep" -> annPqProbeSweep _,
     "ann_ivf_pq_residual" -> annIvfPqResidual _,
+    "ann_ivf_pq_trained" -> annIvfPqTrained _,
+    "ann_residual_recall_audit" -> annResidualRecallAudit _,
+    "pq_encode_append" -> pqEncodeAppend _,
     "ann_ivf_append" -> annIvfAppend _,
     "ann_drift_trigger" -> annDriftTrigger _,
     "ann_matryoshka_recall" -> annMatryoshkaRecall _,
@@ -3677,7 +3788,13 @@ object ExtQueries {
     * predicate replays [[annIvfAppend]] (train on standing, assign
     * the union with the frozen centroids — exactly what
     * assignment-only append computes). */
-  private def ivfKmeansProbeSql(trainPred: String): String = {
+  /** Kmeans-train + full-corpus assign chain, up to `cells` (nbr_id,
+    * cell_id) with `cent3` (trained components), `td` (corpus×cell
+    * dots), `tc` (corpus×cell cosines) exposed — composed by the
+    * trained-IVF probe tail below AND the trained-residual-PQ oracle
+    * (which adapts td/tc/cent3 to the residual tail's relation
+    * names). */
+  private def kmeansCellCtes(trainPred: String): String = {
     val iters = (0 until 3).map { t =>
       s"""cn$t AS (
          |  SELECT cell_id,
@@ -3706,7 +3823,7 @@ object ExtQueries {
          |  FROM cent$t c
          |  LEFT JOIN mn$t m ON m.cell_id = c.cell_id AND m.i = c.i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $vecCtes,
+    s"""$vecCtes,
        |tcomp AS (SELECT * FROM comp
        |          WHERE vec_id % 4 = 0 AND ($trainPred)),
        |cent0 AS (
@@ -3720,7 +3837,7 @@ object ExtQueries {
        |  SELECT cell_id,
        |    sqrt(CAST(sum(CAST(cx * cx AS DECIMAL(28,12))) AS DOUBLE)) AS sn_cell
        |  FROM cent3 GROUP BY cell_id),
-       |td AS (
+       |td AS MATERIALIZED (
        |  SELECT comp.vec_id, c.cell_id,
        |    CAST(sum(CAST(comp.x * c.cx AS DECIMAL(28,12))) AS DOUBLE) AS dot
        |  FROM comp JOIN cent3 c ON c.i = comp.i
@@ -3729,12 +3846,16 @@ object ExtQueries {
        |  SELECT td.vec_id, td.cell_id, td.dot / (n.sn * tn.sn_cell) AS ccos
        |  FROM td JOIN norms n ON n.vec_id = td.vec_id
        |  JOIN tn ON tn.cell_id = td.cell_id),
-       |cells AS (
+       |cells AS MATERIALIZED (
        |  SELECT vec_id AS nbr_id, cell_id FROM (
        |    SELECT vec_id, cell_id,
        |      row_number() OVER (PARTITION BY vec_id
        |                         ORDER BY ccos DESC, cell_id ASC) AS r
-       |    FROM tc) WHERE r = 1),
+       |    FROM tc) WHERE r = 1)""".stripMargin
+  }
+
+  private def ivfKmeansProbeSql(trainPred: String): String = {
+    s"""WITH ${kmeansCellCtes(trainPred)},
        |probes AS (
        |  SELECT vec_id AS query_id, cell_id FROM (
        |    SELECT vec_id, cell_id,
@@ -3891,8 +4012,17 @@ object ExtQueries {
     * relation the per-query ADC dots use — RAW query components in
     * both variants (for residual scoring, ⟨q, c + r̂⟩ = ⟨q,c⟩ +
     * ⟨q, r̂⟩, so the table is raw-query-slice × residual-codebook). */
+  /** `trainPred`/`sampleMod` pick the TRAINING relation (`tscomp` —
+    * the Scala trainer's id-mod sample over the same predicate; seeds
+    * come from the first `ksub` ids of that relation, matching
+    * [[Similarity.collectTrainingSample]]'s sorted-sample take), while
+    * the ENCODE pass always runs over the full `scomp` — the seam the
+    * encode-append gate exercises (train standing, encode all).
+    * `subDim`/`ksub` ride the gate constants instead of hardcoded
+    * slicing (all PQ gates pin dim=64, m=16 → subDim 4, ksub 64). */
   private def pqCtes(iters: Int, src: String = "comp",
-      adcSrc: String = "comp"): String = {
+      adcSrc: String = "comp", trainPred: String = "TRUE",
+      subDim: Int = 4, ksub: Int = 64, sampleMod: Int = 1): String = {
     val rounds = (0 until iters).map { t =>
       s"""pqn$t AS (
          |  SELECT j, code,
@@ -3901,7 +4031,7 @@ object ExtQueries {
          |pqd$t AS (
          |  SELECT s.vec_id, s.j, c.code,
          |    CAST(sum(CAST(s.x * c.cx AS DECIMAL(28,12))) AS DOUBLE) AS dxc
-         |  FROM scomp s JOIN pqc$t c ON c.j = s.j AND c.ii = s.ii
+         |  FROM tscomp s JOIN pqc$t c ON c.j = s.j AND c.ii = s.ii
          |  GROUP BY 1, 2, 3),
          |pqa$t AS (
          |  SELECT vec_id, j, code FROM (
@@ -3915,7 +4045,7 @@ object ExtQueries {
          |  SELECT a.j, a.code, s.ii,
          |    CAST(sum(CAST(s.x AS DECIMAL(28,12))) AS DOUBLE) / count(*)
          |      AS mx
-         |  FROM pqa$t a JOIN scomp s ON s.vec_id = a.vec_id AND s.j = a.j
+         |  FROM pqa$t a JOIN tscomp s ON s.vec_id = a.vec_id AND s.j = a.j
          |  GROUP BY 1, 2, 3),
          |pqc${t + 1} AS (
          |  SELECT c.j, c.code, c.ii, coalesce(m.mx, c.cx) AS cx
@@ -3923,16 +4053,21 @@ object ExtQueries {
          |    ON m.j = c.j AND m.code = c.code AND m.ii = c.ii)"""
         .stripMargin
     }.mkString(",\n")
-    s"""scomp AS (
-       |  SELECT vec_id, CAST(i // 4 AS BIGINT) AS j, i % 4 AS ii, x
+    s"""scomp AS MATERIALIZED (
+       |  SELECT vec_id, CAST(i // $subDim AS BIGINT) AS j,
+       |    i % $subDim AS ii, x
        |  FROM $src),
+       |tscomp AS MATERIALIZED (
+       |  SELECT * FROM scomp
+       |  WHERE vec_id % $sampleMod = 0 AND ($trainPred)),
        |pqcm AS (
        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
        |  FROM (SELECT vec_id FROM embeddings
-       |        ORDER BY vec_id LIMIT 64)),
+       |        WHERE vec_id % $sampleMod = 0 AND ($trainPred)
+       |        ORDER BY vec_id LIMIT $ksub)),
        |pqc0 AS (
        |  SELECT s.j, cm.code, s.ii, s.x AS cx
-       |  FROM pqcm cm JOIN scomp s USING (vec_id)),
+       |  FROM pqcm cm JOIN tscomp s USING (vec_id)),
        |$rounds,
        |pqfn AS (
        |  SELECT j, code,
@@ -3955,7 +4090,8 @@ object ExtQueries {
        |  SELECT q.vec_id AS query_id, q.j, c.code,
        |    CAST(round(CAST(sum(CAST(q.x * c.cx AS DECIMAL(28,12)))
        |        AS DOUBLE) * CAST(1048576.0 AS DOUBLE)) AS BIGINT) AS a
-       |  FROM (SELECT vec_id, CAST(i // 4 AS BIGINT) AS j, i % 4 AS ii, x
+       |  FROM (SELECT vec_id, CAST(i // $subDim AS BIGINT) AS j,
+       |          i % $subDim AS ii, x
        |        FROM $adcSrc WHERE vec_id < 10) q
        |  JOIN pqc$iters c ON c.j = q.j AND c.ii = q.ii
        |  GROUP BY 1, 2, 3)""".stripMargin
@@ -4018,18 +4154,26 @@ object ExtQueries {
        |  ON pq.query_id = bf.query_id AND pq.nbr_id = bf.nbr_id
        |GROUP BY 1""".stripMargin
 
-  /** Residual IVF-PQ twin: residual components from the shared
-    * cell-assignment CTEs; the PQ chain runs over them with the ADC
-    * table from RAW query components; score = coarse ⟨q,c⟩ term +
-    * ADC sum, both in 2⁻²⁰ integer units. */
-  private lazy val annIvfPqResidualSql =
-    s"""WITH $ivfAssignCtes,
-       |rcomp AS (
-       |  SELECT comp.vec_id, comp.i, comp.x - cc.cx AS x
+  /** Residual-PQ serving tail over WHICHEVER coarse-cell chain
+    * precedes it — expects `comp` plus the cell relations `cells`
+    * (nbr_id, cell_id), `cellcos` (vec_id, cell_id, ccos), `centcomp`
+    * (cell_id, i, cx) and `centnorm` (cell_id, sn_cell): UNIT
+    * centroid components (the engine's one-IEEE-divide
+    * normalization), residual components against them, the PQ chain
+    * over those with the ADC table from RAW query components, score =
+    * coarse ⟨q,ĉ⟩ term + ADC sum, both in 2⁻²⁰ integer units. The
+    * seed variant composes it under [[ivfAssignCtes]]; the trained
+    * variant under [[kmeansCellCtes]] plus renaming adapters. */
+  private lazy val residualPqTailSql =
+    s"""ncent AS MATERIALIZED (
+       |  SELECT cc.cell_id, cc.i, cc.cx / cn.sn_cell AS cx
+       |  FROM centcomp cc JOIN centnorm cn ON cn.cell_id = cc.cell_id),
+       |rcomp AS MATERIALIZED (
+       |  SELECT comp.vec_id, comp.i, comp.x - nc.cx AS x
        |  FROM comp
        |  JOIN cells ON cells.nbr_id = comp.vec_id
-       |  JOIN centcomp cc ON cc.cell_id = cells.cell_id
-       |    AND cc.i = comp.i),
+       |  JOIN ncent nc ON nc.cell_id = cells.cell_id
+       |    AND nc.i = comp.i),
        |${pqCtes(2, src = "rcomp", adcSrc = "comp")},
        |probes AS (
        |  SELECT vec_id AS query_id, cell_id FROM (
@@ -4038,9 +4182,12 @@ object ExtQueries {
        |                         ORDER BY ccos DESC, cell_id ASC) AS r
        |    FROM cellcos WHERE vec_id < 10) WHERE r <= 4),
        |rqc AS (
-       |  SELECT vec_id AS query_id, cell_id,
-       |    CAST(round(dot * CAST(1048576.0 AS DOUBLE)) AS BIGINT) AS qc
-       |  FROM celldot WHERE vec_id < 10),
+       |  SELECT comp.vec_id AS query_id, nc.cell_id,
+       |    CAST(round(CAST(sum(CAST(comp.x * nc.cx AS DECIMAL(28,12)))
+       |        AS DOUBLE) * CAST(1048576.0 AS DOUBLE)) AS BIGINT) AS qc
+       |  FROM comp JOIN ncent nc ON nc.i = comp.i
+       |  WHERE comp.vec_id < 10
+       |  GROUP BY 1, 2),
        |rcand AS (
        |  SELECT p.query_id, c.nbr_id, c.cell_id
        |  FROM probes p JOIN cells c ON c.cell_id = p.cell_id),
@@ -4062,6 +4209,75 @@ object ExtQueries {
        |                       ORDER BY score DESC, nbr_id ASC) AS rank
        |  FROM rsc)
        |SELECT query_id, nbr_id, rank, score FROM rrk WHERE rank <= 10"""
+      .stripMargin
+
+  /** Residual IVF-PQ twin (seed cells): residual components from the
+    * shared cell-assignment CTEs, then the residual serving tail. */
+  private lazy val annIvfPqResidualSql =
+    s"""WITH $ivfAssignCtes,
+       |$residualPqTailSql""".stripMargin
+
+  /** TRAINED-cell residual IVF-PQ twin: the unrolled-kmeans cell
+    * chain, three renaming adapters exposing the trained relations
+    * under the residual tail's expected names, then the same tail. */
+  private lazy val annIvfPqTrainedSql =
+    s"""WITH ${kmeansCellCtes("TRUE")},
+       |centcomp AS (SELECT cell_id, i, cx FROM cent3),
+       |centnorm AS (SELECT cell_id, sn_cell FROM tn),
+       |cellcos AS (SELECT vec_id, cell_id, ccos FROM tc),
+       |$residualPqTailSql""".stripMargin
+
+  /** Recall-audit twin: one materialized brute-force truth set, three
+    * candidate stacks (each a parenthesized WITH of an existing
+    * oracle), counted against it. */
+  private lazy val annResidualRecallAuditSql = {
+    val flatTopSql =
+      s"""WITH $vecCtes,
+         |${pqCtes(2)},
+         |fl_sc AS (
+         |  SELECT adc.query_id, co.nbr_id,
+         |    CAST(SUM(adc.a) AS BIGINT) AS score
+         |  FROM pqcode co
+         |  JOIN pqadc adc ON adc.j = co.j AND adc.code = co.code
+         |  GROUP BY 1, 2),
+         |fl_rk AS (
+         |  SELECT query_id, nbr_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY score DESC, nbr_id ASC) AS rank
+         |  FROM fl_sc)
+         |SELECT query_id, nbr_id FROM fl_rk WHERE rank <= 10""".stripMargin
+    def hits(tag: String, topSql: String): String =
+      s"""art_$tag AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM ($topSql) v JOIN art_t USING (query_id, nbr_id))"""
+        .stripMargin
+    def row(name: String, tag: String): String =
+      s"""SELECT '$name' AS variant, n_hits,
+         |  CAST(nq * 10 AS BIGINT) AS n_possible,
+         |  CAST(n_hits AS DOUBLE) / CAST(nq * 10 AS DOUBLE) AS recall
+         |FROM art_$tag, art_nq""".stripMargin
+    s"""WITH art_t AS MATERIALIZED (
+       |  SELECT query_id, nbr_id FROM ($annBruteForceSql)),
+       |art_nq AS (
+       |  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq FROM art_t),
+       |${hits("f", flatTopSql)},
+       |${hits("s", s"SELECT query_id, nbr_id FROM ($annIvfPqResidualSql)")},
+       |${hits("r", s"SELECT query_id, nbr_id FROM ($annIvfPqTrainedSql)")}
+       |${row("flat_adc", "f")}
+       |UNION ALL
+       |${row("seed_residual", "s")}
+       |UNION ALL
+       |${row("trained_residual", "r")}""".stripMargin
+  }
+
+  /** Encode-append twin: train on the STANDING predicate, encode the
+    * full corpus in one pass — equal to the engine's
+    * persist-then-append union because encode is per-row against
+    * frozen codebooks. */
+  private lazy val pqEncodeAppendSql =
+    s"""WITH $vecCtes,
+       |${pqCtes(2, trainPred = "vec_id % 5 <> 4")}
+       |SELECT nbr_id, j, CAST(code AS BIGINT) AS code FROM pqcode"""
       .stripMargin
 
   /** IVF-PQ sweep twin: seed-cell probing ranks to max(probes); each
@@ -5063,6 +5279,9 @@ object ExtQueries {
     "ann_pq_recall" -> annPqRecallSql,
     "ann_pq_probe_sweep" -> annPqProbeSweepSql,
     "ann_ivf_pq_residual" -> annIvfPqResidualSql,
+    "ann_ivf_pq_trained" -> annIvfPqTrainedSql,
+    "ann_residual_recall_audit" -> annResidualRecallAuditSql,
+    "pq_encode_append" -> pqEncodeAppendSql,
     "ann_ivf_append" -> annIvfAppendSql,
     "ann_drift_trigger" -> annDriftTriggerSql,
     "ann_matryoshka_recall" -> annMatryoshkaRecallSql,

@@ -571,6 +571,23 @@ class OperatorsSpec extends SparkSpec {
       assert(((n - 1) % 4).toInt == c,
         s"query $q (cluster $c) retrieved out-of-cluster neighbor $n")
     }
+    // TRAINED coarse cells (the production layout): same fixture,
+    // cells from Lloyd's rounds instead of smallest-id seeds —
+    // retrieval must stay cluster-faithful through the unit-centroid
+    // residual path
+    val trainedTop = Similarity.ivfPqResidualTopK(corpus, $"vec_id",
+        $"embedding", queries, $"vec_id", $"embedding",
+        k = 5, numCells = 4, nProbe = 1, m = 4, ksub = 4, iters = 2,
+        centroids = Some(Similarity.kmeansCentroids(corpus, $"vec_id",
+          $"embedding", numCells = 4, iters = 3)))
+      .select("query_id", "nbr_id").as[(Long, Long)].collect()
+    assert(trainedTop.length == 4 * 5)
+    trainedTop.foreach { case (q, n) =>
+      val c = (q - 100L).toInt
+      assert(((n - 1) % 4).toInt == c,
+        s"query $q (cluster $c) retrieved out-of-cluster neighbor $n " +
+          "under trained cells")
+    }
   }
 
   test("kmeans byte-budget guard trips on a wide-dim sample and names " +
