@@ -555,11 +555,19 @@ object Dedup {
   /** [[dedupSurvivorsAndVerified]] with the LSH CANDIDATE frame
     * exposed — (survivors, candidates, verified): the stage-cost
     * audit reads the generator's raw volume (and the bytes the verify
-    * stage must touch) BEFORE verification prunes it. */
+    * stage must touch) BEFORE verification prunes it.
+    *
+    * `materializeCand` caches + eager-counts the candidate frame —
+    * ONLY the stage-cost path (which aggregates `cand` separately
+    * from the verify join) should pay that: with it on by default,
+    * every dedup gate funneling through [[dedupSurvivorsAndVerified]]
+    * would run an extra count job and pin the largest dedup
+    * intermediate in cache to serve one audit query. */
   def dedupStagesWithCandidates(df: DataFrame, id: Column, text: Column,
       n: Int = 3, jaccardThreshold: Double = 0.8,
       maxBandBucket: Int = DefaultMaxBandBucket,
-      onDroppedBuckets: Long => Unit = null)
+      onDroppedBuckets: Long => Unit = null,
+      materializeCand: Boolean = false)
       : (DataFrame, DataFrame, DataFrame) = {
     val canon = df.select(id.as("id"), text.as("text"))
       .withColumn("canon_fp", TextFunctions.canonicalFingerprint(col("text")))
@@ -567,8 +575,10 @@ object Dedup {
     val survivors = graft.Tables.materialize(canon.join(firstPerFp.select(col("id")), "id")
       .select(col("id"), col("text")))
     val g = graft.Tables.materialize(shingles(survivors, col("id"), col("text"), n))
-    val cand = graft.Tables.materialize(minhashLshPairsFromShingles(g,
-      maxBandBucket = maxBandBucket, onDroppedBuckets = onDroppedBuckets))
+    val cand0 = minhashLshPairsFromShingles(g,
+      maxBandBucket = maxBandBucket, onDroppedBuckets = onDroppedBuckets)
+    val cand =
+      if (materializeCand) graft.Tables.materialize(cand0) else cand0
     val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(g.as("ga"), col("id1") === col("ga.id"))

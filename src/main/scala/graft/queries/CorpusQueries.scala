@@ -1021,8 +1021,12 @@ object CorpusQueries {
     * document order). dp[i] rides `${pref}d$i` with the winning last
     * piece length (ties score DESC, length DESC — exactly
     * [[graft.ext.Corpus.viterbiSegment]]'s loop). maxW bounds word
-    * length (corpus max is 8; 16 is headroom — a longer word would
-    * need a longer unroll, which the gate corpus cannot produce). */
+    * length (corpus max is 8; 16 is headroom). The Scala engine
+    * handles ANY word length, so a fixture drift past maxW would
+    * silently drop the long words from the oracle's counts and
+    * surface as an opaque hash mismatch — the `${pref}g` guard CTE
+    * (crossed into `${pref}d0`, so it always evaluates) makes the
+    * oracle fail LOUDLY with a named error instead. */
   private def unigramDpCtes(pref: String, maxW: Int, maxL: Int): String = {
     val dp = (1 to maxW).map { i =>
       val cands = (1 to math.min(maxL, i)).map { l =>
@@ -1060,8 +1064,15 @@ object CorpusQueries {
     val segs = (1 to maxW).map(k =>
       s"SELECT word, piece, $k AS k FROM ${pref}b$k")
       .mkString("\n  UNION ALL ")
-    s"""${pref}d0 AS (
-       |  SELECT word, CAST(1.0 AS DOUBLE) AS s, 0 AS bl FROM ug_w),
+    s"""${pref}g AS (
+       |  SELECT CASE WHEN max(length(word)) > $maxW THEN error(
+       |      'unigram oracle DP unroll bound exceeded: a word is longer ' ||
+       |      'than maxW=$maxW — raise the unroll in unigramDpCtes')
+       |    ELSE 1 END AS ok
+       |  FROM ug_w),
+       |${pref}d0 AS (
+       |  SELECT word, CAST(1.0 AS DOUBLE) AS s, 0 AS bl
+       |  FROM ug_w, ${pref}g),
        |$dp,
        |${pref}da AS MATERIALIZED (
        |  $da),

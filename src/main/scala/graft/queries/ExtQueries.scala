@@ -455,7 +455,8 @@ object ExtQueries {
     val docs = graft.Tables.materialize(Tables(spark, dir, "documents")
       .select(col("doc_id").as("id"), col("text")))
     val (survivors, cand, verified0) = Dedup.dedupStagesWithCandidates(
-      docs, col("id"), col("text"), n = 3, jaccardThreshold = 0.8)
+      docs, col("id"), col("text"), n = 3, jaccardThreshold = 0.8,
+      materializeCand = true)
     val verified = graft.Tables.materialize(verified0)
     val lens = graft.Tables.materialize(
       docs.select(col("id"), length(col("text")).cast("long").as("len")))
