@@ -601,6 +601,36 @@ object ExtQueries {
           .as("reorder_only"))
   }
 
+  /** Shared exact-Jaccard truth set (n = 3, τ = 0.5) for the three
+    * audit gates that grade candidate generators against it
+    * ([[winnowRecallAudit]], [[dedupFamilyCompare]], [[lshPairPr]]):
+    * the truth set is the expensive frame each audit used to rebuild
+    * independently (three Σdf²-dispatched exact joins per run), so the
+    * FIRST caller in a JVM computes it once and persists it to
+    * driver-local scratch parquet; later callers read it back. Keyed
+    * by (applicationId, sfDir) so a fresh session or a different SF
+    * never serves stale pairs; the audits' outputs are byte-identical
+    * either way (same pairs, same aggregates). At 100 TB this is the
+    * same shape deliberately: one persisted truth tier that every
+    * audit reads, not a per-audit recompute. */
+  private val jaccardTruthPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def jaccardTruth3(spark: SparkSession, dir: String): DataFrame = {
+    val key = spark.sparkContext.applicationId + "|" + dir
+    val path = jaccardTruthPaths.computeIfAbsent(key, _ => {
+      val p = graft.Tables.scratchDir("graft_jaccard_truth")
+      Dedup.ngramJaccardPairs(Tables(spark, dir, "documents"),
+          col("doc_id"), col("text"), n = 3, threshold = 0.5)
+        .select(col("id1"), col("id2"))
+        // repartition, not coalesce: coalesce(1) would collapse the
+        // whole exact join into one task; the shuffle boundary keeps
+        // it parallel and only the tiny pair set funnels to one file
+        .repartition(1).write.mode("overwrite").parquet(s"$p/pairs")
+      p
+    })
+    spark.read.parquet(s"$path/pairs")
+  }
+
   /** Winnowing-vs-exact RECALL table at two gram sizes — the recorded
     * miss rate of the approximation [[winnowPairsQ]] deploys: per
     * k ∈ {3, 5}, the exact n-gram-Jaccard ≥ 0.5 truth set
@@ -619,8 +649,11 @@ object ExtQueries {
     val toked = graft.Tables.materialize(
       Dedup.tokenize(docs, col("doc_id"), col("text")))
     Seq(3, 5).map { k =>
+      // k=3 is the audits' shared persisted truth tier; k=5 has no
+      // other consumer and derives from the cached token arrays
       val truth = graft.Tables.materialize(
-        Dedup.ngramJaccardPairsFromToks(toked,
+        if (k == 3) jaccardTruth3(spark, dir)
+        else Dedup.ngramJaccardPairsFromToks(toked,
           n = k, threshold = 0.5).select(col("id1"), col("id2")))
       val wp = graft.Tables.materialize(
         Dedup.winnowPairsFromToks(toked,
@@ -684,9 +717,7 @@ object ExtQueries {
     * against the bounded truth set. */
   def dedupFamilyCompare(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val exact = graft.Tables.materialize(
-      Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
-        n = 3, threshold = 0.5).select(col("id1"), col("id2")))
+    val exact = graft.Tables.materialize(jaccardTruth3(spark, dir))
     val nExact = exact.count()
     val fams = Seq(
       "minhash_lsh" -> Dedup.minhashLshPairs(docs, col("doc_id"),
@@ -724,8 +755,7 @@ object ExtQueries {
     * band). Both operands are the already-gated frames; the audit
     * adds two counts and one join on the bounded pair sets. */
   def lshPairPr(spark: SparkSession, dir: String): DataFrame = {
-    val exact = graft.Tables.materialize(
-      dedupNgramJaccard(spark, dir).select(col("id1"), col("id2")))
+    val exact = graft.Tables.materialize(jaccardTruth3(spark, dir))
     val cand = graft.Tables.materialize(
       dedupMinhashLsh(spark, dir).select(col("id1"), col("id2")))
     val nExact = exact.count()
