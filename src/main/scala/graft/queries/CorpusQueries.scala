@@ -216,6 +216,106 @@ object CorpusQueries {
       budget = 256, nShards = 4)
   }
 
+  /** Tokenizer-LIFECYCLE E2E — the crawl→training-shards composition
+    * in ONE gated plan, the tokenizer twin of `corpus_train_order_e2e`:
+    * markup extraction (the planted wrapper, [[Corpus.htmlExtract]])
+    * → bigram-LM quality gate (corpus_train_order's integer
+    * predicate) → exact canonical-fingerprint dedup (first-wins) →
+    * unigram-LM training on the SURVIVING extracted corpus → corpus
+    * encode under the trained model → sequence packing → per-shard
+    * export manifest. Output is the dedup_stage_costs-style cost
+    * manifest: one row per stage (docs in/out + token volume — where
+    * the corpus-prep budget actually goes) plus one manifest row per
+    * shard carrying the XOR row checksum a consumer re-verifies after
+    * copy. Every stage reuses a gated operator verbatim; the oracle
+    * composes the html, LM, unigram and packing CTE chains over the
+    * same staged relations, so no stage can drift from its standalone
+    * gate. */
+  def corpusTokenizeE2e(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables(spark, dir, "documents")
+    val ex = graft.Tables.materialize(
+      Corpus.htmlExtract(ExtQueries.plantedHtml(docs), col("doc_id"),
+          col("html"))
+        .select(col("doc_id"), col("extracted").as("text"))
+        .filter(length(col("text")) > 0))
+    def withTok(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+    val per = graft.ext.Lm.scoreDocs(ex, col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
+    val qual = graft.Tables.materialize(
+      ex.join(per, Seq("doc_id"))
+        .filter(col("n_bigrams") > 0 &&
+          col("q_sum") >= col("n_bigrams") * lit(35840L))
+        .select(col("doc_id"), col("text")))
+    val kept = qual
+      .withColumn("cfp", TextFunctions.canonicalFingerprint(col("text")))
+      .groupBy(col("cfp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val srcC = graft.Tables.materialize(qual.join(kept, Seq("doc_id")))
+    val (pieces, vocab) = Corpus.unigramTrainState(srcC, col("text"))
+    val enc = graft.Tables.materialize(
+      Corpus.unigramEncodeDocs(srcC, col("doc_id"), col("text"), vocab)
+        .select(col("doc_id"),
+          size(col("bpe")).cast("long").as("n_pieces")))
+    val packed = Corpus.packSequencesFromCounts(
+      enc.filter(col("n_pieces") > 0)
+        .select(col("doc_id"), col("n_pieces").as("n_tokens")),
+      budget = 256, nShards = 4)
+    val perShard = graft.Tables.materialize(packed
+      .withColumn("h", conv(substring(md5(concat_ws("|",
+        col("doc_id"), col("n_tokens"))), 1, 15), 16, 10).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("sh_docs"),
+        (max(col("seq_last")) + 1).as("sh_seqs"),
+        sum(col("n_tokens")).as("sh_tokens"),
+        expr("bit_xor(h)").as("checksum")))
+    val s1 = docs.agg(count(lit(1)).as("n_docs"))
+    val s2 = withTok(ex).agg(count(lit(1)).as("n_ex"),
+      sum(col("n_tok")).as("tok_ex"))
+    val s3 = withTok(qual).agg(count(lit(1)).as("n_qual"),
+      sum(col("n_tok")).as("tok_qual"))
+    val s4 = withTok(srcC).agg(count(lit(1)).as("n_dedup"),
+      sum(col("n_tok")).as("tok_dedup"))
+    val s5 = pieces.agg(count(lit(1)).as("n_vocab"),
+      sum(col("cnt")).as("cnt_sum"))
+    val s6 = enc.agg(count(lit(1)).as("n_enc"),
+      sum(col("n_pieces")).as("pieces_sum"))
+    val s7 = perShard.agg(sum(col("sh_seqs")).as("n_seqs"),
+      sum(col("sh_tokens")).as("tok_pack"))
+    val stages = s1.crossJoin(broadcast(s2)).crossJoin(broadcast(s3))
+      .crossJoin(broadcast(s4)).crossJoin(broadcast(s5))
+      .crossJoin(broadcast(s6)).crossJoin(broadcast(s7))
+      .select(explode(array(
+        struct(lit("1_extract").as("stage"), lit(-1L).as("shard"),
+          col("n_docs").as("n_in"), col("n_ex").as("n_out"),
+          col("tok_ex").as("n_tokens"), lit(0L).as("checksum")),
+        struct(lit("2_quality").as("stage"), lit(-1L).as("shard"),
+          col("n_ex").as("n_in"), col("n_qual").as("n_out"),
+          col("tok_qual").as("n_tokens"), lit(0L).as("checksum")),
+        struct(lit("3_dedup").as("stage"), lit(-1L).as("shard"),
+          col("n_qual").as("n_in"), col("n_dedup").as("n_out"),
+          col("tok_dedup").as("n_tokens"), lit(0L).as("checksum")),
+        struct(lit("4_train").as("stage"), lit(-1L).as("shard"),
+          col("n_dedup").as("n_in"), col("n_vocab").as("n_out"),
+          col("cnt_sum").as("n_tokens"), lit(0L).as("checksum")),
+        struct(lit("5_encode").as("stage"), lit(-1L).as("shard"),
+          col("n_dedup").as("n_in"), col("n_enc").as("n_out"),
+          col("pieces_sum").as("n_tokens"), lit(0L).as("checksum")),
+        struct(lit("6_pack").as("stage"), lit(-1L).as("shard"),
+          col("n_enc").as("n_in"), col("n_seqs").as("n_out"),
+          col("tok_pack").as("n_tokens"), lit(0L).as("checksum"))))
+        .as("s"))
+      .select(col("s.stage").as("stage"), col("s.shard").as("shard"),
+        col("s.n_in").as("n_in"), col("s.n_out").as("n_out"),
+        col("s.n_tokens").as("n_tokens"),
+        col("s.checksum").as("checksum"))
+    stages.unionByName(perShard.select(lit("7_manifest").as("stage"),
+      col("shard").cast("long").as("shard"),
+      col("sh_docs").as("n_in"), col("sh_seqs").as("n_out"),
+      col("sh_tokens").as("n_tokens"), col("checksum")))
+  }
+
   /** Vocabulary: top-100 tokens by (count desc, token asc). */
   def vocabTopK(spark: SparkSession, dir: String): DataFrame =
     Corpus.vocabTopK(Tables(spark, dir, "documents"), col("text"), 100)
@@ -809,6 +909,7 @@ object CorpusQueries {
     "unigram_drift_audit" -> unigramDriftAudit _,
     "unigram_fertility" -> unigramFertility _,
     "pack_sequences_unigram" -> packSequencesUnigram _,
+    "corpus_tokenize_e2e" -> corpusTokenizeE2e _,
     "unigram_encode" -> unigramEncode _,
     "bpe_drift_audit" -> bpeDriftAudit _,
     "bpe_encode_learned" -> bpeEncodeLearned _,
@@ -1090,12 +1191,15 @@ object CorpusQueries {
     * FINAL model for the encode gate. Piece probability q/2³⁰ is an
     * exact dyadic double, so every DP product matches the Scala loop
     * bit-for-bit. */
-  private lazy val unigramCtes = {
+  /** `src` is the (doc_id, text) relation the tokenizer trains on —
+    * `documents` for the standalone gates, the extracted/filtered/
+    * deduped corpus for the lifecycle E2E. */
+  private def unigramCtes(src: String = "documents"): String = {
     val (maxW, maxL, vs) = (16, 4, 24)
     s"""ug_w AS MATERIALIZED (
        |  SELECT token AS word, CAST(count(*) AS BIGINT) AS wf FROM (
        |    SELECT unnest(string_split(text, ' ')) AS token
-       |    FROM documents)
+       |    FROM $src)
        |  WHERE token <> '' GROUP BY 1),
        |ug_sub AS (
        |  SELECT substr(word, CAST(st AS INT), CAST(l AS INT)) AS piece,
@@ -1185,14 +1289,14 @@ object CorpusQueries {
       |FROM ud_c""".stripMargin
 
   private lazy val unigramTrainSql =
-    s"""WITH $unigramCtes
+    s"""WITH ${unigramCtes()}
        |SELECT piece, cnt, q FROM ug_final""".stripMargin
 
   /** Encode-chain suffix shared by the encode and fertility gates:
     * per-word piece strings/counts from the FINAL model's
     * segmentation, doc tokens joined back, per-doc aggregation. */
-  private lazy val unigramEncodeCtes =
-    s"""$unigramCtes,
+  private def unigramEncodeCtes(src: String = "documents"): String =
+    s"""${unigramCtes(src)},
        |ug_ws AS (
        |  SELECT word, string_agg(piece, ' ' ORDER BY k DESC) AS sstr,
        |    CAST(count(*) AS BIGINT) AS ns
@@ -1200,7 +1304,7 @@ object CorpusQueries {
        |ug_tk AS (
        |  SELECT doc_id,
        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
-       |  FROM documents),
+       |  FROM $src),
        |ug_tok AS (
        |  SELECT doc_id, i AS pos, toks[i] AS word
        |  FROM (SELECT doc_id, toks FROM ug_tk WHERE len(toks) > 0),
@@ -1215,7 +1319,7 @@ object CorpusQueries {
        |  FROM ug_j GROUP BY 1)""".stripMargin
 
   private lazy val unigramEncodeSql =
-    s"""WITH $unigramEncodeCtes
+    s"""WITH ${unigramEncodeCtes()}
        |SELECT doc_id, n_ws, n_pieces,
        |  array_to_string(list_slice(string_split(s, ' '), 1, 10), ' ')
        |    AS piece_head
@@ -1223,7 +1327,7 @@ object CorpusQueries {
 
   /** Fertility twin: the encode chain rolled up per language. */
   private lazy val unigramFertilitySql =
-    s"""WITH $unigramEncodeCtes
+    s"""WITH ${unigramEncodeCtes()}
        |SELECT d.lang, CAST(SUM(a.n_ws) AS BIGINT) AS n_words,
        |  CAST(SUM(a.n_pieces) AS BIGINT) AS n_pieces,
        |  CAST(SUM(a.n_pieces) AS DOUBLE) / CAST(SUM(a.n_ws) AS DOUBLE)
@@ -1231,31 +1335,109 @@ object CorpusQueries {
        |FROM ug_agg a JOIN documents d USING (doc_id)
        |GROUP BY 1""".stripMargin
 
+  /** Packing-layout chain over `ug_agg`'s per-doc piece counts —
+    * ends at `up_p` (doc_id, shard, n_tokens, offset, seq_first,
+    * seq_last). Shared by the standalone pack gate and the lifecycle
+    * E2E's pack/manifest stages. */
+  private val packFromAggCtes =
+    """up_c AS (
+      |  SELECT doc_id, n_pieces AS n_tokens FROM ug_agg
+      |  WHERE n_pieces > 0),
+      |up_d AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h, n_tokens
+      |  FROM up_c),
+      |up_s AS (
+      |  SELECT doc_id, h, n_tokens,
+      |    ('0x' || substr(h, 1, 8))::BIGINT % 4 AS shard
+      |  FROM up_d),
+      |up_o AS (
+      |  SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (
+      |      PARTITION BY shard ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS "offset"
+      |  FROM up_s),
+      |up_p AS (
+      |  SELECT doc_id, shard, n_tokens, "offset",
+      |    CAST("offset" // 256 AS BIGINT) AS seq_first,
+      |    CAST(("offset" + n_tokens - 1) // 256 AS BIGINT) AS seq_last
+      |  FROM up_o)""".stripMargin
+
   /** Unigram-pack twin: the encode chain's per-doc piece counts
     * through the shared packing-layout algebra. */
   private lazy val packSequencesUnigramSql =
-    s"""WITH $unigramEncodeCtes,
-       |up_c AS (
-       |  SELECT doc_id, n_pieces AS n_tokens FROM ug_agg
-       |  WHERE n_pieces > 0),
-       |up_d AS (
-       |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h, n_tokens
-       |  FROM up_c),
-       |up_s AS (
-       |  SELECT doc_id, h, n_tokens,
-       |    ('0x' || substr(h, 1, 8))::BIGINT % 4 AS shard
-       |  FROM up_d),
-       |up_o AS (
-       |  SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
-       |    CAST(coalesce(sum(n_tokens) OVER (
-       |      PARTITION BY shard ORDER BY h, doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |      AS BIGINT) AS "offset"
-       |  FROM up_s)
-       |SELECT doc_id, shard, n_tokens, "offset",
-       |  CAST("offset" // 256 AS BIGINT) AS seq_first,
-       |  CAST(("offset" + n_tokens - 1) // 256 AS BIGINT) AS seq_last
-       |FROM up_o""".stripMargin
+    s"""WITH ${unigramEncodeCtes()},
+       |$packFromAggCtes
+       |SELECT doc_id, shard, n_tokens, "offset", seq_first, seq_last
+       |FROM up_p""".stripMargin
+
+  /** Lifecycle-E2E twin: the html extraction chain → extracted text →
+    * the shared LM per-doc chain (quality filter) → canonical-fp
+    * first-wins dedup → the unigram train/encode chain over `ct_src`
+    * → the shared packing chain → stage rows + per-shard manifest. */
+  private lazy val corpusTokenizeE2eSql = {
+    val tokLen = "len(string_split_regex(trim(text), '\\s+'))"
+    s"""WITH ${ExtQueries.htmlExtractCtes},
+       |ct_x AS (
+       |  SELECT doc_id, coalesce(string_agg(
+       |    CASE WHEN keep THEN clean END, ' ' ORDER BY pos), '') AS text
+       |  FROM he_f GROUP BY doc_id),
+       |ct_e AS MATERIALIZED (
+       |  SELECT doc_id, text FROM ct_x WHERE length(text) > 0),
+       |${ExtQueries.lmPerDocCtes("ct_e", "ct_")},
+       |ct_qual AS MATERIALIZED (
+       |  SELECT e.doc_id, e.text
+       |  FROM ct_e e JOIN ct_per p USING (doc_id)
+       |  WHERE p.n_bigrams > 0 AND p.q_sum >= p.n_bigrams * 35840),
+       |ct_fp AS (
+       |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+       |    string_split_regex(trim(text), '\\s+'))), ' ')) AS cfp
+       |  FROM ct_qual),
+       |ct_keep AS (SELECT min(doc_id) AS doc_id FROM ct_fp GROUP BY cfp),
+       |ct_src AS MATERIALIZED (
+       |  SELECT q.doc_id, q.text FROM ct_qual q
+       |  JOIN ct_keep k ON k.doc_id = q.doc_id),
+       |${unigramEncodeCtes("ct_src")},
+       |$packFromAggCtes,
+       |ct_sh AS MATERIALIZED (
+       |  SELECT shard, CAST(count(*) AS BIGINT) AS sh_docs,
+       |    CAST(max(seq_last) + 1 AS BIGINT) AS sh_seqs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS sh_tokens,
+       |    CAST(bit_xor(rh) AS BIGINT) AS checksum
+       |  FROM (SELECT up_p.*,
+       |      ('0x' || substr(md5(doc_id || '|' || n_tokens), 1, 15))::BIGINT
+       |        AS rh
+       |    FROM up_p)
+       |  GROUP BY shard),
+       |ct_s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |ct_s2 AS (SELECT CAST(count(*) AS BIGINT) AS n_ex,
+       |  CAST(SUM($tokLen) AS BIGINT) AS tok_ex FROM ct_e),
+       |ct_s3 AS (SELECT CAST(count(*) AS BIGINT) AS n_qual,
+       |  CAST(SUM($tokLen) AS BIGINT) AS tok_qual FROM ct_qual),
+       |ct_s4 AS (SELECT CAST(count(*) AS BIGINT) AS n_dedup,
+       |  CAST(SUM($tokLen) AS BIGINT) AS tok_dedup FROM ct_src),
+       |ct_s5 AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+       |  CAST(SUM(cnt) AS BIGINT) AS cnt_sum FROM ug_final),
+       |ct_s6 AS (SELECT CAST(count(*) AS BIGINT) AS n_enc,
+       |  CAST(SUM(n_pieces) AS BIGINT) AS pieces_sum FROM ug_agg),
+       |ct_s7 AS (SELECT CAST(SUM(sh_seqs) AS BIGINT) AS n_seqs,
+       |  CAST(SUM(sh_tokens) AS BIGINT) AS tok_pack FROM ct_sh)
+       |SELECT '1_extract' AS stage, CAST(-1 AS BIGINT) AS shard,
+       |  n_docs AS n_in, n_ex AS n_out, tok_ex AS n_tokens,
+       |  CAST(0 AS BIGINT) AS checksum FROM ct_s1, ct_s2
+       |UNION ALL SELECT '2_quality', -1, n_ex, n_qual, tok_qual, 0
+       |FROM ct_s2, ct_s3
+       |UNION ALL SELECT '3_dedup', -1, n_qual, n_dedup, tok_dedup, 0
+       |FROM ct_s3, ct_s4
+       |UNION ALL SELECT '4_train', -1, n_dedup, n_vocab, cnt_sum, 0
+       |FROM ct_s4, ct_s5
+       |UNION ALL SELECT '5_encode', -1, n_dedup, n_enc, pieces_sum, 0
+       |FROM ct_s4, ct_s6
+       |UNION ALL SELECT '6_pack', -1, n_enc, n_seqs, tok_pack, 0
+       |FROM ct_s6, ct_s7
+       |UNION ALL SELECT '7_manifest', CAST(shard AS BIGINT), sh_docs,
+       |  sh_seqs, sh_tokens, checksum FROM ct_sh""".stripMargin
+  }
 
   /** Shared BM25 CTE chain ending in `bm25top` (the 10 candidates);
     * composed by the lexical gate and the rerank gate. */
@@ -1576,6 +1758,7 @@ object CorpusQueries {
     "unigram_drift_audit" -> unigramDriftAuditSql,
     "unigram_fertility" -> unigramFertilitySql,
     "pack_sequences_unigram" -> packSequencesUnigramSql,
+    "corpus_tokenize_e2e" -> corpusTokenizeE2eSql,
     "unigram_encode" -> unigramEncodeSql,
     "bpe_drift_audit" ->
       """WITH bd_wa AS (

@@ -242,7 +242,7 @@ object ExtQueries {
     * would otherwise sail them through the keep rule), an HTML
     * comment, a content paragraph of character entities, and an empty
     * paragraph. */
-  private def plantedHtml(docs: DataFrame): DataFrame =
+  private[queries] def plantedHtml(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       concat(lit("<html><body><p>"), substring(col("text"), 1, 120),
         lit("</p><div class=\"nav\"><a href=\"/l1\">click here</a> " +
@@ -3979,7 +3979,7 @@ object ExtQueries {
     * anchor-capture regexes (RE2 subset), same integer keep rule,
     * ordered re-join. Chain ends at `he_f`
     * (doc_id, pos, clean, linked, keep) — shared with the E2E. */
-  private lazy val htmlExtractCtes =
+  private[queries] lazy val htmlExtractCtes =
     // continuation lines must not START with || — this chain is
     // interpolated into s"""...""".stripMargin consumers, and a
     // second stripMargin would eat a leading whitespace+| prefix
@@ -4033,6 +4033,39 @@ object ExtQueries {
        |    ORDER BY pos), ''), 1, 200) AS head
        |FROM he_f GROUP BY doc_id""".stripMargin
 
+  /** Bigram stupid-LM per-doc chain over `src` (doc_id, text) —
+    * Lm.scoreDocs' algebra verbatim, ending at `${pref}per`
+    * (doc_id, n_bigrams, q_sum). Shared by [[htmlCorpusE2eSql]]
+    * (pref `hq_`) and CorpusQueries' tokenizer-lifecycle E2E
+    * (pref `ct_`) so the quality stage cannot drift between them. */
+  private[queries] def lmPerDocCtes(src: String, pref: String): String =
+    s"""${pref}t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM $src),
+       |${pref}b AS (
+       |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       |  FROM ${pref}t,
+       |    LATERAL (SELECT unnest(range(1, greatest(length(t), 1))) AS i)),
+       |${pref}c12 AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |  FROM ${pref}b GROUP BY 1, 2),
+       |${pref}c1 AS (
+       |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM ${pref}c12
+       |  GROUP BY 1),
+       |${pref}v AS (
+       |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+       |  FROM (SELECT unnest(t) AS tok FROM ${pref}t) WHERE tok <> ''),
+       |${pref}q AS (
+       |  SELECT b.doc_id,
+       |    CAST(((c12 + 1) * 1048576) // (c1 + v) AS BIGINT) AS q
+       |  FROM ${pref}b b JOIN ${pref}c12 USING (w1, w2)
+       |  JOIN ${pref}c1 USING (w1),
+       |    ${pref}v),
+       |${pref}per AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(q) AS BIGINT) AS q_sum
+       |  FROM ${pref}q GROUP BY 1)""".stripMargin
+
   /** E2E twin: extraction chain → full extracted text per doc → the
     * lm bigram chain over THAT text → per-language roll-up. */
   private lazy val htmlCorpusE2eSql =
@@ -4041,31 +4074,7 @@ object ExtQueries {
        |  SELECT doc_id, coalesce(string_agg(
        |    CASE WHEN keep THEN clean END, ' ' ORDER BY pos), '') AS text
        |  FROM he_f GROUP BY doc_id),
-       |hq_t AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-       |  FROM hq_x),
-       |hq_b AS (
-       |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
-       |  FROM hq_t,
-       |    LATERAL (SELECT unnest(range(1, greatest(length(t), 1))) AS i)),
-       |hq_c12 AS (
-       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-       |  FROM hq_b GROUP BY 1, 2),
-       |hq_c1 AS (
-       |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM hq_c12
-       |  GROUP BY 1),
-       |hq_v AS (
-       |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
-       |  FROM (SELECT unnest(t) AS tok FROM hq_t) WHERE tok <> ''),
-       |hq_q AS (
-       |  SELECT b.doc_id,
-       |    CAST(((c12 + 1) * 1048576) // (c1 + v) AS BIGINT) AS q
-       |  FROM hq_b b JOIN hq_c12 USING (w1, w2) JOIN hq_c1 USING (w1),
-       |    hq_v),
-       |hq_per AS (
-       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       |    CAST(SUM(q) AS BIGINT) AS q_sum
-       |  FROM hq_q GROUP BY 1)
+       |${lmPerDocCtes("hq_x", "hq_")}
        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(coalesce(p.n_bigrams, 0)) AS BIGINT) AS n_bigrams,
        |  CAST(SUM(coalesce(p.q_sum, 0)) AS BIGINT) AS q_sum,
