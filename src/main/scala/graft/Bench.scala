@@ -444,10 +444,15 @@ object Bench {
     // quiet_wait_s make the gating auditable from the JSON alone.
     val steal = f2(results.map(_._4.getOrElse("steal_s", 0.0)).sum)
     val stealRun = f2(stealSeconds - stealRun0)
+    // capped: a storm window retries dozens of queries and the full
+    // map once shed the entire wall map off the line — 16 names plus
+    // a count keeps the gating auditable without eating the budget
     val retriedJson =
       if (retried.isEmpty) ""
-      else retried.map { case (q, n) => "\"" + q + "\":" + n }
-        .mkString(",\"retried\":{", ",", "}")
+      else retried.take(16).map { case (q, n) => "\"" + q + "\":" + n }
+        .mkString(",\"retried\":{", ",", "}") +
+        (if (retried.size > 16) s""","retried_more":${retried.size - 16}"""
+         else "")
     // per-query engine (task) seconds, filtered to a name set so the
     // shedding ladder can carry it at the same threshold as the walls
     def taskJson(names: Set[String]): String = {
@@ -472,19 +477,24 @@ object Bench {
       s"$maxCpuJson$relaunchJson$wedges$kills", errJsonN(20, 160))
     lazy val noDiag = line(qs, taskJson(allNames),
       s"$relaunchJson$wedges$kills", errJsonN(6, 90))
-    def atLeast(th: Double): String = {
+    def atLeast(th: Double, withTask: Boolean): String = {
       val names = results.collect { case (k, v, _, _) if v >= th => k }.toSet
       line(
         results.collect { case (k, v, _, _) if names(k) =>
           s"\"" + k + "\":" + f2(v)
         }.mkString("{", ",", "}"),
-        taskJson(names),
+        if (withTask) taskJson(names) else "",
         s"$relaunchJson$wedges$kills", errJsonN(3, 60))
     }
+    // walls outrank the task map: after the with-task thresholds, a
+    // second no-task pass keeps the slow-query walls on the line
+    // before anything falls back to an empty map
+    val ladder = Seq(0.1, 0.2, 0.5, 1.0, 2.0, 5.0)
     val out =
       if (full.length <= 1900) full
       else if (noDiag.length <= 1900) noDiag
-      else Seq(0.1, 0.2, 0.5, 1.0, 2.0, 5.0).iterator.map(atLeast)
+      else (ladder.iterator.map(atLeast(_, withTask = true)) ++
+          ladder.iterator.map(atLeast(_, withTask = false)))
         .find(_.length <= 1900)
         .getOrElse(line("{}", "", s"$wedges$kills", errJsonN(1, 60)))
     // durable copy: a partial/overflowed stdout tail can no longer

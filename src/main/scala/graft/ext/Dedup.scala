@@ -605,8 +605,23 @@ object Dedup {
       onDroppedBuckets: Long => Unit = null): DataFrame = {
     val (survivors, verified) = dedupSurvivorsAndVerified(
       df, id, text, n, jaccardThreshold, maxBandBucket, onDroppedBuckets)
+    keptFrom(survivors, verified)
+  }
+
+  /** [[dedupPipelineKept]]'s greedy keeper over PRECOMPUTED
+    * survivors/verified frames — the entry point for callers that
+    * read the chain's intermediates from a persisted store instead of
+    * recomputing them. */
+  def keptFrom(survivors: DataFrame, verified: DataFrame): DataFrame =
     survivors.join(verified.select(col("id2").as("id")).distinct(),
       Seq("id"), "left_anti").select(col("id"))
+
+  /** [[dedupPipelineCcKept]]'s component keeper over PRECOMPUTED
+    * survivors/verified frames. */
+  def ccKeptFrom(survivors: DataFrame, verified: DataFrame): DataFrame = {
+    val cc = connectedComponents(verified)
+    val dropped = cc.filter(col("id") =!= col("component")).select(col("id"))
+    survivors.join(dropped, Seq("id"), "left_anti").select(col("id"))
   }
 
   /** Incremental NEAR-dup dedup of a new batch against a STANDING
@@ -858,9 +873,7 @@ object Dedup {
       onDroppedBuckets: Long => Unit = null): DataFrame = {
     val (survivors, verified) = dedupSurvivorsAndVerified(
       df, id, text, n, jaccardThreshold, maxBandBucket, onDroppedBuckets)
-    val cc = connectedComponents(verified)
-    val dropped = cc.filter(col("id") =!= col("component")).select(col("id"))
-    survivors.join(dropped, Seq("id"), "left_anti").select(col("id"))
+    ccKeptFrom(survivors, verified)
   }
 
   /** SimHash sketch: 64-bit majority-vote over token hash bits.
