@@ -438,6 +438,12 @@ object Bench {
     // queries are excluded from both totals.
     val engineTotal =
       results.collect { case (_, _, None, d) => d.getOrElse("task_s", 0.0) }.sum
+    // task RUN time still stretches somewhat while a thread sits
+    // descheduled under steal (r14 run 1 vs 2: +19% task vs +15%
+    // wall); task CPU time does not — the strictly steal-invariant
+    // series rides alongside
+    val engineCpuTotal =
+      results.collect { case (_, _, None, d) => d.getOrElse("cpu_s", 0.0) }.sum
     // steal_s: steal inside the ACCEPTED measurement windows (what the
     // reported walls actually absorbed); steal_run_s: the whole-run
     // envelope including waits and discarded attempts. retried/
@@ -463,7 +469,7 @@ object Bench {
     }
     def line(queries: String, taskMap: String, diag: String,
         errJson: String): String =
-      s"""{"metric":"total","value":${f2(total)},"engine_total":${f2(engineTotal)},"unit":"sec","queries":$queries$taskMap,"steal_s":$steal,"steal_run_s":$stealRun,"quiet_wait_s":${f2(quietWaitS)}$retriedJson$diag$errJson,"sf":"$sfDir","failed":${errsAll.size}}"""
+      s"""{"metric":"total","value":${f2(total)},"engine_total":${f2(engineTotal)},"engine_cpu_total":${f2(engineCpuTotal)},"unit":"sec","queries":$queries$taskMap,"steal_s":$steal,"steal_run_s":$stealRun,"quiet_wait_s":${f2(quietWaitS)}$retriedJson$diag$errJson,"sf":"$sfDir","failed":${errsAll.size}}"""
     // belt-and-braces: if the line would still overflow the driver
     // tail, shed in stages — (1) the diag maps (wall times and kill
     // accountability outrank per-query CPU forensics, which stderr
