@@ -128,6 +128,10 @@ object ExtQueries {
       sampleMod = 1,
       centroids = Some(Similarity.kmeansCentroids(emb, col("vec_id"),
         col("embedding"), numCells = 16, iters = 3, sampleMod = 4)))
+    // the SHIPPED composition (rotation + trained cells + residual
+    // PQ) graded on the same truth — rotation is orthogonal, so the
+    // original-space top-10 stays the right answer key
+    val composed = annOpqIvfPq(spark, dir)
     def hitRow(name: String, top: DataFrame): DataFrame =
       top.select(col("query_id"), col("nbr_id"))
         .join(truth, Seq("query_id", "nbr_id"), "left_semi")
@@ -136,6 +140,7 @@ object ExtQueries {
     hitRow("flat_adc", flat)
       .unionByName(hitRow("seed_residual", seed))
       .unionByName(hitRow("trained_residual", trained))
+      .unionByName(hitRow("opq_trained_residual", composed))
       .crossJoin(broadcast(nq))
       .select(col("variant"), col("n_hits"),
         (col("nq") * 10).as("n_possible"),
@@ -189,6 +194,30 @@ object ExtQueries {
         (col("nq") * 10).as("n_possible"),
         (col("n_hits").cast("double") /
           (col("nq") * 10).cast("double")).as("recall"))
+  }
+
+  /** The COMPOSED FAISS production stack in one gated query — OPQ
+    * rotation → spherical-kmeans coarse cells trained on the rotated
+    * corpus → residual PQ against the unit rotated cells → integer
+    * ADC serving: every accuracy lever this module builds, stacked
+    * the way a deployment ships them (`OPQ16,IVF16,PQ16` in FAISS
+    * index-factory terms). The rotation is orthogonal, so
+    * rotated-space scores approximate original inner products; each
+    * lever's individual contribution is measured by its own audit
+    * gate (`ann_opq_recall`, `ann_residual_recall_audit`,
+    * `ann_pq_recall`) — this gate pins the COMPOSITION's exact
+    * semantics so the stack can't drift from its parts. */
+  def annOpqIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val rotated = Tables.materialize(
+      Similarity.opqRotate(emb, col("vec_id"), col("embedding"),
+        dim = 64))
+    val cent = Similarity.kmeansCentroids(rotated, col("vid"),
+      col("yvec"), numCells = 16, iters = 3, sampleMod = 4)
+    Similarity.ivfPqResidualTopK(rotated, col("vid"), col("yvec"),
+      rotated.filter(col("vid") < 10), col("vid"), col("yvec"),
+      k = 10, numCells = 16, nProbe = 4, m = 16, ksub = 64, iters = 2,
+      sampleMod = 1, centroids = Some(cent))
   }
 
   /** PQ encode-APPEND gate ([[Similarity.pqEncode]] against FROZEN
@@ -1992,6 +2021,7 @@ object ExtQueries {
     "ann_ivf_pq_trained" -> annIvfPqTrained _,
     "ann_residual_recall_audit" -> annResidualRecallAudit _,
     "ann_opq_recall" -> annOpqRecall _,
+    "ann_opq_ivf_pq" -> annOpqIvfPq _,
     "pq_encode_append" -> pqEncodeAppend _,
     "ann_ivf_append" -> annIvfAppend _,
     "ann_drift_trigger" -> annDriftTrigger _,
@@ -3896,8 +3926,14 @@ object ExtQueries {
     * dots), `tc` (corpus×cell cosines) exposed — composed by the
     * trained-IVF probe tail below AND the trained-residual-PQ oracle
     * (which adapts td/tc/cent3 to the residual tail's relation
-    * names). */
-  private def kmeansCellCtes(trainPred: String): String = {
+    * names). `comp`/`norms` name the component and vector-norm
+    * relations (raw `comp`/`norms` for the trained gates, the rotated
+    * `oqy`/its norms for the composed OPQ stack); callers supply the
+    * preceding vecCtes. Seed ids always come from `embeddings` —
+    * rotation/derivation never changes WHICH vectors seed, only their
+    * components. */
+  private def kmeansCellCtes(trainPred: String, comp: String = "comp",
+      norms: String = "norms"): String = {
     val iters = (0 until 3).map { t =>
       s"""cn$t AS (
          |  SELECT cell_id,
@@ -3914,27 +3950,26 @@ object ExtQueries {
          |      row_number() OVER (PARTITION BY cd.vec_id
          |        ORDER BY cd.dot / (n.sn * cn.sn_cell) DESC, cd.cell_id ASC) AS r
          |    FROM cd$t cd
-         |    JOIN norms n ON n.vec_id = cd.vec_id
+         |    JOIN $norms n ON n.vec_id = cd.vec_id
          |    JOIN cn$t cn ON cn.cell_id = cd.cell_id) WHERE r = 1),
          |mn$t AS (
          |  SELECT mb.cell_id, comp.i,
          |    CAST(sum(CAST(comp.x AS DECIMAL(28,12))) AS DOUBLE) AS mx
-         |  FROM mb$t mb JOIN comp ON comp.vec_id = mb.vec_id
+         |  FROM mb$t mb JOIN $comp comp ON comp.vec_id = mb.vec_id
          |  GROUP BY mb.cell_id, comp.i),
          |cent${t + 1} AS (
          |  SELECT c.cell_id, c.i, coalesce(m.mx, c.cx) AS cx
          |  FROM cent$t c
          |  LEFT JOIN mn$t m ON m.cell_id = c.cell_id AND m.i = c.i)""".stripMargin
     }.mkString(",\n")
-    s"""$vecCtes,
-       |tcomp AS (SELECT * FROM comp
+    s"""tcomp AS (SELECT * FROM $comp
        |          WHERE vec_id % 4 = 0 AND ($trainPred)),
        |cent0 AS (
        |  SELECT ct.cell_id, comp.i, comp.x AS cx
        |  FROM (SELECT vec_id AS cell_id FROM embeddings
        |        WHERE vec_id % 4 = 0 AND ($trainPred)
        |        ORDER BY vec_id LIMIT 16) ct
-       |  JOIN comp ON comp.vec_id = ct.cell_id),
+       |  JOIN $comp comp ON comp.vec_id = ct.cell_id),
        |$iters,
        |tn AS (
        |  SELECT cell_id,
@@ -3943,11 +3978,11 @@ object ExtQueries {
        |td AS MATERIALIZED (
        |  SELECT comp.vec_id, c.cell_id,
        |    CAST(sum(CAST(comp.x * c.cx AS DECIMAL(28,12))) AS DOUBLE) AS dot
-       |  FROM comp JOIN cent3 c ON c.i = comp.i
+       |  FROM $comp comp JOIN cent3 c ON c.i = comp.i
        |  GROUP BY comp.vec_id, c.cell_id),
        |tc AS (
        |  SELECT td.vec_id, td.cell_id, td.dot / (n.sn * tn.sn_cell) AS ccos
-       |  FROM td JOIN norms n ON n.vec_id = td.vec_id
+       |  FROM td JOIN $norms n ON n.vec_id = td.vec_id
        |  JOIN tn ON tn.cell_id = td.cell_id),
        |cells AS MATERIALIZED (
        |  SELECT vec_id AS nbr_id, cell_id FROM (
@@ -3958,7 +3993,8 @@ object ExtQueries {
   }
 
   private def ivfKmeansProbeSql(trainPred: String): String = {
-    s"""WITH ${kmeansCellCtes(trainPred)},
+    s"""WITH $vecCtes,
+       |${kmeansCellCtes(trainPred)},
        |probes AS (
        |  SELECT vec_id AS query_id, cell_id FROM (
        |    SELECT vec_id, cell_id,
@@ -4275,18 +4311,20 @@ object ExtQueries {
     * over those with the ADC table from RAW query components, score =
     * coarse ⟨q,ĉ⟩ term + ADC sum, both in 2⁻²⁰ integer units. The
     * seed variant composes it under [[ivfAssignCtes]]; the trained
-    * variant under [[kmeansCellCtes]] plus renaming adapters. */
-  private lazy val residualPqTailSql =
+    * variant under [[kmeansCellCtes]] plus renaming adapters; the
+    * composed OPQ stack passes the ROTATED component relation as
+    * `comp`. */
+  private def residualPqTail(comp: String = "comp"): String =
     s"""ncent AS MATERIALIZED (
        |  SELECT cc.cell_id, cc.i, cc.cx / cn.sn_cell AS cx
        |  FROM centcomp cc JOIN centnorm cn ON cn.cell_id = cc.cell_id),
        |rcomp AS MATERIALIZED (
        |  SELECT comp.vec_id, comp.i, comp.x - nc.cx AS x
-       |  FROM comp
+       |  FROM $comp comp
        |  JOIN cells ON cells.nbr_id = comp.vec_id
        |  JOIN ncent nc ON nc.cell_id = cells.cell_id
        |    AND nc.i = comp.i),
-       |${pqCtes(2, src = "rcomp", adcSrc = "comp")},
+       |${pqCtes(2, src = "rcomp", adcSrc = comp)},
        |probes AS (
        |  SELECT vec_id AS query_id, cell_id FROM (
        |    SELECT vec_id, cell_id,
@@ -4297,7 +4335,7 @@ object ExtQueries {
        |  SELECT comp.vec_id AS query_id, nc.cell_id,
        |    CAST(round(CAST(sum(CAST(comp.x * nc.cx AS DECIMAL(28,12)))
        |        AS DOUBLE) * CAST(1048576.0 AS DOUBLE)) AS BIGINT) AS qc
-       |  FROM comp JOIN ncent nc ON nc.i = comp.i
+       |  FROM $comp comp JOIN ncent nc ON nc.i = comp.i
        |  WHERE comp.vec_id < 10
        |  GROUP BY 1, 2),
        |rcand AS (
@@ -4327,17 +4365,37 @@ object ExtQueries {
     * shared cell-assignment CTEs, then the residual serving tail. */
   private lazy val annIvfPqResidualSql =
     s"""WITH $ivfAssignCtes,
-       |$residualPqTailSql""".stripMargin
+       |${residualPqTail()}""".stripMargin
 
   /** TRAINED-cell residual IVF-PQ twin: the unrolled-kmeans cell
     * chain, three renaming adapters exposing the trained relations
     * under the residual tail's expected names, then the same tail. */
   private lazy val annIvfPqTrainedSql =
-    s"""WITH ${kmeansCellCtes("TRUE")},
+    s"""WITH $vecCtes,
+       |${kmeansCellCtes("TRUE")},
        |centcomp AS (SELECT cell_id, i, cx FROM cent3),
        |centnorm AS (SELECT cell_id, sn_cell FROM tn),
        |cellcos AS (SELECT vec_id, cell_id, ccos FROM tc),
-       |$residualPqTailSql""".stripMargin
+       |${residualPqTail()}""".stripMargin
+
+  /** COMPOSED OPQ + trained-IVF + residual-PQ twin — the full FAISS
+    * production stack in one chain: rotation CTEs → rotated vector
+    * norms → the kmeans cell chain over the ROTATED components → the
+    * residual serving tail over the same rotated space (rotation is
+    * orthogonal, so rotated-space scores approximate the original
+    * inner products). */
+  private lazy val annOpqIvfPqSql =
+    s"""WITH $vecCtes,
+       |$opqRotateCtes,
+       |oqnorms AS (
+       |  SELECT vec_id,
+       |    sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS sn
+       |  FROM oqy GROUP BY vec_id),
+       |${kmeansCellCtes("TRUE", comp = "oqy", norms = "oqnorms")},
+       |centcomp AS (SELECT cell_id, i, cx FROM cent3),
+       |centnorm AS (SELECT cell_id, sn_cell FROM tn),
+       |cellcos AS (SELECT vec_id, cell_id, ccos FROM tc),
+       |${residualPqTail("oqy")}""".stripMargin
 
   /** Recall-audit twin: one materialized brute-force truth set, three
     * candidate stacks (each a parenthesized WITH of an existing
@@ -4382,12 +4440,15 @@ object ExtQueries {
        |  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq FROM art_t),
        |${hits("f", flatTopSql)},
        |${hits("s", s"SELECT query_id, nbr_id FROM ($annIvfPqResidualSql)")},
-       |${hits("r", s"SELECT query_id, nbr_id FROM ($annIvfPqTrainedSql)")}
+       |${hits("r", s"SELECT query_id, nbr_id FROM ($annIvfPqTrainedSql)")},
+       |${hits("o", s"SELECT query_id, nbr_id FROM ($annOpqIvfPqSql)")}
        |${row("flat_adc", "f")}
        |UNION ALL
        |${row("seed_residual", "s")}
        |UNION ALL
-       |${row("trained_residual", "r")}""".stripMargin
+       |${row("trained_residual", "r")}
+       |UNION ALL
+       |${row("opq_trained_residual", "o")}""".stripMargin
   }
 
   /** Encode-append twin: train on the STANDING predicate, encode the
@@ -5483,6 +5544,7 @@ object ExtQueries {
     "ann_ivf_pq_trained" -> annIvfPqTrainedSql,
     "ann_residual_recall_audit" -> annResidualRecallAuditSql,
     "ann_opq_recall" -> annOpqRecallSql,
+    "ann_opq_ivf_pq" -> annOpqIvfPqSql,
     "pq_encode_append" -> pqEncodeAppendSql,
     "ann_ivf_append" -> annIvfAppendSql,
     "ann_drift_trigger" -> annDriftTriggerSql,
