@@ -453,16 +453,21 @@ object Bench {
     // capped: a storm window retries dozens of queries and the full
     // map once shed the entire wall map off the line — 16 names plus
     // a count keeps the gating auditable without eating the budget
+    // most-retried first (name tiebreak) so WHICH queries survive the
+    // 16-entry cap is deterministic run-to-run, not HashMap order
     val retriedJson =
       if (retried.isEmpty) ""
-      else retried.take(16).map { case (q, n) => "\"" + q + "\":" + n }
+      else retried.toSeq.sortBy { case (q, n) => (-n, q) }.take(16)
+        .map { case (q, n) => "\"" + q + "\":" + n }
         .mkString(",\"retried\":{", ",", "}") +
         (if (retried.size > 16) s""","retried_more":${retried.size - 16}"""
          else "")
     // per-query engine (task) seconds, filtered to a name set so the
     // shedding ladder can carry it at the same threshold as the walls
     def taskJson(names: Set[String]): String = {
-      val entries = results.collect { case (k, _, _, d) if names(k) =>
+      // errored queries are excluded, matching engine_total /
+      // engine_cpu_total, so summing the map reconciles with them
+      val entries = results.collect { case (k, _, None, d) if names(k) =>
         "\"" + k + "\":" + f2(d.getOrElse("task_s", 0.0))
       }
       if (entries.isEmpty) "" else entries.mkString(""","task_s":{""", ",", "}")

@@ -26,6 +26,9 @@ object Tables {
 
   private val scratchDirs =
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private val scratchUris =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      (org.apache.hadoop.conf.Configuration, String)]()
   private lazy val scratchHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       scratchDirs.forEach { root =>
@@ -35,22 +38,49 @@ object Tables {
             .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
         } catch { case _: Exception => () }
       }
+      scratchUris.forEach { case (conf, uri) =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(uri)
+          p.getFileSystem(conf).delete(p, true)
+          ()
+        } catch { case _: Exception => () }
+      }
     }, "graft-scratch-cleanup"))
   }
 
-  /** Driver-local scratch directory for gate queries that persist an
-    * index/model to parquet and read it back (the persisted-store
-    * lifecycle gates). Registered for recursive deletion at JVM exit,
-    * so repeated Verify/Bench runs don't leak disk. Single-node by
-    * construction — the `file:` path is only visible to local
-    * executors; a cluster deployment swaps this for a configurable
-    * shared scratch URI (the `readSummary`-style persisted stores show
-    * that shape). */
+  /** Scratch directory for gate queries that persist an index/model
+    * to parquet and read it back (the persisted-store lifecycle gates
+    * and the [[graft.queries]] shared-frame tier).
+    *
+    * Location is governed by `spark.graft.scratch.uri` (read from the
+    * active/default session, runtime-settable): when set, each call
+    * carves a unique child under that URI via the Hadoop FileSystem
+    * API — ANY scheme executors can reach (hdfs://, s3a://, a mounted
+    * shared FS), which is what a multi-executor cluster deployment
+    * sets. When unset (the local[32] default), a driver-local temp
+    * dir — correct on a single node where executors share the
+    * driver's disk. Either way the path registers for recursive
+    * deletion at JVM exit, so repeated Verify/Bench runs don't leak
+    * storage. */
   def scratchDir(prefix: String): String = {
     scratchHook
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    scratchDirs.add(p)
-    p.toString
+    val session = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+    val baseUri = session.flatMap(s =>
+      s.conf.getOption("spark.graft.scratch.uri").filter(_.nonEmpty))
+    baseUri match {
+      case Some(base) =>
+        val conf = session.get.sparkContext.hadoopConfiguration
+        val child = new org.apache.hadoop.fs.Path(base,
+          s"$prefix-${java.util.UUID.randomUUID().toString.take(12)}")
+        child.getFileSystem(conf).mkdirs(child)
+        scratchUris.add((conf, child.toString))
+        child.toString
+      case None =>
+        val p = java.nio.file.Files.createTempDirectory(prefix)
+        scratchDirs.add(p)
+        p.toString
+    }
   }
 
   /** Normalize every physical timestamp encoding a parquet writer may

@@ -618,7 +618,7 @@ object Corpus {
             regexp_replace(c, "&#x27;|&#39;", "'"),
             lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
             lit("&quot;"), lit("\"")), lit("&nbsp;"), lit(" ")),
-          "&#x?[0-9a-fA-F]{1,6};", " "),
+          "&#(?:[0-9]{1,7}|[xX][0-9a-fA-F]{1,6});", " "),
         lit("&amp;"), lit("&"))
     val blocks = docs.select(id.as("doc_id"),
         posexplode(split(stripped,

@@ -1393,20 +1393,27 @@ object Similarity {
         s => s.getField("w")).as("wvec"))
       .withColumn("snw",
         sqrt(VecKernels.vecDotDec(col("wvec"), col("wvec")).cast("double")))
-      .select(transform(col("wvec"),
+      .select(col("snw"), transform(col("wvec"),
         wi => wi / col("snw") - lit(1.0) / sqrt(lit(dim.toDouble)))
         .as("pvec"))
       .withColumn("pp",
         VecKernels.vecDotDec(col("pvec"), col("pvec")).cast("double"))
+    // Degenerate guards take the documented t=0 identity instead of
+    // silently propagating NaN: snw=0 (all-zero covariance row sums —
+    // a constant corpus) makes pvec NaN and pp NaN, and `pp < 1e-12`
+    // is FALSE for NaN. When t=0 the output is x verbatim (never
+    // x − 0·pvec, whose 0·NaN would still poison it).
     df.select(id.as("vid"), vec.cast("array<double>").as("v"))
       .crossJoin(broadcast(rot))
       .withColumn("pd",
         VecKernels.vecDotDec(col("v"), col("pvec")).cast("double"))
-      .withColumn("t", when(col("pp") < lit(1e-12), lit(0.0))
+      .withColumn("t", when(col("pp") < lit(1e-12) || isnan(col("pp")) ||
+          col("snw") < lit(1e-12), lit(0.0))
         .otherwise(lit(2.0) * col("pd") / col("pp")))
       .select(col("vid"),
-        zip_with(col("v"), col("pvec"),
-          (x, pi) => x - col("t") * pi).as("yvec"))
+        when(col("t") === lit(0.0), col("v"))
+          .otherwise(zip_with(col("v"), col("pvec"),
+            (x, pi) => x - col("t") * pi)).as("yvec"))
   }
 
   def dimVarianceAudit(df: DataFrame, vec: Column): DataFrame = {

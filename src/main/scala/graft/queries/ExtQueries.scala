@@ -660,35 +660,11 @@ object ExtQueries {
     * either way (same pairs, same aggregates). At 100 TB this is the
     * same shape deliberately: one persisted truth tier that every
     * audit reads, not a per-audit recompute. */
-  private val sharedFramePaths =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  /** First caller per (applicationId, sfDir, name) runs `build` (a
-    * map of frame name → definition), persists every frame to one
-    * scratch dir, and returns the read-back handles; later callers
-    * read the persisted parquet. The write goes through
-    * repartition(1) — NOT coalesce(1), which would collapse the whole
-    * upstream computation into one task; the shuffle boundary keeps
-    * the build parallel while only the (small) result funnels to one
-    * file.
-    *
-    * Bench-attribution note: if the BUILDER gate's measurement window
-    * absorbs steal and is re-measured, the retry reads the
-    * already-persisted frames — the build cost then lives only in the
-    * run's steal envelope, not in any accepted per-query wall. The
-    * work is still done once per run; only its attribution moves. */
+  /** Delegates to the hoisted [[SharedFrames]] tier (shared with
+    * CorpusQueries' trained-vocab frames). */
   private def sharedFrames(spark: SparkSession, dir: String, name: String)
-      (build: => Seq[(String, DataFrame)]): Map[String, DataFrame] = {
-    val key = spark.sparkContext.applicationId + "|" + dir + "|" + name
-    val path = sharedFramePaths.computeIfAbsent(key, _ => {
-      val p = graft.Tables.scratchDir(s"graft_shared_$name")
-      build.foreach { case (n, df) =>
-        df.repartition(1).write.mode("overwrite").parquet(s"$p/$n")
-      }
-      p
-    })
-    new java.io.File(path).listFiles().map(_.getName)
-      .map(n => n -> spark.read.parquet(s"$path/$n")).toMap
-  }
+      (build: => Seq[(String, DataFrame)]): Map[String, DataFrame] =
+    SharedFrames(spark, dir, name)(build)
 
   private def jaccardTruth3(spark: SparkSession, dir: String): DataFrame =
     sharedFrames(spark, dir, "jaccard_truth") {
@@ -4047,7 +4023,7 @@ object ExtQueries {
     "replace(regexp_replace(replace(replace(replace(replace(" +
       s"regexp_replace($x, '&#x27;|&#39;', '''', 'g'), " +
       "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&nbsp;', ' '), " +
-      "'&#x?[0-9a-fA-F]{1,6};', ' ', 'g'), '&amp;', '&')"
+      "'&#(?:[0-9]{1,7}|[xX][0-9a-fA-F]{1,6});', ' ', 'g'), '&amp;', '&')"
 
   /** htmlExtract twin: same planted wrapper (nav div, script/style
     * bodies, comment, entity paragraph), same script/style/comment
@@ -4524,11 +4500,14 @@ object ExtQueries {
       |  FROM comp c JOIN oqr_p p ON p.i = c.i
       |  GROUP BY 1),
       |oqr_t AS (
-      |  SELECT vec_id, CASE WHEN pp < 1e-12 THEN CAST(0 AS DOUBLE)
+      |  SELECT vec_id, CASE WHEN pp < 1e-12 OR isnan(pp) OR sn < 1e-12
+      |      THEN CAST(0 AS DOUBLE)
       |    ELSE CAST(2 AS DOUBLE) * pd / pp END AS t
-      |  FROM oqr_pd, oqr_pp),
+      |  FROM oqr_pd, oqr_pp, oqr_sn),
       |oqy AS MATERIALIZED (
-      |  SELECT c.vec_id, c.i, c.x - t.t * p.p AS x
+      |  SELECT c.vec_id, c.i,
+      |    CASE WHEN t.t = CAST(0 AS DOUBLE) THEN c.x
+      |      ELSE c.x - t.t * p.p END AS x
       |  FROM comp c
       |  JOIN oqr_p p ON p.i = c.i
       |  JOIN oqr_t t ON t.vec_id = c.vec_id)""".stripMargin

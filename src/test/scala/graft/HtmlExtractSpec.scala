@@ -64,6 +64,16 @@ class HtmlExtractSpec extends SparkSpec {
       "alpha beta Tom & Jerry <3 \"ads\" 'n more &lt; stays literal")
   }
 
+  test("numeric entities: 7-digit decimal and uppercase-X hex decode; " +
+      "letters-only pseudo-entity stays literal") {
+    val (_, _, _, _, extracted) = run(
+      "<p>a&#1114111;b &#X27;c &#abc; end</p>")
+    // &#1114111; (max code point, 7 digits) and &#X27; (uppercase X)
+    // both decode to a space; &#abc; is NOT a numeric entity and must
+    // survive verbatim instead of being eaten
+    assert(extracted == "a b c &#abc; end")
+  }
+
   test("attribute-carrying block tags split; whitespace normalizes") {
     val (_, nBlocks, nKept, _, extracted) = run(
       "<div id=\"a\" class=\"main\">one\n\n  two</div>" +
