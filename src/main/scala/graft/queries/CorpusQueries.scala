@@ -133,9 +133,24 @@ object CorpusQueries {
     * table (piece, cnt — the Viterbi recount, q — the quantized
     * probability). The oracle replays seeding, both quantizations,
     * and the EM round's Viterbi pass as an unrolled DP. */
+  /** Shared trained unigram model (pieces + per-word Viterbi vocab)
+    * over the FULL documents table — the four standalone unigram
+    * gates (train / encode / fertility / pack) each consume this one
+    * persisted training run instead of retraining the identical model
+    * per gate ([[SharedFrames]] persist-once; outputs byte-identical
+    * either way). corpus_tokenize_e2e keeps its own internal train by
+    * design: its model fits the SURVIVING extracted corpus, not this
+    * one. */
+  private def unigramModel(spark: SparkSession, dir: String)
+      : Map[String, DataFrame] =
+    SharedFrames(spark, dir, "unigram_model") {
+      val (pieces, vocab) = Corpus.unigramTrainState(
+        Tables(spark, dir, "documents"), col("text"))
+      Seq("pieces" -> pieces, "vocab" -> vocab)
+    }
+
   def unigramTrain(spark: SparkSession, dir: String): DataFrame =
-    Corpus.unigramTrainState(Tables(spark, dir, "documents"),
-      col("text"))._1
+    unigramModel(spark, dir)("pieces")
 
   /** Corpus encode under the TRAINED unigram model — train →
     * segment-vocab → join-back-and-flatten in one plan
@@ -145,7 +160,7 @@ object CorpusQueries {
     * the first 10 pieces. */
   def unigramEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val (_, vocab) = Corpus.unigramTrainState(docs, col("text"))
+    val vocab = unigramModel(spark, dir)("vocab")
     Corpus.unigramEncodeDocs(docs, col("doc_id"), col("text"), vocab)
       .select(col("doc_id"), col("n_ws"),
         size(col("bpe")).cast("long").as("n_pieces"),
@@ -187,7 +202,7 @@ object CorpusQueries {
     * chain. */
   def unigramFertility(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val (_, vocab) = Corpus.unigramTrainState(docs, col("text"))
+    val vocab = unigramModel(spark, dir)("vocab")
     Corpus.unigramEncodeDocs(docs, col("doc_id"), col("text"), vocab)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .groupBy(col("lang"))
@@ -208,7 +223,7 @@ object CorpusQueries {
     * fertility / pack). */
   def packSequencesUnigram(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val (_, vocab) = Corpus.unigramTrainState(docs, col("text"))
+    val vocab = unigramModel(spark, dir)("vocab")
     Corpus.packSequencesFromCounts(
       Corpus.unigramEncodeDocs(docs, col("doc_id"), col("text"), vocab)
         .select(col("doc_id"),
