@@ -107,6 +107,113 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("rank"), col("cosine"))
   }
 
+  /** [[bruteForceTopK]] with the query row itself excluded — the
+    * exact k-NN-GRAPH truth (every query is a corpus member, and a
+    * neighbor list that spends a slot on self is useless). Filtering
+    * BEFORE the rank matters: dropping self after a top-k would leave
+    * k−1 neighbors for most queries. */
+  def bruteForceKnnTruth(corpus: DataFrame, corpusId: Column,
+      corpusVec: Column, queries: DataFrame, queryId: Column,
+      queryVec: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = vectors(corpus, corpusId, corpusVec, "nbr_id", "cv", "sn_c")
+    val q = vectors(queries, queryId, queryVec, "query_id", "qv", "sn_q")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("cosine",
+        VecKernels.vecDotDec(col("cv"), col("qv")).cast("double") /
+          (col("sn_c") * col("sn_q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank"), col("cosine"))
+  }
+
+  /** NN-Descent k-NN-graph construction (Dong, Moses & Li, WWW'11 —
+    * "Efficient K-Nearest Neighbor Graph Construction for Generic
+    * Similarity Measures"), the graph-family ANN backbone
+    * (HNSW/NSG-style indexes start from exactly this structure), in
+    * the repo's fixed-round deterministic discipline:
+    *
+    *  - INIT: each node's candidates are its ±k/2 neighbors on the
+    *    id-order ring ([[graft.ext.Corpus.globalOrderRank]] —
+    *    range-partition rank, no single-partition sort; the ring is
+    *    arbitrary-but-deterministic, which is all NN-Descent needs
+    *    from its random init).
+    *  - ROUND: the paper's local-join — candidates(a) = neighbors of
+    *    (in ∪ out)-neighbors of a, i.e. b ∈ U(a), c ∈ U(b) ⇒ (a, c) —
+    *    unioned with the current list, scored, and merged by the
+    *    (cosine DESC, id ASC) top-k. Fixed `rounds` iterations (no
+    *    data-dependent convergence test), so the oracle unrolls the
+    *    rounds as CTEs and the output hash-gates — the
+    *    pageRank/bfsDistances discipline.
+    *
+    * Scale shape: per-round candidate volume is ≤ (2k)² per node —
+    * banded by construction, never all-pairs; scoring is one
+    * codegen'd `vec_dot_dec` per candidate pair after an equi-join on
+    * node id; the merge is a per-node window (hash-partitioned on the
+    * node key). Each round localCheckpoints (truncated lineage — the
+    * iterative-loop house rule). Cosine algebra is the audited
+    * exact-decimal-sum / IEEE-divide chain, so cross-engine parity
+    * holds through every round.
+    *
+    * Returns (node_id, nbr_id, rank 1..k, cosine) — the directed
+    * k-NN graph. `rounds = 0` returns the scored ring init (the
+    * audit's baseline). */
+  def nnDescent(df: DataFrame, id: Column, vec: Column, k: Int = 8,
+      rounds: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2 && k % 2 == 0, "k even and >= 2")
+    require(rounds >= 0 && rounds <= 8, "rounds in [0,8]")
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val v = graft.Tables.materialize(
+      vectors(df, id, vec, "vid", "v", "sn"))
+    val ranked = graft.Tables.materialize(
+      Corpus.globalOrderRank(v.select(col("vid")), p, col("vid"))
+        .select(col("vid"), col("_rank").as("r")))
+    val nAgg = ranked.agg(count(lit(1)).as("n"))
+    val offs = ((-k / 2) to (k / 2)).filter(_ != 0).map(_.toLong)
+    val init = ranked.crossJoin(broadcast(nAgg))
+      .select(col("vid").as("a"), col("r"), col("n"),
+        explode(lit(offs.toArray)).as("off"))
+      .withColumn("nr", pmod(col("r") + col("off"), col("n")))
+      .join(ranked.select(col("vid").as("b"), col("r").as("nr")), "nr")
+      .filter(col("b") =!= col("a"))
+      .select(col("a"), col("b"))
+    def score(pairs: DataFrame): DataFrame =
+      pairs.distinct()
+        .join(v.select(col("vid").as("a"), col("v").as("av"),
+          col("sn").as("sa")), "a")
+        .join(v.select(col("vid").as("b"), col("v").as("bv"),
+          col("sn").as("sb")), "b")
+        .withColumn("cos",
+          VecKernels.vecDotDec(col("av"), col("bv")).cast("double") /
+            (col("sa") * col("sb")))
+        .select(col("a"), col("b"), col("cos"))
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("cos").desc, col("b").asc)
+    def topK(scored: DataFrame): DataFrame =
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    var cur = topK(score(init)).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val und = cur.select(col("a"), col("b"))
+        .unionByName(cur.select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+      val cand = und.as("x")
+        .join(und.as("y"), col("x.b") === col("y.a"))
+        .filter(col("y.b") =!= col("x.a"))
+        .select(col("x.a").as("a"), col("y.b").as("b"))
+        .unionByName(cur.select(col("a"), col("b")))
+      cur = topK(score(cand)).localCheckpoint(true)
+    }
+    cur.select(col("a").as("node_id"), col("b").as("nbr_id"),
+      col("rank"), col("cos").as("cosine"))
+  }
+
   /** Matryoshka truncation eval — recall@k of retrieval under
     * PREFIX-truncated embeddings vs the full-dimension exact top-k:
     * the measurement behind serving MRL-style embeddings at a

@@ -194,10 +194,10 @@ object ExtQueries {
       "opq_trained_residual" -> composed))
   }
 
-  /** recall@10 rows for N candidate stacks against one truth set —
-    * shared by both residual audits. */
+  /** recall@k rows for N candidate stacks against one truth set —
+    * shared by the residual audits and the NN-Descent audit. */
   private def recallRows(truth: DataFrame, nq: DataFrame,
-      stacks: Seq[(String, DataFrame)]): DataFrame = {
+      stacks: Seq[(String, DataFrame)], k: Int = 10): DataFrame = {
     def hitRow(name: String, top: DataFrame): DataFrame =
       top.select(col("query_id"), col("nbr_id"))
         .join(truth, Seq("query_id", "nbr_id"), "left_semi")
@@ -206,9 +206,9 @@ object ExtQueries {
     stacks.map((hitRow _).tupled).reduce(_ unionByName _)
       .crossJoin(broadcast(nq))
       .select(col("variant"), col("n_hits"),
-        (col("nq") * 10).as("n_possible"),
+        (col("nq") * k).as("n_possible"),
         (col("n_hits").cast("double") /
-          (col("nq") * 10).cast("double")).as("recall"))
+          (col("nq") * k).cast("double")).as("recall"))
   }
 
   /** OFF-SEED residual-recall audit — the gated number a deployment
@@ -242,6 +242,66 @@ object ExtQueries {
       "trained_residual" ->
         pqTrainedResidualFrames(spark, dir)("topk_offseed"),
       "opq_trained_residual" -> opqIvfPqFrames(spark, dir)("topk_offseed")))
+  }
+
+  /** Shared NN-Descent frames ([[Similarity.nnDescent]], k = 8): the
+    * 3-round graph plus the round-1 list and the scored ring init
+    * (round 0) — the audit's convergence curve points, built once and
+    * read by the top-k gate and the recall audit. */
+  private def nnDescentFrames(spark: SparkSession, dir: String)
+      : Map[String, DataFrame] =
+    sharedFrames(spark, dir, "nndescent_knn") {
+      val emb = Tables(spark, dir, "embeddings")
+      def at(r: Int): DataFrame = Similarity.nnDescent(emb,
+        col("vec_id"), col("embedding"), k = 8, rounds = r)
+      Seq("knn" -> at(3), "knn_r1" -> at(1), "knn_init" -> at(0))
+    }
+
+  /** k-NN-GRAPH construction gate ([[Similarity.nnDescent]]) — the
+    * graph-family ANN backbone (what HNSW/NSG build on), absent from
+    * the IVF/PQ quantization family: every node's directed top-8
+    * cosine neighbor list after 3 deterministic NN-Descent rounds
+    * from a ring init. The oracle unrolls init + all local-join
+    * rounds as materialized CTEs (the pageRank fixed-round
+    * discipline). Beyond serving, this graph is an ε-graph source for
+    * SemDeDup-style clustering — see `ann_nndescent_recall_audit` for
+    * the measured round-by-round recall on THIS corpus (weak cosine
+    * structure: top-8 mean cos 0.31 vs 0.00 ± 0.13 background, so the
+    * local join converges slowly here; `NnDescentSpec`'s clustered
+    * fixture pins the strong-structure win case). */
+  def annNndescentTopk(spark: SparkSession, dir: String): DataFrame =
+    nnDescentFrames(spark, dir)("knn")
+
+  /** NN-Descent recall audit — the convergence CURVE: recall@8 of
+    * the ring init (round 0), the 1-round list, and the 3-round
+    * graph against the exact self-excluded top-8
+    * ([[Similarity.bruteForceKnnTruth]]) over the vec_id < 100 node
+    * band. What the local-join rounds BUY at fixed k: on this
+    * near-uniform corpus the gated curve runs ~0.02 → 0.04 → 0.10 —
+    * each round roughly doubles recall, and the slope (not the
+    * absolute) is the decision signal: flat slope ⇒ structure too
+    * weak for a graph index, keep IVF/PQ; steep slope (the spec's
+    * clustered fixture reaches ≥ 0.9 by round 2) ⇒ the graph family
+    * earns its build cost. All three stacks are the shared persisted
+    * frames the top-k gate serves. */
+  def annNndescentRecallAudit(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val band = emb.filter(col("vec_id") < 100)
+    val truth = Tables.materialize(
+      Similarity.bruteForceKnnTruth(emb, col("vec_id"), col("embedding"),
+          band, col("vec_id"), col("embedding"), 8)
+        .select(col("query_id"), col("nbr_id")))
+    val nq = truth.select(col("query_id")).distinct()
+      .agg(count(lit(1)).as("nq"))
+    val frames = nnDescentFrames(spark, dir)
+    def stack(f: DataFrame): DataFrame =
+      f.filter(col("node_id") < 100)
+        .select(col("node_id").as("query_id"), col("nbr_id"))
+    recallRows(truth, nq, Seq(
+      "ring_init" -> stack(frames("knn_init")),
+      "nndescent_r1" -> stack(frames("knn_r1")),
+      "nndescent_r3" -> stack(frames("knn"))), k = 8)
   }
 
   /** OPQ rotation recall audit ([[Similarity.opqRotate]]): flat-ADC
@@ -2081,6 +2141,8 @@ object ExtQueries {
     "ann_ivf_pq_trained" -> annIvfPqTrained _,
     "ann_residual_recall_audit" -> annResidualRecallAudit _,
     "ann_residual_offseed_audit" -> annResidualOffseedAudit _,
+    "ann_nndescent_topk" -> annNndescentTopk _,
+    "ann_nndescent_recall_audit" -> annNndescentRecallAudit _,
     "ann_opq_recall" -> annOpqRecall _,
     "ann_opq_ivf_pq" -> annOpqIvfPq _,
     "pq_encode_append" -> pqEncodeAppend _,
@@ -4543,6 +4605,117 @@ object ExtQueries {
   private lazy val annResidualOffseedAuditSql =
     residualAuditSql("aro_", offseedBand)
 
+  /** [[graft.ext.Similarity.nnDescent]] twin, unrolled: id-order ring
+    * init (row_number rank, ±k/2 offsets modulo n), then per round a
+    * local-join candidate CTE (undirected neighborhood squared ∪
+    * current list), the exact-decimal dot / norm-divide scoring
+    * chain, and the (cos DESC, id ASC) top-k merge. Every per-round
+    * list is MATERIALIZED — the next round references it three times
+    * (forward, reversed, carry-over) and un-materialized CTEs
+    * re-expand per reference. Ends at `nn_l$rounds`
+    * (a, b, cos, rk). */
+  private def nnDescentCtes(rounds: Int, k: Int = 8): String = {
+    val offs = ((-(k / 2)) to (k / 2)).filter(_ != 0).mkString(", ")
+    def scoreAndList(r: Int): String =
+      s"""nn_d$r AS (
+         |  SELECT p.a, p.b,
+         |    CAST(sum(CAST(ca.x * cb.x AS DECIMAL(28,12))) AS DOUBLE)
+         |      AS dot
+         |  FROM (SELECT DISTINCT a, b FROM nn_c$r) p
+         |  JOIN comp ca ON ca.vec_id = p.a
+         |  JOIN comp cb ON cb.vec_id = p.b AND cb.i = ca.i
+         |  GROUP BY p.a, p.b),
+         |nn_s$r AS (
+         |  SELECT d.a, d.b, d.dot / (na.sn * nb.sn) AS cos
+         |  FROM nn_d$r d
+         |  JOIN norms na ON na.vec_id = d.a
+         |  JOIN norms nb ON nb.vec_id = d.b),
+         |nn_l$r AS MATERIALIZED (
+         |  SELECT a, b, cos, rk FROM (
+         |    SELECT a, b, cos,
+         |      row_number() OVER (PARTITION BY a
+         |                         ORDER BY cos DESC, b ASC) AS rk
+         |    FROM nn_s$r) WHERE rk <= $k)""".stripMargin
+    val init =
+      s"""nn_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         |nn_rk AS (
+         |  SELECT vec_id,
+         |    row_number() OVER (ORDER BY vec_id) - 1 AS r
+         |  FROM embeddings),
+         |nn_c0 AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM nn_rk a
+         |  CROSS JOIN nn_n
+         |  CROSS JOIN (SELECT unnest([$offs]) AS off) o
+         |  JOIN nn_rk b
+         |    ON b.r = ((a.r + o.off) % nn_n.n + nn_n.n) % nn_n.n
+         |  WHERE b.vec_id <> a.vec_id),
+         |${scoreAndList(0)}""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""nn_u$r AS (
+         |  SELECT a, b FROM nn_l${r - 1}
+         |  UNION
+         |  SELECT b AS a, a AS b FROM nn_l${r - 1}),
+         |nn_c$r AS (
+         |  SELECT x.a AS a, y.b AS b
+         |  FROM nn_u$r x JOIN nn_u$r y ON y.a = x.b
+         |  WHERE y.b <> x.a
+         |  UNION
+         |  SELECT a, b FROM nn_l${r - 1}),
+         |${scoreAndList(r)}""".stripMargin
+    }
+    (init +: roundCtes).mkString(",\n")
+  }
+
+  private lazy val annNndescentTopkSql =
+    s"""WITH $vecCtes,
+       |${nnDescentCtes(3)}
+       |SELECT a AS node_id, b AS nbr_id, rk AS rank, cos AS cosine
+       |FROM nn_l3""".stripMargin
+
+  /** NN-Descent recall-audit twin: the unrolled chain's round-0/1/3
+    * lists counted against a self-excluded brute-force top-8 truth
+    * over the vec_id < 100 node band. */
+  private lazy val annNndescentRecallAuditSql = {
+    def row(name: String, list: String): String =
+      s"""SELECT '$name' AS variant,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $list v
+         |   JOIN nna_t t ON t.query_id = v.a AND t.nbr_id = v.b)
+         |    AS n_hits,
+         |  CAST(nq * 8 AS BIGINT) AS n_possible,
+         |  CAST((SELECT count(*) FROM $list v
+         |        JOIN nna_t t ON t.query_id = v.a AND t.nbr_id = v.b)
+         |    AS DOUBLE) / CAST(nq * 8 AS DOUBLE) AS recall
+         |FROM nna_nq""".stripMargin
+    s"""WITH $vecCtes,
+       |${nnDescentCtes(3)},
+       |nna_d AS (
+       |  SELECT c.vec_id AS nbr_id, q.vec_id AS query_id,
+       |    CAST(sum(CAST(c.x * q.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |  FROM comp c JOIN comp q ON c.i = q.i AND q.vec_id < 100
+       |  WHERE c.vec_id <> q.vec_id
+       |  GROUP BY c.vec_id, q.vec_id),
+       |nna_sc AS (
+       |  SELECT query_id, nbr_id, dot / (nc.sn * nq.sn) AS cosine
+       |  FROM nna_d
+       |  JOIN norms nc ON nc.vec_id = nbr_id
+       |  JOIN norms nq ON nq.vec_id = query_id),
+       |nna_t AS MATERIALIZED (
+       |  SELECT query_id, nbr_id FROM (
+       |    SELECT query_id, nbr_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cosine DESC, nbr_id ASC) AS rk
+       |    FROM nna_sc) WHERE rk <= 8),
+       |nna_nq AS (
+       |  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq
+       |  FROM nna_t)
+       |${row("ring_init", "nn_l0")}
+       |UNION ALL
+       |${row("nndescent_r1", "nn_l1")}
+       |UNION ALL
+       |${row("nndescent_r3", "nn_l3")}""".stripMargin
+  }
+
   /** Encode-append twin: train on the STANDING predicate, encode the
     * full corpus in one pass — equal to the engine's
     * persist-then-append union because encode is per-row against
@@ -5639,6 +5812,8 @@ object ExtQueries {
     "ann_ivf_pq_trained" -> annIvfPqTrainedSql,
     "ann_residual_recall_audit" -> annResidualRecallAuditSql,
     "ann_residual_offseed_audit" -> annResidualOffseedAuditSql,
+    "ann_nndescent_topk" -> annNndescentTopkSql,
+    "ann_nndescent_recall_audit" -> annNndescentRecallAuditSql,
     "ann_opq_recall" -> annOpqRecallSql,
     "ann_opq_ivf_pq" -> annOpqIvfPqSql,
     "pq_encode_append" -> pqEncodeAppendSql,
