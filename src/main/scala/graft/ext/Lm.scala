@@ -127,6 +127,63 @@ object Lm {
       .filter(col("tok") =!= "")
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): select raw
+    * documents whose HASHED-N-GRAM feature distribution matches a
+    * target domain. Features are hashed bigrams (md5-derived 32-bit
+    * hash mod `numBuckets` — the oracle-reproducible hash32 idiom);
+    * the target and raw unigram-over-buckets models use the same
+    * add-one quantized probabilities as the bigram scorer
+    * (q = (c+1)·2²⁰ div (n+B), pure BIGINT), and the per-document
+    * importance weight is the RATIO OF QUANTIZED SUMS
+    * num/den = Σ q_target(f) / Σ q_raw(f) over the doc's feature
+    * occurrences — the float-free surrogate of the paper's
+    * log-likelihood ratio (log-domain sums can't hash-gate; SKILL's
+    * `ln` seam), monotone in the same direction: docs whose features
+    * are relatively more probable under the target up-weight.
+    *
+    * Returns (id, n_features, num, den). Feature-less documents
+    * (under 2 tokens) don't appear — samplers treat them as
+    * weight-0. Scale shape: one bigram projection (no shuffle), one
+    * B-row model aggregate with a 1-row total, one join back on the
+    * bucket key; counts stay below 2⁴³ for the 2²⁰ quantizer —
+    * widen to DECIMAL past that (the [[Lm]] scaladoc note). */
+  def dsirWeights(docs: DataFrame, id: Column, text: Column,
+      isTarget: Column, numBuckets: Int = 512): DataFrame = {
+    require(numBuckets >= 2 && numBuckets <= (1 << 20), "buckets sane")
+    val big = graft.Tables.materialize(
+      seqBigrams(docs.withColumn("_tgt", isTarget), id, text,
+          carry = Seq("_tgt"))
+        .withColumn("f",
+          TextFunctions.hash32(concat_ws("|", col("w1"), col("w2")))
+            % numBuckets))
+    val counts = big.groupBy(col("f"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(sum(col("cr")).as("nr"),
+      sum(col("ct")).as("nt"))
+    val q = counts.crossJoin(broadcast(totals))
+      .select(col("f"),
+        expr(s"((ct + 1L) * 1048576L) div (nt + $numBuckets)").as("qt"),
+        expr(s"((cr + 1L) * 1048576L) div (nr + $numBuckets)").as("qr"))
+    big.join(q, "f")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_features"),
+        sum(col("qt")).as("num"), sum(col("qr")).as("den"))
+  }
+
+  /** The DSIR keep decision for a (num, den) weight row:
+    * keep ⟺ hash32(key) · den < num · 2³² — [[Corpus.weightedSample]]'s
+    * deterministic hash-threshold rule with the RATIONAL weight
+    * num/den (min(1, ·) implicit: num ≥ den keeps always), evaluated
+    * in DECIMAL(18,0)·DECIMAL(18,0) products so no float and no
+    * overflow at any plausible operand size (each side ≤ 10³⁶). */
+  def dsirKeep(key: Column, num: Column, den: Column): Column =
+    TextFunctions.hash32(key.cast("string")).cast("decimal(18,0)") *
+      den.cast("decimal(18,0)") <
+      num.cast("decimal(18,0)") *
+        lit(4294967296L).cast("decimal(18,0)")
+
   /** Per-document score: bigram count and Σq over the doc's sequential
     * bigrams. Every input doc appears (0-bigram docs carry n=0,
     * q_sum=0, mean_p NULL). */

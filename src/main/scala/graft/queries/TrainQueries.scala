@@ -50,6 +50,47 @@ object TrainQueries {
       .select(col("id").as("doc_id"), col("n_bigrams"), col("q_sum"),
         col("mean_p"))
 
+  /** DSIR importance resampling ([[Lm.dsirWeights]] +
+    * [[Lm.dsirKeep]]): domain-matching data selection — the target
+    * domain is the English sub-corpus, features are hashed bigrams
+    * (512 buckets), per-document weight = Σ q_target / Σ q_raw over
+    * quantized bucket probabilities, keep via the deterministic
+    * hash-threshold rule. Per-language readout (docs, kept, the
+    * weight sums, kept share): the target language up-samples toward
+    * keep-all while off-domain languages down-sample in proportion
+    * to feature overlap — the number a curation run reads before
+    * committing a mixture. Feature-less docs (< 2 tokens) are
+    * weight-0 by construction and never keep.
+    *
+    * MEASURED on this fixture: kept shares run 0.95-1.0 across all
+    * languages — an honest near-null, because the synthetic corpus
+    * draws every "language" from ONE shared token distribution (the
+    * lang column is a label, not a vocabulary), so the hashed-bigram
+    * models barely differ. `DsirSpec`'s planted two-domain fixture
+    * shows the real separation (target-like ≥ 0.9 kept vs off-domain
+    * ≤ 0.6, and unflagged target-LIKE docs up-sample — selection is
+    * content-based, which is the point of DSIR). */
+  def dsirImportanceSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val w = Lm.dsirWeights(docs, col("doc_id"), col("text"),
+        col("lang") === "en", numBuckets = 512)
+      .withColumnRenamed("id", "doc_id")
+    docs.select(col("doc_id"), col("lang"))
+      .join(w, Seq("doc_id"), "left_outer")
+      .withColumn("keep",
+        coalesce(Lm.dsirKeep(col("doc_id"), col("num"), col("den")),
+          lit(false)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(coalesce(col("num"), lit(0L))).as("sum_num"),
+        sum(coalesce(col("den"), lit(0L))).as("sum_den"))
+      .select(col("lang"), col("n_docs"), col("n_kept"),
+        col("sum_num"), col("sum_den"),
+        (col("n_kept").cast("double") / col("n_docs").cast("double"))
+          .as("kept_share"))
+  }
+
   /** Held-out LM scoring per language: train the bigram model on even
     * doc_ids, score odd doc_ids (unseen bigrams smooth to
     * (0+1)/(0+V)), aggregate per language — the
@@ -933,6 +974,7 @@ object TrainQueries {
     "bitext_margin_mining" -> bitextMarginMining _,
     "cluster_balanced_sample" -> clusterBalancedSample _,
     "lm_bigram_score" -> lmBigramScore _,
+    "dsir_importance_sample" -> dsirImportanceSample _,
     "lm_holdout_perlang" -> lmHoldoutPerlang _,
     "lm_quality_filter" -> lmQualityFilter _,
     "token_tv_divergence" -> tokenTvDivergence _,
@@ -969,6 +1011,58 @@ object TrainQueries {
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
        |    CAST(SUM(q) AS BIGINT) AS q_sum
        |  FROM lm_q GROUP BY 1)""".stripMargin
+
+  /** [[Lm.dsirWeights]]/[[Lm.dsirKeep]] twin: hashed-bigram bucket
+    * features, add-one quantized target/raw bucket models, per-doc
+    * quantized-sum ratio, and the DECIMAL(18,0)-product keep rule.
+    * `//` wraps in CAST AS BIGINT (BIGINT floor-div returns DOUBLE);
+    * results stay below 2⁵³ so the double floor is exact. */
+  private val dsirSql =
+    s"""WITH ds_t AS (
+       |  SELECT doc_id, lang,
+       |    string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |ds_b AS (
+       |  SELECT doc_id, lang,
+       |    CAST(('0x' || substr(md5(t[i] || '|' || t[i+1]), 1, 8))
+       |      AS BIGINT) % 512 AS f
+       |  FROM ds_t,
+       |    LATERAL (SELECT unnest(range(1, greatest(length(t), 1))) AS i)),
+       |ds_c AS (
+       |  SELECT f, CAST(count(*) AS BIGINT) AS cr,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ct
+       |  FROM ds_b GROUP BY f),
+       |ds_n AS (
+       |  SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+       |    CAST(SUM(ct) AS BIGINT) AS nt
+       |  FROM ds_c),
+       |ds_q AS (
+       |  SELECT f,
+       |    CAST(((ct + 1) * 1048576) // (nt + 512) AS BIGINT) AS qt,
+       |    CAST(((cr + 1) * 1048576) // (nr + 512) AS BIGINT) AS qr
+       |  FROM ds_c, ds_n),
+       |ds_w AS (
+       |  SELECT doc_id, CAST(SUM(qt) AS BIGINT) AS num,
+       |    CAST(SUM(qr) AS BIGINT) AS den
+       |  FROM ds_b JOIN ds_q USING (f) GROUP BY doc_id),
+       |ds_k AS (
+       |  SELECT d.doc_id, d.lang,
+       |    coalesce(w.num, 0) AS num, coalesce(w.den, 0) AS den,
+       |    CASE WHEN w.doc_id IS NULL THEN FALSE
+       |      ELSE CAST(CAST(('0x' ||
+       |          substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |          AS DECIMAL(18,0)) * CAST(w.den AS DECIMAL(18,0))
+       |        < CAST(w.num AS DECIMAL(18,0))
+       |          * CAST(4294967296 AS DECIMAL(18,0)) END AS keep
+       |  FROM documents d LEFT JOIN ds_w w ON w.doc_id = d.doc_id)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(num) AS BIGINT) AS sum_num,
+       |  CAST(SUM(den) AS BIGINT) AS sum_den,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS kept_share
+       |FROM ds_k GROUP BY lang""".stripMargin
 
   // langId's score/argmax algebra rebuilt from the shared expr list so
   // the confusion matrix can never drift from the text_langid gate
@@ -1635,6 +1729,7 @@ object TrainQueries {
          |      ORDER BY md5(CAST(nbr_id AS VARCHAR)) ASC, nbr_id ASC) AS r
          |  FROM cells)
          |SELECT nbr_id, cell_id FROM cbs_r WHERE r <= 24""".stripMargin,
+    "dsir_importance_sample" -> dsirSql,
     "lm_bigram_score" ->
       s"""WITH $lmCtes
          |SELECT d.doc_id,
