@@ -311,12 +311,19 @@ object ExtQueries {
     * brute-force truth grades both variants; the pq_opq − pq_raw gap
     * IS the rotation's value, recorded here whether positive or null
     * — on a near-isotropic corpus (no dominant variance direction to
-    * spread) expect ~zero; on anisotropic real embeddings the
-    * balanced subspace load is where OPQ earns its name. MEASURED on
-    * this fixture: pq_raw 0.68 / pq_opq 0.64 — the honest null (the
-    * corpus is near-uniform on the sphere, so the reflection spreads
-    * noise, not signal); the spec's anisotropic fixture shows the
-    * win case. */
+    * spread) expect ~zero. MEASURED on this fixture: pq_raw 0.68 /
+    * pq_opq 0.64 — the honest null (the corpus is near-uniform on
+    * the sphere, so the reflection spreads noise, not signal). The
+    * spec's anisotropic fixture proves the variance-SPREADING
+    * contract; [[graft.tools.OpqAnisoAb]] then tests whether the
+    * spread converts to an ADC-recall win on gain-scaled corpora and
+    * REFUTES it for this one-reflection form (raw ≥ opq at every
+    * gain: 65/54/47 vs 64/52/40 at g = 4/8/16) — for inner-product
+    * ADC, concentrating a single dominant direction in one codebook
+    * can beat balancing it across all m; full OPQ's recall win needs
+    * the alternating rotation/codebook solve. That is why no
+    * anisotropic recall GATE exists: it would record the same
+    * direction as this null, and the evidence lives in the tool. */
   def annOpqRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
