@@ -214,6 +214,66 @@ object Similarity {
       col("rank"), col("cos").as("cosine"))
   }
 
+  /** Graph-ANN SERVING — greedy BEAM SEARCH over a prebuilt k-NN
+    * graph (the query-time half of the graph-ANN family; NN-Descent
+    * builds the structure, this walks it — the flat single-layer
+    * form of HNSW's layer-0 search): start from a fixed entry set
+    * (the `entries` smallest corpus ids — the IVF seed convention),
+    * then `hops` rounds of expand-frontier-through-graph-edges →
+    * score → keep the per-query (cosine DESC, id ASC) top-`beam`.
+    * Fixed hops and beam make the walk oracle-unrollable and the
+    * output hash-gateable (the nnDescent discipline); per-query work
+    * is ≤ beam·degree + beam scored candidates per hop — INDEPENDENT
+    * of corpus size, which is the whole point of serving from a
+    * graph instead of scanning.
+    *
+    * The candidate set is re-scored per hop (each score is the same
+    * deterministic exact-decimal value, so the merge is stable);
+    * state stays (queries × beam) rows — driver-trivial, but the
+    * joins all run distributed so a 10⁶-query batch serves at the
+    * same plan shape. Returns the final state's (query_id, nbr_id,
+    * rank ≤ k, cosine). */
+  def graphBeamSearch(corpus: DataFrame, id: Column, vec: Column,
+      graph: DataFrame, queries: DataFrame, queryId: Column,
+      queryVec: Column, k: Int = 10, beam: Int = 16, hops: Int = 3,
+      entries: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(beam >= k && hops >= 0 && hops <= 8 && entries >= 1,
+      "beam >= k, hops in [0,8]")
+    val v = graft.Tables.materialize(
+      vectors(corpus, id, vec, "cand", "cv", "sn_c"))
+    val q = graft.Tables.materialize(
+      vectors(queries, queryId, queryVec, "query_id", "qv", "sn_q"))
+    val entry = v.select(col("cand")).orderBy(col("cand")).limit(entries)
+    val edges = graph.select(col("node_id").as("cand"),
+      col("nbr_id").as("next"))
+    def score(cands: DataFrame): DataFrame =
+      cands.distinct()
+        .join(v, "cand")
+        .join(broadcast(q), "query_id")
+        .withColumn("cos",
+          VecKernels.vecDotDec(col("cv"), col("qv")).cast("double") /
+            (col("sn_c") * col("sn_q")))
+        .select(col("query_id"), col("cand"), col("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand").asc)
+    def top(scored: DataFrame, n: Int): DataFrame =
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= n)
+    val init = q.select(col("query_id")).crossJoin(broadcast(entry))
+    var state = top(score(init), beam).localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      val expanded = state.select(col("query_id"), col("cand"))
+        .join(edges, "cand")
+        .select(col("query_id"), col("next").as("cand"))
+        .unionByName(state.select(col("query_id"), col("cand")))
+      state = top(score(expanded), beam).localCheckpoint(true)
+    }
+    state.filter(col("rank") <= k)
+      .select(col("query_id"), col("cand").as("nbr_id"),
+        col("rank"), col("cos").as("cosine"))
+  }
+
   /** Matryoshka truncation eval — recall@k of retrieval under
     * PREFIX-truncated embeddings vs the full-dimension exact top-k:
     * the measurement behind serving MRL-style embeddings at a

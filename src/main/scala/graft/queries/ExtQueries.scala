@@ -257,6 +257,51 @@ object ExtQueries {
       Seq("knn" -> at(3), "knn_r1" -> at(1), "knn_init" -> at(0))
     }
 
+  /** Graph-ANN SERVING gate ([[Similarity.graphBeamSearch]]): greedy
+    * beam search over the shared NN-Descent graph — entry set = the 8
+    * smallest corpus ids, beam 16, 3 hops, top-10 out — for the
+    * off-seed query band [100, 110) (disjoint from the entry set, so
+    * every hit is a genuine graph walk). Per-query serving cost is
+    * beam·degree per hop, independent of corpus size — the reason a
+    * deployment builds the graph at all; the recall audit
+    * (`ann_graph_search_recall`) records what that budget buys per
+    * hop on THIS corpus. */
+  def annGraphSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.graphBeamSearch(emb, col("vec_id"), col("embedding"),
+      nnDescentFrames(spark, dir)("knn"),
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 110),
+      col("vec_id"), col("embedding"),
+      k = 10, beam = 16, hops = 3, entries = 8)
+  }
+
+  /** Beam-search recall-by-hop audit: recall@10 of the 1/2/3-hop
+    * walks against the exact brute-force top-10 over the same
+    * off-seed query band — the latency/recall frontier of graph
+    * serving (each hop is one more batched round trip). The graph is
+    * the shared NN-Descent frame; on this weak-structure corpus the
+    * walk's ceiling is the graph's own quality
+    * (`ann_nndescent_recall_audit`), and the hop curve shows how fast
+    * the beam exhausts it. */
+  def annGraphSearchRecall(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+    val truth = Tables.materialize(
+      Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+          queries, col("vec_id"), col("embedding"), 10)
+        .select(col("query_id"), col("nbr_id")))
+    val nq = truth.select(col("query_id")).distinct()
+      .agg(count(lit(1)).as("nq"))
+    val graph = nnDescentFrames(spark, dir)("knn")
+    def walk(h: Int): DataFrame =
+      Similarity.graphBeamSearch(emb, col("vec_id"), col("embedding"),
+        graph, queries, col("vec_id"), col("embedding"),
+        k = 10, beam = 16, hops = h, entries = 8)
+    recallRows(truth, nq, Seq(
+      "hop1" -> walk(1), "hop2" -> walk(2), "hop3" -> walk(3)))
+  }
+
   /** k-NN-GRAPH construction gate ([[Similarity.nnDescent]]) — the
     * graph-family ANN backbone (what HNSW/NSG build on), absent from
     * the IVF/PQ quantization family: every node's directed top-8
@@ -2150,6 +2195,8 @@ object ExtQueries {
     "ann_residual_offseed_audit" -> annResidualOffseedAudit _,
     "ann_nndescent_topk" -> annNndescentTopk _,
     "ann_nndescent_recall_audit" -> annNndescentRecallAudit _,
+    "ann_graph_search" -> annGraphSearch _,
+    "ann_graph_search_recall" -> annGraphSearchRecall _,
     "ann_opq_recall" -> annOpqRecall _,
     "ann_opq_ivf_pq" -> annOpqIvfPq _,
     "pq_encode_append" -> pqEncodeAppend _,
@@ -4674,6 +4721,94 @@ object ExtQueries {
     (init +: roundCtes).mkString(",\n")
   }
 
+  /** [[graft.ext.Similarity.graphBeamSearch]] twin, unrolled over the
+    * nn_l3 edge relation: fixed entry set (8 smallest ids), then per
+    * hop the frontier-through-edges expansion ∪ carry-over, the
+    * exact-decimal scoring chain, and the (cos DESC, id ASC)
+    * top-beam merge. Ends at `gs_b$hops` (query_id, cand, cos, rk ≤
+    * beam). */
+  private def beamCtes(hops: Int, beam: Int = 16,
+      entries: Int = 8): String = {
+    def scoreAndBeam(r: Int): String =
+      s"""gs_d$r AS (
+         |  SELECT p.query_id, p.cand,
+         |    CAST(sum(CAST(cc.x * qc.x AS DECIMAL(28,12))) AS DOUBLE)
+         |      AS dot
+         |  FROM (SELECT DISTINCT query_id, cand FROM gs_c$r) p
+         |  JOIN comp cc ON cc.vec_id = p.cand
+         |  JOIN comp qc ON qc.vec_id = p.query_id AND qc.i = cc.i
+         |  GROUP BY p.query_id, p.cand),
+         |gs_s$r AS (
+         |  SELECT d.query_id, d.cand, d.dot / (nc.sn * nq.sn) AS cos
+         |  FROM gs_d$r d
+         |  JOIN norms nc ON nc.vec_id = d.cand
+         |  JOIN norms nq ON nq.vec_id = d.query_id),
+         |gs_b$r AS MATERIALIZED (
+         |  SELECT query_id, cand, cos, rk FROM (
+         |    SELECT query_id, cand, cos,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY cos DESC, cand ASC) AS rk
+         |    FROM gs_s$r) WHERE rk <= $beam)""".stripMargin
+    val init =
+      s"""gs_e AS (
+         |  SELECT vec_id AS cand FROM embeddings
+         |  ORDER BY vec_id LIMIT $entries),
+         |gs_c0 AS (
+         |  SELECT q.vec_id AS query_id, e.cand
+         |  FROM embeddings q CROSS JOIN gs_e e
+         |  WHERE ${offseedBand("q.vec_id")}),
+         |${scoreAndBeam(0)}""".stripMargin
+    val hopCtes = (1 to hops).map { r =>
+      s"""gs_c$r AS (
+         |  SELECT b.query_id, g.b AS cand
+         |  FROM gs_b${r - 1} b JOIN nn_l3 g ON g.a = b.cand
+         |  UNION
+         |  SELECT query_id, cand FROM gs_b${r - 1}),
+         |${scoreAndBeam(r)}""".stripMargin
+    }
+    (init +: hopCtes).mkString(",\n")
+  }
+
+  private lazy val annGraphSearchSql =
+    s"""WITH $vecCtes,
+       |${nnDescentCtes(3)},
+       |${beamCtes(3)}
+       |SELECT query_id, cand AS nbr_id, rk AS rank, cos AS cosine
+       |FROM gs_b3 WHERE rk <= 10""".stripMargin
+
+  /** Beam-search recall-by-hop twin: the per-hop beam states' top-10
+    * counted against the off-seed brute-force truth. */
+  private lazy val annGraphSearchRecallSql = {
+    def row(name: String, h: Int): String =
+      s"""SELECT '$name' AS variant,
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM (SELECT query_id, cand FROM gs_b$h WHERE rk <= 10) v
+         |   JOIN gsr_t t ON t.query_id = v.query_id
+         |     AND t.nbr_id = v.cand) AS n_hits,
+         |  CAST(nq * 10 AS BIGINT) AS n_possible,
+         |  CAST((SELECT count(*)
+         |        FROM (SELECT query_id, cand FROM gs_b$h
+         |              WHERE rk <= 10) v
+         |        JOIN gsr_t t ON t.query_id = v.query_id
+         |          AND t.nbr_id = v.cand)
+         |    AS DOUBLE) / CAST(nq * 10 AS DOUBLE) AS recall
+         |FROM gsr_nq""".stripMargin
+    s"""WITH $vecCtes,
+       |${nnDescentCtes(3)},
+       |${beamCtes(3)},
+       |gsr_t AS MATERIALIZED (
+       |  SELECT query_id, nbr_id
+       |  FROM (${bruteForceTopSql(offseedBand)})),
+       |gsr_nq AS (
+       |  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq
+       |  FROM gsr_t)
+       |${row("hop1", 1)}
+       |UNION ALL
+       |${row("hop2", 2)}
+       |UNION ALL
+       |${row("hop3", 3)}""".stripMargin
+  }
+
   private lazy val annNndescentTopkSql =
     s"""WITH $vecCtes,
        |${nnDescentCtes(3)}
@@ -5821,6 +5956,8 @@ object ExtQueries {
     "ann_residual_offseed_audit" -> annResidualOffseedAuditSql,
     "ann_nndescent_topk" -> annNndescentTopkSql,
     "ann_nndescent_recall_audit" -> annNndescentRecallAuditSql,
+    "ann_graph_search" -> annGraphSearchSql,
+    "ann_graph_search_recall" -> annGraphSearchRecallSql,
     "ann_opq_recall" -> annOpqRecallSql,
     "ann_opq_ivf_pq" -> annOpqIvfPqSql,
     "pq_encode_append" -> pqEncodeAppendSql,
