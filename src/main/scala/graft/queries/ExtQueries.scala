@@ -302,6 +302,52 @@ object ExtQueries {
       "hop1" -> walk(1), "hop2" -> walk(2), "hop3" -> walk(3)))
   }
 
+  /** Hubness audit of the NN-Descent graph: the in-degree
+    * distribution (including 0 — vectors no list points at). Skewed
+    * in-degree is THE known pathology of k-NN graphs over
+    * high-dimensional embeddings (Radovanović et al., JMLR'10): hub
+    * nodes absorb list slots and orphans become unreachable for
+    * graph serving ([[annGraphSearch]] can never return a node with
+    * in-degree 0 unless it's an entry). One aggregate over the
+    * shared graph frame plus a left join against the vector set. */
+  def annGraphHubness(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val counts = nnDescentFrames(spark, dir)("knn")
+      .groupBy(col("nbr_id")).agg(count(lit(1)).as("in_deg"))
+    emb.select(col("vec_id").as("nbr_id"))
+      .join(counts, Seq("nbr_id"), "left_outer")
+      .select(coalesce(col("in_deg"), lit(0L)).as("in_degree"))
+      .groupBy(col("in_degree")).agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** SemDeDup over the NN-Descent graph: MUTUAL-kNN edges (both
+    * directions present, cosine ≥ 0.3) are the ε-pair substrate,
+    * min-label connected components pick per-cluster keepers —
+    * [[embedDedupCc]]'s exact shape with the graph in place of the
+    * LSH candidate pass. Mutuality is the classic precision filter
+    * for kNN-graph clustering: an asymmetric edge (a ranks b, b
+    * doesn't rank a) is usually a hub artifact, and requiring both
+    * directions plus the floor keeps only genuinely close pairs
+    * (96 mutual pairs of 4000 directed edges on this corpus). At
+    * 100 TB the graph is the persisted build artifact and this gate
+    * is one self-join + the CC fixpoint on its survivors. */
+  def embedKnnCc(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val strong = nnDescentFrames(spark, dir)("knn")
+      .filter(col("cosine") >= 0.3)
+      .select(col("node_id").as("a"), col("nbr_id").as("b"))
+    val mutual = strong
+      .join(strong.select(col("b").as("a"), col("a").as("b")),
+        Seq("a", "b"), "left_semi")
+      .filter(col("a") < col("b"))
+      .select(col("a").as("id1"), col("b").as("id2"))
+    val cc = Dedup.connectedComponents(mutual)
+    val dropped = cc.filter(col("id") =!= col("component"))
+      .select(col("id"))
+    emb.select(col("vec_id").as("id"))
+      .join(dropped, Seq("id"), "left_anti").select(col("id"))
+  }
+
   /** k-NN-GRAPH construction gate ([[Similarity.nnDescent]]) — the
     * graph-family ANN backbone (what HNSW/NSG build on), absent from
     * the IVF/PQ quantization family: every node's directed top-8
@@ -2197,6 +2243,8 @@ object ExtQueries {
     "ann_nndescent_recall_audit" -> annNndescentRecallAudit _,
     "ann_graph_search" -> annGraphSearch _,
     "ann_graph_search_recall" -> annGraphSearchRecall _,
+    "ann_graph_hubness" -> annGraphHubness _,
+    "embed_knn_cc" -> embedKnnCc _,
     "ann_opq_recall" -> annOpqRecall _,
     "ann_opq_ivf_pq" -> annOpqIvfPq _,
     "pq_encode_append" -> pqEncodeAppend _,
@@ -4809,6 +4857,47 @@ object ExtQueries {
        |${row("hop3", 3)}""".stripMargin
   }
 
+  /** Hubness twin: in-degree histogram over nn_l3 with a left join
+    * so 0-in-degree nodes appear. */
+  private lazy val annGraphHubnessSql =
+    s"""WITH $vecCtes,
+       |${nnDescentCtes(3)},
+       |hb_d AS (
+       |  SELECT b AS nbr_id, CAST(count(*) AS BIGINT) AS in_deg
+       |  FROM nn_l3 GROUP BY b),
+       |hb_a AS (
+       |  SELECT e.vec_id, coalesce(d.in_deg, 0) AS in_degree
+       |  FROM embeddings e LEFT JOIN hb_d d ON d.nbr_id = e.vec_id)
+       |SELECT in_degree, CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM hb_a GROUP BY 1""".stripMargin
+
+  /** Mutual-kNN SemDeDup twin: cosine-floored mutual edges from
+    * nn_l3, recursive min-label reach, survivors by left-anti — the
+    * winnowDedupCc shape over the graph substrate. */
+  private lazy val embedKnnCcSql =
+    s"""WITH RECURSIVE $vecCtes,
+       |${nnDescentCtes(3)},
+       |kc_s AS (
+       |  SELECT a, b FROM nn_l3 WHERE cos >= CAST(0.3 AS DOUBLE)),
+       |kc_m AS (
+       |  SELECT x.a AS id1, x.b AS id2
+       |  FROM kc_s x JOIN kc_s y ON y.a = x.b AND y.b = x.a
+       |  WHERE x.a < x.b),
+       |kc_edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM kc_m
+       |  UNION
+       |  SELECT id2 AS src, id1 AS dst FROM kc_m),
+       |kc_reach(id, label) AS (
+       |  SELECT src, src FROM kc_edges
+       |  UNION
+       |  SELECT e.src, r.label
+       |  FROM kc_edges e JOIN kc_reach r ON r.id = e.dst),
+       |kc_compo AS (
+       |  SELECT id, min(label) AS component FROM kc_reach GROUP BY id)
+       |SELECT vec_id AS id FROM embeddings
+       |WHERE vec_id NOT IN
+       |  (SELECT id FROM kc_compo WHERE id <> component)""".stripMargin
+
   private lazy val annNndescentTopkSql =
     s"""WITH $vecCtes,
        |${nnDescentCtes(3)}
@@ -5958,6 +6047,8 @@ object ExtQueries {
     "ann_nndescent_recall_audit" -> annNndescentRecallAuditSql,
     "ann_graph_search" -> annGraphSearchSql,
     "ann_graph_search_recall" -> annGraphSearchRecallSql,
+    "ann_graph_hubness" -> annGraphHubnessSql,
+    "embed_knn_cc" -> embedKnnCcSql,
     "ann_opq_recall" -> annOpqRecallSql,
     "ann_opq_ivf_pq" -> annOpqIvfPqSql,
     "pq_encode_append" -> pqEncodeAppendSql,
