@@ -1476,4 +1476,184 @@ object Corpus {
           col("miny") >= col("y"))
       .select(col("key"), col("x"), col("y"))
   }
+
+  // ---------------------------------------------------- eval overlap
+
+  /** Clipped n-gram overlap counts (the ROUGE-n / BLEU-precision
+    * primitive) over a (cand_id, ref_id) pair frame: per pair, the
+    * clipped match Σ_g min(cnt_cand(g), cnt_ref(g)) plus both total
+    * gram counts — the three integers every overlap metric derives
+    * from (P = m/tc, R = m/tr, and F1 collapses exactly to
+    * 2m/(tc+tr), so one division each and no intermediate float
+    * feeds another). Counts are MULTISET counts, not the dedup
+    * family's distinct-gram sets — clipping is what makes repeated
+    * grams score correctly (BLEU's fix for "the the the").
+    *
+    * Scale shape: gram counting is one explode + hash aggregate per
+    * side reusing the corpus pass; the pair join touches only grams
+    * of paired docs (equi-join on (pair, gram)); zero-overlap pairs
+    * survive via the left join. Pairs are the caller's frame — an
+    * eval harness joins (candidate, reference) ids, a dedup audit
+    * joins its verified pairs. */
+  def ngramOverlapCounts(docs: DataFrame, id: Column, text: Column,
+      pairs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1 && n <= 8, "n in [1,8]")
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val toked = docs
+      .select(id.as("id"), graft.functions.TextFunctions.tokens(text)
+        .as("toks"))
+      .repartition(p)
+    val grams = when(size(col("toks")) >= n,
+      transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+        i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
+      .otherwise(array())
+    val g = toked.select(col("id"), explode(grams).as("gram"))
+      .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("cnt"))
+    val tot = g.groupBy(col("id")).agg(sum(col("cnt")).as("tot"))
+    val m = pairs
+      .join(g.select(col("id").as("cand_id"), col("gram"),
+        col("cnt").as("cc")), Seq("cand_id"))
+      .join(g.select(col("id").as("ref_id"), col("gram"),
+        col("cnt").as("rc")), Seq("ref_id", "gram"))
+      .groupBy(col("cand_id"), col("ref_id"))
+      .agg(sum(least(col("cc"), col("rc"))).as("n_match"))
+    pairs
+      .join(m, Seq("cand_id", "ref_id"), "left_outer")
+      .join(tot.select(col("id").as("cand_id"), col("tot").as("tot_c")),
+        Seq("cand_id"), "left_outer")
+      .join(tot.select(col("id").as("ref_id"), col("tot").as("tot_r")),
+        Seq("ref_id"), "left_outer")
+      .select(col("cand_id"), col("ref_id"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        coalesce(col("tot_c"), lit(0L)).as("tot_c"),
+        coalesce(col("tot_r"), lit(0L)).as("tot_r"))
+  }
+
+  /** ROUGE-style P/R/F1 readout over [[ngramOverlapCounts]]' integer
+    * triple: each value is ONE IEEE division of exact longs (F1 =
+    * 2m/(tc+tr) — algebraically equal to 2PR/(P+R) with no float
+    * composition); degenerate sides (no grams at this n) score 0. */
+  def overlapScores(counts: DataFrame, prefix: String): DataFrame = {
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double"))
+        .otherwise(lit(0.0))
+    counts.select(col("cand_id"), col("ref_id"),
+      col("n_match").as(s"${prefix}_match"),
+      col("tot_c").as(s"${prefix}_tot_c"),
+      col("tot_r").as(s"${prefix}_tot_r"),
+      ratio(col("n_match"), col("tot_c")).as(s"${prefix}_p"),
+      ratio(col("n_match"), col("tot_r")).as(s"${prefix}_r"),
+      ratio(lit(2L) * col("n_match"), col("tot_c") + col("tot_r"))
+        .as(s"${prefix}_f1"))
+  }
+
+  // ------------------------------------------------------- wordpiece
+
+  /** WordPiece vocabulary induction (the BERT tokenizer family —
+    * completes the trio next to BPE and unigram-LM): every
+    * occurrence-form piece of every distinct corpus word — substrings
+    * of char length 1..`maxPieceLen`, word-initial pieces bare and
+    * mid-word pieces `##`-prefixed — weighted by corpus word
+    * frequency. The vocabulary keeps ALL single-char pieces (the
+    * greedy encoder's fallback, so corpus-trained encode never UNKs a
+    * length-bounded word) plus the `topMulti` most frequent
+    * multi-char pieces under the (n DESC, piece ASC) total order.
+    *
+    * Scale shape: the corpus is touched once (the word-frequency
+    * aggregate); piece enumeration runs over DISTINCT words only
+    * (millions of rows at 100 TB, not trillions of tokens) and
+    * map-side-combines into a piece-keyed aggregate; the multi-char
+    * cut is a distributed TakeOrdered (per-partition heads, merged) —
+    * never a global rank-then-filter window. Returns (piece, n). */
+  def wordpieceVocab(docs: DataFrame, text: Column,
+      maxPieceLen: Int = 6, topMulti: Int = 150): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 16, "maxPieceLen in [1,16]")
+    require(topMulti >= 0 && topMulti <= 65536, "topMulti in [0,65536]")
+    val words = tokens(docs, text)
+      .groupBy(col("token")).agg(count(lit(1)).as("wf"))
+      .select(col("token").as("word"), col("wf"))
+    val occ = words.select(col("wf"),
+      explode(flatten(transform(
+        sequence(lit(0), length(col("word")) - 1),
+        s => transform(
+          sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - s)),
+          l => when(s === 0, col("word").substr(lit(1), l))
+            .otherwise(concat(lit("##"),
+              col("word").substr(s + 1, l))))))).as("piece"))
+    val counts = occ.groupBy(col("piece")).agg(sum(col("wf")).as("n"))
+      .withColumn("clen", when(col("piece").startsWith("##"),
+        length(col("piece")) - 2).otherwise(length(col("piece"))))
+    counts.filter(col("clen") === 1).select(col("piece"), col("n"))
+      .unionByName(counts.filter(col("clen") >= 2)
+        .orderBy(col("n").desc, col("piece").asc).limit(topMulti)
+        .select(col("piece"), col("n")))
+  }
+
+  /** Greedy longest-match-first WordPiece ENCODE over a distinct-word
+    * frame (word, wf) against a (piece, …) vocabulary — BERT's
+    * tokenization rule: per word, repeatedly take the LONGEST
+    * vocabulary piece matching at the cursor (`##`-prefixed once the
+    * cursor has moved); a position with no matching piece, or a word
+    * longer than `maxChars`, collapses the whole word to `[UNK]`.
+    *
+    * The loop is `maxChars` FIXED rounds (each round consumes ≥ 1
+    * char of every still-active word, so the bound is exact and the
+    * DuckDB oracle unrolls the rounds as CTEs — the pageRank/BPE
+    * discipline; finished words pass through untouched). Per round:
+    * one bounded explode (≤ `maxPieceLen` candidates per active
+    * word), one broadcast join against the vocabulary, one per-word
+    * argmax, one rewrite — all over the DISTINCT-word frame, never
+    * the corpus. Returns (word, wf, pieces, n_pieces) with `pieces`
+    * space-joined. */
+  def wordpieceEncodeWords(words: DataFrame, vocab: DataFrame,
+      maxChars: Int = 12, maxPieceLen: Int = 6): DataFrame = {
+    require(maxChars >= 1 && maxChars <= 32, "maxChars in [1,32]")
+    val vp = vocab.select(col("piece"))
+    // localCheckpoint, NOT cache: each round references the previous
+    // state TWICE (candidate explode + rewrite join), so a cache-only
+    // loop doubles the logical plan per round — 2^maxChars by the end
+    // — and the driver drowns in analysis (the kCore house rule:
+    // iterative loops must truncate lineage).
+    var st = words
+      .select(col("word"), col("wf"))
+      .withColumn("pos", lit(0))
+      .withColumn("toks", lit(""))
+      .withColumn("unk", length(col("word")) > maxChars)
+      .localCheckpoint(true)
+    for (_ <- 1 to maxChars) {
+      val cand = st
+        .filter(!col("unk") && col("pos") < length(col("word")))
+        .select(col("word"), col("pos"),
+          explode(sequence(lit(1),
+            least(lit(maxPieceLen), length(col("word")) - col("pos"))))
+            .as("l"))
+        .withColumn("piece",
+          when(col("pos") === 0, col("word").substr(lit(1), col("l")))
+            .otherwise(concat(lit("##"),
+              col("word").substr(col("pos") + 1, col("l")))))
+      val best = cand.join(broadcast(vp), Seq("piece"))
+        .groupBy(col("word")).agg(max(col("l")).as("bl"))
+      val active = !col("unk") && col("pos") < length(col("word"))
+      val matched = active && col("bl").isNotNull
+      val pieceExpr =
+        when(col("pos") === 0, col("word").substr(lit(1), col("bl")))
+          .otherwise(concat(lit("##"),
+            col("word").substr(col("pos") + 1, col("bl"))))
+      st = st
+        .join(best, Seq("word"), "left_outer")
+        .select(col("word"), col("wf"),
+          when(matched, col("pos") + col("bl")).otherwise(col("pos"))
+            .as("pos"),
+          when(matched, when(col("toks") === "", pieceExpr)
+              .otherwise(concat(col("toks"), lit(" "), pieceExpr)))
+            .otherwise(col("toks")).as("toks"),
+          (col("unk") || (active && col("bl").isNull)).as("unk"))
+        .localCheckpoint(true)
+    }
+    st.select(col("word"), col("wf"),
+      when(col("unk"), lit("[UNK]")).otherwise(col("toks")).as("pieces"),
+      when(col("unk"), lit(1L))
+        .otherwise(size(split(col("toks"), " ")).cast("long"))
+        .as("n_pieces"))
+  }
 }

@@ -236,7 +236,8 @@ object Similarity {
   def graphBeamSearch(corpus: DataFrame, id: Column, vec: Column,
       graph: DataFrame, queries: DataFrame, queryId: Column,
       queryVec: Column, k: Int = 10, beam: Int = 16, hops: Int = 3,
-      entries: Int = 8): DataFrame = {
+      entries: Int = 8, entriesDf: Option[DataFrame] = None)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(beam >= k && hops >= 0 && hops <= 8 && entries >= 1,
       "beam >= k, hops in [0,8]")
@@ -244,7 +245,13 @@ object Similarity {
       vectors(corpus, id, vec, "cand", "cv", "sn_c"))
     val q = graft.Tables.materialize(
       vectors(queries, queryId, queryVec, "query_id", "qv", "sn_q"))
-    val entry = v.select(col("cand")).orderBy(col("cand")).limit(entries)
+    // default entry convention: the `entries` smallest corpus ids
+    // (the IVF seed convention). Callers whose graph may be
+    // DISCONNECTED (e.g. insertion over a clustered corpus) pass an
+    // explicit (cand) entry frame instead — see [[graphAppend]]'s
+    // stratified stride.
+    val entry = entriesDf.map(_.select(col("cand"))).getOrElse(
+      v.select(col("cand")).orderBy(col("cand")).limit(entries))
     val edges = graph.select(col("node_id").as("cand"),
       col("nbr_id").as("next"))
     def score(cands: DataFrame): DataFrame =
@@ -1603,4 +1610,131 @@ object Similarity {
         col("x_min"), col("x_max"))
       .withColumn("is_dead", col("variance") < lit(1e-6))
   }
+
+  /** Incremental k-NN-graph APPEND — the HNSW insertion primitive
+    * (Malkov & Yashunin: insert = search-then-connect, here on the
+    * flat layer) as a batch operator over a persisted graph: each
+    * appended vector is PLACED by [[graphBeamSearch]] over the
+    * existing graph (serving-as-insertion — the same walk a query
+    * takes, so placement costs beam·degree per hop, independent of
+    * base size); its top-k walk results become its neighbor list,
+    * and every placement edge (q→b) proposes q as a REVERSE neighbor
+    * of b — touched base lists re-rank (existing ∪ proposals) under
+    * the same (cosine DESC, id ASC) top-k total order. Cosine is
+    * symmetric, so the reverse edge reuses the walk's exact score —
+    * no second kernel pass.
+    *
+    * Returns (node_id, nbr_id, rank, cosine, src): `src='appended'`
+    * rows are the new nodes' lists, `src='updated'` the re-ranked
+    * lists of the base nodes the append touched — exactly the delta
+    * a persisted graph store writes back; untouched lists never
+    * move. This is what makes a graph index viable at 100 TB:
+    * ingest cost scales with the BATCH (walks + a touched-list
+    * re-rank), never with the corpus — the graph twin of the
+    * incremental IVF/PQ/LSH append gates. */
+  def graphAppend(base: DataFrame, id: Column, vec: Column,
+      graph: DataFrame, appended: DataFrame, appendedId: Column,
+      appendedVec: Column, k: Int = 8, beam: Int = 16, hops: Int = 3,
+      entries: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // STRATIFIED entry set — one entry per ⌈n/entries⌉ block of the
+    // id order (range-partition rank, no global sort) instead of the
+    // smallest-ids serving convention: a k-NN graph over a clustered
+    // corpus is DISCONNECTED (no cross-cluster edges), so insertion
+    // entries must be spread across the graph or whole components
+    // are unreachable from the walk (the role HNSW's upper layers
+    // play). floor() on both engines; stride ≥ 1 always.
+    val p = base.sparkSession.sparkContext.defaultParallelism
+    val ranked = Corpus.globalOrderRank(
+      base.select(id.as("cand")), p, col("cand"))
+    val nAgg = ranked.agg(count(lit(1)).as("n"))
+    val entryDf = ranked.crossJoin(broadcast(nAgg))
+      .filter(pmod(col("_rank"),
+        floor((col("n") + lit(entries - 1)) / lit(entries))
+          .cast("long")) === 0)
+      .select(col("cand"))
+    val placed = graft.Tables.materialize(
+      graphBeamSearch(base, id, vec, graph, appended, appendedId,
+        appendedVec, k = k, beam = beam, hops = hops,
+        entries = entries, entriesDf = Some(entryDf)))
+    val rev = placed.select(col("nbr_id").as("node_id"),
+      col("query_id").as("nbr_id"), col("cosine"))
+    val existing = graph
+      .join(rev.select(col("node_id")).distinct(),
+        Seq("node_id"), "left_semi")
+      .select(col("node_id"), col("nbr_id"), col("cosine"))
+    val w = Window.partitionBy(col("node_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    val updated = existing.unionByName(rev)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    placed
+      .select(col("query_id").as("node_id"), col("nbr_id"),
+        col("rank"), col("cosine"))
+      .withColumn("src", lit("appended"))
+      .unionByName(updated
+        .select(col("node_id"), col("nbr_id"), col("rank"),
+          col("cosine"))
+        .withColumn("src", lit("updated")))
+  }
+
+  // ----------------------------------------------------- binary (1-bit)
+
+  /** Per-dimension centering thresholds for 1-bit sign quantization:
+    * for each dimension i, (Σ x_i as DOUBLE from an exact DECIMAL
+    * fold, row count n). One corpus pass — a 64-key hash aggregate
+    * with map-side partial combine — and a 64-row driver collect
+    * (bounded; the k-means-sample license) so the encoder below can
+    * be a zero-shuffle literal expression chain. The bit rule
+    * downstream is `x·n > Σ` rather than `x > Σ/n`: the compare is an
+    * IEEE multiply against an exactly-summed threshold, so no
+    * engine's mean-division rounding can flip a bit at the boundary
+    * (the DuckDB twin replays the identical algebra). */
+  def binaryDimThresholds(df: DataFrame, vec: Column, dim: Int)
+      : Array[(Double, Long)] = {
+    val rows = df.select(posexplode(vec))
+      .select(col("pos").as("i"), col("col").cast("double").as("x"))
+      .groupBy(col("i"))
+      .agg(sum(col("x").cast(Dec)).cast("double").as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    val out = Array.fill(dim)((0.0, 0L))
+    rows.foreach { r => out(r.getInt(0)) = (r.getDouble(1), r.getLong(2)) }
+    out
+  }
+
+  /** 1-bit sign quantization: bit i = (x_i · n > Σ_i), packed into two
+    * 32-bit half-words stored as BIGINTs (`w0` = dims [0,32), `w1` =
+    * [32,64)) — 64 floats collapse to 8 bytes, the coarsest rung of
+    * the quantization ladder (float → int8 → PQ → 1-bit) and the form
+    * a 100 TB corpus keeps RESIDENT for first-stage filtering. The
+    * encode is a static 64-term when-chain over the driver-collected
+    * thresholds: map-side, zero shuffle, whole-stage-codegen'd — the
+    * corpus never row-expands. Two half-words keep every packed value
+    * < 2³², so neither engine's signed-BIGINT shift edge cases (bit
+    * 63) are ever in play. */
+  def binarySignWords(df: DataFrame, id: Column, vec: Column,
+      thresholds: Array[(Double, Long)]): DataFrame = {
+    require(thresholds.length == 64,
+      s"binarySignWords expects dim 64, got ${thresholds.length}")
+    def word(lo: Int): Column =
+      (lo until lo + 32).map { i =>
+        val (s, n) = thresholds(i)
+        when(element_at(col("bv"), i + 1).cast("double") *
+            lit(n.toDouble) > lit(s), lit(1L << (i - lo)))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    df.select(id.as("bid"), vec.as("bv"))
+      .filter(size(col("bv")) === 64)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("bid"), word(0).as("w0"), word(32).as("w1"))
+  }
+
+  /** Hamming distance between two packed (w0, w1) pairs: two XORs +
+    * two popcounts, integer-exact (ties in the ranking break on id as
+    * everywhere else). */
+  def hammingWords(aw0: Column, aw1: Column,
+      bw0: Column, bw1: Column): Column =
+    (call_function("bit_count", aw0.bitwiseXOR(bw0)) +
+      call_function("bit_count", aw1.bitwiseXOR(bw1))).cast("long")
 }

@@ -903,7 +903,71 @@ object CorpusQueries {
         (lit(2) * (col("n_blocks") - col("n_kept")) <= col("n_blocks"))
           .as("keep"))
 
+  /** WordPiece vocabulary over the documents corpus
+    * ([[Corpus.wordpieceVocab]]): all single-char occurrence pieces
+    * plus the 150 most frequent multi-char pieces under the
+    * (n DESC, piece ASC) total order — the BERT-family tokenizer
+    * completing the trio next to BPE and unigram-LM. */
+  def wordpieceVocabQ(spark: SparkSession, dir: String): DataFrame =
+    Corpus.wordpieceVocab(Tables(spark, dir, "documents"), col("text"))
+
+  /** Greedy longest-match-first WordPiece encode
+    * ([[Corpus.wordpieceEncodeWords]]) of every DISTINCT corpus word
+    * against the corpus-trained vocabulary — the per-word dictionary
+    * a 100 TB encode joins its token stream against (the expensive
+    * greedy loop runs |vocab| times, never |corpus tokens| times). */
+  def wordpieceEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val words = Corpus.tokens(docs, col("text"))
+      .groupBy(col("token")).agg(count(lit(1)).as("wf"))
+      .select(col("token").as("word"), col("wf"))
+    Corpus.wordpieceEncodeWords(words,
+      Corpus.wordpieceVocab(docs, col("text")))
+  }
+
+  /** Per-document WordPiece fertility: whitespace-word count vs
+    * WordPiece symbol count under the corpus-trained vocabulary —
+    * the doc-level cost readout a packer/budgeter consumes (the
+    * wordpiece twin of the BPE/unigram fertility gates). One join of
+    * the token stream against the distinct-word encode dictionary. */
+  def wordpieceDocStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val enc = wordpieceEncode(spark, dir)
+      .select(col("word"), col("n_pieces"))
+    Corpus.tokens(docs, col("text"))
+      .select(col("doc_id"), col("token").as("word"))
+      .join(broadcast(enc), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ws"), sum(col("n_pieces")).as("n_wp"))
+  }
+
+  /** ROUGE-1/ROUGE-2 clipped-overlap scoring
+    * ([[Corpus.ngramOverlapCounts]] / [[Corpus.overlapScores]]) over
+    * a deterministic (cand, ref) pairing — every even doc scored
+    * against its successor, the eval-harness shape (generated output
+    * vs reference) run as a relational operator: multiset n-gram
+    * counts, BLEU-style clipping (min of the two counts per gram),
+    * P/R/F1 from three exact integers per n. Zero-overlap and
+    * too-short-for-bigrams pairs stay visible with 0 scores. */
+  def evalNgramOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val pairs = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("cand_id"),
+        (col("doc_id") + 1).as("ref_id"))
+      .join(docs.select(col("doc_id").as("ref_id")),
+        Seq("ref_id"), "left_semi")
+    val r1 = Corpus.overlapScores(Corpus.ngramOverlapCounts(
+      docs, col("doc_id"), col("text"), pairs, 1), "r1")
+    val r2 = Corpus.overlapScores(Corpus.ngramOverlapCounts(
+      docs, col("doc_id"), col("text"), pairs, 2), "r2")
+    r1.join(r2, Seq("cand_id", "ref_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_ngram_overlap" -> evalNgramOverlap _,
+    "wordpiece_vocab" -> wordpieceVocabQ _,
+    "wordpiece_encode" -> wordpieceEncode _,
+    "wordpiece_doc_stats" -> wordpieceDocStats _,
     "paragraph_dedup_filter" -> paragraphDedupFilter _,
     "paragraph_dedup" -> paragraphDedup _,
     "skyline_pareto" -> skylinePareto _,
@@ -1766,7 +1830,172 @@ object CorpusQueries {
       |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS moved_frac
       |FROM cr_a GROUP BY shard""".stripMargin
 
+  /** Shared WordPiece CTE chain: word frequencies, occurrence-piece
+    * vocabulary (all single-char + top-150 multi-char), then the
+    * greedy longest-match encode unrolled as 12 fixed round CTEs —
+    * [[Corpus.wordpieceVocab]] / [[Corpus.wordpieceEncodeWords]]
+    * verbatim (each round: bounded candidate lengths via correlated
+    * LATERAL range, vocab join, per-word max-length argmax, rewrite;
+    * finished words pass through; no-match or length > 12 → [UNK]).
+    * Round states are MATERIALIZED: each wp_s_k is referenced twice
+    * (candidates + rewrite), so inlining would double the plan per
+    * round — 2¹² without it. */
+  private lazy val wordpieceCtes: String = {
+    val rounds = (1 to 12).map { k =>
+      s"""wp_c$k AS (
+         |  SELECT s.word, s.pos, l.l,
+         |    CASE WHEN s.pos = 0 THEN substr(s.word, 1, l.l)
+         |         ELSE '##' || substr(s.word, s.pos + 1, l.l) END AS piece
+         |  FROM wp_s${k - 1} s,
+         |  LATERAL (SELECT unnest(range(1,
+         |    least(6, length(s.word) - s.pos) + 1)) AS l) l
+         |  WHERE NOT s.unk AND s.pos < length(s.word)),
+         |wp_b$k AS (
+         |  SELECT c.word, max(c.l) AS bl
+         |  FROM wp_c$k c JOIN wp_v v ON v.piece = c.piece
+         |  GROUP BY c.word),
+         |wp_s$k AS MATERIALIZED (
+         |  SELECT s.word, s.wf,
+         |    CASE WHEN NOT s.unk AND s.pos < length(s.word)
+         |              AND b.bl IS NOT NULL
+         |         THEN s.pos + b.bl ELSE s.pos END AS pos,
+         |    CASE WHEN NOT s.unk AND s.pos < length(s.word)
+         |              AND b.bl IS NOT NULL
+         |         THEN concat(
+         |           CASE WHEN s.toks = '' THEN '' ELSE s.toks || ' ' END,
+         |           CASE WHEN s.pos = 0 THEN substr(s.word, 1, b.bl)
+         |               ELSE '##' || substr(s.word, s.pos + 1, b.bl) END)
+         |         ELSE s.toks END AS toks,
+         |    (s.unk OR (s.pos < length(s.word) AND b.bl IS NULL)) AS unk
+         |  FROM wp_s${k - 1} s LEFT JOIN wp_b$k b ON b.word = s.word)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""wp_w AS MATERIALIZED (
+       |  SELECT token AS word, CAST(count(*) AS BIGINT) AS wf FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE token <> '' GROUP BY 1),
+       |wp_o AS (
+       |  SELECT CASE WHEN s.s = 0 THEN substr(w.word, 1, l.l)
+       |              ELSE '##' || substr(w.word, s.s + 1, l.l) END AS piece,
+       |         w.wf
+       |  FROM wp_w w,
+       |  LATERAL (SELECT unnest(range(0, length(w.word))) AS s) s,
+       |  LATERAL (SELECT unnest(range(1,
+       |    least(6, length(w.word) - s.s) + 1)) AS l) l),
+       |wp_cnt AS (
+       |  SELECT piece, CAST(sum(wf) AS BIGINT) AS n,
+       |    CASE WHEN piece LIKE '##%' THEN length(piece) - 2
+       |         ELSE length(piece) END AS clen
+       |  FROM wp_o GROUP BY piece),
+       |wp_v AS MATERIALIZED (
+       |  SELECT piece, n FROM wp_cnt WHERE clen = 1
+       |  UNION ALL
+       |  SELECT piece, n FROM (
+       |    SELECT piece, n FROM wp_cnt WHERE clen >= 2
+       |    ORDER BY n DESC, piece ASC LIMIT 150) t),
+       |wp_s0 AS (
+       |  SELECT word, wf, 0 AS pos, '' AS toks,
+       |    (length(word) > 12) AS unk
+       |  FROM wp_w),
+       |$rounds,
+       |wp_enc AS (
+       |  SELECT word, wf,
+       |    CASE WHEN unk THEN '[UNK]' ELSE toks END AS pieces,
+       |    CAST(CASE WHEN unk THEN 1
+       |         ELSE length(string_split(toks, ' ')) END AS BIGINT)
+       |      AS n_pieces
+       |  FROM wp_s12)""".stripMargin
+  }
+
+  private lazy val wordpieceVocabSql =
+    s"WITH $wordpieceCtes\nSELECT piece, n FROM wp_v"
+
+  private lazy val wordpieceEncodeSql =
+    s"WITH $wordpieceCtes\nSELECT word, wf, pieces, n_pieces FROM wp_enc"
+
+  private lazy val wordpieceDocStatsSql =
+    s"""WITH $wordpieceCtes,
+       |wp_t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_ws,
+       |  CAST(sum(e.n_pieces) AS BIGINT) AS n_wp
+       |FROM wp_t t JOIN wp_enc e ON e.word = t.word
+       |GROUP BY t.doc_id""".stripMargin
+
+  // multiset gram counts (NOT the dedup family's distinct sets),
+  // BLEU clipping via least(), F1 = 2m/(tc+tr) exactly — one IEEE
+  // division per surfaced ratio, mirroring Corpus.overlapScores
+  private lazy val evalNgramOverlapSql = {
+    def block(n: Int, g: String): String =
+      if (n == 1)
+        s"""eo_g$g AS (
+           |  SELECT doc_id, unnest(toks) AS gram FROM eo_t)"""
+          .stripMargin
+      else
+        s"""eo_g$g AS (
+           |  SELECT doc_id, toks[CAST(i AS INT)] || ' ' ||
+           |    toks[CAST(i AS INT) + 1] AS gram
+           |  FROM eo_t,
+           |  LATERAL (SELECT unnest(range(1, length(toks))) AS i) i)"""
+          .stripMargin
+    def counts(g: String): String =
+      s"""eo_c$g AS (
+         |  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM eo_g$g GROUP BY doc_id, gram),
+         |eo_t$g AS (
+         |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS tot
+         |  FROM eo_c$g GROUP BY doc_id),
+         |eo_m$g AS (
+         |  SELECT p.cand_id, p.ref_id,
+         |    CAST(sum(least(c.cnt, r.cnt)) AS BIGINT) AS m
+         |  FROM eo_p p
+         |  JOIN eo_c$g c ON c.doc_id = p.cand_id
+         |  JOIN eo_c$g r ON r.doc_id = p.ref_id AND r.gram = c.gram
+         |  GROUP BY 1, 2)""".stripMargin
+    def out(g: String, pre: String): String =
+      s"""  CAST(COALESCE(m$g.m, 0) AS BIGINT) AS ${pre}_match,
+         |  CAST(COALESCE(tc$g.tot, 0) AS BIGINT) AS ${pre}_tot_c,
+         |  CAST(COALESCE(tr$g.tot, 0) AS BIGINT) AS ${pre}_tot_r,
+         |  CASE WHEN COALESCE(tc$g.tot, 0) > 0 THEN
+         |    CAST(COALESCE(m$g.m, 0) AS DOUBLE) / CAST(tc$g.tot AS DOUBLE)
+         |    ELSE 0.0 END AS ${pre}_p,
+         |  CASE WHEN COALESCE(tr$g.tot, 0) > 0 THEN
+         |    CAST(COALESCE(m$g.m, 0) AS DOUBLE) / CAST(tr$g.tot AS DOUBLE)
+         |    ELSE 0.0 END AS ${pre}_r,
+         |  CASE WHEN COALESCE(tc$g.tot, 0) + COALESCE(tr$g.tot, 0) > 0 THEN
+         |    CAST(2 * COALESCE(m$g.m, 0) AS DOUBLE) /
+         |    CAST(COALESCE(tc$g.tot, 0) + COALESCE(tr$g.tot, 0) AS DOUBLE)
+         |    ELSE 0.0 END AS ${pre}_f1""".stripMargin
+    s"""WITH eo_t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |eo_p AS (
+       |  SELECT c.doc_id AS cand_id, c.doc_id + 1 AS ref_id
+       |  FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+       |  WHERE c.doc_id % 2 = 0),
+       |${block(1, "1")},
+       |${counts("1")},
+       |${block(2, "2")},
+       |${counts("2")}
+       |SELECT p.cand_id, p.ref_id,
+       |${out("1", "r1")},
+       |${out("2", "r2")}
+       |FROM eo_p p
+       |LEFT JOIN eo_m1 m1 ON m1.cand_id = p.cand_id AND m1.ref_id = p.ref_id
+       |LEFT JOIN eo_t1 tc1 ON tc1.doc_id = p.cand_id
+       |LEFT JOIN eo_t1 tr1 ON tr1.doc_id = p.ref_id
+       |LEFT JOIN eo_m2 m2 ON m2.cand_id = p.cand_id AND m2.ref_id = p.ref_id
+       |LEFT JOIN eo_t2 tc2 ON tc2.doc_id = p.cand_id
+       |LEFT JOIN eo_t2 tr2 ON tr2.doc_id = p.ref_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "eval_ngram_overlap" -> evalNgramOverlapSql,
+    "wordpiece_vocab" -> wordpieceVocabSql,
+    "wordpiece_encode" -> wordpieceEncodeSql,
+    "wordpiece_doc_stats" -> wordpieceDocStatsSql,
     "bpe_encode" -> bpeEncodeSql,
     "bpe_train" -> bpeTrainSql,
     "unigram_train" -> unigramTrainSql,

@@ -320,6 +320,29 @@ object ExtQueries {
       .groupBy(col("in_degree")).agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Incremental graph-index maintenance ([[Similarity.graphAppend]]
+    * — the HNSW insert primitive, search-then-connect): the base
+    * graph is a 3-round NN-Descent over the 90% band
+    * (`vec_id % 10 <> 9`), the 10% band appends by beam-search
+    * placement (same walk as serving), and touched base lists
+    * re-rank (existing ∪ reverse proposals). The gate outputs the
+    * store's write-back delta: the appended nodes' lists plus the
+    * updated base lists — the graph twin of `ann_ivf_append` /
+    * `pq_encode_append` / `dedup_incremental_lsh`, closing the
+    * incremental story for the graph-ANN family. Bands are
+    * proportional (modulus, not a fixed id cut) so the gate shapes
+    * identically at every SF. */
+  def annGraphAppend(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 10 =!= 9)
+    val appended = emb.filter(col("vec_id") % 10 === 9)
+    val g = Similarity.nnDescent(base, col("vec_id"), col("embedding"),
+      k = 8, rounds = 3)
+    Similarity.graphAppend(base, col("vec_id"), col("embedding"), g,
+      appended, col("vec_id"), col("embedding"),
+      k = 8, beam = 16, hops = 3, entries = 8)
+  }
+
   /** SemDeDup over the NN-Descent graph: MUTUAL-kNN edges (both
     * directions present, cosine ≥ 0.3) are the ε-pair substrate,
     * min-label connected components pick per-cluster keepers —
@@ -2088,6 +2111,94 @@ object ExtQueries {
         (col("n_overlap").cast("double") / lit(10.0)).as("recall"))
   }
 
+  /** Packed 1-bit sign-quantized embeddings ([[Similarity.binarySignWords]]),
+    * shared by the three `ann_bitq_*` gates. */
+  private def bitqWords(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val th = Similarity.binaryDimThresholds(emb, col("embedding"), 64)
+    Similarity.binarySignWords(emb, col("vec_id"), col("embedding"), th)
+  }
+
+  /** Hamming top-k over packed words (shared shortlist engine for the
+    * bitq gates): per seed-band query, the `k` corpus vectors with the
+    * fewest disagreeing sign bits, (hamming ASC, nbr_id ASC) ranked. */
+  private def bitqHammingTopK(spark: SparkSession, dir: String, k: Int)
+      : DataFrame = {
+    val words = bitqWords(spark, dir)
+    val queries = words.filter(col("bid") < 10)
+      .select(col("bid").as("query_id"),
+        col("w0").as("qw0"), col("w1").as("qw1"))
+    val corpus = words.select(col("bid").as("nbr_id"), col("w0"), col("w1"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("nbr_id").asc)
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("hamming", Similarity.hammingWords(
+        col("w0"), col("w1"), col("qw0"), col("qw1")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank"), col("hamming"))
+  }
+
+  /** 1-bit ANN, stage 1: Hamming top-10 over sign-bit-packed vectors
+    * ([[Similarity.binarySignWords]]) — the coarsest, cheapest serving
+    * path on the quantization ladder (float → int8 → PQ → 1-bit). At
+    * 100 TB the packed form is 8 bytes/vector, so the WHOLE index sits
+    * in memory where the float corpus cannot; the scan cost per
+    * (query, vector) is two XOR+popcounts instead of 64 FMAs. Recall
+    * loss is the price, measured by [[annBitqRecallAudit]] and bought
+    * back by [[annBitqRerank]]'s exact second stage. */
+  def annBitqTopK(spark: SparkSession, dir: String): DataFrame =
+    bitqHammingTopK(spark, dir, 10)
+
+  /** 1-bit ANN, stage 2: the production two-stage shape — a Hamming
+    * shortlist of 50 (cheap, bit-parallel, index-resident) re-scored
+    * with EXACT full-precision cosine and cut to top-10. The corpus
+    * is touched at float width only for the ~50 shortlisted rows per
+    * query (a broadcast join on the shortlist ids — the fetch pattern
+    * of a disk-resident vector store), never for the scan. Exact
+    * rerank algebra is the audited decimal-dot / IEEE-divide chain,
+    * so the gate hash-matches the DuckDB twin. */
+  def annBitqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val shortlist = bitqHammingTopK(spark, dir, 50)
+      .select(col("query_id"), col("nbr_id"))
+    val emb = Tables(spark, dir, "embeddings")
+    val c = Similarity.vectorsWithNorm(emb, col("vec_id"),
+      col("embedding"), "nbr_id", "cv", "sn_c")
+    val q = Similarity.vectorsWithNorm(emb.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), "query_id", "qv", "sn_q")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    c.join(broadcast(shortlist), Seq("nbr_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine",
+        graft.functions.VecKernels.vecDotDec(col("cv"), col("qv"))
+          .cast("double") / (col("sn_c") * col("sn_q")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("nbr_id"), col("rank"), col("cosine"))
+  }
+
+  /** The decision-driving number for the 1-bit path: recall@10 vs the
+    * exact baseline for BOTH stages — raw Hamming top-10 and the
+    * rerank — in one two-row readout. This is the gate a deployment
+    * reads before choosing shortlist depth: the rerank row must
+    * recover (nearly) all of what the Hamming row loses, else the
+    * shortlist is too shallow. Same aggregate-recall shape as the
+    * matryoshka audit (sum of hits over all seed queries / 10·|Q|). */
+  def annBitqRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val bf = annBruteForce(spark, dir).select(col("query_id"), col("nbr_id"))
+    def row(method: String, approx: DataFrame): DataFrame =
+      bf.join(approx.select(col("query_id"), col("nbr_id")),
+          Seq("query_id", "nbr_id"))
+        .agg(count(lit(1)).as("sum_hits"))
+        .crossJoin(bf.agg(countDistinct(col("query_id")).as("n_queries")))
+        .select(lit(method).as("method"), col("n_queries"), col("sum_hits"),
+          (col("sum_hits").cast("double") /
+            (col("n_queries") * lit(10L)).cast("double")).as("recall"))
+    row("hamming", annBitqTopK(spark, dir))
+      .unionByName(row("rerank", annBitqRerank(spark, dir)))
+  }
+
   /** Repetition quality signals (Gopher/C4-family filters):
     * duplicate-token ratio + most-frequent-bigram fraction per doc. */
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
@@ -2242,6 +2353,7 @@ object ExtQueries {
     "ann_nndescent_topk" -> annNndescentTopk _,
     "ann_nndescent_recall_audit" -> annNndescentRecallAudit _,
     "ann_graph_search" -> annGraphSearch _,
+    "ann_graph_append" -> annGraphAppend _,
     "ann_graph_search_recall" -> annGraphSearchRecall _,
     "ann_graph_hubness" -> annGraphHubness _,
     "embed_knn_cc" -> embedKnnCc _,
@@ -2282,6 +2394,9 @@ object ExtQueries {
     "embed_quantize" -> embedQuantize _,
     "ann_quantized_topk" -> annQuantizedTopK _,
     "ann_quantized_recall" -> annQuantizedRecall _,
+    "ann_bitq_topk" -> annBitqTopK _,
+    "ann_bitq_rerank" -> annBitqRerank _,
+    "ann_bitq_recall_audit" -> annBitqRecallAudit _,
     "ann_ivf_quantized" -> annIvfQuantized _,
     "udtf_ngrams" -> udtfNgrams _,
     "doc_decontaminate" -> docDecontaminate _,
@@ -4716,7 +4831,8 @@ object ExtQueries {
     * (forward, reversed, carry-over) and un-materialized CTEs
     * re-expand per reference. Ends at `nn_l$rounds`
     * (a, b, cos, rk). */
-  private def nnDescentCtes(rounds: Int, k: Int = 8): String = {
+  private def nnDescentCtes(rounds: Int, k: Int = 8,
+      band: String => String = _ => "TRUE"): String = {
     val offs = ((-(k / 2)) to (k / 2)).filter(_ != 0).mkString(", ")
     def scoreAndList(r: Int): String =
       s"""nn_d$r AS (
@@ -4739,11 +4855,12 @@ object ExtQueries {
          |                         ORDER BY cos DESC, b ASC) AS rk
          |    FROM nn_s$r) WHERE rk <= $k)""".stripMargin
     val init =
-      s"""nn_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+      s"""nn_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+         |  WHERE ${band("vec_id")}),
          |nn_rk AS (
          |  SELECT vec_id,
          |    row_number() OVER (ORDER BY vec_id) - 1 AS r
-         |  FROM embeddings),
+         |  FROM embeddings WHERE ${band("vec_id")}),
          |nn_c0 AS (
          |  SELECT a.vec_id AS a, b.vec_id AS b
          |  FROM nn_rk a
@@ -4776,7 +4893,9 @@ object ExtQueries {
     * top-beam merge. Ends at `gs_b$hops` (query_id, cand, cos, rk ≤
     * beam). */
   private def beamCtes(hops: Int, beam: Int = 16,
-      entries: Int = 8): String = {
+      entries: Int = 8, queryBand: String => String = offseedBand,
+      entryBand: String => String = _ => "TRUE",
+      entrySql: Option[String] = None): String = {
     def scoreAndBeam(r: Int): String =
       s"""gs_d$r AS (
          |  SELECT p.query_id, p.cand,
@@ -4799,12 +4918,14 @@ object ExtQueries {
          |    FROM gs_s$r) WHERE rk <= $beam)""".stripMargin
     val init =
       s"""gs_e AS (
-         |  SELECT vec_id AS cand FROM embeddings
-         |  ORDER BY vec_id LIMIT $entries),
+         |  ${entrySql.getOrElse(
+             s"""SELECT vec_id AS cand FROM embeddings
+         |  WHERE ${entryBand("vec_id")}
+         |  ORDER BY vec_id LIMIT $entries""")}),
          |gs_c0 AS (
          |  SELECT q.vec_id AS query_id, e.cand
          |  FROM embeddings q CROSS JOIN gs_e e
-         |  WHERE ${offseedBand("q.vec_id")}),
+         |  WHERE ${queryBand("q.vec_id")}),
          |${scoreAndBeam(0)}""".stripMargin
     val hopCtes = (1 to hops).map { r =>
       s"""gs_c$r AS (
@@ -4815,6 +4936,54 @@ object ExtQueries {
          |${scoreAndBeam(r)}""".stripMargin
     }
     (init +: hopCtes).mkString(",\n")
+  }
+
+  /** [[Similarity.graphAppend]] twin: the banded NN-Descent chain
+    * builds the 90%-band base graph (same nn_l3 relation name — the
+    * band parameter restricts the ring/rounds to base nodes), the
+    * beam chain walks it for the 10% append band with entries drawn
+    * from the base band, and the merge re-ranks (existing ∪ reverse
+    * proposals) per touched node. Reverse edges reuse the walk's
+    * exact cosine (symmetry), mirroring the Spark side. */
+  private lazy val annGraphAppendSql = {
+    val baseBand = (c: String) => s"$c % 10 <> 9"
+    val newBand = (c: String) => s"$c % 10 = 9"
+    // stratified stride entries (graphAppend's disconnected-graph
+    // insurance): one entry per floor((n+7)/8) block of the base id
+    // order — floor() of an exact double division on both engines
+    val entrySql =
+      """SELECT cand FROM (
+        |    SELECT vec_id AS cand,
+        |      row_number() OVER (ORDER BY vec_id) - 1 AS r,
+        |      count(*) OVER () AS n
+        |    FROM embeddings WHERE vec_id % 10 <> 9) strat
+        |  WHERE r % CAST(floor((n + 7) / 8) AS BIGINT) = 0"""
+        .stripMargin
+    s"""WITH $vecCtes,
+       |${nnDescentCtes(3, band = baseBand)},
+       |${beamCtes(3, queryBand = newBand, entryBand = baseBand,
+          entrySql = Some(entrySql))},
+       |ga_place AS MATERIALIZED (
+       |  SELECT query_id, cand, cos, rk FROM gs_b3 WHERE rk <= 8),
+       |ga_rev AS (
+       |  SELECT cand AS node_id, query_id AS nbr_id, cos
+       |  FROM ga_place),
+       |ga_exist AS (
+       |  SELECT l.a AS node_id, l.b AS nbr_id, l.cos
+       |  FROM nn_l3 l
+       |  WHERE l.a IN (SELECT node_id FROM ga_rev)),
+       |ga_upd AS (
+       |  SELECT node_id, nbr_id, cos,
+       |    row_number() OVER (PARTITION BY node_id
+       |                       ORDER BY cos DESC, nbr_id ASC) AS rk
+       |  FROM (SELECT node_id, nbr_id, cos FROM ga_exist
+       |        UNION ALL
+       |        SELECT node_id, nbr_id, cos FROM ga_rev) u)
+       |SELECT query_id AS node_id, cand AS nbr_id, rk AS rank,
+       |  cos AS cosine, 'appended' AS src FROM ga_place
+       |UNION ALL
+       |SELECT node_id, nbr_id, rk AS rank, cos AS cosine,
+       |  'updated' AS src FROM ga_upd WHERE rk <= 8""".stripMargin
   }
 
   private lazy val annGraphSearchSql =
@@ -5167,6 +5336,92 @@ object ExtQueries {
        |                       ORDER BY score DESC, nbr_id ASC) AS rank
        |  FROM qd)
        |SELECT query_id, nbr_id, rank, score FROM qr WHERE rank <= 10""".stripMargin
+
+  /** Shared 1-bit quantization CTE chain (appended after `$vecCtes`):
+    * per-dim exact-decimal thresholds, sign-bit packing into two
+    * 32-bit half-words, Hamming scoring + ranking over the seed query
+    * band — [[graft.ext.Similarity.binarySignWords]] /
+    * `hammingWords` algebra verbatim (bit rule `x·n > Σ`, never a
+    * mean division). */
+  private val bitqCtes =
+    """bqd AS (
+      |  SELECT i, CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS s,
+      |         COUNT(*) AS n
+      |  FROM comp GROUP BY i),
+      |bqw AS (
+      |  SELECT c.vec_id,
+      |    CAST(SUM(CASE WHEN c.i < 32 AND c.x * d.n > d.s
+      |      THEN (CAST(1 AS BIGINT) << CAST(c.i AS INT)) ELSE 0 END)
+      |      AS BIGINT) AS w0,
+      |    CAST(SUM(CASE WHEN c.i >= 32 AND c.x * d.n > d.s
+      |      THEN (CAST(1 AS BIGINT) << CAST(c.i - 32 AS INT)) ELSE 0 END)
+      |      AS BIGINT) AS w1
+      |  FROM comp c JOIN bqd d ON d.i = c.i
+      |  GROUP BY c.vec_id),
+      |bqh AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+      |    CAST(bit_count(xor(c.w0, q.w0)) + bit_count(xor(c.w1, q.w1))
+      |      AS BIGINT) AS hamming
+      |  FROM bqw c CROSS JOIN bqw q
+      |  WHERE q.vec_id < 10),
+      |bqr AS (
+      |  SELECT query_id, nbr_id, hamming,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY hamming ASC, nbr_id ASC) AS rank
+      |  FROM bqh)""".stripMargin
+
+  private lazy val annBitqTopKSql =
+    s"""WITH $vecCtes,
+       |$bitqCtes
+       |SELECT query_id, nbr_id, rank, hamming FROM bqr WHERE rank <= 10"""
+      .stripMargin
+
+  private lazy val annBitqRerankSql =
+    s"""WITH $vecCtes,
+       |$bitqCtes,
+       |bqs AS (SELECT query_id, nbr_id FROM bqr WHERE rank <= 50),
+       |rrd AS (
+       |  SELECT s.query_id, s.nbr_id,
+       |    CAST(sum(CAST(c.x * q.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |  FROM bqs s
+       |  JOIN comp c ON c.vec_id = s.nbr_id
+       |  JOIN comp q ON q.vec_id = s.query_id AND q.i = c.i
+       |  GROUP BY s.query_id, s.nbr_id),
+       |rrs AS (
+       |  SELECT query_id, nbr_id, dot / (nc.sn * nq.sn) AS cosine
+       |  FROM rrd
+       |  JOIN norms nc ON nc.vec_id = nbr_id
+       |  JOIN norms nq ON nq.vec_id = query_id),
+       |rrr AS (
+       |  SELECT query_id, nbr_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, nbr_id ASC) AS rank
+       |  FROM rrs)
+       |SELECT query_id, nbr_id, rank, cosine FROM rrr WHERE rank <= 10"""
+      .stripMargin
+
+  private lazy val annBitqRecallAuditSql =
+    s"""WITH bf AS ($annBruteForceSql),
+       |ham AS ($annBitqTopKSql),
+       |rr AS ($annBitqRerankSql),
+       |nq AS (SELECT count(DISTINCT query_id) AS n_queries FROM bf)
+       |SELECT 'hamming' AS method, nq.n_queries,
+       |  CAST((SELECT count(*) FROM bf b JOIN ham a
+       |        ON a.query_id = b.query_id AND a.nbr_id = b.nbr_id)
+       |    AS BIGINT) AS sum_hits,
+       |  CAST((SELECT count(*) FROM bf b JOIN ham a
+       |        ON a.query_id = b.query_id AND a.nbr_id = b.nbr_id)
+       |    AS DOUBLE) / CAST(nq.n_queries * 10 AS DOUBLE) AS recall
+       |FROM nq
+       |UNION ALL
+       |SELECT 'rerank' AS method, nq.n_queries,
+       |  CAST((SELECT count(*) FROM bf b JOIN rr a
+       |        ON a.query_id = b.query_id AND a.nbr_id = b.nbr_id)
+       |    AS BIGINT) AS sum_hits,
+       |  CAST((SELECT count(*) FROM bf b JOIN rr a
+       |        ON a.query_id = b.query_id AND a.nbr_id = b.nbr_id)
+       |    AS DOUBLE) / CAST(nq.n_queries * 10 AS DOUBLE) AS recall
+       |FROM nq""".stripMargin
 
   private val embedQuantizeSql =
     s"""WITH $vecCtes,
@@ -6046,6 +6301,7 @@ object ExtQueries {
     "ann_nndescent_topk" -> annNndescentTopkSql,
     "ann_nndescent_recall_audit" -> annNndescentRecallAuditSql,
     "ann_graph_search" -> annGraphSearchSql,
+    "ann_graph_append" -> annGraphAppendSql,
     "ann_graph_search_recall" -> annGraphSearchRecallSql,
     "ann_graph_hubness" -> annGraphHubnessSql,
     "embed_knn_cc" -> embedKnnCcSql,
@@ -6069,6 +6325,9 @@ object ExtQueries {
     "embed_quantize" -> embedQuantizeSql,
     "ann_quantized_topk" -> annQuantizedTopKSql,
     "ann_quantized_recall" -> annQuantizedRecallSql,
+    "ann_bitq_topk" -> annBitqTopKSql,
+    "ann_bitq_rerank" -> annBitqRerankSql,
+    "ann_bitq_recall_audit" -> annBitqRecallAuditSql,
     "ann_ivf_quantized" -> annIvfQuantizedSql,
     "udtf_ngrams" ->
       s"""SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
