@@ -949,13 +949,18 @@ object CorpusQueries {
     * counts, BLEU-style clipping (min of the two counts per gram),
     * P/R/F1 from three exact integers per n. Zero-overlap and
     * too-short-for-bigrams pairs stay visible with 0 scores. */
-  def evalNgramOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val pairs = docs.filter(col("doc_id") % 2 === 0)
+  /** The deterministic (cand, ref) pairing shared by the overlap
+    * gates: every even doc against its successor. */
+  private def overlapPairs(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id").as("cand_id"),
         (col("doc_id") + 1).as("ref_id"))
       .join(docs.select(col("doc_id").as("ref_id")),
         Seq("ref_id"), "left_semi")
+
+  def evalNgramOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val pairs = overlapPairs(docs)
     val r1 = Corpus.overlapScores(Corpus.ngramOverlapCounts(
       docs, col("doc_id"), col("text"), pairs, 1), "r1")
     val r2 = Corpus.overlapScores(Corpus.ngramOverlapCounts(
@@ -963,8 +968,54 @@ object CorpusQueries {
     r1.join(r2, Seq("cand_id", "ref_id"))
   }
 
+  /** Corpus-level BLEU-2-lite over the same pairing — the one-row
+    * eval-suite headline a harness tracks across checkpoints: summed
+    * clipped matches and totals, modified precisions p1/p2, and
+    * bleu2 = brevity · √(p1·p2). Brevity is the RATIONAL
+    * least(1, c/r) stand-in for exp(1 − r/c): exp is not
+    * cross-engine bit-stable (libm vs JVM last-ulp), the rational
+    * form is one IEEE divide and preserves the monotone
+    * short-candidate penalty; √ and · are correctly-rounded IEEE
+    * steps on identical operand trees, so the score hash-gates. */
+  def evalBleuCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val pairs = overlapPairs(docs)
+    val c1 = Corpus.ngramOverlapCounts(docs, col("doc_id"), col("text"),
+      pairs, 1)
+    val c2 = Corpus.ngramOverlapCounts(docs, col("doc_id"), col("text"),
+      pairs, 2)
+    val a1 = c1.agg(count(lit(1)).as("n_pairs"),
+      sum(col("n_match")).as("m1"), sum(col("tot_c")).as("c_len"),
+      sum(col("tot_r")).as("r_len"))
+    val a2 = c2.agg(sum(col("n_match")).as("m2"),
+      sum(col("tot_c")).as("c2"))
+    val p1 = col("m1").cast("double") / col("c_len").cast("double")
+    val p2 = when(col("c2") > 0,
+      col("m2").cast("double") / col("c2").cast("double"))
+      .otherwise(lit(0.0))
+    val brevity = least(lit(1.0),
+      col("c_len").cast("double") / col("r_len").cast("double"))
+    a1.crossJoin(a2).select(col("n_pairs"), col("c_len"), col("r_len"),
+      col("m1"), col("m2"), p1.as("p1"), p2.as("p2"),
+      brevity.as("brevity"), (brevity * sqrt(p1 * p2)).as("bleu2_lite"))
+  }
+
+  /** WordPiece packing twin — [[Corpus.packSequencesFromCounts]]'
+    * shared layout algebra (content-hash shards, exclusive prefix
+    * sums, div-budget spans) over the WordPiece fertility counts,
+    * completing the packer family's tokenizer symmetry
+    * (ws / BPE / unigram / WordPiece all through ONE layout). */
+  def packSequencesWordpiece(spark: SparkSession, dir: String)
+      : DataFrame =
+    Corpus.packSequencesFromCounts(
+      wordpieceDocStats(spark, dir)
+        .select(col("doc_id"), col("n_wp").as("n_tokens")),
+      budget = 256, nShards = 4)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_ngram_overlap" -> evalNgramOverlap _,
+    "eval_bleu_corpus" -> evalBleuCorpus _,
+    "pack_sequences_wordpiece" -> packSequencesWordpiece _,
     "wordpiece_vocab" -> wordpieceVocabQ _,
     "wordpiece_encode" -> wordpieceEncode _,
     "wordpiece_doc_stats" -> wordpieceDocStats _,
@@ -1418,10 +1469,11 @@ object CorpusQueries {
     * ends at `up_p` (doc_id, shard, n_tokens, offset, seq_first,
     * seq_last). Shared by the standalone pack gate and the lifecycle
     * E2E's pack/manifest stages. */
-  private val packFromAggCtes =
-    """up_c AS (
-      |  SELECT doc_id, n_pieces AS n_tokens FROM ug_agg
-      |  WHERE n_pieces > 0),
+  private def packFromAggCtes(src: String = "ug_agg",
+      cnt: String = "n_pieces"): String =
+    s"""up_c AS (
+      |  SELECT doc_id, $cnt AS n_tokens FROM $src
+      |  WHERE $cnt > 0),
       |up_d AS (
       |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h, n_tokens
       |  FROM up_c),
@@ -1446,7 +1498,7 @@ object CorpusQueries {
     * through the shared packing-layout algebra. */
   private lazy val packSequencesUnigramSql =
     s"""WITH ${unigramEncodeCtes()},
-       |$packFromAggCtes
+       |${packFromAggCtes()}
        |SELECT doc_id, shard, n_tokens, "offset", seq_first, seq_last
        |FROM up_p""".stripMargin
 
@@ -1477,7 +1529,7 @@ object CorpusQueries {
        |  SELECT q.doc_id, q.text FROM ct_qual q
        |  JOIN ct_keep k ON k.doc_id = q.doc_id),
        |${unigramEncodeCtes("ct_src")},
-       |$packFromAggCtes,
+       |${packFromAggCtes()},
        |ct_sh AS MATERIALIZED (
        |  SELECT shard, CAST(count(*) AS BIGINT) AS sh_docs,
        |    CAST(max(seq_last) + 1 AS BIGINT) AS sh_seqs,
@@ -1913,6 +1965,22 @@ object CorpusQueries {
   private lazy val wordpieceEncodeSql =
     s"WITH $wordpieceCtes\nSELECT word, wf, pieces, n_pieces FROM wp_enc"
 
+  /** WordPiece-pack twin: the encode chain's per-doc piece sums
+    * through the shared packing-layout algebra (`packFromAggCtes`
+    * re-sourced at the wp aggregate). */
+  private lazy val packSequencesWordpieceSql =
+    s"""WITH $wordpieceCtes,
+       |wp_t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |wp_agg AS (
+       |  SELECT t.doc_id, CAST(sum(e.n_pieces) AS BIGINT) AS n_wp
+       |  FROM wp_t t JOIN wp_enc e ON e.word = t.word
+       |  GROUP BY t.doc_id),
+       |${packFromAggCtes(src = "wp_agg", cnt = "n_wp")}
+       |SELECT doc_id, shard, n_tokens, "offset", seq_first, seq_last
+       |FROM up_p""".stripMargin
+
   private lazy val wordpieceDocStatsSql =
     s"""WITH $wordpieceCtes,
        |wp_t AS (
@@ -1926,7 +1994,7 @@ object CorpusQueries {
   // multiset gram counts (NOT the dedup family's distinct sets),
   // BLEU clipping via least(), F1 = 2m/(tc+tr) exactly — one IEEE
   // division per surfaced ratio, mirroring Corpus.overlapScores
-  private lazy val evalNgramOverlapSql = {
+  private lazy val evalOverlapCtes: String = {
     def block(n: Int, g: String): String =
       if (n == 1)
         s"""eo_g$g AS (
@@ -1967,7 +2035,7 @@ object CorpusQueries {
          |    CAST(2 * COALESCE(m$g.m, 0) AS DOUBLE) /
          |    CAST(COALESCE(tc$g.tot, 0) + COALESCE(tr$g.tot, 0) AS DOUBLE)
          |    ELSE 0.0 END AS ${pre}_f1""".stripMargin
-    s"""WITH eo_t AS (
+    s"""eo_t AS (
        |  SELECT doc_id,
        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
        |  FROM documents),
@@ -1978,7 +2046,25 @@ object CorpusQueries {
        |${block(1, "1")},
        |${counts("1")},
        |${block(2, "2")},
-       |${counts("2")}
+       |${counts("2")}""".stripMargin
+  }
+
+  private lazy val evalNgramOverlapSql = {
+    def out(g: String, pre: String): String =
+      s"""  CAST(COALESCE(m$g.m, 0) AS BIGINT) AS ${pre}_match,
+         |  CAST(COALESCE(tc$g.tot, 0) AS BIGINT) AS ${pre}_tot_c,
+         |  CAST(COALESCE(tr$g.tot, 0) AS BIGINT) AS ${pre}_tot_r,
+         |  CASE WHEN COALESCE(tc$g.tot, 0) > 0 THEN
+         |    CAST(COALESCE(m$g.m, 0) AS DOUBLE) / CAST(tc$g.tot AS DOUBLE)
+         |    ELSE 0.0 END AS ${pre}_p,
+         |  CASE WHEN COALESCE(tr$g.tot, 0) > 0 THEN
+         |    CAST(COALESCE(m$g.m, 0) AS DOUBLE) / CAST(tr$g.tot AS DOUBLE)
+         |    ELSE 0.0 END AS ${pre}_r,
+         |  CASE WHEN COALESCE(tc$g.tot, 0) + COALESCE(tr$g.tot, 0) > 0 THEN
+         |    CAST(2 * COALESCE(m$g.m, 0) AS DOUBLE) /
+         |    CAST(COALESCE(tc$g.tot, 0) + COALESCE(tr$g.tot, 0) AS DOUBLE)
+         |    ELSE 0.0 END AS ${pre}_f1""".stripMargin
+    s"""WITH $evalOverlapCtes
        |SELECT p.cand_id, p.ref_id,
        |${out("1", "r1")},
        |${out("2", "r2")}
@@ -1991,8 +2077,52 @@ object CorpusQueries {
        |LEFT JOIN eo_t2 tr2 ON tr2.doc_id = p.ref_id""".stripMargin
   }
 
+  /** Corpus-level BLEU-2-lite twin: the per-pair clipped counts and
+    * totals summed, then p1/p2/brevity/bleu as single IEEE steps on
+    * identical operand trees. Brevity is the RATIONAL least(1, c/r)
+    * stand-in — exp(1 − r/c) is libm-dependent and can never
+    * hash-gate; the substitution is documented in the gate scaladoc
+    * and preserves the monotone penalty shape. */
+  private lazy val evalBleuCorpusSql =
+    s"""WITH $evalOverlapCtes,
+       |bl_p AS (
+       |  SELECT p.cand_id, p.ref_id,
+       |    COALESCE(m1.m, 0) AS m1, COALESCE(tc1.tot, 0) AS c1,
+       |    COALESCE(tr1.tot, 0) AS r1,
+       |    COALESCE(m2.m, 0) AS m2, COALESCE(tc2.tot, 0) AS c2,
+       |    COALESCE(tr2.tot, 0) AS r2
+       |  FROM eo_p p
+       |  LEFT JOIN eo_m1 m1 ON m1.cand_id = p.cand_id
+       |    AND m1.ref_id = p.ref_id
+       |  LEFT JOIN eo_t1 tc1 ON tc1.doc_id = p.cand_id
+       |  LEFT JOIN eo_t1 tr1 ON tr1.doc_id = p.ref_id
+       |  LEFT JOIN eo_m2 m2 ON m2.cand_id = p.cand_id
+       |    AND m2.ref_id = p.ref_id
+       |  LEFT JOIN eo_t2 tc2 ON tc2.doc_id = p.cand_id
+       |  LEFT JOIN eo_t2 tr2 ON tr2.doc_id = p.ref_id),
+       |bl_a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(m1) AS BIGINT) AS m1, CAST(sum(c1) AS BIGINT) AS c_len,
+       |    CAST(sum(r1) AS BIGINT) AS r_len,
+       |    CAST(sum(m2) AS BIGINT) AS m2, CAST(sum(c2) AS BIGINT) AS c2
+       |  FROM bl_p)
+       |SELECT n_pairs, c_len, r_len, m1, m2,
+       |  CAST(m1 AS DOUBLE) / CAST(c_len AS DOUBLE) AS p1,
+       |  CASE WHEN c2 > 0 THEN CAST(m2 AS DOUBLE) / CAST(c2 AS DOUBLE)
+       |    ELSE 0.0 END AS p2,
+       |  least(CAST(1.0 AS DOUBLE),
+       |    CAST(c_len AS DOUBLE) / CAST(r_len AS DOUBLE)) AS brevity,
+       |  least(CAST(1.0 AS DOUBLE),
+       |    CAST(c_len AS DOUBLE) / CAST(r_len AS DOUBLE)) *
+       |  sqrt((CAST(m1 AS DOUBLE) / CAST(c_len AS DOUBLE)) *
+       |    (CASE WHEN c2 > 0 THEN CAST(m2 AS DOUBLE) / CAST(c2 AS DOUBLE)
+       |     ELSE 0.0 END)) AS bleu2_lite
+       |FROM bl_a""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "eval_ngram_overlap" -> evalNgramOverlapSql,
+    "eval_bleu_corpus" -> evalBleuCorpusSql,
+    "pack_sequences_wordpiece" -> packSequencesWordpieceSql,
     "wordpiece_vocab" -> wordpieceVocabSql,
     "wordpiece_encode" -> wordpieceEncodeSql,
     "wordpiece_doc_stats" -> wordpieceDocStatsSql,
