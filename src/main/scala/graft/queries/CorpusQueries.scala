@@ -903,27 +903,41 @@ object CorpusQueries {
         (lit(2) * (col("n_blocks") - col("n_kept")) <= col("n_blocks"))
           .as("keep"))
 
+  /** Shared trained WordPiece model (vocab + per-word greedy encode
+    * dictionary) over the FULL documents table — the four wordpiece
+    * gates (vocab / encode / doc-stats / pack) consume this one
+    * persisted 12-round encode instead of re-running the fixed-round
+    * loop per gate ([[SharedFrames]] persist-once, the
+    * [[unigramModel]] discipline; outputs byte-identical either
+    * way — the loop's cost is fixed driver overhead per round, so
+    * sharing it is worth ~3/4 of the family's wall). */
+  private def wordpieceModel(spark: SparkSession, dir: String)
+      : Map[String, DataFrame] =
+    SharedFrames(spark, dir, "wordpiece_model") {
+      val docs = Tables(spark, dir, "documents")
+      val words = Corpus.tokens(docs, col("text"))
+        .groupBy(col("token")).agg(count(lit(1)).as("wf"))
+        .select(col("token").as("word"), col("wf"))
+      val vocab = Corpus.wordpieceVocab(docs, col("text"))
+      Seq("vocab" -> vocab,
+        "encoded" -> Corpus.wordpieceEncodeWords(words, vocab))
+    }
+
   /** WordPiece vocabulary over the documents corpus
     * ([[Corpus.wordpieceVocab]]): all single-char occurrence pieces
     * plus the 150 most frequent multi-char pieces under the
     * (n DESC, piece ASC) total order — the BERT-family tokenizer
     * completing the trio next to BPE and unigram-LM. */
   def wordpieceVocabQ(spark: SparkSession, dir: String): DataFrame =
-    Corpus.wordpieceVocab(Tables(spark, dir, "documents"), col("text"))
+    wordpieceModel(spark, dir)("vocab")
 
   /** Greedy longest-match-first WordPiece encode
     * ([[Corpus.wordpieceEncodeWords]]) of every DISTINCT corpus word
     * against the corpus-trained vocabulary — the per-word dictionary
     * a 100 TB encode joins its token stream against (the expensive
     * greedy loop runs |vocab| times, never |corpus tokens| times). */
-  def wordpieceEncode(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val words = Corpus.tokens(docs, col("text"))
-      .groupBy(col("token")).agg(count(lit(1)).as("wf"))
-      .select(col("token").as("word"), col("wf"))
-    Corpus.wordpieceEncodeWords(words,
-      Corpus.wordpieceVocab(docs, col("text")))
-  }
+  def wordpieceEncode(spark: SparkSession, dir: String): DataFrame =
+    wordpieceModel(spark, dir)("encoded")
 
   /** Per-document WordPiece fertility: whitespace-word count vs
     * WordPiece symbol count under the corpus-trained vocabulary —
@@ -977,8 +991,10 @@ object CorpusQueries {
     * form is one IEEE divide and preserves the monotone
     * short-candidate penalty; √ and · are correctly-rounded IEEE
     * steps on identical operand trees, so the score hash-gates. */
-  def evalBleuCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+  def evalBleuCorpus(spark: SparkSession, dir: String): DataFrame =
+    evalBleuCorpusOn(Tables(spark, dir, "documents"))
+
+  private[graft] def evalBleuCorpusOn(docs: DataFrame): DataFrame = {
     val pairs = overlapPairs(docs)
     val c1 = Corpus.ngramOverlapCounts(docs, col("doc_id"), col("text"),
       pairs, 1)

@@ -40,6 +40,23 @@ class NgramOverlapSpec extends SparkSpec {
     assert(r.getAs[Double]("s_f1") == 2.0 / 6.0)
   }
 
+  test("corpus BLEU-2-lite: exact value on a planted two-doc corpus") {
+    // doc 0 (cand) vs doc 1 (ref): r1 m=5 c=6 r=5; r2 m=3 c=5.
+    // p1 = 5/6, p2 = 3/5, brevity = 1 (c > r capped), bleu = sqrt(p1*p2)
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((0L, "the cat sat on the mat"),
+      (1L, "the cat on the mat")).toDF("doc_id", "text")
+    val row = graft.queries.CorpusQueries
+      .evalBleuCorpusOn(docs).collect().head
+    assert(row.getAs[Long]("n_pairs") == 1L)
+    assert(row.getAs[Double]("p1") == 5.0 / 6.0)
+    assert(row.getAs[Double]("p2") == 3.0 / 5.0)
+    assert(row.getAs[Double]("brevity") == 1.0)
+    assert(row.getAs[Double]("bleu2_lite") ==
+      1.0 * math.sqrt((5.0 / 6.0) * (3.0 / 5.0)))
+  }
+
   test("zero overlap and no-bigram docs keep their rows at 0") {
     val z = score("a b", "c d", 1)
     assert(z.getAs[Long]("s_match") == 0L &&
