@@ -939,6 +939,47 @@ object CorpusQueries {
   def wordpieceEncode(spark: SparkSession, dir: String): DataFrame =
     wordpieceModel(spark, dir)("encoded")
 
+  /** WordPiece drift audit — the retrain trigger completing the
+    * drift symmetry next to `bpe_drift_audit` / `unigram_drift_audit`:
+    * vocabulary trained on the STANDING corpus only (doc_id % 5 ≠ 4),
+    * every distinct corpus word encoded once against it, and both
+    * bands read out occurrence-weighted [UNK] share and fertility
+    * (pieces per occurrence). An incoming domain shift shows up here
+    * first — unseen word shapes UNK or fragment into single chars
+    * before any quality metric moves. On THIS synthetic corpus the
+    * bands share one small vocabulary, so the gated rows record an
+    * honest null (equal rates); `WordpieceSpec` plants a genuinely
+    * drifted band to pin the signal. */
+  def wordpieceDriftAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val vocab = Corpus.wordpieceVocab(
+      docs.filter(col("doc_id") % 5 =!= 4), col("text"))
+    val allWords = Corpus.tokens(docs, col("text"))
+      .groupBy(col("token")).agg(count(lit(1)).as("wf"))
+      .select(col("token").as("word"), col("wf"))
+    val enc = graft.Tables.materialize(
+      Corpus.wordpieceEncodeWords(allWords, vocab)
+        .select(col("word"), col("pieces"), col("n_pieces")))
+    def bandRow(name: String, band: Column): DataFrame =
+      Corpus.tokens(docs.filter(band), col("text"))
+        .groupBy(col("token")).agg(count(lit(1)).as("wf"))
+        .select(col("token").as("word"), col("wf"))
+        .join(enc, Seq("word"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("wf")).as("n_occ"),
+          sum(when(col("pieces") === "[UNK]", col("wf"))
+            .otherwise(lit(0L))).as("n_unk_occ"),
+          sum(col("wf") * col("n_pieces")).as("n_piece_occ"))
+        .select(lit(name).as("band"), col("n_words"), col("n_occ"),
+          col("n_unk_occ"), col("n_piece_occ"),
+          (col("n_unk_occ").cast("double") / col("n_occ").cast("double"))
+            .as("unk_rate"),
+          (col("n_piece_occ").cast("double") / col("n_occ").cast("double"))
+            .as("fertility"))
+    bandRow("standing", col("doc_id") % 5 =!= 4)
+      .unionByName(bandRow("incoming", col("doc_id") % 5 === 4))
+  }
+
   /** Per-document WordPiece fertility: whitespace-word count vs
     * WordPiece symbol count under the corpus-trained vocabulary —
     * the doc-level cost readout a packer/budgeter consumes (the
@@ -1035,6 +1076,7 @@ object CorpusQueries {
     "wordpiece_vocab" -> wordpieceVocabQ _,
     "wordpiece_encode" -> wordpieceEncode _,
     "wordpiece_doc_stats" -> wordpieceDocStats _,
+    "wordpiece_drift_audit" -> wordpieceDriftAudit _,
     "paragraph_dedup_filter" -> paragraphDedupFilter _,
     "paragraph_dedup" -> paragraphDedup _,
     "skyline_pareto" -> skylinePareto _,
@@ -1908,7 +1950,7 @@ object CorpusQueries {
     * Round states are MATERIALIZED: each wp_s_k is referenced twice
     * (candidates + rewrite), so inlining would double the plan per
     * round — 2¹² without it. */
-  private lazy val wordpieceCtes: String = {
+  private def wordpieceCtes(vocabBand: String = "TRUE"): String = {
     val rounds = (1 to 12).map { k =>
       s"""wp_c$k AS (
          |  SELECT s.word, s.pos, l.l,
@@ -1942,11 +1984,16 @@ object CorpusQueries {
        |  SELECT token AS word, CAST(count(*) AS BIGINT) AS wf FROM (
        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
        |  WHERE token <> '' GROUP BY 1),
+       |wp_vw AS (
+       |  SELECT token AS word, CAST(count(*) AS BIGINT) AS wf FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS token
+       |    FROM documents WHERE $vocabBand)
+       |  WHERE token <> '' GROUP BY 1),
        |wp_o AS (
        |  SELECT CASE WHEN s.s = 0 THEN substr(w.word, 1, l.l)
        |              ELSE '##' || substr(w.word, s.s + 1, l.l) END AS piece,
        |         w.wf
-       |  FROM wp_w w,
+       |  FROM wp_vw w,
        |  LATERAL (SELECT unnest(range(0, length(w.word))) AS s) s,
        |  LATERAL (SELECT unnest(range(1,
        |    least(6, length(w.word) - s.s) + 1)) AS l) l),
@@ -1976,16 +2023,16 @@ object CorpusQueries {
   }
 
   private lazy val wordpieceVocabSql =
-    s"WITH $wordpieceCtes\nSELECT piece, n FROM wp_v"
+    s"WITH ${wordpieceCtes()}\nSELECT piece, n FROM wp_v"
 
   private lazy val wordpieceEncodeSql =
-    s"WITH $wordpieceCtes\nSELECT word, wf, pieces, n_pieces FROM wp_enc"
+    s"WITH ${wordpieceCtes()}\nSELECT word, wf, pieces, n_pieces FROM wp_enc"
 
   /** WordPiece-pack twin: the encode chain's per-doc piece sums
     * through the shared packing-layout algebra (`packFromAggCtes`
     * re-sourced at the wp aggregate). */
   private lazy val packSequencesWordpieceSql =
-    s"""WITH $wordpieceCtes,
+    s"""WITH ${wordpieceCtes()},
        |wp_t AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
        |  FROM documents),
@@ -1997,8 +2044,36 @@ object CorpusQueries {
        |SELECT doc_id, shard, n_tokens, "offset", seq_first, seq_last
        |FROM up_p""".stripMargin
 
+  /** Drift-audit twin: the CTE chain with the vocabulary band
+    * restricted to the standing corpus, then per-band
+    * occurrence-weighted [UNK] share and fertility over the one
+    * shared encode. */
+  private lazy val wordpieceDriftAuditSql = {
+    def bandSel(name: String, pred: String): String =
+      s"""SELECT '$name' AS band,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(w.wf) AS BIGINT) AS n_occ,
+         |  CAST(sum(CASE WHEN e.pieces = '[UNK]' THEN w.wf ELSE 0 END)
+         |    AS BIGINT) AS n_unk_occ,
+         |  CAST(sum(w.wf * e.n_pieces) AS BIGINT) AS n_piece_occ,
+         |  CAST(sum(CASE WHEN e.pieces = '[UNK]' THEN w.wf ELSE 0 END)
+         |    AS DOUBLE) / CAST(sum(w.wf) AS DOUBLE) AS unk_rate,
+         |  CAST(sum(w.wf * e.n_pieces) AS DOUBLE) /
+         |    CAST(sum(w.wf) AS DOUBLE) AS fertility
+         |FROM (
+         |  SELECT token AS word, CAST(count(*) AS BIGINT) AS wf FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS token
+         |    FROM documents WHERE $pred)
+         |  WHERE token <> '' GROUP BY 1) w
+         |JOIN wp_enc e ON e.word = w.word""".stripMargin
+    s"""WITH ${wordpieceCtes(vocabBand = "doc_id % 5 <> 4")}
+       |${bandSel("standing", "doc_id % 5 <> 4")}
+       |UNION ALL
+       |${bandSel("incoming", "doc_id % 5 = 4")}""".stripMargin
+  }
+
   private lazy val wordpieceDocStatsSql =
-    s"""WITH $wordpieceCtes,
+    s"""WITH ${wordpieceCtes()},
        |wp_t AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
        |  FROM documents)
@@ -2142,6 +2217,7 @@ object CorpusQueries {
     "wordpiece_vocab" -> wordpieceVocabSql,
     "wordpiece_encode" -> wordpieceEncodeSql,
     "wordpiece_doc_stats" -> wordpieceDocStatsSql,
+    "wordpiece_drift_audit" -> wordpieceDriftAuditSql,
     "bpe_encode" -> bpeEncodeSql,
     "bpe_train" -> bpeTrainSql,
     "unigram_train" -> unigramTrainSql,

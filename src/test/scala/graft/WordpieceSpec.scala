@@ -54,6 +54,20 @@ class WordpieceSpec extends SparkSpec {
     assert(!v.contains("##a")) // 'a' never occurs mid-word
   }
 
+  test("drift: a standing-band vocab UNKs genuinely new incoming words") {
+    // standing corpus knows only chars {a, b}; the incoming band
+    // brings 'zq' — no initial 'z' piece exists, so it must UNK,
+    // while shared words still encode.
+    val standing = Seq((0L, "aa bb aa aa bb")).toDF("doc_id", "text")
+    val vocab = Corpus.wordpieceVocab(standing, $"text")
+    val words = Seq(("aa", 2L), ("zq", 2L)).toDF("word", "wf")
+    val got = Corpus.wordpieceEncodeWords(words, vocab)
+      .collect().map(r => r.getAs[String]("word") ->
+        r.getAs[String]("pieces")).toMap
+    assert(got("zq") == "[UNK]")
+    assert(got("aa") != "[UNK]")
+  }
+
   test("corpus-trained encode round-trips every gate-corpus word") {
     val docs = sf("documents")
     val words = Corpus.tokens(docs, $"text")
