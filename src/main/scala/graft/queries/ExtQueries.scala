@@ -2158,9 +2158,16 @@ object ExtQueries {
     * of a disk-resident vector store), never for the scan. Exact
     * rerank algebra is the audited decimal-dot / IEEE-divide chain,
     * so the gate hash-matches the DuckDB twin. */
-  def annBitqRerank(spark: SparkSession, dir: String): DataFrame = {
-    val shortlist = bitqHammingTopK(spark, dir, 50)
-      .select(col("query_id"), col("nbr_id"))
+  def annBitqRerank(spark: SparkSession, dir: String): DataFrame =
+    bitqRerankFromShortlist(spark, dir,
+      bitqHammingTopK(spark, dir, 50)
+        .select(col("query_id"), col("nbr_id")))
+
+  /** Exact-cosine rerank of a (query_id, nbr_id) shortlist, cut to
+    * top-10 — the second stage shared by [[annBitqRerank]] and the
+    * depth sweep. */
+  private def bitqRerankFromShortlist(spark: SparkSession, dir: String,
+      shortlist: DataFrame): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     val c = Similarity.vectorsWithNorm(emb, col("vec_id"),
       col("embedding"), "nbr_id", "cv", "sn_c")
@@ -2176,6 +2183,30 @@ object ExtQueries {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("nbr_id"), col("rank"), col("cosine"))
+  }
+
+  /** Shortlist-DEPTH sweep for the 1-bit two-stage path — the
+    * recall/cost frontier that SIZES the rerank shortlist (the
+    * bit-index twin of `ann_probe_sweep` / `ann_pq_probe_sweep`):
+    * per depth D ∈ {10, 25, 50, 100}, Hamming top-D → exact rerank →
+    * recall@10 vs brute force. Depth is the serving knob — each
+    * shortlisted row costs one float fetch + one exact dot — so this
+    * row set is what a deployment reads before fixing D. One Hamming
+    * pass at max depth serves every row (the rank cut is free). */
+  def annBitqShortlistSweep(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val depths = Seq(10, 25, 50, 100)
+    val ham = Tables.materialize(
+      bitqHammingTopK(spark, dir, depths.max))
+    val truth = Tables.materialize(
+      annBruteForce(spark, dir).select(col("query_id"), col("nbr_id")))
+    val nq = truth.select(col("query_id")).distinct()
+      .agg(count(lit(1)).as("nq"))
+    recallRows(truth, nq, depths.map { d =>
+      s"short$d" -> bitqRerankFromShortlist(spark, dir,
+        ham.filter(col("rank") <= d)
+          .select(col("query_id"), col("nbr_id")))
+    })
   }
 
   /** The decision-driving number for the 1-bit path: recall@10 vs the
@@ -2397,6 +2428,7 @@ object ExtQueries {
     "ann_bitq_topk" -> annBitqTopK _,
     "ann_bitq_rerank" -> annBitqRerank _,
     "ann_bitq_recall_audit" -> annBitqRecallAudit _,
+    "ann_bitq_shortlist_sweep" -> annBitqShortlistSweep _,
     "ann_ivf_quantized" -> annIvfQuantized _,
     "udtf_ngrams" -> udtfNgrams _,
     "doc_decontaminate" -> docDecontaminate _,
@@ -5400,6 +5432,53 @@ object ExtQueries {
        |SELECT query_id, nbr_id, rank, cosine FROM rrr WHERE rank <= 10"""
       .stripMargin
 
+  /** Depth-sweep twin: one Hamming ranking (bqr), four rank cuts,
+    * each rerank chain sw{d}_* MATERIALIZED, recall rows against one
+    * materialized brute-force truth. */
+  private lazy val annBitqShortlistSweepSql = {
+    val depths = Seq(10, 25, 50, 100)
+    def chain(d: Int): String =
+      s"""sw${d}_s AS (
+         |  SELECT query_id, nbr_id FROM bqr WHERE rank <= $d),
+         |sw${d}_d AS (
+         |  SELECT s.query_id, s.nbr_id,
+         |    CAST(sum(CAST(c.x * q.x AS DECIMAL(28,12))) AS DOUBLE)
+         |      AS dot
+         |  FROM sw${d}_s s
+         |  JOIN comp c ON c.vec_id = s.nbr_id
+         |  JOIN comp q ON q.vec_id = s.query_id AND q.i = c.i
+         |  GROUP BY s.query_id, s.nbr_id),
+         |sw${d}_r AS MATERIALIZED (
+         |  SELECT query_id, nbr_id FROM (
+         |    SELECT d.query_id, d.nbr_id,
+         |      row_number() OVER (PARTITION BY d.query_id
+         |        ORDER BY d.dot / (nc.sn * nq.sn) DESC,
+         |                 d.nbr_id ASC) AS rk
+         |    FROM sw${d}_d d
+         |    JOIN norms nc ON nc.vec_id = d.nbr_id
+         |    JOIN norms nq ON nq.vec_id = d.query_id) t
+         |  WHERE rk <= 10)""".stripMargin
+    def row(d: Int): String =
+      s"""SELECT 'short$d' AS variant,
+         |  CAST((SELECT count(*) FROM sw${d}_r v JOIN swt t
+         |        ON t.query_id = v.query_id AND t.nbr_id = v.nbr_id)
+         |    AS BIGINT) AS n_hits,
+         |  CAST(swq.nq * 10 AS BIGINT) AS n_possible,
+         |  CAST((SELECT count(*) FROM sw${d}_r v JOIN swt t
+         |        ON t.query_id = v.query_id AND t.nbr_id = v.nbr_id)
+         |    AS DOUBLE) / CAST(swq.nq * 10 AS DOUBLE) AS recall
+         |FROM swq""".stripMargin
+    s"""WITH $vecCtes,
+       |$bitqCtes,
+       |${depths.map(chain).mkString(",\n")},
+       |swt AS MATERIALIZED (
+       |  SELECT query_id, nbr_id FROM ($annBruteForceSql) bft),
+       |swq AS (
+       |  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq
+       |  FROM swt)
+       |${depths.map(row).mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   private lazy val annBitqRecallAuditSql =
     s"""WITH bf AS ($annBruteForceSql),
        |ham AS ($annBitqTopKSql),
@@ -6328,6 +6407,7 @@ object ExtQueries {
     "ann_bitq_topk" -> annBitqTopKSql,
     "ann_bitq_rerank" -> annBitqRerankSql,
     "ann_bitq_recall_audit" -> annBitqRecallAuditSql,
+    "ann_bitq_shortlist_sweep" -> annBitqShortlistSweepSql,
     "ann_ivf_quantized" -> annIvfQuantizedSql,
     "udtf_ngrams" ->
       s"""SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
