@@ -1692,7 +1692,10 @@ object Similarity {
     * (the DuckDB twin replays the identical algebra). */
   def binaryDimThresholds(df: DataFrame, vec: Column, dim: Int)
       : Array[(Double, Long)] = {
-    val rows = df.select(posexplode(vec))
+    // same ragged-row guard as the encoder: a stray over-length
+    // vector would otherwise index past the thresholds array
+    val rows = df.select(vec.as("bv")).filter(size(col("bv")) === dim)
+      .select(posexplode(col("bv")))
       .select(col("pos").as("i"), col("col").cast("double").as("x"))
       .groupBy(col("i"))
       .agg(sum(col("x").cast(Dec)).cast("double").as("s"),
