@@ -2230,6 +2230,35 @@ object ExtQueries {
       .unionByName(row("rerank", annBitqRerank(spark, dir)))
   }
 
+  /** 1-bit encode-APPEND under frozen thresholds + the staleness
+    * readout — the bitq twin of `pq_encode_append`'s frozen-codebook
+    * proof: the per-dim centering thresholds are TRAINED state, so an
+    * ingest pipeline encodes new vectors under the frozen thresholds
+    * (no corpus re-scan), and this gate records what that freeze
+    * costs — per appended vector, the frozen packed words plus
+    * `flipped_bits` = Hamming distance to the codes a full retrain
+    * would assign. A drifting corpus shows up as a rising flip rate
+    * long before recall moves; flips ≈ 0 licenses the frozen-state
+    * ingest path. Bands are proportional (modulus) like
+    * `ann_graph_append`'s. */
+  def annBitqAppendDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val appended = emb.filter(col("vec_id") % 10 === 9)
+    val thFrozen = Similarity.binaryDimThresholds(
+      emb.filter(col("vec_id") % 10 =!= 9), col("embedding"), 64)
+    val thFull = Similarity.binaryDimThresholds(emb, col("embedding"), 64)
+    val fz = Similarity.binarySignWords(appended, col("vec_id"),
+      col("embedding"), thFrozen)
+    val rt = Similarity.binarySignWords(appended, col("vec_id"),
+      col("embedding"), thFull)
+    fz.select(col("bid").as("vec_id"), col("w0"), col("w1"))
+      .join(rt.select(col("bid").as("vec_id"),
+        col("w0").as("r0"), col("w1").as("r1")), Seq("vec_id"))
+      .select(col("vec_id"), col("w0"), col("w1"),
+        Similarity.hammingWords(col("w0"), col("w1"),
+          col("r0"), col("r1")).as("flipped_bits"))
+  }
+
   /** Repetition quality signals (Gopher/C4-family filters):
     * duplicate-token ratio + most-frequent-bigram fraction per doc. */
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
@@ -2429,6 +2458,7 @@ object ExtQueries {
     "ann_bitq_rerank" -> annBitqRerank _,
     "ann_bitq_recall_audit" -> annBitqRecallAudit _,
     "ann_bitq_shortlist_sweep" -> annBitqShortlistSweep _,
+    "ann_bitq_append_drift" -> annBitqAppendDrift _,
     "ann_ivf_quantized" -> annIvfQuantized _,
     "udtf_ngrams" -> udtfNgrams _,
     "doc_decontaminate" -> docDecontaminate _,
@@ -5375,12 +5405,17 @@ object ExtQueries {
     * band — [[graft.ext.Similarity.binarySignWords]] /
     * `hammingWords` algebra verbatim (bit rule `x·n > Σ`, never a
     * mean division). */
-  private val bitqCtes =
-    """bqd AS (
+  /** Threshold + packed-word chain at a PREFIX with independent
+    * threshold-training and encode bands (over `comp`'s vec_id) —
+    * instantiable twice in one statement for the frozen-vs-retrained
+    * append audit. */
+  private def bitqWordCtes(p: String, thrBand: String = "TRUE",
+      encBand: String = "TRUE"): String =
+    s"""${p}d AS (
       |  SELECT i, CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS s,
       |         COUNT(*) AS n
-      |  FROM comp GROUP BY i),
-      |bqw AS (
+      |  FROM comp WHERE $thrBand GROUP BY i),
+      |${p}w AS (
       |  SELECT c.vec_id,
       |    CAST(SUM(CASE WHEN c.i < 32 AND c.x * d.n > d.s
       |      THEN (CAST(1 AS BIGINT) << CAST(c.i AS INT)) ELSE 0 END)
@@ -5388,8 +5423,12 @@ object ExtQueries {
       |    CAST(SUM(CASE WHEN c.i >= 32 AND c.x * d.n > d.s
       |      THEN (CAST(1 AS BIGINT) << CAST(c.i - 32 AS INT)) ELSE 0 END)
       |      AS BIGINT) AS w1
-      |  FROM comp c JOIN bqd d ON d.i = c.i
-      |  GROUP BY c.vec_id),
+      |  FROM comp c JOIN ${p}d d ON d.i = c.i
+      |  WHERE $encBand
+      |  GROUP BY c.vec_id)""".stripMargin
+
+  private lazy val bitqCtes =
+    s"""${bitqWordCtes("bq")},
       |bqh AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
       |    CAST(bit_count(xor(c.w0, q.w0)) + bit_count(xor(c.w1, q.w1))
@@ -5401,6 +5440,16 @@ object ExtQueries {
       |    row_number() OVER (PARTITION BY query_id
       |                       ORDER BY hamming ASC, nbr_id ASC) AS rank
       |  FROM bqh)""".stripMargin
+
+  private lazy val annBitqAppendDriftSql =
+    s"""WITH $vecCtes,
+       |${bitqWordCtes("fz", thrBand = "vec_id % 10 <> 9",
+          encBand = "vec_id % 10 = 9")},
+       |${bitqWordCtes("rt", encBand = "vec_id % 10 = 9")}
+       |SELECT f.vec_id, f.w0, f.w1,
+       |  CAST(bit_count(xor(f.w0, r.w0)) + bit_count(xor(f.w1, r.w1))
+       |    AS BIGINT) AS flipped_bits
+       |FROM fzw f JOIN rtw r ON r.vec_id = f.vec_id""".stripMargin
 
   private lazy val annBitqTopKSql =
     s"""WITH $vecCtes,
@@ -6408,6 +6457,7 @@ object ExtQueries {
     "ann_bitq_rerank" -> annBitqRerankSql,
     "ann_bitq_recall_audit" -> annBitqRecallAuditSql,
     "ann_bitq_shortlist_sweep" -> annBitqShortlistSweepSql,
+    "ann_bitq_append_drift" -> annBitqAppendDriftSql,
     "ann_ivf_quantized" -> annIvfQuantizedSql,
     "udtf_ngrams" ->
       s"""SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
