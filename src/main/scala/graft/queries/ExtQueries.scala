@@ -332,15 +332,71 @@ object ExtQueries {
     * incremental story for the graph-ANN family. Bands are
     * proportional (modulus, not a fixed id cut) so the gate shapes
     * identically at every SF. */
-  def annGraphAppend(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared banded-base NN-Descent graph + append delta ([[
+    * Similarity.graphAppend]] at the gate constants) — built once per
+    * (applicationId, sfDir) and read by the append gate and the
+    * post-append serving audit. */
+  private def graphAppendFrames(spark: SparkSession, dir: String)
+      : Map[String, DataFrame] =
+    sharedFrames(spark, dir, "graph_append") {
+      val emb = Tables(spark, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 10 =!= 9)
+      val appended = emb.filter(col("vec_id") % 10 === 9)
+      val g = Tables.materialize(Similarity.nnDescent(base,
+        col("vec_id"), col("embedding"), k = 8, rounds = 3))
+      Seq("base_graph" -> g,
+        "delta" -> Similarity.graphAppend(base, col("vec_id"),
+          col("embedding"), g, appended, col("vec_id"),
+          col("embedding"), k = 8, beam = 16, hops = 3, entries = 8))
+    }
+
+  def annGraphAppend(spark: SparkSession, dir: String): DataFrame =
+    graphAppendFrames(spark, dir)("delta")
+
+  /** Post-append REACHABILITY audit — the serving proof insertion
+    * exists for: beam search over the MERGED graph (appended lists ∪
+    * updated lists ∪ untouched base lists) with the appended band as
+    * the query set. An inserted vector that placement + reverse
+    * edges actually wired in is its own exact nearest neighbor, so
+    * `self_found` counts appended nodes whose walk returns themselves
+    * at rank 1 — orphaned inserts (in-degree 0, unreachable except
+    * as entries) fail this row first. `recall` grades the same walks
+    * against the full-corpus brute-force top-10. One readout row per
+    * measure; the merged graph is pure column algebra over the
+    * shared frames. */
+  def annGraphAppendServe(spark: SparkSession, dir: String)
+      : DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    val base = emb.filter(col("vec_id") % 10 =!= 9)
-    val appended = emb.filter(col("vec_id") % 10 === 9)
-    val g = Similarity.nnDescent(base, col("vec_id"), col("embedding"),
-      k = 8, rounds = 3)
-    Similarity.graphAppend(base, col("vec_id"), col("embedding"), g,
-      appended, col("vec_id"), col("embedding"),
-      k = 8, beam = 16, hops = 3, entries = 8)
+    val frames = graphAppendFrames(spark, dir)
+    val delta = frames("delta")
+    val touched = delta.filter(col("src") === "updated")
+      .select(col("node_id")).distinct()
+    val merged = delta.select(col("node_id"), col("nbr_id"))
+      .unionByName(frames("base_graph")
+        .join(touched, Seq("node_id"), "left_anti")
+        .select(col("node_id"), col("nbr_id")))
+    val queries = emb.filter(col("vec_id") % 10 === 9)
+    val walked = Tables.materialize(
+      Similarity.graphBeamSearch(emb, col("vec_id"), col("embedding"),
+        merged, queries, col("vec_id"), col("embedding"),
+        k = 10, beam = 16, hops = 3, entries = 8))
+    val truth = Tables.materialize(
+      Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+          queries, col("vec_id"), col("embedding"), 10)
+        .select(col("query_id"), col("nbr_id")))
+    val nq = truth.select(col("query_id")).distinct()
+      .agg(count(lit(1)).as("nq"))
+    val selfRow = walked
+      .filter(col("rank") === 1 && col("nbr_id") === col("query_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit("self_found").as("variant"), col("n_hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("variant"), col("n_hits"),
+        col("nq").as("n_possible"),
+        (col("n_hits").cast("double") / col("nq").cast("double"))
+          .as("recall"))
+    selfRow.unionByName(
+      recallRows(truth, nq, Seq("walk_top10" -> walked)))
   }
 
   /** SemDeDup over the NN-Descent graph: MUTUAL-kNN edges (both
@@ -2414,6 +2470,7 @@ object ExtQueries {
     "ann_nndescent_recall_audit" -> annNndescentRecallAudit _,
     "ann_graph_search" -> annGraphSearch _,
     "ann_graph_append" -> annGraphAppend _,
+    "ann_graph_append_serve" -> annGraphAppendServe _,
     "ann_graph_search_recall" -> annGraphSearchRecall _,
     "ann_graph_hubness" -> annGraphHubness _,
     "embed_knn_cc" -> embedKnnCc _,
@@ -4957,44 +5014,45 @@ object ExtQueries {
   private def beamCtes(hops: Int, beam: Int = 16,
       entries: Int = 8, queryBand: String => String = offseedBand,
       entryBand: String => String = _ => "TRUE",
-      entrySql: Option[String] = None): String = {
+      entrySql: Option[String] = None,
+      p: String = "gs", graphRel: String = "nn_l3"): String = {
     def scoreAndBeam(r: Int): String =
-      s"""gs_d$r AS (
-         |  SELECT p.query_id, p.cand,
+      s"""${p}_d$r AS (
+         |  SELECT q.query_id, q.cand,
          |    CAST(sum(CAST(cc.x * qc.x AS DECIMAL(28,12))) AS DOUBLE)
          |      AS dot
-         |  FROM (SELECT DISTINCT query_id, cand FROM gs_c$r) p
-         |  JOIN comp cc ON cc.vec_id = p.cand
-         |  JOIN comp qc ON qc.vec_id = p.query_id AND qc.i = cc.i
-         |  GROUP BY p.query_id, p.cand),
-         |gs_s$r AS (
+         |  FROM (SELECT DISTINCT query_id, cand FROM ${p}_c$r) q
+         |  JOIN comp cc ON cc.vec_id = q.cand
+         |  JOIN comp qc ON qc.vec_id = q.query_id AND qc.i = cc.i
+         |  GROUP BY q.query_id, q.cand),
+         |${p}_s$r AS (
          |  SELECT d.query_id, d.cand, d.dot / (nc.sn * nq.sn) AS cos
-         |  FROM gs_d$r d
+         |  FROM ${p}_d$r d
          |  JOIN norms nc ON nc.vec_id = d.cand
          |  JOIN norms nq ON nq.vec_id = d.query_id),
-         |gs_b$r AS MATERIALIZED (
+         |${p}_b$r AS MATERIALIZED (
          |  SELECT query_id, cand, cos, rk FROM (
          |    SELECT query_id, cand, cos,
          |      row_number() OVER (PARTITION BY query_id
          |                         ORDER BY cos DESC, cand ASC) AS rk
-         |    FROM gs_s$r) WHERE rk <= $beam)""".stripMargin
+         |    FROM ${p}_s$r) WHERE rk <= $beam)""".stripMargin
     val init =
-      s"""gs_e AS (
+      s"""${p}_e AS (
          |  ${entrySql.getOrElse(
              s"""SELECT vec_id AS cand FROM embeddings
          |  WHERE ${entryBand("vec_id")}
          |  ORDER BY vec_id LIMIT $entries""")}),
-         |gs_c0 AS (
+         |${p}_c0 AS (
          |  SELECT q.vec_id AS query_id, e.cand
-         |  FROM embeddings q CROSS JOIN gs_e e
+         |  FROM embeddings q CROSS JOIN ${p}_e e
          |  WHERE ${queryBand("q.vec_id")}),
          |${scoreAndBeam(0)}""".stripMargin
     val hopCtes = (1 to hops).map { r =>
-      s"""gs_c$r AS (
+      s"""${p}_c$r AS (
          |  SELECT b.query_id, g.b AS cand
-         |  FROM gs_b${r - 1} b JOIN nn_l3 g ON g.a = b.cand
+         |  FROM ${p}_b${r - 1} b JOIN $graphRel g ON g.a = b.cand
          |  UNION
-         |  SELECT query_id, cand FROM gs_b${r - 1}),
+         |  SELECT query_id, cand FROM ${p}_b${r - 1}),
          |${scoreAndBeam(r)}""".stripMargin
     }
     (init +: hopCtes).mkString(",\n")
@@ -5007,12 +5065,16 @@ object ExtQueries {
     * from the base band, and the merge re-ranks (existing ∪ reverse
     * proposals) per touched node. Reverse edges reuse the walk's
     * exact cosine (symmetry), mirroring the Spark side. */
-  private lazy val annGraphAppendSql = {
-    val baseBand = (c: String) => s"$c % 10 <> 9"
-    val newBand = (c: String) => s"$c % 10 = 9"
-    // stratified stride entries (graphAppend's disconnected-graph
-    // insurance): one entry per floor((n+7)/8) block of the base id
-    // order — floor() of an exact double division on both engines
+  private val gaBaseBand = (c: String) => s"$c % 10 <> 9"
+  private val gaNewBand = (c: String) => s"$c % 10 = 9"
+
+  /** Banded base graph (nn_l3) + beam placement + append merge — the
+    * chain shared by the append gate and the post-append serving
+    * audit. The stratified stride entry set is graphAppend's
+    * disconnected-graph insurance: one entry per floor((n+7)/8)
+    * block of the base id order (floor() of an exact double division
+    * on both engines). */
+  private lazy val graphAppendCtes = {
     val entrySql =
       """SELECT cand FROM (
         |    SELECT vec_id AS cand,
@@ -5021,9 +5083,8 @@ object ExtQueries {
         |    FROM embeddings WHERE vec_id % 10 <> 9) strat
         |  WHERE r % CAST(floor((n + 7) / 8) AS BIGINT) = 0"""
         .stripMargin
-    s"""WITH $vecCtes,
-       |${nnDescentCtes(3, band = baseBand)},
-       |${beamCtes(3, queryBand = newBand, entryBand = baseBand,
+    s"""${nnDescentCtes(3, band = gaBaseBand)},
+       |${beamCtes(3, queryBand = gaNewBand, entryBand = gaBaseBand,
           entrySql = Some(entrySql))},
        |ga_place AS MATERIALIZED (
        |  SELECT query_id, cand, cos, rk FROM gs_b3 WHERE rk <= 8),
@@ -5034,19 +5095,71 @@ object ExtQueries {
        |  SELECT l.a AS node_id, l.b AS nbr_id, l.cos
        |  FROM nn_l3 l
        |  WHERE l.a IN (SELECT node_id FROM ga_rev)),
-       |ga_upd AS (
+       |ga_upd AS MATERIALIZED (
        |  SELECT node_id, nbr_id, cos,
        |    row_number() OVER (PARTITION BY node_id
        |                       ORDER BY cos DESC, nbr_id ASC) AS rk
        |  FROM (SELECT node_id, nbr_id, cos FROM ga_exist
        |        UNION ALL
-       |        SELECT node_id, nbr_id, cos FROM ga_rev) u)
+       |        SELECT node_id, nbr_id, cos FROM ga_rev) u)"""
+      .stripMargin
+  }
+
+  private lazy val annGraphAppendSql =
+    s"""WITH $vecCtes,
+       |$graphAppendCtes
        |SELECT query_id AS node_id, cand AS nbr_id, rk AS rank,
        |  cos AS cosine, 'appended' AS src FROM ga_place
        |UNION ALL
        |SELECT node_id, nbr_id, rk AS rank, cos AS cosine,
        |  'updated' AS src FROM ga_upd WHERE rk <= 8""".stripMargin
-  }
+
+  /** Post-append serving twin: merged graph = appended lists ∪
+    * updated lists ∪ untouched base lists; a second beam chain (sv
+    * prefix) walks it for the appended band; rows grade
+    * self-reachability (rank-1 self hit) and recall@10 vs the
+    * full-corpus brute truth. */
+  private lazy val annGraphAppendServeSql =
+    s"""WITH $vecCtes,
+       |$graphAppendCtes,
+       |sv_graph AS MATERIALIZED (
+       |  SELECT query_id AS a, cand AS b FROM ga_place
+       |  UNION ALL
+       |  SELECT node_id, nbr_id FROM ga_upd WHERE rk <= 8
+       |  UNION ALL
+       |  SELECT l.a, l.b FROM nn_l3 l
+       |  WHERE l.a NOT IN (SELECT node_id FROM ga_rev)),
+       |${beamCtes(3, queryBand = gaNewBand, p = "sv",
+          graphRel = "sv_graph")},
+       |svt AS MATERIALIZED (
+       |  SELECT query_id, nbr_id
+       |  FROM (${bruteForceTopSql(gaNewBand)}) bft),
+       |svq AS (
+       |  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq
+       |  FROM svt)
+       |SELECT 'self_found' AS variant,
+       |  CAST((SELECT count(*) FROM sv_b3
+       |        WHERE rk = 1 AND cand = query_id) AS BIGINT) AS n_hits,
+       |  CAST(svq.nq AS BIGINT) AS n_possible,
+       |  CAST((SELECT count(*) FROM sv_b3
+       |        WHERE rk = 1 AND cand = query_id) AS DOUBLE) /
+       |    CAST(svq.nq AS DOUBLE) AS recall
+       |FROM svq
+       |UNION ALL
+       |SELECT 'walk_top10' AS variant,
+       |  CAST((SELECT count(*)
+       |        FROM (SELECT query_id, cand FROM sv_b3
+       |              WHERE rk <= 10) v
+       |        JOIN svt t ON t.query_id = v.query_id
+       |          AND t.nbr_id = v.cand) AS BIGINT) AS n_hits,
+       |  CAST(svq.nq * 10 AS BIGINT) AS n_possible,
+       |  CAST((SELECT count(*)
+       |        FROM (SELECT query_id, cand FROM sv_b3
+       |              WHERE rk <= 10) v
+       |        JOIN svt t ON t.query_id = v.query_id
+       |          AND t.nbr_id = v.cand) AS DOUBLE) /
+       |    CAST(svq.nq * 10 AS DOUBLE) AS recall
+       |FROM svq""".stripMargin
 
   private lazy val annGraphSearchSql =
     s"""WITH $vecCtes,
@@ -6430,6 +6543,7 @@ object ExtQueries {
     "ann_nndescent_recall_audit" -> annNndescentRecallAuditSql,
     "ann_graph_search" -> annGraphSearchSql,
     "ann_graph_append" -> annGraphAppendSql,
+    "ann_graph_append_serve" -> annGraphAppendServeSql,
     "ann_graph_search_recall" -> annGraphSearchRecallSql,
     "ann_graph_hubness" -> annGraphHubnessSql,
     "embed_knn_cc" -> embedKnnCcSql,
