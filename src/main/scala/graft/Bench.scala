@@ -280,8 +280,9 @@ object Bench {
     val stealRun0 = stealSeconds
     def runOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Option[String], Map[String, Double]) = {
+        : (Double, Option[String], Map[String, Double], Seq[String]) = {
       listener.reset()
+      graft.queries.SharedFrames.drainBuilt() // discard pre-query noise
       currentQuery.set(name)
       val gc0 = driverGcMs
       val steal0 = stealSeconds
@@ -319,10 +320,13 @@ object Bench {
       // straggler forensics to stderr (stdout carries only the JSON line)
       listener.slowTasks.asScala.foreach(s =>
         System.err.println(s"[bench-slow] $name: $s"))
-      (dt, err, diag)
+      // shared-frame tiers whose FIRST build ran inside this query's
+      // window — the attribution that explains first-caller cost
+      // swings as the board grows (verdict r15 secondary observation)
+      (dt, err, diag, graft.queries.SharedFrames.drainBuilt())
     }
     val results = selected.map { case (name, fn) =>
-      var (dt, err, diag) = runOnce(name, fn)
+      var (dt, err, diag, builtFrames) = runOnce(name, fn)
       var attempts = 1
       // a steal-polluted window (absolute and relative floor — tiny
       // walls absorb scheduler jitter) re-measures after a quiet wait;
@@ -345,11 +349,14 @@ object Bench {
           (again._3("steal_s") < diag("steal_s") ||
             (again._3("steal_s") == diag("steal_s") && again._1 < dt))
         if (cleaner) { dt = again._1; err = again._2; diag = again._3 }
+        // builds happened in whichever attempt ran them; attribution
+        // is the union (a retry reads the already-persisted frames)
+        builtFrames = builtFrames ++ again._4
         attempts += 1
         retried.updateWith(name)(n => Some(n.getOrElse(0) + 1))
       }
       // a crashed query must not bench as a perf win: sentinel -1
-      (name, if (err.isDefined) -1.0 else dt, err, diag)
+      (name, if (err.isDefined) -1.0 else dt, err, diag, builtFrames)
     }
     // truncate BEFORE escaping: a post-escape cut can split a \" or
     // \\ pair and leave the stdout JSON metric line unclosed
@@ -374,7 +381,7 @@ object Bench {
     // relaunched attempt's wall, so the JSON alone shows whether the
     // 45 s kill bounded the query (fast relaunch + bounded wall = the
     // zombie burned CPU off to the side; no relaunch = kill failed).
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f2(v) }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val wedgedSet = wedgeEvents.asScala.filter(_._2.sum > 0).keys.toSet
     val killedSet = killEvents.asScala.filter(_._2.sum > 0).keys.toSet
@@ -384,13 +391,26 @@ object Bench {
     val diagNames = (results.sortBy(-_._2).take(5).map(_._1).toSet
       ++ wedgedSet ++ killedSet)
     def diagMap(label: String, field: String, names: Set[String]): String = {
-      val entries = results.collect { case (k, _, _, d) if names(k) =>
+      val entries = results.collect { case (k, _, _, d, _) if names(k) =>
         "\"" + k + "\":" + f2(d.getOrElse(field, 0.0))
       }
       if (entries.isEmpty) "" else entries.mkString(s""","$label":{""", ",", "}")
     }
     val maxCpuJson = diagMap("max_task_cpu_s", "max_task_cpu_s", diagNames)
     val relaunchJson = diagMap("relaunch_s", "relaunch_s", killedSet)
+    // first-caller attribution: which SharedFrames tiers each query
+    // built inside its measurement window — the map that makes
+    // cross-round per-query swings on shared-build gates explainable
+    // from the JSON alone (~one entry per tier per run, bounded by
+    // the tier count, not the query count)
+    val builtJson = {
+      val entries = results.collect {
+        case (k, _, _, _, b) if b.nonEmpty =>
+          "\"" + k + "\":" + b.map("\"" + _ + "\"").mkString("[", ",", "]")
+      }
+      if (entries.isEmpty) ""
+      else entries.mkString(""","built_frames":{""", ",", "}")
+    }
     val wedges = {
       val w = wedgedSet.toSeq.sorted
       if (w.isEmpty) "" else w.map("\"" + _ + "\"").mkString(",\"wedged\":[", ",", "]")
@@ -407,7 +427,7 @@ object Bench {
     // after it; r3/r6: inline diag payload overflowed the tail). So
     // stdout carries ONE compact line, emitted after spark.stop() so
     // no executor/stream shutdown warning can print behind it.
-    val diagJson = results.map { case (k, _, _, d) =>
+    val diagJson = results.map { case (k, _, _, d, _) =>
       "\"" + k + "\":" + d.toSeq.sortBy(_._1)
         .map { case (m, v) => "\"" + m + "\":" + f3(v) }
         .mkString("{", ",", "}")
@@ -421,7 +441,7 @@ object Bench {
     // detectable from the JSON alone.
     // truncate the RAW message, then escape: truncating after esc()
     // could split a \" or \\ pair and leave the JSON string unclosed
-    val errsAll = results.collect { case (k, _, Some(e), _) => (k, e) }
+    val errsAll = results.collect { case (k, _, Some(e), _, _) => (k, e) }
     errsAll.foreach { case (k, e) =>
       System.err.println(s"[bench-error] $k: ${esc(e)}") }
     def errJsonN(maxN: Int, msgLen: Int): String =
@@ -429,7 +449,7 @@ object Bench {
       else errsAll.take(maxN)
         .map { case (k, e) => "\"" + k + "\":\"" + esc(e.take(msgLen)) + "\"" }
         .mkString(",\"errors\":{", ",", "}")
-    val total = results.collect { case (_, v, None, _) => v }.sum
+    val total = results.collect { case (_, v, None, _, _) => v }.sum
     // STEAL-INVARIANT headline: Σ per-query executor task time. Wall
     // clock stretches under hypervisor steal while task run time stays
     // put (tasks that aren't scheduled aren't running), so this is the
@@ -437,13 +457,13 @@ object Bench {
     // total stays alongside as the latency-shaped number. Failed
     // queries are excluded from both totals.
     val engineTotal =
-      results.collect { case (_, _, None, d) => d.getOrElse("task_s", 0.0) }.sum
+      results.collect { case (_, _, None, d, _) => d.getOrElse("task_s", 0.0) }.sum
     // task RUN time still stretches somewhat while a thread sits
     // descheduled under steal (r14 run 1 vs 2: +19% task vs +15%
     // wall); task CPU time does not — the strictly steal-invariant
     // series rides alongside
     val engineCpuTotal =
-      results.collect { case (_, _, None, d) => d.getOrElse("cpu_s", 0.0) }.sum
+      results.collect { case (_, _, None, d, _) => d.getOrElse("cpu_s", 0.0) }.sum
     // steal_s: steal inside the ACCEPTED measurement windows (what the
     // reported walls actually absorbed); steal_run_s: the whole-run
     // envelope including waits and discarded attempts. retried/
@@ -467,7 +487,7 @@ object Bench {
     def taskJson(names: Set[String]): String = {
       // errored queries are excluded, matching engine_total /
       // engine_cpu_total, so summing the map reconciles with them
-      val entries = results.collect { case (k, _, None, d) if names(k) =>
+      val entries = results.collect { case (k, _, None, d, _) if names(k) =>
         "\"" + k + "\":" + f2(d.getOrElse("task_s", 0.0))
       }
       if (entries.isEmpty) "" else entries.mkString(""","task_s":{""", ",", "}")
@@ -485,13 +505,13 @@ object Bench {
     // line always beats a truncated complete one.
     val allNames = results.map(_._1).toSet
     val full = line(qs, taskJson(allNames),
-      s"$maxCpuJson$relaunchJson$wedges$kills", errJsonN(20, 160))
+      s"$maxCpuJson$relaunchJson$builtJson$wedges$kills", errJsonN(20, 160))
     lazy val noDiag = line(qs, taskJson(allNames),
-      s"$relaunchJson$wedges$kills", errJsonN(6, 90))
+      s"$relaunchJson$builtJson$wedges$kills", errJsonN(6, 90))
     def atLeast(th: Double, withTask: Boolean): String = {
-      val names = results.collect { case (k, v, _, _) if v >= th => k }.toSet
+      val names = results.collect { case (k, v, _, _, _) if v >= th => k }.toSet
       line(
-        results.collect { case (k, v, _, _) if names(k) =>
+        results.collect { case (k, v, _, _, _) if names(k) =>
           s"\"" + k + "\":" + f2(v)
         }.mkString("{", ",", "}"),
         if (withTask) taskJson(names) else "",

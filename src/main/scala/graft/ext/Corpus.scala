@@ -1499,9 +1499,13 @@ object Corpus {
       pairs: DataFrame, n: Int): DataFrame = {
     require(n >= 1 && n <= 8, "n in [1,8]")
     val p = docs.sparkSession.sparkContext.defaultParallelism
+    // split-on-space + drop empty tokens (the [[tokens]] convention):
+    // a whitespace-regex split yields a single "" token for empty
+    // docs, which would count one phantom unigram against the
+    // filtered-split oracle
     val toked = docs
-      .select(id.as("id"), graft.functions.TextFunctions.tokens(text)
-        .as("toks"))
+      .select(id.as("id"),
+        filter(split(text, " "), t => t =!= lit("")).as("toks"))
       .repartition(p)
     val grams = when(size(col("toks")) >= n,
       transform(sequence(lit(1), size(col("toks")) - (n - 1)),
@@ -1608,7 +1612,11 @@ object Corpus {
   def wordpieceEncodeWords(words: DataFrame, vocab: DataFrame,
       maxChars: Int = 12, maxPieceLen: Int = 6): DataFrame = {
     require(maxChars >= 1 && maxChars <= 32, "maxChars in [1,32]")
-    val vp = vocab.select(col("piece"))
+    // materialize the vocabulary ONCE: the broadcast join below sits
+    // inside the fixed-round loop, and an un-materialized plan would
+    // re-run the whole vocabulary aggregation (word-frequency pass +
+    // piece enumeration + TakeOrdered cut) on every round
+    val vp = graft.Tables.materialize(vocab.select(col("piece")))
     // localCheckpoint, NOT cache: each round references the previous
     // state TWICE (candidate explode + rewrite join), so a cache-only
     // loop doubles the logical plan per round — 2^maxChars by the end

@@ -163,7 +163,20 @@ object Similarity {
     * k-NN graph. `rounds = 0` returns the scored ring init (the
     * audit's baseline). */
   def nnDescent(df: DataFrame, id: Column, vec: Column, k: Int = 8,
-      rounds: Int = 2): DataFrame = {
+      rounds: Int = 2): DataFrame =
+    nnDescentStates(df, id, vec, k, rounds).last
+
+  /** Every round state of [[nnDescent]] in one build — element r is
+    * the list after r local-join rounds (element 0 = the scored ring
+    * init). Because round r's state is a plain prefix of round r+1's
+    * computation, ONE trajectory build serves a whole convergence
+    * curve / parameter sweep: the audits read states 0..rounds from a
+    * single pass instead of re-running init + rounds per point (the
+    * `ivfRecallSweep` one-candidate-pass discipline applied to the
+    * build axis). Each state is localCheckpoint-materialized by the
+    * loop anyway, so exposing them is free. */
+  def nnDescentStates(df: DataFrame, id: Column, vec: Column,
+      k: Int = 8, rounds: Int = 2): Seq[DataFrame] = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2 && k % 2 == 0, "k even and >= 2")
     require(rounds >= 0 && rounds <= 8, "rounds in [0,8]")
@@ -199,6 +212,7 @@ object Similarity {
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
     var cur = topK(score(init)).localCheckpoint(true)
+    val states = scala.collection.mutable.ListBuffer(cur)
     for (_ <- 1 to rounds) {
       val und = cur.select(col("a"), col("b"))
         .unionByName(cur.select(col("b").as("a"), col("a").as("b")))
@@ -209,9 +223,10 @@ object Similarity {
         .select(col("x.a").as("a"), col("y.b").as("b"))
         .unionByName(cur.select(col("a"), col("b")))
       cur = topK(score(cand)).localCheckpoint(true)
+      states += cur
     }
-    cur.select(col("a").as("node_id"), col("b").as("nbr_id"),
-      col("rank"), col("cos").as("cosine"))
+    states.toSeq.map(_.select(col("a").as("node_id"),
+      col("b").as("nbr_id"), col("rank"), col("cos").as("cosine")))
   }
 
   /** Graph-ANN SERVING — greedy BEAM SEARCH over a prebuilt k-NN
@@ -245,13 +260,25 @@ object Similarity {
       vectors(corpus, id, vec, "cand", "cv", "sn_c"))
     val q = graft.Tables.materialize(
       vectors(queries, queryId, queryVec, "query_id", "qv", "sn_q"))
-    // default entry convention: the `entries` smallest corpus ids
-    // (the IVF seed convention). Callers whose graph may be
-    // DISCONNECTED (e.g. insertion over a clustered corpus) pass an
-    // explicit (cand) entry frame instead — see [[graphAppend]]'s
-    // stratified stride.
-    val entry = entriesDf.map(_.select(col("cand"))).getOrElse(
-      v.select(col("cand")).orderBy(col("cand")).limit(entries))
+    // default entry convention: the STRATIFIED stride — one entry per
+    // ⌈n/entries⌉ block of the corpus id order, the same spread
+    // insertion uses (the role HNSW's upper layers play). Through
+    // round 15 this default was the `entries` SMALLEST ids (the IVF
+    // seed convention); `tools/GraphServeAb` measured that clustered
+    // low-id entries are what capped post-append serving — same
+    // 8-entry/3-hop budget, stratified vs smallest: self_found
+    // 0.86 → 1.00, walk_top10 0.494 → 0.658. Entry PLACEMENT, not
+    // orphaned inserts, was the serving ceiling. Callers may still
+    // pass an explicit (cand) entry frame.
+    val entry = entriesDf.map(_.select(col("cand"))).getOrElse {
+      val p = corpus.sparkSession.sparkContext.defaultParallelism
+      Corpus.globalOrderRank(v.select(col("cand")), p, col("cand"))
+        .crossJoin(broadcast(v.agg(count(lit(1)).as("n"))))
+        .filter(pmod(col("_rank"),
+          floor((col("n") + lit(entries - 1)) / lit(entries))
+            .cast("long")) === 0)
+        .select(col("cand"))
+    }
     val edges = graph.select(col("node_id").as("cand"),
       col("nbr_id").as("next"))
     def score(cands: DataFrame): DataFrame =
@@ -1624,11 +1651,19 @@ object Similarity {
     * symmetric, so the reverse edge reuses the walk's exact score —
     * no second kernel pass.
     *
+    * After the re-rank, ORPHANS are repaired: an appended node whose
+    * reverse proposals all lost (present in no updated list — it
+    * would be unreachable to serving except as an entry) is FORCED
+    * into its nearest touched list (rank-1 placement target), whose
+    * list pre-cuts to k − |adoptees| to make room — the flat-graph
+    * form of HNSW's insert-side neighbor-selection heuristic, under
+    * the same (cosine DESC, id ASC) total order.
+    *
     * Returns (node_id, nbr_id, rank, cosine, src): `src='appended'`
     * rows are the new nodes' lists, `src='updated'` the re-ranked
-    * lists of the base nodes the append touched — exactly the delta
-    * a persisted graph store writes back; untouched lists never
-    * move. This is what makes a graph index viable at 100 TB:
+    * (and where needed, repaired) lists of the base nodes the append
+    * touched — exactly the delta a persisted graph store writes
+    * back; untouched lists never move. This is what makes a graph index viable at 100 TB:
     * ingest cost scales with the BATCH (walks + a touched-list
     * re-rank), never with the corpus — the graph twin of the
     * incremental IVF/PQ/LSH append gates. */
@@ -1637,26 +1672,15 @@ object Similarity {
       appendedVec: Column, k: Int = 8, beam: Int = 16, hops: Int = 3,
       entries: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // STRATIFIED entry set — one entry per ⌈n/entries⌉ block of the
-    // id order (range-partition rank, no global sort) instead of the
-    // smallest-ids serving convention: a k-NN graph over a clustered
-    // corpus is DISCONNECTED (no cross-cluster edges), so insertion
-    // entries must be spread across the graph or whole components
-    // are unreachable from the walk (the role HNSW's upper layers
-    // play). floor() on both engines; stride ≥ 1 always.
-    val p = base.sparkSession.sparkContext.defaultParallelism
-    val ranked = Corpus.globalOrderRank(
-      base.select(id.as("cand")), p, col("cand"))
-    val nAgg = ranked.agg(count(lit(1)).as("n"))
-    val entryDf = ranked.crossJoin(broadcast(nAgg))
-      .filter(pmod(col("_rank"),
-        floor((col("n") + lit(entries - 1)) / lit(entries))
-          .cast("long")) === 0)
-      .select(col("cand"))
+    // entries: the stratified stride over the base id order — since
+    // round 16 this IS [[graphBeamSearch]]'s default convention
+    // (one entry per ⌈n/entries⌉ block; a k-NN graph over a clustered
+    // corpus is DISCONNECTED, so entries must spread across the graph
+    // — the role HNSW's upper layers play)
     val placed = graft.Tables.materialize(
       graphBeamSearch(base, id, vec, graph, appended, appendedId,
         appendedVec, k = k, beam = beam, hops = hops,
-        entries = entries, entriesDf = Some(entryDf)))
+        entries = entries))
     val rev = placed.select(col("nbr_id").as("node_id"),
       col("query_id").as("nbr_id"), col("cosine"))
     val existing = graph
@@ -1665,14 +1689,47 @@ object Similarity {
       .select(col("node_id"), col("nbr_id"), col("cosine"))
     val w = Window.partitionBy(col("node_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
-    val updated = existing.unionByName(rev)
+    val updated = graft.Tables.materialize(
+      existing.unionByName(rev)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k))
+    // ORPHAN REPAIR — forced reverse-adoption (the role HNSW's
+    // neighbor-selection heuristic plays at insert): an appended node
+    // whose reverse proposals ALL lost their re-ranks sits in no base
+    // list — unreachable to serving except as an entry (measured 14%
+    // of inserts on the gate corpus pre-repair). Each such orphan
+    // claims a slot in its NEAREST touched list (its rank-1 placement
+    // target): the target's list pre-cuts to k − |adoptees| under the
+    // original ranking, the adoptees join (reusing the walk's exact
+    // symmetric cosine), and the union re-ranks under the same
+    // (cos DESC, id ASC) total order — capacity k exactly, every
+    // adoptee guaranteed in. Cost is visible in the delta (the
+    // repaired lists replace the plain re-ranks); untouched lists
+    // still never move.
+    val orphans = placed.select(col("query_id")).distinct()
+      .join(updated.select(col("nbr_id").as("query_id")),
+        Seq("query_id"), "left_anti")
+    val adopt = placed.filter(col("rank") === 1)
+      .join(orphans, Seq("query_id"), "left_semi")
+      .select(col("nbr_id").as("node_id"),
+        col("query_id").as("nbr_id"), col("cosine"))
+    val acnt = adopt.groupBy(col("node_id"))
+      .agg(count(lit(1)).as("na"))
+    val repaired = updated.join(acnt, Seq("node_id"))
+      .filter(col("rank") <= lit(k) - col("na"))
+      .select(col("node_id"), col("nbr_id"), col("cosine"))
+      .unionByName(adopt)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val finalUpd = repaired
+      .unionByName(updated
+        .join(acnt, Seq("node_id"), "left_anti")
+        .select(col("node_id"), col("nbr_id"), col("cosine"),
+          col("rank")))
     placed
       .select(col("query_id").as("node_id"), col("nbr_id"),
         col("rank"), col("cosine"))
       .withColumn("src", lit("appended"))
-      .unionByName(updated
+      .unionByName(finalUpd
         .select(col("node_id"), col("nbr_id"), col("rank"),
           col("cosine"))
         .withColumn("src", lit("updated")))

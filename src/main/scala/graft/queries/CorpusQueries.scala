@@ -996,14 +996,6 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n_ws"), sum(col("n_pieces")).as("n_wp"))
   }
 
-  /** ROUGE-1/ROUGE-2 clipped-overlap scoring
-    * ([[Corpus.ngramOverlapCounts]] / [[Corpus.overlapScores]]) over
-    * a deterministic (cand, ref) pairing — every even doc scored
-    * against its successor, the eval-harness shape (generated output
-    * vs reference) run as a relational operator: multiset n-gram
-    * counts, BLEU-style clipping (min of the two counts per gram),
-    * P/R/F1 from three exact integers per n. Zero-overlap and
-    * too-short-for-bigrams pairs stay visible with 0 scores. */
   /** The deterministic (cand, ref) pairing shared by the overlap
     * gates: every even doc against its successor. */
   private def overlapPairs(docs: DataFrame): DataFrame =
@@ -1013,6 +1005,14 @@ object CorpusQueries {
       .join(docs.select(col("doc_id").as("ref_id")),
         Seq("ref_id"), "left_semi")
 
+  /** ROUGE-1/ROUGE-2 clipped-overlap scoring
+    * ([[Corpus.ngramOverlapCounts]] / [[Corpus.overlapScores]]) over
+    * a deterministic (cand, ref) pairing — every even doc scored
+    * against its successor, the eval-harness shape (generated output
+    * vs reference) run as a relational operator: multiset n-gram
+    * counts, BLEU-style clipping (min of the two counts per gram),
+    * P/R/F1 from three exact integers per n. Zero-overlap and
+    * too-short-for-bigrams pairs stay visible with 0 scores. */
   def evalNgramOverlap(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val pairs = overlapPairs(docs)
@@ -1046,12 +1046,19 @@ object CorpusQueries {
       sum(col("tot_r")).as("r_len"))
     val a2 = c2.agg(sum(col("n_match")).as("m2"),
       sum(col("tot_c")).as("c2"))
-    val p1 = col("m1").cast("double") / col("c_len").cast("double")
+    // every ratio carries the same den > 0 guard (p2 always had it):
+    // an all-empty candidate or reference corpus is 0/0 — NaN in
+    // Spark vs engine-dependent division behavior in DuckDB, breaking
+    // the hash exactly when the gate is degenerate
+    val p1 = when(col("c_len") > 0,
+      col("m1").cast("double") / col("c_len").cast("double"))
+      .otherwise(lit(0.0))
     val p2 = when(col("c2") > 0,
       col("m2").cast("double") / col("c2").cast("double"))
       .otherwise(lit(0.0))
-    val brevity = least(lit(1.0),
-      col("c_len").cast("double") / col("r_len").cast("double"))
+    val brevity = when(col("r_len") > 0, least(lit(1.0),
+      col("c_len").cast("double") / col("r_len").cast("double")))
+      .otherwise(lit(0.0))
     a1.crossJoin(a2).select(col("n_pairs"), col("c_len"), col("r_len"),
       col("m1"), col("m2"), p1.as("p1"), p2.as("p2"),
       brevity.as("brevity"), (brevity * sqrt(p1 * p2)).as("bleu2_lite"))
@@ -2112,20 +2119,6 @@ object CorpusQueries {
          |  JOIN eo_c$g c ON c.doc_id = p.cand_id
          |  JOIN eo_c$g r ON r.doc_id = p.ref_id AND r.gram = c.gram
          |  GROUP BY 1, 2)""".stripMargin
-    def out(g: String, pre: String): String =
-      s"""  CAST(COALESCE(m$g.m, 0) AS BIGINT) AS ${pre}_match,
-         |  CAST(COALESCE(tc$g.tot, 0) AS BIGINT) AS ${pre}_tot_c,
-         |  CAST(COALESCE(tr$g.tot, 0) AS BIGINT) AS ${pre}_tot_r,
-         |  CASE WHEN COALESCE(tc$g.tot, 0) > 0 THEN
-         |    CAST(COALESCE(m$g.m, 0) AS DOUBLE) / CAST(tc$g.tot AS DOUBLE)
-         |    ELSE 0.0 END AS ${pre}_p,
-         |  CASE WHEN COALESCE(tr$g.tot, 0) > 0 THEN
-         |    CAST(COALESCE(m$g.m, 0) AS DOUBLE) / CAST(tr$g.tot AS DOUBLE)
-         |    ELSE 0.0 END AS ${pre}_r,
-         |  CASE WHEN COALESCE(tc$g.tot, 0) + COALESCE(tr$g.tot, 0) > 0 THEN
-         |    CAST(2 * COALESCE(m$g.m, 0) AS DOUBLE) /
-         |    CAST(COALESCE(tc$g.tot, 0) + COALESCE(tr$g.tot, 0) AS DOUBLE)
-         |    ELSE 0.0 END AS ${pre}_f1""".stripMargin
     s"""eo_t AS (
        |  SELECT doc_id,
        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -2198,14 +2191,19 @@ object CorpusQueries {
        |    CAST(sum(m2) AS BIGINT) AS m2, CAST(sum(c2) AS BIGINT) AS c2
        |  FROM bl_p)
        |SELECT n_pairs, c_len, r_len, m1, m2,
-       |  CAST(m1 AS DOUBLE) / CAST(c_len AS DOUBLE) AS p1,
+       |  CASE WHEN c_len > 0 THEN CAST(m1 AS DOUBLE) / CAST(c_len AS DOUBLE)
+       |    ELSE 0.0 END AS p1,
        |  CASE WHEN c2 > 0 THEN CAST(m2 AS DOUBLE) / CAST(c2 AS DOUBLE)
        |    ELSE 0.0 END AS p2,
-       |  least(CAST(1.0 AS DOUBLE),
-       |    CAST(c_len AS DOUBLE) / CAST(r_len AS DOUBLE)) AS brevity,
-       |  least(CAST(1.0 AS DOUBLE),
-       |    CAST(c_len AS DOUBLE) / CAST(r_len AS DOUBLE)) *
-       |  sqrt((CAST(m1 AS DOUBLE) / CAST(c_len AS DOUBLE)) *
+       |  CASE WHEN r_len > 0 THEN least(CAST(1.0 AS DOUBLE),
+       |    CAST(c_len AS DOUBLE) / CAST(r_len AS DOUBLE))
+       |    ELSE 0.0 END AS brevity,
+       |  (CASE WHEN r_len > 0 THEN least(CAST(1.0 AS DOUBLE),
+       |    CAST(c_len AS DOUBLE) / CAST(r_len AS DOUBLE))
+       |    ELSE 0.0 END) *
+       |  sqrt((CASE WHEN c_len > 0 THEN
+       |      CAST(m1 AS DOUBLE) / CAST(c_len AS DOUBLE)
+       |     ELSE 0.0 END) *
        |    (CASE WHEN c2 > 0 THEN CAST(m2 AS DOUBLE) / CAST(c2 AS DOUBLE)
        |     ELSE 0.0 END)) AS bleu2_lite
        |FROM bl_a""".stripMargin

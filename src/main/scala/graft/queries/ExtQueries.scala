@@ -244,23 +244,58 @@ object ExtQueries {
       "opq_trained_residual" -> opqIvfPqFrames(spark, dir)("topk_offseed")))
   }
 
-  /** Shared NN-Descent frames ([[Similarity.nnDescent]], k = 8): the
-    * 3-round graph plus the round-1 list and the scored ring init
-    * (round 0) — the audit's convergence curve points, built once and
-    * read by the top-k gate and the recall audit. */
+  /** Shared NN-Descent frames ([[Similarity.nnDescentStates]],
+    * k = 8): ONE 4-round trajectory build whose states 0..4 are the
+    * audits' convergence-curve points — round r is a prefix of round
+    * r + 1's computation, so the single pass replaces the three
+    * separate builds (init + 1-round + 3-round) this tier ran through
+    * round 15 AND extends the curve to round 4 for the parameter
+    * sweep. `knn` (round 3) stays the serving graph every graph-family
+    * gate reads. */
   private def nnDescentFrames(spark: SparkSession, dir: String)
       : Map[String, DataFrame] =
     sharedFrames(spark, dir, "nndescent_knn") {
       val emb = Tables(spark, dir, "embeddings")
-      def at(r: Int): DataFrame = Similarity.nnDescent(emb,
-        col("vec_id"), col("embedding"), k = 8, rounds = r)
-      Seq("knn" -> at(3), "knn_r1" -> at(1), "knn_init" -> at(0))
+      val st = Similarity.nnDescentStates(emb,
+        col("vec_id"), col("embedding"), k = 8, rounds = 4)
+      Seq("knn" -> st(3), "knn_r1" -> st(1), "knn_init" -> st(0),
+        "knn_r2" -> st(2), "knn_r4" -> st(4))
     }
 
+  /** Shared k = 16 NN-Descent trajectory — the second axis of the
+    * parameter sweep (list width), built once per (applicationId,
+    * sfDir) from one 4-round pass. */
+  private def nnDescentK16Frames(spark: SparkSession, dir: String)
+      : Map[String, DataFrame] =
+    sharedFrames(spark, dir, "nndescent_k16") {
+      val emb = Tables(spark, dir, "embeddings")
+      val st = Similarity.nnDescentStates(emb,
+        col("vec_id"), col("embedding"), k = 16, rounds = 4)
+      Seq("r2" -> st(2), "r3" -> st(3), "r4" -> st(4))
+    }
+
+  /** Shared exact self-excluded top-8 truth over the vec_id < 100
+    * node band ([[Similarity.bruteForceKnnTruth]]) — the answer key
+    * both the NN-Descent recall audit and the parameter sweep grade
+    * against, persisted once. */
+  private def knnTruth8(spark: SparkSession, dir: String): DataFrame =
+    sharedFrames(spark, dir, "knn_truth8") {
+      val emb = Tables(spark, dir, "embeddings")
+      Seq("truth" -> Similarity.bruteForceKnnTruth(emb,
+          col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") < 100), col("vec_id"),
+          col("embedding"), 8)
+        .select(col("query_id"), col("nbr_id")))
+    }("truth")
+
   /** Graph-ANN SERVING gate ([[Similarity.graphBeamSearch]]): greedy
-    * beam search over the shared NN-Descent graph — entry set = the 8
-    * smallest corpus ids, beam 16, 3 hops, top-10 out — for the
-    * off-seed query band [100, 110) (disjoint from the entry set, so
+    * beam search over the shared NN-Descent graph — 8 STRATIFIED
+    * entries (one per ⌈n/8⌉ block of the id order; the smallest-8
+    * convention through round 15 was measured by
+    * [[graft.tools.GraphServeAb]] to be the walk's ceiling — entry
+    * placement, not graph wiring), beam 16, 3 hops, top-10 out — for
+    * the off-seed query band [100, 110) (disjoint from the entry
+    * set at every SF: stride ≥ n/8 ≥ 62 > 110's first stratum, so
     * every hit is a genuine graph walk). Per-query serving cost is
     * beam·degree per hop, independent of corpus size — the reason a
     * deployment builds the graph at all; the recall audit
@@ -360,10 +395,19 @@ object ExtQueries {
     * edges actually wired in is its own exact nearest neighbor, so
     * `self_found` counts appended nodes whose walk returns themselves
     * at rank 1 — orphaned inserts (in-degree 0, unreachable except
-    * as entries) fail this row first. `recall` grades the same walks
-    * against the full-corpus brute-force top-10. One readout row per
-    * measure; the merged graph is pure column algebra over the
-    * shared frames. */
+    * as entries) fail this row first. Round 15 measured self_found
+    * 0.86 and hypothesized hub-orphaned inserts; round 16 closed it
+    * with BOTH layers: (a) [[Similarity.graphAppend]] now force-
+    * adopts true orphans (the HNSW insert heuristic — zero on this
+    * corpus, every insert already had 7-8 adopters, but the repair
+    * guards the clustered case the spec pins), and (b)
+    * [[graft.tools.GraphServeAb]] attributed the actual miss to the
+    * smallest-8 SERVING-entry convention — stratified entries at the
+    * same 8-entry/3-hop budget lift self_found 0.86 → 1.00 and
+    * walk_top10 0.494 → 0.658 (now the beam-search default).
+    * `recall` grades the same walks against the full-corpus
+    * brute-force top-10. One readout row per measure; the merged
+    * graph is pure column algebra over the shared frames. */
   def annGraphAppendServe(spark: SparkSession, dir: String)
       : DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
@@ -456,12 +500,7 @@ object ExtQueries {
     * frames the top-k gate serves. */
   def annNndescentRecallAudit(spark: SparkSession, dir: String)
       : DataFrame = {
-    val emb = Tables(spark, dir, "embeddings")
-    val band = emb.filter(col("vec_id") < 100)
-    val truth = Tables.materialize(
-      Similarity.bruteForceKnnTruth(emb, col("vec_id"), col("embedding"),
-          band, col("vec_id"), col("embedding"), 8)
-        .select(col("query_id"), col("nbr_id")))
+    val truth = knnTruth8(spark, dir)
     val nq = truth.select(col("query_id")).distinct()
       .agg(count(lit(1)).as("nq"))
     val frames = nnDescentFrames(spark, dir)
@@ -472,6 +511,46 @@ object ExtQueries {
       "ring_init" -> stack(frames("knn_init")),
       "nndescent_r1" -> stack(frames("knn_r1")),
       "nndescent_r3" -> stack(frames("knn"))), k = 8)
+  }
+
+  /** NN-Descent PARAMETER sweep — the k × rounds frontier behind the
+    * production graph's (k = 8, rounds = 3) choice, recorded as a
+    * gated decision instead of a default: recall@8 (top-8 prefix of
+    * each list vs the exact [[knnTruth8]] answer key over the
+    * vec_id < 100 band) for k ∈ {8, 16} × rounds ∈ {2, 3, 4}. The
+    * graph's construction recall is the ceiling on everything served
+    * from it (`ann_graph_search_recall`'s walk_top10 caps at it), so
+    * this table is what a deployment reads before buying more build
+    * rounds or wider lists. Cost discipline: ONE trajectory build per
+    * k ([[Similarity.nnDescentStates]] — round r is a prefix of round
+    * r + 1, the `ivfRecallSweep` shape on the build axis), both
+    * persisted shared frames; the sweep itself only reads and counts.
+    * MEASURED at sf0.01: recall@8 k8 = 0.056/0.090/0.133 vs k16 =
+    * 0.119/0.208/0.365 at rounds 2/3/4 — widening k buys ~2.5× at
+    * every round count on this weak-structure corpus, and one
+    * k16 round beats two extra k8 rounds (k16_r3 0.21 > k8_r4 0.13)
+    * because a wider list widens the local-join candidate pool
+    * quadratically — the classic NN-Descent trade (Dong et al.,
+    * WWW'11: recall rises with K at fixed iteration count). The
+    * production choice stays k8_r3 for build cost; this table is the
+    * recorded evidence a recall-starved deployment acts on. */
+  def annNndescentParamSweep(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val truth = knnTruth8(spark, dir)
+    val nq = truth.select(col("query_id")).distinct()
+      .agg(count(lit(1)).as("nq"))
+    val k8 = nnDescentFrames(spark, dir)
+    val k16 = nnDescentK16Frames(spark, dir)
+    def stack(f: DataFrame): DataFrame =
+      f.filter(col("node_id") < 100 && col("rank") <= 8)
+        .select(col("node_id").as("query_id"), col("nbr_id"))
+    recallRows(truth, nq, Seq(
+      "k8_r2" -> stack(k8("knn_r2")),
+      "k8_r3" -> stack(k8("knn")),
+      "k8_r4" -> stack(k8("knn_r4")),
+      "k16_r2" -> stack(k16("r2")),
+      "k16_r3" -> stack(k16("r3")),
+      "k16_r4" -> stack(k16("r4"))), k = 8)
   }
 
   /** OPQ rotation recall audit ([[Similarity.opqRotate]]): flat-ADC
@@ -1011,6 +1090,32 @@ object ExtQueries {
         threshold = 0.2, numTables = 2, maxBucketSize = 1000))
     }("pairs")
 
+  /** Shared winnowing-family frames — ONE tokenization pass builds
+    * the capped winnow pair sets at both audit gram sizes plus the
+    * k = 5 exact-Jaccard truth, persisted via [[SharedFrames]] (the
+    * disk-backed tier — NOT `.cache()`, whose best-effort executor
+    * memory let the grown board evict the tokenized corpus between
+    * `winnow_recall_audit`'s two passes and silently double its CPU
+    * in round 15). The k = 3 pair set at the gate constants
+    * (w = 4, maxDf = 64, minShared = 2) is the byte-identical frame
+    * FIVE gates consume (`winnow_pairs` itself, the recall audit,
+    * `winnow_verify_exact`, `dedup_family_compare`,
+    * `winnow_dedup_cc`), so the detector runs once per run. */
+  private def winnowFrames(spark: SparkSession, dir: String)
+      : Map[String, DataFrame] =
+    sharedFrames(spark, dir, "winnow_family") {
+      val toked = graft.Tables.materialize(
+        Dedup.tokenize(Tables(spark, dir, "documents"),
+          col("doc_id"), col("text")))
+      Seq(
+        "wp3" -> Dedup.winnowPairsFromToks(toked,
+          k = 3, w = 4, maxDf = 64, minShared = 2),
+        "wp5" -> Dedup.winnowPairsFromToks(toked,
+          k = 5, w = 4, maxDf = 64, minShared = 2),
+        "truth5" -> Dedup.ngramJaccardPairsFromToks(toked,
+          n = 5, threshold = 0.5).select(col("id1"), col("id2")))
+    }
+
   /** Winnowing-vs-exact RECALL table at two gram sizes — the recorded
     * miss rate of the approximation [[winnowPairsQ]] deploys: per
     * k ∈ {3, 5}, the exact n-gram-Jaccard ≥ 0.5 truth set
@@ -1019,26 +1124,17 @@ object ExtQueries {
     * pair counts, hits, recall, and detector precision. Two exact
     * integers and two closing divides per row — hash-stable; the
     * counts compose via crossed 1-row aggregates, nothing through
-    * the driver. A production run points the same audit at a
-    * deterministic sample tier. */
+    * the driver. Every operand is a persisted [[winnowFrames]] /
+    * [[jaccardTruth3]] frame — the audit only reads and counts. A
+    * production run points the same audit at a deterministic sample
+    * tier. */
   def winnowRecallAudit(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    // ONE tokenization serves both gram sizes and both detectors —
-    // the corpus is read and split once, each k derives its grams
-    // from the cached token arrays
-    val toked = graft.Tables.materialize(
-      Dedup.tokenize(docs, col("doc_id"), col("text")))
+    val wf = winnowFrames(spark, dir)
     Seq(3, 5).map { k =>
-      // k=3 is the audits' shared persisted truth tier; k=5 has no
-      // other consumer and derives from the cached token arrays
-      val truth = graft.Tables.materialize(
-        if (k == 3) jaccardTruth3(spark, dir)
-        else Dedup.ngramJaccardPairsFromToks(toked,
-          n = k, threshold = 0.5).select(col("id1"), col("id2")))
-      val wp = graft.Tables.materialize(
-        Dedup.winnowPairsFromToks(toked,
-          k = k, w = 4, maxDf = 64, minShared = 2)
-          .select(col("id_a").as("id1"), col("id_b").as("id2")))
+      val truth =
+        if (k == 3) jaccardTruth3(spark, dir) else wf("truth5")
+      val wp = wf(s"wp$k")
+        .select(col("id_a").as("id1"), col("id_b").as("id2"))
       val hit = truth.join(wp, Seq("id1", "id2"), "left_semi")
       truth.agg(count(lit(1)).as("n_truth"))
         .crossJoin(wp.agg(count(lit(1)).as("n_winnow")))
@@ -1076,9 +1172,7 @@ object ExtQueries {
     * length, never corpus size. All integers; hash-exact. */
   def winnowVerifyExact(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val pairs = graft.Tables.materialize(
-      Dedup.winnowPairs(docs, col("doc_id"), col("text"),
-        k = 3, w = 4, maxDf = 64, minShared = 2))
+    val pairs = winnowFrames(spark, dir)("wp3")
     val runs = Dedup.longestSharedRuns(pairs, docs, col("doc_id"),
       col("text"))
     pairs.join(runs, Seq("id_a", "id_b"))
@@ -1105,8 +1199,7 @@ object ExtQueries {
         .select(col("id1"), col("id2")),
       "simhash" -> Dedup.simhashNearDupPairs(docs, col("doc_id"),
         col("text"), maxBits = 64).select(col("id1"), col("id2")),
-      "winnow" -> Dedup.winnowPairs(docs, col("doc_id"), col("text"),
-        k = 3, w = 4, maxDf = 64, minShared = 2)
+      "winnow" -> winnowFrames(spark, dir)("wp3")
         .select(col("id_a").as("id1"), col("id_b").as("id2")))
     val union = fams.map { case (f, df) =>
       df.withColumn("family", lit(f))
@@ -1265,9 +1358,7 @@ object ExtQueries {
     * self-join — the partial-overlap detector whole-doc MinHash
     * dilutes away. */
   def winnowPairsQ(spark: SparkSession, dir: String): DataFrame =
-    Dedup.winnowPairs(Tables(spark, dir, "documents"),
-      col("doc_id"), col("text"), k = 3, w = 4, maxDf = 64,
-      minShared = 2)
+    winnowFrames(spark, dir)("wp3")
 
   /** Survivors after clustering the winnowing pair graph
     * ([[Dedup.winnowPairs]] → [[Dedup.connectedComponents]], min-id
@@ -1276,8 +1367,7 @@ object ExtQueries {
     * [[embedDedupCc]]'s geometric one. */
   def winnowDedupCc(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val pairs = Dedup.winnowPairs(docs, col("doc_id"), col("text"),
-        k = 3, w = 4, maxDf = 64, minShared = 2)
+    val pairs = winnowFrames(spark, dir)("wp3")
       .select(col("id_a").as("id1"), col("id_b").as("id2"))
     val cc = Dedup.connectedComponents(pairs)
     val dropped = cc.filter(col("id") =!= col("component"))
@@ -2168,12 +2258,20 @@ object ExtQueries {
   }
 
   /** Packed 1-bit sign-quantized embeddings ([[Similarity.binarySignWords]]),
-    * shared by the three `ann_bitq_*` gates. */
-  private def bitqWords(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(spark, dir, "embeddings")
-    val th = Similarity.binaryDimThresholds(emb, col("embedding"), 64)
-    Similarity.binarySignWords(emb, col("vec_id"), col("embedding"), th)
-  }
+    * shared by the five `ann_bitq_*` gates through the persisted
+    * [[SharedFrames]] tier: the threshold training (an eager 64-row
+    * driver collect + one posexplode corpus pass) and the packing
+    * encode run ONCE per (applicationId, sfDir); every gate —
+    * including `ann_bitq_recall_audit`, which composes the top-k and
+    * rerank paths — reads the same 8-byte-per-vector parquet back.
+    * Exactly the resident-index shape a 100 TB deployment persists. */
+  private def bitqWords(spark: SparkSession, dir: String): DataFrame =
+    sharedFrames(spark, dir, "bitq_words") {
+      val emb = Tables(spark, dir, "embeddings")
+      val th = Similarity.binaryDimThresholds(emb, col("embedding"), 64)
+      Seq("words" -> Similarity.binarySignWords(emb, col("vec_id"),
+        col("embedding"), th))
+    }("words")
 
   /** Hamming top-k over packed words (shared shortlist engine for the
     * bitq gates): per seed-band query, the `k` corpus vectors with the
@@ -2468,6 +2566,7 @@ object ExtQueries {
     "ann_residual_offseed_audit" -> annResidualOffseedAudit _,
     "ann_nndescent_topk" -> annNndescentTopk _,
     "ann_nndescent_recall_audit" -> annNndescentRecallAudit _,
+    "ann_nndescent_param_sweep" -> annNndescentParamSweep _,
     "ann_graph_search" -> annGraphSearch _,
     "ann_graph_append" -> annGraphAppend _,
     "ann_graph_append_serve" -> annGraphAppendServe _,
@@ -4951,55 +5050,56 @@ object ExtQueries {
     * re-expand per reference. Ends at `nn_l$rounds`
     * (a, b, cos, rk). */
   private def nnDescentCtes(rounds: Int, k: Int = 8,
-      band: String => String = _ => "TRUE"): String = {
+      band: String => String = _ => "TRUE",
+      p: String = "nn"): String = {
     val offs = ((-(k / 2)) to (k / 2)).filter(_ != 0).mkString(", ")
     def scoreAndList(r: Int): String =
-      s"""nn_d$r AS (
+      s"""${p}_d$r AS (
          |  SELECT p.a, p.b,
          |    CAST(sum(CAST(ca.x * cb.x AS DECIMAL(28,12))) AS DOUBLE)
          |      AS dot
-         |  FROM (SELECT DISTINCT a, b FROM nn_c$r) p
+         |  FROM (SELECT DISTINCT a, b FROM ${p}_c$r) p
          |  JOIN comp ca ON ca.vec_id = p.a
          |  JOIN comp cb ON cb.vec_id = p.b AND cb.i = ca.i
          |  GROUP BY p.a, p.b),
-         |nn_s$r AS (
+         |${p}_s$r AS (
          |  SELECT d.a, d.b, d.dot / (na.sn * nb.sn) AS cos
-         |  FROM nn_d$r d
+         |  FROM ${p}_d$r d
          |  JOIN norms na ON na.vec_id = d.a
          |  JOIN norms nb ON nb.vec_id = d.b),
-         |nn_l$r AS MATERIALIZED (
+         |${p}_l$r AS MATERIALIZED (
          |  SELECT a, b, cos, rk FROM (
          |    SELECT a, b, cos,
          |      row_number() OVER (PARTITION BY a
          |                         ORDER BY cos DESC, b ASC) AS rk
-         |    FROM nn_s$r) WHERE rk <= $k)""".stripMargin
+         |    FROM ${p}_s$r) WHERE rk <= $k)""".stripMargin
     val init =
-      s"""nn_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+      s"""${p}_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
          |  WHERE ${band("vec_id")}),
-         |nn_rk AS (
+         |${p}_rk AS (
          |  SELECT vec_id,
          |    row_number() OVER (ORDER BY vec_id) - 1 AS r
          |  FROM embeddings WHERE ${band("vec_id")}),
-         |nn_c0 AS (
+         |${p}_c0 AS (
          |  SELECT a.vec_id AS a, b.vec_id AS b
-         |  FROM nn_rk a
-         |  CROSS JOIN nn_n
+         |  FROM ${p}_rk a
+         |  CROSS JOIN ${p}_n
          |  CROSS JOIN (SELECT unnest([$offs]) AS off) o
-         |  JOIN nn_rk b
-         |    ON b.r = ((a.r + o.off) % nn_n.n + nn_n.n) % nn_n.n
+         |  JOIN ${p}_rk b
+         |    ON b.r = ((a.r + o.off) % ${p}_n.n + ${p}_n.n) % ${p}_n.n
          |  WHERE b.vec_id <> a.vec_id),
          |${scoreAndList(0)}""".stripMargin
     val roundCtes = (1 to rounds).map { r =>
-      s"""nn_u$r AS (
-         |  SELECT a, b FROM nn_l${r - 1}
+      s"""${p}_u$r AS (
+         |  SELECT a, b FROM ${p}_l${r - 1}
          |  UNION
-         |  SELECT b AS a, a AS b FROM nn_l${r - 1}),
-         |nn_c$r AS (
+         |  SELECT b AS a, a AS b FROM ${p}_l${r - 1}),
+         |${p}_c$r AS (
          |  SELECT x.a AS a, y.b AS b
-         |  FROM nn_u$r x JOIN nn_u$r y ON y.a = x.b
+         |  FROM ${p}_u$r x JOIN ${p}_u$r y ON y.a = x.b
          |  WHERE y.b <> x.a
          |  UNION
-         |  SELECT a, b FROM nn_l${r - 1}),
+         |  SELECT a, b FROM ${p}_l${r - 1}),
          |${scoreAndList(r)}""".stripMargin
     }
     (init +: roundCtes).mkString(",\n")
@@ -5039,9 +5139,13 @@ object ExtQueries {
     val init =
       s"""${p}_e AS (
          |  ${entrySql.getOrElse(
-             s"""SELECT vec_id AS cand FROM embeddings
-         |  WHERE ${entryBand("vec_id")}
-         |  ORDER BY vec_id LIMIT $entries""")}),
+             s"""SELECT cand FROM (
+         |    SELECT vec_id AS cand,
+         |      row_number() OVER (ORDER BY vec_id) - 1 AS r,
+         |      count(*) OVER () AS n
+         |    FROM embeddings WHERE ${entryBand("vec_id")}) strat
+         |  WHERE r % CAST(floor((n + ${entries - 1}) / $entries)
+         |    AS BIGINT) = 0""")}),
          |${p}_c0 AS (
          |  SELECT q.vec_id AS query_id, e.cand
          |  FROM embeddings q CROSS JOIN ${p}_e e
@@ -5068,42 +5172,85 @@ object ExtQueries {
   private val gaBaseBand = (c: String) => s"$c % 10 <> 9"
   private val gaNewBand = (c: String) => s"$c % 10 = 9"
 
-  /** Banded base graph (nn_l3) + beam placement + append merge — the
-    * chain shared by the append gate and the post-append serving
-    * audit. The stratified stride entry set is graphAppend's
+  /** ONE search-then-connect append STAGE ([[Similarity.graphAppend]]
+    * twin), parameterized so the batch gate and the streaming
+    * lifecycle's waves share a single chain definition: a beam walk
+    * (prefix `bp`) over the standing `graphRel` for the `queryBand`
+    * vectors, the reverse-proposal re-rank, the orphan repair
+    * (forced reverse-adoption into the rank-1 placement target with
+    * the k − |adoptees| pre-cut), and the merged post-append graph
+    * `${p}_merged` (appended ∪ repaired ∪ untouched). The stratified
+    * stride entry set over `entryBand` is graphAppend's
     * disconnected-graph insurance: one entry per floor((n+7)/8)
-    * block of the base id order (floor() of an exact double division
-    * on both engines). */
-  private lazy val graphAppendCtes = {
-    val entrySql =
-      """SELECT cand FROM (
-        |    SELECT vec_id AS cand,
-        |      row_number() OVER (ORDER BY vec_id) - 1 AS r,
-        |      count(*) OVER () AS n
-        |    FROM embeddings WHERE vec_id % 10 <> 9) strat
-        |  WHERE r % CAST(floor((n + 7) / 8) AS BIGINT) = 0"""
-        .stripMargin
-    s"""${nnDescentCtes(3, band = gaBaseBand)},
-       |${beamCtes(3, queryBand = gaNewBand, entryBand = gaBaseBand,
-          entrySql = Some(entrySql))},
-       |ga_place AS MATERIALIZED (
-       |  SELECT query_id, cand, cos, rk FROM gs_b3 WHERE rk <= 8),
-       |ga_rev AS (
+    * block of the standing id order (floor() of an exact double
+    * division on both engines). */
+  private def appendStageCtes(p: String, bp: String, graphRel: String,
+      queryBand: String => String,
+      entryBand: String => String): String = {
+    s"""${beamCtes(3, queryBand = queryBand, entryBand = entryBand,
+          p = bp, graphRel = graphRel)},
+       |${p}_place AS MATERIALIZED (
+       |  SELECT query_id, cand, cos, rk FROM ${bp}_b3 WHERE rk <= 8),
+       |${p}_rev AS (
        |  SELECT cand AS node_id, query_id AS nbr_id, cos
-       |  FROM ga_place),
-       |ga_exist AS (
+       |  FROM ${p}_place),
+       |${p}_exist AS (
        |  SELECT l.a AS node_id, l.b AS nbr_id, l.cos
-       |  FROM nn_l3 l
-       |  WHERE l.a IN (SELECT node_id FROM ga_rev)),
-       |ga_upd AS MATERIALIZED (
+       |  FROM $graphRel l
+       |  WHERE l.a IN (SELECT node_id FROM ${p}_rev)),
+       |${p}_upd AS MATERIALIZED (
        |  SELECT node_id, nbr_id, cos,
        |    row_number() OVER (PARTITION BY node_id
        |                       ORDER BY cos DESC, nbr_id ASC) AS rk
-       |  FROM (SELECT node_id, nbr_id, cos FROM ga_exist
+       |  FROM (SELECT node_id, nbr_id, cos FROM ${p}_exist
        |        UNION ALL
-       |        SELECT node_id, nbr_id, cos FROM ga_rev) u)"""
+       |        SELECT node_id, nbr_id, cos FROM ${p}_rev) u),
+       |${p}_orph AS (
+       |  SELECT DISTINCT query_id FROM ${p}_place
+       |  WHERE query_id NOT IN
+       |    (SELECT nbr_id FROM ${p}_upd WHERE rk <= 8)),
+       |${p}_adopt AS (
+       |  SELECT pl.cand AS node_id, pl.query_id AS nbr_id, pl.cos
+       |  FROM ${p}_place pl
+       |  WHERE pl.rk = 1
+       |    AND pl.query_id IN (SELECT query_id FROM ${p}_orph)),
+       |${p}_acnt AS (
+       |  SELECT node_id, CAST(count(*) AS BIGINT) AS na
+       |  FROM ${p}_adopt GROUP BY node_id),
+       |${p}_rep AS (
+       |  SELECT node_id, nbr_id, cos,
+       |    row_number() OVER (PARTITION BY node_id
+       |                       ORDER BY cos DESC, nbr_id ASC) AS rk
+       |  FROM (
+       |    SELECT u.node_id, u.nbr_id, u.cos
+       |    FROM ${p}_upd u JOIN ${p}_acnt a ON a.node_id = u.node_id
+       |    WHERE u.rk <= 8 - a.na
+       |    UNION ALL
+       |    SELECT node_id, nbr_id, cos FROM ${p}_adopt) rr),
+       |${p}_fin AS MATERIALIZED (
+       |  SELECT node_id, nbr_id, cos, rk FROM ${p}_rep
+       |  UNION ALL
+       |  SELECT u.node_id, u.nbr_id, u.cos, u.rk
+       |  FROM ${p}_upd u
+       |  WHERE u.rk <= 8
+       |    AND u.node_id NOT IN (SELECT node_id FROM ${p}_acnt)),
+       |${p}_merged AS MATERIALIZED (
+       |  SELECT query_id AS a, cand AS b, cos, rk FROM ${p}_place
+       |  UNION ALL
+       |  SELECT node_id AS a, nbr_id AS b, cos, rk FROM ${p}_fin
+       |  UNION ALL
+       |  SELECT g.a, g.b, g.cos, g.rk FROM $graphRel g
+       |  WHERE g.a NOT IN (SELECT node_id FROM ${p}_rev))"""
       .stripMargin
   }
+
+  /** Banded base graph (nn_l3) + one append stage (ga/gs prefixes) —
+    * the chain shared by the append gate and the post-append serving
+    * audit. */
+  private lazy val graphAppendCtes =
+    s"""${nnDescentCtes(3, band = gaBaseBand)},
+       |${appendStageCtes("ga", "gs", "nn_l3", gaNewBand, gaBaseBand)}"""
+      .stripMargin
 
   private lazy val annGraphAppendSql =
     s"""WITH $vecCtes,
@@ -5112,7 +5259,7 @@ object ExtQueries {
        |  cos AS cosine, 'appended' AS src FROM ga_place
        |UNION ALL
        |SELECT node_id, nbr_id, rk AS rank, cos AS cosine,
-       |  'updated' AS src FROM ga_upd WHERE rk <= 8""".stripMargin
+       |  'updated' AS src FROM ga_fin""".stripMargin
 
   /** Post-append serving twin: merged graph = appended lists ∪
     * updated lists ∪ untouched base lists; a second beam chain (sv
@@ -5122,15 +5269,8 @@ object ExtQueries {
   private lazy val annGraphAppendServeSql =
     s"""WITH $vecCtes,
        |$graphAppendCtes,
-       |sv_graph AS MATERIALIZED (
-       |  SELECT query_id AS a, cand AS b FROM ga_place
-       |  UNION ALL
-       |  SELECT node_id, nbr_id FROM ga_upd WHERE rk <= 8
-       |  UNION ALL
-       |  SELECT l.a, l.b FROM nn_l3 l
-       |  WHERE l.a NOT IN (SELECT node_id FROM ga_rev)),
        |${beamCtes(3, queryBand = gaNewBand, p = "sv",
-          graphRel = "sv_graph")},
+          graphRel = "ga_merged")},
        |svt AS MATERIALIZED (
        |  SELECT query_id, nbr_id
        |  FROM (${bruteForceTopSql(gaNewBand)}) bft),
@@ -5167,6 +5307,25 @@ object ExtQueries {
        |${beamCtes(3)}
        |SELECT query_id, cand AS nbr_id, rk AS rank, cos AS cosine
        |FROM gs_b3 WHERE rk <= 10""".stripMargin
+
+  /** [[graft.queries.PipelineQueries.streamGraphAppend]] twin: the
+    * two micro-batch waves unrolled as two sequential append stages
+    * (h1 over the base nn_l3 graph, h2 over h1's merged graph, with
+    * h2's stratified entries drawn from the GROWN corpus — standing ∪
+    * wave 1, exactly what the foreachBatch's corpus store holds when
+    * wave 2 arrives). Output is the final persisted graph store. */
+  private[queries] lazy val streamGraphAppendSql = {
+    val w1Band = (c: String) => s"$c % 20 = 9"
+    val w2Band = (c: String) => s"$c % 20 = 19"
+    val grownBand =
+      (c: String) => s"($c % 10 <> 9 OR $c % 20 = 9)"
+    s"""WITH $vecCtes,
+       |${nnDescentCtes(3, band = gaBaseBand)},
+       |${appendStageCtes("h1", "w1", "nn_l3", w1Band, gaBaseBand)},
+       |${appendStageCtes("h2", "w2", "h1_merged", w2Band, grownBand)}
+       |SELECT a AS node_id, b AS nbr_id, rk AS rank, cos AS cosine
+       |FROM h2_merged""".stripMargin
+  }
 
   /** Beam-search recall-by-hop twin: the per-hop beam states' top-10
     * counted against the off-seed brute-force truth. */
@@ -5289,6 +5448,60 @@ object ExtQueries {
        |${row("nndescent_r1", "nn_l1")}
        |UNION ALL
        |${row("nndescent_r3", "nn_l3")}""".stripMargin
+  }
+
+  /** Parameter-sweep twin: TWO unrolled NN-Descent chains (k = 8 and
+    * k = 16, prefixes n8/n16, 4 rounds each — round r is a prefix of
+    * the chain, so one chain serves all three round points per k),
+    * each list's top-8 prefix counted against the same self-excluded
+    * brute-force top-8 truth the recall audit uses. */
+  private lazy val annNndescentParamSweepSql = {
+    def row(name: String, list: String): String =
+      s"""SELECT '$name' AS variant,
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM (SELECT a, b FROM $list WHERE rk <= 8) v
+         |   JOIN nps_t t ON t.query_id = v.a AND t.nbr_id = v.b)
+         |    AS n_hits,
+         |  CAST(nq * 8 AS BIGINT) AS n_possible,
+         |  CAST((SELECT count(*)
+         |        FROM (SELECT a, b FROM $list WHERE rk <= 8) v
+         |        JOIN nps_t t ON t.query_id = v.a AND t.nbr_id = v.b)
+         |    AS DOUBLE) / CAST(nq * 8 AS DOUBLE) AS recall
+         |FROM nps_nq""".stripMargin
+    s"""WITH $vecCtes,
+       |${nnDescentCtes(4, k = 8, p = "n8")},
+       |${nnDescentCtes(4, k = 16, p = "n16")},
+       |nps_d AS (
+       |  SELECT c.vec_id AS nbr_id, q.vec_id AS query_id,
+       |    CAST(sum(CAST(c.x * q.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |  FROM comp c JOIN comp q ON c.i = q.i AND q.vec_id < 100
+       |  WHERE c.vec_id <> q.vec_id
+       |  GROUP BY c.vec_id, q.vec_id),
+       |nps_sc AS (
+       |  SELECT query_id, nbr_id, dot / (nc.sn * nq.sn) AS cosine
+       |  FROM nps_d
+       |  JOIN norms nc ON nc.vec_id = nbr_id
+       |  JOIN norms nq ON nq.vec_id = query_id),
+       |nps_t AS MATERIALIZED (
+       |  SELECT query_id, nbr_id FROM (
+       |    SELECT query_id, nbr_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cosine DESC, nbr_id ASC) AS rk
+       |    FROM nps_sc) WHERE rk <= 8),
+       |nps_nq AS (
+       |  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq
+       |  FROM nps_t)
+       |${row("k8_r2", "n8_l2")}
+       |UNION ALL
+       |${row("k8_r3", "n8_l3")}
+       |UNION ALL
+       |${row("k8_r4", "n8_l4")}
+       |UNION ALL
+       |${row("k16_r2", "n16_l2")}
+       |UNION ALL
+       |${row("k16_r3", "n16_l3")}
+       |UNION ALL
+       |${row("k16_r4", "n16_l4")}""".stripMargin
   }
 
   /** Encode-append twin: train on the STANDING predicate, encode the
@@ -6541,6 +6754,7 @@ object ExtQueries {
     "ann_residual_offseed_audit" -> annResidualOffseedAuditSql,
     "ann_nndescent_topk" -> annNndescentTopkSql,
     "ann_nndescent_recall_audit" -> annNndescentRecallAuditSql,
+    "ann_nndescent_param_sweep" -> annNndescentParamSweepSql,
     "ann_graph_search" -> annGraphSearchSql,
     "ann_graph_append" -> annGraphAppendSql,
     "ann_graph_append_serve" -> annGraphAppendServeSql,

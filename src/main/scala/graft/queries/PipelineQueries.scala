@@ -772,6 +772,74 @@ object PipelineQueries {
     }
   }
 
+  /** STREAMING graph-index maintenance — the live lifecycle of
+    * [[graft.ext.Similarity.graphAppend]] (the `stream_incremental_
+    * dedup` discipline applied to the graph-ANN family, closing its
+    * incremental story): the base NN-Descent graph and standing
+    * corpus persist as parquet stores; each FILE-ARRIVAL micro-batch
+    * of new vectors is inserted by search-then-connect (beam
+    * placement over the CURRENT graph store, reverse-proposal
+    * re-rank, orphan repair), and the merged graph OVERWRITES the
+    * store — so batch N+1's walk runs over the graph batch N wrote,
+    * with entries re-stratified over the grown corpus. Two
+    * deterministic waves (vec_id ≡ 9, then ≡ 19, mod 20) split the
+    * batch gate's 10% append band; the oracle unrolls both stages
+    * sequentially. Every derived frame localCheckpoints BEFORE the
+    * store overwrite (the foreachBatch read-then-overwrite house
+    * rule). Output: the final persisted graph store — exactly what a
+    * deployment serves from after two ingest ticks. */
+  def streamGraphAppend(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Similarity
+    val emb = Tables(spark, dir, "embeddings")
+    val tmp = graft.Tables.scratchDir("graft_graph_stream")
+    val standing = emb.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+      .select(col("vec_id"), col("embedding"))
+    standing.write.mode("overwrite").parquet(s"$tmp/corpus")
+    Similarity.nnDescent(standing, col("vec_id"), col("embedding"),
+        k = 8, rounds = 3)
+      .write.mode("overwrite").parquet(s"$tmp/graph")
+    onStreamSession(spark, 8) { s =>
+      def writeWave(m: Long): Unit = emb
+        .filter(pmod(col("vec_id"), lit(20)) === m)
+        .select(col("vec_id"), col("embedding"))
+        .write.mode("append").parquet(s"$tmp/in")
+      writeWave(9)
+      val q = s.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .parquet(s"$tmp/in")
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val corpus = s.read.parquet(s"$tmp/corpus")
+          val graph = s.read.parquet(s"$tmp/graph")
+          val delta = Similarity.graphAppend(corpus, col("vec_id"),
+            col("embedding"), graph, b, col("vec_id"),
+            col("embedding"), k = 8, beam = 16, hops = 3, entries = 8)
+          val touched = delta.filter(col("src") === "updated")
+            .select(col("node_id")).distinct()
+          val merged = delta
+            .select(col("node_id"), col("nbr_id"), col("rank"),
+              col("cosine"))
+            .unionByName(graph
+              .join(touched, Seq("node_id"), "left_anti")
+              .select(col("node_id"), col("nbr_id"), col("rank"),
+                col("cosine")))
+            .localCheckpoint(true)
+          val newVecs = b.select(col("vec_id"), col("embedding"))
+            .localCheckpoint(true)
+          merged.write.mode("overwrite").parquet(s"$tmp/graph")
+          newVecs.write.mode("append").parquet(s"$tmp/corpus")
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/_ck")
+        .start()
+      q.processAllAvailable()
+      writeWave(19)
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(s"$tmp/graph")
+    }
+  }
+
   /** STREAMING SCD Type-2 maintenance — the CDC-apply loop around
     * [[graft.queries.LakeQueries.scdType2Merge]]: each micro-batch
     * delivers a full attribute snapshot, the foreachBatch merges it
@@ -1018,6 +1086,7 @@ object PipelineQueries {
     "stream_scd_type2" -> streamScdType2 _,
     "stream_ann_probe" -> streamAnnProbe _,
     "stream_incremental_dedup" -> streamIncrementalDedup _,
+    "stream_graph_append" -> streamGraphAppend _,
     "stream_mv_maintenance" -> streamMvMaintenance _,
     "stream_dsv2_source" -> streamDsv2Source _,
     "pipeline_batch_e2e" -> pipelineBatchE2e _,
@@ -1168,6 +1237,7 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "stream_scd_type2" -> streamScdType2Sql,
     "stream_incremental_dedup" -> streamIncrementalDedupSql,
+    "stream_graph_append" -> ExtQueries.streamGraphAppendSql,
     // streaming probe of the persisted index == the batch IVF oracle
     "stream_ann_probe" -> ExtQueries.annIvfTopKSqlShared,
     // the incrementally-maintained summary must equal the direct

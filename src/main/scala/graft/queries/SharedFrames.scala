@@ -20,7 +20,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cluster the tier lands on a shared filesystem every executor can
   * reach.
   */
-private[queries] object SharedFrames {
+private[graft] object SharedFrames {
 
   /** Value records the frame names DECLARED by the build alongside
     * the scratch path — later callers resolve frames by those names
@@ -28,6 +28,22 @@ private[queries] object SharedFrames {
     * cleaner or a stray file could misrepresent). */
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[String])]()
+
+  /** Tier names whose build ran since the last [[drainBuilt]] — the
+    * bench drains this after each query so first-caller attribution
+    * of shared-frame builds is readable from the bench JSON alone
+    * (per-query cost swings between rounds as the board grows and the
+    * first caller of a tier changes; without this the swings look
+    * like regressions). */
+  private val buildLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  def drainBuilt(): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var n = buildLog.poll()
+    while (n != null) { out += n; n = buildLog.poll() }
+    out.toSeq
+  }
 
   /** First caller per (applicationId, sfDir, name) runs `build` (a
     * seq of frame name → definition), persists every frame to one
@@ -52,6 +68,7 @@ private[queries] object SharedFrames {
       frames.foreach { case (n, df) =>
         df.repartition(1).write.mode("overwrite").parquet(s"$p/$n")
       }
+      buildLog.add(name)
       (p, frames.map(_._1))
     })
     names.map(n => n -> spark.read.parquet(s"$path/$n")).toMap

@@ -81,4 +81,38 @@ class GraphAppendSpec extends SparkSpec {
         .select($"nbr_id".as("node_id"), $"node_id".as("nbr_id")))
     assert(upd.select($"node_id", $"nbr_id").except(legal).count() == 0L)
   }
+
+  test("orphan repair: every insert is adopted and walk-reachable") {
+    // post-repair, NO appended node may be absent from every updated
+    // list — the forced reverse-adoption contract
+    val upd = out.filter($"src" === "updated")
+    val adopted = upd.select($"nbr_id".as("vec_id")).distinct()
+    val missing = appended.select($"vec_id")
+      .join(adopted, Seq("vec_id"), "left_anti")
+    assert(missing.count() == 0L,
+      s"unadopted inserts: ${missing.collect().mkString(",")}")
+    // and adoption converts to SERVING reachability: a beam walk over
+    // the merged graph, queried with the inserts themselves, returns
+    // each insert as its own rank-1 neighbor (cos = 1 to itself)
+    val touched = upd.select($"node_id").distinct()
+    val merged = out.select($"node_id", $"nbr_id")
+      .unionByName(graph
+        .join(touched, Seq("node_id"), "left_anti")
+        .select($"node_id", $"nbr_id"))
+    // stratified stride (one entry per planted cluster), matching
+    // the insertion walk — smallest-10 entries would strand clusters
+    import org.apache.spark.sql.expressions.Window
+    val entries = base.select($"vec_id".as("cand"))
+      .withColumn("r",
+        row_number().over(Window.orderBy($"cand")) - 1)
+      .filter($"r" % 18 === 0).select($"cand")
+    val walked = Similarity.graphBeamSearch(fixture, $"vec_id",
+      $"embedding", merged, appended, $"vec_id", $"embedding",
+      k = 8, beam = 16, hops = 3, entries = 10,
+      entriesDf = Some(entries))
+    val selfFound = walked
+      .filter($"rank" === 1 && $"nbr_id" === $"query_id").count()
+    assert(selfFound >= 19L, // >= 95% of the 20 inserts
+      s"self_found $selfFound/20 below 0.95 after repair")
+  }
 }
