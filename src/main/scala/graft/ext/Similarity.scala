@@ -1735,6 +1735,56 @@ object Similarity {
         .withColumn("src", lit("updated")))
   }
 
+  /** Neighbor-DIVERSITY pruning of a k-NN graph — the occlusion rule
+    * behind HNSW's insert-side neighbor selection and NSG's edge
+    * selection (Malkov & Yashunin §4; Fu et al., NSG), in the
+    * order-free one-shot form: neighbor b of node a is OCCLUDED when
+    * some HIGHER-RANKED neighbor b′ is closer to b than a is
+    * (cos(b′, b) > cos(a, b)) — b′ already covers b's direction, so
+    * keeping b spends a list slot on a redundant edge; dropping it
+    * lets the list span more directions at the same degree, which is
+    * what lets a greedy walk ESCAPE a dense neighborhood. (True HNSW
+    * checks only against already-KEPT neighbors — a sequential
+    * greedy; checking against all higher-ranked is the deterministic
+    * order-free relaxation that over-prunes slightly but unrolls to
+    * one self-join, no per-slot iteration.) Survivors re-rank in
+    * their original (cos DESC, id ASC) order and cut to `degree`.
+    *
+    * Scale shape: the candidate pair set is node × k² (list-bounded,
+    * never corpus²); one codegen'd exact-decimal dot per pair; the
+    * verdict is a distinct anti-join + one per-node window. Returns
+    * (node_id, nbr_id, rank ≤ degree, cosine). */
+  def diversifyGraph(corpus: DataFrame, id: Column, vec: Column,
+      graph: DataFrame, degree: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(degree >= 1, "degree >= 1")
+    val v = graft.Tables.materialize(
+      vectors(corpus, id, vec, "vid", "v", "sn"))
+    val g = graft.Tables.materialize(
+      graph.select(col("node_id"), col("nbr_id"), col("rank"),
+        col("cosine")))
+    val pairs = g.as("x").join(g.as("y"),
+        col("x.node_id") === col("y.node_id") &&
+          col("y.rank") < col("x.rank"))
+      .select(col("x.node_id").as("node_id"),
+        col("x.nbr_id").as("nbr_id"), col("x.cosine").as("cos_ab"),
+        col("y.nbr_id").as("occ"))
+    val occluded = pairs
+      .join(v.select(col("vid").as("nbr_id"), col("v").as("bv"),
+        col("sn").as("sb")), "nbr_id")
+      .join(v.select(col("vid").as("occ"), col("v").as("pv"),
+        col("sn").as("sp")), "occ")
+      .filter(VecKernels.vecDotDec(col("bv"), col("pv")).cast("double") /
+        (col("sb") * col("sp")) > col("cos_ab"))
+      .select(col("node_id"), col("nbr_id")).distinct()
+    val w = Window.partitionBy(col("node_id")).orderBy(col("rank").asc)
+    g.join(occluded, Seq("node_id", "nbr_id"), "left_anti")
+      .withColumn("new_rank", row_number().over(w))
+      .filter(col("new_rank") <= degree)
+      .select(col("node_id"), col("nbr_id"),
+        col("new_rank").as("rank"), col("cosine"))
+  }
+
   // ----------------------------------------------------- binary (1-bit)
 
   /** Per-dimension centering thresholds for 1-bit sign quantization:

@@ -337,6 +337,74 @@ object ExtQueries {
       "hop1" -> walk(1), "hop2" -> walk(2), "hop3" -> walk(3)))
   }
 
+  /** Serving-ENTRY sweep — the knob round 16's `GraphServeAb` A/B
+    * surfaced as the real serving ceiling, recorded as a gated
+    * frontier: recall@10 of the same beam-16/3-hop walk over the
+    * shared k-NN graph at entries ∈ {4, 8, 16, 32} (stratified
+    * stride), off-seed query band. Entry count is the graph twin of
+    * IVF's nProbe — each entry seeds one more beam basin, costing
+    * one more scored candidate set in hop 0 — so this table is what
+    * sizes the serving config next to `ann_probe_sweep`. Walks only;
+    * the graph and truth are persisted shared frames. MEASURED at
+    * sf0.01: 0.45 / 0.54 / 0.62 / 0.61 at e4/e8/e16/e32 — a knee at
+    * 16 entries; past it the extra basins re-cover ground the beam
+    * already holds, so e8-e16 is the recorded operating range. */
+  def annGraphEntrySweep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+    val truth = Tables.materialize(
+      Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+          queries, col("vec_id"), col("embedding"), 10)
+        .select(col("query_id"), col("nbr_id")))
+    val nq = truth.select(col("query_id")).distinct()
+      .agg(count(lit(1)).as("nq"))
+    val graph = nnDescentFrames(spark, dir)("knn")
+    def walk(e: Int): DataFrame =
+      Similarity.graphBeamSearch(emb, col("vec_id"), col("embedding"),
+        graph, queries, col("vec_id"), col("embedding"),
+        k = 10, beam = 16, hops = 3, entries = e)
+    recallRows(truth, nq, Seq(
+      "e4" -> walk(4), "e8" -> walk(8),
+      "e16" -> walk(16), "e32" -> walk(32)))
+  }
+
+  /** Neighbor-DIVERSITY audit ([[Similarity.diversifyGraph]] — the
+    * HNSW/NSG occlusion rule) + the build-width CONVERSION readout:
+    * three degree-8 serving graphs walked at the same budget
+    * (8 stratified entries, beam 16, 3 hops) and graded on the same
+    * off-seed truth — the production k8_r3 build, the k16_r4 build
+    * rank-TRUNCATED to 8 (pure width win), and the k16_r4 build
+    * diversity-PRUNED to 8 (does spending the same 8 slots on
+    * non-redundant directions beat spending them on the 8 closest?).
+    * Equal degree means equal serving cost — the rows isolate edge
+    * SELECTION from edge BUDGET, the decision HNSW's heuristic
+    * embodies. Both k16 stacks derive from the one shared k16
+    * trajectory frame; the audit builds no graphs of its own.
+    * MEASURED at sf0.01: k8_r3 0.54, k16_trunc8 0.69, k16_diverse8
+    * **0.79** — at the same 8 slots, non-redundant directions buy
+    * +10 recall points over the 8 closest: the occlusion rule
+    * converts build width into serving recall for free. */
+  def annGraphDiversify(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+    val truth = Tables.materialize(
+      Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+          queries, col("vec_id"), col("embedding"), 10)
+        .select(col("query_id"), col("nbr_id")))
+    val nq = truth.select(col("query_id")).distinct()
+      .agg(count(lit(1)).as("nq"))
+    val k16r4 = nnDescentK16Frames(spark, dir)("r4")
+    def walk(g: DataFrame): DataFrame =
+      Similarity.graphBeamSearch(emb, col("vec_id"), col("embedding"),
+        g, queries, col("vec_id"), col("embedding"),
+        k = 10, beam = 16, hops = 3, entries = 8)
+    recallRows(truth, nq, Seq(
+      "k8_r3" -> walk(nnDescentFrames(spark, dir)("knn")),
+      "k16_trunc8" -> walk(k16r4.filter(col("rank") <= 8)),
+      "k16_diverse8" -> walk(Similarity.diversifyGraph(emb,
+        col("vec_id"), col("embedding"), k16r4, degree = 8))))
+  }
+
   /** Hubness audit of the NN-Descent graph: the in-degree
     * distribution (including 0 — vectors no list points at). Skewed
     * in-degree is THE known pathology of k-NN graphs over
@@ -387,6 +455,14 @@ object ExtQueries {
 
   def annGraphAppend(spark: SparkSession, dir: String): DataFrame =
     graphAppendFrames(spark, dir)("delta")
+
+  /** The banded-base NN-Descent graph from the shared `graph_append`
+    * tier — exposed for [[graft.queries.PipelineQueries.
+    * streamGraphAppend]], whose standing store is byte-identical to
+    * it (same band, same constants), so the streaming gate reads the
+    * persisted frame instead of re-running the build. */
+  private[queries] def graphAppendBaseGraph(spark: SparkSession,
+      dir: String): DataFrame = graphAppendFrames(spark, dir)("base_graph")
 
   /** Post-append REACHABILITY audit — the serving proof insertion
     * exists for: beam search over the MERGED graph (appended lists ∪
@@ -2567,6 +2643,8 @@ object ExtQueries {
     "ann_nndescent_topk" -> annNndescentTopk _,
     "ann_nndescent_recall_audit" -> annNndescentRecallAudit _,
     "ann_nndescent_param_sweep" -> annNndescentParamSweep _,
+    "ann_graph_entry_sweep" -> annGraphEntrySweep _,
+    "ann_graph_diversify" -> annGraphDiversify _,
     "ann_graph_search" -> annGraphSearch _,
     "ann_graph_append" -> annGraphAppend _,
     "ann_graph_append_serve" -> annGraphAppendServe _,
@@ -5360,6 +5438,114 @@ object ExtQueries {
        |${row("hop3", 3)}""".stripMargin
   }
 
+  /** Entry-sweep twin: four beam chains over the same nn_l3 graph at
+    * entries ∈ {4, 8, 16, 32} (the stratified default entry CTE takes
+    * the stride from the `entries` parameter), each top-10 counted
+    * against the off-seed brute truth. */
+  private lazy val annGraphEntrySweepSql = {
+    def row(name: String, p: String): String =
+      s"""SELECT '$name' AS variant,
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM (SELECT query_id, cand FROM ${p}_b3 WHERE rk <= 10) v
+         |   JOIN ges_t t ON t.query_id = v.query_id
+         |     AND t.nbr_id = v.cand) AS n_hits,
+         |  CAST(nq * 10 AS BIGINT) AS n_possible,
+         |  CAST((SELECT count(*)
+         |        FROM (SELECT query_id, cand FROM ${p}_b3
+         |              WHERE rk <= 10) v
+         |        JOIN ges_t t ON t.query_id = v.query_id
+         |          AND t.nbr_id = v.cand)
+         |    AS DOUBLE) / CAST(nq * 10 AS DOUBLE) AS recall
+         |FROM ges_nq""".stripMargin
+    s"""WITH $vecCtes,
+       |${nnDescentCtes(3)},
+       |${beamCtes(3, entries = 4, p = "ge4")},
+       |${beamCtes(3, entries = 8, p = "ge8")},
+       |${beamCtes(3, entries = 16, p = "ge16")},
+       |${beamCtes(3, entries = 32, p = "ge32")},
+       |ges_t AS MATERIALIZED (
+       |  SELECT query_id, nbr_id
+       |  FROM (${bruteForceTopSql(offseedBand)})),
+       |ges_nq AS (
+       |  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq
+       |  FROM ges_t)
+       |${row("e4", "ge4")}
+       |UNION ALL
+       |${row("e8", "ge8")}
+       |UNION ALL
+       |${row("e16", "ge16")}
+       |UNION ALL
+       |${row("e32", "ge32")}""".stripMargin
+  }
+
+  /** Diversity-audit twin: the k8 chain, the k16 chain, the occlusion
+    * verdict (per higher-ranked neighbor pair, one exact-decimal dot
+    * + the strict > compare on identical operand trees), the two
+    * degree-8 graphs (rank-truncated / diversity-pruned, survivors
+    * renumbered in original rank order), and three beam chains graded
+    * on the off-seed truth. */
+  private lazy val annGraphDiversifySql = {
+    def row(name: String, p: String): String =
+      s"""SELECT '$name' AS variant,
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM (SELECT query_id, cand FROM ${p}_b3 WHERE rk <= 10) v
+         |   JOIN dva_t t ON t.query_id = v.query_id
+         |     AND t.nbr_id = v.cand) AS n_hits,
+         |  CAST(nq * 10 AS BIGINT) AS n_possible,
+         |  CAST((SELECT count(*)
+         |        FROM (SELECT query_id, cand FROM ${p}_b3
+         |              WHERE rk <= 10) v
+         |        JOIN dva_t t ON t.query_id = v.query_id
+         |          AND t.nbr_id = v.cand)
+         |    AS DOUBLE) / CAST(nq * 10 AS DOUBLE) AS recall
+         |FROM dva_nq""".stripMargin
+    s"""WITH $vecCtes,
+       |${nnDescentCtes(3)},
+       |${nnDescentCtes(4, k = 16, p = "n16")},
+       |dv_t AS MATERIALIZED (
+       |  SELECT a, b FROM n16_l4 WHERE rk <= 8),
+       |dv_p AS (
+       |  SELECT x.a, x.b, x.cos AS cos_ab, y.b AS occ
+       |  FROM n16_l4 x JOIN n16_l4 y
+       |    ON y.a = x.a AND y.rk < x.rk),
+       |dv_d AS (
+       |  SELECT p.a, p.b, p.occ, p.cos_ab,
+       |    CAST(sum(CAST(cb.x * co.x AS DECIMAL(28,12))) AS DOUBLE)
+       |      AS dot
+       |  FROM dv_p p
+       |  JOIN comp cb ON cb.vec_id = p.b
+       |  JOIN comp co ON co.vec_id = p.occ AND co.i = cb.i
+       |  GROUP BY p.a, p.b, p.occ, p.cos_ab),
+       |dv_o AS (
+       |  SELECT DISTINCT d.a, d.b FROM dv_d d
+       |  JOIN norms nb ON nb.vec_id = d.b
+       |  JOIN norms no ON no.vec_id = d.occ
+       |  WHERE d.dot / (nb.sn * no.sn) > d.cos_ab),
+       |dv_g AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT g.a, g.b,
+       |      row_number() OVER (PARTITION BY g.a
+       |                         ORDER BY g.rk ASC) AS nr
+       |    FROM n16_l4 g
+       |    WHERE NOT EXISTS (SELECT 1 FROM dv_o o
+       |                      WHERE o.a = g.a AND o.b = g.b)) pruned
+       |  WHERE nr <= 8),
+       |${beamCtes(3, p = "dk8")},
+       |${beamCtes(3, p = "dtr", graphRel = "dv_t")},
+       |${beamCtes(3, p = "ddv", graphRel = "dv_g")},
+       |dva_t AS MATERIALIZED (
+       |  SELECT query_id, nbr_id
+       |  FROM (${bruteForceTopSql(offseedBand)})),
+       |dva_nq AS (
+       |  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq
+       |  FROM dva_t)
+       |${row("k8_r3", "dk8")}
+       |UNION ALL
+       |${row("k16_trunc8", "dtr")}
+       |UNION ALL
+       |${row("k16_diverse8", "ddv")}""".stripMargin
+  }
+
   /** Hubness twin: in-degree histogram over nn_l3 with a left join
     * so 0-in-degree nodes appear. */
   private lazy val annGraphHubnessSql =
@@ -6755,6 +6941,8 @@ object ExtQueries {
     "ann_nndescent_topk" -> annNndescentTopkSql,
     "ann_nndescent_recall_audit" -> annNndescentRecallAuditSql,
     "ann_nndescent_param_sweep" -> annNndescentParamSweepSql,
+    "ann_graph_entry_sweep" -> annGraphEntrySweepSql,
+    "ann_graph_diversify" -> annGraphDiversifySql,
     "ann_graph_search" -> annGraphSearchSql,
     "ann_graph_append" -> annGraphAppendSql,
     "ann_graph_append_serve" -> annGraphAppendServeSql,

@@ -795,8 +795,10 @@ object PipelineQueries {
     val standing = emb.filter(pmod(col("vec_id"), lit(10)) =!= 9)
       .select(col("vec_id"), col("embedding"))
     standing.write.mode("overwrite").parquet(s"$tmp/corpus")
-    Similarity.nnDescent(standing, col("vec_id"), col("embedding"),
-        k = 8, rounds = 3)
+    // the standing graph is byte-identical to the shared graph_append
+    // tier's banded base build — read the persisted frame, don't
+    // re-run the 3-round NN-Descent
+    ExtQueries.graphAppendBaseGraph(spark, dir)
       .write.mode("overwrite").parquet(s"$tmp/graph")
     onStreamSession(spark, 8) { s =>
       def writeWave(m: Long): Unit = emb
