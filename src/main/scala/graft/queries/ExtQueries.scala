@@ -405,11 +405,16 @@ object ExtQueries {
       Similarity.graphBeamSearch(emb, col("vec_id"), col("embedding"),
         g, queries, col("vec_id"), col("embedding"),
         k = 10, beam = 16, hops = 3, entries = 8)
+    // the occlusion pass (node × k² exact dots) persists as its own
+    // tier so a re-measured window re-reads it instead of re-scoring
+    val diverse8 = sharedFrames(spark, dir, "graph_diverse8") {
+      Seq("diverse8" -> Similarity.diversifyGraph(emb,
+        col("vec_id"), col("embedding"), k16r4, degree = 8))
+    }("diverse8")
     recallRows(truth, nq, Seq(
       "k8_r3" -> walk(nnDescentFrames(spark, dir)("knn")),
       "k16_trunc8" -> walk(k16r4.filter(col("rank") <= 8)),
-      "k16_diverse8" -> walk(Similarity.diversifyGraph(emb,
-        col("vec_id"), col("embedding"), k16r4, degree = 8))))
+      "k16_diverse8" -> walk(diverse8)))
   }
 
   /** Hubness audit of the NN-Descent graph: the in-degree
