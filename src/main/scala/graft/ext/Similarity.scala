@@ -1638,29 +1638,84 @@ object Similarity {
       .withColumn("is_dead", col("variance") < lit(1e-6))
   }
 
+  /** Occlusion-rule neighbor SELECTION over a candidate pool — the
+    * shared primitive behind [[diversifyGraph]] (one-shot store
+    * pruning) and [[graphAppend]] (HNSW's insert-side neighbor
+    * selection, Malkov & Yashunin §4): rank the pool per node by
+    * (cosine DESC, id ASC), drop every candidate b OCCLUDED by a
+    * higher-ranked pool member b′ (cos(b′, b) > cos(node, b) — b′
+    * already covers b's direction), re-rank survivors in original
+    * order, cut to `k`. Checking against all higher-ranked pool
+    * members (not just kept ones) is the deterministic order-free
+    * relaxation — it over-prunes slightly but unrolls to one
+    * self-join, and gives the auditable invariant that NO selected
+    * edge is occluded by ANY higher-ranked selected edge. Pool is
+    * (node_id, nbr_id, cosine); `v` must carry vectors for every id
+    * appearing as nbr (vid, v, sn). Pairs are pool-bounded (node ×
+    * |pool|²), one codegen'd exact-decimal dot each — never corpus². */
+  private[graft] def occlusionSelect(pool: DataFrame, v: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("node_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    val ranked = graft.Tables.materialize(
+      pool.withColumn("rank", row_number().over(w)))
+    val pairs = ranked.as("x").join(ranked.as("y"),
+        col("x.node_id") === col("y.node_id") &&
+          col("y.rank") < col("x.rank"))
+      .select(col("x.node_id").as("node_id"),
+        col("x.nbr_id").as("nbr_id"), col("x.cosine").as("cos_ab"),
+        col("y.nbr_id").as("occ"))
+    val occluded = pairs
+      .join(v.select(col("vid").as("nbr_id"), col("v").as("bv"),
+        col("sn").as("sb")), "nbr_id")
+      .join(v.select(col("vid").as("occ"), col("v").as("pv"),
+        col("sn").as("sp")), "occ")
+      .filter(VecKernels.vecDotDec(col("bv"), col("pv")).cast("double") /
+        (col("sb") * col("sp")) > col("cos_ab"))
+      .select(col("node_id"), col("nbr_id")).distinct()
+    ranked.join(occluded, Seq("node_id", "nbr_id"), "left_anti")
+      .withColumn("new_rank", row_number().over(
+        Window.partitionBy(col("node_id")).orderBy(col("rank").asc)))
+      .filter(col("new_rank") <= k)
+      .select(col("node_id"), col("nbr_id"),
+        col("new_rank").as("rank"), col("cosine"))
+  }
+
   /** Incremental k-NN-graph APPEND — the HNSW insertion primitive
     * (Malkov & Yashunin: insert = search-then-connect, here on the
     * flat layer) as a batch operator over a persisted graph: each
     * appended vector is PLACED by [[graphBeamSearch]] over the
     * existing graph (serving-as-insertion — the same walk a query
     * takes, so placement costs beam·degree per hop, independent of
-    * base size); its top-k walk results become its neighbor list,
-    * and every placement edge (q→b) proposes q as a REVERSE neighbor
-    * of b — touched base lists re-rank (existing ∪ proposals) under
-    * the same (cosine DESC, id ASC) top-k total order. Cosine is
-    * symmetric, so the reverse edge reuses the walk's exact score —
-    * no second kernel pass.
+    * base size); its neighbor list is OCCLUSION-SELECTED from the
+    * full beam pool ([[occlusionSelect]] — HNSW's insert-side
+    * neighbor-selection heuristic, so a diversity-pruned store stays
+    * diversity-pruned under ingest), and every selected edge (q→b)
+    * proposes q as a REVERSE neighbor of b — touched base lists
+    * occlusion-select from (existing ∪ proposals) under the same
+    * (cosine DESC, id ASC) total order. Cosine is symmetric, so the
+    * reverse edge reuses the walk's exact score — no second kernel
+    * pass. Through round 16 both selections were plain cosine top-k,
+    * which re-introduced on every ingest tick exactly the redundant
+    * edges [[diversifyGraph]] removes; the occlusion selection is
+    * what makes the diversified store's serving-recall win (measured
+    * 0.54 → 0.79 at equal degree) hold under ingest.
     *
-    * After the re-rank, ORPHANS are repaired: an appended node whose
-    * reverse proposals all lost (present in no updated list — it
-    * would be unreachable to serving except as an entry) is FORCED
-    * into its nearest touched list (rank-1 placement target), whose
-    * list pre-cuts to k − |adoptees| to make room — the flat-graph
-    * form of HNSW's insert-side neighbor-selection heuristic, under
-    * the same (cosine DESC, id ASC) total order.
+    * After the selection, ORPHANS are repaired: an appended node
+    * present in no updated list (it would be unreachable to serving
+    * except as an entry) is FORCED into its nearest touched list
+    * (rank-1 selected placement target). The target's list pre-cuts
+    * to max(k − |adoptees|, 0) and the union re-ranks with a final
+    * rank ≤ k cut, so the capacity-k contract holds even when more
+    * than k orphans share one target (excess adoptees evict each
+    * other under the same total order — accepted, since a node
+    * evicted by a closer orphan is covered by that orphan's list).
+    * Forced adoptees may be occluded — reachability outranks
+    * diversity for repair edges.
     *
     * Returns (node_id, nbr_id, rank, cosine, src): `src='appended'`
-    * rows are the new nodes' lists, `src='updated'` the re-ranked
+    * rows are the new nodes' lists, `src='updated'` the re-selected
     * (and where needed, repaired) lists of the base nodes the append
     * touched — exactly the delta a persisted graph store writes
     * back; untouched lists never move. This is what makes a graph index viable at 100 TB:
@@ -1677,12 +1732,20 @@ object Similarity {
     // (one entry per ⌈n/entries⌉ block; a k-NN graph over a clustered
     // corpus is DISCONNECTED, so entries must spread across the graph
     // — the role HNSW's upper layers play)
-    val placed = graft.Tables.materialize(
+    val vAll = graft.Tables.materialize(
+      vectors(base, id, vec, "vid", "v", "sn").unionByName(
+        vectors(appended, appendedId, appendedVec, "vid", "v", "sn")))
+    // full beam pool (k = beam): the selection heuristic picks k
+    // diverse neighbors from all beam candidates, not the k closest
+    val pool = graft.Tables.materialize(
       graphBeamSearch(base, id, vec, graph, appended, appendedId,
-        appendedVec, k = k, beam = beam, hops = hops,
+        appendedVec, k = beam, beam = beam, hops = hops,
         entries = entries))
+    val placed = graft.Tables.materialize(
+      occlusionSelect(pool.select(col("query_id").as("node_id"),
+        col("nbr_id"), col("cosine")), vAll, k))
     val rev = placed.select(col("nbr_id").as("node_id"),
-      col("query_id").as("nbr_id"), col("cosine"))
+      col("node_id").as("nbr_id"), col("cosine"))
     val existing = graph
       .join(rev.select(col("node_id")).distinct(),
         Seq("node_id"), "left_semi")
@@ -1690,44 +1753,36 @@ object Similarity {
     val w = Window.partitionBy(col("node_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     val updated = graft.Tables.materialize(
-      existing.unionByName(rev)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k))
-    // ORPHAN REPAIR — forced reverse-adoption (the role HNSW's
-    // neighbor-selection heuristic plays at insert): an appended node
-    // whose reverse proposals ALL lost their re-ranks sits in no base
-    // list — unreachable to serving except as an entry (measured 14%
-    // of inserts on the gate corpus pre-repair). Each such orphan
-    // claims a slot in its NEAREST touched list (its rank-1 placement
-    // target): the target's list pre-cuts to k − |adoptees| under the
-    // original ranking, the adoptees join (reusing the walk's exact
-    // symmetric cosine), and the union re-ranks under the same
-    // (cos DESC, id ASC) total order — capacity k exactly, every
-    // adoptee guaranteed in. Cost is visible in the delta (the
-    // repaired lists replace the plain re-ranks); untouched lists
-    // still never move.
-    val orphans = placed.select(col("query_id")).distinct()
+      occlusionSelect(existing.unionByName(rev), vAll, k))
+    // ORPHAN REPAIR — forced reverse-adoption: an appended node whose
+    // reverse proposals ALL lost their selections sits in no base
+    // list — unreachable to serving except as an entry. Each such
+    // orphan claims a slot in its NEAREST touched list (its rank-1
+    // selected placement target); capacity stays ≤ k via the
+    // max(k − |adoptees|, 0) pre-cut + final rank ≤ k cut.
+    val orphans = placed.select(col("node_id").as("query_id")).distinct()
       .join(updated.select(col("nbr_id").as("query_id")),
         Seq("query_id"), "left_anti")
+      .select(col("query_id").as("node_id"))
     val adopt = placed.filter(col("rank") === 1)
-      .join(orphans, Seq("query_id"), "left_semi")
+      .join(orphans, Seq("node_id"), "left_semi")
       .select(col("nbr_id").as("node_id"),
-        col("query_id").as("nbr_id"), col("cosine"))
+        col("node_id").as("nbr_id"), col("cosine"))
     val acnt = adopt.groupBy(col("node_id"))
       .agg(count(lit(1)).as("na"))
     val repaired = updated.join(acnt, Seq("node_id"))
-      .filter(col("rank") <= lit(k) - col("na"))
+      .filter(col("rank") <= greatest(lit(k) - col("na"), lit(0)))
       .select(col("node_id"), col("nbr_id"), col("cosine"))
       .unionByName(adopt)
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
     val finalUpd = repaired
       .unionByName(updated
         .join(acnt, Seq("node_id"), "left_anti")
         .select(col("node_id"), col("nbr_id"), col("cosine"),
           col("rank")))
     placed
-      .select(col("query_id").as("node_id"), col("nbr_id"),
-        col("rank"), col("cosine"))
+      .select(col("node_id"), col("nbr_id"), col("rank"), col("cosine"))
       .withColumn("src", lit("appended"))
       .unionByName(finalUpd
         .select(col("node_id"), col("nbr_id"), col("rank"),
@@ -1752,37 +1807,20 @@ object Similarity {
     *
     * Scale shape: the candidate pair set is node × k² (list-bounded,
     * never corpus²); one codegen'd exact-decimal dot per pair; the
-    * verdict is a distinct anti-join + one per-node window. Returns
-    * (node_id, nbr_id, rank ≤ degree, cosine). */
+    * verdict is a distinct anti-join + one per-node window. Delegates
+    * to [[occlusionSelect]] (which re-derives ranks from the same
+    * (cosine DESC, id ASC) total order every NN-Descent list is
+    * already ranked by — identical outcome, one definition shared
+    * with the append path). Returns (node_id, nbr_id,
+    * rank ≤ degree, cosine). */
   def diversifyGraph(corpus: DataFrame, id: Column, vec: Column,
       graph: DataFrame, degree: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(degree >= 1, "degree >= 1")
     val v = graft.Tables.materialize(
       vectors(corpus, id, vec, "vid", "v", "sn"))
-    val g = graft.Tables.materialize(
-      graph.select(col("node_id"), col("nbr_id"), col("rank"),
-        col("cosine")))
-    val pairs = g.as("x").join(g.as("y"),
-        col("x.node_id") === col("y.node_id") &&
-          col("y.rank") < col("x.rank"))
-      .select(col("x.node_id").as("node_id"),
-        col("x.nbr_id").as("nbr_id"), col("x.cosine").as("cos_ab"),
-        col("y.nbr_id").as("occ"))
-    val occluded = pairs
-      .join(v.select(col("vid").as("nbr_id"), col("v").as("bv"),
-        col("sn").as("sb")), "nbr_id")
-      .join(v.select(col("vid").as("occ"), col("v").as("pv"),
-        col("sn").as("sp")), "occ")
-      .filter(VecKernels.vecDotDec(col("bv"), col("pv")).cast("double") /
-        (col("sb") * col("sp")) > col("cos_ab"))
-      .select(col("node_id"), col("nbr_id")).distinct()
-    val w = Window.partitionBy(col("node_id")).orderBy(col("rank").asc)
-    g.join(occluded, Seq("node_id", "nbr_id"), "left_anti")
-      .withColumn("new_rank", row_number().over(w))
-      .filter(col("new_rank") <= degree)
-      .select(col("node_id"), col("nbr_id"),
-        col("new_rank").as("rank"), col("cosine"))
+    occlusionSelect(
+      graph.select(col("node_id"), col("nbr_id"), col("cosine")),
+      v, degree)
   }
 
   // ----------------------------------------------------- binary (1-bit)

@@ -775,13 +775,16 @@ object PipelineQueries {
   /** STREAMING graph-index maintenance — the live lifecycle of
     * [[graft.ext.Similarity.graphAppend]] (the `stream_incremental_
     * dedup` discipline applied to the graph-ANN family, closing its
-    * incremental story): the base NN-Descent graph and standing
-    * corpus persist as parquet stores; each FILE-ARRIVAL micro-batch
-    * of new vectors is inserted by search-then-connect (beam
-    * placement over the CURRENT graph store, reverse-proposal
-    * re-rank, orphan repair), and the merged graph OVERWRITES the
-    * store — so batch N+1's walk runs over the graph batch N wrote,
-    * with entries re-stratified over the grown corpus. Two
+    * incremental story): the base DIVERSIFIED store (build k = 16,
+    * occlusion-prune to degree 8 — the deployed serving lifecycle)
+    * and standing corpus persist as parquet stores; each
+    * FILE-ARRIVAL micro-batch of new vectors is inserted by
+    * search-then-connect (beam placement over the CURRENT graph
+    * store, occlusion-SELECTED lists on both sides so the store
+    * stays diversity-pruned under ingest, orphan repair), and the
+    * merged graph OVERWRITES the store — so batch N+1's walk runs
+    * over the graph batch N wrote, with entries re-stratified over
+    * the grown corpus. Two
     * deterministic waves (vec_id ≡ 9, then ≡ 19, mod 20) split the
     * batch gate's 10% append band; the oracle unrolls both stages
     * sequentially. Every derived frame localCheckpoints BEFORE the

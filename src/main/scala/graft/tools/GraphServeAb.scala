@@ -47,6 +47,13 @@ object GraphServeAb {
       .filter(pmod(col("r"),
         floor((col("cnt") + lit(n - 1)) / lit(n)).cast("long")) === 0)
       .select(col("cand"))
+    // the round-15 smallest-ids convention must be passed EXPLICITLY:
+    // since round 16 graphBeamSearch's entriesDf=None default IS the
+    // stratified stride, so a None baseline arm would silently compare
+    // stratified against stratified
+    def smallest(n: Int): DataFrame = emb
+      .orderBy(col("vec_id").asc).limit(n)
+      .select(col("vec_id").as("cand"))
     def run(tag: String, entriesDf: Option[DataFrame], entries: Int,
         hops: Int, beam: Int = 16): Unit = {
       val walked = Similarity.graphBeamSearch(emb, col("vec_id"),
@@ -64,8 +71,8 @@ object GraphServeAb {
       println(f"[serve-ab] $tag%-28s self_found ${sf.toDouble / nq}%.3f " +
         f"walk_top10 ${hits.toDouble / (10 * nq)}%.3f")
     }
-    run("smallest8_h3 (gate today)", None, 8, 3)
-    run("smallest8_h4", None, 8, 4)
+    run("smallest8_h3 (r15 gate)", Some(smallest(8)), 8, 3)
+    run("smallest8_h4", Some(smallest(8)), 8, 4)
     run("strat8_h3", Some(strat(8)), 8, 3)
     run("strat16_h3", Some(strat(16)), 16, 3)
     run("strat16_h4", Some(strat(16)), 16, 4)

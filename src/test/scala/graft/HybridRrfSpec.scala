@@ -43,4 +43,27 @@ class HybridRrfSpec extends SparkSpec {
           col("x.rrf_score") < col("y.rrf_score"))
     assert(inv.count() == 0L, "rank order violates rrf_score order")
   }
+
+  test("served variant keeps the contract; overlap audit is exact") {
+    val served = ExtQueries
+      .hybridRrfServed(spark, "/root/testdata/sf0.001").cache()
+    val per = served.groupBy($"query_id")
+      .agg(count(lit(1)).as("n"), max($"rank").as("mr"),
+        min($"rank").as("lo"))
+    assert(per.filter($"n" > 10L || $"mr" =!= $"n" || $"lo" =!= 1L)
+      .count() == 0L)
+    assert(served.filter(col("lex_rank") === 0 && col("vec_rank") === 0)
+      .count() == 0L)
+    // the gated overlap readout equals the directly-computed
+    // brute-fused ∩ served-fused intersection
+    val direct = out.select($"query_id", $"doc_id")
+      .join(served.select($"query_id", $"doc_id"),
+        Seq("query_id", "doc_id")).count()
+    val ov = ExtQueries
+      .hybridRrfServedOverlap(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    assert(ov.getAs[Long]("n_overlap") == direct)
+    assert(ov.getAs[Long]("n_possible") ==
+      ov.getAs[Long]("n_queries") * 10)
+  }
 }

@@ -36,8 +36,12 @@ class StreamGraphAppendSpec extends SparkSpec {
           .select($"node_id", $"nbr_id", $"rank", $"cosine"))
         .localCheckpoint(true)
     }
-    val g0 = Similarity.nnDescent(standing, $"vec_id", $"embedding",
-      k = 8, rounds = 3)
+    // the standing store follows the deployed lifecycle since round
+    // 17: build wide (k = 16, 4 rounds), occlusion-prune to degree 8
+    val wide = Similarity.nnDescent(standing, $"vec_id", $"embedding",
+      k = 16, rounds = 4)
+    val g0 = Similarity.diversifyGraph(standing, $"vec_id",
+      $"embedding", wide, degree = 8)
     val wave1 = emb.filter(pmod($"vec_id", lit(20)) === 9)
     val wave2 = emb.filter(pmod($"vec_id", lit(20)) === 19)
     val m1 = appendMerge(standing, g0, wave1)
