@@ -1655,8 +1655,21 @@ object ExtQueries {
     * and leapfrog every single-list row below them (e.g. lex-7/vec-3
     * fuses to rank 2) — the cross-modality agreement signal RRF
     * exists to surface. */
+  /** Shared hybrid-fusion tier: BOTH fused rankings (brute-legged
+    * truth + served-IVF leg) persist once per (applicationId, sfDir)
+    * — the fusion gate, the served gate, and the overlap audit each
+    * read their frame instead of re-running the lexical chain and
+    * the index build (the overlap gate would otherwise compute both
+    * rankings a second time). */
+  private def hybridFrames(spark: SparkSession, dir: String)
+      : Map[String, DataFrame] =
+    sharedFrames(spark, dir, "hybrid_rrf") {
+      Seq("brute" -> hybridRrf(spark, dir, hybridBruteLeg(spark, dir)),
+        "served" -> hybridRrf(spark, dir, hybridServedLeg(spark, dir)))
+    }
+
   def hybridRrfFusion(spark: SparkSession, dir: String): DataFrame =
-    hybridRrf(spark, dir, hybridBruteLeg(spark, dir))
+    hybridFrames(spark, dir)("brute")
 
   /** The exact vector leg: [[annBruteForce]]'s algebra shaped to the
     * fusion contract (query_id, doc_id, vec_rank) — the truth column
@@ -1710,7 +1723,7 @@ object ExtQueries {
     * the brute-legged truth — MEASURED at sf0.01: 97 of 100 fused
     * top-10 rows agree (nProbe = 4 of 16 cells). */
   def hybridRrfServed(spark: SparkSession, dir: String): DataFrame =
-    hybridRrf(spark, dir, hybridServedLeg(spark, dir))
+    hybridFrames(spark, dir)("served")
 
   /** The audited brute-vs-served fusion delta: per-query overlap of
     * the two fused top-10s (same lexical leg, vector leg exact vs
@@ -1720,10 +1733,9 @@ object ExtQueries {
     * surfaces here first. */
   def hybridRrfServedOverlap(spark: SparkSession, dir: String)
       : DataFrame = {
-    val brute = hybridRrfFusion(spark, dir)
-      .select(col("query_id"), col("doc_id"))
-    val served = hybridRrfServed(spark, dir)
-      .select(col("query_id"), col("doc_id"))
+    val frames = hybridFrames(spark, dir)
+    val brute = frames("brute").select(col("query_id"), col("doc_id"))
+    val served = frames("served").select(col("query_id"), col("doc_id"))
     val nq = brute.select(col("query_id")).distinct()
       .agg(count(lit(1)).as("nq"))
     brute.join(served, Seq("query_id", "doc_id"), "left_semi")

@@ -65,17 +65,31 @@ object ScaleRun {
         f"task $taskS%8.2f s cpu $cpuS%8.2f s$b" +
         err.map(e => s" ERR: $e").getOrElse(""))
     }
-    def exp(lo: Double, hi: Double): Double =
-      if (lo <= 0 || hi <= 0) Double.NaN
-      else math.log10(hi / lo)
-    println("[scale] --- per-decade CPU scaling exponents " +
-      "(1.0 = linear, 2.0 = quadratic) ---")
+    // exponents must be taken against the gate's ACTUAL input growth,
+    // not the nominal SF: documents/embeddings are identical at
+    // sf0.001 and sf0.01 (500 rows each) and grow 10x/4x at sf0.1 —
+    // only the TPC-H tables scale with SF at every step. A same-input
+    // pair measures warm-up noise, not growth, and is printed as "=".
+    val drivingTable = Map(
+      "ann_graph_diversify" -> "embeddings",
+      "ann_graph_append" -> "embeddings",
+      "embed_dbscan" -> "embeddings").withDefaultValue("documents")
+    val rows = (for (sf <- sfs; t <- Seq("documents", "embeddings"))
+      yield (sf, t) ->
+        spark.read.parquet(s"$sf/$t.parquet").count().toDouble).toMap
+    def exp(cLo: Double, cHi: Double, nLo: Double, nHi: Double): String =
+      if (nLo == nHi) "    ="
+      else if (cLo <= 0 || cHi <= 0) "  NaN"
+      else f"${math.log(cHi / cLo) / math.log(nHi / nLo)}%5.2f"
+    println("[scale] --- CPU scaling exponents vs INPUT-ROW growth " +
+      "(1.0 = linear, 2.0 = quadratic; '=' = same input) ---")
     queries.foreach { name =>
+      val t = drivingTable(name)
       val c = sfs.map(sf => res((name, sf))._3)
-      val e01 = exp(c(0), c(1))
-      val e12 = exp(c(1), c(2))
-      println(f"[scale] $name%-28s e(0.001->0.01) $e01%5.2f   " +
-        f"e(0.01->0.1) $e12%5.2f")
+      val n = sfs.map(sf => rows((sf, t)))
+      println(f"[scale] $name%-28s ($t%-10s) " +
+        s"e(0.001->0.01) ${exp(c(0), c(1), n(0), n(1))}   " +
+        s"e(0.01->0.1) ${exp(c(1), c(2), n(1), n(2))}")
     }
     spark.stop()
   }
