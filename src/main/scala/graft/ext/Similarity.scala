@@ -1790,6 +1790,135 @@ object Similarity {
         .withColumn("src", lit("updated")))
   }
 
+  /** Tombstone DELETE from a k-NN graph store with HOLE REPAIR — the
+    * remaining lifecycle operation next to build ([[nnDescent]]),
+    * serve ([[graphBeamSearch]]), append ([[graphAppend]]) and
+    * streaming maintenance: deleted nodes' lists drop outright, and
+    * every surviving list that LOST a member (a "hole") re-selects
+    * from (surviving members ∪ BRIDGE candidates) — the bridge set is
+    * each deleted member's own neighbor list (the 2-hop-through-the-
+    * tombstone reconnection every production HNSW deletion uses:
+    * the deleted node's neighborhood is exactly where its in-edges
+    * were pointing, so re-linking through it preserves local
+    * connectivity instead of just shrinking lists). Bridge cosines
+    * are computed with the same exact-decimal kernel; selection is
+    * [[occlusionSelect]], so a diversified store stays diversified
+    * through deletion too.
+    *
+    * After the re-selection, deletion ORPHANS are repaired: a live
+    * node whose every adoption lived in dropped or rewritten lists
+    * and survived no re-selection would be unreachable to serving —
+    * it force-adopts into its NEAREST touched list (highest cosine,
+    * id tiebreak), capacity-capped like the append repair
+    * (max(k − |adoptees|, 0) pre-cut + final rank ≤ k cut). Adopted
+    * edges rank LAST in their list (they are reachability patches,
+    * not proximity neighbors), which keeps the occlusion audit
+    * exact: only `src = 'adopted'` rows may ever be occluded —
+    * genuine repair rows were all selected against every
+    * higher-ranked pool member.
+    *
+    * Cost scales with the TOUCHED lists (holes × the deleted
+    * member's list length — batch-bounded, never corpus-bounded)
+    * plus orphans × touched for the adoption targets; untouched
+    * lists never move, the store write-back is the returned delta ∪
+    * untouched. Returns the repaired touched lists (node_id, nbr_id,
+    * rank ≤ k, cosine, src ∈ {repair, adopted}). */
+  def graphDelete(corpus: DataFrame, id: Column, vec: Column,
+      graph: DataFrame, deleted: DataFrame, deletedId: Column,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val del = graft.Tables.materialize(
+      deleted.select(deletedId.as("del_id")))
+    val g = graft.Tables.materialize(
+      graph.select(col("node_id"), col("nbr_id"), col("cosine")))
+    val v = graft.Tables.materialize(
+      vectors(corpus, id, vec, "vid", "v", "sn"))
+    val gKeep = g.join(del.select(col("del_id").as("node_id")),
+      Seq("node_id"), "left_anti")
+    val holeEdges = gKeep
+      .join(del.select(col("del_id").as("nbr_id")),
+        Seq("nbr_id"), "left_semi")
+    val touched = holeEdges.select(col("node_id")).distinct()
+    val survivors = gKeep
+      .join(touched, Seq("node_id"), "left_semi")
+      .join(del.select(col("del_id").as("nbr_id")),
+        Seq("nbr_id"), "left_anti")
+      .select(col("node_id"), col("nbr_id"), col("cosine"))
+    val bridge = holeEdges
+      .select(col("node_id"), col("nbr_id").as("mid"))
+      .join(g.select(col("node_id").as("mid"),
+        col("nbr_id").as("cand")), "mid")
+      .filter(col("cand") =!= col("node_id"))
+      .join(del.select(col("del_id").as("cand")),
+        Seq("cand"), "left_anti")
+      .select(col("node_id"), col("cand").as("nbr_id")).distinct()
+      .join(survivors.select(col("node_id"), col("nbr_id")),
+        Seq("node_id", "nbr_id"), "left_anti")
+      .join(v.select(col("vid").as("node_id"), col("v").as("av"),
+        col("sn").as("sa")), "node_id")
+      .join(v.select(col("vid").as("nbr_id"), col("v").as("bv"),
+        col("sn").as("sb")), "nbr_id")
+      .withColumn("cosine",
+        VecKernels.vecDotDec(col("av"), col("bv")).cast("double") /
+          (col("sa") * col("sb")))
+      .select(col("node_id"), col("nbr_id"), col("cosine"))
+    val sel = graft.Tables.materialize(
+      occlusionSelect(survivors.unionByName(bridge), v, k))
+    // deletion-ORPHAN repair: pre-delete adopters of a node were the
+    // dropped lists ∪ the touched lists; post-delete adopters are the
+    // untouched lists ∪ the re-selections. Live nodes in the first
+    // set but absent from the second force-adopt into their nearest
+    // touched list, rank-last.
+    val postNbrs = gKeep.join(touched, Seq("node_id"), "left_anti")
+      .select(col("nbr_id"))
+      .unionByName(sel.select(col("nbr_id"))).distinct()
+    val preNbrs = g
+      .join(del.select(col("del_id").as("node_id")),
+        Seq("node_id"), "left_semi")
+      .select(col("nbr_id"))
+      .unionByName(gKeep.join(touched, Seq("node_id"), "left_semi")
+        .select(col("nbr_id")))
+      .distinct()
+    val orphans = preNbrs
+      .join(del.select(col("del_id").as("nbr_id")),
+        Seq("nbr_id"), "left_anti")
+      .join(postNbrs, Seq("nbr_id"), "left_anti")
+      .select(col("nbr_id").as("oid"))
+    val adopt = touched
+      .join(v.select(col("vid").as("node_id"), col("v").as("tv"),
+        col("sn").as("st")), "node_id")
+      .crossJoin(broadcast(orphans
+        .join(v.select(col("vid").as("oid"), col("v").as("ov"),
+          col("sn").as("so")), "oid")))
+      .withColumn("cosine",
+        VecKernels.vecDotDec(col("tv"), col("ov")).cast("double") /
+          (col("st") * col("so")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("oid"))
+          .orderBy(col("cosine").desc, col("node_id").asc)))
+      .filter(col("r") === 1)
+      .select(col("node_id"), col("oid").as("nbr_id"), col("cosine"))
+    val acnt = adopt.groupBy(col("node_id"))
+      .agg(count(lit(1)).as("na"))
+    val wTail = Window.partitionBy(col("node_id"))
+      .orderBy(col("ad").asc, col("cosine").desc, col("nbr_id").asc)
+    val repaired = sel.join(acnt, Seq("node_id"))
+      .filter(col("rank") <= greatest(lit(k) - col("na"), lit(0)))
+      .select(col("node_id"), col("nbr_id"), col("cosine"),
+        lit(0).as("ad"))
+      .unionByName(adopt.withColumn("ad", lit(1)))
+      .withColumn("rank", row_number().over(wTail))
+      .filter(col("rank") <= k)
+      .select(col("node_id"), col("nbr_id"), col("rank"),
+        col("cosine"),
+        when(col("ad") === 1, lit("adopted")).otherwise(lit("repair"))
+          .as("src"))
+    repaired.unionByName(
+      sel.join(acnt, Seq("node_id"), "left_anti")
+        .select(col("node_id"), col("nbr_id"), col("rank"),
+          col("cosine"), lit("repair").as("src")))
+  }
+
   /** Neighbor-DIVERSITY pruning of a k-NN graph — the occlusion rule
     * behind HNSW's insert-side neighbor selection and NSG's edge
     * selection (Malkov & Yashunin §4; Fu et al., NSG), in the

