@@ -6096,80 +6096,86 @@ object ExtQueries {
        |  CAST(COALESCE(c.n_occluded, 0) AS BIGINT) AS n_occluded
        |FROM gd_e e LEFT JOIN gd_c c ON c.src = e.src""".stripMargin
 
-  /** [[Similarity.graphDelete]] twin over the serving store: drop
-    * deleted nodes' lists, find holes (surviving lists with a
-    * tombstoned member), bridge each hole through the deleted
-    * member's own dg_sel list (exact-decimal cosines for the new
-    * pairs), and occlusion-select the pooled survivors ∪ bridges.
-    * Ends at gxs_sel (the repaired delta) with gx_keep/gx_tch
-    * available for the merged post-delete store. */
-  private val gxLiveBand = (c: String) => s"$c % 10 <> 4"
-
-  private lazy val graphDeleteCtes =
-    s"""$servingStoreCtes,
-       |gx_keep AS MATERIALIZED (
-       |  SELECT a, b, cos, rk FROM dg_sel WHERE a % 10 <> 4),
-       |gx_hole AS (
-       |  SELECT a, b FROM gx_keep WHERE b % 10 = 4),
-       |gx_tch AS (SELECT DISTINCT a FROM gx_hole),
-       |gx_srv AS (
-       |  SELECT k.a, k.b, k.cos FROM gx_keep k
-       |  WHERE k.b % 10 <> 4 AND k.a IN (SELECT a FROM gx_tch)),
-       |gx_brn AS (
+  /** ONE tombstone-DELETE stage ([[Similarity.graphDelete]] twin),
+    * parameterized like [[appendStageCtes]] so the batch gate and
+    * the streaming upsert lifecycle share a single chain: drop
+    * deleted (`delBand`) nodes' lists from `graphRel`, find holes
+    * (surviving lists with a tombstoned member), bridge each hole
+    * through the deleted member's own list (exact-decimal cosines
+    * for the new pairs), occlusion-select the pooled survivors ∪
+    * bridges, force-adopt deletion orphans rank-last (src='adopted',
+    * capacity-capped), and end at the repaired delta `${p}_fin`
+    * (node_id, nbr_id, cos, rk, src) plus the merged post-delete
+    * store `${p}_m` (repaired ∪ untouched). */
+  private def deleteStageCtes(p: String, graphRel: String,
+      delBand: String => String): String =
+    s"""${p}_keep AS MATERIALIZED (
+       |  SELECT a, b, cos, rk FROM $graphRel
+       |  WHERE NOT (${delBand("a")})),
+       |${p}_hole AS (
+       |  SELECT a, b FROM ${p}_keep WHERE ${delBand("b")}),
+       |${p}_tch AS (SELECT DISTINCT a FROM ${p}_hole),
+       |${p}_srv AS (
+       |  SELECT k.a, k.b, k.cos FROM ${p}_keep k
+       |  WHERE NOT (${delBand("k.b")})
+       |    AND k.a IN (SELECT a FROM ${p}_tch)),
+       |${p}_brn AS (
        |  SELECT a, b FROM (
        |    SELECT DISTINCT h.a, g.b
-       |    FROM gx_hole h JOIN dg_sel g ON g.a = h.b
-       |    WHERE g.b % 10 <> 4 AND g.b <> h.a) br
-       |  WHERE NOT EXISTS (SELECT 1 FROM gx_srv s
+       |    FROM ${p}_hole h JOIN $graphRel g ON g.a = h.b
+       |    WHERE NOT (${delBand("g.b")}) AND g.b <> h.a) br
+       |  WHERE NOT EXISTS (SELECT 1 FROM ${p}_srv s
        |                    WHERE s.a = br.a AND s.b = br.b)),
-       |gx_brd AS (
+       |${p}_brd AS (
        |  SELECT q.a, q.b,
        |    CAST(sum(CAST(ca.x * cb.x AS DECIMAL(28,12))) AS DOUBLE)
        |      AS dot
-       |  FROM gx_brn q
+       |  FROM ${p}_brn q
        |  JOIN comp ca ON ca.vec_id = q.a
        |  JOIN comp cb ON cb.vec_id = q.b AND cb.i = ca.i
        |  GROUP BY q.a, q.b),
-       |gx_pool AS (
-       |  SELECT a, b, cos FROM gx_srv
+       |${p}_pool AS (
+       |  SELECT a, b, cos FROM ${p}_srv
        |  UNION ALL
        |  SELECT d.a, d.b, d.dot / (na.sn * nb.sn) AS cos
-       |  FROM gx_brd d
+       |  FROM ${p}_brd d
        |  JOIN norms na ON na.vec_id = d.a
        |  JOIN norms nb ON nb.vec_id = d.b),
-       |${occlusionCtes("gxs", "gx_pool", 8)},
-       |gx_post AS (
-       |  SELECT b FROM gx_keep WHERE a NOT IN (SELECT a FROM gx_tch)
+       |${occlusionCtes(s"${p}s", s"${p}_pool", 8)},
+       |${p}_post AS (
+       |  SELECT b FROM ${p}_keep
+       |  WHERE a NOT IN (SELECT a FROM ${p}_tch)
        |  UNION
-       |  SELECT b FROM gxs_sel),
-       |gx_pre AS (
-       |  SELECT b FROM dg_sel WHERE a % 10 = 4
+       |  SELECT b FROM ${p}s_sel),
+       |${p}_pre AS (
+       |  SELECT b FROM $graphRel WHERE ${delBand("a")}
        |  UNION
-       |  SELECT b FROM gx_keep WHERE a IN (SELECT a FROM gx_tch)),
-       |gx_orp AS (
-       |  SELECT DISTINCT b AS o FROM gx_pre
-       |  WHERE b % 10 <> 4 AND b NOT IN (SELECT b FROM gx_post)),
-       |gx_adc AS (
+       |  SELECT b FROM ${p}_keep WHERE a IN (SELECT a FROM ${p}_tch)),
+       |${p}_orp AS (
+       |  SELECT DISTINCT b AS o FROM ${p}_pre
+       |  WHERE NOT (${delBand("b")})
+       |    AND b NOT IN (SELECT b FROM ${p}_post)),
+       |${p}_adc AS (
        |  SELECT t.a, o.o,
        |    CAST(sum(CAST(ca.x * cb.x AS DECIMAL(28,12))) AS DOUBLE)
        |      AS dot
-       |  FROM gx_tch t CROSS JOIN gx_orp o
+       |  FROM ${p}_tch t CROSS JOIN ${p}_orp o
        |  JOIN comp ca ON ca.vec_id = t.a
        |  JOIN comp cb ON cb.vec_id = o.o AND cb.i = ca.i
        |  GROUP BY t.a, o.o),
-       |gx_ado AS (
+       |${p}_ado AS (
        |  SELECT a AS node_id, o AS nbr_id, cos FROM (
        |    SELECT d.a, d.o, d.dot / (na.sn * nb.sn) AS cos,
        |      row_number() OVER (PARTITION BY d.o
        |        ORDER BY d.dot / (na.sn * nb.sn) DESC, d.a ASC) AS r
-       |    FROM gx_adc d
+       |    FROM ${p}_adc d
        |    JOIN norms na ON na.vec_id = d.a
        |    JOIN norms nb ON nb.vec_id = d.o) z
        |  WHERE r = 1),
-       |gx_acn AS (
+       |${p}_acn AS (
        |  SELECT node_id, CAST(count(*) AS BIGINT) AS na
-       |  FROM gx_ado GROUP BY node_id),
-       |gx_fin AS MATERIALIZED (
+       |  FROM ${p}_ado GROUP BY node_id),
+       |${p}_fin AS MATERIALIZED (
        |  SELECT node_id, nbr_id, cos, rk,
        |    CASE WHEN ad = 1 THEN 'adopted' ELSE 'repair' END AS src
        |  FROM (
@@ -6178,15 +6184,29 @@ object ExtQueries {
        |        ORDER BY ad ASC, cos DESC, nbr_id ASC) AS rk
        |    FROM (
        |      SELECT s.a AS node_id, s.b AS nbr_id, s.cos, 0 AS ad
-       |      FROM gxs_sel s JOIN gx_acn c ON c.node_id = s.a
+       |      FROM ${p}s_sel s JOIN ${p}_acn c ON c.node_id = s.a
        |      WHERE s.rk <= GREATEST(8 - c.na, 0)
        |      UNION ALL
-       |      SELECT node_id, nbr_id, cos, 1 AS ad FROM gx_ado) u) z2
+       |      SELECT node_id, nbr_id, cos, 1 AS ad FROM ${p}_ado) u) z2
        |  WHERE rk <= 8
        |  UNION ALL
        |  SELECT s.a, s.b, s.cos, s.rk, 'repair' AS src
-       |  FROM gxs_sel s
-       |  WHERE s.a NOT IN (SELECT node_id FROM gx_acn))""".stripMargin
+       |  FROM ${p}s_sel s
+       |  WHERE s.a NOT IN (SELECT node_id FROM ${p}_acn)),
+       |${p}_m AS MATERIALIZED (
+       |  SELECT node_id AS a, nbr_id AS b, cos, rk FROM ${p}_fin
+       |  UNION ALL
+       |  SELECT a, b, cos, rk FROM ${p}_keep k
+       |  WHERE k.a NOT IN (SELECT a FROM ${p}_tch))""".stripMargin
+
+  private val gxLiveBand = (c: String) => s"$c % 10 <> 4"
+
+  /** The batch delete gate's chain: one delete stage over the
+    * serving store at the gate band. */
+  private lazy val graphDeleteCtes =
+    s"""$servingStoreCtes,
+       |${deleteStageCtes("gx", "dg_sel", c => s"$c % 10 = 4")}"""
+      .stripMargin
 
   private lazy val annGraphDeleteSql =
     s"""WITH $vecCtes,
@@ -6201,11 +6221,6 @@ object ExtQueries {
   private lazy val annGraphDeleteServeSql =
     s"""WITH $vecCtes,
        |$graphDeleteCtes,
-       |gx_m AS MATERIALIZED (
-       |  SELECT node_id AS a, nbr_id AS b, cos, rk FROM gx_fin
-       |  UNION ALL
-       |  SELECT a, b, cos, rk FROM gx_keep k
-       |  WHERE k.a NOT IN (SELECT a FROM gx_tch)),
        |${beamCtes(3, queryBand = offseedBand, entryBand = gxLiveBand,
           graphRel = "gx_m")},
        |gxt AS MATERIALIZED (
@@ -6263,6 +6278,24 @@ object ExtQueries {
        |${appendStageCtes("h2", "w2", "h1_merged", w2Band, grownBand)}
        |SELECT a AS node_id, b AS nbr_id, rk AS rank, cos AS cosine
        |FROM h2_merged""".stripMargin
+  }
+
+  /** [[graft.queries.PipelineQueries.streamGraphUpsert]] twin: an
+    * APPEND micro-batch (the `%20 = 9` half of the append band) then
+    * a DELETE micro-batch (the `%10 = 3` band of the standing
+    * corpus) unrolled as one append stage over the banded
+    * diversified store followed by one delete stage over its merged
+    * output — the full CDC-shaped maintenance loop a deployed store
+    * runs. Output is the final persisted graph store. */
+  private[queries] lazy val streamGraphUpsertSql = {
+    val w1Band = (c: String) => s"$c % 20 = 9"
+    val delBand = (c: String) => s"$c % 10 = 3"
+    s"""WITH $vecCtes,
+       |$bandedStoreCtes,
+       |${appendStageCtes("u1", "v1", "gb_sel", w1Band, gaBaseBand)},
+       |${deleteStageCtes("x1", "u1_merged", delBand)}
+       |SELECT a AS node_id, b AS nbr_id, rk AS rank, cos AS cosine
+       |FROM x1_m""".stripMargin
   }
 
   /** Beam-search recall-by-hop twin: the per-hop beam states' top-10

@@ -845,6 +845,103 @@ object PipelineQueries {
     }
   }
 
+  /** STREAMING graph-index UPSERT — the full CDC-shaped maintenance
+    * loop over the persisted diversified store: micro-batches carry
+    * an `op` column ('add' inserts by search-then-connect with
+    * occlusion selection — [[graft.ext.Similarity.graphAppend]];
+    * 'del' tombstones with 2-hop hole bridging and rank-last orphan
+    * adoption — [[graft.ext.Similarity.graphDelete]]), applied adds-
+    * then-dels within a batch, and both the graph AND corpus stores
+    * OVERWRITE per tick (read → apply → localCheckpoint →
+    * overwrite). Two deterministic waves: an append tick
+    * (`vec_id % 20 = 9`) then a delete tick (`vec_id % 10 = 3` of
+    * the standing band) — the oracle unrolls one append stage then
+    * one delete stage. Output: the final persisted graph store —
+    * what a deployment serves after an ingest tick AND a GDPR-style
+    * deletion tick. */
+  def streamGraphUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Similarity
+    val emb = Tables(spark, dir, "embeddings")
+    val tmp = graft.Tables.scratchDir("graft_graph_upsert")
+    val standing = emb.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+      .select(col("vec_id"), col("embedding"))
+    standing.write.mode("overwrite").parquet(s"$tmp/corpus")
+    // the standing store is the shared graph_append tier's banded
+    // diversified base — read the persisted frame
+    ExtQueries.graphAppendBaseGraph(spark, dir)
+      .write.mode("overwrite").parquet(s"$tmp/graph")
+    onStreamSession(spark, 8) { s =>
+      def writeAdds(): Unit = emb
+        .filter(pmod(col("vec_id"), lit(20)) === 9)
+        .select(lit("add").as("op"), col("vec_id"), col("embedding"))
+        .write.mode("append").parquet(s"$tmp/in")
+      def writeDels(): Unit = emb
+        .filter(pmod(col("vec_id"), lit(10)) === 3)
+        .select(lit("del").as("op"), col("vec_id"),
+          lit(null).cast("array<float>").as("embedding"))
+        .write.mode("append").parquet(s"$tmp/in")
+      writeAdds()
+      val q = s.readStream
+        .schema("op STRING, vec_id LONG, embedding ARRAY<FLOAT>")
+        .parquet(s"$tmp/in")
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val corpus = s.read.parquet(s"$tmp/corpus")
+          val graph = s.read.parquet(s"$tmp/graph")
+          val adds = b.filter(col("op") === "add")
+            .select(col("vec_id"), col("embedding"))
+          val dels = b.filter(col("op") === "del").select(col("vec_id"))
+          var curC = corpus
+          var curG = graph
+          if (adds.limit(1).count() > 0) {
+            val delta = Similarity.graphAppend(curC, col("vec_id"),
+              col("embedding"), curG, adds, col("vec_id"),
+              col("embedding"), k = 8, beam = 16, hops = 3,
+              entries = 8)
+            val touched = delta.filter(col("src") === "updated")
+              .select(col("node_id")).distinct()
+            curG = delta
+              .select(col("node_id"), col("nbr_id"), col("rank"),
+                col("cosine"))
+              .unionByName(curG
+                .join(touched, Seq("node_id"), "left_anti")
+                .select(col("node_id"), col("nbr_id"), col("rank"),
+                  col("cosine")))
+            curC = curC.unionByName(adds)
+          }
+          if (dels.limit(1).count() > 0) {
+            curC = curC.join(dels, Seq("vec_id"), "left_anti")
+            val rep = Similarity.graphDelete(curC, col("vec_id"),
+              col("embedding"), curG, dels, col("vec_id"), k = 8)
+            val keep = curG.join(dels
+                .select(col("vec_id").as("node_id")),
+              Seq("node_id"), "left_anti")
+            val touched = keep.join(dels
+                .select(col("vec_id").as("nbr_id")),
+              Seq("nbr_id"), "left_semi")
+              .select(col("node_id")).distinct()
+            curG = keep.join(touched, Seq("node_id"), "left_anti")
+              .select(col("node_id"), col("nbr_id"), col("rank"),
+                col("cosine"))
+              .unionByName(rep.select(col("node_id"), col("nbr_id"),
+                col("rank"), col("cosine")))
+          }
+          val outG = curG.localCheckpoint(true)
+          val outC = curC.localCheckpoint(true)
+          outG.write.mode("overwrite").parquet(s"$tmp/graph")
+          outC.write.mode("overwrite").parquet(s"$tmp/corpus")
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/_ck")
+        .start()
+      q.processAllAvailable()
+      writeDels()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(s"$tmp/graph")
+    }
+  }
+
   /** STREAMING SCD Type-2 maintenance — the CDC-apply loop around
     * [[graft.queries.LakeQueries.scdType2Merge]]: each micro-batch
     * delivers a full attribute snapshot, the foreachBatch merges it
@@ -1092,6 +1189,7 @@ object PipelineQueries {
     "stream_ann_probe" -> streamAnnProbe _,
     "stream_incremental_dedup" -> streamIncrementalDedup _,
     "stream_graph_append" -> streamGraphAppend _,
+    "stream_graph_upsert" -> streamGraphUpsert _,
     "stream_mv_maintenance" -> streamMvMaintenance _,
     "stream_dsv2_source" -> streamDsv2Source _,
     "pipeline_batch_e2e" -> pipelineBatchE2e _,
@@ -1243,6 +1341,7 @@ object PipelineQueries {
     "stream_scd_type2" -> streamScdType2Sql,
     "stream_incremental_dedup" -> streamIncrementalDedupSql,
     "stream_graph_append" -> ExtQueries.streamGraphAppendSql,
+    "stream_graph_upsert" -> ExtQueries.streamGraphUpsertSql,
     // streaming probe of the persisted index == the batch IVF oracle
     "stream_ann_probe" -> ExtQueries.annIvfTopKSqlShared,
     // the incrementally-maintained summary must equal the direct
