@@ -613,6 +613,29 @@ object Similarity {
     stored.select(col("nbr_id"), col("cell_id")).unionByName(delta)
   }
 
+  /** Tombstone COMPACTION for row-shaped persisted ANN index tables —
+    * the IVF (nbr_id, cell_id) assignment table and the PQ
+    * (nbr_id, j, code) codes table: drop the deleted ids' rows and
+    * collapse replayed-append duplicates in one rewrite. Serving-time
+    * deletion is the cheap tombstone MASK (probe anti-joins the
+    * tombstone table — see `ann_ivf_delete_serve` /
+    * `ann_pq_delete_serve`); compaction is the periodic rewrite that
+    * makes deleted vectors physically LEAVE the store and reclaims
+    * the mask's probe-time anti-join. The result equals a clean
+    * re-assignment / re-encoding of the live corpus under the FROZEN
+    * centroids / codebooks by construction — both tables are pure
+    * per-row functions of (vector, frozen artifact), so dropping a
+    * row never changes any other row (the property the compaction
+    * gates' clean-rebuild oracles check, and the reason no retrain
+    * is implied; pair with `ann_drift_trigger` for when one is).
+    * Cost: one anti-join + one distinct — corpus-linear, and the
+    * anti-join side is |deleted|, never corpus². The band-index twin
+    * is [[Dedup.compactBandIndex]]. */
+  def compactIndexRows(stored: DataFrame, deleted: DataFrame,
+      deletedId: Column): DataFrame =
+    stored.join(deleted.select(deletedId.as("nbr_id")),
+      Seq("nbr_id"), "left_anti").distinct()
+
   /** Probe a PERSISTED IVF index: `centroids` (cell_id, i, cx) and
     * `assignments` (nbr_id, cell_id) are read from storage — this
     * entry point has no training inputs and recomputes neither; the
@@ -1708,9 +1731,11 @@ object Similarity {
     * (rank-1 selected placement target). The target's list pre-cuts
     * to max(k − |adoptees|, 0) and the union re-ranks with a final
     * rank ≤ k cut, so the capacity-k contract holds even when more
-    * than k orphans share one target (excess adoptees evict each
-    * other under the same total order — accepted, since a node
-    * evicted by a closer orphan is covered by that orphan's list).
+    * than k orphans share one target; the excess adoptees (evicted
+    * under the same total order) stay UNREACHABLE to serving — they
+    * are emitted as `src='dropped'` observability rows rather than
+    * silently cut, so a caller can count reachability-contract
+    * misses per batch (and e.g. re-drive them as a retry wave).
     * Forced adoptees may be occluded — reachability outranks
     * diversity for repair edges.
     *
@@ -1718,7 +1743,8 @@ object Similarity {
     * rows are the new nodes' lists, `src='updated'` the re-selected
     * (and where needed, repaired) lists of the base nodes the append
     * touched — exactly the delta a persisted graph store writes
-    * back; untouched lists never move. This is what makes a graph index viable at 100 TB:
+    * back (write-back excludes the `src='dropped'` rows, whose
+    * rank > k); untouched lists never move. This is what makes a graph index viable at 100 TB:
     * ingest cost scales with the BATCH (walks + a touched-list
     * re-rank), never with the corpus — the graph twin of the
     * incremental IVF/PQ/LSH append gates. */
@@ -1770,12 +1796,12 @@ object Similarity {
         col("node_id").as("nbr_id"), col("cosine"))
     val acnt = adopt.groupBy(col("node_id"))
       .agg(count(lit(1)).as("na"))
-    val repaired = updated.join(acnt, Seq("node_id"))
+    val ranked = updated.join(acnt, Seq("node_id"))
       .filter(col("rank") <= greatest(lit(k) - col("na"), lit(0)))
       .select(col("node_id"), col("nbr_id"), col("cosine"))
       .unionByName(adopt)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val repaired = ranked.filter(col("rank") <= k)
     val finalUpd = repaired
       .unionByName(updated
         .join(acnt, Seq("node_id"), "left_anti")
@@ -1788,6 +1814,13 @@ object Similarity {
         .select(col("node_id"), col("nbr_id"), col("rank"),
           col("cosine"))
         .withColumn("src", lit("updated")))
+      // evicted adoptions (> k orphans claiming one target) — NOT
+      // store edges; observability rows so a silently-unreachable
+      // insert is visible in the delta. Write-back excludes them.
+      .unionByName(ranked.filter(col("rank") > k)
+        .select(col("node_id"), col("nbr_id"), col("rank"),
+          col("cosine"))
+        .withColumn("src", lit("dropped")))
   }
 
   /** Tombstone DELETE from a k-NN graph store with HOLE REPAIR — the
@@ -1808,8 +1841,12 @@ object Similarity {
     * After the re-selection, deletion ORPHANS are repaired: a live
     * node whose every adoption lived in dropped or rewritten lists
     * and survived no re-selection would be unreachable to serving —
-    * it force-adopts into its NEAREST touched list (highest cosine,
-    * id tiebreak), capacity-capped like the append repair
+    * it force-adopts into its NEAREST CANDIDATE touched list
+    * (highest cosine, id tiebreak, candidates restricted to touched
+    * lists 2-hop-adjacent to the orphan's former adopters —
+    * [[deleteAdoptionCandidates]]; the naive global-nearest form is
+    * a deletion-batch-quadratic cross join), capacity-capped like
+    * the append repair
     * (max(k − |adoptees|, 0) pre-cut + final rank ≤ k cut). Adopted
     * edges rank LAST in their list (they are reachability patches,
     * not proximity neighbors), which keeps the occlusion audit
@@ -1819,10 +1856,15 @@ object Similarity {
     *
     * Cost scales with the TOUCHED lists (holes × the deleted
     * member's list length — batch-bounded, never corpus-bounded)
-    * plus orphans × touched for the adoption targets; untouched
+    * plus |orphans| × in-degree × list-degree for the adoption
+    * candidates; untouched
     * lists never move, the store write-back is the returned delta ∪
-    * untouched. Returns the repaired touched lists (node_id, nbr_id,
-    * rank ≤ k, cosine, src ∈ {repair, adopted}). */
+    * untouched MINUS src='dropped' rows. Returns the repaired
+    * touched lists (node_id, nbr_id, rank ≤ k, cosine, src ∈
+    * {repair, adopted}) plus observability rows (src = 'dropped',
+    * rank > k): adoptions evicted when more than k orphans share
+    * one target — those orphans stay unreachable, and the delta
+    * says so instead of silently cutting them. */
   def graphDelete(corpus: DataFrame, id: Column, vec: Column,
       graph: DataFrame, deleted: DataFrame, deletedId: Column,
       k: Int = 8): DataFrame = {
@@ -1884,12 +1926,11 @@ object Similarity {
         Seq("nbr_id"), "left_anti")
       .join(postNbrs, Seq("nbr_id"), "left_anti")
       .select(col("nbr_id").as("oid"))
-    val adopt = touched
+    val adopt = deleteAdoptionCandidates(g, touched, orphans)
       .join(v.select(col("vid").as("node_id"), col("v").as("tv"),
         col("sn").as("st")), "node_id")
-      .crossJoin(broadcast(orphans
-        .join(v.select(col("vid").as("oid"), col("v").as("ov"),
-          col("sn").as("so")), "oid")))
+      .join(v.select(col("vid").as("oid"), col("v").as("ov"),
+        col("sn").as("so")), "oid")
       .withColumn("cosine",
         VecKernels.vecDotDec(col("tv"), col("ov")).cast("double") /
           (col("st") * col("so")))
@@ -1902,21 +1943,60 @@ object Similarity {
       .agg(count(lit(1)).as("na"))
     val wTail = Window.partitionBy(col("node_id"))
       .orderBy(col("ad").asc, col("cosine").desc, col("nbr_id").asc)
-    val repaired = sel.join(acnt, Seq("node_id"))
+    val ranked = sel.join(acnt, Seq("node_id"))
       .filter(col("rank") <= greatest(lit(k) - col("na"), lit(0)))
       .select(col("node_id"), col("nbr_id"), col("cosine"),
         lit(0).as("ad"))
       .unionByName(adopt.withColumn("ad", lit(1)))
       .withColumn("rank", row_number().over(wTail))
-      .filter(col("rank") <= k)
+    val repaired = ranked.filter(col("rank") <= k)
       .select(col("node_id"), col("nbr_id"), col("rank"),
         col("cosine"),
         when(col("ad") === 1, lit("adopted")).otherwise(lit("repair"))
           .as("src"))
-    repaired.unionByName(
+    // evicted adoptions (> k orphans sharing one target) are NOT
+    // store edges — emitted src='dropped' so the reachability-
+    // contract failure is observable in the delta; write-back paths
+    // must exclude them
+    val dropped = ranked.filter(col("rank") > k)
+      .select(col("node_id"), col("nbr_id"), col("rank"),
+        col("cosine"), lit("dropped").as("src"))
+    repaired.unionByName(dropped).unionByName(
       sel.join(acnt, Seq("node_id"), "left_anti")
         .select(col("node_id"), col("nbr_id"), col("rank"),
           col("cosine"), lit("repair").as("src")))
+  }
+
+  /** Adoption-CANDIDATE generation for [[graphDelete]]'s orphan
+    * repair: an orphan may adopt only into a touched list 2-hop-
+    * adjacent (undirected, over the pre-delete graph) to one of its
+    * FORMER ADOPTERS — the lists that held the orphan pre-delete
+    * (by the orphan definition every former adopter is a dropped or
+    * a touched list, so the repair edge stays in the neighborhood
+    * the deletion tore). Candidate volume is |orphans| × in-degree ×
+    * (1 + degree + in-degree) — BATCH-bounded, the delete twin of
+    * [[graphAppend]]'s beam placement — where the naive form
+    * (`touched × orphans`) is deletion-batch-QUADRATIC: both sides
+    * grow with |del|, ~k·|del|² pairs through a broadcast nested
+    * loop at a production-sized delete batch. Returns distinct
+    * (node_id ∈ touched, oid) pairs; an orphan whose whole 2-hop
+    * adopter neighborhood holds no touched list (its only adopters
+    * were deleted nodes with no surviving in-edges — lists that were
+    * themselves near-unreachable) yields no pair and surfaces via
+    * the caller's src='dropped' accounting being absent entirely. */
+  private[graft] def deleteAdoptionCandidates(g: DataFrame,
+      touched: DataFrame, orphans: DataFrame): DataFrame = {
+    val fad = g.select(col("node_id").as("fa"), col("nbr_id").as("oid"))
+      .join(orphans, Seq("oid"), "left_semi")
+    fad.select(col("fa").as("node_id"), col("oid"))
+      .unionByName(fad.join(
+        g.select(col("node_id").as("fa"), col("nbr_id").as("t2")),
+        "fa").select(col("t2").as("node_id"), col("oid")))
+      .unionByName(fad.join(
+        g.select(col("nbr_id").as("fa"), col("node_id").as("t2")),
+        "fa").select(col("t2").as("node_id"), col("oid")))
+      .distinct()
+      .join(touched, Seq("node_id"), "left_semi")
   }
 
   /** Neighbor-DIVERSITY pruning of a k-NN graph — the occlusion rule
@@ -1937,10 +2017,13 @@ object Similarity {
     * Scale shape: the candidate pair set is node × k² (list-bounded,
     * never corpus²); one codegen'd exact-decimal dot per pair; the
     * verdict is a distinct anti-join + one per-node window. Delegates
-    * to [[occlusionSelect]] (which re-derives ranks from the same
-    * (cosine DESC, id ASC) total order every NN-Descent list is
-    * already ranked by — identical outcome, one definition shared
-    * with the append path). Returns (node_id, nbr_id,
+    * to [[occlusionSelect]] — PRECONDITION: the input graph's stored
+    * `rank` column is IGNORED; ranks are re-derived from the
+    * (cosine DESC, nbr_id ASC) total order, which matches every
+    * [[nnDescent]] output (identical outcome, one definition shared
+    * with the append path). A caller whose stored rank order
+    * deviates from that total order gets the re-derived order, not
+    * its own. Returns (node_id, nbr_id,
     * rank ≤ degree, cosine). */
   def diversifyGraph(corpus: DataFrame, id: Column, vec: Column,
       graph: DataFrame, degree: Int): DataFrame = {

@@ -1741,7 +1741,7 @@ object CorpusQueries {
     * their group, penalized by max similarity to that group's
     * selected set, per-group argmax with doc_id tie-break. Returns
     * (round CTEs, final union SELECT). */
-  private def grpMmrSql(p: String, key: String,
+  private[queries] def grpMmrSql(p: String, key: String,
       rounds: Int): (String, String) = {
     def round(t: Int): String =
       s"""${p}_p$t AS MATERIALIZED (

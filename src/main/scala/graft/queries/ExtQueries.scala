@@ -112,7 +112,10 @@ object ExtQueries {
           .crossJoin(broadcast(queries.select(col("vec_id").as("query_id")))),
         codes,
         Similarity.pqAdcTable(queries, col("vec_id"), col("embedding"),
-          cbs), k = 10))
+          cbs), k = 10)) ++
+        // the PERSISTED store artifacts, exposed for the delete-serve
+        // and compaction lifecycle gates (one training, many readers)
+        Seq("codes" -> codes, "codebooks" -> cbs)
     }
   private def pqFlatTopK(spark: SparkSession, dir: String): DataFrame =
     pqFlatFrames(spark, dir)("topk")
@@ -544,7 +547,9 @@ object ExtQueries {
     val delta = frames("delta")
     val touched = delta.filter(col("src") === "updated")
       .select(col("node_id")).distinct()
-    val merged = delta.select(col("node_id"), col("nbr_id"))
+    // src='dropped' rows are observability, not store edges
+    val merged = delta.filter(col("src") =!= "dropped")
+      .select(col("node_id"), col("nbr_id"))
       .unionByName(frames("base_graph")
         .join(touched, Seq("node_id"), "left_anti")
         .select(col("node_id"), col("nbr_id")))
@@ -645,6 +650,7 @@ object ExtQueries {
           col("cosine"))
       Seq("repaired" -> repaired,
         "store" -> untouched.unionByName(repaired
+          .filter(col("src") =!= "dropped")
           .select(col("node_id"), col("nbr_id"), col("rank"),
             col("cosine"))))
     }
@@ -659,9 +665,15 @@ object ExtQueries {
     * through the tombstone), under the same occlusion rule as build
     * and append; deletion orphans (live nodes whose every adoption
     * lived in dropped or rewritten lists) force-adopt into their
-    * nearest touched list, rank-last (`src = 'adopted'` — the
+    * nearest CANDIDATE touched list — candidates restricted to
+    * touched lists 2-hop-adjacent to the orphan's former adopters
+    * ([[Similarity.deleteAdoptionCandidates]]), which keeps the
+    * repair batch-bounded where a global nearest-touched search is
+    * deletion-batch-quadratic — rank-last (`src = 'adopted'` — the
     * reachability patch the delete-serve audit's self-reachability
-    * depends on). Output is the write-back delta: the repaired
+    * depends on; adoptions evicted past capacity surface as
+    * `src = 'dropped'` observability rows, excluded from write-back).
+    * Output is the write-back delta: the repaired
     * touched lists with provenance. Cost rides the touched lists
     * (holes × deleted member's degree), never the corpus. */
   def annGraphDelete(spark: SparkSession, dir: String): DataFrame =
@@ -674,7 +686,14 @@ object ExtQueries {
     * ids appearing in any result (MUST be 0 — the row a production
     * deletion is deployed for), `walk_top10` grades recall@10
     * against the exact brute truth RESTRICTED to the live corpus
-    * (what a correct post-delete index can still find). MEASURED at
+    * (what a correct post-delete index can still find). The query
+    * band [100, 110) deliberately KEEPS its one tombstoned id (104,
+    * `%10 = 4`): querying BY a deleted vector is a legitimate
+    * production case (query vectors need not be corpus members) and
+    * exercises exactly the contract under audit — a deleted vector
+    * may still ASK, it must never be SERVED; its truth row is
+    * likewise restricted to the live corpus, so the readout stays
+    * consistent. MEASURED at
     * sf0.01: deleted_served 0/100, walk_top10 0.66 after tombstoning
     * 10% of the store (vs 0.79 pre-delete — the truth set changes
     * and a tenth of the wiring leaves with the band). */
@@ -704,6 +723,184 @@ object ExtQueries {
           (col("nq") * 10).cast("double")).as("recall"))
     delRow.unionByName(
       recallRows(truth, nq, Seq("walk_top10" -> walked)))
+  }
+
+  /** STALENESS readout assembly for a maintained graph store — the
+    * audit core shared by the [[annGraphStaleness]] gate and the
+    * planted-degradation spec: given the final corpus, the
+    * maintained store WITH per-edge provenance (`cls` ∈ base /
+    * appended / append_updated / repair / adopted), a FRESH rebuild
+    * of the same corpus, and the query band, emits uniform
+    * (variant, num, den, ratio) rows: per-class edge shares, the
+    * maintained vs fresh walk recall@10 against the exact brute
+    * truth, and the integer-predicate REBUILD flag — rebuild = 1
+    * when adopted edges exceed 2% of the store
+    * (`n_adopted · 50 > n_edges`) or the fresh rebuild beats the
+    * maintained walk by more than 0.1 recall
+    * (`(fresh_hits − maint_hits) · 10 > n_queries · 10`) — all
+    * integer compares, so the flag is hash-exact cross-engine. */
+  private[graft] def graphStalenessReadout(corpus: DataFrame,
+      clsStore: DataFrame, fresh: DataFrame, queries: DataFrame)
+      : DataFrame = {
+    val walkM = Tables.materialize(
+      Similarity.graphBeamSearch(corpus, col("vec_id"),
+        col("embedding"), clsStore.select(col("node_id"),
+          col("nbr_id")), queries, col("vec_id"), col("embedding"),
+        k = 10, beam = 16, hops = 3, entries = 8))
+    val walkF = Tables.materialize(
+      Similarity.graphBeamSearch(corpus, col("vec_id"),
+        col("embedding"), fresh.select(col("node_id"),
+          col("nbr_id")), queries, col("vec_id"), col("embedding"),
+        k = 10, beam = 16, hops = 3, entries = 8))
+    val truth = Tables.materialize(
+      Similarity.bruteForceTopK(corpus, col("vec_id"),
+          col("embedding"), queries, col("vec_id"), col("embedding"),
+          10)
+        .select(col("query_id"), col("nbr_id")))
+    val nq = truth.select(col("query_id")).distinct()
+      .agg(count(lit(1)).as("nq"))
+    val total = clsStore.agg(count(lit(1)).as("total"))
+    val edgeRows = clsStore.groupBy(col("cls"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(concat(lit("edges_"), col("cls")).as("variant"),
+        col("n").as("num"), col("total").as("den"),
+        (col("n").cast("double") / col("total").cast("double"))
+          .as("ratio"))
+    def hitCount(w: DataFrame) = w
+      .select(col("query_id"), col("nbr_id"))
+      .join(truth, Seq("query_id", "nbr_id"), "left_semi")
+      .agg(count(lit(1)).as("h"))
+    val mh = hitCount(walkM)
+    val fh = hitCount(walkF)
+    def walkRow(name: String, h: DataFrame) = h
+      .crossJoin(broadcast(nq))
+      .select(lit(name).as("variant"), col("h").as("num"),
+        (col("nq") * 10).as("den"),
+        (col("h").cast("double") /
+          (col("nq") * 10).cast("double")).as("ratio"))
+    val adopted = clsStore.filter(col("cls") === "adopted")
+      .agg(count(lit(1)).as("na"))
+    val rebuild = mh.select(col("h").as("mhh"))
+      .crossJoin(fh.select(col("h").as("fhh")))
+      .crossJoin(nq).crossJoin(adopted).crossJoin(total)
+      .select(lit("rebuild").as("variant"),
+        when(col("na") * 50 > col("total") ||
+            (col("fhh") - col("mhh")) * 10 > col("nq") * 10, 1L)
+          .otherwise(0L).as("num"),
+        lit(1L).as("den"))
+      .withColumn("ratio", col("num").cast("double"))
+    edgeRows
+      .unionByName(walkRow("walk_maintained", mh))
+      .unionByName(walkRow("walk_fresh", fh))
+      .unionByName(rebuild)
+  }
+
+  /** Shared STALENESS tier: the CDC maintenance composition
+    * (append tick `%20 = 9` then delete tick `%10 = 3` over the
+    * banded diversified base — exactly [[graft.queries.
+    * PipelineQueries.streamGraphUpsert]]'s store) with per-edge
+    * PROVENANCE carried through both stages, plus a FRESH rebuild of
+    * the final corpus (k16 NN-Descent → occlusion-prune 8, the
+    * deployed build recipe) — the comparison baseline maintenance
+    * drift is measured against. */
+  private def graphStaleFrames(spark: SparkSession, dir: String)
+      : Map[String, DataFrame] = {
+    // resolve the graph_append tier BEFORE entering this build block
+    val g0 = graphAppendBaseGraph(spark, dir)
+    sharedFrames(spark, dir, "graph_stale") {
+      val emb = Tables(spark, dir, "embeddings")
+      val standing = emb.filter(col("vec_id") % 10 =!= 9)
+        .select(col("vec_id"), col("embedding"))
+      val adds = emb.filter(col("vec_id") % 20 === 9)
+        .select(col("vec_id"), col("embedding"))
+      val dels = emb.filter(col("vec_id") % 10 === 3)
+        .select(col("vec_id"))
+      // localCheckpoint at every stage boundary — each stage's
+      // output is referenced several times by the next (the delete
+      // chain alone walks its graph relation ~10×), and cache-only
+      // materialization re-nests the full upstream LOGICAL plan per
+      // reference: composed un-truncated, the readout's plan string
+      // hit the 2 GiB cap and the driver OOM'd (the CC-loop lesson,
+      // tier edition)
+      val da = Similarity.graphAppend(standing,
+        col("vec_id"), col("embedding"), g0, adds, col("vec_id"),
+        col("embedding"), k = 8, beam = 16, hops = 3, entries = 8)
+        .localCheckpoint(true)
+      val touchedA = da.filter(col("src") === "updated")
+        .select(col("node_id")).distinct()
+      val g1 = da.filter(col("src") =!= "dropped")
+        .select(col("node_id"), col("nbr_id"), col("rank"),
+          col("cosine"))
+        .unionByName(g0.join(touchedA, Seq("node_id"), "left_anti")
+          .select(col("node_id"), col("nbr_id"), col("rank"),
+            col("cosine")))
+        .localCheckpoint(true)
+      val cFinal = standing.unionByName(adds)
+        .join(dels, Seq("vec_id"), "left_anti")
+        .localCheckpoint(true)
+      val rep = Similarity.graphDelete(cFinal,
+        col("vec_id"), col("embedding"), g1, dels, col("vec_id"),
+        k = 8)
+        .localCheckpoint(true)
+      val keep = g1.join(dels.select(col("vec_id").as("node_id")),
+        Seq("node_id"), "left_anti")
+      val touchedD = keep
+        .join(dels.select(col("vec_id").as("nbr_id")),
+          Seq("nbr_id"), "left_semi")
+        .select(col("node_id")).distinct()
+      val untouched = keep.join(touchedD, Seq("node_id"), "left_anti")
+      val appFlag = da.filter(col("src") === "appended")
+        .select(col("node_id")).distinct()
+        .withColumn("is_app", lit(1))
+      val updFlag = touchedA.withColumn("is_upd", lit(1))
+      val clsStore = rep.filter(col("src") =!= "dropped")
+        .select(col("node_id"), col("nbr_id"), col("rank"),
+          col("cosine"), col("src").as("cls"))
+        .unionByName(untouched
+          .join(appFlag, Seq("node_id"), "left")
+          .join(updFlag, Seq("node_id"), "left")
+          .select(col("node_id"), col("nbr_id"), col("rank"),
+            col("cosine"),
+            when(col("is_app") === 1, lit("appended"))
+              .when(col("is_upd") === 1, lit("append_updated"))
+              .otherwise(lit("base")).as("cls")))
+      val freshWide = Similarity.nnDescent(cFinal,
+        col("vec_id"), col("embedding"), k = 16, rounds = 4)
+        .localCheckpoint(true)
+      val fresh = Similarity.diversifyGraph(cFinal, col("vec_id"),
+        col("embedding"), freshWide, degree = 8)
+      Seq("store_cls" -> clsStore.localCheckpoint(true),
+        "fresh" -> fresh, "corpus" -> cFinal)
+    }
+  }
+
+  /** Graph-store STALENESS audit + rebuild trigger — the lifecycle
+    * readout every other index family already has
+    * (`ann_drift_trigger` for IVF, `*_drift_audit` for tokenizers,
+    * `pq_encode_append` for the quantizers), closing the gap for the
+    * live-maintained graph store: after the CDC composition (append
+    * tick, delete tick) the store's per-edge provenance is read out
+    * (base / appended / append_updated / repair / adopted shares —
+    * adopted and repair edges are reachability patches, not
+    * proximity neighbors, so their share IS the degradation metric),
+    * the maintained store's walk recall is measured against a FRESH
+    * rebuild of the final corpus, and an integer-predicate REBUILD
+    * flag fires when adopted share exceeds 2% or the fresh rebuild
+    * wins by more than 0.1 recall. A store maintained forever
+    * without this signal silently decays; with it, the retrain
+    * decision is one gated row. Cost: the maintenance chain is the
+    * shared tier, the fresh build is the audit's one deliberate
+    * expense (it IS the comparison baseline), walks are
+    * beam·degree·hops per query. */
+  def annGraphStaleness(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val f = graphStaleFrames(spark, dir)
+    val queries = emb
+      .filter(col("vec_id") >= 100 && col("vec_id") < 110)
+    graphStalenessReadout(f("corpus"), f("store_cls"), f("fresh"),
+      queries)
   }
 
   /** SemDeDup over the NN-Descent graph: MUTUAL-kNN edges (both
@@ -1889,6 +2086,100 @@ object ExtQueries {
           (col("nq") * 10).cast("double")).as("overlap"))
   }
 
+  /** Shared END-TO-END serving composition tier — the stack a
+    * deployment actually runs, in ONE plan: hybrid RRF candidates
+    * (graph-walk vector leg ∪ BM25-lite lexical leg, the
+    * [[hybridRrfGraph]] chain) → cross-encoder RERANK through the
+    * [[graft.ext.Scoring]] seam (query ‖ document text, the
+    * deterministic [[graft.ext.Scoring.HashedLinearScorer]] —
+    * production swaps a real model behind the same seam) → grouped
+    * MMR diversity re-rank ([[graft.ext.Corpus.mmrRerankGrouped]],
+    * λ = 0.5, k = 5). Until now each stage was gated alone
+    * (`hybrid_rrf_graph`, `retrieval_rerank`,
+    * `retrieval_mmr_grouped`); composing them in one plan pins the
+    * STAGE-INTERFACE contracts — rank columns, tie orders, candidate
+    * hand-off — that drift silently when stages are only audited in
+    * isolation. Funnel: 10 fused candidates/query → top-8 reranked →
+    * 5 diversified; model cost is bounded by candidates (80 scores),
+    * never the corpus — the economics the manifest frame records
+    * per stage. */
+  /** The rerank→MMR tail of the serving composition, factored so
+    * the gate tier and the structural spec run ONE implementation:
+    * candidates (query_id, doc_id) are scored through the Scoring
+    * seam on 'q<query_id> <doc text>' (cross-encoder shape), cut to
+    * the per-query top-`rerankK` on (score DESC, doc_id ASC), and
+    * diversity-re-ranked by grouped MMR (λ = 0.5) to `mmrK` picks.
+    * Returns (reranked, final). */
+  private[graft] def serveRerankMmr(docs: DataFrame, cand: DataFrame,
+      rerankK: Int = 8, mmrK: Int = 5): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val withText = cand
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("query_id"), col("doc_id"),
+        (col("query_id") * lit(1000000L) + col("doc_id")).as("pid"),
+        concat(lit("q"), col("query_id"), lit(" "), col("text"))
+          .as("qtext"))
+    val scored = graft.ext.Scoring.scoreDocuments(
+        withText.select(col("pid"), col("qtext")),
+        col("pid"), col("qtext"),
+        newScorer = () => new graft.ext.Scoring.HashedLinearScorer())
+      .toDF()
+      .select(col("doc_id").as("pid"),
+        col("score").as("rerank_score"))
+    val reranked = graft.Tables.materialize(withText
+      .join(scored, "pid")
+      .withColumn("rr", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rerank_score").desc, col("doc_id").asc)))
+      .filter(col("rr") <= rerankK)
+      .select(col("query_id"), col("doc_id"), col("rerank_score")))
+    val withToks = reranked.join(docs.select(col("doc_id"),
+        array_distinct(graft.functions.TextFunctions
+          .tokens(col("text"))).as("toks")), "doc_id")
+    val fin = graft.ext.Corpus.mmrRerankGrouped(withToks,
+        col("query_id"), col("doc_id"), col("rerank_score"),
+        col("toks"), k = mmrK, lambda = 0.5)
+      .select(col("qid").cast("long").as("query_id"), col("rnk"),
+        col("id").as("doc_id"), col("mmr_score"))
+    (reranked, fin)
+  }
+
+  private def serveE2eFrames(spark: SparkSession, dir: String)
+      : Map[String, DataFrame] = {
+    // resolve the hybrid tier BEFORE entering this build block
+    val hybrid = hybridFrames(spark, dir)("graph")
+    sharedFrames(spark, dir, "serve_e2e") {
+      val docs = Tables(spark, dir, "documents")
+      val cand = hybrid.select(col("query_id"), col("doc_id"))
+      val (reranked, fin) = serveRerankMmr(docs, cand)
+      def cnt(df: DataFrame) =
+        df.agg(count(lit(1)).cast("long").as("c"))
+      def stageRow(name: String, in: DataFrame, out: DataFrame) =
+        cnt(in).select(lit(name).as("stage"), col("c").as("n_in"))
+          .crossJoin(cnt(out).select(col("c").as("n_out")))
+      val stages = stageRow("hybrid",
+          cand.select(col("query_id")).distinct(), cand)
+        .unionByName(stageRow("rerank", cand, reranked))
+        .unionByName(stageRow("mmr", reranked, fin))
+      Seq("final" -> fin, "stages" -> stages)
+    }
+  }
+
+  /** The fused→reranked→diversified top-k itself — what the serving
+    * stack returns to a user: (query_id, rnk 1..5, doc_id,
+    * mmr_score). The oracle composes the three stages' existing
+    * chains end-to-end. */
+  def serveE2e(spark: SparkSession, dir: String): DataFrame =
+    serveE2eFrames(spark, dir)("final")
+
+  /** The composition's stage MANIFEST: candidates in/out per stage
+    * (hybrid fuse-in queries → candidates, rerank 10→8 cut, MMR
+    * 8→5 picks) — the funnel record that catches a stage silently
+    * widening (model cost explosion) or collapsing (starved
+    * diversity re-rank). */
+  def serveE2eStages(spark: SparkSession, dir: String): DataFrame =
+    serveE2eFrames(spark, dir)("stages")
+
   private def hybridRrf(spark: SparkSession, dir: String,
       vec: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2482,6 +2773,158 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_rows"),
         count_distinct(col("id")).as("n_docs"),
         count_distinct(col("bh")).as("n_buckets"),
+        expr("bit_xor(h)").as("checksum"))
+  }
+
+  /** Shared persisted-IVF DELETE tier: the index is built over the
+    * FULL corpus and persisted (centroids + assignment table — the
+    * [[annIvfPersisted]] lifecycle), the `vec_id % 10 = 6` band
+    * tombstones into a side table, and the assignment store —
+    * DIRTIED with a replayed append batch (the idempotency-violation
+    * fixture [[lshIndexCompact]] uses) — compacts via
+    * [[Similarity.compactIndexRows]]. Built once per (applicationId,
+    * sfDir); the delete-serve and compaction gates read the
+    * persisted frames. */
+  private def ivfDeleteFrames(spark: SparkSession, dir: String)
+      : Map[String, DataFrame] =
+    sharedFrames(spark, dir, "ivf_delete") {
+      val emb = Tables(spark, dir, "embeddings")
+      val (cent, assign) = Similarity.buildIvfIndex(emb, col("vec_id"),
+        col("embedding"), numCells = 16, iters = 3, sampleMod = 4)
+      val tombs = emb.filter(col("vec_id") % 10 === 6)
+        .select(col("vec_id").as("nbr_id"))
+      val dirty = assign
+        .unionByName(assign.filter(col("nbr_id") % 5 === 0))
+      Seq("centroids" -> cent, "assignments" -> assign,
+        "tombstones" -> tombs,
+        "compacted" -> Similarity.compactIndexRows(dirty, tombs,
+          col("nbr_id")))
+    }
+
+  /** Persisted-IVF DELETE-serve gate — the deleted-never-served
+    * contract for the IVF index family (the [[annGraphDeleteServe]]
+    * shape): the stored assignment table KEEPS the tombstoned band's
+    * rows (production deletes by writing a tombstone table, not by
+    * rewriting the corpus-sized store inline) and the probe masks
+    * them with one |tombstones|-sided anti-join on the query path —
+    * [[Similarity.ivfTopKFromIndex]] over the masked assignments.
+    * Contract rows: `deleted_served` counts tombstoned ids in any
+    * top-10 (MUST be 0 — a deleted vector keeps its rows in the
+    * store until [[annIvfCompact]] rewrites it, yet never serves),
+    * `probe_top10` grades the masked probe against the exact brute
+    * truth restricted to the live corpus. Mask cost rides the
+    * tombstone table, never the corpus; the oracle replays the
+    * frozen-centroid chain with the live predicate. */
+  def annIvfDeleteServe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val f = ivfDeleteFrames(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val masked = f("assignments")
+      .join(f("tombstones"), Seq("nbr_id"), "left_anti")
+    val served = Tables.materialize(
+      Similarity.ivfTopKFromIndex(emb, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 10, nProbe = 4,
+        f("centroids"), masked))
+    val live = emb.filter(col("vec_id") % 10 =!= 6)
+    val truth = Tables.materialize(
+      Similarity.bruteForceTopK(live, col("vec_id"), col("embedding"),
+          queries, col("vec_id"), col("embedding"), 10)
+        .select(col("query_id"), col("nbr_id")))
+    val nq = truth.select(col("query_id")).distinct()
+      .agg(count(lit(1)).as("nq"))
+    val delRow = served.filter(col("nbr_id") % 10 === 6)
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit("deleted_served").as("variant"), col("n_hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("variant"), col("n_hits"),
+        (col("nq") * 10).as("n_possible"),
+        (col("n_hits").cast("double") /
+          (col("nq") * 10).cast("double")).as("recall"))
+    delRow.unionByName(
+      recallRows(truth, nq, Seq("probe_top10" -> served)))
+  }
+
+  /** Persisted-IVF COMPACTION gate ([[Similarity.compactIndexRows]]
+    * — the [[lshIndexCompact]] twin for the assignment store): the
+    * stored table dirtied with a replayed append batch (a fifth of
+    * the rows appended twice) plus the tombstoned band, then
+    * compacted; per-cell row/vector counts + an order-independent
+    * XOR row checksum. The oracle re-assigns the LIVE corpus from
+    * scratch under the same frozen-centroid training — so the gate
+    * passes only if compaction removed exactly the duplicates and
+    * tombstones and touched nothing else (the per-row-function
+    * property that licenses rewriting without retraining). */
+  def annIvfCompact(spark: SparkSession, dir: String): DataFrame =
+    ivfDeleteFrames(spark, dir)("compacted")
+      .select(col("cell_id"), col("nbr_id"),
+        conv(substring(md5(concat_ws("|", col("nbr_id"),
+          col("cell_id"))), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("nbr_id")).as("n_vecs"),
+        expr("bit_xor(h)").as("checksum"))
+
+  /** Persisted-PQ DELETE-serve gate — the deleted-never-served
+    * contract for the PQ codes store: the flat-ADC serve
+    * ([[Similarity.pqAdcTopK]] from the shared persisted codes) masks
+    * the tombstoned band (`vec_id % 10 = 6`) by anti-joining the
+    * tombstone table into the candidate frame; the stored codes keep
+    * the deleted rows until [[pqIndexCompact]]. Contract rows:
+    * `deleted_served` (MUST be 0) and `adc_top10` vs the exact brute
+    * truth over the live corpus (the PQ quantization-loss bound —
+    * compare `ann_pq_recall`'s unmasked number). */
+  def annPqDeleteServe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val f = pqFlatFrames(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val tombs = emb.filter(col("vec_id") % 10 === 6)
+      .select(col("vec_id").as("nbr_id"))
+    val cand = emb.select(col("vec_id").as("nbr_id"))
+      .join(tombs, Seq("nbr_id"), "left_anti")
+      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"))))
+    val served = Tables.materialize(Similarity.pqAdcTopK(cand,
+      f("codes"),
+      Similarity.pqAdcTable(queries, col("vec_id"), col("embedding"),
+        f("codebooks")), k = 10))
+    val live = emb.filter(col("vec_id") % 10 =!= 6)
+    val truth = Tables.materialize(
+      Similarity.bruteForceTopK(live, col("vec_id"), col("embedding"),
+          queries, col("vec_id"), col("embedding"), 10)
+        .select(col("query_id"), col("nbr_id")))
+    val nq = truth.select(col("query_id")).distinct()
+      .agg(count(lit(1)).as("nq"))
+    val delRow = served.filter(col("nbr_id") % 10 === 6)
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit("deleted_served").as("variant"), col("n_hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("variant"), col("n_hits"),
+        (col("nq") * 10).as("n_possible"),
+        (col("n_hits").cast("double") /
+          (col("nq") * 10).cast("double")).as("recall"))
+    delRow.unionByName(
+      recallRows(truth, nq, Seq("adc_top10" -> served)))
+  }
+
+  /** Persisted-PQ codes COMPACTION gate: the stored (nbr_id, j, code)
+    * table dirtied with a replayed append batch plus the tombstoned
+    * band, compacted by [[Similarity.compactIndexRows]]; per-subspace
+    * row/vector/code counts + XOR checksum, oracled against a clean
+    * re-ENCODE of the live corpus under the frozen codebooks. */
+  def pqIndexCompact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val f = pqFlatFrames(spark, dir)
+    val tombs = emb.filter(col("vec_id") % 10 === 6)
+      .select(col("vec_id").as("nbr_id"))
+    val dirty = f("codes")
+      .unionByName(f("codes").filter(col("nbr_id") % 5 === 0))
+    Similarity.compactIndexRows(dirty, tombs, col("nbr_id"))
+      .select(col("j"), col("code"), col("nbr_id"),
+        conv(substring(md5(concat_ws("|", col("nbr_id"), col("j"),
+          col("code"))), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("j"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("nbr_id")).as("n_vecs"),
+        count_distinct(col("code")).as("n_codes"),
         expr("bit_xor(h)").as("checksum"))
   }
 
@@ -3086,9 +3529,12 @@ object ExtQueries {
     "ann_graph_append_diversity" -> annGraphAppendDiversity _,
     "ann_graph_delete" -> annGraphDelete _,
     "ann_graph_delete_serve" -> annGraphDeleteServe _,
+    "ann_graph_staleness" -> annGraphStaleness _,
     "hybrid_rrf_fusion" -> hybridRrfFusion _,
     "hybrid_rrf_served" -> hybridRrfServed _,
     "hybrid_rrf_served_overlap" -> hybridRrfServedOverlap _,
+    "serve_e2e" -> serveE2e _,
+    "serve_e2e_stages" -> serveE2eStages _,
     "hybrid_rrf_graph" -> hybridRrfGraph _,
     "hybrid_rrf_graph_overlap" -> hybridRrfGraphOverlap _,
     "ann_graph_search" -> annGraphSearch _,
@@ -3101,6 +3547,10 @@ object ExtQueries {
     "ann_opq_ivf_pq" -> annOpqIvfPq _,
     "pq_encode_append" -> pqEncodeAppend _,
     "ann_ivf_append" -> annIvfAppend _,
+    "ann_ivf_delete_serve" -> annIvfDeleteServe _,
+    "ann_ivf_compact" -> annIvfCompact _,
+    "ann_pq_delete_serve" -> annPqDeleteServe _,
+    "pq_index_compact" -> pqIndexCompact _,
     "ann_drift_trigger" -> annDriftTrigger _,
     "ann_matryoshka_recall" -> annMatryoshkaRecall _,
     "embed_anisotropy" -> embedAnisotropy _,
@@ -4911,6 +5361,78 @@ object ExtQueries {
   private lazy val hybridRrfGraphSql =
     hybridRrfSqlFor(hybridGraphLegSql)
 
+  /** [[serveE2eFrames]] twin — the three stages' chains composed:
+    * the graph-legged hybrid fusion as a subquery, the
+    * HashedLinearScorer md5 token-hash algebra over
+    * 'q<query_id> <doc text>', the top-8 cut, and the shared
+    * per-group MMR rounds keyed by query_id. */
+  private lazy val serveE2eCtes =
+    s"""se_h AS MATERIALIZED (
+       |  SELECT query_id, doc_id FROM ($hybridRrfGraphSql) h),
+       |se_tk AS (
+       |  SELECT s.query_id, s.doc_id,
+       |    unnest(string_split_regex(
+       |      trim('q' || s.query_id || ' ' || d.text), '\\s+')) AS tok
+       |  FROM se_h s JOIN documents d USING (doc_id)),
+       |se_hh AS (
+       |  SELECT query_id, doc_id,
+       |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b
+       |  FROM se_tk),
+       |se_sc AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(sum((b * 2654435761) % 2003 - 1001) AS BIGINT)
+       |      / (1001.0 * CAST(count(*) AS BIGINT)) AS score
+       |  FROM se_hh GROUP BY 1, 2),
+       |se_cand AS MATERIALIZED (
+       |  SELECT query_id, doc_id, score FROM (
+       |    SELECT query_id, doc_id, score, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+       |    FROM se_sc) WHERE rn <= 8),
+       |se_tok AS MATERIALIZED (
+       |  SELECT DISTINCT query_id, doc_id, tok FROM (
+       |    SELECT c.query_id, c.doc_id,
+       |      unnest(string_split_regex(trim(d.text), '\\s+')) AS tok
+       |    FROM se_cand c JOIN documents d USING (doc_id))),
+       |se_sz AS (
+       |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM se_tok GROUP BY 1, 2),
+       |se_sim AS MATERIALIZED (
+       |  SELECT a.query_id, a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(*) AS DOUBLE)
+       |      / CAST(sa.n + sb.n - count(*) AS DOUBLE) AS sim
+       |  FROM se_tok a
+       |  JOIN se_tok b ON a.query_id = b.query_id AND a.tok = b.tok
+       |    AND a.doc_id <> b.doc_id
+       |  JOIN se_sz sa ON sa.query_id = a.query_id
+       |    AND sa.doc_id = a.doc_id
+       |  JOIN se_sz sb ON sb.query_id = b.query_id
+       |    AND sb.doc_id = b.doc_id
+       |  GROUP BY a.query_id, a.doc_id, b.doc_id, sa.n, sb.n),
+       |${CorpusQueries.grpMmrSql("se", "query_id", 5)._1}"""
+      .stripMargin
+
+  private lazy val serveE2eSql =
+    s"""WITH $serveE2eCtes
+       |${CorpusQueries.grpMmrSql("se", "query_id", 5)._2}"""
+      .stripMargin
+
+  private lazy val serveE2eStagesSql =
+    s"""WITH $serveE2eCtes
+       |SELECT 'hybrid' AS stage,
+       |  (SELECT CAST(count(DISTINCT query_id) AS BIGINT) FROM se_h)
+       |    AS n_in,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM se_h) AS n_out
+       |UNION ALL
+       |SELECT 'rerank' AS stage,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM se_h) AS n_in,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM se_cand) AS n_out
+       |UNION ALL
+       |SELECT 'mmr' AS stage,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM se_cand) AS n_in,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM
+       |    (${CorpusQueries.grpMmrSql("se", "query_id", 5)._2}) f)
+       |    AS n_out""".stripMargin
+
   private lazy val hybridRrfGraphOverlapSql =
     s"""WITH hgb AS MATERIALIZED (
        |  SELECT query_id, doc_id FROM ($hybridRrfFusionSql) b),
@@ -5077,6 +5599,145 @@ object ExtQueries {
   // UNION with those frozen centroids is what assignment-only append
   // equals by construction
   private lazy val annIvfAppendSql = ivfKmeansProbeSql("vec_id % 5 <> 4")
+
+  private def ivfDelBand(c: String): String = s"$c % 10 = 6"
+  private def ivfLiveBand(c: String): String = s"$c % 10 <> 6"
+
+  /** [[annIvfDeleteServe]] twin: the full-corpus frozen-centroid
+    * chain, the probe's candidate join masked to live assignment
+    * rows (the tombstone anti-join's algebra), contract rows against
+    * the live-corpus brute truth. */
+  private lazy val annIvfDeleteServeSql =
+    s"""WITH $vecCtes,
+       |${kmeansCellCtes("TRUE")},
+       |vprob AS (
+       |  SELECT vec_id AS query_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY ccos DESC, cell_id ASC) AS r
+       |    FROM tc WHERE vec_id < 10) WHERE r <= 4),
+       |vcand AS (
+       |  SELECT p.query_id, c.nbr_id
+       |  FROM vprob p JOIN cells c ON c.cell_id = p.cell_id
+       |  WHERE ${ivfLiveBand("c.nbr_id")}),
+       |vdots AS (
+       |  SELECT vcand.query_id, vcand.nbr_id,
+       |    CAST(sum(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |  FROM vcand
+       |  JOIN comp a ON a.vec_id = vcand.nbr_id
+       |  JOIN comp b ON b.vec_id = vcand.query_id AND b.i = a.i
+       |  GROUP BY vcand.query_id, vcand.nbr_id),
+       |vrank AS MATERIALIZED (
+       |  SELECT query_id, nbr_id FROM (
+       |    SELECT query_id, nbr_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY dot / (nc.sn * nq.sn) DESC, nbr_id ASC) AS rank
+       |    FROM vdots
+       |    JOIN norms nc ON nc.vec_id = nbr_id
+       |    JOIN norms nq ON nq.vec_id = query_id) WHERE rank <= 10),
+       |vtruth AS MATERIALIZED (
+       |  SELECT query_id, nbr_id
+       |  FROM (${bruteForceTopSql(seedBand, ivfLiveBand)}) bft),
+       |vnq AS (
+       |  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq
+       |  FROM vtruth)
+       |SELECT 'deleted_served' AS variant,
+       |  CAST((SELECT count(*) FROM vrank
+       |        WHERE ${ivfDelBand("nbr_id")}) AS BIGINT) AS n_hits,
+       |  CAST(vnq.nq * 10 AS BIGINT) AS n_possible,
+       |  CAST((SELECT count(*) FROM vrank
+       |        WHERE ${ivfDelBand("nbr_id")}) AS DOUBLE) /
+       |    CAST(vnq.nq * 10 AS DOUBLE) AS recall
+       |FROM vnq
+       |UNION ALL
+       |SELECT 'probe_top10' AS variant,
+       |  CAST((SELECT count(*) FROM vrank v
+       |        JOIN vtruth t ON t.query_id = v.query_id
+       |          AND t.nbr_id = v.nbr_id) AS BIGINT) AS n_hits,
+       |  CAST(vnq.nq * 10 AS BIGINT) AS n_possible,
+       |  CAST((SELECT count(*) FROM vrank v
+       |        JOIN vtruth t ON t.query_id = v.query_id
+       |          AND t.nbr_id = v.nbr_id) AS DOUBLE) /
+       |    CAST(vnq.nq * 10 AS DOUBLE) AS recall
+       |FROM vnq""".stripMargin
+
+  /** [[annIvfCompact]] twin: a CLEAN re-assignment of the live
+    * corpus under the same frozen-centroid training — compaction
+    * passes only if it removed exactly the replayed duplicates and
+    * the tombstoned band. */
+  private lazy val annIvfCompactSql =
+    s"""WITH $vecCtes,
+       |${kmeansCellCtes("TRUE")},
+       |vck AS (
+       |  SELECT cell_id, nbr_id,
+       |    ('0x' || substr(md5(nbr_id || '|' || cell_id), 1, 15))
+       |      ::BIGINT AS h
+       |  FROM cells WHERE ${ivfLiveBand("nbr_id")})
+       |SELECT cell_id, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(DISTINCT nbr_id) AS BIGINT) AS n_vecs,
+       |  bit_xor(h) AS checksum
+       |FROM vck GROUP BY cell_id""".stripMargin
+
+  /** [[annPqDeleteServe]] twin: frozen-codebook encode of the full
+    * corpus, ADC ranking restricted to live candidates, contract
+    * rows against the live-corpus brute truth. */
+  private lazy val annPqDeleteServeSql =
+    s"""WITH $vecCtes,
+       |${pqCtes(2)},
+       |wsc AS (
+       |  SELECT adc.query_id, co.nbr_id,
+       |    CAST(SUM(adc.a) AS BIGINT) AS score
+       |  FROM pqcode co
+       |  JOIN pqadc adc ON adc.j = co.j AND adc.code = co.code
+       |  WHERE ${ivfLiveBand("co.nbr_id")}
+       |  GROUP BY 1, 2),
+       |wrank AS MATERIALIZED (
+       |  SELECT query_id, nbr_id FROM (
+       |    SELECT query_id, nbr_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY score DESC, nbr_id ASC) AS rank
+       |    FROM wsc) WHERE rank <= 10),
+       |wtruth AS MATERIALIZED (
+       |  SELECT query_id, nbr_id
+       |  FROM (${bruteForceTopSql(seedBand, ivfLiveBand)}) bft),
+       |wnq AS (
+       |  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq
+       |  FROM wtruth)
+       |SELECT 'deleted_served' AS variant,
+       |  CAST((SELECT count(*) FROM wrank
+       |        WHERE ${ivfDelBand("nbr_id")}) AS BIGINT) AS n_hits,
+       |  CAST(wnq.nq * 10 AS BIGINT) AS n_possible,
+       |  CAST((SELECT count(*) FROM wrank
+       |        WHERE ${ivfDelBand("nbr_id")}) AS DOUBLE) /
+       |    CAST(wnq.nq * 10 AS DOUBLE) AS recall
+       |FROM wnq
+       |UNION ALL
+       |SELECT 'adc_top10' AS variant,
+       |  CAST((SELECT count(*) FROM wrank v
+       |        JOIN wtruth t ON t.query_id = v.query_id
+       |          AND t.nbr_id = v.nbr_id) AS BIGINT) AS n_hits,
+       |  CAST(wnq.nq * 10 AS BIGINT) AS n_possible,
+       |  CAST((SELECT count(*) FROM wrank v
+       |        JOIN wtruth t ON t.query_id = v.query_id
+       |          AND t.nbr_id = v.nbr_id) AS DOUBLE) /
+       |    CAST(wnq.nq * 10 AS DOUBLE) AS recall
+       |FROM wnq""".stripMargin
+
+  /** [[pqIndexCompact]] twin: a clean re-encode of the live corpus
+    * under the frozen codebooks, aggregated per subspace. */
+  private lazy val pqIndexCompactSql =
+    s"""WITH $vecCtes,
+       |${pqCtes(2)},
+       |wck AS (
+       |  SELECT j, code, nbr_id,
+       |    ('0x' || substr(md5(nbr_id || '|' || j || '|' || code),
+       |      1, 15))::BIGINT AS h
+       |  FROM pqcode WHERE ${ivfLiveBand("nbr_id")})
+       |SELECT j, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(DISTINCT nbr_id) AS BIGINT) AS n_vecs,
+       |  CAST(count(DISTINCT code) AS BIGINT) AS n_codes,
+       |  bit_xor(h) AS checksum
+       |FROM wck GROUP BY j""".stripMargin
 
   /** [[ksDriftSql]]'s chain over the standing/incoming embedding
     * split on the 2^20-quantized first component. */
@@ -5962,18 +6623,22 @@ object ExtQueries {
        |${p}_acnt AS (
        |  SELECT node_id, CAST(count(*) AS BIGINT) AS na
        |  FROM ${p}_adopt GROUP BY node_id),
+       |${p}_rkd AS (
+       |  SELECT node_id, nbr_id, cos,
+       |    row_number() OVER (PARTITION BY node_id
+       |                       ORDER BY cos DESC, nbr_id ASC) AS rk
+       |  FROM (
+       |    SELECT u.node_id, u.nbr_id, u.cos
+       |    FROM ${p}_upd u JOIN ${p}_acnt a ON a.node_id = u.node_id
+       |    WHERE u.rk <= GREATEST(8 - a.na, 0)
+       |    UNION ALL
+       |    SELECT node_id, nbr_id, cos FROM ${p}_adopt) rr),
        |${p}_rep AS (
-       |  SELECT node_id, nbr_id, cos, rk FROM (
-       |    SELECT node_id, nbr_id, cos,
-       |      row_number() OVER (PARTITION BY node_id
-       |                         ORDER BY cos DESC, nbr_id ASC) AS rk
-       |    FROM (
-       |      SELECT u.node_id, u.nbr_id, u.cos
-       |      FROM ${p}_upd u JOIN ${p}_acnt a ON a.node_id = u.node_id
-       |      WHERE u.rk <= GREATEST(8 - a.na, 0)
-       |      UNION ALL
-       |      SELECT node_id, nbr_id, cos FROM ${p}_adopt) rr) rc
+       |  SELECT node_id, nbr_id, cos, rk FROM ${p}_rkd
        |  WHERE rk <= 8),
+       |${p}_drop AS (
+       |  SELECT node_id, nbr_id, cos, rk FROM ${p}_rkd
+       |  WHERE rk > 8),
        |${p}_fin AS MATERIALIZED (
        |  SELECT node_id, nbr_id, cos, rk FROM ${p}_rep
        |  UNION ALL
@@ -6015,7 +6680,10 @@ object ExtQueries {
        |  cos AS cosine, 'appended' AS src FROM ga_place
        |UNION ALL
        |SELECT node_id, nbr_id, rk AS rank, cos AS cosine,
-       |  'updated' AS src FROM ga_fin""".stripMargin
+       |  'updated' AS src FROM ga_fin
+       |UNION ALL
+       |SELECT node_id, nbr_id, rk AS rank, cos AS cosine,
+       |  'dropped' AS src FROM ga_drop""".stripMargin
 
   /** Post-append serving twin: merged graph = appended lists ∪
     * updated lists ∪ untouched base lists; a second beam chain (sv
@@ -6069,7 +6737,10 @@ object ExtQueries {
        |  FROM ga_place
        |  UNION ALL
        |  SELECT 'updated' AS src, node_id AS a, nbr_id AS b, cos, rk
-       |  FROM ga_fin),
+       |  FROM ga_fin
+       |  UNION ALL
+       |  SELECT 'dropped' AS src, node_id AS a, nbr_id AS b, cos, rk
+       |  FROM ga_drop),
        |gd_p AS (
        |  SELECT x.src, x.a, x.b, x.cos AS cos_ab, y.b AS occ
        |  FROM gd_l x JOIN gd_l y ON y.a = x.a AND y.rk < x.rk),
@@ -6104,9 +6775,15 @@ object ExtQueries {
     * through the deleted member's own list (exact-decimal cosines
     * for the new pairs), occlusion-select the pooled survivors ∪
     * bridges, force-adopt deletion orphans rank-last (src='adopted',
-    * capacity-capped), and end at the repaired delta `${p}_fin`
+    * capacity-capped, candidates restricted to touched lists
+    * 2-hop-adjacent to each orphan's former adopters — the
+    * [[Similarity.deleteAdoptionCandidates]] twin, batch-bounded
+    * where the naive touched × orphans form is deletion-batch-
+    * quadratic; adoptions evicted past capacity surface as
+    * src='dropped' observability rows), and end at the repaired
+    * delta `${p}_fin`
     * (node_id, nbr_id, cos, rk, src) plus the merged post-delete
-    * store `${p}_m` (repaired ∪ untouched). */
+    * store `${p}_m` (repaired ∪ untouched, dropped excluded). */
   private def deleteStageCtes(p: String, graphRel: String,
       delBand: String => String): String =
     s"""${p}_keep AS MATERIALIZED (
@@ -6155,14 +6832,27 @@ object ExtQueries {
        |  SELECT DISTINCT b AS o FROM ${p}_pre
        |  WHERE NOT (${delBand("b")})
        |    AND b NOT IN (SELECT b FROM ${p}_post)),
+       |${p}_fad AS (
+       |  SELECT g.a AS fa, o.o
+       |  FROM $graphRel g JOIN ${p}_orp o ON g.b = o.o),
+       |${p}_cnd AS (
+       |  SELECT DISTINCT c.t2 AS a, c.o FROM (
+       |    SELECT fa AS t2, o FROM ${p}_fad
+       |    UNION
+       |    SELECT g.b AS t2, f.o
+       |    FROM ${p}_fad f JOIN $graphRel g ON g.a = f.fa
+       |    UNION
+       |    SELECT g.a AS t2, f.o
+       |    FROM ${p}_fad f JOIN $graphRel g ON g.b = f.fa) c
+       |  WHERE c.t2 IN (SELECT a FROM ${p}_tch)),
        |${p}_adc AS (
-       |  SELECT t.a, o.o,
+       |  SELECT c.a, c.o,
        |    CAST(sum(CAST(ca.x * cb.x AS DECIMAL(28,12))) AS DOUBLE)
        |      AS dot
-       |  FROM ${p}_tch t CROSS JOIN ${p}_orp o
-       |  JOIN comp ca ON ca.vec_id = t.a
-       |  JOIN comp cb ON cb.vec_id = o.o AND cb.i = ca.i
-       |  GROUP BY t.a, o.o),
+       |  FROM ${p}_cnd c
+       |  JOIN comp ca ON ca.vec_id = c.a
+       |  JOIN comp cb ON cb.vec_id = c.o AND cb.i = ca.i
+       |  GROUP BY c.a, c.o),
        |${p}_ado AS (
        |  SELECT a AS node_id, o AS nbr_id, cos FROM (
        |    SELECT d.a, d.o, d.dot / (na.sn * nb.sn) AS cos,
@@ -6177,7 +6867,8 @@ object ExtQueries {
        |  FROM ${p}_ado GROUP BY node_id),
        |${p}_fin AS MATERIALIZED (
        |  SELECT node_id, nbr_id, cos, rk,
-       |    CASE WHEN ad = 1 THEN 'adopted' ELSE 'repair' END AS src
+       |    CASE WHEN rk > 8 THEN 'dropped'
+       |         WHEN ad = 1 THEN 'adopted' ELSE 'repair' END AS src
        |  FROM (
        |    SELECT node_id, nbr_id, cos, ad,
        |      row_number() OVER (PARTITION BY node_id
@@ -6188,13 +6879,13 @@ object ExtQueries {
        |      WHERE s.rk <= GREATEST(8 - c.na, 0)
        |      UNION ALL
        |      SELECT node_id, nbr_id, cos, 1 AS ad FROM ${p}_ado) u) z2
-       |  WHERE rk <= 8
        |  UNION ALL
        |  SELECT s.a, s.b, s.cos, s.rk, 'repair' AS src
        |  FROM ${p}s_sel s
        |  WHERE s.a NOT IN (SELECT node_id FROM ${p}_acn)),
        |${p}_m AS MATERIALIZED (
        |  SELECT node_id AS a, nbr_id AS b, cos, rk FROM ${p}_fin
+       |  WHERE src <> 'dropped'
        |  UNION ALL
        |  SELECT a, b, cos, rk FROM ${p}_keep k
        |  WHERE k.a NOT IN (SELECT a FROM ${p}_tch))""".stripMargin
@@ -6296,6 +6987,90 @@ object ExtQueries {
        |${deleteStageCtes("x1", "u1_merged", delBand)}
        |SELECT a AS node_id, b AS nbr_id, rk AS rank, cos AS cosine
        |FROM x1_m""".stripMargin
+  }
+
+  /** [[annGraphStaleness]] twin: the CDC maintenance composition
+    * (one append stage, one delete stage — the streamGraphUpsert
+    * chain) with per-edge provenance classes, a FRESH k16→8 rebuild
+    * of the final corpus, both walked for the off-seed band against
+    * the live brute truth, and the integer-predicate rebuild flag. */
+  private lazy val annGraphStalenessSql = {
+    val w1Band = (c: String) => s"$c % 20 = 9"
+    val delBand = (c: String) => s"$c % 10 = 3"
+    val cfBand = (c: String) =>
+      s"($c % 10 <> 9 OR $c % 20 = 9) AND $c % 10 <> 3"
+    s"""WITH $vecCtes,
+       |$bandedStoreCtes,
+       |${appendStageCtes("u1", "v1", "gb_sel", w1Band, gaBaseBand)},
+       |${deleteStageCtes("x1", "u1_merged", delBand)},
+       |st_cls AS MATERIALIZED (
+       |  SELECT node_id AS a, nbr_id AS b, cls FROM (
+       |    SELECT node_id, nbr_id, src AS cls FROM x1_fin
+       |    WHERE src <> 'dropped'
+       |    UNION ALL
+       |    SELECT k.a AS node_id, k.b AS nbr_id,
+       |      CASE WHEN k.a IN (SELECT query_id FROM u1_place)
+       |             THEN 'appended'
+       |           WHEN k.a IN (SELECT node_id FROM u1_fin)
+       |             THEN 'append_updated'
+       |           ELSE 'base' END AS cls
+       |    FROM x1_keep k
+       |    WHERE k.a NOT IN (SELECT a FROM x1_tch)) u),
+       |${nnDescentCtes(4, k = 16, band = cfBand, p = "fb")},
+       |${occlusionCtes("fz", "fb_l4", 8)},
+       |${beamCtes(3, queryBand = offseedBand, entryBand = cfBand,
+          p = "sm", graphRel = "st_cls")},
+       |${beamCtes(3, queryBand = offseedBand, entryBand = cfBand,
+          p = "sf", graphRel = "fz_sel")},
+       |st_tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS total FROM st_cls),
+       |st_cnt AS (
+       |  SELECT cls, CAST(count(*) AS BIGINT) AS n
+       |  FROM st_cls GROUP BY cls),
+       |st_tr AS MATERIALIZED (
+       |  SELECT query_id, nbr_id
+       |  FROM (${bruteForceTopSql(offseedBand, cfBand)}) bft),
+       |st_nq AS (
+       |  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq
+       |  FROM st_tr),
+       |st_mh AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS h
+       |  FROM (SELECT query_id, cand FROM sm_b3 WHERE rk <= 10) v
+       |  JOIN st_tr t ON t.query_id = v.query_id
+       |    AND t.nbr_id = v.cand),
+       |st_fh AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS h
+       |  FROM (SELECT query_id, cand FROM sf_b3 WHERE rk <= 10) v
+       |  JOIN st_tr t ON t.query_id = v.query_id
+       |    AND t.nbr_id = v.cand),
+       |st_ad AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS na
+       |  FROM st_cls WHERE cls = 'adopted')
+       |SELECT 'edges_' || c.cls AS variant, c.n AS num,
+       |  t.total AS den,
+       |  CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS ratio
+       |FROM st_cnt c, st_tot t
+       |UNION ALL
+       |SELECT 'walk_maintained' AS variant, m.h AS num,
+       |  CAST(q.nq * 10 AS BIGINT) AS den,
+       |  CAST(m.h AS DOUBLE) / CAST(q.nq * 10 AS DOUBLE) AS ratio
+       |FROM st_mh m, st_nq q
+       |UNION ALL
+       |SELECT 'walk_fresh' AS variant, f.h AS num,
+       |  CAST(q.nq * 10 AS BIGINT) AS den,
+       |  CAST(f.h AS DOUBLE) / CAST(q.nq * 10 AS DOUBLE) AS ratio
+       |FROM st_fh f, st_nq q
+       |UNION ALL
+       |SELECT 'rebuild' AS variant,
+       |  CAST(CASE WHEN a.na * 50 > t.total
+       |              OR (f.h - m.h) * 10 > q.nq * 10
+       |         THEN 1 ELSE 0 END AS BIGINT) AS num,
+       |  CAST(1 AS BIGINT) AS den,
+       |  CAST(CASE WHEN a.na * 50 > t.total
+       |              OR (f.h - m.h) * 10 > q.nq * 10
+       |         THEN 1 ELSE 0 END AS DOUBLE) AS ratio
+       |FROM st_ad a, st_tot t, st_mh m, st_fh f, st_nq q"""
+      .stripMargin
   }
 
   /** Beam-search recall-by-hop twin: the per-hop beam states' top-10
@@ -7812,9 +8587,12 @@ object ExtQueries {
     "ann_graph_append_diversity" -> annGraphAppendDiversitySql,
     "ann_graph_delete" -> annGraphDeleteSql,
     "ann_graph_delete_serve" -> annGraphDeleteServeSql,
+    "ann_graph_staleness" -> annGraphStalenessSql,
     "hybrid_rrf_fusion" -> hybridRrfFusionSql,
     "hybrid_rrf_served" -> hybridRrfServedSql,
     "hybrid_rrf_served_overlap" -> hybridRrfServedOverlapSql,
+    "serve_e2e" -> serveE2eSql,
+    "serve_e2e_stages" -> serveE2eStagesSql,
     "hybrid_rrf_graph" -> hybridRrfGraphSql,
     "hybrid_rrf_graph_overlap" -> hybridRrfGraphOverlapSql,
     "ann_graph_search" -> annGraphSearchSql,
@@ -7827,6 +8605,10 @@ object ExtQueries {
     "ann_opq_ivf_pq" -> annOpqIvfPqSql,
     "pq_encode_append" -> pqEncodeAppendSql,
     "ann_ivf_append" -> annIvfAppendSql,
+    "ann_ivf_delete_serve" -> annIvfDeleteServeSql,
+    "ann_ivf_compact" -> annIvfCompactSql,
+    "ann_pq_delete_serve" -> annPqDeleteServeSql,
+    "pq_index_compact" -> pqIndexCompactSql,
     "ann_drift_trigger" -> annDriftTriggerSql,
     "ann_matryoshka_recall" -> annMatryoshkaRecallSql,
     "embed_anisotropy" -> embedAnisotropySql,

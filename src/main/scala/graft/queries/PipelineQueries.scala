@@ -821,7 +821,7 @@ object PipelineQueries {
             col("embedding"), k = 8, beam = 16, hops = 3, entries = 8)
           val touched = delta.filter(col("src") === "updated")
             .select(col("node_id")).distinct()
-          val merged = delta
+          val merged = delta.filter(col("src") =!= "dropped")
             .select(col("node_id"), col("nbr_id"), col("rank"),
               col("cosine"))
             .unionByName(graph
@@ -860,9 +860,29 @@ object PipelineQueries {
     * what a deployment serves after an ingest tick AND a GDPR-style
     * deletion tick. */
   def streamGraphUpsert(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ext.Similarity
     val emb = Tables(spark, dir, "embeddings")
+    streamGraphUpsertRun(spark, dir, Seq(
+      emb.filter(pmod(col("vec_id"), lit(20)) === 9)
+        .select(lit("add").as("op"), col("vec_id"), col("embedding")),
+      emb.filter(pmod(col("vec_id"), lit(10)) === 3)
+        .select(lit("del").as("op"), col("vec_id"),
+          lit(null).cast("array<float>").as("embedding"))))
+  }
+
+  /** The upsert LOOP behind [[streamGraphUpsert]], parameterized by
+    * the wave plan: each element of `waves` is one op frame
+    * (op ∈ {add, del}, vec_id, embedding) delivered as ONE
+    * micro-batch — a frame carrying BOTH ops exercises the real CDC
+    * shape (mixed tick: adds applied first, then dels, within the
+    * same foreachBatch — the discipline `StreamGraphUpsertSpec` pins
+    * against the batch composition). Exposed package-private so the
+    * spec can drive mixed-tick and multi-wave plans through the
+    * exact production loop the gate runs. */
+  private[graft] def streamGraphUpsertRun(spark: SparkSession,
+      dir: String, waves: Seq[DataFrame]): DataFrame = {
+    import graft.ext.Similarity
     val tmp = graft.Tables.scratchDir("graft_graph_upsert")
+    val emb = Tables(spark, dir, "embeddings")
     val standing = emb.filter(pmod(col("vec_id"), lit(10)) =!= 9)
       .select(col("vec_id"), col("embedding"))
     standing.write.mode("overwrite").parquet(s"$tmp/corpus")
@@ -871,16 +891,7 @@ object PipelineQueries {
     ExtQueries.graphAppendBaseGraph(spark, dir)
       .write.mode("overwrite").parquet(s"$tmp/graph")
     onStreamSession(spark, 8) { s =>
-      def writeAdds(): Unit = emb
-        .filter(pmod(col("vec_id"), lit(20)) === 9)
-        .select(lit("add").as("op"), col("vec_id"), col("embedding"))
-        .write.mode("append").parquet(s"$tmp/in")
-      def writeDels(): Unit = emb
-        .filter(pmod(col("vec_id"), lit(10)) === 3)
-        .select(lit("del").as("op"), col("vec_id"),
-          lit(null).cast("array<float>").as("embedding"))
-        .write.mode("append").parquet(s"$tmp/in")
-      writeAdds()
+      waves.head.write.mode("append").parquet(s"$tmp/in")
       val q = s.readStream
         .schema("op STRING, vec_id LONG, embedding ARRAY<FLOAT>")
         .parquet(s"$tmp/in")
@@ -891,16 +902,24 @@ object PipelineQueries {
           val adds = b.filter(col("op") === "add")
             .select(col("vec_id"), col("embedding"))
           val dels = b.filter(col("op") === "del").select(col("vec_id"))
+          // ONE driver action decides both branches (was two
+          // limit(1).count() jobs per tick)
+          val opCnt = b.agg(
+            sum(when(col("op") === "add", 1L).otherwise(0L)).as("na"),
+            sum(when(col("op") === "del", 1L).otherwise(0L)).as("nd"))
+            .collect()(0)
+          val hasAdds = !opCnt.isNullAt(0) && opCnt.getLong(0) > 0
+          val hasDels = !opCnt.isNullAt(1) && opCnt.getLong(1) > 0
           var curC = corpus
           var curG = graph
-          if (adds.limit(1).count() > 0) {
+          if (hasAdds) {
             val delta = Similarity.graphAppend(curC, col("vec_id"),
               col("embedding"), curG, adds, col("vec_id"),
               col("embedding"), k = 8, beam = 16, hops = 3,
               entries = 8)
             val touched = delta.filter(col("src") === "updated")
               .select(col("node_id")).distinct()
-            curG = delta
+            curG = delta.filter(col("src") =!= "dropped")
               .select(col("node_id"), col("nbr_id"), col("rank"),
                 col("cosine"))
               .unionByName(curG
@@ -908,8 +927,16 @@ object PipelineQueries {
                 .select(col("node_id"), col("nbr_id"), col("rank"),
                   col("cosine")))
             curC = curC.unionByName(adds)
+            // MIXED tick: the delete stage walks its graph relation
+            // ~10x — composing it over the un-truncated append plan
+            // re-nests the whole lineage per reference (heap-OOM at
+            // spec scale). Truncate between the ops of one tick.
+            if (hasDels) {
+              curG = curG.localCheckpoint(true)
+              curC = curC.localCheckpoint(true)
+            }
           }
-          if (dels.limit(1).count() > 0) {
+          if (hasDels) {
             curC = curC.join(dels, Seq("vec_id"), "left_anti")
             val rep = Similarity.graphDelete(curC, col("vec_id"),
               col("embedding"), curG, dels, col("vec_id"), k = 8)
@@ -923,8 +950,9 @@ object PipelineQueries {
             curG = keep.join(touched, Seq("node_id"), "left_anti")
               .select(col("node_id"), col("nbr_id"), col("rank"),
                 col("cosine"))
-              .unionByName(rep.select(col("node_id"), col("nbr_id"),
-                col("rank"), col("cosine")))
+              .unionByName(rep.filter(col("src") =!= "dropped")
+                .select(col("node_id"), col("nbr_id"),
+                  col("rank"), col("cosine")))
           }
           val outG = curG.localCheckpoint(true)
           val outC = curC.localCheckpoint(true)
@@ -935,8 +963,10 @@ object PipelineQueries {
         .option("checkpointLocation", s"$tmp/_ck")
         .start()
       q.processAllAvailable()
-      writeDels()
-      q.processAllAvailable()
+      waves.tail.foreach { w =>
+        w.write.mode("append").parquet(s"$tmp/in")
+        q.processAllAvailable()
+      }
       q.stop()
       s.read.parquet(s"$tmp/graph")
     }

@@ -38,7 +38,8 @@ object GraphServeAb {
     val touched = delta.filter(col("src") === "updated")
       .select(col("node_id")).distinct()
     val merged = Tables.materialize(
-      delta.select(col("node_id"), col("nbr_id"))
+      delta.filter(col("src") =!= "dropped")
+        .select(col("node_id"), col("nbr_id"))
         .unionByName(g.join(touched, Seq("node_id"), "left_anti")
           .select(col("node_id"), col("nbr_id"))))
     def strat(n: Int): DataFrame = emb.select(col("vec_id").as("cand"))

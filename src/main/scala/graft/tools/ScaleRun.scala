@@ -18,8 +18,10 @@ import org.apache.spark.sql.SparkSession
   * pair growth; Σdf² dispatch flips). The three real SFs are the
   * honest span.
   *
-  * Run: sbt "runMain graft.tools.ScaleRun [query…]"
-  * (defaults to the ten heaviest gates from the round-16 bench).
+  * Run: sbt "runMain graft.tools.ScaleRun [--sfs=d1,d2,…] [query…]"
+  * (queries default to the ten heaviest gates from the round-16
+  * bench; SF dirs come from --sfs, else the SPARK_GRAFT_SF_DIRS
+  * env var (comma-separated), else the driver's testdata trio).
   */
 object ScaleRun {
   private val DefaultQueries = Seq(
@@ -29,9 +31,16 @@ object ScaleRun {
     "doc_dedup_best")
 
   def main(args: Array[String]): Unit = {
-    val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-      "/root/testdata/sf0.1")
-    val queries = if (args.nonEmpty) args.toSeq else DefaultQueries
+    val sfs = args.collectFirst {
+        case a if a.startsWith("--sfs=") =>
+          a.stripPrefix("--sfs=").split(",").toSeq
+      }
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIRS")
+        .map(_.split(",").toSeq))
+      .getOrElse(Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1"))
+    val qArgs = args.filterNot(_.startsWith("--sfs=")).toSeq
+    val queries = if (qArgs.nonEmpty) qArgs else DefaultQueries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = graft.Sessions.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
@@ -70,11 +79,23 @@ object ScaleRun {
     // sf0.001 and sf0.01 (500 rows each) and grow 10x/4x at sf0.1 —
     // only the TPC-H tables scale with SF at every step. A same-input
     // pair measures warm-up noise, not growth, and is printed as "=".
-    val drivingTable = Map(
-      "ann_graph_diversify" -> "embeddings",
-      "ann_graph_append" -> "embeddings",
-      "embed_dbscan" -> "embeddings").withDefaultValue("documents")
-    val rows = (for (sf <- sfs; t <- Seq("documents", "embeddings"))
+    // Each gate's driving rows come from the table(s) it actually
+    // reads (a registry, not a silent default); a gate absent from
+    // the registry prints one exponent row PER candidate table,
+    // explicitly labeled, instead of guessing.
+    val gateTables = Map(
+      "dedup_family_compare" -> Seq("documents"),
+      "corpus_tokenize_e2e" -> Seq("documents"),
+      "ann_graph_diversify" -> Seq("embeddings"),
+      "dedup_stage_costs" -> Seq("documents"),
+      "corpus_quality_e2e" -> Seq("documents"),
+      "substring_dedup" -> Seq("documents"),
+      "embed_dbscan" -> Seq("embeddings"),
+      "stream_incremental_dedup" -> Seq("documents"),
+      "ann_graph_append" -> Seq("embeddings"),
+      "doc_dedup_best" -> Seq("documents"))
+    val allTables = Seq("documents", "embeddings")
+    val rows = (for (sf <- sfs; t <- allTables)
       yield (sf, t) ->
         spark.read.parquet(s"$sf/$t.parquet").count().toDouble).toMap
     def exp(cLo: Double, cHi: Double, nLo: Double, nHi: Double): String =
@@ -84,12 +105,22 @@ object ScaleRun {
     println("[scale] --- CPU scaling exponents vs INPUT-ROW growth " +
       "(1.0 = linear, 2.0 = quadratic; '=' = same input) ---")
     queries.foreach { name =>
-      val t = drivingTable(name)
+      val (ts, known) = gateTables.get(name) match {
+        case Some(t) => (Seq(t), true)
+        case None => (allTables.map(Seq(_)), false)
+      }
       val c = sfs.map(sf => res((name, sf))._3)
-      val n = sfs.map(sf => rows((sf, t)))
-      println(f"[scale] $name%-28s ($t%-10s) " +
-        s"e(0.001->0.01) ${exp(c(0), c(1), n(0), n(1))}   " +
-        s"e(0.01->0.1) ${exp(c(1), c(2), n(1), n(2))}")
+      ts.foreach { tset =>
+        val n = sfs.map(sf => tset.map(t => rows((sf, t))).sum)
+        val label = tset.mkString("+") +
+          (if (known) "" else "?")
+        val pairs = sfs.sliding(2).zipWithIndex.map {
+          case (Seq(lo, hi), i) =>
+            s"e(${lo.split('/').last}->${hi.split('/').last}) " +
+              exp(c(i), c(i + 1), n(i), n(i + 1))
+        }.mkString("   ")
+        println(f"[scale] $name%-28s ($label%-12s) $pairs")
+      }
     }
     spark.stop()
   }

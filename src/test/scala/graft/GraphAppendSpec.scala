@@ -198,5 +198,16 @@ class GraphAppendSpec extends SparkSpec {
     assert(perNode.filter($"n" > 8L || $"mr" =!= $"n").count() == 0L)
     // all 8 surviving slots are adoptees (appended band)
     assert(upd.filter($"nbr_id" < 100L).count() == 0L)
+    // the evicted 9th orphan is OBSERVABLE: exactly one src='dropped'
+    // row, on the shared target, rank past capacity, naming an
+    // appended id — the delta admits the reachability miss instead
+    // of silently cutting it
+    val drop = res.filter($"src" === "dropped").cache()
+    assert(drop.count() == 1L)
+    assert(drop.filter($"node_id" === 12L && $"nbr_id" >= 100L &&
+      $"rank" === 9).count() == 1L)
+    // and the dropped edge is disjoint from the surviving list
+    assert(upd.select($"nbr_id").intersect(drop.select($"nbr_id"))
+      .count() == 0L)
   }
 }

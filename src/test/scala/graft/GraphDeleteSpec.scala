@@ -123,6 +123,66 @@ class GraphDeleteSpec extends SparkSpec {
       "a live pre-delete member vanished from every list")
   }
 
+  // ---- adoption-candidate bound on a LARGE clustered batch -----------
+
+  /** The round-17 weak: adoption targets came from `touched ×
+    * orphans` — deletion-batch-QUADRATIC (both sides grow with
+    * |del|). [[Similarity.deleteAdoptionCandidates]] restricts each
+    * orphan to touched lists 2-hop-adjacent to its former adopters:
+    * candidate volume is Σ_o |adopters(o)| · (1 + deg + in-deg) —
+    * batch·degree²-bounded for ANY orphan set, which this pins on a
+    * 50% clustered delete batch (100 tombstones over the 200-node
+    * store) against both the analytic bound and the old quadratic
+    * volume. */
+  test("adoption candidates are degree-bounded, not touched × orphans") {
+    val bigDel = fixture.filter($"vec_id" % 2 === 0).select($"vec_id")
+    val g = store.select($"node_id", $"nbr_id", $"cosine").cache()
+    val keep = g.join(bigDel.select($"vec_id".as("node_id")),
+      Seq("node_id"), "left_anti")
+    val touched = keep
+      .join(bigDel.select($"vec_id".as("nbr_id")),
+        Seq("nbr_id"), "left_semi")
+      .select($"node_id").distinct().cache()
+    // the bound must hold for ANY orphan set — drive the helper with
+    // a spread synthetic one (real orphan production is rare and
+    // fixture-fragile; the helper is agnostic)
+    val orphans = fixture
+      .filter($"vec_id" % 2 =!= 0 && $"vec_id" % 5 === 1)
+      .select($"vec_id".as("oid")).cache()
+    val cand = Similarity.deleteAdoptionCandidates(g, touched, orphans)
+      .cache()
+    val nT = touched.count()
+    val nO = orphans.count()
+    assert(nO >= 15L && nT >= 30L, "fixture too small to be probative")
+    // every candidate is a touched list
+    assert(cand.join(touched, Seq("node_id"), "left_anti").count() == 0L)
+    // analytic volume bound: |cand| <= |former-adopter pairs| *
+    // (1 + max out-degree + max in-degree)
+    val fad = g.select($"node_id".as("fa"), $"nbr_id".as("oid"))
+      .join(orphans, Seq("oid"), "left_semi").cache()
+    val dOut = g.groupBy($"node_id").agg(count(lit(1)).as("d"))
+      .agg(max($"d")).first().getLong(0)
+    val dIn = g.groupBy($"nbr_id").agg(count(lit(1)).as("d"))
+      .agg(max($"d")).first().getLong(0)
+    val nC = cand.count()
+    assert(nC <= fad.count() * (1 + dOut + dIn),
+      s"candidate volume $nC above the degree bound")
+    // and strictly below the quadratic form's volume on this batch
+    assert(nC < nT * nO,
+      s"candidate volume $nC not below touched×orphans ${nT * nO}")
+    // end-to-end: the large clustered delete still honors the
+    // contracts, and any adopted edge lands on a candidate list
+    val rep = Similarity.graphDelete(fixture, $"vec_id", $"embedding",
+      store, bigDel, $"vec_id", k = 8).cache()
+    assert(rep.filter($"nbr_id" % 2 === 0).count() == 0L)
+    assert(rep.filter($"src" =!= "dropped").groupBy($"node_id")
+      .agg(count(lit(1)).as("n")).filter($"n" > 8L).count() == 0L)
+    val adoptedOff = rep.filter($"src" === "adopted")
+      .select($"node_id").join(touched, Seq("node_id"), "left_anti")
+    assert(adoptedOff.count() == 0L,
+      "an adopted edge landed outside the touched set")
+  }
+
   // ---- bridge proof on an angular line -------------------------------
 
   /** 21 unit vectors along a 2° arc: exact neighbors are the
