@@ -18,8 +18,10 @@ import graft.ext.{Dedup, Similarity}
   *                   bound = Σ_buckets C(sz, 2) over band buckets
   *  - winnow_pairs   measured = winnowing shared-fingerprint pairs;
   *                   bound = Σ C(sz, 2) over kept (df ≤ 64) buckets
-  *  - embed_pairs    measured = hyperplane-LSH ε-pairs (bucket-join,
-  *                   cap 1000); no closed-form bound — growth row only
+  *  - embed_pairs    measured = hyperplane-LSH bucket-join CANDIDATE
+  *                   pairs (threshold −1 disables the cosine verify,
+  *                   so the count IS the candidate volume; cap 1000);
+  *                   no closed-form bound — growth row only
   *  - graph_occl     measured = occlusion candidate pairs of the
   *                   serving store build (node × higher-ranked);
   *                   bound = n · k(k−1)/2 at k = 16
@@ -83,8 +85,19 @@ object CandidateCounts {
       res(("winnow_pairs", sf)) = (winMeasured, winBound, nDocs)
 
       val embMeasured = Similarity.lshNearDupPairs(emb, col("vec_id"),
-        col("embedding"), dim = 64).count()
+        col("embedding"), dim = 64, threshold = -1.0).count()
       res(("embed_pairs", sf)) = (embMeasured, -1L, nEmb)
+
+      // the remedy demonstrated: hold bucket OCCUPANCY constant by
+      // scaling numPlanes with log2(n) (bucket count 2^planes ∝ n)
+      // — candidate growth should read ~linear where the fixed-plane
+      // row above reads ~quadratic
+      val planes = math.max(4,
+        math.ceil(math.log(nEmb / 2.0) / math.log(2.0)).toInt)
+      val embScaled = Similarity.lshNearDupPairs(emb, col("vec_id"),
+        col("embedding"), dim = 64, numPlanes = planes,
+        threshold = -1.0).count()
+      res(("embed_pairs_pl", sf)) = (embScaled, -1L, nEmb)
 
       val store = graft.Tables.materialize(
         Similarity.nnDescent(emb, col("vec_id"), col("embedding"),
