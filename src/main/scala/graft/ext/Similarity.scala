@@ -978,12 +978,11 @@ object Similarity {
     def round12(d: Double): java.math.BigDecimal =
       java.math.BigDecimal.valueOf(d)
         .setScale(12, java.math.RoundingMode.HALF_UP)
-    def dotDec(a: Array[Double], b: Array[Double]): Double = {
-      var acc = java.math.BigDecimal.ZERO
-      var i = 0
-      while (i < a.length) { acc = acc.add(round12(a(i) * b(i))); i += 1 }
-      acc.doubleValue()
-    }
+    // same fast scaled-long execution as the distributed kernel
+    // ([[graft.functions.VecKernels.prodPicos]] — identical
+    // per-product contract), BigDecimal fallback on overflow
+    def dotDec(a: Array[Double], b: Array[Double]): Double =
+      graft.functions.VecKernels.dotPicosDouble(a, b)
     val norms: Array[Double] = sample.map(v => math.sqrt(dotDec(v._2, v._2)))
     val cellIds: Array[Long] = sample.take(numCells).map(_._1)
     var cent: Array[Array[Double]] = sample.take(numCells).map(_._2.clone())
@@ -1069,12 +1068,11 @@ object Similarity {
     def round12(d: Double): java.math.BigDecimal =
       java.math.BigDecimal.valueOf(d)
         .setScale(12, java.math.RoundingMode.HALF_UP)
-    def dotDec(a: Array[Double], b: Array[Double]): Double = {
-      var acc = java.math.BigDecimal.ZERO
-      var i = 0
-      while (i < a.length) { acc = acc.add(round12(a(i) * b(i))); i += 1 }
-      acc.doubleValue()
-    }
+    // same fast scaled-long execution as the distributed kernel
+    // ([[graft.functions.VecKernels.prodPicos]] — identical
+    // per-product contract), BigDecimal fallback on overflow
+    def dotDec(a: Array[Double], b: Array[Double]): Double =
+      graft.functions.VecKernels.dotPicosDouble(a, b)
     // subspaces are independent — train them on a driver thread pool
     // (the serial BigDecimal inner loop is the training cost: sample ×
     // ksub × iters × sub exact-decimal products per subspace).

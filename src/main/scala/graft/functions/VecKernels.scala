@@ -43,9 +43,54 @@ object VecKernels {
     * double->decimal(28,12) cast, accumulate exactly. `aFloat`/
     * `bFloat` select the element reader (flags are compile-time
     * literals in generated code, so the JIT sees a monomorphic loop).
-    * Called from generated code — keep the signature JVM-simple. */
+    * Called from generated code — keep the signature JVM-simple.
+    *
+    * Arithmetic contract (unchanged since the kernel landed): each
+    * product rounds as `BigDecimal.valueOf(x*y).setScale(12, HALF_UP)`
+    * — i.e. the SHORTEST-decimal (Double.toString) representation of
+    * the product, rounded half-away-from-zero at 12 dp — and the
+    * rounded terms sum exactly. The execution is a scaled-long fast
+    * path ([[prodPicos]]): the sum accumulates in 10^-12 units
+    * ("picos") with overflow-checked adds, and each term takes a
+    * branch-free exact rounding of the true binary product except
+    * inside a guard band around the .5 boundaries, where
+    * shortest-decimal rounding and true-value rounding can disagree
+    * and the term falls back to the BigDecimal reference (~1-in-10^4
+    * of uniform inputs). `DotSpec` fuzzes the fast path against the
+    * reference on random and boundary-adversarial inputs; the full
+    * oracle board re-gated bit-identical when the fast path landed
+    * (round 18). */
   def dotDec(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Decimal = {
     val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    try {
+      while (i < n) {
+        if (!a.isNullAt(i) && !b.isNullAt(i)) {
+          val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+          val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+          acc = Math.addExact(acc, prodPicos(x * y))
+        }
+        i += 1
+      }
+    } catch { case _: ArithmeticException =>
+      // |Σ| past ~9.2·10^6 units (or one term past the fast-path
+      // magnitude bar): redo the whole dot on the reference path —
+      // decimal addition is exact and associative, so the result is
+      // identical, just slower. Never taken on O(1)-magnitude
+      // embeddings.
+      return dotDecSlow(a, b, aFloat, bFloat, n)
+    }
+    // unscaled picos -> DECIMAL(28,12); a long always fits 28 digits
+    Decimal(acc, 28, 12)
+  }
+
+  /** Reference implementation of [[dotDec]] — the pre-round-18
+    * BigDecimal path, kept verbatim: the fallback when the fast
+    * path's long accumulator would overflow, and the oracle the
+    * fuzz spec grades the fast path against. */
+  private[graft] def dotDecSlow(a: ArrayData, b: ArrayData,
+      aFloat: Boolean, bFloat: Boolean, n: Int): Decimal = {
     var acc = java.math.BigDecimal.ZERO
     var i = 0
     while (i < n) {
@@ -65,6 +110,86 @@ object VecKernels {
       throw new ArithmeticException(
         "vec_dot_dec overflow: |result| too large for DECIMAL(28,12)")
     d
+  }
+
+  /** `BigDecimal.valueOf(p).setScale(12, HALF_UP).unscaledValue` as a
+    * long, ~30-50x faster than the BigDecimal chain for the common
+    * case. Exactness argument:
+    *
+    *  - `hi = p * 1e12` and `err = fma(p, 1e12, -hi)` give the TRUE
+    *    binary product value T = hi + err exactly (10^12 is an exact
+    *    double, fma rounds once).
+    *  - HALF_UP on the magnitude: n = floor(|T|) + (frac > 0.5).
+    *    The contract rounds the SHORTEST-DECIMAL repr D of p, not T
+    *    itself; |D − p| ≤ ulp(p)/2, so the two roundings can disagree
+    *    only when |T| lands within ulp(|hi|)·(~1) of a .5 boundary —
+    *    the guard band routes exactly those terms to the reference
+    *    path ([[prodPicosSlow]]). Everywhere else floor/compare on
+    *    (frac + err) is provably the same rounding.
+    *  - Non-finite p and |p| ≥ ~4.5·10^3 (where ulp(hi) ≥ 1 makes the
+    *    guard meaningless) also take the reference path — including
+    *    its exceptions: `valueOf(NaN/Inf)` throws NumberFormatException
+    *    exactly as the old kernel did.
+    *
+    * Shared by the distributed kernel and the driver-side Lloyd's
+    * trainers (same per-product contract). */
+  def prodPicos(p: Double): Long = {
+    val hi = p * 1e12
+    val ahi = Math.abs(hi)
+    // beyond 2^52 every double is an integer and frac logic breaks;
+    // bar far lower: ulp(ahi) must stay << 0.5 for the guard band to
+    // mean anything. 2^42 ≈ 4.4e12 picos (|p| ≈ 4.4): embeddings and
+    // their pairwise products live far below it. NaN/Inf fail the
+    // comparison and fall through to the reference path too.
+    if (!(ahi < 4.4e15)) return prodPicosSlow(p)
+    val err = Math.fma(p, 1e12, -hi)
+    val aerr = if (p < 0) -err else err // |T| = ahi + aerr exactly
+    val f = Math.floor(ahi)
+    val frac = (ahi - f) + aerr // exact: ahi - f is Sterbenz-exact
+    val g = Math.ulp(ahi) * 2.0 + 1e-9 // D-vs-T wobble + fma slack
+    val n =
+      if (frac > 0.5 + g) f.toLong + 1L
+      else if (frac < 0.5 - g) f.toLong
+      else return prodPicosSlow(p) // ambiguous: shortest-decimal rules
+    if (p < 0) -n else n
+  }
+
+  /** Reference per-product rounding (see [[prodPicos]]); throws on
+    * magnitudes whose unscaled value exceeds a long — callers catch
+    * ArithmeticException and take the whole-dot BigDecimal path. */
+  private def prodPicosSlow(p: Double): Long =
+    java.math.BigDecimal.valueOf(p)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  /** Driver-array form of the exact dot for the Lloyd's trainers:
+    * Σ_i round12(a_i·b_i) exactly, returned as the correctly-rounded
+    * double of the exact decimal sum — bit-identical to the
+    * accumulate-BigDecimal/doubleValue loop it replaces (the final
+    * BigDecimal is reconstructed from the exact unscaled sum, so the
+    * decimal→double conversion is the same correctly-rounded one).
+    * Falls back to the BigDecimal loop if the picos accumulator
+    * overflows (never on O(1)-magnitude embeddings). */
+  def dotPicosDouble(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0L
+    var i = 0
+    try {
+      while (i < a.length) {
+        acc = Math.addExact(acc, prodPicos(a(i) * b(i)))
+        i += 1
+      }
+    } catch { case _: ArithmeticException =>
+      var bd = java.math.BigDecimal.ZERO
+      var j = 0
+      while (j < a.length) {
+        bd = bd.add(java.math.BigDecimal.valueOf(a(j) * b(j))
+          .setScale(12, java.math.RoundingMode.HALF_UP))
+        j += 1
+      }
+      return bd.doubleValue()
+    }
+    new java.math.BigDecimal(java.math.BigInteger.valueOf(acc), 12)
+      .doubleValue()
   }
 
   /** Symmetric int8 quantization of one vector in one codegen'd call:

@@ -61,6 +61,56 @@ class VecKernelsSpec extends SparkSpec {
     assert(got == 0.0)
   }
 
+  test("dotDec fast path matches the BigDecimal reference on fuzz + boundary inputs") {
+    // the round-18 scaled-long fast path must reproduce the reference
+    // (shortest-decimal HALF_UP per product, exact sum) bit for bit —
+    // including the guard-band fallbacks around .5 picos boundaries
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new java.util.Random(18181818L)
+    def check(xs: Array[Double], ys: Array[Double], float: Boolean): Unit = {
+      val (a, b) =
+        if (float)
+          (new GenericArrayData(xs.map(x => x.toFloat.asInstanceOf[Any])),
+            new GenericArrayData(ys.map(y => y.toFloat.asInstanceOf[Any])))
+        else
+          (new GenericArrayData(xs.map(_.asInstanceOf[Any])),
+            new GenericArrayData(ys.map(_.asInstanceOf[Any])))
+      val fast = VecKernels.dotDec(a, b, float, float)
+      val slow = VecKernels.dotDecSlow(a, b, float, float,
+        math.min(a.numElements(), b.numElements()))
+      assert(fast.toJavaBigDecimal == slow.toJavaBigDecimal,
+        s"fast=$fast slow=$slow xs=${xs.toSeq} ys=${ys.toSeq}")
+    }
+    // embedding-shaped uniforms (the hot-path distribution)
+    for (_ <- 1 to 3000) {
+      val xs = Array.fill(8)(rnd.nextDouble() * 4.0 - 2.0)
+      val ys = Array.fill(8)(rnd.nextDouble() * 4.0 - 2.0)
+      check(xs, ys, float = true); check(xs, ys, float = false)
+    }
+    // wide log-uniform magnitudes (incl. past the fast-path bar)
+    for (_ <- 1 to 3000) {
+      def logu() = { val m = math.pow(10.0, rnd.nextDouble() * 16 - 10)
+        if (rnd.nextBoolean()) m else -m }
+      check(Array.fill(4)(logu()), Array.fill(4)(logu()), float = false)
+    }
+    // adversarial: products engineered onto/near .5 picos boundaries
+    for (_ <- 1 to 4000) {
+      val m = rnd.nextInt(1 << 20).toLong
+      val eps = rnd.nextInt(5) match {
+        case 0 => 0.0
+        case 1 => 1e-16
+        case 2 => -1e-16
+        case 3 => 1e-13
+        case _ => -1e-13
+      }
+      val p = (m.toDouble + 0.5) * 1e-12 + eps
+      check(Array(p, -p), Array(1.0, 1.0), float = false)
+    }
+    // zeros, negative zero, subnormals
+    check(Array(0.0, -0.0, java.lang.Double.MIN_VALUE),
+      Array(1.0, 1.0, 1.0), float = false)
+  }
+
   test("vec_quant_i8 matches the composed round/array_max twin bit for bit") {
     val m = array_max(transform($"a", x => abs(x.cast("double"))))
     val slow = transform($"a",
