@@ -964,9 +964,21 @@ object Dedup {
     * length. */
   def repeatedSpanCoverage(df: DataFrame, id: Column, text: Column,
       gramChars: Int = 40, minFreq: Int = 2,
+      maxCoverage: Double = 0.5): DataFrame =
+    repeatedSpanCoverageFromSpans(df, id, text,
+      repeatedSpans(df, id, text, gramChars, minFreq), maxCoverage)
+
+  /** [[repeatedSpanCoverage]] over a prebuilt span frame
+    * ([[repeatedSpans]] output) — the shared-tier entry point: five
+    * gates consume the coverage verdict at the same gram constants,
+    * so the expensive per-position gram pass persists once
+    * (`ExtQueries.spanFrames`) and each consumer runs only this
+    * aggregate + join over it. Output is byte-identical to the
+    * composed form (same span frame, same algebra). */
+  def repeatedSpanCoverageFromSpans(df: DataFrame, id: Column,
+      text: Column, spans: DataFrame,
       maxCoverage: Double = 0.5): DataFrame = {
     require(maxCoverage > 0 && maxCoverage <= 1, "0 < maxCoverage <= 1")
-    val spans = repeatedSpans(df, id, text, gramChars, minFreq)
     val dupChars = spans.groupBy(col("doc_id"))
       .agg(sum(col("span_end") - col("span_start") + 1).as("dup_chars"))
     df.select(id.as("doc_id"), length(text).cast("long").as("n_chars"))
@@ -992,12 +1004,20 @@ object Dedup {
     * is touched once more only for text + length. Output (doc_id,
     * n_spans, removed_chars, clean_text). */
   def spliceRepeatedSpans(df: DataFrame, id: Column, text: Column,
-      gramChars: Int = 40, minFreq: Int = 2): DataFrame = {
+      gramChars: Int = 40, minFreq: Int = 2): DataFrame =
+    spliceRepeatedSpansFromSpans(df, id, text,
+      repeatedSpans(df, id, text, gramChars, minFreq))
+
+  /** [[spliceRepeatedSpans]] over a prebuilt span frame — the
+    * shared-tier entry point (see [[repeatedSpanCoverageFromSpans]]).
+    * Byte-identical output: the splice is pure algebra over the span
+    * frame + one more corpus touch for text/length. */
+  def spliceRepeatedSpansFromSpans(df: DataFrame, id: Column,
+      text: Column, spansIn: DataFrame): DataFrame = {
     val docs = df.select(id.as("doc_id"), text.as("text"),
       length(text).cast("long").as("len"))
     val spans = graft.Tables.materialize(
-      repeatedSpans(df, id, text, gramChars, minFreq)
-        .select(col("doc_id"), col("span_start"), col("span_end")))
+      spansIn.select(col("doc_id"), col("span_start"), col("span_end")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("span_start"))
     val mid = spans
       .withColumn("gs",

@@ -1363,8 +1363,8 @@ object ExtQueries {
     val nearDropped = Dedup.connectedComponents(verified)
       .filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id"), lit(true).as("near"))
-    val cov = Dedup.repeatedSpanCoverage(docs, col("doc_id"),
-        col("text"), gramChars = 40, minFreq = 2, maxCoverage = 0.5)
+    val cov = Dedup.repeatedSpanCoverageFromSpans(docs, col("doc_id"),
+        col("text"), spanFrames(spark, dir), maxCoverage = 0.5)
       .select(col("doc_id"), col("keep"))
     docs.select(col("doc_id"))
       .join(surv, Seq("doc_id"), "left_outer")
@@ -1405,8 +1405,8 @@ object ExtQueries {
       survivors.select(col("id"))
         .join(nearDropped, Seq("id"), "left_anti"))
     val kept = afterNear
-      .join(Dedup.repeatedSpanCoverage(docs, col("id"), col("text"),
-          gramChars = 40, minFreq = 2, maxCoverage = 0.5)
+      .join(Dedup.repeatedSpanCoverageFromSpans(docs, col("id"),
+          col("text"), spanFrames(spark, dir), maxCoverage = 0.5)
         .select(col("doc_id").as("id"), col("keep")), "id")
       .filter(col("keep"))
     val docsStats = docs.join(lens, "id")
@@ -1750,12 +1750,29 @@ object ExtQueries {
     survivors.join(dropped, Seq("id"), "left_anti").select(col("id"))
   }
 
+  /** Shared repeated-span frame ([[Dedup.repeatedSpans]] at the gate
+    * constants gramChars = 40, minFreq = 2) — the per-position gram
+    * pass is the expensive half of SIX gates (`substring_dedup`
+    * itself, `substring_splice`, `substring_dedup_filter`,
+    * `corpus_quality_e2e`, `dedup_lineage`, `dedup_stage_costs`'
+    * coverage stage), each of which used to re-run it by gate
+    * isolation (~45 task-CPU-s per pass at sf0.1, ~200 MB of gram
+    * shuffle each). The FIRST caller persists the (doc_id,
+    * span_start, span_end, n_gram_hits) frame; consumers compose
+    * coverage/splice algebra over it — byte-identical outputs, one
+    * gram pass per run. Same shape at 100 TB: the span frame is a
+    * build artifact every policy readout shares. */
+  private def spanFrames(spark: SparkSession, dir: String): DataFrame =
+    sharedFrames(spark, dir, "substring_spans") {
+      Seq("spans" -> Dedup.repeatedSpans(Tables(spark, dir, "documents"),
+        col("doc_id"), col("text"), gramChars = 40, minFreq = 2))
+    }("spans")
+
   /** Substring/passage-level exact dedup (see [[Dedup.repeatedSpans]]):
     * maximal spans whose 40-char grams repeat corpus-wide — the
     * suffix-array-dedup output in distributed gram algebra. */
   def substringDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.repeatedSpans(Tables(spark, dir, "documents"),
-      col("doc_id"), col("text"), gramChars = 40, minFreq = 2)
+    spanFrames(spark, dir)
 
   /** Contrastive TRIPLET mining — the training-pair prep a
     * retrieval/embedding trainer runs over the dedup graph: every
@@ -1801,8 +1818,8 @@ object ExtQueries {
     * (coverage-filter drops WHOLE docs; this keeps the unique
     * remainder). */
   def substringSplice(spark: SparkSession, dir: String): DataFrame =
-    Dedup.spliceRepeatedSpans(Tables(spark, dir, "documents"),
-      col("doc_id"), col("text"), gramChars = 40, minFreq = 2)
+    Dedup.spliceRepeatedSpansFromSpans(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"), spanFrames(spark, dir))
 
   /** Winnowing (MOSS) fingerprint selection over token 3-grams with a
     * 4-gram window ([[Dedup.winnowFingerprints]]): the localized
@@ -1840,8 +1857,8 @@ object ExtQueries {
     * [[Dedup.repeatedSpanCoverage]]): duplicated-character coverage
     * per doc and the C4-style keep/drop at 50%. */
   def substringDedupFilter(spark: SparkSession, dir: String): DataFrame =
-    Dedup.repeatedSpanCoverage(Tables(spark, dir, "documents"),
-      col("doc_id"), col("text"), gramChars = 40, minFreq = 2,
+    Dedup.repeatedSpanCoverageFromSpans(Tables(spark, dir, "documents"),
+      col("doc_id"), col("text"), spanFrames(spark, dir),
       maxCoverage = 0.5)
 
   /** The round-10 operators composed end-to-end — the quality half of
@@ -1862,8 +1879,8 @@ object ExtQueries {
       .toDF()
       .filter(col("label") === "keep")
       .select(col("doc_id"), col("score"))
-    val cov = Dedup.repeatedSpanCoverage(docs, col("doc_id"), col("text"),
-        gramChars = 40, minFreq = 2, maxCoverage = 0.5)
+    val cov = Dedup.repeatedSpanCoverageFromSpans(docs, col("doc_id"),
+        col("text"), spanFrames(spark, dir), maxCoverage = 0.5)
       .filter(col("keep"))
       .select(col("doc_id"), col("dup_coverage"))
     val canon = docs.select(col("doc_id"),
